@@ -1,0 +1,370 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational core operators (SURVEY.md §2 rows 1–14).
+  *
+  * Design notes for 100 TB scale:
+  *  - every query is a declarative DataFrame plan: filters/projections
+  *    reach the parquet scan (PushedFilters/ReadSchema), aggregations
+  *    get map-side partial aggregation, small dimension tables are
+  *    broadcast explicitly;
+  *  - floating-point aggregates go through DECIMAL so results are
+  *    order-independent (a parallel double sum is not) — the same trick
+  *    the DuckDB oracle uses, so results match bit-for-bit;
+  *  - no collect(), no UDFs: everything stays inside whole-stage
+  *    codegen.
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a double column: sum as
+    * DECIMAL(25,4), surface as double. On a 1000-executor cluster the
+    * combine order of partial sums is nondeterministic; decimal makes
+    * the result (and the oracle compare) stable.
+    */
+  def dsum(c: Column): Column = sum(c.cast("decimal(25,4)")).cast("double")
+
+  /** Order-independent mean built from the decimal sum. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  // ---------------------------------------------------------------
+  // q01: scan → filter → groupBy agg (TPC-H Q1 shape).
+  // Mirrors the reference's market-stats style per-segment price
+  // aggregation (regex_analyzer.py:968-1000) on the lineitem table.
+  // ---------------------------------------------------------------
+  def q01(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_discount AS DECIMAL(25,4))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+       GROUP BY l_returnflag, l_linestatus"""
+
+  // ---------------------------------------------------------------
+  // q02: predicate + projection pushdown. The scan must read only 6
+  // of 11 lineitem columns and push all three filters (verified via
+  // explain in RelationalSpec).
+  // ---------------------------------------------------------------
+  def q02(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_discount") > lit(0.05) && col("l_quantity") < lit(25.0))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+  }
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1.0 - l_discount) AS net_price
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05 AND l_quantity < 25.0"""
+
+  // ---------------------------------------------------------------
+  // q03: fact ⋈ broadcast dims → agg. nation (25 rows) and customer
+  // (small vs orders) are broadcast — zero shuffle for the join, one
+  // shuffle for the final groupBy.
+  // ---------------------------------------------------------------
+  def q03(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val n = Tables.nation(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+  }
+
+  val q03Sql: String =
+    """SELECT n_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE c_mktsegment = 'BUILDING'
+       GROUP BY n_name"""
+
+  // ---------------------------------------------------------------
+  // q04: join + agg + global top-N. Spark turns orderBy+limit into
+  // TakeOrderedAndProject (no full sort of the agg output).
+  // ---------------------------------------------------------------
+  def q04(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(dsum(col("o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spent").desc, col("c_custkey").asc)
+      .limit(10)
+  }
+
+  val q04Sql: String =
+    """SELECT c_custkey, c_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS total_spent,
+       count(*) AS n_orders
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_custkey, c_name
+       ORDER BY total_spent DESC, c_custkey LIMIT 10"""
+
+  // ---------------------------------------------------------------
+  // q05: window rank per group (top-3 customers by balance per
+  // segment). Single shuffle on the partition key.
+  // ---------------------------------------------------------------
+  def q05(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+  }
+
+  val q05Sql: String =
+    """SELECT * FROM (
+       SELECT c_mktsegment, c_custkey, c_acctbal,
+              row_number() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal DESC, c_custkey) AS rn
+       FROM customer) t WHERE rn <= 3"""
+
+  // ---------------------------------------------------------------
+  // q06: anti join — customers that never ordered (the reference's
+  // "seller without sales history" signal, poller.py:695). Broadcast
+  // the distinct key set when it is small; at scale Spark picks
+  // shuffle-hash anti via AQE.
+  // ---------------------------------------------------------------
+  def q06(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_acctbal"), lit("no_urgent").as("bucket"))
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_acctbal"), lit("has_urgent").as("bucket"))
+    anti.union(semi)
+  }
+
+  val q06Sql: String =
+    """SELECT c_custkey, c_acctbal, 'no_urgent' AS bucket FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+       UNION ALL
+       SELECT c_custkey, c_acctbal, 'has_urgent' AS bucket FROM customer
+       WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"""
+
+  // ---------------------------------------------------------------
+  // q07: distinct + union (dimension value inventory).
+  // ---------------------------------------------------------------
+  def q07(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(s, dir).select(col("c_mktsegment").as("val"))
+    val b = Tables.orders(s, dir).select(col("o_orderpriority").as("val"))
+    a.union(b).distinct()
+  }
+
+  val q07Sql: String =
+    """SELECT DISTINCT val FROM (
+       SELECT c_mktsegment AS val FROM customer
+       UNION ALL SELECT o_orderpriority AS val FROM orders) t"""
+
+  // ---------------------------------------------------------------
+  // q08: date histogram (Kibana's main timeline viz:
+  // kibana/dashboard_export.ndjson date_histogram agg). Month
+  // buckets surface as strings for engine-portable output.
+  // ---------------------------------------------------------------
+  def q08(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+  }
+
+  val q08Sql: String =
+    """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS total
+       FROM orders GROUP BY 1"""
+
+  // ---------------------------------------------------------------
+  // q09: running aggregation over event time per user. The running
+  // value goes through DECIMAL so the cumulative sum is exact and
+  // engine-independent.
+  // ---------------------------------------------------------------
+  def q09(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("running_value", sum(col("value").cast("decimal(25,4)")).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("running_value"))
+  }
+
+  val q09Sql: String =
+    """SELECT event_id, user_id,
+       CAST(sum(CAST(value AS DECIMAL(25,4))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+       FROM events"""
+
+  // ---------------------------------------------------------------
+  // q10: gap-based sessionization (30-min inactivity gap), the batch
+  // analog of the streaming stateful sessionizer. lag + cumulative
+  // flag is the standard single-shuffle formulation.
+  // ---------------------------------------------------------------
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > lit(1800000000L), 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  val q10Sql: String =
+    """WITH g AS (
+       SELECT user_id,
+              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS new_session
+       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+       FROM g GROUP BY user_id"""
+
+  // ---------------------------------------------------------------
+  // q11: exact median per group, computed explicitly from the two
+  // middle order statistics — identical double arithmetic in any
+  // engine (native median/percentile implementations interpolate
+  // with engine-specific FP orderings).
+  // ---------------------------------------------------------------
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice").asc)
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      .filter(col("rn") === ((col("cnt") + 1) / 2).cast("long") ||
+        col("rn") === ((col("cnt") + 2) / 2).cast("long"))
+      .groupBy(col("l_returnflag"))
+      .agg((sum(col("l_extendedprice")) / count(lit(1))).as("median_price"),
+        max(col("cnt")).as("n"))
+  }
+
+  val q11Sql: String =
+    """WITH r AS (
+       SELECT l_returnflag, l_extendedprice,
+              row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+              count(*) OVER (PARTITION BY l_returnflag) AS cnt
+       FROM lineitem)
+       SELECT l_returnflag,
+              sum(l_extendedprice) / count(*) AS median_price,
+              max(cnt) AS n
+       FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+       GROUP BY l_returnflag"""
+
+  // ---------------------------------------------------------------
+  // q12: pivot via conditional aggregation (event counts per user
+  // bucket by type) — the portable formulation of groupBy().pivot().
+  // ---------------------------------------------------------------
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    def n(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+    Tables.events(s, dir)
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(n("click"), n("view"), n("purchase"), n("signup"), n("error"))
+  }
+
+  val q12Sql: String =
+    """SELECT user_id % 10 AS bucket,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+       FROM events GROUP BY 1"""
+
+  // ---------------------------------------------------------------
+  // q13: JSON field extraction from the events props column (the
+  // reference ingests semi-structured API JSON; bulk_ingest.py).
+  // ---------------------------------------------------------------
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+  }
+
+  val q13Sql: String =
+    """SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+       FROM events GROUP BY event_type"""
+
+  // ---------------------------------------------------------------
+  // q14: rollup (grouping sets) — subtotal + grand-total rows, the
+  // shape behind multi-level dashboard summaries.
+  // ---------------------------------------------------------------
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("qty"))
+  }
+
+  val q14Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS qty
+       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_project" -> (q02 _),
+    "q03_join_agg" -> (q03 _),
+    "q04_top_n" -> (q04 _),
+    "q05_window_rank" -> (q05 _),
+    "q06_semi_anti" -> (q06 _),
+    "q07_distinct_union" -> (q07 _),
+    "q08_date_histogram" -> (q08 _),
+    "q09_running_window" -> (q09 _),
+    "q10_sessionize" -> (q10 _),
+    "q11_percentiles" -> (q11 _),
+    "q12_pivot" -> (q12 _),
+    "q13_json_extract" -> (q13 _),
+    "q14_cube_rollup" -> (q14 _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_join_agg" -> q03Sql,
+    "q04_top_n" -> q04Sql,
+    "q05_window_rank" -> q05Sql,
+    "q06_semi_anti" -> q06Sql,
+    "q07_distinct_union" -> q07Sql,
+    "q08_date_histogram" -> q08Sql,
+    "q09_running_window" -> q09Sql,
+    "q10_sessionize" -> q10Sql,
+    "q11_percentiles" -> q11Sql,
+    "q12_pivot" -> q12Sql,
+    "q13_json_extract" -> q13Sql,
+    "q14_cube_rollup" -> q14Sql)
+}
