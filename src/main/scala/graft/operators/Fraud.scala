@@ -1,0 +1,479 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextSpecs
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The fraud-detection pipeline re-expressed on Spark (SURVEY.md §2
+  * rows 15–25). Semantics mirror the reference's market-stats +
+  * composite-z risk engine (poller/regex_analyzer.py:849-1022,
+  * poller/poller.py:333-495); the data mapping onto the test tables is
+  * SURVEY.md §3 (part = listings, customer×orders = sellers).
+  *
+  * Scale notes: market stats are tiny (brands × types) and always
+  * broadcast back to the fact side — the entire risk engine is one
+  * shuffle (the stats groupBy) plus broadcast joins and codegen'd
+  * column arithmetic. Variance/median use explicit order-independent
+  * formulations (decimal sums, order statistics) so results are exact
+  * on any cluster layout.
+  */
+object Fraud {
+  import Relational.{dsum, davg}
+
+  /** Exact per-group median via the two middle order statistics —
+    * engine-portable (no interpolation ambiguity) and a single window
+    * shuffle per call.
+    */
+  def groupMedian(df: DataFrame, keys: Seq[String], value: String, out: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(value).asc)
+    val wc = Window.partitionBy(keys.map(col): _*)
+    df.select(keys.map(col) :+ col(value): _*)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .filter(col("rn") === ((col("cnt") + 1) / 2).cast("long") ||
+        col("rn") === ((col("cnt") + 2) / 2).cast("long"))
+      .groupBy(keys.map(col): _*)
+      .agg((sum(col(value)) / count(lit(1))).as(out))
+  }
+
+  /** Sample stddev from decimal-exact Σx and Σx² — deterministic under
+    * any partial-aggregation order, unlike a parallel Welford merge.
+    */
+  private def stdevCols(sx: Column, sxx: Column, n: Column): Column =
+    sqrt((sxx - sx * sx / n) / (n - 1))
+
+  // ---------------------------------------------------------------
+  // f01: market stats per (category, condition) — the analog of
+  // market_stats.json generation (regex_analyzer.py:968-1000):
+  // count / mean / median / stdev with min-support 2.
+  // ---------------------------------------------------------------
+  def f01(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(
+      col("p_brand").as("category"), col("p_type").as("cond"),
+      col("p_retailprice").as("price"))
+    val agg = p.groupBy(col("category"), col("cond"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("price")).as("sx"),
+        dsum(col("price") * col("price")).as("sxx"))
+      .filter(col("n") >= 2)
+    val med = groupMedian(p, Seq("category", "cond"), "price", "median_price")
+    agg.join(med, Seq("category", "cond"))
+      .select(col("category"), col("cond"), col("n"),
+        (col("sx") / col("n")).as("mean_price"),
+        col("median_price"),
+        stdevCols(col("sx"), col("sxx"), col("n")).as("stdev_price"))
+  }
+
+  val f01Sql: String =
+    """WITH p AS (SELECT p_brand AS category, p_type AS cond, p_retailprice AS price FROM part),
+       a AS (SELECT category, cond, count(*) AS n,
+               CAST(sum(CAST(price AS DECIMAL(25,4))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(price*price AS DECIMAL(25,4))) AS DOUBLE) AS sxx
+             FROM p GROUP BY 1,2 HAVING count(*) >= 2),
+       r AS (SELECT category, cond, price,
+               row_number() OVER (PARTITION BY category, cond ORDER BY price) AS rn,
+               count(*) OVER (PARTITION BY category, cond) AS cnt FROM p),
+       m AS (SELECT category, cond, sum(price)/count(*) AS median_price
+             FROM r WHERE rn = (cnt+1)//2 OR rn = (cnt+2)//2 GROUP BY 1,2)
+       SELECT a.category, a.cond, n, sx/n AS mean_price, median_price,
+              sqrt((sxx - sx*sx/n)/(n-1)) AS stdev_price
+       FROM a JOIN m USING (category, cond)"""
+
+  // ---------------------------------------------------------------
+  // f02: nested per-component stats (the "components" sub-tree of
+  // market_stats.json; regex_analyzer.py:988-998) — one more grouping
+  // level, same min-support rule.
+  // ---------------------------------------------------------------
+  def f02(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir)
+      .groupBy(col("p_type").as("cond"), col("p_size").as("component"))
+      .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("sx"),
+        dsum(col("p_retailprice") * col("p_retailprice")).as("sxx"))
+      .filter(col("n") >= 2)
+      .select(col("cond"), col("component"), col("n"),
+        (col("sx") / col("n")).as("mean_price"),
+        stdevCols(col("sx"), col("sxx"), col("n")).as("stdev_price"))
+  }
+
+  val f02Sql: String =
+    """SELECT p_type AS cond, p_size AS component, count(*) AS n,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*) AS mean_price,
+       sqrt((CAST(sum(CAST(p_retailprice*p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
+             - CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
+               * CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*))
+            /(count(*)-1)) AS stdev_price
+       FROM part GROUP BY 1,2 HAVING count(*) >= 2"""
+
+  // ---------------------------------------------------------------
+  // f03: z-score vs segment stats (poller.py:417-437): broadcast the
+  // tiny stats table back onto every listing, pure column arithmetic.
+  // ---------------------------------------------------------------
+  def f03(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val stats = f01(s, dir).select(col("category"), col("cond"),
+      col("mean_price"), col("stdev_price"))
+    p.join(broadcast(stats),
+        p("p_brand") === stats("category") && p("p_type") === stats("cond"))
+      .filter(col("stdev_price") > 0)
+      .select(col("p_partkey"), col("p_retailprice"),
+        ((col("p_retailprice") - col("mean_price")) / col("stdev_price")).as("z_score"))
+      .withColumn("is_cheap", (col("z_score") < -1.5).cast("int"))
+  }
+
+  val f03Sql: String =
+    s"""WITH stats AS ($f01Sql)
+       SELECT p_partkey, p_retailprice,
+              (p_retailprice - mean_price)/stdev_price AS z_score,
+              CAST((p_retailprice - mean_price)/stdev_price < -1.5 AS INT) AS is_cheap
+       FROM part JOIN stats ON p_brand = category AND p_type = cond
+       WHERE stdev_price > 0"""
+
+  // ---------------------------------------------------------------
+  // f04: composite weighted-z risk scoring — the full engine of
+  // poller.calculate_risk_base (poller.py:333-495). Three price
+  // signals (component-in-segment, brand-in-segment, segment) with
+  // the reference's weights, heuristic factor points, 0-100 clamp.
+  // ---------------------------------------------------------------
+
+  /** Weights (poller.py:69-74): cpu .5 / gpu .3 / category .1 mapped
+    * onto the test schema's component axes. */
+  val W1 = 0.5; val W2 = 0.3; val W3 = 0.1
+
+  private def signalStats(p: DataFrame, keys: Seq[String], pfx: String): DataFrame =
+    p.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("sx"),
+        dsum(col("p_retailprice") * col("p_retailprice")).as("sxx"))
+      .filter(col("n") >= 2)
+      .select(keys.map(col) :+
+        (col("sx") / col("n")).as(s"${pfx}_mean") :+
+        stdevCols(col("sx"), col("sxx"), col("n")).as(s"${pfx}_stdev"): _*)
+
+  def f04(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val s1 = signalStats(p, Seq("p_type", "p_size"), "s1")   // component ~ cpu
+    val s2 = signalStats(p, Seq("p_type", "p_brand"), "s2")  // component ~ gpu
+    val s3 = signalStats(p, Seq("p_type"), "s3")             // category
+
+    val j = p.join(broadcast(s1), Seq("p_type", "p_size"), "left")
+      .join(broadcast(s2), Seq("p_type", "p_brand"), "left")
+      .join(broadcast(s3), Seq("p_type"), "left")
+
+    def valid(pfx: String): Column =
+      col(s"${pfx}_stdev").isNotNull && col(s"${pfx}_stdev") > 0
+    def z(pfx: String): Column =
+      (col("p_retailprice") - col(s"${pfx}_mean")) / col(s"${pfx}_stdev")
+
+    val wz = when(valid("s1"), z("s1") * W1).otherwise(0.0) +
+      when(valid("s2"), z("s2") * W2).otherwise(0.0) +
+      when(valid("s3"), z("s3") * W3).otherwise(0.0)
+    val wm = when(valid("s1"), col("s1_mean") * W1).otherwise(0.0) +
+      when(valid("s2"), col("s2_mean") * W2).otherwise(0.0) +
+      when(valid("s3"), col("s3_mean") * W3).otherwise(0.0)
+    val tw = when(valid("s1"), W1).otherwise(0.0) +
+      when(valid("s2"), W2).otherwise(0.0) +
+      when(valid("s3"), W3).otherwise(0.0)
+
+    val finalZ = when(tw > 0, wz / tw).otherwise(0.0)
+    val estVal = when(tw > 0, wm / tw).otherwise(0.0)
+
+    val price = col("p_retailprice")
+    // factor points (poller.py:461-482 + README risk table)
+    val score =
+      when(finalZ < -1.5, 30).otherwise(0) +
+        when(finalZ < -2.5, 40).otherwise(0) +
+        when(estVal > 0 && price < estVal * 0.4, 20).otherwise(0) +
+        when(length(col("p_name")) < 9 && price > 1000, 15).otherwise(0) +
+        when(col("p_name").rlike("red|hot"), 30).otherwise(0)
+    // symbolic price short-circuit (poller.py:397-409)
+    val risk = when(price < 5.0, 0)
+      .otherwise(least(greatest(score, lit(0)), lit(100)))
+
+    j.select(col("p_partkey"), price.as("price"),
+      finalZ.as("composite_z"), estVal.as("estimated_value"),
+      risk.as("risk_score"))
+  }
+
+  /** Shared SQL CTE prologue computing the f04 signal table. */
+  private val f04Ctes: String =
+    """WITH s1 AS (SELECT p_type, p_size,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*) AS s1_mean,
+           sqrt((CAST(sum(CAST(p_retailprice*p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
+                 - CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
+                   * CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*))
+                /(count(*)-1)) AS s1_stdev
+         FROM part GROUP BY 1,2 HAVING count(*) >= 2),
+       s2 AS (SELECT p_type, p_brand,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*) AS s2_mean,
+           sqrt((CAST(sum(CAST(p_retailprice*p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
+                 - CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
+                   * CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*))
+                /(count(*)-1)) AS s2_stdev
+         FROM part GROUP BY 1,2 HAVING count(*) >= 2),
+       s3 AS (SELECT p_type,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*) AS s3_mean,
+           sqrt((CAST(sum(CAST(p_retailprice*p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
+                 - CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
+                   * CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*))
+                /(count(*)-1)) AS s3_stdev
+         FROM part GROUP BY 1 HAVING count(*) >= 2),
+       j AS (SELECT p.*,
+               s1_mean, s1_stdev, s2_mean, s2_stdev, s3_mean, s3_stdev
+             FROM part p
+             LEFT JOIN s1 ON p.p_type = s1.p_type AND p.p_size = s1.p_size
+             LEFT JOIN s2 ON p.p_type = s2.p_type AND p.p_brand = s2.p_brand
+             LEFT JOIN s3 ON p.p_type = s3.p_type),
+       risk AS (SELECT p_partkey, p_name, p_retailprice AS price,
+           CASE WHEN (CASE WHEN s1_stdev IS NOT NULL AND s1_stdev > 0 THEN 0.5 ELSE 0.0 END
+                    + CASE WHEN s2_stdev IS NOT NULL AND s2_stdev > 0 THEN 0.3 ELSE 0.0 END
+                    + CASE WHEN s3_stdev IS NOT NULL AND s3_stdev > 0 THEN 0.1 ELSE 0.0 END) > 0
+             THEN (CASE WHEN s1_stdev IS NOT NULL AND s1_stdev > 0 THEN (p_retailprice - s1_mean)/s1_stdev*0.5 ELSE 0.0 END
+                 + CASE WHEN s2_stdev IS NOT NULL AND s2_stdev > 0 THEN (p_retailprice - s2_mean)/s2_stdev*0.3 ELSE 0.0 END
+                 + CASE WHEN s3_stdev IS NOT NULL AND s3_stdev > 0 THEN (p_retailprice - s3_mean)/s3_stdev*0.1 ELSE 0.0 END)
+                / (CASE WHEN s1_stdev IS NOT NULL AND s1_stdev > 0 THEN 0.5 ELSE 0.0 END
+                 + CASE WHEN s2_stdev IS NOT NULL AND s2_stdev > 0 THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN s3_stdev IS NOT NULL AND s3_stdev > 0 THEN 0.1 ELSE 0.0 END)
+             ELSE 0.0 END AS composite_z,
+           CASE WHEN (CASE WHEN s1_stdev IS NOT NULL AND s1_stdev > 0 THEN 0.5 ELSE 0.0 END
+                    + CASE WHEN s2_stdev IS NOT NULL AND s2_stdev > 0 THEN 0.3 ELSE 0.0 END
+                    + CASE WHEN s3_stdev IS NOT NULL AND s3_stdev > 0 THEN 0.1 ELSE 0.0 END) > 0
+             THEN (CASE WHEN s1_stdev IS NOT NULL AND s1_stdev > 0 THEN s1_mean*0.5 ELSE 0.0 END
+                 + CASE WHEN s2_stdev IS NOT NULL AND s2_stdev > 0 THEN s2_mean*0.3 ELSE 0.0 END
+                 + CASE WHEN s3_stdev IS NOT NULL AND s3_stdev > 0 THEN s3_mean*0.1 ELSE 0.0 END)
+                / (CASE WHEN s1_stdev IS NOT NULL AND s1_stdev > 0 THEN 0.5 ELSE 0.0 END
+                 + CASE WHEN s2_stdev IS NOT NULL AND s2_stdev > 0 THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN s3_stdev IS NOT NULL AND s3_stdev > 0 THEN 0.1 ELSE 0.0 END)
+             ELSE 0.0 END AS estimated_value
+         FROM j),
+       scored AS (SELECT p_partkey, price, composite_z, estimated_value,
+           CASE WHEN price < 5.0 THEN 0 ELSE
+             least(greatest(
+               CASE WHEN composite_z < -1.5 THEN 30 ELSE 0 END
+             + CASE WHEN composite_z < -2.5 THEN 40 ELSE 0 END
+             + CASE WHEN estimated_value > 0 AND price < estimated_value * 0.4 THEN 20 ELSE 0 END
+             + CASE WHEN length(p_name) < 9 AND price > 1000 THEN 15 ELSE 0 END
+             + CASE WHEN regexp_matches(p_name, 'red|hot') THEN 30 ELSE 0 END, 0), 100)
+           END AS risk_score
+         FROM risk)"""
+
+  val f04Sql: String =
+    s"""$f04Ctes
+       SELECT p_partkey, price, composite_z, estimated_value, risk_score FROM scored"""
+
+  // ---------------------------------------------------------------
+  // f05: the ElastAlert rule as a query — high-risk detail table
+  // (elastalert/rules/high_risk.yaml: risk_score >= threshold).
+  // ---------------------------------------------------------------
+  def f05(s: SparkSession, dir: String): DataFrame =
+    f04(s, dir).filter(col("risk_score") >= 30)
+      .orderBy(col("risk_score").desc, col("p_partkey").asc)
+      .limit(100)
+
+  val f05Sql: String =
+    s"""$f04Ctes
+       SELECT p_partkey, price, composite_z, estimated_value, risk_score
+       FROM scored WHERE risk_score >= 30
+       ORDER BY risk_score DESC, p_partkey LIMIT 100"""
+
+  // ---------------------------------------------------------------
+  // f06: hidden-price recovery (regex_analyzer.py:174-221) over a
+  // deterministically constructed listing text (RE2-safe pattern; the
+  // lookahead-faithful variant is TextSpecs.extractHiddenPrice).
+  // ---------------------------------------------------------------
+  private val hiddenPriceRe2 =
+    """(?:precio|valor|vende|vendo|pido|oferta)[:\s]*(?:por)?\s*(\d{2,4})\s*(?:eur|euros)"""
+
+  def f06(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val text = when(col("p_partkey") % 3 === 0,
+      concat(col("p_name"), lit(" vendo por "),
+        floor(col("p_retailprice") / 2).cast("int").cast("string"), lit(" euros")))
+      .otherwise(concat(col("p_name"), lit(" sin precio")))
+    p.select(col("p_partkey"), text.as("listing_text"))
+      .withColumn("hidden_price",
+        nullif(regexp_extract(col("listing_text"), hiddenPriceRe2, 1), lit("")).cast("int"))
+      .withColumn("recovered", col("hidden_price").isNotNull.cast("int"))
+  }
+
+  val f06Sql: String =
+    s"""WITH t AS (SELECT p_partkey,
+         CASE WHEN p_partkey % 3 = 0
+              THEN p_name || ' vendo por ' || CAST(CAST(floor(p_retailprice/2) AS INT) AS VARCHAR) || ' euros'
+              ELSE p_name || ' sin precio' END AS listing_text
+       FROM part)
+       SELECT p_partkey, listing_text,
+              CAST(nullif(regexp_extract(listing_text, '$hiddenPriceRe2', 1), '') AS INT) AS hidden_price,
+              CAST(nullif(regexp_extract(listing_text, '$hiddenPriceRe2', 1), '') IS NOT NULL AS INT) AS recovered
+       FROM t"""
+
+  // ---------------------------------------------------------------
+  // f07: keyword-rule classifier on real text (the reference's
+  // SUB_CATEGORIES_RULES priority chain, regex_analyzer.py:137,670)
+  // applied to the documents corpus.
+  // ---------------------------------------------------------------
+  def f07(s: SparkSession, dir: String): DataFrame = {
+    val cat = when(col("text").rlike("\\bstream\\b"), "STREAMING")
+      .when(col("text").rlike("\\bjoin\\b"), "JOINS")
+      .when(col("text").rlike("\\bwindow\\b"), "WINDOWED")
+      .when(col("text").rlike("\\bagg\\b|\\bgroup\\b"), "AGGREGATION")
+      .otherwise("GENERIC")
+    Tables.documents(s, dir)
+      .withColumn("category", cat)
+      .groupBy(col("lang"), col("category"))
+      .agg(count(lit(1)).as("n"), dsum(col("n_chars")).as("total_chars"))
+  }
+
+  val f07Sql: String =
+    """SELECT lang,
+       CASE WHEN regexp_matches(text, '\bstream\b') THEN 'STREAMING'
+            WHEN regexp_matches(text, '\bjoin\b') THEN 'JOINS'
+            WHEN regexp_matches(text, '\bwindow\b') THEN 'WINDOWED'
+            WHEN regexp_matches(text, '\bagg\b|\bgroup\b') THEN 'AGGREGATION'
+            ELSE 'GENERIC' END AS category,
+       count(*) AS n,
+       CAST(sum(CAST(n_chars AS DECIMAL(25,4))) AS DOUBLE) AS total_chars
+       FROM documents GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------
+  // f08: seller-trust enrichment (poller.py:652-702): sales history +
+  // account signals → trust adjustments, clamped 0-100.
+  // ---------------------------------------------------------------
+  def f08(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val sales = o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("sales"), dsum(col("o_totalprice")).as("sales_value"))
+    val j = c.join(sales, c("c_custkey") === sales("o_custkey"), "left")
+      .withColumn("sales", coalesce(col("sales"), lit(0L)))
+      .withColumn("sales_value", coalesce(col("sales_value"), lit(0.0)))
+    val score = lit(50) +
+      when(col("sales") > 5, -30).otherwise(0) +      // Trusted Seller
+      when(col("sales") === 0, 20).otherwise(0) +     // Dormant Account
+      when(col("c_acctbal") < 0, 30).otherwise(0)     // negative standing
+    j.select(col("c_custkey"), col("sales"), col("sales_value"),
+      least(greatest(score, lit(0)), lit(100)).as("trust_risk"))
+  }
+
+  val f08Sql: String =
+    """WITH s AS (SELECT o_custkey, count(*) AS sales,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS sales_value
+       FROM orders GROUP BY 1)
+       SELECT c_custkey, coalesce(sales, 0) AS sales,
+              coalesce(sales_value, 0.0) AS sales_value,
+              least(greatest(50
+                + CASE WHEN coalesce(sales,0) > 5 THEN -30 ELSE 0 END
+                + CASE WHEN coalesce(sales,0) = 0 THEN 20 ELSE 0 END
+                + CASE WHEN c_acctbal < 0 THEN 30 ELSE 0 END, 0), 100) AS trust_risk
+       FROM customer LEFT JOIN s ON c_custkey = o_custkey"""
+
+  // ---------------------------------------------------------------
+  // f09: the poller's rolling 24 h cutoff (poller.py:540,585-592):
+  // keep only events within 24 h of the newest, count per type.
+  // ---------------------------------------------------------------
+  def f09(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val cutoff = e.agg(max(unix_micros(col("ts"))).as("max_us"))
+    e.crossJoin(broadcast(cutoff))
+      .filter(unix_micros(col("ts")) >= col("max_us") - lit(86400000000L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+  }
+
+  val f09Sql: String =
+    """SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
+       FROM events
+       WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) FROM events) - 86400000000
+       GROUP BY 1"""
+
+  // ---------------------------------------------------------------
+  // f10: Kibana's "top risk factors" terms aggregation — factor
+  // frequencies across the scored corpus.
+  // ---------------------------------------------------------------
+  def f10(s: SparkSession, dir: String): DataFrame = {
+    val r = f04WithFactors(s, dir)
+    r.select(explode(col("risk_factors")).as("factor"))
+      .groupBy(col("factor"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** f04 plus the reference's risk_factors array (built as a filtered
+    * array of CASE strings — the Spark shape of ES's keyword list).
+    */
+  def f04WithFactors(s: SparkSession, dir: String): DataFrame = {
+    val base = f04(s, dir)
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
+    base.join(broadcast(p), Seq("p_partkey"))
+      .withColumn("risk_factors", filter(array(
+        when(col("price") < 5.0, "Symbolic Price"),
+        when(col("price") >= 5.0 && col("composite_z") < -1.5, "Statistically Cheap"),
+        when(col("price") >= 5.0 && col("composite_z") < -2.5, "EXTREME Price Anomaly"),
+        when(col("price") >= 5.0 && col("estimated_value") > 0 &&
+          col("price") < col("estimated_value") * 0.4, "Price vs Estimate"),
+        when(col("price") >= 5.0 && length(col("p_name")) < 9 && col("price") > 1000, "Short Desc"),
+        when(col("price") >= 5.0 && col("p_name").rlike("red|hot"), "External Contact")),
+        _.isNotNull))
+  }
+
+  val f10Sql: String =
+    s"""$f04Ctes, f AS (
+       SELECT 'Symbolic Price' AS factor, count(*) AS n FROM scored WHERE price < 5.0
+       UNION ALL SELECT 'Statistically Cheap', count(*) FROM scored WHERE price >= 5.0 AND composite_z < -1.5
+       UNION ALL SELECT 'EXTREME Price Anomaly', count(*) FROM scored WHERE price >= 5.0 AND composite_z < -2.5
+       UNION ALL SELECT 'Price vs Estimate', count(*) FROM scored WHERE price >= 5.0 AND estimated_value > 0 AND price < estimated_value * 0.4
+       UNION ALL SELECT 'Short Desc', count(*) FROM scored
+         WHERE price >= 5.0 AND length((SELECT p_name FROM part WHERE part.p_partkey = scored.p_partkey)) < 9 AND price > 1000
+       UNION ALL SELECT 'External Contact', count(*) FROM scored
+         WHERE price >= 5.0 AND regexp_matches((SELECT p_name FROM part WHERE part.p_partkey = scored.p_partkey), 'red|hot'))
+       SELECT factor, n FROM f WHERE n > 0"""
+
+  // ---------------------------------------------------------------
+  // f11: full-fidelity spec extraction (Java-regex lookaheads) over a
+  // deterministically synthesized hardware listing text. Rows-only
+  // driver check; exact semantics covered by TextSpecsSpec.
+  // ---------------------------------------------------------------
+  def f11(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val title = concat(col("p_name"),
+      when(col("p_partkey") % 5 === 0, lit(" macbook pro m2 max 16gb"))
+        .when(col("p_partkey") % 5 === 1,
+          concat(lit(" gaming intel core i7 rtx 4070 "),
+            (col("p_size") % 48 + 8).cast("string"), lit("gb ram")))
+        .when(col("p_partkey") % 5 === 2, lit(" thinkpad amd ryzen 7 32gb 512 gb ssd"))
+        .when(col("p_partkey") % 5 === 3, lit(" chromebook celeron 8gb nuevo precintado"))
+        .otherwise(lit(" portatil para piezas no enciende")))
+    val desc = when(col("p_partkey") % 2 === 0,
+      lit("impecable con factura. ssd m.2 1tb"))
+      .otherwise(lit("envio rapido\nrtx gtx amd intel ryzen i7 ps5 xbox iphone"))
+    val base = p.select(col("p_partkey"), title.as("title"), desc.as("description"))
+    TextSpecs.withSpecs(base, col("title"), col("description"))
+      .select(col("p_partkey"), col("cpu"), col("ram"), col("gpu"),
+        col("category"), col("condition"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f01_market_stats" -> (f01 _),
+    "f02_component_stats" -> (f02 _),
+    "f03_zscore" -> (f03 _),
+    "f04_risk_score" -> (f04 _),
+    "f05_high_risk_alerts" -> (f05 _),
+    "f06_hidden_price" -> (f06 _),
+    "f07_categorize" -> (f07 _),
+    "f08_seller_trust" -> (f08 _),
+    "f09_recent_window" -> (f09 _),
+    "f10_top_risk_factors" -> (f10 _),
+    "f11_extract_specs" -> (f11 _))
+
+  val oracles: Map[String, String] = Map(
+    "f01_market_stats" -> f01Sql,
+    "f02_component_stats" -> f02Sql,
+    "f03_zscore" -> f03Sql,
+    "f04_risk_score" -> f04Sql,
+    "f05_high_risk_alerts" -> f05Sql,
+    "f06_hidden_price" -> f06Sql,
+    "f07_categorize" -> f07Sql,
+    "f08_seller_trust" -> f08Sql,
+    "f09_recent_window" -> f09Sql,
+    "f10_top_risk_factors" -> f10Sql)
+}
