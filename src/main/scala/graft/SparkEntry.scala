@@ -11,10 +11,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ operators.Fraud.queries
+    operators.Relational.queries ++ operators.Fraud.queries ++
+      operators.TextOps.queries ++ operators.Dedup.queries ++
+      operators.Similarity.queries ++ multimodal.Binary.queries ++
+      streaming.Alerts.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles ++ operators.Fraud.oracles
+    operators.Relational.oracles ++ operators.Fraud.oracles ++
+      operators.TextOps.oracles ++ operators.Dedup.oracles ++
+      operators.Similarity.oracles ++ multimodal.Binary.oracles ++
+      streaming.Alerts.oracles
 }

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-corpus analysis primitives for training-data pipelines:
+  * language ID, quality scoring, tokenization counts, fingerprinting.
+  *
+  * Everything is a codegen'd Column expression (no UDFs), and every
+  * heuristic is defined from the shared constants below so the DuckDB
+  * oracle SQL (TextOps) and the Spark plan compute the identical
+  * function — integer scores and int-ratio doubles only, so results
+  * are bit-identical across engines.
+  */
+object TextAnalysis {
+
+  /** Per-language function-word lists for the hit-count language ID.
+    * Small closed-class words, whole-word matched. */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "is", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "una", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "mit", "von", "ein"),
+    "fr" -> Seq("le", "les", "des", "une", "et", "est", "dans", "pour"))
+
+  /** English stopwords used for the quality stop-ratio signal. */
+  val QualityStopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "is", "in", "that", "for", "it")
+
+  def stopwordRegex(words: Seq[String]): String =
+    words.mkString("\\b(", "|", ")\\b")
+
+  /** CJK detection — explicit BMP Han range, expressible in both Java
+    * regex and RE2 as a literal character class. */
+  val HanRange = "[一-鿿]"
+
+  /** Number of distinct stopwords of `words` present in lowercase text. */
+  def stopwordHits(textLower: Column, words: Seq[String]): Column =
+    words.map(w => when(textLower.rlike(s"\\b$w\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Deterministic priority-argmax language ID: zh on any Han char,
+    * then en ≥ es ≥ de ≥ fr on stopword hit counts, 'und' when no
+    * signal at all. */
+  def langId(textLower: Column): Column = {
+    val s = StopwordSets.toMap
+    val en = stopwordHits(textLower, s("en"))
+    val es = stopwordHits(textLower, s("es"))
+    val de = stopwordHits(textLower, s("de"))
+    val fr = stopwordHits(textLower, s("fr"))
+    when(textLower.rlike(HanRange), "zh")
+      .when(en + es + de + fr === 0, "und")
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  /** Whitespace token count; 0 for blank text. */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword-boundary token count: alphanumeric runs plus each
+    * individual non-space symbol. */
+  val ReTokenPattern = "[a-z0-9]+|[^a-z0-9\\s]"
+  def reTokenCount(textLower: Column): Column =
+    regexp_count(textLower, lit(ReTokenPattern))
+
+  /** Quality score in [0,1]: length saturation + stopword ratio +
+    * punctuation penalty. All inputs are integer counts so the double
+    * arithmetic is engine-identical. */
+  def qualityScore(text: Column): Column = {
+    val lower_ = lower(text)
+    val nw = wsTokenCount(text)
+    val stopHits = regexp_count(lower_, lit(stopwordRegex(QualityStopwords)))
+    val punct = regexp_count(lower_, lit("[^a-z0-9\\s]"))
+    val nChars = length(text)
+    lit(0.4) * least(nw, lit(200)).cast("double") / 200.0 +
+      lit(0.4) * stopHits.cast("double") / greatest(nw, lit(1)).cast("double") +
+      lit(0.2) * (lit(1.0) - least(punct.cast("double") / greatest(nChars, lit(1)).cast("double"), lit(1.0)))
+  }
+
+  def qualityBucket(score: Column): Column =
+    when(score >= 0.45, "HIGH").when(score >= 0.30, "MEDIUM").otherwise("LOW")
+
+  /** Canonical-text digest: lowercase, strip non-alnum, collapse
+    * whitespace, md5 (md5 is the one hash both engines share). */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " ")))
+}

@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextAnalysis
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2
+  * rows 30–34): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (§5): candidate generation is always an equi-join on a
+  * bucket key (shingle, LSH band hash, SimHash band, cluster label) —
+  * never a cross join — so the shuffle is hash-partitioned on the
+  * bucket key and pair verification touches only colliding candidates.
+  * MinHash signatures use md5 (the hash both engines share) so the
+  * oracle can replay them exactly.
+  */
+object Dedup {
+
+  val ShingleN = 3
+  val NumHashes = 16
+  val Bands = 4 // rows per band = NumHashes / Bands = 4
+  val JaccardThreshold = 0.5
+
+  /** Distinct word n-gram shingles of lowercased text. */
+  def shingles(text: Column, n: Int = ShingleN): Column = {
+    val w = split(trim(lower(text)), "\\s+")
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))))
+  }
+
+  /** doc_id → exploded distinct shingles (the inverted-index side). */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+
+  /** SQL prologue producing the same doc_id×shingle set. */
+  private val shSql =
+    """toks AS (
+         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS i)),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)"""
+
+  // ---------------------------------------------------------------
+  // d01: exact dedup via canonical-fingerprint hash-groupBy — keep the
+  // lowest doc_id per group. One shuffle on the digest.
+  // ---------------------------------------------------------------
+  def d01(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val d01Sql: String =
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+       FROM documents GROUP BY 1"""
+
+  // ---------------------------------------------------------------
+  // d02: n-gram Jaccard near-dup — inverted-index self-join on the
+  // shingle key (bucketed pairs, no cross join), exact Jaccard from
+  // intersection counts, threshold filter.
+  // ---------------------------------------------------------------
+  def d02(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id"), col("n").as("na")), col("a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("b") === col("doc_id")).drop("doc_id")
+      .select(col("a"), col("b"), col("inter"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jacc"))
+      .filter(col("jacc") >= JaccardThreshold)
+  }
+
+  val d02Sql: String =
+    s"""WITH $shSql,
+       inter AS (
+         SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT a, b, inter,
+              CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jacc
+       FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+       WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= $JaccardThreshold"""
+
+  // ---------------------------------------------------------------
+  // d03: MinHash + LSH — 16 md5 min-hashes per doc, 4 bands × 4 rows,
+  // candidates = band-key collisions (equi-join), then exact-Jaccard
+  // verification of candidates only.
+  // ---------------------------------------------------------------
+  def d03(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir).cache()
+    val sigAggs = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    val sigs = sh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val r = NumHashes / Bands
+    val bandKeys = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until r).map(k => col(s"h${b * r + k}")): _*)).as("key"))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b")).distinct()
+
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id"), col("n").as("na")), col("a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("b") === col("doc_id")).drop("doc_id")
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jacc"))
+      .filter(col("jacc") >= JaccardThreshold)
+  }
+
+  val d03Sql: String =
+    s"""WITH $shSql,
+       hashes AS (
+         SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+         FROM sh, LATERAL (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS i)
+         GROUP BY 1, 2),
+       banded AS (
+         SELECT doc_id, i // ${NumHashes / Bands} AS band,
+                md5(string_agg(h, ',' ORDER BY i)) AS key
+         FROM hashes GROUP BY doc_id, i // ${NumHashes / Bands}),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       inter AS (
+         SELECT c.a, c.b, count(*) AS inter
+         FROM cand c
+         JOIN sh sa ON sa.doc_id = c.a
+         JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+         GROUP BY 1, 2)
+       SELECT a, b, CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jacc
+       FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+       WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= $JaccardThreshold"""
+
+  // ---------------------------------------------------------------
+  // d04: 64-bit SimHash hamming near-dup. Signature is a row-local
+  // fold over tokens (no shuffle); pairs via 4×16-bit band equi-join
+  // (hamming ≤ 3 guarantees one identical band); rows-only driver
+  // check, semantics in DedupSpec.
+  // ---------------------------------------------------------------
+  def simhashBits(text: Column): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val sums = aggregate(toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, k) => a + when(call_function("shiftright", xxhash64(t), k)
+          .bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(sums, lit(""), (acc, x) =>
+      concat(acc, when(x > 0, "1").otherwise("0")))
+  }
+
+  def d04(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), simhashBits(col("text")).as("sim"))
+    val banded = docs.select(col("doc_id"), col("sim"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), substring(col("sim"), b * 16 + 1, 16).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val hamming = size(filter(
+      zip_with(split(col("a.sim"), ""), split(col("b.sim"), ""), (x, y) => x =!= y),
+      x => x))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  // ---------------------------------------------------------------
+  // d05: embedding-cosine near-dup. Candidate blocking on the cluster
+  // label (at scale: a coarse quantizer / IVF cell id), exact cosine
+  // verification within blocks only.
+  // ---------------------------------------------------------------
+  val CosineThreshold = 0.4
+
+  def d05(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("eb"))
+    a.join(b, Seq("label"))
+      .filter(col("a") < col("b"))
+      .select(col("label"), col("a"), col("b"),
+        cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= CosineThreshold)
+  }
+
+  val d05Sql: String =
+    s"""SELECT a.label AS label, a.vec_id AS a, b.vec_id AS b,
+         list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), x -> x[1]*x[2]))
+         / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))
+          * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x)))) AS cos
+       FROM embeddings a JOIN embeddings b
+         ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), x -> x[1]*x[2]))
+         / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))
+          * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x)))) >= $CosineThreshold"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_dedup_exact" -> (d01 _),
+    "d02_ngram_jaccard" -> (d02 _),
+    "d03_minhash_lsh" -> (d03 _),
+    "d04_simhash" -> (d04 _),
+    "d05_embedding_neardup" -> (d05 _))
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" -> d01Sql,
+    "d02_ngram_jaccard" -> d02Sql,
+    "d03_minhash_lsh" -> d03Sql,
+    "d05_embedding_neardup" -> d05Sql)
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the embeddings table
+  * (SURVEY.md §2 rows 35–36).
+  *
+  * Scale design: the query set is small and BROADCAST; the corpus is
+  * scanned exactly once. Brute force ranks per-query via a window on
+  * the broadcast-joined pairs; the LSH variant prunes the corpus scan
+  * to hyperplane-sign bucket collisions (equi-join on the sketch, no
+  * cross join), then ranks within candidates.
+  */
+object Similarity {
+
+  val TopK = 5
+  /** every 50th vector is a query (deterministic, data-derived) */
+  val QueryStride = 50
+
+  private def queriesDf(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+
+  // ---------------------------------------------------------------
+  // s01: exact cosine top-k — broadcast query set × one corpus pass.
+  // ---------------------------------------------------------------
+  def s01(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val pairs = e.join(broadcast(queriesDf(e)), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  val s01Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                  WHERE vec_id % $QueryStride = 0),
+       c AS (SELECT qid, vec_id,
+               list_sum(list_transform(list_zip(qe::DOUBLE[], embedding::DOUBLE[]), x -> x[1]*x[2]))
+               / (sqrt(list_sum(list_transform(qe::DOUBLE[], x -> x*x)))
+                * sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))) AS cos
+             FROM q, embeddings WHERE vec_id <> qid),
+       r AS (SELECT qid, vec_id, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+             FROM c)
+       SELECT qid, rank, vec_id, cos FROM r WHERE rank <= $TopK"""
+
+  // ---------------------------------------------------------------
+  // s02: hyperplane-LSH bucketed ANN — the scale path. Deterministic
+  // ±1 hyperplanes (hash-seeded, RNG-free so plans are reproducible
+  // across runs/executors). AND-OR amplification: `Bands` independent
+  // sign-sketches of `BitsPerBand` planes each; a corpus vector is a
+  // candidate if ANY band key matches the query's (equi-join on
+  // (band, key) — candidates ≈ Bands/2^BitsPerBand of the corpus,
+  // never a cross join). Rows-only driver check; recall vs s01 in
+  // DedupSpec.
+  // ---------------------------------------------------------------
+  val Bands = 3
+  val BitsPerBand = 3
+  val NumPlanes: Int = Bands * BitsPerBand
+  val Dim = 64
+
+  /** plane p, component d → ±1, from a fixed public hash (MurmurHash3
+    * via Scala's stdlib) so every executor materializes the identical
+    * plane matrix without any RNG or driver broadcast of state. */
+  def planeSign(p: Int, d: Int): Int =
+    if ((scala.util.hashing.MurmurHash3.productHash((p, d)) & 1) == 1) 1 else -1
+
+  /** sign bit of v · plane(p). */
+  private def signBit(v: Column, p: Int): Column = {
+    val dotP = aggregate(
+      zip_with(v, lit((0 until Dim).map(planeSign(p, _)).toArray),
+        (x, s) => x.cast("double") * s),
+      lit(0.0), (acc, x) => acc + x)
+    when(dotP > 0, lit(1)).otherwise(lit(0))
+  }
+
+  /** Whole-sketch bucket id (all planes) — used by tests. */
+  def lshBucket(v: Column): Column =
+    (0 until NumPlanes).map(p => signBit(v, p) * (1 << p)).reduce(_ + _)
+
+  /** (band, key) rows for one vector: key = the band's sign bits. */
+  private def bandKeys(v: Column): Column = {
+    val bands = (0 until Bands).map { b =>
+      val key = (0 until BitsPerBand)
+        .map(k => signBit(v, b * BitsPerBand + k) * (1 << k)).reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    array(bands: _*)
+  }
+
+  def s02(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val corpus = e.select(col("vec_id"), col("embedding"),
+        explode(bandKeys(col("embedding"))).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val q = corpus.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("band"), col("key"))
+    val pairs = corpus.join(broadcast(q), Seq("band", "key"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+      .distinct() // a pair may collide in several bands
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_ann_bruteforce" -> (s01 _),
+    "s02_ann_lsh" -> (s02 _))
+
+  val oracles: Map[String, String] = Map(
+    "s01_ann_bruteforce" -> s01Sql)
+}

@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.hadoop.fs.Path
+
+/** Sources and sinks (SURVEY.md §2 rows 42–43) — the Spark-native
+  * analog of the reference's ingestion layer:
+  *
+  *  - NDJSON bulk ingest (reference: ingestion/bulk_ingest.py, batch
+  *    size 1000) → `spark.read.json` reads NDJSON natively; "batch
+  *    size" at scale is the file-split size, not a client loop.
+  *  - Typed index mappings (ingestion/index_template.json) → explicit
+  *    `StructType` schemas, never schema inference in production paths.
+  *  - ILM rollover + retention (ingestion/ilm_policy.json: 1 d hot,
+  *    30 d delete) → date-partitioned parquet layout + partition-prune
+  *    deletes of expired partitions.
+  */
+object Ingest {
+
+  /** Schema'd NDJSON read — no inference pass over 100 TB. */
+  def readNdjson(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  def writeNdjson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readCsv(s: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    s.read.schema(schema).option("header", header.toString).csv(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  /** Date-partitioned parquet write — the rollover analog: one
+    * partition directory per day keyed by `tsCol`, so retention and
+    * time-range queries are partition-prune operations. */
+  def writeDatePartitioned(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode(SaveMode.Append).partitionBy("dt").parquet(path)
+
+  /** Retention expiry (ILM delete phase): drop whole partition
+    * directories older than `keepDays` relative to `asOf` — a
+    * metadata-only operation, no data scan. */
+  def expireRetention(s: SparkSession, path: String, keepDays: Int,
+      asOf: java.time.LocalDate): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val cutoff = asOf.minusDays(keepDays.toLong)
+    val expired = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("dt=") &&
+          (try java.time.LocalDate.parse(p.getName.stripPrefix("dt="))
+            .isBefore(cutoff)
+          catch { case _: Exception => false })
+      }
+    expired.foreach(fs.delete(_, true))
+    expired.map(_.getName)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Streaming re-expression of the reference's alerting layer
+  * (SURVEY.md §2 rows 39–41): the ElastAlert frequency rule
+  * (elastalert/rules/high_risk.yaml — risk_score ≥ threshold within a
+  * 10-minute window) becomes watermark + windowed aggregation;
+  * stateful sessionization uses flatMapGroupsWithState.
+  */
+object Alerts {
+
+  // ---------------------------------------------------------------
+  // st01: tumbling-window event counts — the batch-equivalent of the
+  // streaming aggregation (identical results by Structured Streaming's
+  // unified-batch semantics), oracle-checked.
+  // ---------------------------------------------------------------
+  def st01(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.operators.Relational.dsum(col("value")).as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("wstart"),
+        col("event_type"), col("n"), col("total_value"))
+
+  val st01Sql: String =
+    """SELECT strftime(make_timestamp((epoch_us(ts) // 21600000000) * 21600000000), '%Y-%m-%d %H:%M') AS wstart,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------
+  // The streaming alert rule itself: given any streaming DataFrame of
+  // (ts, item_id, risk_score), emit per-10-minute-window alert counts
+  // of high-risk items. Watermark bounds state; append mode emits each
+  // window once it's final — the frequency-rule semantics.
+  // ---------------------------------------------------------------
+  def highRiskAlerts(events: DataFrame, threshold: Int = 80,
+      windowLen: String = "10 minutes", watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .filter(col("risk_score") >= threshold)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(count(lit(1)).as("n_alerts"), max(col("risk_score")).as("max_risk"))
+      .select(col("w.start").as("wstart"), col("n_alerts"), col("max_risk"))
+
+  // ---------------------------------------------------------------
+  // Stateful sessionization: gap-based sessions per key via
+  // flatMapGroupsWithState with event-time timeout. State per key is
+  // one open session — O(keys) state, watermark-expired.
+  // ---------------------------------------------------------------
+  case class Event(user_id: Long, ts: Timestamp)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  val SessionGapMs: Long = 30 * 60 * 1000
+
+  def sessionizeFunc(userId: Long, events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+    } else {
+      val sorted = events.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[Session]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(st) if t - st.last <= SessionGapMs =>
+            cur = Some(st.copy(last = t, n = st.n + 1))
+          case Some(st) =>
+            closed ::= Session(userId, new Timestamp(st.start), new Timestamp(st.last), st.n)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { st =>
+        state.update(st)
+        state.setTimeoutTimestamp(st.last + SessionGapMs)
+      }
+      closed.reverseIterator
+    }
+  }
+
+  /** Streaming sessionization over a typed event stream. */
+  def sessionize(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.withWatermark("ts", "1 hour").as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(sessionizeFunc)
+      .toDF()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_windowed_counts" -> (st01 _))
+
+  val oracles: Map[String, String] = Map(
+    "st01_windowed_counts" -> st01Sql)
+}

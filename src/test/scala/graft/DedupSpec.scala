@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity semantics not expressible in the DuckDB oracle
+  * (SimHash bit math, LSH recall) plus cross-operator consistency on
+  * the planted near-duplicates in the test corpus. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: distinct word trigrams, short text → empty") {
+    val df = Seq("a b c d", "a b", "x y z x y z").toDF("text")
+    val got = df.select(Dedup.shingles(col("text")).as("s"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(got(0) == Set("a b c", "b c d"))
+    assert(got(1) == Set.empty)
+    assert(got(2) == Set("x y z", "y z x", "z x y")) // distinct-ified
+  }
+
+  test("d02 and d03 agree on planted near-dup pairs (LSH finds high-jaccard)") {
+    val exact = Dedup.d02(spark, sf("sf0.001"))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.d03(spark, sf("sf0.001"))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // LSH-verified pairs pass the same jaccard threshold → subset of exact;
+    // at jaccard ≥ 0.5 with 4 bands × 4 rows collision prob ≈ 1 - (1-j^4)^4
+    // is ≥ 0.2, and planted dups are ≈ 0.99 → all found.
+    assert(lsh.subsetOf(exact))
+    val high = Dedup.d02(spark, sf("sf0.001")).filter(col("jacc") >= 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(high.nonEmpty && high.subsetOf(lsh))
+  }
+
+  test("simhash: 64 bits, identical text → identical hash, near-dup close") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark query planning here"))
+      .toDF("doc_id", "text")
+    val sims = df.select(col("doc_id"), Dedup.simhashBits(col("text")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(sims.values.forall(_.length == 64))
+    assert(sims.values.forall(_.forall(c => c == '0' || c == '1')))
+    assert(sims(1L) == sims(2L))
+    val hamming = sims(1L).zip(sims(3L)).count { case (a, b) => a != b }
+    assert(hamming > 3) // different content is far
+  }
+
+  test("d04 finds exact-duplicate pair via banding") {
+    // planted near-dups in the corpus have hamming ≤ 3 only if very
+    // close; identical docs always collide in all 4 bands
+    val pairs = Dedup.d04(spark, sf("sf0.001"))
+      .select("a", "b", "hamming").collect()
+    pairs.foreach(r => assert(r.getInt(2) <= 3))
+  }
+
+  test("d05 cosine symmetric and bounded") {
+    val rows = Dedup.d05(spark, sf("sf0.001")).collect()
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos")
+      assert(c >= Dedup.CosineThreshold && c <= 1.0 + 1e-9)
+    }
+  }
+
+  test("s02 LSH ANN recall vs s01 brute force") {
+    val exact = Similarity.s01(spark, sf("sf0.001"))
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.s02(spark, sf("sf0.001"))
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(approx.nonEmpty)
+    // single-probe 8-plane LSH: require non-trivial recall
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.15, s"recall $recall too low")
+    // every LSH hit must itself be a real vector pair with cos computed
+    // consistently (subset check is not required — bucketing prunes)
+  }
+
+  test("lsh bucket is deterministic across evaluations") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val b1 = e.select(col("vec_id"), Similarity.lshBucket(col("embedding")).as("b"))
+      .as[(Long, Int)].collect().toMap
+    val b2 = e.select(col("vec_id"), Similarity.lshBucket(col("embedding")).as("b"))
+      .as[(Long, Int)].collect().toMap
+    assert(b1 == b2)
+    assert(b1.values.forall(b => b >= 0 && b < (1 << Similarity.NumPlanes)))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.sources.Ingest
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Sources/sinks (SURVEY.md §2 rows 42–43): schema'd NDJSON/CSV
+  * roundtrips and the date-partitioned write + retention expiry that
+  * re-expresses the reference's ILM policy. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sources").toString
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("price", DoubleType)))
+
+  test("NDJSON roundtrip with explicit schema (bulk_ingest analog)") {
+    val dir = tmp() + "/nd"
+    val df = Seq((1L, "a", 9.5), (2L, "b", 3.25)).toDF("id", "name", "price")
+    Ingest.writeNdjson(df, dir)
+    val back = Ingest.readNdjson(spark, dir, schema)
+    assert(back.schema == schema)
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "a", 9.5), (2L, "b", 3.25)))
+  }
+
+  test("CSV roundtrip with header") {
+    val dir = tmp() + "/csv"
+    val df = Seq((1L, "x,y", 1.5)).toDF("id", "name", "price")
+    Ingest.writeCsv(df, dir)
+    val back = Ingest.readCsv(spark, dir, schema)
+    assert(back.as[(Long, String, Double)].collect().toSeq == Seq((1L, "x,y", 1.5)))
+  }
+
+  test("date-partitioned write + retention expiry (ILM analog)") {
+    val dir = tmp() + "/part"
+    val df = Seq(
+      (1L, "2026-01-01 10:00:00"), (2L, "2026-01-15 10:00:00"),
+      (3L, "2026-02-01 10:00:00"))
+      .toDF("id", "ts0").withColumn("ts", to_timestamp(col("ts0"))).drop("ts0")
+    Ingest.writeDatePartitioned(df, "ts", dir)
+    assert(spark.read.parquet(dir).count() == 3)
+
+    val removed = Ingest.expireRetention(spark, dir, keepDays = 30,
+      asOf = java.time.LocalDate.parse("2026-02-02"))
+    assert(removed.toSet == Set("dt=2026-01-01"))
+    val left = spark.read.parquet(dir)
+    assert(left.count() == 2)
+    // partition pruning still works on the surviving layout
+    val pruned = left.filter(col("dt") === "2026-02-01")
+    assert(pruned.count() == 1)
+  }
+
+  test("events table loads with microsecond-truncated nano timestamps") {
+    val e = Tables.events(spark, sf("sf0.001"))
+    assert(e.schema("ts").dataType == TimestampType)
+    assert(e.count() > 0)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.streaming.Alerts
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming semantics (SURVEY.md §2 rows 40–41): the
+  * high-risk frequency rule and stateful sessionization, driven
+  * through MemoryStream + memory sink. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  case class Scored(ts: Timestamp, item_id: Long, risk_score: Int)
+
+  test("high-risk alert rule: windowed counts of risk >= 80") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Scored]
+    val q = Alerts.highRiskAlerts(input.toDF())
+      .writeStream.format("memory").queryName("alerts")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Scored(ts(1), 1, 90), Scored(ts(2), 2, 50), Scored(ts(3), 3, 85),
+        Scored(ts(12), 4, 95), Scored(ts(14), 5, 10))
+      q.processAllAvailable()
+      // advance watermark far enough to close both windows
+      input.addData(Scored(ts(59), 9, 99))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM alerts ORDER BY wstart").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n_alerts") == 2) // 10:00 window: 90, 85
+      assert(rows(0).getAs[Int]("max_risk") == 90)
+      assert(rows(1).getAs[Long]("n_alerts") == 1) // 10:10 window: 95
+    } finally q.stop()
+  }
+
+  test("stateful sessionization via flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Alerts.Event]
+    val q = Alerts.sessionize(input.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 40-min gap
+      // (new session). user 2: single event.
+      input.addData(
+        Alerts.Event(1, ts(0)), Alerts.Event(1, ts(5)),
+        Alerts.Event(2, ts(2)))
+      q.processAllAvailable()
+      input.addData(Alerts.Event(1, ts(45)))
+      q.processAllAvailable()
+      // push watermark way forward so all sessions time out
+      input.addData(Alerts.Event(9, Timestamp.valueOf("2026-01-01 14:00:00")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n_events FROM sessions ORDER BY user_id, session_start")
+        .as[(Long, Long)].collect().toSeq
+      assert(rows.contains((1L, 2L))) // first session of user 1
+      assert(rows.contains((1L, 1L))) // second session after gap
+      assert(rows.contains((2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("st01 batch query equals streaming replay of the same events") {
+    // Structured Streaming's unified semantics: running the same
+    // windowed agg over the events as a bounded stream must produce
+    // the batch result.
+    val batch = Alerts.st01(spark, sf("sf0.001"))
+      .select("wstart", "event_type", "n").as[(String, String, Long)]
+      .collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sf("sf0.001"))
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)].collect()
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val sdf = input.toDF().toDF("ts", "event_type", "value")
+    val q = sdf.groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("wstart"),
+        col("event_type"), col("n"))
+      .writeStream.format("memory").queryName("st01_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(events.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM st01_stream")
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
