@@ -33,10 +33,12 @@ object TextAnalysis {
     * regex and RE2 as a literal character class. */
   val HanRange = "[一-鿿]"
 
-  /** Number of distinct stopwords of `words` present in lowercase text. */
+  /** Number of distinct stopwords of `words` present in lowercase
+    * text — ONE regex pass (extract-all + distinct) rather than one
+    * rlike per word (8× fewer regex scans per row). */
   def stopwordHits(textLower: Column, words: Seq[String]): Column =
-    words.map(w => when(textLower.rlike(s"\\b$w\\b"), 1).otherwise(0))
-      .reduce(_ + _)
+    size(array_distinct(
+      regexp_extract_all(textLower, lit(stopwordRegex(words)), lit(1))))
 
   /** Deterministic priority-argmax language ID: zh on any Han char,
     * then en ≥ es ≥ de ≥ fr on stopword hit counts, 'und' when no

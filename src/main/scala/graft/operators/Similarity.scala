@@ -32,7 +32,7 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
     val pairs = e.join(broadcast(queriesDf(e)), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        cosine(col("qe"), col("embedding")).as("cos"))
+        graft.plans.GraftFunctions.cosine(s, col("qe"), col("embedding")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
@@ -108,7 +108,7 @@ object Similarity {
     val pairs = corpus.join(broadcast(q), Seq("band", "key"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        cosine(col("qe"), col("embedding")).as("cos"))
+        graft.plans.GraftFunctions.cosine(s, col("qe"), col("embedding")).as("cos"))
       .distinct() // a pair may collide in several bands
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
     pairs.withColumn("rank", row_number().over(w))

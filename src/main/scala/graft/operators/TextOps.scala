@@ -17,8 +17,7 @@ object TextOps {
   // ---- shared SQL fragments (same constants as the Column exprs) ----
 
   private def sqlHits(words: Seq[String]): String =
-    words.map(w => s"(CASE WHEN regexp_matches(t, '\\b$w\\b') THEN 1 ELSE 0 END)")
-      .mkString("(", " + ", ")")
+    s"len(list_distinct(regexp_extract_all(t, '${stopwordRegex(words)}', 1)))"
 
   /** DuckDB needs the 'g' flag for global regexp_replace (Spark is
     * global by default). */

@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Native Catalyst expression for cosine similarity over two
+  * `array<float>` columns — the hot path of the ANN / near-dup
+  * operators.
+  *
+  * The higher-order-function formulation (`zip_with` + `aggregate`)
+  * is interpreted per element in Spark (lambda functions don't
+  * participate in whole-stage codegen); this expression emits a single
+  * fused primitive loop via `doGenCode`, keeping the operator inside
+  * WholeStageCodegen. Accumulation is in index order on doubles, so
+  * results are bit-identical to both the HOF form and DuckDB's
+  * row-local list lambdas (the oracle).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, nx = 0.0, ny = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double xi = (double) $a.getFloat(i);
+         |  double yi = (double) $b.getFloat(i);
+         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |}
+         |${ev.value} = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration for graft's native expressions. Idempotent —
+  * operators call `register` before using the functions. Also
+  * injectable via `SparkSessionExtensions` (GraftExtensions) for
+  * `spark.sql.extensions`-configured clusters.
+  */
+object GraftFunctions {
+  val CosineName = "graft_cosine"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(CosineName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, CosineName),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1)))
+
+  /** Column-API face of the native expression. */
+  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function(CosineName, a, b)
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` installs the
+  * native functions on every session of a cluster. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.CosineName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, GraftFunctions.CosineName),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+}

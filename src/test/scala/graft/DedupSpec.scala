@@ -38,8 +38,7 @@ class DedupSpec extends SparkSpec {
       (2L, "the quick brown fox jumps over the lazy dog again and again"),
       (3L, "completely different content about spark query planning here"))
       .toDF("doc_id", "text")
-    val sims = df.select(col("doc_id"), Dedup.simhashBits(col("text")).as("s"))
-      .as[(Long, String)].collect().toMap
+    val sims = Dedup.simhash(df).as[(Long, String)].collect().toMap
     assert(sims.values.forall(_.length == 64))
     assert(sims.values.forall(_.forall(c => c == '0' || c == '1')))
     assert(sims(1L) == sims(2L))
