@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.Geo
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+/** Geo bucketing (SURVEY.md §1 geo-map row — no geo columns in the
+  * test tables, so ScalaTest-only) and skew-mitigation utilities. */
+class GeoSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("geohash matches known reference values") {
+    // public reference points (standard geohash test vectors)
+    val df = Seq(
+      (57.64911, 10.40744, "u4pruydqqvj"), // Jutland
+      (42.6, -5.6, "ezs42"),               // León
+      (38.897, -77.036, "dqcjr")           // White House area
+    ).toDF("lat", "lon", "expected")
+    val got = df.select(col("expected"),
+      Geo.geohash(col("lat"), col("lon"), 5).as("g")).collect()
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(0).take(5),
+        s"expected ${r.getString(0).take(5)} got ${r.getString(1)}")
+    }
+  }
+
+  test("geohash 11-char precision and edge coordinates") {
+    val df = Seq((57.64911, 10.40744)).toDF("lat", "lon")
+    val g = df.select(Geo.geohash(col("lat"), col("lon"), 11)).head().getString(0)
+    assert(g == "u4pruydqqvj")
+    val edges = Seq((90.0, 180.0), (-90.0, -180.0), (0.0, 0.0))
+      .toDF("lat", "lon")
+      .select(Geo.geohash(col("lat"), col("lon"), 6).as("g"))
+      .collect().map(_.getString(0))
+    assert(edges.forall(_.length == 6))
+    assert(edges(0) == "zzzzzz") // north-east corner = last cell
+  }
+
+  test("bounding box + haversine") {
+    val df = Seq((40.4168, -3.7038), (48.8566, 2.3522)).toDF("lat", "lon") // Madrid, Paris
+    val inIberia = df.filter(Geo.inBoundingBox(col("lat"), col("lon"), 36, 44, -10, 4))
+    assert(inIberia.count() == 1)
+    val d = Seq((40.4168, -3.7038, 48.8566, 2.3522)).toDF("a", "b", "c", "d")
+      .select(Geo.haversineKm(col("a"), col("b"), col("c"), col("d"))).head().getDouble(0)
+    assert(d > 1020 && d < 1070) // Madrid–Paris ≈ 1053 km
+  }
+
+  test("geohashBuckets groups nearby points into one cell") {
+    val df = Seq(
+      (40.4168, -3.7038), (40.4170, -3.7040), (40.4169, -3.7039), // Madrid cluster
+      (48.8566, 2.3522)) // Paris
+      .toDF("lat", "lon")
+    val cells = Geo.geohashBuckets(df, "lat", "lon", chars = 5)
+      .as[(String, Long)].collect().toMap
+    assert(cells.size == 2)
+    assert(cells.values.toSet == Set(3L, 1L))
+  }
+
+  test("saltedJoin equals plain join for inner and left") {
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i))
+      .toDF("k", "v")
+    val small = Seq(("hot", 99), ("k1", 1), ("absent", 0)).toDF("k", "w")
+    val plainInner = big.join(small, Seq("k")).select("k", "v", "w")
+      .as[(String, Int, Int)].collect().sorted.toSeq
+    val saltedInner = Skew.saltedJoin(big, small, Seq("k"), salt = 8)
+      .select("k", "v", "w").as[(String, Int, Int)].collect().sorted.toSeq
+    assert(saltedInner == plainInner)
+
+    val plainLeft = big.join(small, Seq("k"), "left")
+      .select("k", "v", "w").as[(String, Int, Option[Int])].collect().sorted.toSeq
+    val saltedLeft = Skew.saltedJoin(big, small, Seq("k"), salt = 8, "left")
+      .select("k", "v", "w").as[(String, Int, Option[Int])].collect().sorted.toSeq
+    assert(saltedLeft == plainLeft)
+  }
+
+  test("keyHistogram surfaces the hot key") {
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i))
+      .toDF("k", "v")
+    val top = Skew.keyHistogram(big, Seq("k"), topN = 1)
+      .as[(String, Long)].head()
+    assert(top == ("hot", 100L))
+  }
+}
