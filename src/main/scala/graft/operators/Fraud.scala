@@ -367,6 +367,34 @@ object Fraud {
                 + CASE WHEN c_acctbal < 0 THEN 30 ELSE 0 END, 0), 100) AS trust_risk
        FROM customer LEFT JOIN s ON c_custkey = o_custkey"""
 
+  /** The reference's exact seller-reputation adjustments
+    * (poller.py:669-702), as pure column arithmetic over enrichment
+    * signals. Returns (adjusted score, factor list). The reference
+    * enriches only already-suspicious items (poller.py:654-661) — at
+    * scale that's a semi-join-pruned broadcast lookup, not a per-item
+    * API call.
+    */
+  def sellerTrustAdjust(base: Column, sales: Column, stars: Column,
+      isTop: Column, accountAgeDays: Column, scamReports: Column): (Column, Column) = {
+    val trusted = sales > 5 && stars >= 4.5
+    val newUser = accountAgeDays < 3
+    val dormant = accountAgeDays > 365 && sales === 0
+    val scammer = scamReports > 0
+    val adjusted = base +
+      when(trusted, -30).otherwise(0) +
+      when(isTop, -50).otherwise(0) +
+      when(newUser, 30).otherwise(0) +
+      when(dormant, 20).otherwise(0)
+    val score = least(greatest(when(scammer, 100).otherwise(adjusted), lit(0)), lit(100))
+    val factors = filter(array(
+      when(trusted, concat(lit("Trusted Seller ("), sales.cast("string"), lit("+ reviews)"))),
+      when(isTop, "TOP SELLER"),
+      when(newUser, "New User"),
+      when(dormant, "Dormant Account"),
+      when(scammer, "REPORTED SCAMMER")), _.isNotNull)
+    (score, factors)
+  }
+
   // ---------------------------------------------------------------
   // f09: the poller's rolling 24 h cutoff (poller.py:540,585-592):
   // keep only events within 24 h of the newest, count per type.

@@ -116,9 +116,68 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  // ---------------------------------------------------------------
+  // s03: IVF ANN — KMeans coarse quantizer (Spark ML), corpus bucketed
+  // by nearest-centroid cell, queries probe the `NumProbes` nearest
+  // cells, exact cosine rank within probed cells only.
+  //
+  // Scale posture: the quantizer trains on a SAMPLE (centroids are
+  // model metadata, k×dim doubles — not a data collect); assignment is
+  // one broadcast-model map over the corpus; the probe join is an
+  // equi-join on cell id touching NumProbes/NumCells of the corpus.
+  // ---------------------------------------------------------------
+  val NumCells = 16
+  val NumProbes = 4
+  val KmeansSeed = 42L
+
+  def s03(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val e = Tables.embeddings(s, dir)
+      .withColumn("features", array_to_vector(col("embedding")))
+    // train on a bounded sample — at corpus scale the quantizer never
+    // sees more than ~100k vectors
+    val trainFrac = math.min(1.0, 100000.0 / math.max(e.count(), 1L))
+    val train = if (trainFrac < 1.0) e.sample(trainFrac, KmeansSeed) else e
+    val model = new KMeans().setK(NumCells).setSeed(KmeansSeed)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(train)
+
+    val corpus = model.transform(e).select(col("vec_id"), col("embedding"), col("cell"))
+
+    // per-query probe list: NumProbes nearest centroids (computed on
+    // the driver from model metadata, broadcast back as a tiny DF)
+    val centers: Array[(Int, Array[Double])] =
+      model.clusterCenters.zipWithIndex.map { case (c: Vector, i) => (i, c.toArray) }
+    val queries = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    import s.implicits._
+    val qLocal = queries.select(col("qid"), col("qe")).as[(Long, Array[Float])].collect()
+    val probes = qLocal.flatMap { case (qid, qe) =>
+      centers.map { case (cell, c) =>
+        var d = 0.0; var i = 0
+        while (i < c.length) { val diff = qe(i) - c(i); d += diff * diff; i += 1 }
+        (qid, cell, d)
+      }.sortBy(_._3).take(NumProbes).map { case (q, cell, _) => (q, cell) }
+    }.toSeq.toDF("qid", "cell")
+
+    val cand = corpus.join(broadcast(probes.join(queries, "qid")), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.plans.GraftFunctions.cosine(s, col("qe"), col("embedding")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01 _),
-    "s02_ann_lsh" -> (s02 _))
+    "s02_ann_lsh" -> (s02 _),
+    "s03_ann_ivf" -> (s03 _))
 
   val oracles: Map[String, String] = Map(
     "s01_ann_bruteforce" -> s01Sql)

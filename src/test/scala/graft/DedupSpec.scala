@@ -75,6 +75,17 @@ class DedupSpec extends SparkSpec {
     // consistently (subset check is not required — bucketing prunes)
   }
 
+  test("s03 IVF ANN recall vs s01 brute force") {
+    val exact = Similarity.s01(spark, sf("sf0.01"))
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.s03(spark, sf("sf0.01"))
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // probing 4 of 16 cells must beat the 25% random baseline clearly
+    assert(recall >= 0.4, s"IVF recall $recall too low")
+  }
+
   test("lsh bucket is deterministic across evaluations") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
     val b1 = e.select(col("vec_id"), Similarity.lshBucket(col("embedding")).as("b"))

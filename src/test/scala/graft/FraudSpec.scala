@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Fraud
+import org.apache.spark.sql.functions._
+
+/** Reference-exact seller-trust adjustment semantics
+  * (poller.py:669-702) — not oracle-expressible because the test
+  * tables carry no reputation columns; checked on synthetic rows. */
+class FraudSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def score(base: Int, sales: Int, stars: Double, isTop: Boolean,
+      ageDays: Int, scamReports: Int): (Int, Seq[String]) = {
+    val df = Seq((base, sales, stars, isTop, ageDays, scamReports))
+      .toDF("base", "sales", "stars", "is_top", "age", "scams")
+    val (s, f) = Fraud.sellerTrustAdjust(col("base"), col("sales"),
+      col("stars"), col("is_top"), col("age"), col("scams"))
+    val r = df.select(s.as("score"), f.as("factors")).head()
+    (r.getInt(0), r.getSeq[String](1))
+  }
+
+  test("trusted seller: sales>5 and stars>=4.5 → −30") {
+    val (s, f) = score(60, 10, 4.8, isTop = false, ageDays = 500, scamReports = 0)
+    assert(s == 30)
+    assert(f == Seq("Trusted Seller (10+ reviews)"))
+  }
+
+  test("TOP badge → −50, floors at 0") {
+    val (s, f) = score(40, 2, 3.0, isTop = true, ageDays = 500, scamReports = 0)
+    assert(s == 0)
+    assert(f == Seq("TOP SELLER"))
+  }
+
+  test("new account < 3 days → +30; dormant (old, zero sales) → +20") {
+    assert(score(50, 1, 4.0, isTop = false, ageDays = 1, scamReports = 0)._1 == 80)
+    val (s, f) = score(50, 0, 0.0, isTop = false, ageDays = 400, scamReports = 0)
+    assert(s == 70)
+    assert(f == Seq("Dormant Account"))
+  }
+
+  test("scam reports force score 100 regardless of other signals") {
+    val (s, f) = score(10, 100, 5.0, isTop = true, ageDays = 2000, scamReports = 1)
+    assert(s == 100)
+    assert(f.contains("REPORTED SCAMMER"))
+  }
+
+  test("cap at 100 after stacked penalties") {
+    // base 90 + new-user 30 → clamps to 100 (age<3 can't also be dormant)
+    assert(score(90, 0, 0.0, isTop = false, ageDays = 1, scamReports = 0)._1 == 100)
+  }
+}
