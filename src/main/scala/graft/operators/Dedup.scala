@@ -181,44 +181,34 @@ object Dedup {
        WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= $JaccardThreshold"""
 
   // ---------------------------------------------------------------
-  // d04: 64-bit SimHash hamming near-dup. Signature via explode →
-  // one xxhash64 per token → 64 codegen'd conditional sums in a
-  // single hash aggregation (a row-local HOF fold is interpreted
-  // per-element and was 5× slower); pairs via 4×16-bit band
-  // equi-join (hamming ≤ 3 guarantees one identical band);
-  // rows-only driver check, semantics in DedupSpec.
+  // d04: 64-bit SimHash hamming near-dup. Signature = the native
+  // SimHash64 expression (graft.plans) — a fused per-row loop, NO
+  // shuffle (the explode + 64-conditional-sum aggregation needed a
+  // 750k-row shuffle at sf0.1 and ~6 s; this is a narrow map). Pairs
+  // via 4×16-bit band equi-join (hamming ≤ 3 guarantees one
+  // identical band), hamming = bit_count(xor). Rows-only driver
+  // check, semantics in DedupSpec.
   // ---------------------------------------------------------------
 
-  /** (doc_id, sim) with sim = 64-char bit string of the token-hash
-    * sign sums. One shuffle on doc_id. */
+  /** (doc_id, sim) with sim = 64-bit SimHash as a long. Narrow map,
+    * no shuffle. */
   def simhash(docs: DataFrame, docCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val toks = docs
-      .select(col(docCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    // branchless: per-bit ones-count; sign sum = 2·ones − n
-    val bitAggs = (0 until 64).map(k =>
-      sum(shiftright(col("h"), k).bitwiseAND(1)).as(s"b$k")) :+
-      count(lit(1)).as("n")
-    val sums = toks.groupBy(col(docCol)).agg(bitAggs.head, bitAggs.tail: _*)
-    val sim = concat((0 until 64).map(k =>
-      when(col(s"b$k") * 2 > col("n"), "1").otherwise("0")): _*)
-    sums.select(col(docCol), sim.as("sim"))
-  }
+      textCol: String = "text"): DataFrame =
+    docs.select(col(docCol),
+      graft.plans.GraftFunctions.simhash64(docs.sparkSession, col(textCol)).as("sim"))
 
   def d04(s: SparkSession, dir: String): DataFrame = {
     val docs = simhash(Tables.documents(s, dir))
     val banded = docs.select(col("doc_id"), col("sim"),
         explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"), substring(col("sim"), b * 16 + 1, 16).as("key"))): _*)).as("bk"))
+          struct(lit(b).as("band"),
+            shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val hamming = size(filter(
-      zip_with(split(col("a.sim"), ""), split(col("b.sim"), ""), (x, y) => x =!= y),
-      x => x))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"), hamming.as("hamming"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
   }

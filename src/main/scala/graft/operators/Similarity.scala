@@ -141,7 +141,9 @@ object Similarity {
     // sees more than ~100k vectors
     val trainFrac = math.min(1.0, 100000.0 / math.max(e.count(), 1L))
     val train = if (trainFrac < 1.0) e.sample(trainFrac, KmeansSeed) else e
-    val model = new KMeans().setK(NumCells).setSeed(KmeansSeed)
+    // coarse quantization needs rough cells, not convergence — cap
+    // iterations (each KMeans iteration is a full pass + driver sync)
+    val model = new KMeans().setK(NumCells).setSeed(KmeansSeed).setMaxIter(8)
       .setFeaturesCol("features").setPredictionCol("cell").fit(train)
 
     val corpus = model.transform(e).select(col("vec_id"), col("embedding"), col("cell"))

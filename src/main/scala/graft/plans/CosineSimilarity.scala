@@ -67,26 +67,43 @@ case class CosineSimilarity(left: Expression, right: Expression)
   */
 object GraftFunctions {
   val CosineName = "graft_cosine"
+  val SimHashName = "graft_simhash64"
+
+  private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    (CosineName, classOf[CosineSimilarity].getName,
+      exprs => CosineSimilarity(exprs.head, exprs(1))),
+    (SimHashName, classOf[SimHash64].getName,
+      exprs => SimHash64(exprs.head)))
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(CosineName),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, CosineName),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1)))
+    registry.foreach { case (name, clazz, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), new ExpressionInfo(clazz, name), builder)
+    }
 
-  /** Column-API face of the native expression. */
+  /** Column-API faces of the native expressions. */
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function(CosineName, a, b)
+  }
+
+  def simhash64(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function(SimHashName, text)
   }
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` installs the
   * native functions on every session of a cluster. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.CosineName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, GraftFunctions.CosineName),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.SimHashName),
+      new ExpressionInfo(classOf[SimHash64].getName, GraftFunctions.SimHashName),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+  }
 }

@@ -32,17 +32,15 @@ class DedupSpec extends SparkSpec {
     assert(high.nonEmpty && high.subsetOf(lsh))
   }
 
-  test("simhash: 64 bits, identical text → identical hash, near-dup close") {
+  test("simhash: identical text → identical hash, near-dup close") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
       (2L, "the quick brown fox jumps over the lazy dog again and again"),
       (3L, "completely different content about spark query planning here"))
       .toDF("doc_id", "text")
-    val sims = Dedup.simhash(df).as[(Long, String)].collect().toMap
-    assert(sims.values.forall(_.length == 64))
-    assert(sims.values.forall(_.forall(c => c == '0' || c == '1')))
+    val sims = Dedup.simhash(df).as[(Long, Long)].collect().toMap
     assert(sims(1L) == sims(2L))
-    val hamming = sims(1L).zip(sims(3L)).count { case (a, b) => a != b }
+    val hamming = java.lang.Long.bitCount(sims(1L) ^ sims(3L))
     assert(hamming > 3) // different content is far
   }
 
@@ -51,7 +49,7 @@ class DedupSpec extends SparkSpec {
     // close; identical docs always collide in all 4 bands
     val pairs = Dedup.d04(spark, sf("sf0.001"))
       .select("a", "b", "hamming").collect()
-    pairs.foreach(r => assert(r.getInt(2) <= 3))
+    pairs.foreach(r => assert(r.getAs[Number]("hamming").intValue() <= 3))
   }
 
   test("d05 cosine symmetric and bounded") {
