@@ -5,9 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The composite weighted-z risk engine is the reference's
+    * core capability (poller.py:333-495). */
   def entry(spark: SparkSession): DataFrame =
-    operators.Relational.q01(spark, "/root/testdata/sf0.001")
+    operators.Fraud.f04(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

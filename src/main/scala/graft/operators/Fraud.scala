@@ -23,19 +23,36 @@ object Fraud {
   import Relational.{dsum, davg}
 
   /** Exact per-group median via the two middle order statistics —
-    * engine-portable (no interpolation ambiguity) and a single window
-    * shuffle per call.
+    * engine-portable (no interpolation ambiguity).
+    *
+    * Scale shape: rows are first reduced to (key, value, count) by a
+    * partially-aggregated groupBy, and the window runs over DISTINCT
+    * values per group (cumulative ranges locate the middle order
+    * statistics). A direct row_number over raw rows would sort every
+    * row inside as many tasks as there are groups — with 3 groups and
+    * 100 TB that's 3 tasks; this formulation's heavy lifting is the
+    * combiner-friendly count shuffle.
     */
   def groupMedian(df: DataFrame, keys: Seq[String], value: String, out: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(value).asc)
-    val wc = Window.partitionBy(keys.map(col): _*)
-    df.select(keys.map(col) :+ col(value): _*)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(wc))
-      .filter(col("rn") === ((col("cnt") + 1) / 2).cast("long") ||
-        col("rn") === ((col("cnt") + 2) / 2).cast("long"))
-      .groupBy(keys.map(col): _*)
-      .agg((sum(col(value)) / count(lit(1))).as(out))
+    val k = keys.map(col)
+    val counts = df.select(k :+ col(value): _*)
+      .groupBy(k :+ col(value): _*).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(k: _*).orderBy(col(value).asc)
+    val wc = Window.partitionBy(k: _*)
+    counts
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(wc))
+      // order statistics m1=(n+1)/2, m2=(n+2)/2 fall in this value's
+      // cumulative range (_cum-_c, _cum]
+      .withColumn("_m1", ((col("_n") + 1) / 2).cast("long"))
+      .withColumn("_m2", ((col("_n") + 2) / 2).cast("long"))
+      .filter((col("_m1") > col("_cum") - col("_c") && col("_m1") <= col("_cum")) ||
+        (col("_m2") > col("_cum") - col("_c") && col("_m2") <= col("_cum")))
+      .withColumn("_w",
+        when(col("_m1") > col("_cum") - col("_c") && col("_m1") <= col("_cum"), 1).otherwise(0) +
+          when(col("_m2") > col("_cum") - col("_c") && col("_m2") <= col("_cum"), 1).otherwise(0))
+      .groupBy(k: _*)
+      .agg((sum(col(value) * col("_w")) / 2.0).as(out))
   }
 
   /** Sample stddev from decimal-exact Σx and Σx² — deterministic under

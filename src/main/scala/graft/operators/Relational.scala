@@ -253,16 +253,28 @@ object Relational {
   // engine (native median/percentile implementations interpolate
   // with engine-specific FP orderings).
   // ---------------------------------------------------------------
+  /** Exact median via value-counts + cumulative-range selection: the
+    * combiner-friendly groupBy carries the weight; the window runs
+    * over distinct values only. A raw row_number window would sort
+    * all rows in as many tasks as there are groups (3 here) — this
+    * shape survives a 100× scale-up (see Fraud.groupMedian). */
   def q11(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice").asc)
+    val key = col("l_returnflag")
+    val w = Window.partitionBy(key).orderBy(col("l_extendedprice").asc)
+    val wc = Window.partitionBy(key)
     Tables.lineitem(s, dir)
-      .select(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
-      .filter(col("rn") === ((col("cnt") + 1) / 2).cast("long") ||
-        col("rn") === ((col("cnt") + 2) / 2).cast("long"))
-      .groupBy(col("l_returnflag"))
-      .agg((sum(col("l_extendedprice")) / count(lit(1))).as("median_price"),
+      .groupBy(key, col("l_extendedprice")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("cnt", sum(col("c")).over(wc))
+      .withColumn("m1", ((col("cnt") + 1) / 2).cast("long"))
+      .withColumn("m2", ((col("cnt") + 2) / 2).cast("long"))
+      .filter((col("m1") > col("cum") - col("c") && col("m1") <= col("cum")) ||
+        (col("m2") > col("cum") - col("c") && col("m2") <= col("cum")))
+      .withColumn("w",
+        when(col("m1") > col("cum") - col("c") && col("m1") <= col("cum"), 1).otherwise(0) +
+          when(col("m2") > col("cum") - col("c") && col("m2") <= col("cum"), 1).otherwise(0))
+      .groupBy(key)
+      .agg((sum(col("l_extendedprice") * col("w")) / 2.0).as("median_price"),
         max(col("cnt")).as("n"))
   }
 

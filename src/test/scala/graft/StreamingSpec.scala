@@ -65,6 +65,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source end-to-end: NDJSON stream → alert rule → parquet sink") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ckDir = s"$root/ck"
+    new java.io.File(inDir).mkdirs()
+    // one NDJSON micro-batch file, the bulk_ingest shape
+    val lines = Seq(
+      """{"ts":"2026-01-01T10:01:00.000Z","item_id":1,"risk_score":90}""",
+      """{"ts":"2026-01-01T10:03:00.000Z","item_id":2,"risk_score":40}""",
+      """{"ts":"2026-01-01T10:04:00.000Z","item_id":3,"risk_score":85}""",
+      """{"ts":"2026-01-01T12:00:00.000Z","item_id":4,"risk_score":99}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/batch1.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("item_id", LongType),
+      StructField("risk_score", IntegerType)))
+    val stream = spark.readStream.schema(schema).json(inDir)
+    val q = Alerts.highRiskAlerts(stream)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckDir).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the 12:00 event advanced the watermark past the 10:00 window
+      val rows = spark.read.parquet(outDir)
+        .select("n_alerts", "max_risk").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getLong(0) == 2) // 90 and 85 in the 10:00-10:10 window
+      assert(rows(0).getInt(1) == 90)
+    } finally q.stop()
+  }
+
   test("st01 batch query equals streaming replay of the same events") {
     // Structured Streaming's unified semantics: running the same
     // windowed agg over the events as a bounded stream must produce
