@@ -5,6 +5,7 @@ import graft.functions.TextAnalysis
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for training-data pipelines (SURVEY.md §2
   * rows 30–34): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
@@ -77,13 +78,38 @@ object Dedup {
   // shingle key (bucketed pairs, no cross join), exact Jaccard from
   // intersection counts, threshold filter.
   // ---------------------------------------------------------------
-  def d02(s: SparkSession, dir: String): DataFrame = {
+  /** At 100 TB a shingle appearing in k docs contributes k² candidate
+    * pairs — a handful of boilerplate shingles would dominate the
+    * join. `maxDf` drops those stop-shingles from candidate
+    * GENERATION only; surviving candidates are then verified against
+    * the FULL shingle sets, so reported Jaccard stays exact. The only
+    * loss is pairs similar solely through ultra-common shingles —
+    * below any useful threshold by construction. None = exhaustive
+    * candidates (the oracle'd default at test scale). */
+  def d02(s: SparkSession, dir: String, maxDf: Option[Int] = None): DataFrame = {
     val sh = docShingles(s, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
-      .agg(count(lit(1)).as("inter"))
+    val inter = maxDf match {
+      case None =>
+        // every co-occurrence is a candidate; one shingle-keyed join
+        // counts the exact intersection directly
+        sh.as("a").join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+          .agg(count(lit(1)).as("inter"))
+      case Some(k) =>
+        val w = Window.partitionBy(col("shingle"))
+        val rare = sh.withColumn("_df", count(lit(1)).over(w))
+          .filter(col("_df") <= k).drop("_df")
+        val cand = rare.as("a").join(rare.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a"), col("b.doc_id").as("b")).distinct()
+        cand
+          .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+          .join(sh.as("sb"), col("b") === col("sb.doc_id") &&
+            col("sa.shingle") === col("sb.shingle"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    }
     inter
       .join(sizes.select(col("doc_id"), col("n").as("na")), col("a") === col("doc_id")).drop("doc_id")
       .join(sizes.select(col("doc_id"), col("n").as("nb")), col("b") === col("doc_id")).drop("doc_id")
@@ -121,8 +147,12 @@ object Dedup {
     val base = conv(substring(md5(col("shingle")), 1, 15), 16, 10)
       .cast("long") % MinhashP
     val hv = sh.select(col("doc_id"), base.as("h"))
+    // signature AND set size from ONE groupBy (sizes are needed again
+    // for Jaccard verification — a second shuffle over the shingle set
+    // would be pure waste)
     val sigAggs = (0 until NumHashes).map(i =>
-      min((lit(hashA(i)) * col("h") + lit(hashB(i))) % MinhashP).as(s"h$i"))
+      min((lit(hashA(i)) * col("h") + lit(hashB(i))) % MinhashP).as(s"h$i")) :+
+      count(lit(1)).as("n")
     val sigs = hv.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
     val r = NumHashes / Bands
     val bandKeys = (0 until Bands).map { b =>
@@ -137,7 +167,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b")).distinct()
 
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sizes = sigs.select(col("doc_id"), col("n"))
     val inter = cand
       .join(sh.as("sa"), col("a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("b") === col("sb.doc_id") &&
@@ -244,7 +274,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (d01 _),
-    "d02_ngram_jaccard" -> (d02 _),
+    "d02_ngram_jaccard" -> ((s: SparkSession, dir: String) => d02(s, dir)),
     "d03_minhash_lsh" -> (d03 _),
     "d04_simhash" -> (d04 _),
     "d05_embedding_neardup" -> (d05 _))

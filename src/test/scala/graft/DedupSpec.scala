@@ -32,6 +32,17 @@ class DedupSpec extends SparkSpec {
     assert(high.nonEmpty && high.subsetOf(lsh))
   }
 
+  test("d02 df-capped candidates verify to the same high-jaccard pairs") {
+    // the planted near-dups share many RARE shingles, so candidate
+    // pruning at maxDf must not lose them, and verified jaccard is
+    // computed on full sets → identical rows
+    val exact = Dedup.d02(spark, sf("sf0.001"))
+      .select("a", "b", "jacc").as[(Long, Long, Double)].collect().toSet
+    val capped = Dedup.d02(spark, sf("sf0.001"), maxDf = Some(5))
+      .select("a", "b", "jacc").as[(Long, Long, Double)].collect().toSet
+    assert(capped == exact)
+  }
+
   test("simhash: identical text → identical hash, near-dup close") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

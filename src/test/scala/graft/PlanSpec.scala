@@ -1,0 +1,52 @@
+package graft
+
+/** Physical-plan shape guards: the scale properties SURVEY.md §5
+  * promises (pushdown, broadcast, no pre-aggregation shuffles) are
+  * asserted here so a refactor can't silently regress them. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), "filters not pushed")
+    assert(!p.contains("l_comment"), "unused columns not pruned")
+  }
+
+  test("q03: dimension joins broadcast, no shuffle join") {
+    val p = plan("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("f03/f04: stats joined back via broadcast only") {
+    Seq("f03_zscore", "f04_risk_score").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast")
+      assert(!p.contains("SortMergeJoin"), s"$q fell back to shuffle join")
+    }
+  }
+
+  test("s01: broadcast query set + rank pushed down (WindowGroupLimit)") {
+    val p = plan("s01_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("graft_cosine"), "native expression not in plan")
+  }
+
+  test("d04: simhash signature is a narrow map (no aggregate before banding)") {
+    val p = plan("d04_simhash")
+    assert(p.contains("graft_simhash64"))
+    assert(!p.contains("HashAggregate(keys=[doc_id"),
+      "signature should not need a per-doc aggregation")
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"))
+    // partial + final pair means map-side combine happened
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.functions.{Geo, TextAnalysis, VectorFunctions}
+import graft.operators.{Dedup, Fraud, Skew}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Seeded randomized properties — cross-implementation equivalences
+  * and invariants over generated inputs (deterministic seeds so runs
+  * are reproducible). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native graft_cosine is bit-identical to the HOF formulation") {
+    val rnd = new Random(7)
+    val rows = (1 to 200).map { i =>
+      (i.toLong,
+        Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val both = df.select(
+      graft.plans.GraftFunctions.cosine(spark, col("a"), col("b")).as("native"),
+      VectorFunctions.cosine(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) ==
+        java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
+  test("groupMedian equals the naive sorted-middle median") {
+    val rnd = new Random(11)
+    val rows = for {
+      g <- 0 until 8
+      _ <- 0 until (1 + rnd.nextInt(50))
+    } yield (s"g$g", (rnd.nextInt(100) / 2.0 + 1))
+    val df = rows.toDF("k", "v")
+    val got = Fraud.groupMedian(df, Seq("k"), "v", "med")
+      .as[(String, Double)].collect().toMap
+    val expected = rows.groupBy(_._1).map { case (k, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length
+      k -> (sorted((n - 1) / 2) + sorted(n / 2)) / 2.0
+    }
+    assert(got == expected)
+  }
+
+  test("geohash at lower precision is a prefix of higher precision") {
+    val rnd = new Random(13)
+    val pts = (1 to 200).map(_ =>
+      (rnd.nextDouble() * 180 - 90, rnd.nextDouble() * 360 - 180))
+    val df = pts.toDF("lat", "lon")
+    val rowsOut = df.select(
+      Geo.geohash(col("lat"), col("lon"), 4).as("g4"),
+      Geo.geohash(col("lat"), col("lon"), 8).as("g8"))
+      .as[(String, String)].collect()
+    rowsOut.foreach { case (g4, g8) => assert(g8.startsWith(g4)) }
+  }
+
+  test("saltedJoin equals plain join on random skewed data") {
+    val rnd = new Random(17)
+    val big = (1 to 2000).map(_ =>
+      (if (rnd.nextBoolean()) "hot" else s"k${rnd.nextInt(100)}", rnd.nextInt(1000)))
+      .toDF("k", "v")
+    val small = ((0 until 50).map(i => (s"k$i", i)) :+ (("hot", -1))).toDF("k", "w")
+    for (salt <- Seq(1, 4, 16)) {
+      val plain = big.join(small, Seq("k")).select("k", "v", "w")
+        .as[(String, Int, Int)].collect().sorted.toSeq
+      val salted = Skew.saltedJoin(big, small, Seq("k"), salt)
+        .select("k", "v", "w").as[(String, Int, Int)].collect().sorted.toSeq
+      assert(salted == plain, s"salt=$salt diverged")
+    }
+  }
+
+  test("quality score stays in [0,1] on arbitrary text") {
+    val rnd = new Random(19)
+    val texts = (1 to 200).map { _ =>
+      val len = rnd.nextInt(300)
+      (1 to len).map(_ => (rnd.nextInt(94) + 32).toChar).mkString
+    } :+ "" :+ "   " :+ "\n\t"
+    val qs = texts.toDF("text")
+      .select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[Double].collect()
+    qs.foreach(q => assert(q >= 0.0 && q <= 1.0 + 1e-12, s"q=$q out of range"))
+  }
+
+  test("minhash band collision implies candidate, jaccard bounded by 1") {
+    val rows = Dedup.d03(spark, sf("sf0.001"))
+      .as[(Long, Long, Double)].collect()
+    rows.foreach { case (a, b, j) =>
+      assert(a < b)
+      assert(j >= Dedup.JaccardThreshold && j <= 1.0)
+    }
+  }
+}
