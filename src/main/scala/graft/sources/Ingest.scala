@@ -40,6 +40,18 @@ object Ingest {
     df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
       .write.mode(SaveMode.Append).partitionBy("dt").parquet(path)
 
+  /** Bucketed write: pre-shuffles once at write time so repeated
+    * equi-joins/aggregations on `bucketCols` need NO exchange at read
+    * time — the co-located-join layout for fact tables that join on
+    * the same key query after query. Requires a table catalog
+    * (saveAsTable), as bucket metadata lives in the metastore. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet").saveAsTable(table)
+
   /** Retention expiry (ILM delete phase): drop whole partition
     * directories older than `keepDays` relative to `asOf` — a
     * metadata-only operation, no data scan. */

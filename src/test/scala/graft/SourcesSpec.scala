@@ -55,6 +55,28 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == 1)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val o = Tables.orders(spark, sf("sf0.001"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = Tables.lineitem(spark, sf("sf0.001"))
+      .select("l_orderkey", "l_quantity")
+    Ingest.writeBucketed(o, "b_orders", 4, Seq("o_orderkey"))
+    Ingest.writeBucketed(l, "b_lineitem", 4, Seq("l_orderkey"))
+    try {
+      val j = spark.table("b_orders").join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      // result parity with the plain-parquet join
+      assert(j.count() ==
+        o.join(l, col("o_orderkey") === col("l_orderkey")).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("events table loads with microsecond-truncated nano timestamps") {
     val e = Tables.events(spark, sf("sf0.001"))
     assert(e.schema("ts").dataType == TimestampType)
