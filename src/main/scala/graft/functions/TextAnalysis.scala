@@ -90,4 +90,23 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " ")))
+
+  /** Winnowing fingerprint (the rolling-hash document signature of
+    * Schleimer/Wilkerson/Aiken): hash every word k-gram, then keep the
+    * minimum hash of each sliding window of `window` consecutive
+    * k-gram hashes. Guarantees any shared run of ≥ window+k-1 tokens
+    * between two docs yields a shared fingerprint, at ~2/(window+1)
+    * selection density. Pure column expressions over a pre-staged
+    * token array (same no-retokenize rule as Dedup.shinglesFromTokens).
+    */
+  def winnowFingerprints(tokens: Column, k: Int = 3, window: Int = 4): Column = {
+    val grams = when(size(tokens) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(tokens) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j + 1)): _*)))
+    val hashes = transform(grams, g => xxhash64(g))
+    val sel = when(size(hashes) < window, hashes)
+      .otherwise(transform(sequence(lit(0), size(hashes) - window),
+        i => array_min(slice(hashes, i + 1, lit(window)))))
+    array_distinct(sel)
+  }
 }

@@ -79,6 +79,63 @@ object Binary {
     (w, h, feats)
   }
 
+  /** STUB resize: a real deployment decodes, scales, re-encodes; the
+    * stub deterministically subsamples every k-th byte to the target
+    * "pixel" budget so output size tracks the requested dimensions. */
+  def stubResize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val budget = math.max(1, targetW * targetH)
+    if (payload.length <= budget) payload
+    else {
+      val step = payload.length.toDouble / budget
+      Array.tabulate(budget)(i => payload((i * step).toInt))
+    }
+  }
+
+  case class Frame(index: Int, offset: Long, data: Array[Byte])
+
+  /** STUB frame-sample: a real deployment seeks keyframes; the stub
+    * slices the payload into fixed-size pseudo-frames and keeps every
+    * `everyNth` — the schema (array of frame structs with offsets) and
+    * batching are what the pipeline depends on. */
+  def stubFrameSample(payload: Array[Byte], frameBytes: Int, everyNth: Int): Seq[Frame] = {
+    require(frameBytes > 0 && everyNth > 0)
+    payload.grouped(frameBytes).zipWithIndex
+      .filter { case (_, i) => i % everyNth == 0 }
+      .map { case (chunk, i) => Frame(i, i.toLong * frameBytes, chunk) }
+      .toSeq
+  }
+
+  case class ResizedRow(media_id: Long, n_bytes_in: Long, n_bytes_out: Long,
+      thumb: Array[Byte])
+  case class FrameRow(media_id: Long, n_frames: Int, frames: Seq[Frame])
+
+  /** Distributed resize over the media table — narrow mapPartitions,
+    * the image-thumbnailing plumbing shape. */
+  def resizeAll(media: DataFrame, targetW: Int = 32, targetH: Int = 32): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id"), col("payload"),
+        col("meta.media_type").as("media_type")).as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val out = stubResize(r.payload, targetW, targetH)
+        ResizedRow(r.media_id, r.payload.length.toLong, out.length.toLong, out)
+      }).toDF()
+  }
+
+  /** Distributed frame sampling over video rows only (filter pushes to
+    * the scan; non-video rows never reach the decode stub). */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64, everyNth: Int = 4): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.filter(col("meta.media_type") === "video/mp4")
+      .select(col("media_id"), col("payload"),
+        col("meta.media_type").as("media_type")).as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val fs = stubFrameSample(r.payload, frameBytes, everyNth)
+        FrameRow(r.media_id, fs.length, fs)
+      }).toDF()
+  }
+
   /** Distributed decode: mapPartitions over typed rows — executor-side
     * only, one pass, no collect. Repartitions by media_id so payload
     * bytes spread evenly regardless of input file layout. */

@@ -30,6 +30,48 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.length == 8)
   }
 
+  test("resizeAll: output bounded by target pixel budget, deterministic") {
+    val m = Binary.mediaTable(spark, sf("sf0.001"))
+    val resized = Binary.resizeAll(m, targetW = 8, targetH = 8)
+    val rows = resized.select("n_bytes_in", "n_bytes_out").as[(Long, Long)].collect()
+    rows.foreach { case (in, out) =>
+      assert(out <= math.max(in, 64))
+      assert(out <= 64 || in <= 64)
+    }
+    val again = Binary.resizeAll(m, 8, 8).select("thumb").as[Array[Byte]].collect()
+    val first = resized.select("thumb").as[Array[Byte]].collect()
+    assert(first.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("sampleFrames: only video rows, offsets and stride correct") {
+    val m = Binary.mediaTable(spark, sf("sf0.001"))
+    val frames = Binary.sampleFrames(m, frameBytes = 64, everyNth = 4)
+    val nVideo = m.filter(col("meta.media_type") === "video/mp4").count()
+    assert(frames.count() == nVideo)
+    val r = frames.select("frames").head().getSeq[org.apache.spark.sql.Row](0)
+    r.zipWithIndex.foreach { case (f, i) =>
+      assert(f.getAs[Int]("index") == i * 4)
+      assert(f.getAs[Long]("offset") == i.toLong * 4 * 64)
+    }
+  }
+
+  test("winnowing fingerprints: shared long runs → shared fingerprints") {
+    import graft.functions.TextAnalysis
+    val common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (1L, s"intro words $common closing remarks"),
+      (2L, s"totally different start $common and another ending"),
+      (3L, "nothing shared here at all with anybody ever truly"))
+      .toDF("doc_id", "text")
+      .withColumn("_w", split(trim(lower(col("text"))), "\\s+"))
+      .select(col("doc_id"),
+        TextAnalysis.winnowFingerprints(col("_w")).as("fps"))
+    val fps = df.as[(Long, Seq[Long])].collect().toMap
+    assert((fps(1L).toSet & fps(2L).toSet).nonEmpty) // shared run found
+    assert((fps(1L).toSet & fps(3L).toSet).isEmpty)
+    assert(fps(1L).nonEmpty && fps(1L).toSet.size == fps(1L).size)
+  }
+
   test("decodeFeatures: distributed batch decode with repartitioning") {
     val m = Binary.mediaTable(spark, sf("sf0.001"))
     val decoded = Binary.decodeFeatures(m, partitions = 3)
