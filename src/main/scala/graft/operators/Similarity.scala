@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
