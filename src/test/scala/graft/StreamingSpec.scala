@@ -97,6 +97,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark on fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val deduped = input.toDF().toDF("ts", "text")
+      .withColumn("fp", graft.functions.TextAnalysis.fingerprint(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts(0), "Same Document!"), (ts(1), "same   document"), // dup by canon fp
+        (ts(2), "another document"))
+      q.processAllAvailable()
+      input.addData((ts(3), "same document")) // still within watermark → dropped
+      q.processAllAvailable()
+      val texts = spark.sql("SELECT text FROM dedup_stream")
+        .as[String].collect().toSeq
+      assert(texts.length == 2)
+      assert(texts.count(_.toLowerCase.contains("same")) == 1)
+    } finally q.stop()
+  }
+
   test("st01 batch query equals streaming replay of the same events") {
     // Structured Streaming's unified semantics: running the same
     // windowed agg over the events as a bounded stream must produce
