@@ -117,8 +117,16 @@ object TextSpecs {
   /** Normalized CPU string ("INTEL I7", "APPLE M2 PRO", "AMD RYZEN 7")
     * or null (regex_analyzer.py:445-492, 566-663). */
   def extractCpu(textLower: Column): Column = {
+    // Reference quirk kept intentionally (regex_analyzer.py:609-624):
+    // a "core"-prefixed match joins to "corei7", which then fails every
+    // classification branch and is DROPPED — only bare "i7" mentions
+    // count. Replicated by filtering full matches that start with
+    // "core".
     val iModels = transform(
-      regexp_extract_all(textLower, lit("""\b(?:core\s*-?)?(i[3579])\b"""), lit(1)), upper(_))
+      filter(
+        regexp_extract_all(textLower, lit("""\b(?:core\s*-?)?(i[3579])\b"""), lit(0)),
+        m => !m.startsWith("core")),
+      m => upper(regexp_extract(m, "(i[3579])", 1)))
     val ryzen = transform(
       regexp_extract_all(textLower, lit("""\bryzen\s*-?([3579])\b"""), lit(1)),
       d => concat(lit("RYZEN"), d))

@@ -29,9 +29,12 @@ class TextSpecsSpec extends SparkSpec {
   }
 
   test("SSD M.2 is not an Apple M2 CPU") {
-    val r = specsOf("thinkpad con ssd m.2 de 1tb", "intel core i5")
+    val r = specsOf("thinkpad con ssd m.2 de 1tb", "intel i5")
     assert(r.getAs[String]("cpu") == "INTEL I5")
     assert(r.getAs[String]("category") == "WORKSTATION")
+    // reference quirk (regex_analyzer.py:609-624): "core i5" joins to
+    // "corei5" and is dropped — only bare "i5" counts
+    assert(specsOf("thinkpad ssd m.2", "intel core i5").getAs[String]("cpu") == null)
   }
 
   test("Apple M2 detected when genuine, vetoed by Intel/AMD presence") {
