@@ -14,6 +14,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Fraud.queries ++
+      operators.RiskEngine.queries ++
       operators.TextOps.queries ++ operators.Dedup.queries ++
       operators.Similarity.queries ++ multimodal.Binary.queries ++
       streaming.Alerts.queries

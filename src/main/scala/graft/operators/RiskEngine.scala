@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.functions.TextSpecs
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's item-level risk engine, field-exact
+  * (poller.calculate_risk_base, poller.py:333-495): spec extraction →
+  * market-stats lookup with condition fallback → composite weighted-z
+  * → heuristic points → clamp. Validated by RiskFidelitySpec, which
+  * replays outputs pinned from RUNNING the reference.
+  *
+  * The market-stats JSON is parsed on the DRIVER (it is broadcast
+  * configuration — the reference holds it as a process-global) and
+  * joined as two broadcast lookup tables; everything per-item is
+  * codegen'd column arithmetic. Works unchanged over a 100 TB item
+  * table: one broadcast join per signal, no shuffle at all.
+  */
+object RiskEngine {
+
+  /** WEIGHTS (poller.py:69-74). */
+  val W = Map("cpu" -> 0.5, "gpu" -> 0.3, "ram" -> 0.1, "category" -> 0.1)
+
+  case class SegStats(category: String, condition: String,
+      mean: Double, stdev: Double, fallback: Boolean)
+  case class CompStats(category: String, condition: String,
+      compType: String, compName: String, mean: Double, stdev: Double)
+
+  /** Parse market_stats.json (CATEGORY → CONDITION → {mean, stdev,
+    * components{cpu|gpu|ram → NAME → {mean, stdev}}}) and resolve the
+    * reference's condition fallback chain (poller.py:383-392:
+    * NEW→LIKE_NEW→USED, LIKE_NEW→USED) into flat lookup rows keyed by
+    * the REQUESTED condition. */
+  def loadStats(path: String): (Seq[SegStats], Seq[CompStats]) = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(new java.io.File(path))
+    val segs = Seq.newBuilder[SegStats]
+    val comps = Seq.newBuilder[CompStats]
+    val conditions = Seq("NEW", "LIKE_NEW", "USED", "BROKEN")
+    root.properties().forEach { catEntry =>
+      val cat = catEntry.getKey
+      val catNode = catEntry.getValue
+      def node(c: String) = Option(catNode.get(c))
+      conditions.foreach { reqCond =>
+        val (resolved, fallback) = node(reqCond) match {
+          case Some(n) => (Some(n), false)
+          case None => reqCond match {
+            case "NEW" => (node("LIKE_NEW").orElse(node("USED")), true)
+            case "LIKE_NEW" => (node("USED"), true)
+            case _ => (None, false)
+          }
+        }
+        resolved.foreach { n =>
+          segs += SegStats(cat, reqCond,
+            n.get("mean").asDouble, n.get("stdev").asDouble, fallback)
+          Option(n.get("components")).foreach { cn =>
+            Seq("cpu", "gpu", "ram").foreach { t =>
+              Option(cn.get(t)).foreach(_.properties().forEach { e =>
+                comps += CompStats(cat, reqCond, t, e.getKey,
+                  e.getValue.get("mean").asDouble, e.getValue.get("stdev").asDouble)
+              })
+            }
+          }
+        }
+      }
+    }
+    (segs.result(), comps.result())
+  }
+
+  /** Score an item table (item_id, title, description, price) against
+    * a market-stats JSON. Output mirrors the reference's result dict:
+    * risk_score, composite_z / estimated_value (rounded to 2 as the
+    * reference rounds its output), factors, detected category /
+    * condition / specs. */
+  def scoreItems(items: DataFrame, statsJsonPath: String): DataFrame = {
+    val s = items.sparkSession
+    import s.implicits._
+    val (segs, comps) = loadStats(statsJsonPath)
+    val segDf = segs.toDF("category", "condition", "seg_mean", "seg_stdev", "fallback")
+    val compDf = comps.toDF("category", "condition", "comp_type", "comp_name",
+      "c_mean", "c_stdev")
+
+    val specced = TextSpecs.withSpecs(items, col("title"), col("description"))
+
+    var df = specced.join(broadcast(segDf), Seq("category", "condition"), "left")
+    for (t <- Seq("cpu", "gpu", "ram")) {
+      val lookup = compDf.filter(col("comp_type") === t)
+        .select(col("category").as(s"_${t}_cat"), col("condition").as(s"_${t}_cond"),
+          col("comp_name").as(s"_${t}_name"),
+          col("c_mean").as(s"${t}_mean"), col("c_stdev").as(s"${t}_stdev"))
+      df = df.join(broadcast(lookup),
+        col("category") === col(s"_${t}_cat") &&
+          col("condition") === col(s"_${t}_cond") &&
+          col(t) === col(s"_${t}_name"), "left")
+        .drop(s"_${t}_cat", s"_${t}_cond", s"_${t}_name")
+    }
+
+    // weighted signals, in the reference's summation order:
+    // cpu, gpu, ram, category (adding 0.0 for absent signals is an
+    // exact identity, so FP results match the python loop bit-for-bit)
+    def valid(t: String): Column = col(s"${t}_stdev").isNotNull && col(s"${t}_stdev") > 0
+    def z(t: String): Column = (col("price") - col(s"${t}_mean")) / col(s"${t}_stdev")
+    val segValid = col("seg_stdev").isNotNull && col("seg_stdev") > 0
+    val segZ = (col("price") - col("seg_mean")) / col("seg_stdev")
+
+    val wz = when(valid("cpu"), z("cpu") * W("cpu")).otherwise(0.0) +
+      when(valid("gpu"), z("gpu") * W("gpu")).otherwise(0.0) +
+      when(valid("ram"), z("ram") * W("ram")).otherwise(0.0) +
+      when(segValid, segZ * W("category")).otherwise(0.0)
+    val wp = when(valid("cpu"), col("cpu_mean") * W("cpu")).otherwise(0.0) +
+      when(valid("gpu"), col("gpu_mean") * W("gpu")).otherwise(0.0) +
+      when(valid("ram"), col("ram_mean") * W("ram")).otherwise(0.0) +
+      when(segValid, col("seg_mean") * W("category")).otherwise(0.0)
+    val tw = when(valid("cpu"), W("cpu")).otherwise(0.0) +
+      when(valid("gpu"), W("gpu")).otherwise(0.0) +
+      when(valid("ram"), W("ram")).otherwise(0.0) +
+      when(segValid, W("category")).otherwise(0.0)
+
+    val z0 = when(tw > 0, wz / tw).otherwise(0.0)
+    val est0 = when(tw > 0, wp / tw).otherwise(0.0)
+
+    // NEW-fallback adjustment (poller.py:452-456): est +20%, z rebased
+    // on the fallback node's stdev
+    val adjust = col("fallback") && col("condition") === "NEW" && tw > 0
+    val est = when(adjust, est0 * 1.2).otherwise(est0)
+    val finalZ = when(adjust,
+      (col("price") - est0 * 1.2) / coalesce(col("seg_stdev"), lit(100.0)))
+      .otherwise(z0)
+
+    val price = col("price")
+    val desc = col("description")
+    val contact = desc.rlike("(?i)(whatsapp|6\\d{8})")
+    val score =
+      when(finalZ < -1.5, 30).otherwise(0) +
+        when(finalZ < -2.5, 40).otherwise(0) +
+        when(length(desc) < 30 && price > 200, 15).otherwise(0) +
+        when(contact, 30).otherwise(0)
+
+    val factors = filter(array(
+      when(finalZ < -1.5, format_string("Statistically Cheap (Z=%.2f) [%s]",
+        finalZ, col("condition"))),
+      when(finalZ < -2.5, lit("EXTREME Price Anomaly")),
+      when(length(desc) < 30 && price > 200, lit("Short Desc")),
+      when(contact, lit("External Contact"))), _.isNotNull)
+
+    // Python-round parity on the rounded output fields (see PyRound)
+    def pyRound2(c: Column): Column = graft.plans.GraftFunctions.pyRound(s, c, 2)
+
+    df.select(
+      col("item_id"), col("title"), price.as("price"),
+      col("cpu"), col("ram"), col("gpu"),
+      // symbolic price reports the sentinel category (poller.py:401)
+      when(price < 5.0, "UNCERTAIN_PRICE").otherwise(col("category")).as("detected_category"),
+      col("condition").as("detected_condition"),
+      when(price < 5.0, 0.0).otherwise(pyRound2(finalZ)).as("composite_z"),
+      when(price < 5.0, 0.0).otherwise(pyRound2(est)).as("estimated_value"),
+      when(price < 5.0, 0).otherwise(least(score, lit(100))).as("risk_score"),
+      when(price < 5.0, array(lit("Symbolic Price"))).otherwise(factors).as("risk_factors"))
+  }
+
+  /** Driver query face (rows-only): synthesize a listing-shaped item
+    * table from `part` (same construction as f11) and score it with
+    * the reference's own market-stats file. Exact semantics are pinned
+    * by RiskFidelitySpec. */
+  def f12(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val p = graft.Tables.part(s, dir)
+    val title = concat(col("p_name"),
+      when(col("p_partkey") % 5 === 0, lit(" macbook air m1 8gb"))
+        .when(col("p_partkey") % 5 === 1, lit(" portatil gaming i7 rtx 3060 16gb ram"))
+        .when(col("p_partkey") % 5 === 2, lit(" thinkpad i5 8gb"))
+        .when(col("p_partkey") % 5 === 3, lit(" chromebook celeron 4gb nuevo precintado"))
+        .otherwise(lit(" xps 13 i7 16gb")))
+    val desc = when(col("p_partkey") % 7 === 0, lit("whatsapp 612345678"))
+      .when(col("p_partkey") % 3 === 0, lit("impecable funciona perfecto sin detalles"))
+      .otherwise(lit("portatil en buen estado funcionando correctamente"))
+    val items = p.select(col("p_partkey").as("item_id"), title.as("title"),
+      desc.as("description"), col("p_retailprice").as("price"))
+    scoreItems(items, "/root/reference/market_stats.json")
+  }
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("f12_score_items" -> (f12 _))
+}

@@ -69,11 +69,16 @@ object GraftFunctions {
   val CosineName = "graft_cosine"
   val SimHashName = "graft_simhash64"
 
+  val PyRoundName = "graft_pyround"
+
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     (CosineName, classOf[CosineSimilarity].getName,
       exprs => CosineSimilarity(exprs.head, exprs(1))),
     (SimHashName, classOf[SimHash64].getName,
-      exprs => SimHash64(exprs.head)))
+      exprs => SimHash64(exprs.head)),
+    (PyRoundName, classOf[PyRound].getName,
+      exprs => PyRound(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
 
   def register(spark: SparkSession): Unit =
     registry.foreach { case (name, clazz, builder) =>
@@ -90,6 +95,11 @@ object GraftFunctions {
   def simhash64(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function(SimHashName, text)
+  }
+
+  def pyRound(spark: SparkSession, c: Column, scale: Int): Column = {
+    register(spark)
+    call_function(PyRoundName, c, org.apache.spark.sql.functions.lit(scale))
   }
 }
 
