@@ -162,7 +162,113 @@ object RiskEngine {
     * table from `part` (same construction as f11) and score it with
     * the reference's own market-stats file. Exact semantics are pinned
     * by RiskFidelitySpec. */
-  def f12(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  def f12(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    scoreItems(f12Items(s, dir), "/root/reference/market_stats.json")
+
+  // =================================================================
+  // Market-stats GENERATION — the other half of the reference pipeline
+  // (regex_analyzer.process_data, regex_analyzer.py:849-1022): items →
+  // routed segments → per-(category, condition) price stats with
+  // nested per-component stats. Output is the flat-row form of the
+  // reference's market_stats.json tree; RiskFidelitySpec replays a
+  // pinned corpus. One shuffle per aggregation level, all
+  // combiner-friendly.
+  // =================================================================
+
+  /** Routing per the reference's loop (regex_analyzer.py:929-953):
+    * JUNK dropped; UNCERTAIN (segment, or no cpu AND no ram — checked
+    * BEFORE broken/accessory); BROKEN/ACCESSORY secondary; else PRIME.
+    */
+  def generateMarketStats(items: DataFrame): DataFrame = {
+    val s = items.sparkSession
+    import s.implicits._
+    val withApi = Seq("api_condition" -> "string", "is_refurbished" -> "boolean")
+      .foldLeft(items) { case (df, (c, t)) =>
+        if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(t))
+      }
+    val specced = TextSpecs.withSpecs(withApi, col("title"), col("description"))
+    // condition here uses the RAW full text (process_data does not
+    // sanitize/truncate for condition, unlike the spec extraction path)
+    val rawFull = lower(concat(col("title"), lit(" "), col("description")))
+    val routed = specced
+      .withColumn("cond", TextSpecs.detectConditionWithApi(
+        col("api_condition"), col("is_refurbished"), rawFull))
+      .withColumn("segment", TextSpecs.marketSegment(
+        lower(col("title")), col("price"), col("cond")))
+      .withColumn("route",
+        when(col("segment") === "JUNK", "JUNK")
+          .when(col("segment") === "UNCERTAIN" ||
+            (col("cpu").isNull && col("ram").isNull), "UNCERTAIN")
+          .when(col("segment").isin("BROKEN", "ACCESSORY"), col("segment"))
+          .otherwise("PRIME"))
+      .filter(col("route") =!= "JUNK")
+
+    def pyR(c: Column): Column = graft.plans.GraftFunctions.pyRound(s, c, 2)
+    def sx(c: Column): Column = sum(c.cast("decimal(25,4)")).cast("double")
+    def stdev(sxC: Column, sxxC: Column, n: Column): Column =
+      sqrt((sxxC - sxC * sxC / n) / (n - 1))
+
+    val prime = routed.filter(col("route") === "PRIME")
+      .select(col("category"), col("cond"), col("price"),
+        col("cpu"), col("ram"), col("gpu"))
+
+    def statsOf(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val agg = df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("count"), sx(col("price")).as("_sx"),
+          sx(col("price") * col("price")).as("_sxx"))
+        .filter(col("count") >= 2)
+      val med = Fraud.groupMedian(df.select((keys.map(col) :+ col("price")): _*),
+        keys, "price", "_med")
+      agg.join(med, keys)
+        .select(keys.map(col) :+
+          pyR(col("_sx") / col("count")).as("mean") :+
+          pyR(col("_med")).as("median") :+
+          pyR(stdev(col("_sx"), col("_sxx"), col("count"))).as("stdev") :+
+          col("count"): _*)
+    }
+
+    val segRows = statsOf(prime, Seq("category", "cond"))
+      .select(col("category"), col("cond").as("condition"),
+        lit(null).cast("string").as("comp_type"),
+        lit(null).cast("string").as("comp_name"),
+        col("mean"), col("median"), col("stdev"), col("count"))
+
+    val compExploded = prime.select(col("category"), col("cond"), col("price"),
+        explode(filter(array(
+          struct(lit("cpu").as("t"), col("cpu").as("name")),
+          struct(lit("ram").as("t"), col("ram").as("name")),
+          struct(lit("gpu").as("t"), col("gpu").as("name"))),
+          x => x("name").isNotNull)).as("c"))
+      .select(col("category"), col("cond"),
+        col("c.t").as("comp_type"), col("c.name").as("comp_name"), col("price"))
+    val compRows = statsOf(compExploded,
+        Seq("category", "cond", "comp_type", "comp_name"))
+      .select(col("category"), col("cond").as("condition"),
+        col("comp_type"), col("comp_name"),
+        col("mean"), col("median"), col("stdev"), col("count"))
+
+    val flat = routed.filter(col("route") =!= "PRIME")
+      .groupBy(col("route"))
+      .agg(count(lit(1)).as("count"), sx(col("price")).as("_sx"))
+      .filter(col("count") > 3)
+      .select(col("route").as("category"),
+        lit(null).cast("string").as("condition"),
+        lit(null).cast("string").as("comp_type"),
+        lit(null).cast("string").as("comp_name"),
+        pyR(col("_sx") / col("count")).as("mean"),
+        lit(null).cast("double").as("median"),
+        lit(null).cast("double").as("stdev"), col("count"))
+
+    segRows.union(compRows).union(flat)
+  }
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("f12_score_items" -> (f12 _),
+      "f13_generate_stats" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+        generateMarketStats(f12Items(s, dir))))
+
+  /** The f12 synthetic item table, reused as stats-generation input. */
+  def f12Items(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val p = graft.Tables.part(s, dir)
     val title = concat(col("p_name"),
       when(col("p_partkey") % 5 === 0, lit(" macbook air m1 8gb"))
@@ -173,11 +279,7 @@ object RiskEngine {
     val desc = when(col("p_partkey") % 7 === 0, lit("whatsapp 612345678"))
       .when(col("p_partkey") % 3 === 0, lit("impecable funciona perfecto sin detalles"))
       .otherwise(lit("portatil en buen estado funcionando correctamente"))
-    val items = p.select(col("p_partkey").as("item_id"), title.as("title"),
+    p.select(col("p_partkey").as("item_id"), title.as("title"),
       desc.as("description"), col("p_retailprice").as("price"))
-    scoreItems(items, "/root/reference/market_stats.json")
   }
-
-  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("f12_score_items" -> (f12 _))
 }

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.RiskEngine
+import org.apache.spark.sql.functions._
+
+/** Replays market-stats generation expectations pinned from RUNNING
+  * the reference's process_data (tools/stats_fidelity_gen.py →
+  * statsgen_cases.json): same item corpus in, identical flat stat
+  * rows out — routing (JUNK/UNCERTAIN/secondary/PRIME), min-support,
+  * api-condition priority, and python-rounded mean/median/stdev. */
+class StatsGenFidelitySpec extends SparkSpec {
+
+  private def json(): String = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/statsgen_cases.json"), "UTF-8")
+    try src.mkString finally src.close()
+  }
+
+  private def objects(section: String, doc: String): Seq[String] = {
+    val start = doc.indexOf("\"" + section + "\":")
+    val end = doc.indexOf("]", start)
+    val body = doc.substring(start, end)
+    """\{[^{}]*\}""".r.findAllIn(body).toSeq
+  }
+
+  private def str(obj: String, name: String): Option[String] = {
+    val re = ("\"" + name + "\":\\s*(null|true|false|\"(?:[^\"\\\\]|\\\\.)*\")").r
+    re.findFirstMatchIn(obj).flatMap(_.group(1) match {
+      case "null" => None
+      case "true" => Some("true")
+      case "false" => Some("false")
+      case q => Some(q.substring(1, q.length - 1))
+    })
+  }
+
+  private def num(obj: String, name: String): Option[Double] = {
+    val re = ("\"" + name + "\":\\s*(null|-?[0-9.eE+]+)").r
+    re.findFirstMatchIn(obj).flatMap(m =>
+      if (m.group(1) == "null") None else Some(m.group(1).toDouble))
+  }
+
+  test("stats generation matches the reference's process_data output") {
+    import spark.implicits._
+    val doc = json()
+    val items = objects("items", doc).zipWithIndex.map { case (o, i) =>
+      (i.toLong, str(o, "title").get, str(o, "description").getOrElse(""),
+        num(o, "price").get, str(o, "api_condition").orNull,
+        str(o, "is_refurbished").contains("true"))
+    }.toDF("item_id", "title", "description", "price", "api_condition", "is_refurbished")
+
+    val got = RiskEngine.generateMarketStats(items)
+      .collect()
+      .map(r => (
+        r.getAs[String]("category"), Option(r.getAs[String]("condition")),
+        Option(r.getAs[String]("comp_type")), Option(r.getAs[String]("comp_name")),
+        Option(r.getAs[Any]("mean")).map(_.toString),
+        Option(r.getAs[Any]("median")).map(_.toString),
+        Option(r.getAs[Any]("stdev")).map(_.toString),
+        r.getAs[Long]("count"))).toSet
+
+    val expected = objects("expected", doc).map { o =>
+      (str(o, "category").get, str(o, "condition"),
+        str(o, "comp_type"), str(o, "comp_name"),
+        num(o, "mean").map(_.toString), num(o, "median").map(_.toString),
+        num(o, "stdev").map(_.toString), num(o, "count").get.toLong)
+    }.toSet
+
+    val missing = expected -- got
+    val extra = got -- expected
+    assert(missing.isEmpty && extra.isEmpty,
+      s"\nmissing from spark: ${missing.mkString("\n  ", "\n  ", "")}" +
+        s"\nunexpected from spark: ${extra.mkString("\n  ", "\n  ", "")}")
+  }
+}
