@@ -116,17 +116,26 @@ object RiskEngine {
       when(valid("ram"), W("ram")).otherwise(0.0) +
       when(segValid, W("category")).otherwise(0.0)
 
-    val z0 = when(tw > 0, wz / tw).otherwise(0.0)
-    val est0 = when(tw > 0, wp / tw).otherwise(0.0)
+    // Stage the shared big expressions as NAMED columns: the final
+    // select references finalZ/est many times, and re-inlined copies
+    // of the whole join lineage per reference blow Catalyst's
+    // optimization time from <1 s to ~30 s (same pathology as
+    // TextSpecs.withSpecs staging).
+    val staged = df
+      .withColumn("_tw", tw)
+      .withColumn("_z0", when(col("_tw") > 0, wz / col("_tw")).otherwise(0.0))
+      .withColumn("_est0", when(col("_tw") > 0, wp / col("_tw")).otherwise(0.0))
+      // NEW-fallback adjustment (poller.py:452-456): est +20%, z
+      // rebased on the fallback node's stdev
+      .withColumn("_adjust",
+        col("fallback") && col("condition") === "NEW" && col("_tw") > 0)
+      .withColumn("_est", when(col("_adjust"), col("_est0") * 1.2).otherwise(col("_est0")))
+      .withColumn("_final_z", when(col("_adjust"),
+        (col("price") - col("_est0") * 1.2) / coalesce(col("seg_stdev"), lit(100.0)))
+        .otherwise(col("_z0")))
 
-    // NEW-fallback adjustment (poller.py:452-456): est +20%, z rebased
-    // on the fallback node's stdev
-    val adjust = col("fallback") && col("condition") === "NEW" && tw > 0
-    val est = when(adjust, est0 * 1.2).otherwise(est0)
-    val finalZ = when(adjust,
-      (col("price") - est0 * 1.2) / coalesce(col("seg_stdev"), lit(100.0)))
-      .otherwise(z0)
-
+    val finalZ = col("_final_z")
+    val est = col("_est")
     val price = col("price")
     val desc = col("description")
     val contact = desc.rlike("(?i)(whatsapp|6\\d{8})")
@@ -146,7 +155,7 @@ object RiskEngine {
     // Python-round parity on the rounded output fields (see PyRound)
     def pyRound2(c: Column): Column = graft.plans.GraftFunctions.pyRound(s, c, 2)
 
-    df.select(
+    staged.select(
       col("item_id"), col("title"), price.as("price"),
       col("cpu"), col("ram"), col("gpu"),
       // symbolic price reports the sentinel category (poller.py:401)
@@ -186,7 +195,13 @@ object RiskEngine {
       .foldLeft(items) { case (df, (c, t)) =>
         if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(t))
       }
-    val specced = TextSpecs.withSpecs(withApi, col("title"), col("description"))
+    // Cache boundary directly after extraction: the routing cascade
+    // (route → segment → cond) references extraction columns that are
+    // each single-use, so CollapseProject would re-inline the whole
+    // regex-extraction tree into every routing branch (a 140 MB plan /
+    // 152 MB task binaries when this boundary is absent). With the
+    // cache, routing expressions sit on InMemoryRelation attributes.
+    val specced = TextSpecs.withSpecs(withApi, col("title"), col("description")).cache()
     // condition here uses the RAW full text (process_data does not
     // sanitize/truncate for condition, unlike the spec extraction path)
     val rawFull = lower(concat(col("title"), lit(" "), col("description")))
@@ -202,6 +217,11 @@ object RiskEngine {
           .when(col("segment").isin("BROKEN", "ACCESSORY"), col("segment"))
           .otherwise("PRIME"))
       .filter(col("route") =!= "JUNK")
+      // cached: referenced by three aggregation branches — the cache
+      // substitution also truncates each branch's optimizer input at
+      // an InMemoryRelation leaf instead of re-optimizing the whole
+      // extraction lineage per branch
+      .cache()
 
     def pyR(c: Column): Column = graft.plans.GraftFunctions.pyRound(s, c, 2)
     def sx(c: Column): Column = sum(c.cast("decimal(25,4)")).cast("double")
@@ -211,6 +231,7 @@ object RiskEngine {
     val prime = routed.filter(col("route") === "PRIME")
       .select(col("category"), col("cond"), col("price"),
         col("cpu"), col("ram"), col("gpu"))
+      .cache()
 
     def statsOf(df: DataFrame, keys: Seq[String]): DataFrame = {
       val agg = df.groupBy(keys.map(col): _*)
