@@ -34,13 +34,46 @@ object RiskEngine {
   def loadStats(path: String): (Seq[SegStats], Seq[CompStats]) = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.readTree(new java.io.File(path))
+    val rawSegs = Map.newBuilder[(String, String), (Double, Double)]
+    val rawComps = Map.newBuilder[(String, String), Seq[(String, String, Double, Double)]]
+    root.properties().forEach { catEntry =>
+      val cat = catEntry.getKey
+      catEntry.getValue.properties().forEach { condEntry =>
+        val n = condEntry.getValue
+        // flat SECONDARY/UNCERTAIN nodes carry only {mean, count} and
+        // are never scoring targets — skip anything without stdev
+        if (n.has("stdev")) {
+          rawSegs += (cat, condEntry.getKey) ->
+            (n.get("mean").asDouble, n.get("stdev").asDouble)
+          val comps = Seq.newBuilder[(String, String, Double, Double)]
+          Option(n.get("components")).foreach { cn =>
+            Seq("cpu", "gpu", "ram").foreach { t =>
+              Option(cn.get(t)).foreach(_.properties().forEach { e =>
+                comps += ((t, e.getKey,
+                  e.getValue.get("mean").asDouble, e.getValue.get("stdev").asDouble))
+              })
+            }
+          }
+          rawComps += (cat, condEntry.getKey) -> comps.result()
+        }
+      }
+    }
+    resolveFallbacks(rawSegs.result(), rawComps.result())
+  }
+
+  /** Resolve the reference's condition-fallback chain over raw
+    * (category, condition) stat entries. Shared by the JSON loader and
+    * the generated-stats path. */
+  def resolveFallbacks(
+      rawSegs: Map[(String, String), (Double, Double)],
+      rawComps: Map[(String, String), Seq[(String, String, Double, Double)]])
+      : (Seq[SegStats], Seq[CompStats]) = {
     val segs = Seq.newBuilder[SegStats]
     val comps = Seq.newBuilder[CompStats]
     val conditions = Seq("NEW", "LIKE_NEW", "USED", "BROKEN")
-    root.properties().forEach { catEntry =>
-      val cat = catEntry.getKey
-      val catNode = catEntry.getValue
-      def node(c: String) = Option(catNode.get(c))
+    val categories = rawSegs.keys.map(_._1).toSeq.distinct
+    categories.foreach { cat =>
+      def node(c: String) = rawSegs.get((cat, c)).map(v => (c, v))
       conditions.foreach { reqCond =>
         val (resolved, fallback) = node(reqCond) match {
           case Some(n) => (Some(n), false)
@@ -50,21 +83,42 @@ object RiskEngine {
             case _ => (None, false)
           }
         }
-        resolved.foreach { n =>
-          segs += SegStats(cat, reqCond,
-            n.get("mean").asDouble, n.get("stdev").asDouble, fallback)
-          Option(n.get("components")).foreach { cn =>
-            Seq("cpu", "gpu", "ram").foreach { t =>
-              Option(cn.get(t)).foreach(_.properties().forEach { e =>
-                comps += CompStats(cat, reqCond, t, e.getKey,
-                  e.getValue.get("mean").asDouble, e.getValue.get("stdev").asDouble)
-              })
-            }
+        resolved.foreach { case (srcCond, (mean, stdev)) =>
+          segs += SegStats(cat, reqCond, mean, stdev, fallback)
+          rawComps.getOrElse((cat, srcCond), Seq.empty).foreach {
+            case (t, name, m, sd) => comps += CompStats(cat, reqCond, t, name, m, sd)
           }
         }
       }
     }
     (segs.result(), comps.result())
+  }
+
+  /** Stats lookup from a generateMarketStats output frame — the
+    * standalone path: the engine regenerates its own market stats and
+    * scores against them, no reference JSON involved. The stats frame
+    * is model metadata (categories × conditions × components), so the
+    * collect is bounded and tiny. */
+  def statsFromRows(statsRows: DataFrame): (Seq[SegStats], Seq[CompStats]) = {
+    val rows = statsRows.collect()
+    val rawSegs = rows.filter(r => r.getAs[String]("comp_type") == null &&
+        r.getAs[String]("condition") != null)
+      .map(r => (r.getAs[String]("category"), r.getAs[String]("condition")) ->
+        (r.getAs[Double]("mean"), r.getAs[Double]("stdev"))).toMap
+    val rawComps = rows.filter(_.getAs[String]("comp_type") != null)
+      .groupBy(r => (r.getAs[String]("category"), r.getAs[String]("condition")))
+      .map { case (k, rs) => k -> rs.toSeq.map(r =>
+        (r.getAs[String]("comp_type"), r.getAs[String]("comp_name"),
+          r.getAs[Double]("mean"), r.getAs[Double]("stdev")))
+      }
+    resolveFallbacks(rawSegs, rawComps)
+  }
+
+  /** Score against self-generated stats (the standalone pipeline:
+    * generateMarketStats → scoreItemsWith). */
+  def scoreItemsWith(items: DataFrame, statsRows: DataFrame): DataFrame = {
+    val (segs, comps) = statsFromRows(statsRows)
+    scoreItemsResolved(items, segs, comps)
   }
 
   /** Score an item table (item_id, title, description, price) against
@@ -73,9 +127,14 @@ object RiskEngine {
     * reference rounds its output), factors, detected category /
     * condition / specs. */
   def scoreItems(items: DataFrame, statsJsonPath: String): DataFrame = {
+    val (segs, comps) = loadStats(statsJsonPath)
+    scoreItemsResolved(items, segs, comps)
+  }
+
+  private def scoreItemsResolved(items: DataFrame,
+      segs: Seq[SegStats], comps: Seq[CompStats]): DataFrame = {
     val s = items.sparkSession
     import s.implicits._
-    val (segs, comps) = loadStats(statsJsonPath)
     val segDf = segs.toDF("category", "condition", "seg_mean", "seg_stdev", "fallback")
     val compDf = comps.toDF("category", "condition", "comp_type", "comp_name",
       "c_mean", "c_stdev")

@@ -71,4 +71,38 @@ class StatsGenFidelitySpec extends SparkSpec {
       s"\nmissing from spark: ${missing.mkString("\n  ", "\n  ", "")}" +
         s"\nunexpected from spark: ${extra.mkString("\n  ", "\n  ", "")}")
   }
+
+  test("end-to-end: generate stats then score probes — matches the reference doing the same") {
+    import spark.implicits._
+    val doc = json()
+    val items = objects("items", doc).zipWithIndex.map { case (o, i) =>
+      (i.toLong, str(o, "title").get, str(o, "description").getOrElse(""),
+        num(o, "price").get, str(o, "api_condition").orNull,
+        str(o, "is_refurbished").contains("true"))
+    }.toDF("item_id", "title", "description", "price", "api_condition", "is_refurbished")
+    val stats = RiskEngine.generateMarketStats(items)
+
+    val probeObjs = objects("probes", doc)
+    assert(probeObjs.size >= 5)
+    val probes = probeObjs.map { o =>
+      (num(o, "item_id").get.toLong, str(o, "title").get,
+        str(o, "description").getOrElse(""), num(o, "price").get)
+    }.toDF("item_id", "title", "description", "price")
+
+    val got = RiskEngine.scoreItemsWith(probes, stats).collect()
+      .map(r => r.getAs[Long]("item_id") -> (
+        r.getAs[Int]("risk_score"),
+        r.getAs[Double]("composite_z"),
+        r.getAs[Double]("estimated_value"),
+        r.getAs[String]("detected_condition"))).toMap
+
+    val failures = probeObjs.flatMap { o =>
+      val id = num(o, "item_id").get.toLong
+      val want = (num(o, "risk_score").get.toInt, num(o, "composite_z").get,
+        num(o, "estimated_value").get, str(o, "detected_condition").get)
+      if (got(id) == want) None
+      else Some(s"probe $id: got ${got(id)} want $want")
+    }
+    assert(failures.isEmpty, failures.mkString("\n", "\n", ""))
+  }
 }

@@ -86,6 +86,45 @@ def flatten(stats):
     return rows
 
 
+PROBES = [
+    # end-to-end: scored against the REGENERATED stats (not the
+    # reference's packaged file) — closes the generate→score loop
+    (101, "macbook air m1 8gb", "algo de uso pero bien cuidado", 300.0),
+    (102, "macbook air m1 8gb", "whatsapp 677112233", 250.0),
+    (103, "portatil gaming i7 rtx 3060 16gb ram", "como nuevo apenas estrenado", 500.0),
+    (104, "macbook pro m3 16gb", "nuevo precintado", 700.0),
+    (105, "thinkpad i5 8gb", "correcto", 500.0),
+    (106, "chromebook celeron 4gb", "nuevo a estrenar", 40.0),
+    (107, "portatil sin marca", "sin datos", 100.0),
+]
+
+
+def score_probes():
+    import types as _t
+    sys.modules.setdefault("requests", _t.ModuleType("requests"))
+    req = sys.modules["requests"]
+    if not hasattr(req, "Response"):
+        req.Response = type("Response", (), {})
+    import poller
+    with open("/tmp/market_stats.json", encoding="utf-8") as f:
+        poller.MARKET_STATS = json.load(f)
+    rows = []
+    for pid, title, desc, price in PROBES:
+        r = poller.calculate_risk_base(
+            {"title": title, "description": desc, "price": price})
+        ma = r["market_analysis"]
+        # factor-string parity is covered by RiskFidelitySpec; keep
+        # probe rows flat (no nested arrays) for the spec's parser
+        rows.append({"item_id": pid, "title": title, "description": desc,
+                     "price": price, "risk_score": r["risk_score"],
+                     "n_factors": len(r["risk_factors"]),
+                     "composite_z": ma["composite_z_score"],
+                     "estimated_value": ma["estimated_market_value"],
+                     "detected_category": ma["detected_category"],
+                     "detected_condition": ma["detected_condition"]})
+    return rows
+
+
 def main():
     pairs = mk_items()
     with open("/tmp/stats_input.json", "w", encoding="utf-8") as f:
@@ -93,7 +132,8 @@ def main():
     ra.process_data("/tmp/stats_input.json")
     with open("/tmp/market_stats.json", encoding="utf-8") as f:
         stats = json.load(f)
-    out = {"items": [p[1] for p in pairs], "expected": flatten(stats)}
+    out = {"items": [p[1] for p in pairs], "expected": flatten(stats),
+           "probes": score_probes()}
     path = "/root/repo/src/test/resources/statsgen_cases.json"
     with open(path, "w", encoding="utf-8") as f:
         json.dump(out, f, indent=1, ensure_ascii=False)
