@@ -226,6 +226,25 @@ object RiskEngine {
       when(price < 5.0, array(lit("Symbolic Price"))).otherwise(factors).as("risk_factors"))
   }
 
+  /** The poller loop's pre-scoring data path (poller.py:595-612):
+    * symbolic-price items get the hidden price recovered from the
+    * text; items still under 1 with no correction are dropped; then
+    * the risk engine runs on the effective price. Adds a `corrected`
+    * flag like the reference's corrected_price. */
+  def scorePipeline(items: DataFrame, statsRows: DataFrame): DataFrame = {
+    val hidden = TextSpecs.extractHiddenPrice(col("title"), col("description"))
+    val prepared = items
+      .withColumn("_hidden", when(col("price") < 5.0, hidden))
+      .withColumn("corrected", col("_hidden").isNotNull)
+      .withColumn("price",
+        when(col("corrected"), col("_hidden")).otherwise(col("price")))
+      .filter(col("price") >= 1.0 || col("corrected"))
+      .drop("_hidden")
+    val (segs, comps) = statsFromRows(statsRows)
+    scoreItemsResolved(prepared, segs, comps)
+      .join(prepared.select(col("item_id"), col("corrected")), Seq("item_id"))
+  }
+
   /** Driver query face (rows-only): synthesize a listing-shaped item
     * table from `part` (same construction as f11) and score it with
     * the reference's own market-stats file. Exact semantics are pinned

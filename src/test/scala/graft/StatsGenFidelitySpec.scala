@@ -72,6 +72,38 @@ class StatsGenFidelitySpec extends SparkSpec {
         s"\nunexpected from spark: ${extra.mkString("\n  ", "\n  ", "")}")
   }
 
+  test("scorePipeline: hidden-price correction + sub-1€ drop before scoring") {
+    import spark.implicits._
+    val doc = json()
+    val corpus = objects("items", doc).zipWithIndex.map { case (o, i) =>
+      (i.toLong, str(o, "title").get, str(o, "description").getOrElse(""),
+        num(o, "price").get, str(o, "api_condition").orNull,
+        str(o, "is_refurbished").contains("true"))
+    }.toDF("item_id", "title", "description", "price", "api_condition", "is_refurbished")
+    val stats = RiskEngine.generateMarketStats(corpus)
+
+    val probes = Seq(
+      // symbolic price, real price recoverable from the text →
+      // corrected and scored at 300
+      (1L, "macbook air m1 8gb simbolico", "precio real: 300 euros", 1.0),
+      // symbolic, nothing recoverable, < 1 → dropped
+      (2L, "portatil regalo", "sin precio en el texto", 0.0),
+      // symbolic, nothing recoverable, but >= 1 → kept as symbolic
+      (3L, "portatil simbolico", "sin menciones de dinero", 2.0),
+      // normal item untouched
+      (4L, "thinkpad i5 8gb", "portatil de empresa correcto", 200.0))
+      .toDF("item_id", "title", "description", "price")
+
+    val got = RiskEngine.scorePipeline(probes, stats).collect()
+      .map(r => r.getAs[Long]("item_id") ->
+        (r.getAs[Double]("price"), r.getAs[Boolean]("corrected"),
+          r.getAs[String]("detected_category"))).toMap
+    assert(!got.contains(2L)) // dropped
+    assert(got(1L)._1 == 300.0 && got(1L)._2) // corrected to hidden price
+    assert(got(3L) == ((2.0, false, "UNCERTAIN_PRICE"))) // stays symbolic
+    assert(got(4L)._1 == 200.0 && !got(4L)._2)
+  }
+
   test("end-to-end: generate stats then score probes — matches the reference doing the same") {
     import spark.implicits._
     val doc = json()

@@ -62,6 +62,23 @@ CASES = [
 ]
 
 
+HIDDEN_PRICE_CASES = [
+    ("vendo por 450 euros", "otros 9999 euros"),
+    ("precio simbolico", "lo dejo en 300 euros"),
+    ("sin nada", "30 euros de funda"),
+    ("portatil", "precio: 650€ negociables"),
+    ("regalo", "pido 80 euros por el"),
+    ("oferta 19 euros", "simbolico"),          # structured ≤ 20 rejected
+    ("valor 1200 eur", "y tambien 90 euros"),  # structured wins over loose
+    ("portatil", "500 € o 700 euros"),         # loose max wins
+    ("portatil", "6000 euros"),                # loose > 5000 rejected
+    ("portatil", "49 euros"),                  # loose < 50 rejected
+    ("portatil", "precio:1000euros"),
+    ("vendo 350,50 euros", ""),                # decimals in structured
+    ("portatil barato", "sin menciones"),
+]
+
+
 def main():
     out = []
     for title, desc in CASES:
@@ -79,6 +96,15 @@ def main():
     with open(path, "w", encoding="utf-8") as f:
         json.dump(out, f, indent=1, ensure_ascii=False)
     print(f"wrote {len(out)} cases to {path}")
+
+    hp = []
+    for title, desc in HIDDEN_PRICE_CASES:
+        hp.append({"title": title, "description": desc,
+                   "hidden": ra.try_extract_hidden_price(title, desc)})
+    path2 = "src/test/resources/hidden_price_cases.json"
+    with open(path2, "w", encoding="utf-8") as f:
+        json.dump(hp, f, indent=1, ensure_ascii=False)
+    print(f"wrote {len(hp)} hidden-price cases to {path2}")
 
 
 if __name__ == "__main__":
