@@ -57,6 +57,32 @@ object TextAnalysis {
       .otherwise("fr")
   }
 
+  /** Characteristic character-trigram profiles per language (drawn
+    * from high-frequency function-word shapes — public linguistic
+    * knowledge). Used by the char-n-gram language ID variant. */
+  val CharTrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", " th", "he ", "ing", "nd ", "and", " of", "ion"),
+    "es" -> Seq(" de", "de ", " la", "la ", "que", " qu", "os ", "ión"),
+    "de" -> Seq("der", " de", "ie ", "ein", "ich", "sch", "und", "en "),
+    "fr" -> Seq(" le", "les", " et", "ent", "que", "ais", "ous", "eur"))
+
+  /** Char-n-gram language ID: count how many of each language's
+    * characteristic trigrams occur in the text, argmax with the same
+    * deterministic priority/tie order as langId. One contains() per
+    * trigram — no regex at all. */
+  def langIdCharNgram(textLower: Column): Column = {
+    val scores = CharTrigramProfiles.map { case (lang, tris) =>
+      lang -> tris.map(t => when(textLower.contains(t), 1).otherwise(0)).reduce(_ + _)
+    }.toMap
+    val (en, es, de, fr) = (scores("en"), scores("es"), scores("de"), scores("fr"))
+    when(textLower.rlike(HanRange), "zh")
+      .when(en + es + de + fr === 0, "und")
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
   /** Whitespace token count; 0 for blank text. */
   def wsTokenCount(text: Column): Column =
     when(length(trim(text)) === 0, 0)

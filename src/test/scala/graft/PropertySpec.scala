@@ -73,6 +73,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("char-ngram language ID identifies natural-language samples") {
+    val samples = Seq(
+      ("the quick brown fox and the lazy dog went over the hill", "en"),
+      ("la casa de la montaña es más grande que la del pueblo", "es"),
+      ("der schnelle braune fuchs springt über den faulen hund und ein", "de"),
+      ("les enfants et les parents sont heureux dans cette maison", "fr"),
+      ("这是一个中文句子", "zh"),
+      ("12345 67890", "und"))
+    val df = samples.map(_._1).toDF("text")
+    val got = df.select(TextAnalysis.langIdCharNgram(lower(col("text"))).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == samples.map(_._2), s"got $got")
+  }
+
   test("quality score stays in [0,1] on arbitrary text") {
     val rnd = new Random(19)
     val texts = (1 to 200).map { _ =>
