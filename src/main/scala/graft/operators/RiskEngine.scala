@@ -295,11 +295,9 @@ object RiskEngine {
           .when(col("segment").isin("BROKEN", "ACCESSORY"), col("segment"))
           .otherwise("PRIME"))
       .filter(col("route") =!= "JUNK")
-      // cached: referenced by three aggregation branches — the cache
-      // substitution also truncates each branch's optimizer input at
-      // an InMemoryRelation leaf instead of re-optimizing the whole
-      // extraction lineage per branch
-      .cache()
+      // NOT cached: above the specced cache boundary the routing
+      // expressions are small attribute arithmetic — recomputing them
+      // per branch is cheaper than another materialization barrier
 
     def pyR(c: Column): Column = graft.plans.GraftFunctions.pyRound(s, c, 2)
     def sx(c: Column): Column = sum(c.cast("decimal(25,4)")).cast("double")
@@ -309,7 +307,6 @@ object RiskEngine {
     val prime = routed.filter(col("route") === "PRIME")
       .select(col("category"), col("cond"), col("price"),
         col("cpu"), col("ram"), col("gpu"))
-      .cache()
 
     def statsOf(df: DataFrame, keys: Seq[String]): DataFrame = {
       val agg = df.groupBy(keys.map(col): _*)
