@@ -348,7 +348,54 @@ object Relational {
        CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS qty
        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
 
+  // ---------------------------------------------------------------
+  // q15: as-of join — each event aligned to the most recent state
+  // change (latest order, deduped per day) of the same user at or
+  // before the event time. Formulated as union + running
+  // last-non-null over one (user, time)-ordered window: a SINGLE
+  // shuffle on the key, no range join and no per-event probe — the
+  // shape that survives 100 TB (a range-condition join would
+  // quadratically explode on hot keys). Oracle = DuckDB's native
+  // ASOF LEFT JOIN.
+  // ---------------------------------------------------------------
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // deterministic state-change times inside the event window:
+    // day offset = o_orderkey % 30 from 2024-01-01; dedupe ties per
+    // (user, day) by max order key
+    val states = Tables.orders(s, dir)
+      .withColumn("sts", expr(
+        "timestampadd(DAY, CAST(o_orderkey % 30 AS INT), TIMESTAMP '2024-01-01')"))
+      .groupBy(col("o_custkey").as("user_id"), col("sts"))
+      .agg(max(col("o_orderkey")).as("state_id"))
+    val tagged = e.select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("kind"), lit(null).cast("long").as("state_id"))
+      .unionByName(states.select(col("user_id"), col("sts").as("ts"),
+        lit(null).cast("long").as("event_id"), lit(0).as("kind"), col("state_id")))
+    // kind 0 < 1 puts a state at exactly the event time BEFORE the
+    // event — inclusive (<=) as-of semantics, matching ASOF JOIN
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_state", last(col("state_id"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("asof_state"))
+  }
+
+  val q15Sql: String =
+    """WITH states AS (
+       SELECT o_custkey AS user_id,
+              TIMESTAMP '2024-01-01' + to_days(CAST(o_orderkey % 30 AS INT)) AS sts,
+              max(o_orderkey) AS state_id
+       FROM orders GROUP BY 1, 2)
+       SELECT e.event_id, e.user_id, s.state_id AS asof_state
+       FROM events e ASOF LEFT JOIN states s
+         ON e.user_id = s.user_id AND e.ts >= s.sts"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_asof_join" -> (q15 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_join_agg" -> (q03 _),
@@ -365,6 +412,7 @@ object Relational {
     "q14_cube_rollup" -> (q14 _))
 
   val oracles: Map[String, String] = Map(
+    "q15_asof_join" -> q15Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_join_agg" -> q03Sql,
