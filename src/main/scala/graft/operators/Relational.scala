@@ -394,8 +394,51 @@ object Relational {
        FROM events e ASOF LEFT JOIN states s
          ON e.user_id = s.user_id AND e.ts >= s.sts"""
 
+  // ---------------------------------------------------------------
+  // q16: interval (range) join — count/sum events falling inside each
+  // state's 3-day activity window. Scale shape: the range condition
+  // is turned into an equi-join on (user, day-bucket) by exploding
+  // each window into its covered day bins (bounded fan-out = window
+  // length), then the exact range filter runs on candidates only — no
+  // BroadcastNestedLoop/cross product, shuffle is hash(user, day).
+  // Oracle = DuckDB's native inequality join.
+  // ---------------------------------------------------------------
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    val WindowDays = 3
+    val states = Tables.orders(s, dir)
+      .withColumn("sts", expr(
+        "timestampadd(DAY, CAST(o_orderkey % 30 AS INT), TIMESTAMP '2024-01-01')"))
+      .groupBy(col("o_custkey").as("user_id"), col("sts"))
+      .agg(max(col("o_orderkey")).as("state_id"))
+    val binned = states.select(col("user_id"), col("sts"), col("state_id"),
+      explode(sequence(lit(0), lit(WindowDays - 1))).as("d"))
+      .withColumn("day", datediff(to_date(col("sts")), lit("2024-01-01").cast("date")) + col("d"))
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("day", datediff(to_date(col("ts")), lit("2024-01-01").cast("date")))
+    e.join(binned, Seq("user_id", "day"))
+      .filter(col("ts") >= col("sts") &&
+        col("ts") < expr(s"timestampadd(DAY, $WindowDays, sts)"))
+      .groupBy(col("state_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+  }
+
+  val q16Sql: String =
+    """WITH states AS (
+       SELECT o_custkey AS user_id,
+              TIMESTAMP '2024-01-01' + to_days(CAST(o_orderkey % 30 AS INT)) AS sts,
+              max(o_orderkey) AS state_id
+       FROM orders GROUP BY 1, 2)
+       SELECT s.state_id, count(*) AS n_events,
+              CAST(sum(CAST(e.value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
+       FROM events e JOIN states s
+         ON e.user_id = s.user_id
+        AND e.ts >= s.sts AND e.ts < s.sts + INTERVAL 3 DAY
+       GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_asof_join" -> (q15 _),
+    "q16_interval_join" -> (q16 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_join_agg" -> (q03 _),
@@ -413,6 +456,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q15_asof_join" -> q15Sql,
+    "q16_interval_join" -> q16Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_join_agg" -> q03Sql,
