@@ -23,6 +23,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Fraud.oracles ++
+      operators.RiskEngine.oracles ++
       operators.TextOps.oracles ++ operators.Dedup.oracles ++
       operators.Similarity.oracles ++ multimodal.Binary.oracles ++
       streaming.Alerts.oracles

@@ -96,8 +96,8 @@ object TextOps {
 
   val t03Sql: String =
     s"""SELECT source, count(*) AS docs,
-       sum($sqlNw) AS ws_tokens,
-       sum(len(regexp_extract_all(lower(text), '$ReTokenPattern'))) AS re_tokens
+       CAST(sum($sqlNw) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(lower(text), '$ReTokenPattern'))) AS BIGINT) AS re_tokens
        FROM documents GROUP BY 1"""
 
   // ---------------------------------------------------------------
