@@ -83,9 +83,16 @@ object Dedup {
     * GENERATION only; surviving candidates are then verified against
     * the FULL shingle sets, so reported Jaccard stays exact. The only
     * loss is pairs similar solely through ultra-common shingles —
-    * below any useful threshold by construction. None = exhaustive
-    * candidates (the oracle'd default at test scale). */
-  def d02(s: SparkSession, dir: String, maxDf: Option[Int] = None): DataFrame = {
+    * below any useful threshold by construction.
+    *
+    * The DEFAULT is the capped path (`Some(DefaultMaxDf)`): a naive
+    * caller at scale gets the bounded-candidates plan. `None` =
+    * exhaustive candidates — only the oracle query opts into it (it
+    * must match DuckDB's exhaustive join at test scale). */
+  val DefaultMaxDf = 256
+
+  def d02(s: SparkSession, dir: String,
+      maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
     val sh = docShingles(s, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = maxDf match {
@@ -273,7 +280,8 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (d01 _),
-    "d02_ngram_jaccard" -> ((s: SparkSession, dir: String) => d02(s, dir)),
+    // oracle row pins maxDf = None: DuckDB replays the exhaustive join
+    "d02_ngram_jaccard" -> ((s: SparkSession, dir: String) => d02(s, dir, maxDf = None)),
     "d03_minhash_lsh" -> (d03 _),
     "d04_simhash" -> (d04 _),
     "d05_embedding_neardup" -> (d05 _))

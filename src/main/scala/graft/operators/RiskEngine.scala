@@ -415,12 +415,12 @@ object RiskEngine {
             CASE WHEN final_z < -1.5 THEN 30 ELSE 0 END
           + CASE WHEN final_z < -2.5 THEN 40 ELSE 0 END
           + CASE WHEN length(description) < 30 AND price > 200 THEN 15 ELSE 0 END
-          + CASE WHEN regexp_matches(description, '(?i)(whatsapp|6\d{8})') THEN 30 ELSE 0 END, 100) END AS risk_score,
+          + CASE WHEN regexp_matches(description, '(?i)(whatsapp|6[0-9]{8})') THEN 30 ELSE 0 END, 100) END AS risk_score,
          CASE WHEN price < 5.0 THEN 1 ELSE
             CASE WHEN final_z < -1.5 THEN 1 ELSE 0 END
           + CASE WHEN final_z < -2.5 THEN 1 ELSE 0 END
           + CASE WHEN length(description) < 30 AND price > 200 THEN 1 ELSE 0 END
-          + CASE WHEN regexp_matches(description, '(?i)(whatsapp|6\d{8})') THEN 1 ELSE 0 END END AS n_factors
+          + CASE WHEN regexp_matches(description, '(?i)(whatsapp|6[0-9]{8})') THEN 1 ELSE 0 END END AS n_factors
        FROM f"""
   }
 
@@ -700,6 +700,114 @@ object RiskEngine {
   val oracles: Map[String, String] = Map(
     "f12b_score_core" -> f12bSql,
     "f13b_stats_core" -> f13bSql)
+
+  // =================================================================
+  // Market-stats artifact IO — the reference's JSON tree
+  // (regex_analyzer.py:967-1020, artifact market_stats.json):
+  // flat stats rows ↔ CATEGORY→CONDITION→{mean, median, stdev, count,
+  // components{cpu|ram|gpu → NAME → stats}} with flat {mean, count}
+  // nodes for the SECONDARY/UNCERTAIN routes. The tree is model
+  // metadata (categories × conditions × components — bounded), so
+  // assembling it on the driver is the right shape even when the
+  // input item table is 100 TB: the heavy aggregation already
+  // happened distributed in generateMarketStats.
+  // =================================================================
+
+  private def jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Serialize a generateMarketStats output frame to the reference's
+    * nested JSON text. PRIME nodes always carry a `components` object
+    * with all three cpu/ram/gpu keys (possibly empty), exactly as the
+    * reference initializes them (regex_analyzer.py:900-908). */
+  def statsJson(statsRows: DataFrame): String = {
+    val om = jackson
+    val root = om.createObjectNode()
+    def child(o: com.fasterxml.jackson.databind.node.ObjectNode, k: String) =
+      if (o.has(k)) o.get(k).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else { val n = om.createObjectNode(); o.set(k, n); n }
+    def putStats(n: com.fasterxml.jackson.databind.node.ObjectNode,
+        r: org.apache.spark.sql.Row): Unit = {
+      n.put("mean", r.getAs[Double]("mean"))
+      n.put("median", r.getAs[Double]("median"))
+      n.put("stdev", r.getAs[Double]("stdev"))
+      n.put("count", r.getAs[Number]("count").longValue().toInt)
+    }
+    val rows = statsRows.collect()
+    // seg rows first so each (cat, cond) node exists with its
+    // components scaffold before component rows attach under it
+    rows.filter(r => r.getAs[String]("condition") != null &&
+        r.getAs[String]("comp_type") == null).foreach { r =>
+      val n = child(child(root, r.getAs[String]("category")),
+        r.getAs[String]("condition"))
+      putStats(n, r)
+      val comps = child(n, "components")
+      Seq("cpu", "ram", "gpu").foreach(child(comps, _))
+    }
+    rows.filter(_.getAs[String]("comp_type") != null).foreach { r =>
+      val seg = child(child(root, r.getAs[String]("category")),
+        r.getAs[String]("condition"))
+      putStats(child(child(child(seg, "components"),
+        r.getAs[String]("comp_type")), r.getAs[String]("comp_name")), r)
+    }
+    // flat SECONDARY/UNCERTAIN nodes: {mean, count} only
+    rows.filter(r => r.getAs[String]("condition") == null &&
+        r.getAs[String]("comp_type") == null).foreach { r =>
+      val n = child(root, r.getAs[String]("category"))
+      n.put("mean", r.getAs[Double]("mean"))
+      n.put("count", r.getAs[Number]("count").longValue().toInt)
+    }
+    val printer = new com.fasterxml.jackson.core.util.DefaultPrettyPrinter()
+    printer.indentObjectsWith(
+      new com.fasterxml.jackson.core.util.DefaultIndenter("    ", "\n"))
+    om.writer(printer).writeValueAsString(root)
+  }
+
+  /** Write the nested stats tree through the Hadoop FileSystem API —
+    * works for local paths in tests and for HDFS/object stores on a
+    * cluster. */
+  def writeStats(statsRows: DataFrame, path: String): Unit = {
+    val bytes = statsJson(statsRows).getBytes("UTF-8")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(
+      statsRows.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Parse a market_stats.json tree back into the flat-row form
+    * generateMarketStats emits (inverse of statsJson — no fallback
+    * resolution, unlike loadStats). */
+  def statsRowsFromJson(s: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val root = jackson.readTree(new java.io.File(path))
+    val rows = Seq.newBuilder[(String, Option[String], Option[String],
+      Option[String], Double, Option[Double], Option[Double], Long)]
+    root.properties().forEach { catE =>
+      val cat = catE.getKey
+      val catN = catE.getValue
+      if (catN.has("mean") && !catN.has("stdev")) {
+        rows += ((cat, None, None, None, catN.get("mean").asDouble,
+          None, None, catN.get("count").asLong))
+      } else catN.properties().forEach { condE =>
+        val cond = condE.getKey
+        val n = condE.getValue
+        rows += ((cat, Some(cond), None, None, n.get("mean").asDouble,
+          Some(n.get("median").asDouble), Some(n.get("stdev").asDouble),
+          n.get("count").asLong))
+        Option(n.get("components")).foreach(_.properties().forEach { tE =>
+          tE.getValue.properties().forEach { cE =>
+            val c = cE.getValue
+            rows += ((cat, Some(cond), Some(tE.getKey), Some(cE.getKey),
+              c.get("mean").asDouble, Some(c.get("median").asDouble),
+              Some(c.get("stdev").asDouble), c.get("count").asLong))
+          }
+        })
+      }
+    }
+    import s.implicits._
+    rows.result().toDF("category", "condition", "comp_type", "comp_name",
+      "mean", "median", "stdev", "count")
+  }
 
   /** The f12 synthetic item table, reused as stats-generation input. */
   def f12Items(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {

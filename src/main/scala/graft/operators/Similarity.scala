@@ -128,6 +128,12 @@ object Similarity {
   val NumCells = 16
   val NumProbes = 4
   val KmeansSeed = 42L
+  val QuantizerSampleRows = 100000
+  /** Hard cap on the collected query set: the probe-list computation
+    * is driver-side (NumCells distances per query — metadata-sized),
+    * which is only safe while the query set is small. Exceeding the
+    * cap fails fast instead of silently OOMing the driver. */
+  val MaxQueryRows = 10000
 
   def s03(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -136,10 +142,16 @@ object Similarity {
 
     val e = Tables.embeddings(s, dir)
       .withColumn("features", array_to_vector(col("embedding")))
-    // train on a bounded sample — at corpus scale the quantizer never
-    // sees more than ~100k vectors
-    val trainFrac = math.min(1.0, 100000.0 / math.max(e.count(), 1L))
-    val train = if (trainFrac < 1.0) e.sample(trainFrac, KmeansSeed) else e
+    // Bounded training sample WITHOUT a full corpus pass (the old
+    // count()+sample() pair read the corpus twice just to size a
+    // fraction): LocalLimit short-circuits each partition scan at
+    // QuantizerSampleRows, and the xxhash64 scatter filter decorrelates
+    // the sample from storage order (a layout clustered by content
+    // would otherwise feed the quantizer one region of the space).
+    // Modulus 4 keeps ≥ NumCells rows even at tiny SF.
+    val train = e
+      .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+      .limit(QuantizerSampleRows)
     // coarse quantization needs rough cells, not convergence — cap
     // iterations (each KMeans iteration is a full pass + driver sync)
     val model = new KMeans().setK(NumCells).setSeed(KmeansSeed).setMaxIter(8)
@@ -155,7 +167,12 @@ object Similarity {
       .filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     import s.implicits._
-    val qLocal = queries.select(col("qid"), col("qe")).as[(Long, Array[Float])].collect()
+    // collect at most cap+1 rows, then fail fast if over the cap —
+    // never an unbounded driver collect
+    val qLocal = queries.select(col("qid"), col("qe"))
+      .limit(MaxQueryRows + 1).as[(Long, Array[Float])].collect()
+    require(qLocal.length <= MaxQueryRows,
+      s"s03 query set exceeds MaxQueryRows=$MaxQueryRows; probe computation is driver-side")
     val probes = qLocal.flatMap { case (qid, qe) =>
       centers.map { case (cell, c) =>
         var d = 0.0; var i = 0

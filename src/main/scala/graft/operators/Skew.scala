@@ -22,10 +22,14 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt >= 1)
-    // deterministic uniform scatter: stable per-row hash, not rand()
-    // (re-executed tasks must route rows identically)
+    // Scatter by a content hash of the whole row, not
+    // monotonically_increasing_id: the id depends on partition layout,
+    // so a post-shuffle task retry could route the same row to a
+    // different salt. (For an equi-join ANY salt yields the same join
+    // result — the content hash just makes routing genuinely stable,
+    // keeping the claim honest and shuffle files retry-reproducible.)
     val bigSalted = big.withColumn("_salt",
-      pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(salt)))
+      pmod(hash(big.columns.map(col).toSeq: _*), lit(salt)))
     val smallSalted = small.withColumn("_salt",
       explode(array((0 until salt).map(lit): _*)))
     bigSalted.join(smallSalted, keys :+ "_salt", joinType).drop("_salt")

@@ -84,7 +84,17 @@ object Alerts {
       }
       cur.foreach { st =>
         state.update(st)
-        state.setTimeoutTimestamp(st.last + SessionGapMs)
+        // setTimeoutTimestamp throws if the timestamp is ≤ the current
+        // watermark. For this single-operator query Spark's late-data
+        // filter (same watermark) makes that unreachable, but when the
+        // operator is fed from an upstream stateful operator the
+        // late-filter watermark can LAG the validation watermark
+        // (Spark's dual-watermark semantics), so an admitted event may
+        // still have last+gap ≤ watermark. Clamp to watermark+1: the
+        // session then times out on the next trigger instead of
+        // killing the query.
+        state.setTimeoutTimestamp(
+          math.max(st.last + SessionGapMs, state.getCurrentWatermarkMs() + 1))
       }
       closed.reverseIterator
     }

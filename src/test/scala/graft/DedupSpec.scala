@@ -43,6 +43,16 @@ class DedupSpec extends SparkSpec {
     assert(capped == exact)
   }
 
+  test("d02 default path is the capped one and matches exhaustive at test scale") {
+    // the DEFAULT must be the scale-safe bounded-candidates plan;
+    // semantics at test scale (no shingle near DefaultMaxDf) identical
+    val exhaustive = Dedup.d02(spark, sf("sf0.001"), maxDf = None)
+      .select("a", "b", "jacc").as[(Long, Long, Double)].collect().toSet
+    val default = Dedup.d02(spark, sf("sf0.001"))
+      .select("a", "b", "jacc").as[(Long, Long, Double)].collect().toSet
+    assert(default == exhaustive)
+  }
+
   test("simhash: identical text → identical hash, near-dup close") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

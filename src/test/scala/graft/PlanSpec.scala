@@ -49,4 +49,22 @@ class PlanSpec extends SparkSpec {
     // partial + final pair means map-side combine happened
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
+
+  test("native expressions reject wrong input types at analysis time") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // graft_cosine reads 4-byte float slots; an array<double> child
+    // must fail analysis, not silently return garbage similarities
+    val doubles = Seq((Seq(1.0, 2.0), Seq(2.0, 3.0))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      doubles.select(graft.plans.GraftFunctions.cosine(spark, col("a"), col("b")))
+    }
+    val longs = Seq(1L).toDF("x")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      longs.select(graft.plans.GraftFunctions.simhash64(spark, col("x")))
+    }
+    // the correct types still analyze
+    val floats = Seq((Seq(1.0f, 2.0f), Seq(2.0f, 3.0f))).toDF("a", "b")
+    floats.select(graft.plans.GraftFunctions.cosine(spark, col("a"), col("b")))
+  }
 }

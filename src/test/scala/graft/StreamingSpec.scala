@@ -65,6 +65,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization survives a late event near the watermark boundary") {
+    // Regression guard for the setTimeoutTimestamp clamp: an event
+    // admitted close to the watermark (plus a same-batch event that
+    // jumps the watermark far past last+gap) must neither kill the
+    // query nor lose its session. Also exercised: an event BELOW the
+    // watermark is silently dropped by the operator's late filter
+    // rather than crashing anything.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Alerts.Event]
+    val q = Alerts.sessionize(input.toDF())
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(Alerts.Event(9, Timestamp.valueOf("2026-01-01 14:00:00")))
+      q.processAllAvailable() // watermark -> 13:00
+      // 13:10 passes the 13:00 late filter; 10:30 is below it and must
+      // be dropped silently; 18:00 jumps the watermark to 17:00 > 13:40
+      input.addData(Alerts.Event(1, Timestamp.valueOf("2026-01-01 13:10:00")),
+        Alerts.Event(2, ts(30)),
+        Alerts.Event(9, Timestamp.valueOf("2026-01-01 18:00:00")))
+      q.processAllAvailable()
+      input.addData(Alerts.Event(9, Timestamp.valueOf("2026-01-01 22:00:00")))
+      q.processAllAvailable() // times the boundary state out
+      val rows = spark.sql("SELECT user_id, n_events FROM late_sessions")
+        .as[(Long, Long)].collect().toSeq
+      assert(rows.contains((1L, 1L)))
+      assert(!rows.exists(_._1 == 2L)) // below-watermark event dropped
+    } finally q.stop()
+  }
+
   test("file-source end-to-end: NDJSON stream → alert rule → parquet sink") {
     import org.apache.spark.sql.types._
     val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
