@@ -474,6 +474,164 @@ object Fraud {
        SELECT factor, n FROM f WHERE n > 0"""
 
   // ---------------------------------------------------------------
+  // f14: Kibana's risk_factor_normalized runtime field
+  // (kibana/dashboard_export.ndjson runtimeFieldMap): per-factor
+  // normalization — positive factors (Trusted Seller / TOP SELLER)
+  // are skipped entirely, known factors map to canonical dashboard
+  // labels via an ordered contains-chain, keyword factors explode
+  // into one quoted emit per keyword, everything else passes through.
+  // A narrow map + explode + one partial-agg'd groupBy — no extra
+  // shuffle beyond the terms agg itself.
+  // ---------------------------------------------------------------
+
+  /** The ordered contains→label chain of the painless script (order
+    * matters: an earlier match wins). */
+  private val FactorLabelChain: Seq[(Seq[String], String)] = Seq(
+    Seq("Price is <40%") -> "Critical Price Drop (<40% val.)",
+    Seq("Statistically Cheap") -> "Statistically Cheap (Z-Score)",
+    Seq("EXTREME Price Anomaly") -> "EXTREME Price Anomaly",
+    Seq("External Contact") -> "External Contact Attempt",
+    Seq("Very Short Description") -> "Low Quality Desc.",
+    Seq("Low Image Count") -> "Missing Photos (0-1)",
+    Seq("Aggressive Title") -> "Aggressive Title (CAPS)",
+    Seq("Risky Payment") -> "Risky Payment Method",
+    Seq("User registered", "New User") -> "New User (<48h)",
+    Seq("User has Scam Reports") -> "User Reported as Scam",
+    Seq("No Reviews", "Dormant Account") -> "No Reputation / Dormant")
+
+  /** Per-factor emit list: [] for positives, [label] for mapped
+    * factors, one quoted entry per keyword for keyword factors
+    * (content between first '[' and last ']', else after the first
+    * ':'; quotes stripped, comma-split, trimmed), [factor] fallback. */
+  private def normalizedEmits(f: Column): Column = {
+    val bracket = regexp_extract(f, "\\[(.*)\\]", 1)
+    val content = when(bracket =!= "", bracket)
+      .when(f.contains(":"), f.substr(instr(f, ":") + 1, length(f)))
+      .otherwise(f)
+    val kws = transform(
+      filter(transform(split(translate(content, "'\"", ""), ","), k => trim(k)),
+        k => length(k) > 0),
+      k => concat(lit("\""), k, lit("\"")))
+    val mapped = FactorLabelChain.foldLeft(
+      when(f.contains("Trusted Seller") || f.contains("TOP SELLER"),
+        array().cast("array<string>"))) { case (chain, (needles, label)) =>
+      chain.when(needles.map(f.contains).reduce(_ || _), array(lit(label)))
+    }
+    mapped
+      .when(f.contains("Suspicious keywords") || f.contains("Keyword found"), kws)
+      .otherwise(array(f))
+  }
+
+  /** Normalize an array-of-factors column — the Spark face of the
+    * runtime field (one emit list per factor, flattened). */
+  def normalizeRiskFactors(factors: Column): Column =
+    flatten(transform(factors, f => normalizedEmits(f)))
+
+  /** Deterministic factor corpus exercising every script branch:
+    * factor1 cycles through all 14 branches, factor2 plants a positive
+    * factor (skipped by normalization) on every 5th row. */
+  def f14(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val f1 = when(k % 14 === 0, "Price is <40% of estimated value")
+      .when(k % 14 === 1, "Statistically Cheap (z=-1.8)")
+      .when(k % 14 === 2, "EXTREME Price Anomaly detected")
+      .when(k % 14 === 3, "External Contact: whatsapp detected")
+      .when(k % 14 === 4, "Very Short Description")
+      .when(k % 14 === 5, "Low Image Count (1)")
+      .when(k % 14 === 6, "Aggressive Title (ALL CAPS)")
+      .when(k % 14 === 7, "Risky Payment: bizum only")
+      .when(k % 14 === 8, "New User (registered 3h ago)")
+      .when(k % 14 === 9, "User has Scam Reports")
+      .when(k % 14 === 10, "No Reviews on profile")
+      .when(k % 14 === 11, "Suspicious keywords found: ['whatsapp', 'bizum']")
+      .when(k % 14 === 12, "Keyword found: wallapay")
+      .otherwise("Unmapped custom factor")
+    val factors = when(k % 5 === 0,
+        array(f1, lit("Trusted Seller (20+ reviews)")))
+      .otherwise(array(f1))
+    Tables.orders(s, dir)
+      .select(explode(normalizeRiskFactors(factors)).as("factor_normalized"))
+      .groupBy(col("factor_normalized"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // NON-interpolated raw string: the regex backslashes must reach
+  // DuckDB untouched (see the f12b escape incident)
+  val f14Sql: String =
+    """WITH base AS (SELECT o_orderkey AS k FROM orders),
+       f1 AS (SELECT k,
+         CASE k % 14
+           WHEN 0 THEN 'Price is <40% of estimated value'
+           WHEN 1 THEN 'Statistically Cheap (z=-1.8)'
+           WHEN 2 THEN 'EXTREME Price Anomaly detected'
+           WHEN 3 THEN 'External Contact: whatsapp detected'
+           WHEN 4 THEN 'Very Short Description'
+           WHEN 5 THEN 'Low Image Count (1)'
+           WHEN 6 THEN 'Aggressive Title (ALL CAPS)'
+           WHEN 7 THEN 'Risky Payment: bizum only'
+           WHEN 8 THEN 'New User (registered 3h ago)'
+           WHEN 9 THEN 'User has Scam Reports'
+           WHEN 10 THEN 'No Reviews on profile'
+           WHEN 11 THEN 'Suspicious keywords found: [''whatsapp'', ''bizum'']'
+           WHEN 12 THEN 'Keyword found: wallapay'
+           ELSE 'Unmapped custom factor' END AS factor FROM base),
+       fac AS (SELECT factor FROM f1
+               UNION ALL
+               SELECT 'Trusted Seller (20+ reviews)' FROM base WHERE k % 5 = 0),
+       emits AS (SELECT CASE
+           WHEN contains(factor, 'Trusted Seller') OR contains(factor, 'TOP SELLER') THEN []::VARCHAR[]
+           WHEN contains(factor, 'Price is <40%') THEN ['Critical Price Drop (<40% val.)']
+           WHEN contains(factor, 'Statistically Cheap') THEN ['Statistically Cheap (Z-Score)']
+           WHEN contains(factor, 'EXTREME Price Anomaly') THEN ['EXTREME Price Anomaly']
+           WHEN contains(factor, 'External Contact') THEN ['External Contact Attempt']
+           WHEN contains(factor, 'Very Short Description') THEN ['Low Quality Desc.']
+           WHEN contains(factor, 'Low Image Count') THEN ['Missing Photos (0-1)']
+           WHEN contains(factor, 'Aggressive Title') THEN ['Aggressive Title (CAPS)']
+           WHEN contains(factor, 'Risky Payment') THEN ['Risky Payment Method']
+           WHEN contains(factor, 'User registered') OR contains(factor, 'New User') THEN ['New User (<48h)']
+           WHEN contains(factor, 'User has Scam Reports') THEN ['User Reported as Scam']
+           WHEN contains(factor, 'No Reviews') OR contains(factor, 'Dormant Account') THEN ['No Reputation / Dormant']
+           WHEN contains(factor, 'Suspicious keywords') OR contains(factor, 'Keyword found') THEN
+             list_transform(
+               list_filter(
+                 list_transform(
+                   string_split(replace(replace(
+                     CASE WHEN regexp_extract(factor, '\[(.*)\]', 1) <> ''
+                            THEN regexp_extract(factor, '\[(.*)\]', 1)
+                          WHEN contains(factor, ':')
+                            THEN substr(factor, instr(factor, ':') + 1)
+                          ELSE factor END, '''', ''), '"', ''), ','),
+                   x -> trim(x)),
+                 x -> length(x) > 0),
+               x -> '"' || x || '"')
+           ELSE [factor] END AS e FROM fac)
+       SELECT fn AS factor_normalized, count(*) AS n
+       FROM (SELECT unnest(e) AS fn FROM emits)
+       GROUP BY 1"""
+
+  // ---------------------------------------------------------------
+  // f15: Kibana's modified_after_one_day runtime field — boolean
+  // (modified_at − created_at) > 24 h, histogrammed per created-day.
+  // modified_at is synthesized deterministically from the event id.
+  // ---------------------------------------------------------------
+  def f15(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("modified_at",
+        timestamp_add("HOUR", col("event_id") % 50, col("ts")))
+    e.withColumn("modified_after_one_day",
+        unix_micros(col("modified_at")) - unix_micros(col("ts")) > 86400000000L)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("modified_after_one_day"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val f15Sql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+       (epoch_us(ts + to_hours(event_id % 50)) - epoch_us(ts)) > 86400000000 AS modified_after_one_day,
+       count(*) AS n
+       FROM events GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------
   // f11: full-fidelity spec extraction (Java-regex lookaheads) over a
   // deterministically synthesized hardware listing text. Rows-only
   // driver check; exact semantics covered by TextSpecsSpec.
@@ -508,7 +666,9 @@ object Fraud {
     "f08_seller_trust" -> (f08 _),
     "f09_recent_window" -> (f09 _),
     "f10_top_risk_factors" -> (f10 _),
-    "f11_extract_specs" -> (f11 _))
+    "f11_extract_specs" -> (f11 _),
+    "f14_factor_normalized" -> (f14 _),
+    "f15_modified_after_1d" -> (f15 _))
 
   val oracles: Map[String, String] = Map(
     "f01_market_stats" -> f01Sql,
@@ -520,5 +680,7 @@ object Fraud {
     "f07_categorize" -> f07Sql,
     "f08_seller_trust" -> f08Sql,
     "f09_recent_window" -> f09Sql,
-    "f10_top_risk_factors" -> f10Sql)
+    "f10_top_risk_factors" -> f10Sql,
+    "f14_factor_normalized" -> f14Sql,
+    "f15_modified_after_1d" -> f15Sql)
 }

@@ -48,4 +48,23 @@ class FraudSpec extends SparkSpec {
     // base 90 + new-user 30 → clamps to 100 (age<3 can't also be dormant)
     assert(score(90, 0, 0.0, isTop = false, ageDays = 1, scamReports = 0)._1 == 100)
   }
+
+  test("normalizeRiskFactors mirrors the kibana runtime field branches") {
+    val df = Seq(
+      (1, Seq("Trusted Seller (5+ reviews)", "Statistically Cheap (z=-2)")),
+      (2, Seq("TOP SELLER")),
+      (3, Seq("Suspicious keywords found: ['whatsapp', 'bizum']")),
+      (4, Seq("Keyword found: wallapay")),
+      (5, Seq("User registered 3h ago", "Some novel factor")))
+      .toDF("id", "risk_factors")
+    val got = df.orderBy("id")
+      .select(Fraud.normalizeRiskFactors(col("risk_factors")).as("n"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(
+      List("Statistically Cheap (Z-Score)"), // positive factor skipped
+      Nil, // only a positive factor → nothing emitted
+      List("\"whatsapp\"", "\"bizum\""), // bracket content split+quoted
+      List("\"wallapay\""), // colon content
+      List("New User (<48h)", "Some novel factor"))) // mapped + fallback
+  }
 }
