@@ -384,6 +384,108 @@ object Fraud {
                 + CASE WHEN c_acctbal < 0 THEN 30 ELSE 0 END, 0), 100) AS trust_risk
        FROM customer LEFT JOIN s ON c_custkey = o_custkey"""
 
+  // ---------------------------------------------------------------
+  // f16/f08b: seller review-stats aggregation (poller.py:181-216
+  // get_user_reviews_stats) + trust scoring fed end-to-end from it.
+  // The reference fetches each seller's reviews and averages
+  // review.scoring (0-100) into 0-5 stars; here a reviews-shaped
+  // table aggregates distributed (one partial-agg'd shuffle on
+  // seller_id) and the SAME sellerTrustAdjust consumes the result —
+  // at 100 TB the reviews table shuffles once and the per-seller
+  // aggregate broadcast-joins back to items.
+  // ---------------------------------------------------------------
+
+  /** Per-seller review stats from a reviews-shaped frame (seller_id,
+    * scoring 0-100): count + avg stars — ((total/count/100)*5 rounded
+    * to 2, python-parity), exactly poller.py:206-212. */
+  def reviewStats(reviews: DataFrame, sellerCol: String = "seller_id",
+      scoringCol: String = "scoring"): DataFrame = {
+    val s = reviews.sparkSession
+    reviews.groupBy(col(sellerCol))
+      .agg(count(lit(1)).as("review_count"),
+        graft.plans.GraftFunctions.pyRound(s,
+          sum(col(scoringCol)).cast("double") / count(lit(1)) / 100 * 5, 2)
+          .as("avg_stars"))
+  }
+
+  /** Deterministic reviews-shaped frame synthesized from orders: each
+    * order is one review of its customer-as-seller, scoring derived
+    * from the order key. */
+  def syntheticReviews(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_custkey").as("seller_id"),
+      (col("o_orderkey") * 7 % 101).as("scoring"),
+      col("o_orderdate").as("reviewed_at"))
+
+  /** Oracle face of the review aggregation: identity rounding so raw
+    * doubles compare exactly across engines (the pyRound face is
+    * reviewStats; parity spec'd in FraudSpec). */
+  def f16(s: SparkSession, dir: String): DataFrame =
+    syntheticReviews(s, dir).groupBy(col("seller_id"))
+      .agg(count(lit(1)).as("review_count"),
+        (sum(col("scoring")).cast("double") / count(lit(1)) / 100 * 5)
+          .as("avg_stars"))
+
+  val f16Sql: String =
+    """SELECT o_custkey AS seller_id, count(*) AS review_count,
+       CAST(sum(o_orderkey * 7 % 101) AS DOUBLE) / count(*) / 100 * 5 AS avg_stars
+       FROM orders GROUP BY 1"""
+
+  /** Trust scoring fed entirely from aggregated review stats: the
+    * reference's per-item enrichment loop (poller.py:652-702) as one
+    * join + codegen'd arithmetic. Factors surface as a joined string
+    * (arrays don't hash stably across engines in the driver gate). */
+  def f08b(s: SparkSession, dir: String): DataFrame = {
+    val rev = syntheticReviews(s, dir).groupBy(col("seller_id"))
+      .agg(count(lit(1)).as("review_count"),
+        (sum(col("scoring")).cast("double") / count(lit(1)) / 100 * 5)
+          .as("avg_stars"),
+        datediff(to_date(lit("1999-01-01")),
+          to_date(min(col("reviewed_at")))).as("age_days"))
+    val j = Tables.customer(s, dir)
+      .join(rev, col("c_custkey") === col("seller_id"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("review_count"), lit(0L)).as("review_count"),
+        coalesce(col("avg_stars"), lit(0.0)).as("avg_stars"),
+        coalesce(col("age_days"), lit(400)).as("age_days"),
+        (col("c_acctbal") > 9900).as("is_top"),
+        when(col("c_custkey") % 97 === 0, 1).otherwise(0).as("scams"))
+    val (score, factors) = sellerTrustAdjust(lit(50), col("review_count"),
+      col("avg_stars"), col("is_top"), col("age_days"), col("scams"))
+    j.select(col("c_custkey"), col("review_count"), col("avg_stars"),
+      score.as("trust_score"), array_join(factors, "|").as("factors_str"))
+  }
+
+  val f08bSql: String =
+    """WITH rev AS (
+         SELECT o_custkey AS seller_id, count(*) AS review_count,
+           CAST(sum(o_orderkey * 7 % 101) AS DOUBLE) / count(*) / 100 * 5 AS avg_stars,
+           date_diff('day', CAST(min(o_orderdate) AS DATE), DATE '1999-01-01') AS age_days
+         FROM orders GROUP BY 1),
+       j AS (
+         SELECT c_custkey, coalesce(review_count, 0) AS review_count,
+           coalesce(avg_stars, 0.0) AS avg_stars,
+           coalesce(age_days, 400) AS age_days,
+           (c_acctbal > 9900) AS is_top,
+           CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END AS scams
+         FROM customer LEFT JOIN rev ON c_custkey = seller_id)
+       SELECT c_custkey, review_count, avg_stars,
+         least(greatest(CASE WHEN scams > 0 THEN 100 ELSE
+             50 + CASE WHEN review_count > 5 AND avg_stars >= 4.5 THEN -30 ELSE 0 END
+                + CASE WHEN is_top THEN -50 ELSE 0 END
+                + CASE WHEN age_days < 3 THEN 30 ELSE 0 END
+                + CASE WHEN age_days > 365 AND review_count = 0 THEN 20 ELSE 0 END
+           END, 0), 100) AS trust_score,
+         coalesce(array_to_string(list_filter([
+             CASE WHEN review_count > 5 AND avg_stars >= 4.5
+                  THEN 'Trusted Seller (' || CAST(review_count AS VARCHAR) || '+ reviews)' END,
+             CASE WHEN is_top THEN 'TOP SELLER' END,
+             CASE WHEN age_days < 3 THEN 'New User' END,
+             CASE WHEN age_days > 365 AND review_count = 0 THEN 'Dormant Account' END,
+             CASE WHEN scams > 0 THEN 'REPORTED SCAMMER' END],
+           x -> x IS NOT NULL), '|'), '') AS factors_str
+       FROM j"""
+
   /** The reference's exact seller-reputation adjustments
     * (poller.py:669-702), as pure column arithmetic over enrichment
     * signals. Returns (adjusted score, factor list). The reference
@@ -668,7 +770,9 @@ object Fraud {
     "f10_top_risk_factors" -> (f10 _),
     "f11_extract_specs" -> (f11 _),
     "f14_factor_normalized" -> (f14 _),
-    "f15_modified_after_1d" -> (f15 _))
+    "f15_modified_after_1d" -> (f15 _),
+    "f16_review_stats" -> (f16 _),
+    "f08b_trust_from_reviews" -> (f08b _))
 
   val oracles: Map[String, String] = Map(
     "f01_market_stats" -> f01Sql,
@@ -682,5 +786,7 @@ object Fraud {
     "f09_recent_window" -> f09Sql,
     "f10_top_risk_factors" -> f10Sql,
     "f14_factor_normalized" -> f14Sql,
-    "f15_modified_after_1d" -> f15Sql)
+    "f15_modified_after_1d" -> f15Sql,
+    "f16_review_stats" -> f16Sql,
+    "f08b_trust_from_reviews" -> f08bSql)
 }

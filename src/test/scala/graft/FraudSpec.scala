@@ -49,6 +49,20 @@ class FraudSpec extends SparkSpec {
     assert(score(90, 0, 0.0, isTop = false, ageDays = 1, scamReports = 0)._1 == 100)
   }
 
+  test("reviewStats: 0-100 scoring → 0-5 stars with python rounding") {
+    val reviews = Seq(
+      (1L, 80L), (1L, 90L), (1L, 100L), // avg 90 → 4.5 stars
+      (2L, 80L), (2L, 85L), // avg 82.5 → 4.125 → banker's-rounds to 4.12
+      (3L, 0L)) // 0.0 stars
+      .toDF("seller_id", "scoring")
+    val got = Fraud.reviewStats(reviews)
+      .as[(Long, Long, Double)].collect()
+      .map { case (s, c, a) => s -> ((c, a)) }.toMap
+    assert(got(1L) == ((3L, 4.5)))
+    assert(got(2L) == ((2L, 4.12))) // half-up would give 4.13
+    assert(got(3L) == ((1L, 0.0)))
+  }
+
   test("normalizeRiskFactors mirrors the kibana runtime field branches") {
     val df = Seq(
       (1, Seq("Trusted Seller (5+ reviews)", "Statistically Cheap (z=-2)")),
