@@ -127,6 +127,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed ingest: kill + resume continues exactly-once, dups dropped") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ckDir = s"$root/ck"
+    new java.io.File(inDir).mkdirs()
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def writeBatch(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/$name"),
+        lines.mkString("\n").getBytes("UTF-8"))
+
+    // batch 1: one in-batch duplicate pair (same canonical fingerprint)
+    writeBatch("b1.json", Seq(
+      """{"ts":"2026-01-01T10:00:00.000Z","doc_id":1,"text":"Hello  World!"}""",
+      """{"ts":"2026-01-01T10:01:00.000Z","doc_id":2,"text":"hello world"}""",
+      """{"ts":"2026-01-01T10:02:00.000Z","doc_id":3,"text":"distinct doc"}"""))
+    val q1 = streaming.Ingest.resume(spark, inDir, schema, outDir, ckDir)
+    try q1.processAllAvailable() finally q1.stop() // "crash" after batch 1
+
+    // batch 2 AFTER the restart: a cross-restart duplicate of doc 3
+    // (within watermark — must be dropped from checkpointed state) and
+    // one genuinely new doc
+    writeBatch("b2.json", Seq(
+      """{"ts":"2026-01-01T10:03:00.000Z","doc_id":4,"text":"DISTINCT   doc"}""",
+      """{"ts":"2026-01-01T10:04:00.000Z","doc_id":5,"text":"brand new content"}"""))
+    val q2 = streaming.Ingest.resume(spark, inDir, schema, outDir, ckDir)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(outDir).select("doc_id")
+      .as[Long].collect().toSeq.sorted
+    // doc 2 (in-batch dup), doc 4 (cross-restart dup) dropped; batch 1
+    // rows NOT re-emitted on resume
+    assert(out == Seq(1L, 3L, 5L))
+  }
+
   test("streaming exact dedup: dropDuplicatesWithinWatermark on fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
