@@ -95,6 +95,38 @@ object Similarity {
     array(bands: _*)
   }
 
+  /** DuckDB replay of s02: the ±1 plane matrix is Scala-computed and
+    * INLINED as literals, so both engines build bit-exact sign
+    * sketches (index-order double folds on both sides — the same
+    * precedent as the s01/d05 cosine oracles). Numeric-only
+    * interpolation; no backslashes. */
+  lazy val s02Sql: String = {
+    def signsLit(p: Int): String =
+      (0 until Dim).map(d => planeSign(p, d).toString).mkString("[", ",", "]")
+    def dot(p: Int): String =
+      s"list_sum(list_transform(list_zip(embedding::DOUBLE[], ${signsLit(p)}::DOUBLE[]), x -> x[1]*x[2]))"
+    def key(b: Int): String =
+      (0 until BitsPerBand).map(k =>
+        s"(CASE WHEN ${dot(b * BitsPerBand + k)} > 0 THEN 1 ELSE 0 END) * ${1 << k}")
+        .mkString(" + ")
+    val bandSelects = (0 until Bands).map(b =>
+      s"SELECT vec_id, embedding, $b AS band, ${key(b)} AS key FROM embeddings")
+      .mkString("\n       UNION ALL ")
+    s"""WITH banded AS ($bandSelects),
+       q AS (SELECT vec_id AS qid, embedding AS qe, band, key
+             FROM banded WHERE vec_id % $QueryStride = 0),
+       pairs AS (
+         SELECT DISTINCT qid, c.vec_id,
+           list_sum(list_transform(list_zip(qe::DOUBLE[], c.embedding::DOUBLE[]), x -> x[1]*x[2]))
+           / (sqrt(list_sum(list_transform(qe::DOUBLE[], x -> x*x)))
+            * sqrt(list_sum(list_transform(c.embedding::DOUBLE[], x -> x*x)))) AS cos
+         FROM banded c JOIN q ON c.band = q.band AND c.key = q.key AND c.vec_id <> q.qid),
+       r AS (SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+             FROM pairs)
+       SELECT qid, rank, vec_id, cos FROM r WHERE rank <= $TopK"""
+  }
+
   def s02(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val corpus = e.select(col("vec_id"), col("embedding"),
@@ -198,5 +230,6 @@ object Similarity {
     "s03_ann_ivf" -> (s03 _))
 
   val oracles: Map[String, String] = Map(
-    "s01_ann_bruteforce" -> s01Sql)
+    "s01_ann_bruteforce" -> s01Sql,
+    "s02_ann_lsh" -> s02Sql)
 }
