@@ -476,9 +476,6 @@ object RiskEngine {
           .when(col("segment").isin("BROKEN", "ACCESSORY"), col("segment"))
           .otherwise("PRIME"))
       .filter(col("route") =!= "JUNK")
-      // NOT cached: above the caller's cache boundary the routing
-      // expressions are small attribute arithmetic — recomputing them
-      // per branch is cheaper than another materialization barrier
   }
 
   /** Stats aggregation over a routed frame (regex_analyzer.py:968-1022):
@@ -486,10 +483,22 @@ object RiskEngine {
     * per-component stats + flat secondary-route stats. `pyR` is the
     * output rounding (python-parity 2 dp in production; identity in the
     * oracle face, where raw doubles compare exactly across engines). */
-  def aggregateStats(routed: DataFrame, pyR: Column => Column): DataFrame = {
+  def aggregateStats(routed0: DataFrame, pyR: Column => Column): DataFrame = {
     def sx(c: Column): Column = sum(c.cast("decimal(25,4)")).cast("double")
     def stdev(sxC: Column, sxxC: Column, n: Column): Column =
       sqrt((sxxC - sxC * sxC / n) / (n - 1))
+
+    // Cache boundary AFTER routing: the cond/segment/route columns are
+    // regex-heavy (condition + market-segment detection over the raw
+    // text), and the branches below scan the routed frame ~6 times
+    // (seg agg, seg median, comp agg, comp median, flat). Without this
+    // the regexes re-execute per scan — measured 4.7 s → 3.0 s for
+    // f13b and 10.9 s → 8.6 s for f13+f13b combined at sf0.1. Only the
+    // slim routing output is materialized.
+    val routed = routed0
+      .select(col("route"), col("category"), col("cond"), col("price"),
+        col("cpu"), col("ram"), col("gpu"))
+      .cache()
 
     val prime = routed.filter(col("route") === "PRIME")
       .select(col("category"), col("cond"), col("price"),
