@@ -250,6 +250,55 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // d04b: SimHash semantics, externally checked — the same
+  // tokenize → per-token hash → per-bit majority vote as the native
+  // d04 expression, but over a PORTABLE 60-bit md5-derived token hash
+  // (15 hex chars, the minhash trick) so DuckDB replays the signature
+  // bit-for-bit. The native xxhash64 expression stays the production
+  // path (narrow map, codegen); this is its correctness anchor.
+  // ---------------------------------------------------------------
+  val SimBits = 60
+
+  def d04b(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val votes = toks.groupBy(col("doc_id")).agg(
+      (0 until SimBits).map(k =>
+        sum(when(shiftright(col("h"), k).bitwiseAND(1L) === 1L, 1).otherwise(-1))
+          .as(s"v$k")).head,
+      (0 until SimBits).map(k =>
+        sum(when(shiftright(col("h"), k).bitwiseAND(1L) === 1L, 1).otherwise(-1))
+          .as(s"v$k")).tail: _*)
+    votes.select(col("doc_id"),
+      (0 until SimBits).map(k =>
+        when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
+        .as("sim"))
+  }
+
+  lazy val d04bSql: String = {
+    val votes = (0 until SimBits).map(k =>
+      s"sum(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS v$k")
+      .mkString(",\n         ")
+    val bits = (0 until SimBits).map(k =>
+      s"CASE WHEN v$k > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
+    raw"""WITH toks AS (
+         SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+         FROM documents),
+       hashes AS (
+         SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+         FROM toks WHERE tok <> ''),
+       votes AS (
+         SELECT doc_id,
+         $votes
+         FROM hashes GROUP BY 1)
+       SELECT doc_id, $bits AS sim FROM votes"""
+  }
+
+  // ---------------------------------------------------------------
   // d05: embedding-cosine near-dup. Candidate blocking on the cluster
   // label (at scale: a coarse quantizer / IVF cell id), exact cosine
   // verification within blocks only.
@@ -284,11 +333,13 @@ object Dedup {
     "d02_ngram_jaccard" -> ((s: SparkSession, dir: String) => d02(s, dir, maxDf = None)),
     "d03_minhash_lsh" -> (d03 _),
     "d04_simhash" -> (d04 _),
+    "d04b_simhash_core" -> (d04b _),
     "d05_embedding_neardup" -> (d05 _))
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
     "d02_ngram_jaccard" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,
+    "d04b_simhash_core" -> d04bSql,
     "d05_embedding_neardup" -> d05Sql)
 }
