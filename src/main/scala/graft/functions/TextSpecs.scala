@@ -116,7 +116,19 @@ object TextSpecs {
 
   /** Normalized CPU string ("INTEL I7", "APPLE M2 PRO", "AMD RYZEN 7")
     * or null (regex_analyzer.py:445-492, 566-663). */
-  def extractCpu(textLower: Column): Column = {
+  /** Stage 1 of CPU extraction: the four regexp_extract_all scans plus
+    * the brand probe, bundled into ONE struct so each text is scanned
+    * exactly once.
+    *
+    * Why the split exists: every downstream reference to `models` /
+    * `best` duplicates its whole Catalyst subtree, and subtrees that
+    * contain lambda variables (transform/filter) are excluded from
+    * codegen subexpression elimination — so the single-expression
+    * formulation re-ran the regex scans ~10× per row (measured 3.6 s
+    * of a 4.4 s extraction pass at sf0.1; ~0.7 s staged). Staging the
+    * struct as a column keeps it evaluated once: CollapseProject
+    * refuses to re-inline a multi-referenced non-cheap producer. */
+  def cpuScans(textLower: Column): (Column, Column, Column) = {
     // Reference quirk kept intentionally (regex_analyzer.py:609-624):
     // a "core"-prefixed match joins to "corei7", which then fails every
     // classification branch and is DROPPED — only bare "i7" mentions
@@ -137,19 +149,29 @@ object TextSpecs {
     val other = transform(
       regexp_extract_all(textLower,
         lit("""\b(celeron|pentium|atom|xeon|snapdragon|sq[123])\b"""), lit(1)), upper(_))
+    (array_distinct(concat(iModels, ryzen, other)),
+      array_distinct(apple),
+      regexp_extract(textLower, CpuBrandPattern, 1))
+  }
 
-    val pcModels = array_distinct(concat(iModels, ryzen, other))
-    val appleModels = array_distinct(apple)
+  /** Stage 2: pure arithmetic over the staged candidates. The three
+    * scans MUST be staged as SEPARATE columns, not a struct —
+    * SimplifyExtractValueOps rewrites field access over a literal
+    * struct back into the field subtree, undoing the staging. All
+    * references here hit tiny arrays / a short string, so subtree
+    * duplication is harmless. */
+  def cpuFromParts(pcModels: Column, appleModels: Column,
+      brand0: Column): Column = {
     val hasPc = size(filter(pcModels,
       m => m.rlike("""^I\d$""") || m.contains("RYZEN"))) > 0 ||
-      regexp_extract(textLower, CpuBrandPattern, 1).isin("intel", "amd")
+      brand0.isin("intel", "amd")
     // Intel/AMD presence vetoes Apple-M readings (regex_analyzer.py:644-657)
     val models = when(size(appleModels) > 0 && !hasPc, appleModels)
       .otherwise(pcModels)
     val isApple = size(appleModels) > 0 && !hasPc
 
     val best = array_max(models) // python: sorted(desc)[0] == lexicographic max
-    val textBrand = upper(regexp_extract(textLower, CpuBrandPattern, 1))
+    val textBrand = upper(brand0)
     val brand = when(isApple || best.rlike("^M[123]"), "APPLE")
       .when(best.contains("RYZEN"), "AMD")
       .when(best.rlike("""^I\d"""), "INTEL")
@@ -162,6 +184,11 @@ object TextSpecs {
       when(brand === "APPLE", concat(lit("APPLE "), formatted))
         .when(brand.isNotNull, concat(brand, lit(" "), formatted))
         .otherwise(formatted))
+  }
+
+  def extractCpu(textLower: Column): Column = {
+    val (pc, ap, b) = cpuScans(textLower)
+    cpuFromParts(pc, ap, b)
   }
 
   /** Normalized GPU string ("NVIDIA RTX 4070") or null
@@ -278,6 +305,8 @@ object TextSpecs {
     */
   def withSpecs(df: org.apache.spark.sql.DataFrame, title: Column,
       description: Column): org.apache.spark.sql.DataFrame = {
+    val cpuT = cpuScans(col("_title_lower"))
+    val cpuD = cpuScans(col("_desc_lower"))
     val staged = df
       .withColumn("_title_clean", sanitizeHardwareAmbiguities(title))
       .withColumn("_desc_clean", sanitizeHardwareAmbiguities(smartTruncateSpam(description)))
@@ -285,8 +314,17 @@ object TextSpecs {
       .withColumn("_desc_lower", lower(substring(col("_desc_clean"), 1, 400)))
       .withColumn("_full_lower",
         lower(concat(col("_title_clean"), lit(" "), col("_desc_clean"))))
-      .withColumn("_cpu0",
-        coalesce(extractCpu(col("_title_lower")), extractCpu(col("_desc_lower"))))
+      // CPU candidate scans staged as separate columns: each regex
+      // scan runs once per text instead of once per downstream
+      // reference (see cpuScans/cpuFromParts). The desc scan turns
+      // eager, but 2 scans/row beats ~10 re-evaluations of the title
+      // scan.
+      .withColumns(Map(
+        "_cpc_t" -> cpuT._1, "_cap_t" -> cpuT._2, "_cb_t" -> cpuT._3,
+        "_cpc_d" -> cpuD._1, "_cap_d" -> cpuD._2, "_cb_d" -> cpuD._3))
+      .withColumn("_cpu0", coalesce(
+        cpuFromParts(col("_cpc_t"), col("_cap_t"), col("_cb_t")),
+        cpuFromParts(col("_cpc_d"), col("_cap_d"), col("_cb_d"))))
       .withColumn("gpu",
         coalesce(extractGpu(col("_title_lower")), extractGpu(col("_desc_lower"))))
       .withColumn("_ram0",
@@ -313,6 +351,7 @@ object TextSpecs {
           .otherwise(col("_cpu0"))).otherwise(col("_cpu0")))
       .withColumn("condition", detectCondition(col("_full_lower")))
       .drop("_title_clean", "_desc_clean", "_title_lower", "_desc_lower",
-        "_full_lower", "_cpu0", "_ram0")
+        "_full_lower", "_cpu0", "_ram0",
+        "_cpc_t", "_cap_t", "_cb_t", "_cpc_d", "_cap_d", "_cb_d")
   }
 }
