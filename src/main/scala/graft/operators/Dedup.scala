@@ -41,11 +41,14 @@ object Dedup {
   def shingles(text: Column, n: Int = ShingleN): Column =
     shinglesFromTokens(split(trim(lower(text)), "\\s+"), n)
 
-  /** doc_id → exploded distinct shingles (the inverted-index side). */
+  /** doc_id → exploded distinct shingles (the inverted-index side).
+    * Uses the native Shingles expression — one fused loop per doc, no
+    * interpreted per-element lambdas (graft.plans.Shingles). */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("_w", split(trim(lower(col("text"))), "\\s+"))
-      .select(col("doc_id"), explode(shinglesFromTokens(col("_w"))).as("shingle"))
+      .select(col("doc_id"),
+        explode(graft.plans.GraftFunctions.shingles(s, col("text"), ShingleN))
+          .as("shingle"))
 
   /** SQL prologue producing the same doc_id×shingle set. */
   private val shSql =

@@ -76,6 +76,7 @@ object GraftFunctions {
   val SimHashName = "graft_simhash64"
 
   val PyRoundName = "graft_pyround"
+  val ShinglesName = "graft_shingles"
 
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     (CosineName, classOf[CosineSimilarity].getName,
@@ -84,6 +85,9 @@ object GraftFunctions {
       exprs => SimHash64(exprs.head)),
     (PyRoundName, classOf[PyRound].getName,
       exprs => PyRound(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())),
+    (ShinglesName, classOf[Shingles].getName,
+      exprs => Shingles(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue())))
 
   def register(spark: SparkSession): Unit =
@@ -106,6 +110,11 @@ object GraftFunctions {
   def pyRound(spark: SparkSession, c: Column, scale: Int): Column = {
     register(spark)
     call_function(PyRoundName, c, org.apache.spark.sql.functions.lit(scale))
+  }
+
+  def shingles(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    call_function(ShinglesName, text, org.apache.spark.sql.functions.lit(n))
   }
 }
 

@@ -18,6 +18,20 @@ class DedupSpec extends SparkSpec {
     assert(got(2) == Set("x y z", "y z x", "z x y")) // distinct-ified
   }
 
+  test("native shingles expression matches the HOF formulation exactly") {
+    // same tokens, same shingles, same first-occurrence order — the
+    // native expression must be a pure drop-in for the transform +
+    // array_distinct pipeline it replaced
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val hof = docs.withColumn("_w", split(trim(lower(col("text"))), "\\s+"))
+      .select(col("doc_id"), Dedup.shinglesFromTokens(col("_w")).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    val native = docs.select(col("doc_id"),
+      graft.plans.GraftFunctions.shingles(spark, col("text"), Dedup.ShingleN).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(native == hof)
+  }
+
   test("d02 and d03 agree on planted near-dup pairs (LSH finds high-jaccard)") {
     val exact = Dedup.d02(spark, sf("sf0.001"))
       .select("a", "b").as[(Long, Long)].collect().toSet
