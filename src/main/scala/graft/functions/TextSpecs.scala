@@ -104,13 +104,21 @@ object TextSpecs {
 
   /** Highest plausible RAM mention ≤ maxGb, formatted "16GB"
     * (regex_analyzer.py:535-563). Input must already be lowercase. */
-  def extractRam(textLower: Column, maxGb: Column): Column = {
+  /** Stage 1 of RAM extraction: the scan + validity filter (see
+    * cpuScans for why staging). */
+  def ramScan(textLower: Column, maxGb: Column): Column = {
     val vals = transform(
       regexp_extract_all(textLower, lit(RamPattern), lit(1)), _.cast("int"))
-    val valid = filter(vals, v =>
+    filter(vals, v =>
       v.isin(ValidRamSizes.map(_.asInstanceOf[Any]): _*) && v <= maxGb)
-    when(size(valid) > 0, concat(array_max(valid).cast("string"), lit("GB")))
   }
+
+  /** Stage 2: pick the max valid size. */
+  def ramFromScan(valid: Column): Column =
+    when(size(valid) > 0, concat(array_max(valid).cast("string"), lit("GB")))
+
+  def extractRam(textLower: Column, maxGb: Column): Column =
+    ramFromScan(ramScan(textLower, maxGb))
 
   def extractRam(textLower: Column): Column = extractRam(textLower, lit(128))
 
@@ -193,14 +201,25 @@ object TextSpecs {
 
   /** Normalized GPU string ("NVIDIA RTX 4070") or null
     * (regex_analyzer.py:495-528, 631-642). */
+  /** Stage 1 of GPU extraction (see cpuScans for why staging: every
+    * `best` reference duplicated the model scan ~6× per text). */
+  def gpuScans(textLower: Column): (Column, Column) = (
+    array_distinct(transform(
+      regexp_extract_all(textLower, lit(GpuModelPattern), lit(1)), upper(_))),
+    regexp_extract(textLower, GpuBrandPattern, 1))
+
   def extractGpu(textLower: Column): Column = {
-    val models = array_distinct(transform(
-      regexp_extract_all(textLower, lit(GpuModelPattern), lit(1)), upper(_)))
+    val (models, brand0) = gpuScans(textLower)
+    gpuFromParts(models, brand0)
+  }
+
+  /** Stage 2: arithmetic over the staged scans only. */
+  def gpuFromParts(models: Column, brand0: Column): Column = {
     val best0 = array_max(models)
     // insert the space between prefix and number if missing
     val best = when(!best0.contains(" ") && best0.rlike("""^[A-Z]+\d"""),
       regexp_replace(best0, """^([A-Z]+)(\d.*)$""", "$1 $2")).otherwise(best0)
-    val textBrand0 = upper(regexp_extract(textLower, GpuBrandPattern, 1))
+    val textBrand0 = upper(brand0)
     val textBrand = when(textBrand0 === "GEFORCE", "NVIDIA")
       .otherwise(when(textBrand0 =!= "", textBrand0))
     val brand = when(best.rlike("RTX|GTX|MX|QUADRO"), "NVIDIA")
@@ -307,6 +326,8 @@ object TextSpecs {
       description: Column): org.apache.spark.sql.DataFrame = {
     val cpuT = cpuScans(col("_title_lower"))
     val cpuD = cpuScans(col("_desc_lower"))
+    val gpuT = gpuScans(col("_title_lower"))
+    val gpuD = gpuScans(col("_desc_lower"))
     val staged = df
       .withColumn("_title_clean", sanitizeHardwareAmbiguities(title))
       .withColumn("_desc_clean", sanitizeHardwareAmbiguities(smartTruncateSpam(description)))
@@ -325,10 +346,16 @@ object TextSpecs {
       .withColumn("_cpu0", coalesce(
         cpuFromParts(col("_cpc_t"), col("_cap_t"), col("_cb_t")),
         cpuFromParts(col("_cpc_d"), col("_cap_d"), col("_cb_d"))))
-      .withColumn("gpu",
-        coalesce(extractGpu(col("_title_lower")), extractGpu(col("_desc_lower"))))
+      .withColumns(Map(
+        "_gm_t" -> gpuT._1, "_gb_t" -> gpuT._2,
+        "_gm_d" -> gpuD._1, "_gb_d" -> gpuD._2,
+        "_rv_t" -> ramScan(col("_title_lower"), lit(128)),
+        "_rv_d" -> ramScan(col("_desc_lower"), lit(128))))
+      .withColumn("gpu", coalesce(
+        gpuFromParts(col("_gm_t"), col("_gb_t")),
+        gpuFromParts(col("_gm_d"), col("_gb_d"))))
       .withColumn("_ram0",
-        coalesce(extractRam(col("_title_lower")), extractRam(col("_desc_lower"))))
+        coalesce(ramFromScan(col("_rv_t")), ramFromScan(col("_rv_d"))))
       .withColumn("category", classifyCategory(
         col("_title_lower"), col("_full_lower"), col("_cpu0"), col("gpu")))
 
@@ -352,6 +379,7 @@ object TextSpecs {
       .withColumn("condition", detectCondition(col("_full_lower")))
       .drop("_title_clean", "_desc_clean", "_title_lower", "_desc_lower",
         "_full_lower", "_cpu0", "_ram0",
-        "_cpc_t", "_cap_t", "_cb_t", "_cpc_d", "_cap_d", "_cb_d")
+        "_cpc_t", "_cap_t", "_cb_t", "_cpc_d", "_cap_d", "_cb_d",
+        "_gm_t", "_gb_t", "_gm_d", "_gb_d", "_rv_t", "_rv_d")
   }
 }

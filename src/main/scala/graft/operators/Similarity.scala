@@ -186,7 +186,11 @@ object Similarity {
       .limit(QuantizerSampleRows)
     // coarse quantization needs rough cells, not convergence — cap
     // iterations (each KMeans iteration is a full pass + driver sync)
+    // and use random init: k-means|| spends several extra passes
+    // optimizing seed quality that the recall-gated probe search
+    // doesn't need
     val model = new KMeans().setK(NumCells).setSeed(KmeansSeed).setMaxIter(8)
+      .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cell").fit(train)
 
     val corpus = model.transform(e).select(col("vec_id"), col("embedding"), col("cell"))
