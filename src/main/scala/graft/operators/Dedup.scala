@@ -128,7 +128,7 @@ object Dedup {
   }
 
   val d02Sql: String =
-    s"""WITH $shSql,
+    raw"""WITH $shSql,
        inter AS (
          SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -191,7 +191,7 @@ object Dedup {
   }
 
   val d03Sql: String =
-    s"""WITH $shSql,
+    raw"""WITH $shSql,
        hv AS (
          SELECT doc_id,
                 CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % $MinhashP AS h

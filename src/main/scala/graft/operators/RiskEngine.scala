@@ -355,7 +355,7 @@ object RiskEngine {
     val compValues = pinnedComps.map(c =>
       s"('${c.category}','${c.condition}','${c.compType}','${c.compName}',${sqlD(c.mean)},${sqlD(c.stdev)})")
       .mkString(",\n         ")
-    s"""WITH items AS (
+    raw"""WITH items AS (
        SELECT p_partkey AS item_id, p_retailprice AS price,
          CASE WHEN p_partkey % 4 = 0 THEN 'GAMING' WHEN p_partkey % 4 = 1 THEN 'APPLE'
               WHEN p_partkey % 4 = 2 THEN 'WORKSTATION' ELSE 'GENERICO' END AS category,
@@ -604,7 +604,7 @@ object RiskEngine {
   lazy val f13bSql: String = {
     val dsum = "CAST(sum(CAST(price AS DECIMAL(25,4))) AS DOUBLE)"
     val dsum2 = "CAST(sum(CAST(price*price AS DECIMAL(25,4))) AS DOUBLE)"
-    s"""WITH items AS (
+    raw"""WITH items AS (
        SELECT p_partkey AS item_id,
          CASE WHEN p_partkey % 19 = 0 THEN CAST(2.0 AS DOUBLE)
               WHEN p_partkey % 19 = 1 THEN CAST(20000.0 AS DOUBLE)
