@@ -50,6 +50,24 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
 
+  test("extraction plan keeps regex scans staged (no tree re-duplication)") {
+    // The scan-staging split holds the optimized plan at ~14
+    // regexp_extract_all occurrences; before staging, subtree
+    // duplication inflated it to 80 (each re-evaluated per row). Guard
+    // the ceiling so a refactor can't silently reintroduce the blowup.
+    import org.apache.spark.sql.functions.col
+    val items = operators.RiskEngine.f12Items(spark, sf())
+    val opt = graft.functions.TextSpecs
+      .withSpecs(items, col("title"), col("description"))
+      .queryExecution.optimizedPlan
+    var total = 0
+    opt.foreach { node =>
+      total += "regexp_extract_all".r
+        .findAllIn(node.expressions.map(_.toString).mkString).length
+    }
+    assert(total <= 20, s"extraction plan holds $total regex scans — staging regressed")
+  }
+
   test("native expressions reject wrong input types at analysis time") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
