@@ -96,6 +96,15 @@ object GraftFunctions {
         FunctionIdentifier(name), new ExpressionInfo(clazz, name), builder)
     }
 
+  /** The same registry in SparkSessionExtensions form — keeps the
+    * extensions-injected function set identical to the session-local
+    * one. */
+  private[plans] def injectAll(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    registry.foreach { case (name, clazz, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz, name), builder))
+    }
+
   /** Column-API faces of the native expressions. */
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
@@ -121,14 +130,6 @@ object GraftFunctions {
 /** `spark.sql.extensions=graft.plans.GraftExtensions` installs the
   * native functions on every session of a cluster. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier(GraftFunctions.CosineName),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, GraftFunctions.CosineName),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
-    ext.injectFunction((
-      FunctionIdentifier(GraftFunctions.SimHashName),
-      new ExpressionInfo(classOf[SimHash64].getName, GraftFunctions.SimHashName),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
-  }
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.injectAll(ext)
 }

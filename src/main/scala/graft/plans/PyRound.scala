@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Python-semantics decimal rounding of a double: round-half-even on
@@ -11,8 +11,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * nearest 1415.195 is …94999…, so python gives 1415.19 while
   * string-based HALF_UP gives 1415.2). Needed wherever outputs must
   * replay a python reference bit-for-bit. */
-case class PyRound(child: Expression, scale: Int) extends UnaryExpression {
+case class PyRound(child: Expression, scale: Int)
+    extends UnaryExpression with ExpectsInputTypes {
 
+  // Analysis-time rejection of non-double children: a SQL DECIMAL
+  // literal otherwise reaches nullSafeEval's Double cast and throws a
+  // ClassCastException at runtime (callers must CAST(… AS DOUBLE)).
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_pyround"

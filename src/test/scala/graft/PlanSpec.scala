@@ -50,6 +50,20 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
 
+  test("all native functions are SQL-callable after registration") {
+    graft.plans.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(array(3.0F, 4.0F), array(3.0F, 4.0F)) AS c,
+         graft_simhash64('hello world') AS s,
+         graft_pyround(CAST(2.675 AS DOUBLE), 2) AS p,
+         graft_shingles('a b c d', 3) AS g""").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getLong(1) == graft.plans.SimHash64.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
+    assert(r.getDouble(2) == 2.67) // python banker's rounding
+    assert(r.getSeq[String](3) == Seq("a b c", "b c d"))
+  }
+
   test("extraction plan keeps regex scans staged (no tree re-duplication)") {
     // The scan-staging split holds the optimized plan at ~14
     // regexp_extract_all occurrences; before staging, subtree
