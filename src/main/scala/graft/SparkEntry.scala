@@ -16,7 +16,8 @@ object SparkEntry {
     operators.Relational.queries ++ operators.Fraud.queries ++
       operators.RiskEngine.queries ++
       operators.TextOps.queries ++ operators.Dedup.queries ++
-      operators.Similarity.queries ++ multimodal.Binary.queries ++
+      operators.Similarity.queries ++ operators.Corpus.queries ++
+      multimodal.Binary.queries ++
       streaming.Alerts.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -25,6 +26,7 @@ object SparkEntry {
     operators.Relational.oracles ++ operators.Fraud.oracles ++
       operators.RiskEngine.oracles ++
       operators.TextOps.oracles ++ operators.Dedup.oracles ++
-      operators.Similarity.oracles ++ multimodal.Binary.oracles ++
+      operators.Similarity.oracles ++ operators.Corpus.oracles ++
+      multimodal.Binary.oracles ++
       streaming.Alerts.oracles
 }

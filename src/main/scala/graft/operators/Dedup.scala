@@ -95,8 +95,19 @@ object Dedup {
   val DefaultMaxDf = 256
 
   def d02(s: SparkSession, dir: String,
+      maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame =
+    jaccardPairs(Tables.documents(s, dir), maxDf)
+
+  /** Shingle-Jaccard near-dup pairs over any (doc_id, text) frame —
+    * shared by the d02 query and the corpus-cleaning cascade. */
+  def jaccardPairs(docs: DataFrame,
       maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
-    val sh = docShingles(s, dir).cache()
+    val s = docs.sparkSession
+    val sh = docs
+      .select(col("doc_id"),
+        explode(graft.plans.GraftFunctions.shingles(s, col("text"), ShingleN))
+          .as("shingle"))
+      .cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = maxDf match {
       case None =>

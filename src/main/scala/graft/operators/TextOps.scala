@@ -16,16 +16,34 @@ object TextOps {
 
   // ---- shared SQL fragments (same constants as the Column exprs) ----
 
-  private def sqlHits(words: Seq[String]): String =
+  private[operators] def sqlHits(words: Seq[String]): String =
     s"len(list_distinct(regexp_extract_all(t, '${stopwordRegex(words)}', 1)))"
 
   /** DuckDB needs the 'g' flag for global regexp_replace (Spark is
     * global by default). */
-  private val sqlFingerprint =
+  private[operators] val sqlFingerprint =
     "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))"
 
-  private val sqlNw =
+  private[operators] val sqlNw =
     "CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+
+  /** Language-ID decision CASE over hit-count columns s_en/s_es/s_de/
+    * s_fr and a `han` boolean — the shared fragment of t01 and the
+    * corpus-clean cascade. */
+  private[operators] val sqlPredLang: String =
+    """CASE WHEN han THEN 'zh'
+         WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
+         WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         WHEN s_de >= s_fr THEN 'de'
+         ELSE 'fr' END"""
+
+  /** Quality-score arithmetic over columns nw/sh/pc/nc — shared by t02
+    * and the corpus-clean cascade. */
+  private[operators] val sqlQuality: String =
+    """0.4 * CAST(least(nw, 200) AS DOUBLE)/200.0
+     + 0.4 * CAST(sh AS DOUBLE)/CAST(greatest(nw, 1) AS DOUBLE)
+     + 0.2 * (1.0 - least(CAST(pc AS DOUBLE)/CAST(greatest(nc, 1) AS DOUBLE), 1.0))"""
 
   // ---------------------------------------------------------------
   // t01: language ID confusion matrix — labeled lang × predicted.
@@ -42,13 +60,7 @@ object TextOps {
        s AS (SELECT lang, ${sqlHits(m("en"))} AS s_en, ${sqlHits(m("es"))} AS s_es,
                ${sqlHits(m("de"))} AS s_de, ${sqlHits(m("fr"))} AS s_fr,
                regexp_matches(t, '$HanRange') AS han FROM d)
-       SELECT lang,
-         CASE WHEN han THEN 'zh'
-              WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
-              WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-              WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-              WHEN s_de >= s_fr THEN 'de'
-              ELSE 'fr' END AS pred_lang,
+       SELECT lang, $sqlPredLang AS pred_lang,
          count(*) AS n
        FROM s GROUP BY 1, 2"""
   }
@@ -72,10 +84,7 @@ object TextOps {
        c AS (SELECT doc_id, $sqlNw AS nw,
                len(regexp_extract_all(t, '${stopwordRegex(QualityStopwords)}')) AS sh,
                len(regexp_extract_all(t, '[^a-z0-9\\s]')) AS pc, nc FROM d),
-       q AS (SELECT doc_id,
-               0.4 * CAST(least(nw, 200) AS DOUBLE)/200.0
-             + 0.4 * CAST(sh AS DOUBLE)/CAST(greatest(nw, 1) AS DOUBLE)
-             + 0.2 * (1.0 - least(CAST(pc AS DOUBLE)/CAST(greatest(nc, 1) AS DOUBLE), 1.0)) AS quality
+       q AS (SELECT doc_id, $sqlQuality AS quality
              FROM c)
        SELECT CASE WHEN quality >= 0.45 THEN 'HIGH'
                    WHEN quality >= 0.30 THEN 'MEDIUM' ELSE 'LOW' END AS bucket,
