@@ -27,15 +27,28 @@ object Similarity {
   // ---------------------------------------------------------------
   // s01: exact cosine top-k — broadcast query set × one corpus pass.
   // ---------------------------------------------------------------
-  def s01(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val pairs = e.join(broadcast(queriesDf(e)), col("vec_id") =!= col("qid"))
+  /** Production face: exact cosine top-k of `queries` (qid, qe)
+    * against `corpus` (vec_id, embedding) — broadcast query set, one
+    * corpus pass, WindowGroupLimit rank pushdown. */
+  def annBruteForce(corpus: DataFrame, queries: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val s = corpus.sparkSession
+    val pairs = corpus.join(broadcast(queries), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         graft.plans.GraftFunctions.cosine(s, col("qe"), col("embedding")).as("cos"))
+    rankTopK(pairs, k)
+  }
+
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
     pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  def s01(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    annBruteForce(e, queriesDf(e))
   }
 
   val s01Sql: String =
@@ -127,24 +140,32 @@ object Similarity {
        SELECT qid, rank, vec_id, cos FROM r WHERE rank <= $TopK"""
   }
 
-  def s02(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val corpus = e.select(col("vec_id"), col("embedding"),
+  /** Production face: LSH-bucketed ANN of `queries` (qid, qe) against
+    * `corpus` (vec_id, embedding) — both sides banded with the same
+    * deterministic plane matrix, candidates from the (band, key)
+    * equi-join only. */
+  def annLsh(corpus: DataFrame, queries: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val s = corpus.sparkSession
+    val c = corpus.select(col("vec_id"), col("embedding"),
         explode(bandKeys(col("embedding"))).as("bk"))
       .select(col("vec_id"), col("embedding"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val q = corpus.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("band"), col("key"))
-    val pairs = corpus.join(broadcast(q), Seq("band", "key"))
+    val q = queries.select(col("qid"), col("qe"),
+        explode(bandKeys(col("qe"))).as("bk"))
+      .select(col("qid"), col("qe"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val pairs = c.join(broadcast(q), Seq("band", "key"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         graft.plans.GraftFunctions.cosine(s, col("qe"), col("embedding")).as("cos"))
       .distinct() // a pair may collide in several bands
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+    rankTopK(pairs, k)
+  }
+
+  def s02(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    annLsh(e, queriesDf(e))
   }
 
   // ---------------------------------------------------------------
@@ -167,13 +188,16 @@ object Similarity {
     * cap fails fast instead of silently OOMing the driver. */
   val MaxQueryRows = 10000
 
-  def s03(s: SparkSession, dir: String): DataFrame = {
+  /** Production face: IVF ANN of `queriesIn` (qid, qe) against
+    * `corpusIn` (vec_id, embedding). */
+  def annIvf(corpusIn: DataFrame, queriesIn: DataFrame,
+      k: Int = TopK): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.Vector
 
-    val e = Tables.embeddings(s, dir)
-      .withColumn("features", array_to_vector(col("embedding")))
+    val s = corpusIn.sparkSession
+    val e = corpusIn.withColumn("features", array_to_vector(col("embedding")))
     // Bounded training sample WITHOUT a full corpus pass (the old
     // count()+sample() pair read the corpus twice just to size a
     // fraction): LocalLimit short-circuits each partition scan at
@@ -199,9 +223,7 @@ object Similarity {
     // the driver from model metadata, broadcast back as a tiny DF)
     val centers: Array[(Int, Array[Double])] =
       model.clusterCenters.zipWithIndex.map { case (c: Vector, i) => (i, c.toArray) }
-    val queries = Tables.embeddings(s, dir)
-      .filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val queries = queriesIn
     import s.implicits._
     // collect at most cap+1 rows, then fail fast if over the cap —
     // never an unbounded driver collect
@@ -222,10 +244,12 @@ object Similarity {
       .select(col("qid"), col("vec_id"),
         graft.plans.GraftFunctions.cosine(s, col("qe"), col("embedding")).as("cos"))
       .distinct()
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+    rankTopK(cand, k)
+  }
+
+  def s03(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    annIvf(e, queriesDf(e))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

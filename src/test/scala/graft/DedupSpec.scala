@@ -119,6 +119,24 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall too low")
   }
 
+  test("ANN faces accept an explicit external query set") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    // exact copies of 3 corpus vectors, re-keyed as external queries
+    val q = e.filter(col("vec_id").isin(1L, 7L, 13L))
+      .select((col("vec_id") + 100000L).as("qid"), col("embedding").as("qe"))
+    val bf = Similarity.annBruteForce(e, q, k = 3).cache()
+    assert(bf.count() == 9) // 3 queries × k
+    // rank-1 neighbor of an exact copy is the original, cos ≈ 1
+    bf.filter(col("rank") === 1).collect().foreach { r =>
+      assert(r.getAs[Long]("qid") - 100000L == r.getAs[Long]("vec_id"))
+      assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-9)
+    }
+    // the LSH face buckets an exact copy identically → same rank-1
+    Similarity.annLsh(e, q, k = 1).collect().foreach { r =>
+      assert(r.getAs[Long]("qid") - 100000L == r.getAs[Long]("vec_id"))
+    }
+  }
+
   test("lsh bucket is deterministic across evaluations") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
     val b1 = e.select(col("vec_id"), Similarity.lshBucket(col("embedding")).as("b"))
