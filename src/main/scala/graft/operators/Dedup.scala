@@ -41,16 +41,9 @@ object Dedup {
   def shingles(text: Column, n: Int = ShingleN): Column =
     shinglesFromTokens(split(trim(lower(text)), "\\s+"), n)
 
-  /** doc_id → exploded distinct shingles (the inverted-index side).
-    * Uses the native Shingles expression — one fused loop per doc, no
-    * interpreted per-element lambdas (graft.plans.Shingles). */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(graft.plans.GraftFunctions.shingles(s, col("text"), ShingleN))
-          .as("shingle"))
-
-  /** SQL prologue producing the same doc_id×shingle set. */
+  /** SQL prologue producing the doc_id×shingle set (the inverted-index
+    * side; Spark builds it with the native Shingles expression inside
+    * jaccardPairs/minhashPairs). */
   private val shSql =
     """toks AS (
          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
@@ -64,11 +57,15 @@ object Dedup {
   // d01: exact dedup via canonical-fingerprint hash-groupBy — keep the
   // lowest doc_id per group. One shuffle on the digest.
   // ---------------------------------------------------------------
-  def d01(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  /** Production face: exact-dup groups of any (doc_id, text) frame. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  def d01(s: SparkSession, dir: String): DataFrame =
+    exactDedup(Tables.documents(s, dir))
 
   val d01Sql: String =
     """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
@@ -162,8 +159,18 @@ object Dedup {
   def hashA(i: Int): Long = 2L * ((i.toLong * 2654435761L) % 1048573L) + 1L
   def hashB(i: Int): Long = (i.toLong * 40503L) % 65521L
 
-  def d03(s: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(s, dir).cache()
+  def d03(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(Tables.documents(s, dir))
+
+  /** Production face: MinHash+LSH near-dup pairs of any (doc_id,
+    * text) frame. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val sh = docs
+      .select(col("doc_id"),
+        explode(graft.plans.GraftFunctions.shingles(s, col("text"), ShingleN))
+          .as("shingle"))
+      .cache()
     val base = conv(substring(md5(col("shingle")), 1, 15), 16, 10)
       .cast("long") % MinhashP
     val hv = sh.select(col("doc_id"), base.as("h"))
@@ -247,8 +254,13 @@ object Dedup {
     docs.select(col(docCol),
       graft.plans.GraftFunctions.simhash64(docs.sparkSession, col(textCol)).as("sim"))
 
-  def d04(s: SparkSession, dir: String): DataFrame = {
-    val docs = simhash(Tables.documents(s, dir))
+  def d04(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(s, dir))
+
+  /** Production face: SimHash hamming≤3 near-dup pairs of any
+    * (doc_id, text) frame. */
+  def simhashPairs(docsIn: DataFrame): DataFrame = {
+    val docs = simhash(docsIn)
     val banded = docs.select(col("doc_id"), col("sim"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
@@ -319,15 +331,22 @@ object Dedup {
   // ---------------------------------------------------------------
   val CosineThreshold = 0.4
 
-  def d05(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+  def d05(s: SparkSession, dir: String): DataFrame =
+    embeddingNearDup(Tables.embeddings(s, dir))
+
+  /** Production face: blocked cosine near-dup pairs of any (vec_id,
+    * embedding, label) frame — `label` is the blocking key (at scale:
+    * a coarse-quantizer cell id, e.g. from the s03 KMeans model). */
+  def embeddingNearDup(e: DataFrame,
+      threshold: Double = CosineThreshold): DataFrame = {
+    val s = e.sparkSession
     val a = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("ea"))
     val b = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("eb"))
     a.join(b, Seq("label"))
       .filter(col("a") < col("b"))
       .select(col("label"), col("a"), col("b"),
         graft.plans.GraftFunctions.cosine(s, col("ea"), col("eb")).as("cos"))
-      .filter(col("cos") >= CosineThreshold)
+      .filter(col("cos") >= threshold)
   }
 
   val d05Sql: String =
