@@ -37,6 +37,15 @@ object Fraud {
     val k = keys.map(col)
     val counts = df.select(k :+ col(value): _*)
       .groupBy(k :+ col(value): _*).agg(count(lit(1)).as("_c"))
+    groupMedianFromCounts(counts, keys, value, out)
+  }
+
+  /** Median from a pre-aggregated value-counts frame (keys, value,
+    * `_c`) — lets a caller that also needs moments reuse ONE shuffle
+    * for both (see RiskEngine.aggregateStats). */
+  def groupMedianFromCounts(counts: DataFrame, keys: Seq[String],
+      value: String, out: String): DataFrame = {
+    val k = keys.map(col)
     val w = Window.partitionBy(k: _*).orderBy(col(value).asc)
     val wc = Window.partitionBy(k: _*)
     counts

@@ -505,12 +505,21 @@ object RiskEngine {
         col("cpu"), col("ram"), col("gpu"))
 
     def statsOf(df: DataFrame, keys: Seq[String]): DataFrame = {
-      val agg = df.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("count"), sx(col("price")).as("_sx"),
-          sx(col("price") * col("price")).as("_sxx"))
+      // ONE value-counts shuffle feeds BOTH the moments and the
+      // median (the old shape scanned `df` twice — once for the agg,
+      // once inside groupMedian). Decimal sums weighted by the count
+      // are exactly the row-level sums (integer-weighted exact
+      // arithmetic), so outputs are bit-identical.
+      val counts = df.groupBy((keys.map(col) :+ col("price")): _*)
+        .agg(count(lit(1)).as("_c")).cache()
+      val agg = counts.groupBy(keys.map(col): _*)
+        .agg(sum(col("_c")).as("count"),
+          sum(col("price").cast("decimal(25,4)") * col("_c"))
+            .cast("double").as("_sx"),
+          sum((col("price") * col("price")).cast("decimal(25,4)") * col("_c"))
+            .cast("double").as("_sxx"))
         .filter(col("count") >= 2)
-      val med = Fraud.groupMedian(df.select((keys.map(col) :+ col("price")): _*),
-        keys, "price", "_med")
+      val med = Fraud.groupMedianFromCounts(counts, keys, "price", "_med")
       agg.join(med, keys)
         .select(keys.map(col) :+
           pyR(col("_sx") / col("count")).as("mean") :+
