@@ -36,11 +36,16 @@ object Corpus {
       .withColumn("quality", qualityScore(col("text")))
       .filter(col("pred_lang") =!= "und" && col("quality") >= MinQuality)
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
+    // cached: consumed twice (near-dup pairing AND the final anti
+    // join) — without the boundary the regex scoring, fingerprint and
+    // window shuffle would all run a second time. MEMORY_AND_DISK
+    // default spills rather than OOMs at corpus scale.
     val uniq = scored
       .withColumn("fp", fingerprint(col("text")))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "fp")
+      .cache()
     val drops = Dedup.jaccardPairs(uniq.select(col("doc_id"), col("text")), maxDf)
       .select(col("b").as("doc_id")).distinct()
     uniq.join(drops, Seq("doc_id"), "left_anti")

@@ -37,7 +37,8 @@ object Dedup {
 
   /** Convenience for single-expression use — tests / small inputs
     * ONLY: pays the repeated-split cost described above. Production
-    * paths stage the token array as a column (see docShingles). */
+    * paths use the native Shingles expression instead (one fused loop;
+    * see jaccardPairs / minhashPairs). */
   def shingles(text: Column, n: Int = ShingleN): Column =
     shinglesFromTokens(split(trim(lower(text)), "\\s+"), n)
 
@@ -292,13 +293,10 @@ object Dedup {
       .filter(col("tok") =!= "")
       .select(col("doc_id"),
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
-    val votes = toks.groupBy(col("doc_id")).agg(
-      (0 until SimBits).map(k =>
-        sum(when(shiftright(col("h"), k).bitwiseAND(1L) === 1L, 1).otherwise(-1))
-          .as(s"v$k")).head,
-      (0 until SimBits).map(k =>
-        sum(when(shiftright(col("h"), k).bitwiseAND(1L) === 1L, 1).otherwise(-1))
-          .as(s"v$k")).tail: _*)
+    val voteAggs = (0 until SimBits).map(k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1L) === 1L, 1).otherwise(-1))
+        .as(s"v$k"))
+    val votes = toks.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
     votes.select(col("doc_id"),
       (0 until SimBits).map(k =>
         when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)

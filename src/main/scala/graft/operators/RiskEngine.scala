@@ -504,6 +504,9 @@ object RiskEngine {
       .select(col("category"), col("cond"), col("price"),
         col("cpu"), col("ram"), col("gpu"))
 
+    val pinned = Seq.newBuilder[DataFrame]
+    pinned += routed
+
     def statsOf(df: DataFrame, keys: Seq[String]): DataFrame = {
       // ONE value-counts shuffle feeds BOTH the moments and the
       // median (the old shape scanned `df` twice — once for the agg,
@@ -512,6 +515,7 @@ object RiskEngine {
       // arithmetic), so outputs are bit-identical.
       val counts = df.groupBy((keys.map(col) :+ col("price")): _*)
         .agg(count(lit(1)).as("_c")).cache()
+      pinned += counts
       val agg = counts.groupBy(keys.map(col): _*)
         .agg(sum(col("_c")).as("count"),
           sum(col("price").cast("decimal(25,4)") * col("_c"))
@@ -560,7 +564,16 @@ object RiskEngine {
         lit(null).cast("double").as("median"),
         lit(null).cast("double").as("stdev"), col("count"))
 
-    segRows.union(compRows).union(flat)
+    // The stats output is model metadata (categories × conditions ×
+    // components — bounded regardless of input size), so materialize
+    // it EAGERLY and release the per-call pins: the routed frame and
+    // the value-counts scale with the input (distinct prices), and a
+    // lazy return would leave them pinned until session end — repeated
+    // generation would accumulate cached frames until LRU churn.
+    val out = segRows.union(compRows).union(flat).cache()
+    out.count()
+    pinned.result().foreach(_.unpersist(false))
+    out
   }
 
   // =================================================================
@@ -743,12 +756,17 @@ object RiskEngine {
     def child(o: com.fasterxml.jackson.databind.node.ObjectNode, k: String) =
       if (o.has(k)) o.get(k).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       else { val n = om.createObjectNode(); o.set(k, n); n }
+    // count as int while it fits (matching the reference artifact's
+    // node type), long beyond 2^31 — never a silent wrap
+    def putCount(n: com.fasterxml.jackson.databind.node.ObjectNode,
+        c: Long): Unit =
+      if (c <= Int.MaxValue) n.put("count", c.toInt) else n.put("count", c)
     def putStats(n: com.fasterxml.jackson.databind.node.ObjectNode,
         r: org.apache.spark.sql.Row): Unit = {
       n.put("mean", r.getAs[Double]("mean"))
       n.put("median", r.getAs[Double]("median"))
       n.put("stdev", r.getAs[Double]("stdev"))
-      n.put("count", r.getAs[Number]("count").longValue().toInt)
+      putCount(n, r.getAs[Number]("count").longValue())
     }
     val rows = statsRows.collect()
     // seg rows first so each (cat, cond) node exists with its
@@ -772,7 +790,7 @@ object RiskEngine {
         r.getAs[String]("comp_type") == null).foreach { r =>
       val n = child(root, r.getAs[String]("category"))
       n.put("mean", r.getAs[Double]("mean"))
-      n.put("count", r.getAs[Number]("count").longValue().toInt)
+      putCount(n, r.getAs[Number]("count").longValue())
     }
     val printer = new com.fasterxml.jackson.core.util.DefaultPrettyPrinter()
     printer.indentObjectsWith(

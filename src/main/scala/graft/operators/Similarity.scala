@@ -249,7 +249,12 @@ object Similarity {
 
   def s03(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    annIvf(e, queriesDf(e))
+    // the stride-derived query set grows with the corpus; bound it
+    // DETERMINISTICALLY (by id range, not limit — a limit would pick
+    // partition-order-dependent queries) so annIvf's driver-side cap
+    // never aborts the operator on its own default input
+    annIvf(e, queriesDf(e)
+      .filter(col("qid") < lit(QueryStride.toLong * MaxQueryRows)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -22,14 +22,17 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt >= 1)
-    // Scatter by a content hash of the whole row, not
-    // monotonically_increasing_id: the id depends on partition layout,
-    // so a post-shuffle task retry could route the same row to a
-    // different salt. (For an equi-join ANY salt yields the same join
-    // result — the content hash just makes routing genuinely stable,
-    // keeping the claim honest and shuffle files retry-reproducible.)
+    // Scatter on keys + monotonically_increasing_id. The id depends on
+    // partition layout, so routing is NOT stable under post-shuffle
+    // task retries — but for an equi-join that does not affect
+    // correctness: the small side is replicated to every salt, so a
+    // re-routed row still meets its match; only shuffle-file reuse is
+    // weaker. The id IS what makes the scatter unconditional: a
+    // content hash would collapse to one salt for duplicate rows (or
+    // key-only projections) — exactly the hot-key case salting exists
+    // for.
     val bigSalted = big.withColumn("_salt",
-      pmod(hash(big.columns.map(col).toSeq: _*), lit(salt)))
+      pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(salt)))
     val smallSalted = small.withColumn("_salt",
       explode(array((0 until salt).map(lit): _*)))
     bigSalted.join(smallSalted, keys :+ "_salt", joinType).drop("_salt")
