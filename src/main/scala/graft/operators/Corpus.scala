@@ -36,16 +36,17 @@ object Corpus {
       .withColumn("quality", qualityScore(col("text")))
       .filter(col("pred_lang") =!= "und" && col("quality") >= MinQuality)
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
-    // cached: consumed twice (near-dup pairing AND the final anti
-    // join) — without the boundary the regex scoring, fingerprint and
-    // window shuffle would all run a second time. MEMORY_AND_DISK
-    // default spills rather than OOMs at corpus scale.
+    // Deliberately NOT cached despite two consumers (near-dup pairing
+    // and the final anti join): each consumer reads a column-pruned
+    // narrow pass, and caching the full-width survivors measured
+    // SLOWER at sf0.1 (3.7 s → 5.0 s — cache write + lost pruning
+    // outweigh the repeated scoring). The pairing side additionally
+    // caches its own derived shingle frame inside jaccardPairs.
     val uniq = scored
       .withColumn("fp", fingerprint(col("text")))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "fp")
-      .cache()
     val drops = Dedup.jaccardPairs(uniq.select(col("doc_id"), col("text")), maxDf)
       .select(col("b").as("doc_id")).distinct()
     uniq.join(drops, Seq("doc_id"), "left_anti")

@@ -92,17 +92,11 @@ object Fraud {
       .filter(col("n") >= 2)
     val med = groupMedianFromCounts(counts, Seq("category", "cond"),
       "price", "median_price")
-    // output is bounded (brand × type); materialize eagerly so the
-    // value-counts pin can be released rather than held to session end
-    val out = agg.join(med, Seq("category", "cond"))
+    agg.join(med, Seq("category", "cond"))
       .select(col("category"), col("cond"), col("n"),
         (col("sx") / col("n")).as("mean_price"),
         col("median_price"),
         stdevCols(col("sx"), col("sxx"), col("n")).as("stdev_price"))
-      .cache()
-    out.count()
-    counts.unpersist(false)
-    out
   }
 
   val f01Sql: String =
