@@ -41,11 +41,17 @@ object Shingles {
   private val Spaces = java.util.regex.Pattern.compile("\\s+")
 
   /** Static entry point referenced by generated code. Tokenization is
-    * exactly Spark's `split(trim(lower(text)), "\s+")`: UTF8String
-    * toLowerCase + space-only trim, Pattern.split keeping trailing
-    * empties (limit -1). */
+    * exactly Spark's `split(trim(lower(text)), "\s+")`: the Lower
+    * expression's UTF8_BINARY path with ICU case mappings
+    * (spark.sql.icu.caseMappings.enabled defaults to true in Spark 4 —
+    * full context-sensitive lowercasing; UTF8String.toLowerCase or
+    * execBinary would do simple per-codepoint mapping and diverge on
+    * e.g. Greek final sigma), space-only trim, Pattern.split keeping
+    * trailing empties (limit -1). */
   def compute(text: UTF8String, n: Int): ArrayData = {
-    val toks = Spaces.split(text.toLowerCase.trim.toString, -1)
+    val lowered =
+      org.apache.spark.sql.catalyst.util.CollationSupport.Lower.execBinaryICU(text)
+    val toks = Spaces.split(lowered.trim.toString, -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0

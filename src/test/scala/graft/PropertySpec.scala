@@ -29,6 +29,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native graft_shingles equals the HOF formulation on adversarial text") {
+    // random texts biased toward tokenization edge cases: tabs,
+    // newlines, multiple/trailing/leading whitespace, unicode letters,
+    // empty and sub-n-token strings
+    val rnd = new Random(17)
+    val atoms = Seq("word", "Wort", "ação", "ΛΟΓΟΣ", "déjà", "x", "42",
+      " ", "  ", "\t", "\n", "\r", "")
+    val texts = (1 to 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(12)).map(_ =>
+        atoms(rnd.nextInt(atoms.length))).mkString(
+        if (rnd.nextBoolean()) " " else ""))
+    }
+    val df = texts.toDF("id", "text")
+    val both = df.select(
+      graft.plans.GraftFunctions.shingles(spark, col("text"), Dedup.ShingleN).as("native"),
+      Dedup.shingles(col("text")).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    both.foreach { case (n, h) => assert(n == h) } // values AND order
+  }
+
   test("groupMedian equals the naive sorted-middle median") {
     val rnd = new Random(11)
     val rows = for {
