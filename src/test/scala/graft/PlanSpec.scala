@@ -50,6 +50,20 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
 
+  test("q15/q16: custom joins stay equi-join shaped (no cross product)") {
+    // q15 as-of = union + running last-non-null over ONE shuffle;
+    // q16 interval = bounded day-bucket binning. Neither may regress
+    // to a cartesian/nested-loop plan — that's the difference between
+    // surviving 100x and not.
+    Seq("q15_asof_join", "q16_interval_join").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q went nested-loop")
+    }
+    val exchanges = "Exchange".r.findAllIn(plan("q15_asof_join")).length
+    assert(exchanges <= 2, s"q15 shuffles grew to $exchanges")
+  }
+
   test("all native functions are SQL-callable after registration") {
     graft.plans.GraftFunctions.register(spark)
     val r = spark.sql(
