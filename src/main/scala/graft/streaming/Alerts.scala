@@ -49,6 +49,35 @@ object Alerts {
       .select(col("w.start").as("wstart"), col("n_alerts"), col("max_risk"))
 
   // ---------------------------------------------------------------
+  // Stream-static enrichment: the poller enriches suspicious items
+  // with seller reputation before alerting (poller.py:652-661). In
+  // Structured Streaming that is a stream-static broadcast join —
+  // the static trust table is re-read per micro-batch (picking up
+  // refreshes) and joined without any stream-side state.
+  // ---------------------------------------------------------------
+
+  /** High-risk alert stream enriched with a static seller-trust frame
+    * (seller_id, trust_risk): items are alertable when their own risk
+    * clears `threshold` OR their combined item+seller risk clears
+    * `combinedThreshold` — the poller's "suspicious seller lowers the
+    * alarm bar" behavior. `events` needs (ts, item_id, seller_id,
+    * risk_score). */
+  def enrichedHighRiskAlerts(events: DataFrame, sellerTrust: DataFrame,
+      threshold: Int = 80, combinedThreshold: Int = 120,
+      windowLen: String = "10 minutes", watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(sellerTrust), Seq("seller_id"), "left")
+      .withColumn("_trust", coalesce(col("trust_risk"), lit(50)))
+      .filter(col("risk_score") >= threshold ||
+        col("risk_score") + col("_trust") >= combinedThreshold)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(count(lit(1)).as("n_alerts"), max(col("risk_score")).as("max_risk"),
+        max(col("risk_score") + col("_trust")).as("max_combined"))
+      .select(col("w.start").as("wstart"), col("n_alerts"),
+        col("max_risk"), col("max_combined"))
+
+  // ---------------------------------------------------------------
   // Stateful sessionization: gap-based sessions per key via
   // flatMapGroupsWithState with event-time timeout. State per key is
   // one open session — O(keys) state, watermark-expired.

@@ -38,6 +38,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: seller trust lowers the alert bar") {
+    implicit val sqlCtx = spark.sqlContext
+    val trust = Seq((10L, 90), (20L, 10)).toDF("seller_id", "trust_risk")
+    val input = MemoryStream[(Timestamp, Long, Long, Int)]
+    val q = Alerts.enrichedHighRiskAlerts(
+        input.toDF().toDF("ts", "item_id", "seller_id", "risk_score"), trust)
+      .writeStream.format("memory").queryName("enriched_alerts")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts(1), 1L, 10L, 40),  // 40 + 90 = 130 ≥ 120 → risky seller alerts
+        (ts(2), 2L, 20L, 40),  // 40 + 10 = 50 → no alert
+        (ts(3), 3L, 99L, 85),  // own risk ≥ 80; unknown seller defaults 50
+        (ts(4), 4L, 20L, 75))  // 75 + 10 = 85 → no alert
+      q.processAllAvailable()
+      input.addData((ts(59), 9L, 20L, 99)) // close the window
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT n_alerts, max_risk, max_combined FROM enriched_alerts ORDER BY wstart")
+        .collect()
+      assert(rows.nonEmpty)
+      assert(rows(0).getAs[Long]("n_alerts") == 2) // items 1 and 3
+      assert(rows(0).getAs[Int]("max_risk") == 85)
+      assert(rows(0).getAs[Int]("max_combined") == 135) // item 3: 85+50
+    } finally q.stop()
+  }
+
   test("stateful sessionization via flatMapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Alerts.Event]
