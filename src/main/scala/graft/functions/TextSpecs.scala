@@ -87,14 +87,20 @@ object TextSpecs {
         .map(kw => when(lo.contains(kw), 1).otherwise(0))
         .reduce(_ + _)
     }
+    // pre-map each line to (line, spammy) ONCE: lambda subtrees get no
+    // codegen subexpression elimination, so referencing spamHits(line)
+    // in both fold branches would run the 13-keyword scan twice per
+    // line of every description
+    val lines = transform(split(text, "\n", -1),
+      line => struct(line.as("line"), (spamHits(line) > 3).as("spammy")))
     val folded = aggregate(
-      split(text, "\n", -1),
+      lines,
       struct(lit(false).as("stopped"), lit(null).cast("string").as("acc")),
-      (st, line) => struct(
-        (st("stopped") || spamHits(line) > 3).as("stopped"),
-        when(st("stopped") || spamHits(line) > 3, st("acc"))
-          .when(st("acc").isNull, line)
-          .otherwise(concat(st("acc"), lit("\n"), line)).as("acc")))
+      (st, l) => struct(
+        (st("stopped") || l("spammy")).as("stopped"),
+        when(st("stopped") || l("spammy"), st("acc"))
+          .when(st("acc").isNull, l("line"))
+          .otherwise(concat(st("acc"), lit("\n"), l("line"))).as("acc")))
     coalesce(folded("acc"), lit(""))
   }
 

@@ -66,9 +66,14 @@ object Fraud {
 
   /** Sample stddev from decimal-exact Σx and Σx² — deterministic under
     * any partial-aggregation order, unlike a parallel Welford merge.
-    */
-  private def stdevCols(sx: Column, sxx: Column, n: Column): Column =
-    sqrt((sxx - sx * sx / n) / (n - 1))
+    * The variance is clamped at 0: for a zero-variance group the two
+    * independently-rounded doubles can differ by one ulp, and
+    * sqrt(negative) = NaN would then PASS every `stdev > 0` validity
+    * guard (Spark orders NaN above all values) where the Python
+    * reference's exact 0.0 correctly fails it. Shared by the fraud
+    * stats and the stats-generation engine. */
+  private[operators] def stdevCols(sx: Column, sxx: Column, n: Column): Column =
+    sqrt(greatest(sxx - sx * sx / n, lit(0.0)) / (n - 1))
 
   // ---------------------------------------------------------------
   // f01: market stats per (category, condition) — the analog of
@@ -111,7 +116,7 @@ object Fraud {
        m AS (SELECT category, cond, sum(price)/count(*) AS median_price
              FROM r WHERE rn = (cnt+1)//2 OR rn = (cnt+2)//2 GROUP BY 1,2)
        SELECT a.category, a.cond, n, sx/n AS mean_price, median_price,
-              sqrt((sxx - sx*sx/n)/(n-1)) AS stdev_price
+              sqrt(greatest(sxx - sx*sx/n, 0)/(n-1)) AS stdev_price
        FROM a JOIN m USING (category, cond)"""
 
   // ---------------------------------------------------------------
@@ -133,9 +138,9 @@ object Fraud {
   val f02Sql: String =
     """SELECT p_type AS cond, p_size AS component, count(*) AS n,
        CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*) AS mean_price,
-       sqrt((CAST(sum(CAST(p_retailprice*p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
+       sqrt(greatest(CAST(sum(CAST(p_retailprice*p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
              - CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
-               * CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*))
+               * CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*), 0)
             /(count(*)-1)) AS stdev_price
        FROM part GROUP BY 1,2 HAVING count(*) >= 2"""
 
@@ -232,23 +237,23 @@ object Fraud {
   private val f04Ctes: String =
     """WITH s1 AS (SELECT p_type, p_size,
            CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*) AS s1_mean,
-           sqrt((CAST(sum(CAST(p_retailprice*p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
+           sqrt(greatest(CAST(sum(CAST(p_retailprice*p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
                  - CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
-                   * CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*))
+                   * CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*), 0)
                 /(count(*)-1)) AS s1_stdev
          FROM part GROUP BY 1,2 HAVING count(*) >= 2),
        s2 AS (SELECT p_type, p_brand,
            CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*) AS s2_mean,
-           sqrt((CAST(sum(CAST(p_retailprice*p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
+           sqrt(greatest(CAST(sum(CAST(p_retailprice*p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
                  - CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
-                   * CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*))
+                   * CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*), 0)
                 /(count(*)-1)) AS s2_stdev
          FROM part GROUP BY 1,2 HAVING count(*) >= 2),
        s3 AS (SELECT p_type,
            CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*) AS s3_mean,
-           sqrt((CAST(sum(CAST(p_retailprice*p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
+           sqrt(greatest(CAST(sum(CAST(p_retailprice*p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
                  - CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
-                   * CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*))
+                   * CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*), 0)
                 /(count(*)-1)) AS s3_stdev
          FROM part GROUP BY 1 HAVING count(*) >= 2),
        j AS (SELECT p.*,
@@ -567,7 +572,11 @@ object Fraud {
   def f04WithFactors(s: SparkSession, dir: String): DataFrame = {
     val base = f04(s, dir)
     val p = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
-    base.join(broadcast(p), Seq("p_partkey"))
+    // NO broadcast hint: part is the fact table — a hint would bypass
+    // autoBroadcastJoinThreshold and collect the whole table to the
+    // driver at scale. Let AQE pick (broadcast at test SF, sort-merge
+    // on the co-keyed fact at 100 TB).
+    base.join(p, Seq("p_partkey"))
       .withColumn("risk_factors", filter(array(
         when(col("price") < 5.0, "Symbolic Price"),
         when(col("price") >= 5.0 && col("composite_z") < -1.5, "Statistically Cheap"),

@@ -253,29 +253,22 @@ object Relational {
   // engine (native median/percentile implementations interpolate
   // with engine-specific FP orderings).
   // ---------------------------------------------------------------
-  /** Exact median via value-counts + cumulative-range selection: the
-    * combiner-friendly groupBy carries the weight; the window runs
-    * over distinct values only. A raw row_number window would sort
-    * all rows in as many tasks as there are groups (3 here) — this
-    * shape survives a 100× scale-up (see Fraud.groupMedian). */
+  /** Exact median via value-counts + cumulative-range selection
+    * (shared Fraud.groupMedianFromCounts — the combiner-friendly
+    * groupBy carries the weight; the window runs over distinct values
+    * only. A raw row_number window would sort all rows in as many
+    * tasks as there are groups — 3 here — while this shape survives a
+    * 100× scale-up). One value-counts shuffle feeds both the median
+    * and the group sizes. */
   def q11(s: SparkSession, dir: String): DataFrame = {
-    val key = col("l_returnflag")
-    val w = Window.partitionBy(key).orderBy(col("l_extendedprice").asc)
-    val wc = Window.partitionBy(key)
-    Tables.lineitem(s, dir)
-      .groupBy(key, col("l_extendedprice")).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(w))
-      .withColumn("cnt", sum(col("c")).over(wc))
-      .withColumn("m1", ((col("cnt") + 1) / 2).cast("long"))
-      .withColumn("m2", ((col("cnt") + 2) / 2).cast("long"))
-      .filter((col("m1") > col("cum") - col("c") && col("m1") <= col("cum")) ||
-        (col("m2") > col("cum") - col("c") && col("m2") <= col("cum")))
-      .withColumn("w",
-        when(col("m1") > col("cum") - col("c") && col("m1") <= col("cum"), 1).otherwise(0) +
-          when(col("m2") > col("cum") - col("c") && col("m2") <= col("cum"), 1).otherwise(0))
-      .groupBy(key)
-      .agg((sum(col("l_extendedprice") * col("w")) / 2.0).as("median_price"),
-        max(col("cnt")).as("n"))
+    val counts = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("_c")).cache()
+    val med = Fraud.groupMedianFromCounts(counts, Seq("l_returnflag"),
+      "l_extendedprice", "median_price")
+    val n = counts.groupBy(col("l_returnflag")).agg(sum(col("_c")).as("n"))
+    med.join(n, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("median_price"), col("n"))
   }
 
   val q11Sql: String =

@@ -132,7 +132,8 @@ object RiskEngine {
   }
 
   private def scoreItemsResolved(items: DataFrame,
-      segs: Seq[SegStats], comps: Seq[CompStats]): DataFrame = {
+      segs: Seq[SegStats], comps: Seq[CompStats],
+      passthrough: Seq[String] = Nil): DataFrame = {
     val staged = stagedScore(
       TextSpecs.withSpecs(items, col("title"), col("description")), segs, comps)
 
@@ -141,7 +142,7 @@ object RiskEngine {
     // Python-round parity on the rounded output fields (see PyRound)
     def pyRound2(c: Column): Column = graft.plans.GraftFunctions.pyRound(s, c, 2)
 
-    staged.select(
+    staged.select(Seq(
       col("item_id"), col("title"), price.as("price"),
       col("cpu"), col("ram"), col("gpu"),
       // symbolic price reports the sentinel category (poller.py:401)
@@ -151,6 +152,7 @@ object RiskEngine {
       when(price < 5.0, 0.0).otherwise(pyRound2(col("_est"))).as("estimated_value"),
       when(price < 5.0, 0).otherwise(least(col("_score"), lit(100))).as("risk_score"),
       when(price < 5.0, array(lit("Symbolic Price"))).otherwise(col("_factors")).as("risk_factors"))
+      ++ passthrough.map(col): _*)
   }
 
   /** Join + score arithmetic over a frame that ALREADY carries the
@@ -254,8 +256,9 @@ object RiskEngine {
       .filter(col("price") >= 1.0 || col("corrected"))
       .drop("_hidden")
     val (segs, comps) = statsFromRows(statsRows)
-    scoreItemsResolved(prepared, segs, comps)
-      .join(prepared.select(col("item_id"), col("corrected")), Seq("item_id"))
+    // `corrected` rides through the scoring projection — the old
+    // self-join re-evaluated the hidden-price regexes in a second scan
+    scoreItemsResolved(prepared, segs, comps, passthrough = Seq("corrected"))
   }
 
   /** Stats-file location for the driver faces: overridable via
@@ -485,8 +488,9 @@ object RiskEngine {
     * oracle face, where raw doubles compare exactly across engines). */
   def aggregateStats(routed0: DataFrame, pyR: Column => Column): DataFrame = {
     def sx(c: Column): Column = sum(c.cast("decimal(25,4)")).cast("double")
+    // shared clamped formula — see Fraud.stdevCols for the NaN hazard
     def stdev(sxC: Column, sxxC: Column, n: Column): Column =
-      sqrt((sxxC - sxC * sxC / n) / (n - 1))
+      Fraud.stdevCols(sxC, sxxC, n)
 
     // Cache boundary AFTER routing: the cond/segment/route columns are
     // regex-heavy (condition + market-segment detection over the raw
@@ -682,7 +686,7 @@ object RiskEngine {
        seg_rows AS (SELECT pa.category, pa.cond AS condition,
                 CAST(NULL AS VARCHAR) AS comp_type, CAST(NULL AS VARCHAR) AS comp_name,
                 sx/n AS mean, med AS median,
-                sqrt((sxx - sx*sx/n)/(n-1)) AS stdev, n AS "count"
+                sqrt(greatest(sxx - sx*sx/n, 0)/(n-1)) AS stdev, n AS "count"
               FROM pa JOIN pm ON pa.category = pm.category AND pa.cond = pm.cond),
        comp AS (SELECT category, cond, 'cpu' AS comp_type, cpu AS comp_name, price
                   FROM prime WHERE cpu IS NOT NULL
@@ -700,7 +704,7 @@ object RiskEngine {
               WHERE rn = (cnt+1)//2 OR rn = (cnt+2)//2 GROUP BY 1,2,3,4),
        comp_rows AS (SELECT ca.category, ca.cond AS condition, ca.comp_type, ca.comp_name,
                 sx/n AS mean, med AS median,
-                sqrt((sxx - sx*sx/n)/(n-1)) AS stdev, n AS "count"
+                sqrt(greatest(sxx - sx*sx/n, 0)/(n-1)) AS stdev, n AS "count"
               FROM ca JOIN cm ON ca.category = cm.category AND ca.cond = cm.cond
                 AND ca.comp_type = cm.comp_type AND ca.comp_name = cm.comp_name),
        flat_rows AS (SELECT route AS category, CAST(NULL AS VARCHAR) AS condition,

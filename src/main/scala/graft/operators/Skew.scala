@@ -22,6 +22,12 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt >= 1)
+    // right/full outer would emit each unmatched small-side row once
+    // PER SALT replica — fail fast instead of corrupting results
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only, got $joinType " +
+        "(the small side is replicated per salt)")
     // Scatter on keys + monotonically_increasing_id. The id depends on
     // partition layout, so routing is NOT stable under post-shuffle
     // task retries — but for an equi-join that does not affect

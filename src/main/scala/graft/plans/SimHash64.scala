@@ -34,10 +34,17 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
 
 object SimHash64 {
   private val Seed = 42L // Spark's xxhash64 default seed
+  private val Spaces = java.util.regex.Pattern.compile("\\s+")
 
-  /** Static entry point referenced by generated code. */
+  /** Static entry point referenced by generated code. Lowercasing goes
+    * through Spark's ICU path (like the Shingles expression) — Java's
+    * String.toLowerCase is LOCALE-SENSITIVE, so a Turkish-locale
+    * executor would lowercase 'I' to dotless ı and compute a different
+    * signature for the same document than its peers. */
   def compute(text: UTF8String): Long = {
-    val toks = text.toString.toLowerCase.trim.split("\\s+")
+    val lowered = org.apache.spark.sql.catalyst.util.CollationSupport
+      .Lower.execBinaryICU(text)
+    val toks = Spaces.split(lowered.trim.toString, -1)
     val counts = new Array[Int](64)
     var n = 0
     var t = 0
