@@ -59,6 +59,19 @@ CASES = [
     ("pc gamer i5-10400f", "gtx 1650 16gb"),
     ("ultrabook lg gram 17", "i7 16gb 1tb"),
     ("portatil tara pantalla", "i5 8gb funciona con pantalla externa rota"),
+    # staged-extraction edge cases (cpu/gpu/ram scan staging refactor):
+    ("macbook m1 o intel i5", "dudas entre ambos"),        # intel mention vetoes apple-M
+    ("portatil intel sin modelo", ""),                     # brand without model → no cpu
+    ("portatil ryzen-7 con ryzen 5 tambien", ""),          # dashed ryzen + best-of-two
+    ("intel core-i7 portatil", "core i5 y tambien i3"),    # core-prefix drop quirk
+    ("geforce gtx 1050 torre", ""),                        # geforce → NVIDIA brand
+    ("portatil mx450 fino", ""),                           # MX-series gpu
+    ("surface pro x sq1", ""),                             # qualcomm sq1
+    ("macbook m3 max 36gb", ""),                           # m3 max multiword model
+    ("portatil gaming i7 128gb", "tambien 16gb ram"),      # over-cap ram re-extract
+    ("portatil amd", "radeon rx 6600"),                    # amd gpu via rx
+    ("chromebook i7 potente", "pentium silver en realidad"), # chromebook downgrade→pentium
+    ("torre xeon con quadro p2000", "workstation"),        # xeon + quadro pair
 ]
 
 
