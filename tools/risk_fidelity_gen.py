@@ -49,6 +49,17 @@ CASES = [
     (23, "workstation zbook quadro i7 32gb", "estacion de trabajo profesional revisada", 500.0),
     (24, "macbook air m1 16gb", "como nuevo apenas usado con cargador original", 420.0),
     (25, "pc gamer i5 gtx 1650 16gb", "torre gaming completa funcionando", 280.0),
+    # edge sweep: fallback chains, boundary prices, mixed signals
+    (26, "macbook m1 o intel i5", "dudas entre ambos va fino", 300.0),     # apple veto under scoring
+    (27, "portatil gaming i7 128gb", "tambien 16gb ram instalada", 450.0), # over-cap ram re-extract
+    (28, "portatil i7", "corto", 250.0),                                   # short desc, price just over 200
+    (29, "portatil i7", "corto", 199.0),                                   # short desc, under the 200 gate
+    (30, "chromebook i7 32gb", "celeron n4020 en realidad nuevo precintado", 150.0), # downgrade + NEW fallback
+    (31, "surface pro x sq1 8gb", "como nuevo con teclado", 280.0),        # qualcomm path
+    (32, "portatil generico", "whatsapp 612345678 nuevo precintado", 4.99),# symbolic price trumps everything
+    (33, "torre xeon quadro p2000 32gb", "nuevo a estrenar", 400.0),       # workstation NEW fallback
+    (34, "macbook pro m3 max 36gb", "impecable", 2500.0),                  # multiword apple model
+    (35, "portatil ryzen-7 rtx 3060", "contactar por wasap", 350.0),       # dashed ryzen + contact keyword
 ]
 
 
