@@ -61,6 +61,19 @@ def mk_items():
         add("ordenador sin especificar", "sin detalles tecnicos", p)
     # JUNK — dropped entirely
     add("portatil gaming i9", "precio disparatado", 25000.0)
+    # edge sweep:
+    # api condition has_given_it_all → BROKEN route even with specs
+    add("portatil dell i5 8gb", "funciona", 110.0, api_cond="has_given_it_all")
+    # api 'used_worn' (unmapped) → USED
+    add("thinkpad i5 8gb", "algo gastado", 160.0, api_cond="used_worn")
+    # zero-variance group: two identical prices (stdev must be exactly 0
+    # in the reference; the Spark side's clamped formula must agree)
+    add("imac 24 apple m1 8gb", "perfecto estado", 777.0)
+    add("imac 24 apple m1 8gb", "perfecto estado", 777.0)
+    # UNCERTAIN via segment (no cpu AND no ram even at normal price)
+    add("ordenador de mesa completo", "monitor incluido sin datos", 220.0)
+    # BROKEN text + NEW api: api wins (NEW)
+    add("macbook pro m3 16gb", "no enciende para piezas", 880.0, api_cond="new")
     return items
 
 
