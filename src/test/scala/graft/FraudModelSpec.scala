@@ -21,6 +21,23 @@ class FraudModelSpec extends SparkSpec {
     assert(auc > 0.85, s"AUC $auc too low — features carry the signal")
   }
 
+  test("model artifact round-trip: save -> load -> identical predictions") {
+    // the ML analog of the market_stats.json artifact: the trained
+    // PipelineModel persists through the Hadoop FS API and reloads to
+    // the exact same scoring function (cluster-deployable artifact)
+    val f = FraudModel.features(spark, sf("sf0.001"))
+    val model = FraudModel.pipeline().fit(f)
+    val path = java.nio.file.Files.createTempDirectory("graft-model")
+      .resolve("fraud-lr").toString
+    model.write.overwrite().save(path)
+    val loaded = org.apache.spark.ml.PipelineModel.load(path)
+    val want = model.transform(f).select("p_partkey", "prediction", "probability")
+      .collect().map(_.toString).sorted
+    val got = loaded.transform(f).select("p_partkey", "prediction", "probability")
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(want))
+  }
+
   test("trainAndScore is deterministic across runs") {
     val a = FraudModel.trainAndScore(spark, sf("sf0.001"))
       .select("p_partkey", "prediction")
