@@ -50,9 +50,15 @@ class SourcesSpec extends SparkSpec {
     assert(removed.toSet == Set("dt=2026-01-01"))
     val left = spark.read.parquet(dir)
     assert(left.count() == 2)
-    // partition pruning still works on the surviving layout
+    // partition pruning still works on the surviving layout — and it
+    // must be PLAN-level pruning (PartitionFilters on the scan), not a
+    // post-scan filter: at 100 TB this is the difference between
+    // reading one day and reading the whole table
     val pruned = left.filter(col("dt") === "2026-02-01")
     assert(pruned.count() == 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(dt"),
+      s"dt filter not pushed to partition pruning:\n$plan")
   }
 
   test("bucketed tables join without a shuffle exchange") {
