@@ -33,6 +33,14 @@ object Ingest {
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
 
+  /** ORC read/write — the columnar alternative to parquet for
+    * warehouse interop; same pushdown/pruning behavior. */
+  def readOrc(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Date-partitioned parquet write — the rollover analog: one
     * partition directory per day keyed by `tsCol`, so retention and
     * time-range queries are partition-prune operations. */

@@ -36,6 +36,17 @@ class SourcesSpec extends SparkSpec {
     assert(back.as[(Long, String, Double)].collect().toSeq == Seq((1L, "x,y", 1.5)))
   }
 
+  test("ORC roundtrip with pushdown reaching the scan") {
+    val dir = tmp() + "/orc"
+    val df = (1L to 100L).map(i => (i, s"n$i", i * 1.5)).toDF("id", "name", "price")
+    Ingest.writeOrc(df, dir)
+    val back = Ingest.readOrc(spark, dir, schema).filter(col("id") > 90)
+    assert(back.count() == 10)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90"),
+      s"filter not pushed to ORC scan:\n$plan")
+  }
+
   test("date-partitioned write + retention expiry (ILM analog)") {
     val dir = tmp() + "/part"
     val df = Seq(
