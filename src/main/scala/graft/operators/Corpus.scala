@@ -43,7 +43,8 @@ object Corpus {
     // outweigh the repeated scoring). The pairing side additionally
     // caches its own derived shingle frame inside jaccardPairs.
     val uniq = scored
-      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("fp", graft.plans.GraftFunctions.fingerprint(
+        docs.sparkSession, col("text")))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "fp")

@@ -58,10 +58,13 @@ object Dedup {
   // d01: exact dedup via canonical-fingerprint hash-groupBy — keep the
   // lowest doc_id per group. One shuffle on the digest.
   // ---------------------------------------------------------------
-  /** Production face: exact-dup groups of any (doc_id, text) frame. */
+  /** Production face: exact-dup groups of any (doc_id, text) frame.
+    * Uses the native fingerprint expression (one fused canonicalize +
+    * md5 loop; property-pinned equal to the Column form). */
   def exactDedup(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"),
+        graft.plans.GraftFunctions.fingerprint(docs.sparkSession, col("text")).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 

@@ -114,7 +114,8 @@ object TextOps {
   // ---------------------------------------------------------------
   def t04(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+      .select(col("doc_id"),
+        graft.plans.GraftFunctions.fingerprint(s, col("text")).as("fp"),
         col("n_chars"))
 
   val t04Sql: String =

@@ -77,6 +77,7 @@ object GraftFunctions {
 
   val PyRoundName = "graft_pyround"
   val ShinglesName = "graft_shingles"
+  val FingerprintName = "graft_fingerprint"
 
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     (CosineName, classOf[CosineSimilarity].getName,
@@ -88,7 +89,9 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Number].intValue())),
     (ShinglesName, classOf[Shingles].getName,
       exprs => Shingles(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+        exprs(1).eval().asInstanceOf[Number].intValue())),
+    (FingerprintName, classOf[Fingerprint].getName,
+      exprs => Fingerprint(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     registry.foreach { case (name, clazz, builder) =>
@@ -124,6 +127,11 @@ object GraftFunctions {
   def shingles(spark: SparkSession, text: Column, n: Int): Column = {
     register(spark)
     call_function(ShinglesName, text, org.apache.spark.sql.functions.lit(n))
+  }
+
+  def fingerprint(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function(FingerprintName, text)
   }
 }
 

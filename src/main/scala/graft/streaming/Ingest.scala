@@ -34,7 +34,8 @@ object Ingest {
   def dedupStream(input: DataFrame, tsCol: String = "ts",
       textCol: String = "text", watermark: String = "10 minutes"): DataFrame =
     input
-      .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("fp", graft.plans.GraftFunctions.fingerprint(
+        input.sparkSession, col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 

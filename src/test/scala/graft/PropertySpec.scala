@@ -49,6 +49,23 @@ class PropertySpec extends SparkSpec {
     both.foreach { case (n, h) => assert(n == h) } // values AND order
   }
 
+  test("native graft_fingerprint equals the Column formulation on adversarial text") {
+    val rnd = new Random(23)
+    val atoms = Seq("Word", "w0rd", "ação", "ΛΟΓΟΣ", "déjà", "x!", "4-2",
+      "a,b", " ", "  ", "\t", "\n", "…", "€9", "")
+    val texts = (1 to 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(10)).map(_ =>
+        atoms(rnd.nextInt(atoms.length))).mkString(
+        if (rnd.nextBoolean()) " " else ""))
+    }
+    val df = texts.toDF("id", "text")
+    val both = df.select(
+      graft.plans.GraftFunctions.fingerprint(spark, col("text")).as("native"),
+      TextAnalysis.fingerprint(col("text")).as("hof"))
+      .as[(String, String)].collect()
+    both.foreach { case (n, h) => assert(n == h) }
+  }
+
   test("groupMedian equals the naive sorted-middle median") {
     val rnd = new Random(11)
     val rows = for {
