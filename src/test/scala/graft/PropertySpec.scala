@@ -52,7 +52,7 @@ class PropertySpec extends SparkSpec {
   test("native graft_fingerprint equals the Column formulation on adversarial text") {
     val rnd = new Random(23)
     val atoms = Seq("Word", "w0rd", "ação", "ΛΟΓΟΣ", "déjà", "x!", "4-2",
-      "a,b", " ", "  ", "\t", "\n", "…", "€9", "")
+      "a,b", " ", "  ", "\t", "\n", "…", "€9", "🙂", "")
     val texts = (1 to 300).map { i =>
       (i.toLong, (0 until rnd.nextInt(10)).map(_ =>
         atoms(rnd.nextInt(atoms.length))).mkString(
