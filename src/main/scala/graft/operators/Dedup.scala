@@ -175,8 +175,10 @@ object Dedup {
         explode(graft.plans.GraftFunctions.shingles(s, col("text"), ShingleN))
           .as("shingle"))
       .cache()
-    val base = conv(substring(md5(col("shingle")), 1, 15), 16, 10)
-      .cast("long") % MinhashP
+    // native 60-bit md5 prefix: same value as
+    // conv(substring(md5(shingle),1,15),16,10) without the hex string
+    // round-trip (property-pinned)
+    val base = graft.plans.GraftFunctions.md5Prefix60(s, col("shingle")) % MinhashP
     val hv = sh.select(col("doc_id"), base.as("h"))
     // signature AND set size from ONE groupBy (sizes are needed again
     // for Jaccard verification — a second shuffle over the shingle set
@@ -295,7 +297,7 @@ object Dedup {
         explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .select(col("doc_id"),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+        graft.plans.GraftFunctions.md5Prefix60(s, col("tok")).as("h"))
     val voteAggs = (0 until SimBits).map(k =>
       sum(when(shiftright(col("h"), k).bitwiseAND(1L) === 1L, 1).otherwise(-1))
         .as(s"v$k"))

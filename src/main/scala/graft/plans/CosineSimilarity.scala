@@ -78,6 +78,7 @@ object GraftFunctions {
   val PyRoundName = "graft_pyround"
   val ShinglesName = "graft_shingles"
   val FingerprintName = "graft_fingerprint"
+  val Md5Prefix60Name = "graft_md5prefix60"
 
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     (CosineName, classOf[CosineSimilarity].getName,
@@ -91,7 +92,9 @@ object GraftFunctions {
       exprs => Shingles(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue())),
     (FingerprintName, classOf[Fingerprint].getName,
-      exprs => Fingerprint(exprs.head)))
+      exprs => Fingerprint(exprs.head)),
+    (Md5Prefix60Name, classOf[Md5Prefix60].getName,
+      exprs => Md5Prefix60(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     registry.foreach { case (name, clazz, builder) =>
@@ -132,6 +135,11 @@ object GraftFunctions {
   def fingerprint(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function(FingerprintName, text)
+  }
+
+  def md5Prefix60(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function(Md5Prefix60Name, text)
   }
 }
 

@@ -66,6 +66,18 @@ class PropertySpec extends SparkSpec {
     both.foreach { case (n, h) => assert(n == h) }
   }
 
+  test("native md5 prefix equals the hex-conv formulation") {
+    val rnd = new Random(29)
+    val texts = (1 to 300).map(i =>
+      (i.toLong, rnd.alphanumeric.take(rnd.nextInt(40)).mkString + "é🙂"))
+      .toDF("id", "t")
+    val both = texts.select(
+      graft.plans.GraftFunctions.md5Prefix60(spark, col("t")).as("native"),
+      conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("hexconv"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (n, h) => assert(n == h) }
+  }
+
   test("groupMedian equals the naive sorted-middle median") {
     val rnd = new Random(11)
     val rows = for {
