@@ -89,6 +89,14 @@ HIDDEN_PRICE_CASES = [
     ("portatil", "precio:1000euros"),
     ("vendo 350,50 euros", ""),                # decimals in structured
     ("portatil barato", "sin menciones"),
+    # boundary sweep
+    ("oferta 20 euros", "simbolico"),          # structured == 20 (boundary)
+    ("oferta 21 euros", "simbolico"),          # structured just over
+    ("portatil", "50 euros"),                  # loose == 50 (boundary)
+    ("portatil", "5000 euros"),                # loose == 5000 (boundary)
+    ("precio 4999 euros", ""),                 # structured high but valid
+    ("portatil", "100 euros o mejor 100 euros"), # duplicate mentions
+    ("vendo por 99,99 euros", "otros 50 euros"), # decimal structured + loose
 ]
 
 
