@@ -257,12 +257,114 @@ object Similarity {
       .filter(col("qid") < lit(QueryStride.toLong * MaxQueryRows)))
   }
 
+  // ---------------------------------------------------------------
+  // s03b: IVF core semantics with a PINNED codebook — the same
+  // cell-assign / probe / rank dataflow as s03, but the coarse
+  // quantizer is a deterministic ±1 sign-pattern codebook (Murmur-
+  // derived, inlined as literals in BOTH engines) instead of trained
+  // KMeans centroids. This makes the whole IVF pipeline DuckDB-
+  // replayable bit-for-bit (KMeans itself is engine-specific — s03
+  // stays recall-gated), and it is FULLY distributed: assignment is a
+  // narrow fold-argmax map, probe lists come from a window over a
+  // 16-row-per-query explode — no driver-side centroid collect at all.
+  // ---------------------------------------------------------------
+  val CoreCells = 16
+  val CoreProbes = 4
+
+  /** codebook cell c, component d → ±1; seed tuple disjoint from
+    * `planeSign`'s so the codebook is decorrelated from the s02
+    * hyperplanes. */
+  def centroidSign(c: Int, d: Int): Int =
+    if ((scala.util.hashing.MurmurHash3.productHash((7, c, d)) & 1) == 1) 1 else -1
+
+  private def centroidLit(c: Int): Column =
+    typedLit((0 until Dim).map(d => centroidSign(c, d).toFloat).toArray)
+      .cast("array<float>")
+
+  /** Production face: IVF ANN of `queries` (qid, qe) against `corpus`
+    * (vec_id, embedding) over the pinned codebook. Each corpus vector
+    * lands in exactly ONE cell (argmax cosine, earliest cell wins
+    * ties), so probe candidates need no dedup. */
+  def annIvfCore(corpus: DataFrame, queries: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val s = corpus.sparkSession
+    // all-cells cosine as ONE array column: the 16 codegen'd cosines
+    // are materialized once, and the argmax folds over cheap element
+    // refs instead of duplicating cosine subtrees (when/otherwise
+    // folds double their branch tree per level)
+    def cellCos(v: Column): Column =
+      array((0 until CoreCells).map(c =>
+        graft.plans.GraftFunctions.cosine(s, v, centroidLit(c))): _*)
+    val assigned = corpus
+      .withColumn("_d", cellCos(col("embedding")))
+      // first occurrence of the max → smallest cell id on exact ties,
+      // matching the oracle's ORDER BY cos DESC, cell ASC
+      .withColumn("cell",
+        (array_position(col("_d"), array_max(col("_d"))) - 1).cast("int"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos").desc, col("cell").asc)
+    val probes = queries
+      .select(col("qid"), col("qe"), posexplode(cellCos(col("qe"))))
+      .withColumnsRenamed(Map("pos" -> "cell", "col" -> "qcos"))
+      .withColumn("_pr", row_number().over(wq))
+      .filter(col("_pr") <= CoreProbes)
+      .select(col("qid"), col("qe"), col("cell"))
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.plans.GraftFunctions.cosine(s, col("qe"), col("embedding")).as("cos"))
+    rankTopK(cand, k)
+  }
+
+  def s03b(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    annIvfCore(e, queriesDf(e))
+  }
+
+  /** DuckDB replay of s03b: the ±1 codebook is inlined as a VALUES
+    * table; assignment and probe ranking are row_number argmax/top-N
+    * over the corpus × codebook cross (16 rows per vector — the same
+    * work the Spark fold does). Numeric-only interpolation. */
+  lazy val s03bSql: String = {
+    def cvLit(c: Int): String =
+      (0 until Dim).map(d => centroidSign(c, d).toString)
+        .mkString("[", ",", "]") + "::DOUBLE[]"
+    val centRows = (0 until CoreCells).map(c => s"($c, ${cvLit(c)})").mkString(",\n         ")
+    s"""WITH cent(cell, cv) AS (VALUES
+         $centRows),
+       ec AS (SELECT e.vec_id, e.embedding, c.cell,
+                list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv), x -> x[1]*x[2]))
+                / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))
+                 * sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS ccos
+              FROM embeddings e CROSS JOIN cent c),
+       asg AS (SELECT vec_id, embedding, cell FROM
+               (SELECT vec_id, embedding, cell,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+                FROM ec) WHERE rn = 1),
+       qp AS (SELECT qid, qe, cell FROM
+              (SELECT vec_id AS qid, embedding AS qe, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS pr
+               FROM ec WHERE vec_id % $QueryStride = 0) WHERE pr <= $CoreProbes),
+       cand AS (SELECT qid, a.vec_id,
+                  list_sum(list_transform(list_zip(qe::DOUBLE[], a.embedding::DOUBLE[]), x -> x[1]*x[2]))
+                  / (sqrt(list_sum(list_transform(qe::DOUBLE[], x -> x*x)))
+                   * sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))) AS cos
+                FROM asg a JOIN qp USING (cell) WHERE a.vec_id <> qp.qid),
+       r AS (SELECT qid, vec_id, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+             FROM cand)
+       SELECT qid, rank, vec_id, cos FROM r WHERE rank <= $TopK"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
-    "s03_ann_ivf" -> (s03 _))
+    "s03_ann_ivf" -> (s03 _),
+    "s03b_ivf_core" -> (s03b _))
 
   val oracles: Map[String, String] = Map(
     "s01_ann_bruteforce" -> s01Sql,
-    "s02_ann_lsh" -> s02Sql)
+    "s02_ann_lsh" -> s02Sql,
+    "s03b_ivf_core" -> s03bSql)
 }

@@ -119,6 +119,19 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall too low")
   }
 
+  test("s03b pinned-codebook IVF: single-cell assignment and recall vs s01") {
+    val exact = Similarity.s01(spark, sf("sf0.01"))
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val core = Similarity.s03b(spark, sf("sf0.01"))
+    val rows = core.select("qid", "vec_id").as[(Long, Long)].collect()
+    // argmax assignment puts each corpus vector in exactly one cell →
+    // a (qid, vec_id) candidate can never repeat (no dedup in the plan)
+    assert(rows.length == rows.toSet.size)
+    val recall = (exact & rows.toSet).size.toDouble / exact.size
+    // probing 4 of 16 sign-pattern cells must clearly beat random
+    assert(recall >= 0.4, s"pinned-codebook IVF recall $recall too low")
+  }
+
   test("ANN faces accept an explicit external query set") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
     // exact copies of 3 corpus vectors, re-keyed as external queries
