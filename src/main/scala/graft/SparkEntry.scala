@@ -14,7 +14,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Fraud.queries ++
-      operators.RiskEngine.queries ++
+      operators.RiskEngine.queries ++ operators.IncrementalStats.queries ++
       operators.TextOps.queries ++ operators.Dedup.queries ++
       operators.Similarity.queries ++ operators.Corpus.queries ++
       multimodal.Binary.queries ++
@@ -24,7 +24,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Fraud.oracles ++
-      operators.RiskEngine.oracles ++
+      operators.RiskEngine.oracles ++ operators.IncrementalStats.oracles ++
       operators.TextOps.oracles ++ operators.Dedup.oracles ++
       operators.Similarity.oracles ++ operators.Corpus.oracles ++
       multimodal.Binary.oracles ++

@@ -85,23 +85,11 @@ object Fraud {
       col("p_brand").as("category"), col("p_type").as("cond"),
       col("p_retailprice").as("price"))
     // one value-counts shuffle feeds moments AND median (weighted
-    // decimal sums are exactly the row-level sums)
-    val counts = p.groupBy(col("category"), col("cond"), col("price"))
-      .agg(count(lit(1)).as("_c")).cache()
-    val agg = counts.groupBy(col("category"), col("cond"))
-      .agg(sum(col("_c")).as("n"),
-        sum(col("price").cast("decimal(25,4)") * col("_c"))
-          .cast("double").as("sx"),
-        sum((col("price") * col("price")).cast("decimal(25,4)") * col("_c"))
-          .cast("double").as("sxx"))
-      .filter(col("n") >= 2)
-    val med = groupMedianFromCounts(counts, Seq("category", "cond"),
-      "price", "median_price")
-    agg.join(med, Seq("category", "cond"))
-      .select(col("category"), col("cond"), col("n"),
-        (col("sx") / col("n")).as("mean_price"),
-        col("median_price"),
-        stdevCols(col("sx"), col("sxx"), col("n")).as("stdev_price"))
+    // decimal sums are exactly the row-level sums); the counts frame
+    // doubles as the incremental-maintenance state (IncrementalStats)
+    val counts = IncrementalStats
+      .valueCounts(p, Seq("category", "cond"), "price").cache()
+    IncrementalStats.statsFromCounts(counts, Seq("category", "cond"), "price")
   }
 
   val f01Sql: String =
