@@ -664,8 +664,13 @@ object Fraud {
     val factors = when(k % 5 === 0,
         array(f1, lit("Trusted Seller (20+ reviews)")))
       .otherwise(array(f1))
+    // explode-first shape: running normalizedEmits on the exploded
+    // factor keeps the 14-branch contains-chain a top-level codegen'd
+    // expression; the array face (normalizeRiskFactors) would run it
+    // inside a transform() lambda — interpreted per element
     Tables.orders(s, dir)
-      .select(explode(normalizeRiskFactors(factors)).as("factor_normalized"))
+      .select(explode(factors).as("_f"))
+      .select(explode(normalizedEmits(col("_f"))).as("factor_normalized"))
       .groupBy(col("factor_normalized"))
       .agg(count(lit(1)).as("n"))
   }
