@@ -357,14 +357,151 @@ object Similarity {
        SELECT qid, rank, vec_id, cos FROM r WHERE rank <= $TopK"""
   }
 
+  // ---------------------------------------------------------------
+  // s04: product-quantization ANN (PQ + ADC) — the embedding-
+  // COMPRESSION scale path. 64-d vectors are split into `SubSpaces`
+  // 8-d subvectors; each subvector is encoded as the argmax-dot code
+  // of a pinned 16-entry ±1 codebook → the whole vector becomes 8
+  // small ints (4 B packed vs 256 B of floats: at 100 TB the ADC scan
+  // touches 1/32 of the bytes a brute-force scan reads, and the
+  // compressed corpus fits executor memory long after floats don't).
+  //
+  // Query side builds a 128-entry lookup table (its dot against every
+  // code of every subspace); the asymmetric-distance scan is then 8
+  // array lookups + 7 adds per corpus row — no float math at all.
+  // Top `ReRank` ADC candidates per query are exact-cosine re-ranked
+  // (fetch-by-id equi-join) into the final top-k.
+  //
+  // The ±1 codebook makes every dot a SIGNED SUM of vector slots, so
+  // encode/LUT/ADC are flat codegen'd arithmetic in Spark and replay
+  // bit-exactly in DuckDB (ordered list aggregation on the SQL side;
+  // both engines add in subspace order).
+  // ---------------------------------------------------------------
+  val SubSpaces = 8
+  val SubDim: Int = Dim / SubSpaces
+  val CodesPerSub = 16
+  /** ADC candidates per query before exact re-rank. */
+  val ReRank = 20
+
+  /** codebook: subspace m, code j, component d → ±1 (seed tuple
+    * disjoint from the s02 planes and the s03b codebook). */
+  def codeSign(m: Int, j: Int, d: Int): Int =
+    if ((scala.util.hashing.MurmurHash3.productHash((11, m, j, d)) & 1) == 1) 1 else -1
+
+  /** dot(v[sub m], code (m,j)) as a flat signed-sum chain — index
+    * order, so it matches the oracle's list_sum fold exactly. */
+  private def subDot(v: Column, m: Int, j: Int): Column =
+    (0 until SubDim).map { d =>
+      element_at(v, m * SubDim + d + 1).cast("double") *
+        lit(codeSign(m, j, d).toDouble)
+    }.reduce(_ + _)
+
+  /** per-subspace code: argmax dot over the 16 codes, earliest wins. */
+  private def subCode(v: Column, m: Int): Column = {
+    val dots = array((0 until CodesPerSub).map(j => subDot(v, m, j)): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** Encode a vector to its `SubSpaces` PQ codes (the compressed
+    * representation a production pipeline would persist). */
+  def pqEncode(v: Column): Column =
+    array((0 until SubSpaces).map(m => subCode(v, m)): _*)
+
+  /** The query-side ADC lookup table: 128 dots ordered (m*16 + j). */
+  private def pqLut(q: Column): Column =
+    array((for (m <- 0 until SubSpaces; j <- 0 until CodesPerSub)
+      yield subDot(q, m, j)): _*)
+
+  /** Production face: PQ/ADC ANN of `queries` (qid, qe) against
+    * `corpus` (vec_id, embedding). The ADC scan pairs the broadcast
+    * query LUTs with the compressed corpus only; full embeddings are
+    * re-read for the ReRank candidates alone (fetch-by-id join). */
+  def annPq(corpus: DataFrame, queries: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val s = corpus.sparkSession
+    val codes = corpus.select(col("vec_id"), pqEncode(col("embedding")).as("codes"))
+    val q = queries.select(col("qid"), pqLut(col("qe")).as("lut"))
+    // approx dot = Σ_m lut[m*16 + codes[m]] — fixed ascending-m chain
+    val adc = (0 until SubSpaces).map(m =>
+      element_at(col("lut"),
+        lit(m * CodesPerSub + 1) + element_at(col("codes"), m + 1)))
+      .reduce(_ + _)
+    val cand = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), adc.as("approx"))
+    val wa = Window.partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val top = cand.withColumn("_r", row_number().over(wa))
+      .filter(col("_r") <= ReRank)
+      .select(col("qid"), col("vec_id"))
+    // exact re-rank: fetch the ReRank×|queries| candidate embeddings
+    val exact = top
+      .join(corpus, Seq("vec_id"))
+      .join(broadcast(queries.select(col("qid"), col("qe"))), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.plans.GraftFunctions.cosine(s, col("qe"), col("embedding")).as("cos"))
+    rankTopK(exact, k)
+  }
+
+  def s04(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    annPq(e, queriesDf(e))
+  }
+
+  /** DuckDB replay of s04: codebook inlined as VALUES; encode and LUT
+    * are the same cross-join + argmax/ordered-list shapes as s03b's
+    * oracle; the ADC sum indexes the two list columns inside one
+    * list_transform lambda so the add order is the Spark chain's. */
+  lazy val s04Sql: String = {
+    def cvLit(m: Int, j: Int): String =
+      (0 until SubDim).map(d => codeSign(m, j, d).toString)
+        .mkString("[", ",", "]") + "::DOUBLE[]"
+    val cbRows = (for (m <- 0 until SubSpaces; j <- 0 until CodesPerSub)
+      yield s"($m, $j, ${cvLit(m, j)})").mkString(",\n         ")
+    val subIdx = (0 until SubSpaces).map(_.toString).mkString("[", ",", "]")
+    s"""WITH cb(m, j, cv) AS (VALUES
+         $cbRows),
+       sd AS (SELECT e.vec_id, cb.m, cb.j,
+                list_sum(list_transform(list_zip(
+                  e.embedding[cb.m*$SubDim+1 : (cb.m+1)*$SubDim]::DOUBLE[], cb.cv),
+                  x -> x[1]*x[2])) AS dot
+              FROM embeddings e CROSS JOIN cb),
+       codes AS (SELECT vec_id, list(j ORDER BY m) AS cl FROM
+                 (SELECT vec_id, m, j,
+                    row_number() OVER (PARTITION BY vec_id, m ORDER BY dot DESC, j) AS rn
+                  FROM sd) WHERE rn = 1 GROUP BY vec_id),
+       lut AS (SELECT vec_id AS qid, list(dot ORDER BY m, j) AS ll
+               FROM sd WHERE vec_id % $QueryStride = 0 GROUP BY vec_id),
+       adc AS (SELECT qid, c.vec_id,
+                 list_sum(list_transform($subIdx,
+                   m -> ll[m*$CodesPerSub + cl[m+1] + 1])) AS approx
+               FROM codes c CROSS JOIN lut WHERE c.vec_id <> lut.qid),
+       top AS (SELECT qid, vec_id FROM
+               (SELECT qid, vec_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS r
+                FROM adc) WHERE r <= $ReRank),
+       ex AS (SELECT qid, t.vec_id,
+                list_sum(list_transform(list_zip(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), x -> x[1]*x[2]))
+                / (sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)))
+                 * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))) AS cos
+              FROM top t
+              JOIN embeddings e ON e.vec_id = t.vec_id
+              JOIN embeddings q ON q.vec_id = t.qid),
+       r AS (SELECT qid, vec_id, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+             FROM ex)
+       SELECT qid, rank, vec_id, cos FROM r WHERE rank <= $TopK"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_ann_ivf" -> (s03 _),
-    "s03b_ivf_core" -> (s03b _))
+    "s03b_ivf_core" -> (s03b _),
+    "s04_pq_adc" -> (s04 _))
 
   val oracles: Map[String, String] = Map(
     "s01_ann_bruteforce" -> s01Sql,
     "s02_ann_lsh" -> s02Sql,
-    "s03b_ivf_core" -> s03bSql)
+    "s03b_ivf_core" -> s03bSql,
+    "s04_pq_adc" -> s04Sql)
 }

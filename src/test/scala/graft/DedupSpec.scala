@@ -132,6 +132,24 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.4, s"pinned-codebook IVF recall $recall too low")
   }
 
+  test("s04 PQ/ADC: 8-code compression, no candidate dupes, recall vs s01") {
+    val exact = Similarity.s01(spark, sf("sf0.01"))
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.s04(spark, sf("sf0.01"))
+    val rows = pq.select("qid", "vec_id").as[(Long, Long)].collect()
+    assert(rows.length == rows.toSet.size)
+    // every code must be a valid codebook index — the compressed
+    // representation is 8 small ints per vector
+    val codes = Tables.embeddings(spark, sf("sf0.001"))
+      .select(Similarity.pqEncode(col("embedding")).as("c"))
+      .as[Array[Int]].collect()
+    assert(codes.forall(c => c.length == Similarity.SubSpaces &&
+      c.forall(j => j >= 0 && j < Similarity.CodesPerSub)))
+    val recall = (exact & rows.toSet).size.toDouble / exact.size
+    // 32× compression + 20-candidate re-rank must clearly beat random
+    assert(recall >= 0.4, s"PQ recall $recall too low")
+  }
+
   test("ANN faces accept an explicit external query set") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
     // exact copies of 3 corpus vectors, re-keyed as external queries
