@@ -75,6 +75,60 @@ object IncrementalStats {
   }
 
   // ---------------------------------------------------------------
+  // Streaming maintenance: the full poller-cycle analog. Each
+  // micro-batch's value counts fold into a GENERATION-VERSIONED
+  // parquet state, and the published stats frame is re-derived from
+  // the merged state — so a restart never rescans history and a
+  // REPLAYED batch (foreachBatch is at-least-once) overwrites its own
+  // generation instead of double-counting.
+  // ---------------------------------------------------------------
+
+  /** Largest committed generation strictly below `batchId`, if any. */
+  private def latestGen(s: SparkSession, stateDir: String,
+      batchId: Long): Option[DataFrame] = {
+    val root = new java.io.File(stateDir)
+    val gens = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+      .map(_.getName.stripPrefix("gen=").toLong)
+      .filter(_ < batchId)
+    if (gens.isEmpty) None
+    else Some(s.read.parquet(s"$stateDir/gen=${gens.max}"))
+  }
+
+  /** One idempotent fold step: merge `delta` (a counts frame) into the
+    * state as generation `batchId`, reading from the latest EARLIER
+    * generation. Re-running the same batchId after a crash rebuilds
+    * the identical generation from the same parent — exactly-once
+    * semantics on top of an at-least-once callback. Returns the merged
+    * state. Generations older than the parent can be pruned externally
+    * (each is a complete state, not a delta chain). */
+  def foldBatch(stateDir: String, delta: DataFrame,
+      batchId: Long): DataFrame = {
+    val s = delta.sparkSession
+    val merged = latestGen(s, stateDir, batchId)
+      .map(prev => merge(Seq(prev, delta))).getOrElse(delta)
+    merged.write.mode("overwrite").parquet(s"$stateDir/gen=$batchId")
+    s.read.parquet(s"$stateDir/gen=$batchId")
+  }
+
+  /** Maintain market stats over a stream: fold each micro-batch into
+    * the counts state and republish the derived stats frame. The
+    * checkpoint makes batch ids stable across restarts, which is what
+    * makes [[foldBatch]]'s replay-overwrite correct. */
+  def maintainStats(stream: DataFrame, keys: Seq[String], value: String,
+      stateDir: String, statsDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val merged = foldBatch(stateDir,
+          valueCounts(batch, keys, value), id)
+        statsFromCounts(merged, keys, value)
+          .write.mode("overwrite").parquet(statsDir)
+      }
+      .start()
+
+  // ---------------------------------------------------------------
   // f17: the merge path proven against the batch oracle — two disjoint
   // partial states (split by partkey parity, the stand-in for "state
   // so far" + "new micro-batch") merged, stats derived from the merged

@@ -56,6 +56,40 @@ class IncrementalStatsSpec extends SparkSpec {
       rows(IS.statsFromCounts(direct, Keys, "price")))
   }
 
+  test("streaming maintenance: per-batch fold == full recompute; replay is idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incstats").toString
+    val (stateDir, statsDir, ckpt) =
+      (s"$tmp/state", s"$tmp/stats", s"$tmp/ckpt")
+
+    val input = MemoryStream[(String, String, Double)]
+    val stream = input.toDF().toDF("category", "cond", "price")
+    val q = IS.maintainStats(stream, Keys, "price", stateDir, statsDir, ckpt)
+    try {
+      input.addData(("A", "new", 10.0), ("A", "new", 20.0), ("B", "used", 5.0))
+      q.processAllAvailable()
+      input.addData(("A", "new", 10.0), ("B", "used", 7.0), ("B", "used", 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val all = Seq(("A", "new", 10.0), ("A", "new", 20.0), ("B", "used", 5.0),
+      ("A", "new", 10.0), ("B", "used", 7.0), ("B", "used", 7.0))
+      .toDF("category", "cond", "price")
+    val expect = IS.statsFromCounts(IS.valueCounts(all, Keys, "price"),
+      Keys, "price")
+    assert(rows(spark.read.parquet(statsDir)) == rows(expect))
+
+    // crash-replay: folding the LAST batch's delta again under the
+    // same batch id must rebuild the identical state, not double-count
+    val delta2 = IS.valueCounts(Seq(("A", "new", 10.0), ("B", "used", 7.0),
+      ("B", "used", 7.0)).toDF("category", "cond", "price"), Keys, "price")
+    val before = rows(spark.read.parquet(s"$stateDir/gen=1"))
+    val replayed = IS.foldBatch(stateDir, delta2, 1L)
+    assert(rows(replayed) == before)
+  }
+
   test("retract drops zeroed rows and never keeps negative counts") {
     val p = listings("sf0.001")
     val all = IS.valueCounts(p, Keys, "price")
