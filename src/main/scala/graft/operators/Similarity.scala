@@ -433,9 +433,11 @@ object Similarity {
     val top = cand.withColumn("_r", row_number().over(wa))
       .filter(col("_r") <= ReRank)
       .select(col("qid"), col("vec_id"))
-    // exact re-rank: fetch the ReRank×|queries| candidate embeddings
-    val exact = top
-      .join(corpus, Seq("vec_id"))
+    // exact re-rank: fetch the candidate embeddings. The candidate
+    // list is provably ≤ |queries|×ReRank rows → broadcast IT against
+    // the corpus scan (size-based planning would broadcast the corpus
+    // at test SF, which inverts at 100 TB)
+    val exact = corpus.join(broadcast(top), Seq("vec_id"))
       .join(broadcast(queries.select(col("qid"), col("qe"))), Seq("qid"))
       .select(col("qid"), col("vec_id"),
         graft.plans.GraftFunctions.cosine(s, col("qe"), col("embedding")).as("cos"))

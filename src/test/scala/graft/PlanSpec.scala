@@ -43,6 +43,18 @@ class PlanSpec extends SparkSpec {
       "signature should not need a per-doc aggregation")
   }
 
+  test("s03b/s04: probe/candidate joins broadcast the small side, rank pushed down") {
+    val ivf = plan("s03b_ivf_core")
+    assert(ivf.contains("BroadcastHashJoin"), "cell probe join not broadcast")
+    assert(!ivf.contains("SortMergeJoin"), "IVF corpus got shuffled for a join")
+    assert(ivf.contains("WindowGroupLimit"), "top-k rank not pushed down")
+    val pq = plan("s04_pq_adc")
+    // the re-rank fetch must build on the candidate list, never the corpus
+    assert(pq.contains("BroadcastHashJoin"), "candidate fetch join not broadcast")
+    assert(!pq.contains("SortMergeJoin"), "PQ re-rank shuffled the corpus")
+    assert(pq.contains("WindowGroupLimit"), "ADC top-R not pushed down")
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))
