@@ -81,4 +81,48 @@ object Ingest {
     expired.foreach(fs.delete(_, true))
     expired.map(_.getName)
   }
+
+  /** Small-file compaction — the maintenance pass every streaming
+    * sink needs: a per-trigger file sink accumulates thousands of
+    * KB-sized files per partition, and at 100 TB the per-file
+    * open/footer overhead starts to dominate scan time. Each partition
+    * directory (or the root, if unpartitioned) holding more than
+    * `minFiles` data files is rewritten into ceil(bytes/targetBytes)
+    * files and atomically swapped in via directory rename — readers
+    * see the old or the new complete directory, never a mix.
+    *
+    * Runs per-directory so a routine nightly call touches only the
+    * hot partitions (older ones were compacted by earlier runs).
+    * Returns (dirName, filesBefore, filesAfter) per rewritten dir. */
+  def compact(s: SparkSession, path: String,
+      targetBytes: Long = 128L << 20,
+      minFiles: Int = 2): Seq[(String, Int, Int)] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val parts = fs.listStatus(root).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
+    val dirs = if (parts.nonEmpty) parts.map(_.getPath) else Seq(root)
+    dirs.flatMap { dir =>
+      val files = fs.listStatus(dir).toSeq.filter(st =>
+        st.isFile && !st.getPath.getName.startsWith("_"))
+      if (files.size <= minFiles) None
+      else {
+        val total = files.map(_.getLen).sum
+        val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+        val tmp = new Path(dir.getParent, s".${dir.getName}._compact_tmp")
+        fs.delete(tmp, true)
+        s.read.parquet(dir.toString).coalesce(n)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val trash = new Path(dir.getParent, s".${dir.getName}._compact_old")
+        fs.delete(trash, true)
+        require(fs.rename(dir, trash), s"compact: could not swap out $dir")
+        require(fs.rename(tmp, dir), s"compact: could not swap in $tmp")
+        fs.delete(trash, true)
+        val after = fs.listStatus(dir).count(st =>
+          st.isFile && !st.getPath.getName.startsWith("_"))
+        Some((dir.getName, files.size, after))
+      }
+    }
+  }
 }

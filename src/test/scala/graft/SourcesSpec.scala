@@ -72,6 +72,28 @@ class SourcesSpec extends SparkSpec {
       s"dt filter not pushed to partition pruning:\n$plan")
   }
 
+  test("compaction rewrites small files per partition, data intact") {
+    val dir = tmp() + "/cmp"
+    val df = (1L to 200L).map(i =>
+        (i, if (i % 2 == 0) "2026-03-01 08:00:00" else "2026-03-02 08:00:00"))
+      .toDF("id", "ts0").withColumn("ts", to_timestamp(col("ts0"))).drop("ts0")
+    // simulate a chatty streaming sink: many tiny files per partition
+    Ingest.writeDatePartitioned(df.repartition(16), "ts", dir)
+    val before = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+
+    val report = Ingest.compact(spark, dir, targetBytes = 1L << 30)
+    assert(report.map(_._1).toSet == Set("dt=2026-03-01", "dt=2026-03-02"))
+    report.foreach { case (d, nBefore, nAfter) =>
+      assert(nBefore > 1 && nAfter == 1, s"$d: $nBefore -> $nAfter")
+    }
+    // identical data, identical partition layout, pruning intact
+    val back = spark.read.parquet(dir)
+    assert(back.select("id").as[Long].collect().toSet == before)
+    assert(back.filter(col("dt") === "2026-03-01").count() == 100)
+    // idempotent: nothing left to compact
+    assert(Ingest.compact(spark, dir, targetBytes = 1L << 30).isEmpty)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = Tables.orders(spark, sf("sf0.001"))
       .select("o_orderkey", "o_custkey", "o_totalprice")
