@@ -85,12 +85,14 @@ object Similarity {
   def planeSign(p: Int, d: Int): Int =
     if ((scala.util.hashing.MurmurHash3.productHash((p, d)) & 1) == 1) 1 else -1
 
-  /** sign bit of v · plane(p). */
+  /** sign bit of v · plane(p) — native graft_dot (the zip_with/
+    * aggregate HOF form is interpreted per element; the fused loop
+    * accumulates in the same index order, so buckets are unchanged). */
   private def signBit(v: Column, p: Int): Column = {
-    val dotP = aggregate(
-      zip_with(v, lit((0 until Dim).map(planeSign(p, _)).toArray),
-        (x, s) => x.cast("double") * s),
-      lit(0.0), (acc, x) => acc + x)
+    val plane = typedLit((0 until Dim).map(planeSign(p, _).toFloat).toArray)
+      .cast("array<float>")
+    val dotP = graft.plans.GraftFunctions.dot(
+      org.apache.spark.sql.SparkSession.active, v, plane)
     when(dotP > 0, lit(1)).otherwise(lit(0))
   }
 
@@ -288,24 +290,30 @@ object Similarity {
   def annIvfCore(corpus: DataFrame, queries: DataFrame,
       k: Int = TopK): DataFrame = {
     val s = corpus.sparkSession
-    // all-cells cosine as ONE array column: the 16 codegen'd cosines
-    // are materialized once, and the argmax folds over cheap element
-    // refs instead of duplicating cosine subtrees (when/otherwise
-    // folds double their branch tree per level)
-    def cellCos(v: Column): Column =
+    // all-cells DOT as ONE array column: per row, cosine = dot scaled
+    // by the same positive constant (1/(‖v‖·8)) for every cell, so
+    // argmax/probe-rank over dots ≡ over cosines for a third of the
+    // arithmetic. The 16 codegen'd dots are materialized once, and the
+    // argmax folds over cheap element refs instead of duplicating dot
+    // subtrees (when/otherwise folds double their branch tree per level)
+    def cellDots(v: Column): Column =
       array((0 until CoreCells).map(c =>
-        graft.plans.GraftFunctions.cosine(s, v, centroidLit(c))): _*)
+        graft.plans.GraftFunctions.dot(s, v, centroidLit(c))): _*)
     val assigned = corpus
-      .withColumn("_d", cellCos(col("embedding")))
+      .withColumn("_d", cellDots(col("embedding")))
       // first occurrence of the max → smallest cell id on exact ties,
-      // matching the oracle's ORDER BY cos DESC, cell ASC
-      .withColumn("cell",
-        (array_position(col("_d"), array_max(col("_d"))) - 1).cast("int"))
+      // matching the oracle's ORDER BY dot DESC, cell ASC. coalesce
+      // makes the column NON-NULLABLE: otherwise the probe equi-join
+      // infers isnotnull(cell) and inlines all 16 dots a second time
+      // into a Filter (constraint-inference tree duplication)
+      .withColumn("cell", coalesce(
+        (array_position(col("_d"), array_max(col("_d"))) - 1).cast("int"),
+        lit(-1)))
       .select(col("vec_id"), col("embedding"), col("cell"))
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("qcos").desc, col("cell").asc)
     val probes = queries
-      .select(col("qid"), col("qe"), posexplode(cellCos(col("qe"))))
+      .select(col("qid"), col("qe"), posexplode(cellDots(col("qe"))))
       .withColumnsRenamed(Map("pos" -> "cell", "col" -> "qcos"))
       .withColumn("_pr", row_number().over(wq))
       .filter(col("_pr") <= CoreProbes)
@@ -334,9 +342,7 @@ object Similarity {
     s"""WITH cent(cell, cv) AS (VALUES
          $centRows),
        ec AS (SELECT e.vec_id, e.embedding, c.cell,
-                list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv), x -> x[1]*x[2]))
-                / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))
-                 * sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS ccos
+                list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv), x -> x[1]*x[2])) AS ccos
               FROM embeddings e CROSS JOIN cent c),
        asg AS (SELECT vec_id, embedding, cell FROM
                (SELECT vec_id, embedding, cell,

@@ -73,6 +73,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   */
 object GraftFunctions {
   val CosineName = "graft_cosine"
+  val DotName = "graft_dot"
   val SimHashName = "graft_simhash64"
 
   val PyRoundName = "graft_pyround"
@@ -83,6 +84,8 @@ object GraftFunctions {
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     (CosineName, classOf[CosineSimilarity].getName,
       exprs => CosineSimilarity(exprs.head, exprs(1))),
+    (DotName, classOf[DotProduct].getName,
+      exprs => DotProduct(exprs.head, exprs(1))),
     (SimHashName, classOf[SimHash64].getName,
       exprs => SimHash64(exprs.head)),
     (PyRoundName, classOf[PyRound].getName,
@@ -115,6 +118,11 @@ object GraftFunctions {
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function(CosineName, a, b)
+  }
+
+  def dot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function(DotName, a, b)
   }
 
   def simhash64(spark: SparkSession, text: Column): Column = {

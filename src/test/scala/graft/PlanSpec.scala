@@ -82,8 +82,10 @@ class PlanSpec extends SparkSpec {
       """SELECT graft_cosine(array(3.0F, 4.0F), array(3.0F, 4.0F)) AS c,
          graft_simhash64('hello world') AS s,
          graft_pyround(CAST(2.675 AS DOUBLE), 2) AS p,
-         graft_shingles('a b c d', 3) AS g""").head()
+         graft_shingles('a b c d', 3) AS g,
+         graft_dot(array(3.0F, 4.0F), array(2.0F, 1.0F)) AS d""").head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(4) == 10.0)
     assert(r.getLong(1) == graft.plans.SimHash64.compute(
       org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
     assert(r.getDouble(2) == 2.67) // python banker's rounding
@@ -116,6 +118,9 @@ class PlanSpec extends SparkSpec {
     val doubles = Seq((Seq(1.0, 2.0), Seq(2.0, 3.0))).toDF("a", "b")
     intercept[org.apache.spark.sql.AnalysisException] {
       doubles.select(graft.plans.GraftFunctions.cosine(spark, col("a"), col("b")))
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      doubles.select(graft.plans.GraftFunctions.dot(spark, col("a"), col("b")))
     }
     val longs = Seq(1L).toDF("x")
     intercept[org.apache.spark.sql.AnalysisException] {
