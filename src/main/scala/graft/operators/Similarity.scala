@@ -500,16 +500,141 @@ object Similarity {
        SELECT qid, rank, vec_id, cos FROM r WHERE rank <= $TopK"""
   }
 
+  // ---------------------------------------------------------------
+  // s05: IVF-PQ — the production composition (FAISS's default shape).
+  // s04's ADC scan still visits |Q|×|C| pairs (cheaper bytes per
+  // pair, same pair count); s05 prunes FIRST with the s03b coarse
+  // quantizer (probe `CoreProbes` of `CoreCells` cells), then runs
+  // the ADC lookup scan only within probed cells, then exact-cosine
+  // re-ranks the top `ReRank`. At 100 TB: the corpus is stored once
+  // as (cell, 8 code ints); a query touches cells/probes of the
+  // compressed corpus — both the byte volume AND the candidate count
+  // shrink. Fully deterministic → DuckDB-replayable end to end.
+  // ---------------------------------------------------------------
+  def annIvfPq(corpus: DataFrame, queries: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val s = corpus.sparkSession
+    def cellDots(v: Column): Column =
+      array((0 until CoreCells).map(c =>
+        graft.plans.GraftFunctions.dot(s, v, centroidLit(c))): _*)
+    // one narrow pass stores the compressed corpus: coarse cell +
+    // PQ codes (non-nullable cell — see s03b on constraint inference)
+    val assigned = corpus
+      .withColumn("_d", cellDots(col("embedding")))
+      .withColumn("cell", coalesce(
+        (array_position(col("_d"), array_max(col("_d"))) - 1).cast("int"),
+        lit(-1)))
+      .select(col("vec_id"), col("cell"), pqEncode(col("embedding")).as("codes"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos").desc, col("cell").asc)
+    val probes = queries
+      .select(col("qid"), col("qe"), posexplode(cellDots(col("qe"))))
+      .withColumnsRenamed(Map("pos" -> "cell", "col" -> "qcos"))
+      .withColumn("_pr", row_number().over(wq))
+      .filter(col("_pr") <= CoreProbes)
+      .select(col("qid"), col("cell"), pqLut(col("qe")).as("lut"))
+    val adc = (0 until SubSpaces).map(m =>
+      element_at(col("lut"),
+        lit(m * CodesPerSub + 1) + element_at(col("codes"), m + 1)))
+      .reduce(_ + _)
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), adc.as("approx"))
+    val wa = Window.partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val top = cand.withColumn("_r", row_number().over(wa))
+      .filter(col("_r") <= ReRank)
+      .select(col("qid"), col("vec_id"))
+    val exact = corpus.join(broadcast(top), Seq("vec_id"))
+      .join(broadcast(queries.select(col("qid"), col("qe"))), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.plans.GraftFunctions.cosine(s, col("qe"), col("embedding")).as("cos"))
+    rankTopK(exact, k)
+  }
+
+  def s05(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    annIvfPq(e, queriesDf(e))
+  }
+
+  /** DuckDB replay of s05 — s03b's assignment/probe CTEs composed
+    * with s04's codes/LUT/ADC CTEs, candidates restricted to probed
+    * cells. */
+  lazy val s05Sql: String = {
+    def centLit(c: Int): String =
+      (0 until Dim).map(d => centroidSign(c, d).toString)
+        .mkString("[", ",", "]") + "::DOUBLE[]"
+    val centRows = (0 until CoreCells).map(c => s"($c, ${centLit(c)})")
+      .mkString(",\n         ")
+    def cvLit(m: Int, j: Int): String =
+      (0 until SubDim).map(d => codeSign(m, j, d).toString)
+        .mkString("[", ",", "]") + "::DOUBLE[]"
+    val cbRows = (for (m <- 0 until SubSpaces; j <- 0 until CodesPerSub)
+      yield s"($m, $j, ${cvLit(m, j)})").mkString(",\n         ")
+    val subIdx = (0 until SubSpaces).map(_.toString).mkString("[", ",", "]")
+    s"""WITH cent(cell, cv) AS (VALUES
+         $centRows),
+       cb(m, j, sv) AS (VALUES
+         $cbRows),
+       ec AS (SELECT e.vec_id, c.cell,
+                list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv), x -> x[1]*x[2])) AS cdot
+              FROM embeddings e CROSS JOIN cent c),
+       asg AS (SELECT vec_id, cell FROM
+               (SELECT vec_id, cell,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cell) AS rn
+                FROM ec) WHERE rn = 1),
+       sd AS (SELECT e.vec_id, cb.m, cb.j,
+                list_sum(list_transform(list_zip(
+                  e.embedding[cb.m*$SubDim+1 : (cb.m+1)*$SubDim]::DOUBLE[], cb.sv),
+                  x -> x[1]*x[2])) AS dot
+              FROM embeddings e CROSS JOIN cb),
+       codes AS (SELECT vec_id, list(j ORDER BY m) AS cl FROM
+                 (SELECT vec_id, m, j,
+                    row_number() OVER (PARTITION BY vec_id, m ORDER BY dot DESC, j) AS rn
+                  FROM sd) WHERE rn = 1 GROUP BY vec_id),
+       qp AS (SELECT qid, cell FROM
+              (SELECT vec_id AS qid, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cell) AS pr
+               FROM ec WHERE vec_id % $QueryStride = 0) WHERE pr <= $CoreProbes),
+       lut AS (SELECT vec_id AS qid, list(dot ORDER BY m, j) AS ll
+               FROM sd WHERE vec_id % $QueryStride = 0 GROUP BY vec_id),
+       adc AS (SELECT qp.qid, a.vec_id,
+                 list_sum(list_transform($subIdx,
+                   m -> ll[m*$CodesPerSub + cl[m+1] + 1])) AS approx
+               FROM asg a
+               JOIN qp ON a.cell = qp.cell
+               JOIN codes co ON co.vec_id = a.vec_id
+               JOIN lut ON lut.qid = qp.qid
+               WHERE a.vec_id <> qp.qid),
+       top AS (SELECT qid, vec_id FROM
+               (SELECT qid, vec_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS r
+                FROM adc) WHERE r <= $ReRank),
+       ex AS (SELECT qid, t.vec_id,
+                list_sum(list_transform(list_zip(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), x -> x[1]*x[2]))
+                / (sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)))
+                 * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))) AS cos
+              FROM top t
+              JOIN embeddings e ON e.vec_id = t.vec_id
+              JOIN embeddings q ON q.vec_id = t.qid),
+       r AS (SELECT qid, vec_id, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+             FROM ex)
+       SELECT qid, rank, vec_id, cos FROM r WHERE rank <= $TopK"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_ann_ivf" -> (s03 _),
     "s03b_ivf_core" -> (s03b _),
-    "s04_pq_adc" -> (s04 _))
+    "s04_pq_adc" -> (s04 _),
+    "s05_ivfpq" -> (s05 _))
 
   val oracles: Map[String, String] = Map(
     "s01_ann_bruteforce" -> s01Sql,
     "s02_ann_lsh" -> s02Sql,
     "s03b_ivf_core" -> s03bSql,
-    "s04_pq_adc" -> s04Sql)
+    "s04_pq_adc" -> s04Sql,
+    "s05_ivfpq" -> s05Sql)
 }

@@ -150,6 +150,27 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.4, s"PQ recall $recall too low")
   }
 
+  test("s05 IVF-PQ: candidate set is the probed-cell ∩ ADC-top subset, recall holds") {
+    val exact = Similarity.s01(spark, sf("sf0.01"))
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val rows = Similarity.s05(spark, sf("sf0.01"))
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    assert(rows.length == rows.toSet.size)
+    // double approximation (4/16 cells, then ADC top-20) must still
+    // clearly beat the 25% random-cell baseline
+    val recall = (exact & rows.toSet).size.toDouble / exact.size
+    assert(recall >= 0.35, s"IVF-PQ recall $recall too low")
+    // and IVF-PQ hits must come from the probed cells: a subset of
+    // the FULL candidate pool of the same coarse quantizer (s03b
+    // dataflow with an unbounded k)
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    val q = e.filter(col("vec_id") % Similarity.QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pool = Similarity.annIvfCore(e, q, k = Int.MaxValue)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(rows.toSet.subsetOf(pool))
+  }
+
   test("ANN faces accept an explicit external query set") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
     // exact copies of 3 corpus vectors, re-keyed as external queries
