@@ -151,6 +151,91 @@ object Dedup {
        WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= $JaccardThreshold"""
 
   // ---------------------------------------------------------------
+  // d06: transitive near-dup CLUSTERS — connected components over the
+  // near-dup pair graph. Pairwise "drop the higher id of each pair"
+  // under-merges chains (A~B, B~C, A≁C leaves two survivors of one
+  // cluster); production dedup wants ONE representative per connected
+  // component. Distributed min-label propagation: each round is one
+  // neighbor-min equi-join + aggregate, labels only decrease, rounds
+  // bounded by component diameter (near-dup clusters are shallow).
+  // The driver loop's convergence probe is `isEmpty` on a changed-set
+  // — a metadata action, never a label collect.
+  // ---------------------------------------------------------------
+
+  /** Connected components of an undirected edge list. `vertices` is
+    * one `id` column (isolated vertices keep their own label);
+    * `edges` has (a, b). Returns (id, component = min id reachable).
+    * Fails fast if `maxIter` rounds don't converge rather than
+    * returning a partially-propagated labeling. */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    // eager localCheckpoint, not cache: each round's plan references
+    // the previous round's twice (neighbor-min + convergence probe),
+    // so an uncut lineage grows EXPONENTIALLY with rounds — the plan
+    // string alone OOMs around round 10. Checkpointing materializes
+    // the ~(vertex, label) rows and restarts the plan from them.
+    var labels = vertices.select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("component").as("nl")), "dst")
+        .groupBy(col("src")).agg(min(col("nl")).as("nmin"))
+        .select(col("src").as("id"), col("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.select(col("id"), col("component").as("_old")), "id")
+        .filter(col("component") < col("_old"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
+    labels
+  }
+
+  def d06(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // oracle face pins maxDf = None, same as d02's (DuckDB replays the
+    // exhaustive pair set)
+    connectedComponents(
+      jaccardPairs(docs, maxDf = None).select(col("a"), col("b")),
+      docs.select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("component"))
+  }
+
+  /** DuckDB replay: the same pair set, then components via a
+    * recursive label-reachability closure (UNION-dedup'd), min label
+    * per vertex. */
+  val d06Sql: String =
+    raw"""WITH RECURSIVE $shSql,
+       inter AS (
+         SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT a, b FROM inter
+         JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+         WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= $JaccardThreshold),
+       sym AS (SELECT a AS src, b AS dst FROM pairs
+               UNION ALL SELECT b, a FROM pairs),
+       reach(v, l) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT s.dst, r.l FROM reach r JOIN sym s ON s.src = r.v)
+       SELECT v AS doc_id, min(l) AS component FROM reach GROUP BY v"""
+
+  // ---------------------------------------------------------------
   // d03: MinHash + LSH — 16 min-hashes per doc from ONE md5 per
   // shingle (a universal-hash family (a_i·h + b_i) mod p over the
   // md5-derived base value — 16 modmuls instead of 16 digests, ~5×
@@ -377,12 +462,14 @@ object Dedup {
     "d03_minhash_lsh" -> (d03 _),
     "d04_simhash" -> (d04 _),
     "d04b_simhash_core" -> (d04b _),
-    "d05_embedding_neardup" -> (d05 _))
+    "d05_embedding_neardup" -> (d05 _),
+    "d06_dedup_clusters" -> (d06 _))
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
     "d02_ngram_jaccard" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,
     "d04b_simhash_core" -> d04bSql,
-    "d05_embedding_neardup" -> d05Sql)
+    "d05_embedding_neardup" -> d05Sql,
+    "d06_dedup_clusters" -> d06Sql)
 }

@@ -95,6 +95,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d06 connected components: transitive chains merge, isolated stay") {
+    import spark.implicits._
+    // chain 1-2-3 (1~2, 2~3 but 1≁3), pair 10-11, isolated 20
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val verts = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val cc = Dedup.connectedComponents(edges, verts)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // a long path exercises multi-round propagation
+    val path = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val pv = (1L to 12L).toDF("id")
+    val ccp = Dedup.connectedComponents(path, pv).as[(Long, Long)].collect()
+    assert(ccp.forall(_._2 == 1L))
+  }
+
   test("s02 LSH ANN recall vs s01 brute force") {
     val exact = Similarity.s01(spark, sf("sf0.001"))
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
