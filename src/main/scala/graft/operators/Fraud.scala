@@ -176,7 +176,13 @@ object Fraud {
         (col("sx") / col("n")).as(s"${pfx}_mean") :+
         stdevCols(col("sx"), col("sxx"), col("n")).as(s"${pfx}_stdev"): _*)
 
-  def f04(s: SparkSession, dir: String): DataFrame = {
+  def f04(s: SparkSession, dir: String): DataFrame =
+    f04Named(s, dir).drop("p_name")
+
+  /** f04 with `p_name` threaded through from the same scan — lets
+    * factor-building consumers (f04WithFactors/f10/FraudModel) avoid a
+    * second `part` scan + re-join on p_partkey (two shuffles at scale). */
+  private def f04Named(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
     val s1 = signalStats(p, Seq("p_type", "p_size"), "s1")   // component ~ cpu
     val s2 = signalStats(p, Seq("p_type", "p_brand"), "s2")  // component ~ gpu
@@ -218,7 +224,7 @@ object Fraud {
 
     j.select(col("p_partkey"), price.as("price"),
       finalZ.as("composite_z"), estVal.as("estimated_value"),
-      risk.as("risk_score"))
+      risk.as("risk_score"), col("p_name"))
   }
 
   /** Shared SQL CTE prologue computing the f04 signal table. */
@@ -558,13 +564,9 @@ object Fraud {
     * array of CASE strings — the Spark shape of ES's keyword list).
     */
   def f04WithFactors(s: SparkSession, dir: String): DataFrame = {
-    val base = f04(s, dir)
-    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
-    // NO broadcast hint: part is the fact table — a hint would bypass
-    // autoBroadcastJoinThreshold and collect the whole table to the
-    // driver at scale. Let AQE pick (broadcast at test SF, sort-merge
-    // on the co-keyed fact at 100 TB).
-    base.join(p, Seq("p_partkey"))
+    // p_name rides along from f04's own scan — no second part scan,
+    // no p_partkey re-join (which would cost two shuffles at scale).
+    f04Named(s, dir)
       .withColumn("risk_factors", filter(array(
         when(col("price") < 5.0, "Symbolic Price"),
         when(col("price") >= 5.0 && col("composite_z") < -1.5, "Statistically Cheap"),
