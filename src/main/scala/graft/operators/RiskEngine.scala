@@ -443,13 +443,15 @@ object RiskEngine {
     */
   def generateMarketStats(items: DataFrame): DataFrame = {
     val s = items.sparkSession
-    // Cache boundary directly after extraction: the routing cascade
-    // (route → segment → cond) references extraction columns that are
-    // each single-use, so CollapseProject would re-inline the whole
-    // regex-extraction tree into every routing branch (a 140 MB plan /
-    // 152 MB task binaries when this boundary is absent). With the
-    // cache, routing expressions sit on InMemoryRelation attributes.
-    val specced = TextSpecs.withSpecs(items, col("title"), col("description")).cache()
+    // ONE cache boundary, after routing (inside aggregateStats): only
+    // the slim (route, category, cond, price, cpu, ram, gpu) frame is
+    // ever materialized — never the full-text corpus. The extraction →
+    // routing cascade stays a single uncached plan: every heavy
+    // intermediate (withSpecs stages, cond, segment) is a named
+    // multi-referenced column, so CollapseProject's cheapness guard
+    // keeps the staging and the regex scans run once per row
+    // (PlanSpec pins the per-plan regex-scan ceiling).
+    val specced = TextSpecs.withSpecs(items, col("title"), col("description"))
     aggregateStats(routeItems(specced),
       c => graft.plans.GraftFunctions.pyRound(s, c, 2))
   }
@@ -468,17 +470,26 @@ object RiskEngine {
     // sanitize/truncate for condition, unlike the spec extraction path)
     val rawFull = lower(concat(col("title"), lit(" "), col("description")))
     specced
+      // The JUNK drop, expressed on the RAW price column. Identical to
+      // filtering `route =!= "JUNK"` afterwards (segment = JUNK iff
+      // price > 10000: the price < 5 branch wins first, so no other
+      // route reaches JUNK), but a trailing filter on the computed
+      // route column is catastrophic: predicate pushdown substitutes
+      // aliases transitively with no size guard, inlining the
+      // cpu/ram/category extraction trees into one Filter expression
+      // (measured 21.9 MB optimized-plan node / 113 MB task binaries).
+      // On the raw column it pushes into the parquet scan instead —
+      // JUNK rows never leave the reader.
+      .filter(!coalesce(col("price") > 10000, lit(false)))
       .withColumn("cond", TextSpecs.detectConditionWithApi(
         col("api_condition"), col("is_refurbished"), rawFull))
       .withColumn("segment", TextSpecs.marketSegment(
         lower(col("title")), col("price"), col("cond")))
       .withColumn("route",
-        when(col("segment") === "JUNK", "JUNK")
-          .when(col("segment") === "UNCERTAIN" ||
+        when(col("segment") === "UNCERTAIN" ||
             (col("cpu").isNull && col("ram").isNull), "UNCERTAIN")
           .when(col("segment").isin("BROKEN", "ACCESSORY"), col("segment"))
           .otherwise("PRIME"))
-      .filter(col("route") =!= "JUNK")
   }
 
   /** Stats aggregation over a routed frame (regex_analyzer.py:968-1022):
