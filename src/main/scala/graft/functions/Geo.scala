@@ -58,4 +58,58 @@ object Geo {
       lon: String, chars: Int = 5): org.apache.spark.sql.DataFrame =
     df.groupBy(geohash(col(lat), col(lon), chars).as("cell"))
       .agg(count(lit(1)).as("n"))
+
+  // =================================================================
+  // Driver query face — the Kibana "Geo Map" panel
+  // (kibana/dashboard_export.ndjson; poller.py:707-710 builds the
+  // location geo_point). The test tables carry no geo columns, so
+  // coordinates are synthesized deterministically from `customer`
+  // (integer arithmetic, identical in the oracle SQL) — the same
+  // convention f13b uses for items.
+  // =================================================================
+
+  /** Deterministic point frame: lat ∈ [-90, 90), lon ∈ [-180, 180)
+    * derived from c_custkey with two coprime multipliers. */
+  def g01Points(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Tables.customer(s, dir).select(
+      (lit(-90.0) + (col("c_custkey") * 7919 % 18000) / 100.0).as("lat"),
+      (lit(-180.0) + (col("c_custkey") * 104729 % 36000) / 100.0).as("lon"))
+
+  def g01(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    geohashBuckets(g01Points(s, dir), "lat", "lon")
+
+  /** The oracle replays the geohash closed form bit-for-bit: every
+    * arithmetic step (normalize, clamp, floor(frac·2^(k+1)) mod 2,
+    * base32 lookup) is the same IEEE-double expression DuckDB
+    * evaluates, so the hash strings compare exactly. Generated
+    * programmatically per precision bit. */
+  private def geohashSqlChars(chars: Int): String =
+    (0 until chars).map { c =>
+      val v = (0 until 5).map { b =>
+        val i = c * 5 + b
+        val axis = if (i % 2 == 0) "lonf" else "latf"
+        val p2 = math.pow(2.0, (i / 2) + 1) // exact power of two
+        s"(CAST(floor($axis * $p2) AS BIGINT) % 2) * ${1 << (4 - b)}"
+      }.mkString("(", " + ", ")")
+      s"substr('$Base32', CAST($v AS INT) + 1, 1)"
+    }.mkString(" || ")
+
+  lazy val g01Sql: String =
+    s"""WITH pts AS (SELECT
+         -90.0 + (c_custkey * 7919 % 18000) / 100.0 AS lat,
+         -180.0 + (c_custkey * 104729 % 36000) / 100.0 AS lon
+       FROM customer),
+       f AS (SELECT least((lat + 90.0) / 180.0, 1.0 - 1e-12) AS latf,
+                    least((lon + 180.0) / 360.0, 1.0 - 1e-12) AS lonf
+             FROM pts),
+       g AS (SELECT ${geohashSqlChars(5)} AS cell FROM f)
+       SELECT cell, count(*) AS n FROM g GROUP BY 1"""
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] =
+    Map("g01_geo_buckets" -> (g01 _))
+
+  val oracles: Map[String, String] = Map("g01_geo_buckets" -> g01Sql)
 }

@@ -227,8 +227,9 @@ object Fraud {
       risk.as("risk_score"), col("p_name"))
   }
 
-  /** Shared SQL CTE prologue computing the f04 signal table. */
-  private val f04Ctes: String =
+  /** Shared SQL CTE prologue computing the f04 signal table (also
+    * reused by the Histogram panel oracles). */
+  private[operators] val f04Ctes: String =
     """WITH s1 AS (SELECT p_type, p_size,
            CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*) AS s1_mean,
            sqrt(greatest(CAST(sum(CAST(p_retailprice*p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
