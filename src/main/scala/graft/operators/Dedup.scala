@@ -108,7 +108,7 @@ object Dedup {
       .select(col("doc_id"),
         explode(graft.plans.GraftFunctions.shingles(s, col("text"), ShingleN))
           .as("shingle"))
-      .cache()
+      .transform(graft.CacheRegistry.register)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = maxDf match {
       case None =>
@@ -171,7 +171,7 @@ object Dedup {
       maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .cache()
+      .transform(graft.CacheRegistry.register)
     // eager localCheckpoint, not cache: each round's plan references
     // the previous round's twice (neighbor-min + convergence probe),
     // so an uncut lineage grows EXPONENTIALLY with rounds — the plan
@@ -259,7 +259,7 @@ object Dedup {
       .select(col("doc_id"),
         explode(graft.plans.GraftFunctions.shingles(s, col("text"), ShingleN))
           .as("shingle"))
-      .cache()
+      .transform(graft.CacheRegistry.register)
     // native 60-bit md5 prefix: same value as
     // conv(substring(md5(shingle),1,15),16,10) without the hex string
     // round-trip (property-pinned)

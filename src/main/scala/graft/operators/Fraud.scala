@@ -88,7 +88,7 @@ object Fraud {
     // decimal sums are exactly the row-level sums); the counts frame
     // doubles as the incremental-maintenance state (IncrementalStats)
     val counts = IncrementalStats
-      .valueCounts(p, Seq("category", "cond"), "price").cache()
+      .valueCounts(p, Seq("category", "cond"), "price").transform(graft.CacheRegistry.register)
     IncrementalStats.statsFromCounts(counts, Seq("category", "cond"), "price")
   }
 

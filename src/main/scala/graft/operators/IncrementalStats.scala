@@ -142,7 +142,7 @@ object IncrementalStats {
     val keys = Seq("category", "cond")
     val halves = Seq(0, 1).map(par =>
       valueCounts(p.filter(pmod(col("p_partkey"), lit(2)) === par), keys, "price"))
-    val state = merge(halves).cache()
+    val state = merge(halves).transform(graft.CacheRegistry.register)
     statsFromCounts(state, keys, "price")
   }
 

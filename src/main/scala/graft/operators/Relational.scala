@@ -263,7 +263,7 @@ object Relational {
   def q11(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
-      .agg(count(lit(1)).as("_c")).cache()
+      .agg(count(lit(1)).as("_c")).transform(graft.CacheRegistry.register)
     val med = Fraud.groupMedianFromCounts(counts, Seq("l_returnflag"),
       "l_extendedprice", "median_price")
     val n = counts.groupBy(col("l_returnflag")).agg(sum(col("_c")).as("n"))

@@ -513,7 +513,7 @@ object RiskEngine {
     val routed = routed0
       .select(col("route"), col("category"), col("cond"), col("price"),
         col("cpu"), col("ram"), col("gpu"))
-      .cache()
+      .transform(graft.CacheRegistry.register)
 
     val prime = routed.filter(col("route") === "PRIME")
       .select(col("category"), col("cond"), col("price"),
@@ -531,7 +531,7 @@ object RiskEngine {
       // test-scale benefit; callers doing REPEATED generation in one
       // long session should clear the cache between runs.
       val counts = df.groupBy((keys.map(col) :+ col("price")): _*)
-        .agg(count(lit(1)).as("_c")).cache()
+        .agg(count(lit(1)).as("_c")).transform(graft.CacheRegistry.register)
       val agg = counts.groupBy(keys.map(col): _*)
         .agg(sum(col("_c")).as("count"),
           sum(col("price").cast("decimal(25,4)") * col("_c"))
