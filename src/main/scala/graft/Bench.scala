@@ -18,7 +18,15 @@ object Bench {
     // Sorted-name order: Map hash order made per-query round-over-round
     // deltas meaningless (whichever query ran first paid shared JIT /
     // codegen warmup). Deterministic order makes them comparable.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name filter for isolated profiling runs
+    // (fresh-JVM per-query timings without cross-query cache effects).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

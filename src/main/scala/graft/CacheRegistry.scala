@@ -9,31 +9,43 @@ import org.apache.spark.sql.Dataset
   * library-internal `.cache()` goes through `register`, and a host
   * application calls `unpersistAll()` at its own query-face boundary.
   *
-  * Weak references: the registry must not be the thing that keeps an
-  * otherwise-dropped Dataset (and its InMemoryRelation) reachable.
+  * References are STRONG and cleared only by `unpersistAll()`:
+  * Spark's CacheManager itself retains the cached plan regardless of
+  * whether the Dataset wrapper is reachable, so a weak registry would
+  * let wrapper GC silently orphan pinned cache entries — the exact
+  * leak this class exists to prevent. The registry is tiny (one entry
+  * per library-internal cache call, deduplicated by the Dataset's
+  * analyzed plan), so holding the wrappers costs nothing next to the
+  * cached data they pin.
   */
 object CacheRegistry {
 
-  private val refs =
-    scala.collection.mutable.ArrayBuffer.empty[java.lang.ref.WeakReference[Dataset[_]]]
+  private val refs = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
 
-  /** Cache `ds` and track it for a later bulk unpersist. */
+  /** Cache `ds` and track it for a later bulk unpersist. Re-registering
+    * a Dataset with the same analyzed plan (operators register
+    * per-call locals for the same cached stats frame) keeps one entry,
+    * so the registry stays bounded under repeated query-face calls. */
   def register[T](ds: Dataset[T]): Dataset[T] = {
     ds.cache()
-    synchronized { refs += new java.lang.ref.WeakReference(ds) }
+    synchronized {
+      if (!refs.exists(r => (r.sparkSession eq ds.sparkSession) &&
+          r.queryExecution.analyzed.sameResult(ds.queryExecution.analyzed)))
+        refs += ds
+    }
     ds
   }
 
-  /** Unpersist every still-reachable registered Dataset (blocking, so
-    * the memory is actually free when this returns) and clear the
-    * registry. Returns how many were unpersisted. */
+  /** Unpersist every registered Dataset (blocking, so the memory is
+    * actually free when this returns) and clear the registry. Returns
+    * how many were unpersisted. */
   def unpersistAll(): Int = synchronized {
-    val live = refs.flatMap(r => Option(r.get()))
-    live.foreach(_.unpersist(blocking = true))
+    val n = refs.size
+    refs.foreach(_.unpersist(blocking = true))
     refs.clear()
-    live.size
+    n
   }
 
-  /** Registered-and-still-reachable count (for tests/monitoring). */
-  def registeredCount: Int = synchronized { refs.count(_.get() != null) }
+  /** Registered count (for tests/monitoring). */
+  def registeredCount: Int = synchronized { refs.size }
 }

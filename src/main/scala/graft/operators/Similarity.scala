@@ -383,40 +383,29 @@ object Similarity {
   // bit-exactly in DuckDB (ordered list aggregation on the SQL side;
   // both engines add in subspace order).
   // ---------------------------------------------------------------
-  val SubSpaces = 8
-  val SubDim: Int = Dim / SubSpaces
-  val CodesPerSub = 16
+  val SubSpaces: Int = graft.plans.Pq.SubSpaces
+  val SubDim: Int = graft.plans.Pq.SubDim
+  val CodesPerSub: Int = graft.plans.Pq.CodesPerSub
   /** ADC candidates per query before exact re-rank. */
   val ReRank = 20
 
   /** codebook: subspace m, code j, component d → ±1 (seed tuple
-    * disjoint from the s02 planes and the s03b codebook). */
-  def codeSign(m: Int, j: Int, d: Int): Int =
-    if ((scala.util.hashing.MurmurHash3.productHash((11, m, j, d)) & 1) == 1) 1 else -1
-
-  /** dot(v[sub m], code (m,j)) as a flat signed-sum chain — index
-    * order, so it matches the oracle's list_sum fold exactly. */
-  private def subDot(v: Column, m: Int, j: Int): Column =
-    (0 until SubDim).map { d =>
-      element_at(v, m * SubDim + d + 1).cast("double") *
-        lit(codeSign(m, j, d).toDouble)
-    }.reduce(_ + _)
-
-  /** per-subspace code: argmax dot over the 16 codes, earliest wins. */
-  private def subCode(v: Column, m: Int): Column = {
-    val dots = array((0 until CodesPerSub).map(j => subDot(v, m, j)): _*)
-    (array_position(dots, array_max(dots)) - 1).cast("int")
-  }
+    * disjoint from the s02 planes and the s03b codebook). Shared with
+    * the native expressions — [[graft.plans.Pq.codeSign]] is the
+    * single source of truth for Spark AND the oracle VALUES. */
+  def codeSign(m: Int, j: Int, d: Int): Int = graft.plans.Pq.codeSign(m, j, d)
 
   /** Encode a vector to its `SubSpaces` PQ codes (the compressed
-    * representation a production pipeline would persist). */
-  def pqEncode(v: Column): Column =
-    array((0 until SubSpaces).map(m => subCode(v, m)): _*)
+    * representation a production pipeline would persist). Native
+    * fused loop — the Column-tree form (array of 16 element_at-chain
+    * dots per subspace × argmax referencing it twice) fell out of
+    * whole-stage codegen into ~0.5 ms/row interpreted eval. */
+  def pqEncode(s: SparkSession, v: Column): Column =
+    graft.plans.GraftFunctions.pqCodes(s, v)
 
   /** The query-side ADC lookup table: 128 dots ordered (m*16 + j). */
-  private def pqLut(q: Column): Column =
-    array((for (m <- 0 until SubSpaces; j <- 0 until CodesPerSub)
-      yield subDot(q, m, j)): _*)
+  private def pqLut(s: SparkSession, q: Column): Column =
+    graft.plans.GraftFunctions.pqSubDots(s, q)
 
   /** Production face: PQ/ADC ANN of `queries` (qid, qe) against
     * `corpus` (vec_id, embedding). The ADC scan pairs the broadcast
@@ -425,8 +414,8 @@ object Similarity {
   def annPq(corpus: DataFrame, queries: DataFrame,
       k: Int = TopK): DataFrame = {
     val s = corpus.sparkSession
-    val codes = corpus.select(col("vec_id"), pqEncode(col("embedding")).as("codes"))
-    val q = queries.select(col("qid"), pqLut(col("qe")).as("lut"))
+    val codes = corpus.select(col("vec_id"), pqEncode(s, col("embedding")).as("codes"))
+    val q = queries.select(col("qid"), pqLut(s, col("qe")).as("lut"))
     // approx dot = Σ_m lut[m*16 + codes[m]] — fixed ascending-m chain
     val adc = (0 until SubSpaces).map(m =>
       element_at(col("lut"),
@@ -524,7 +513,7 @@ object Similarity {
       .withColumn("cell", coalesce(
         (array_position(col("_d"), array_max(col("_d"))) - 1).cast("int"),
         lit(-1)))
-      .select(col("vec_id"), col("cell"), pqEncode(col("embedding")).as("codes"))
+      .select(col("vec_id"), col("cell"), pqEncode(s, col("embedding")).as("codes"))
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("qcos").desc, col("cell").asc)
     val probes = queries
@@ -532,7 +521,7 @@ object Similarity {
       .withColumnsRenamed(Map("pos" -> "cell", "col" -> "qcos"))
       .withColumn("_pr", row_number().over(wq))
       .filter(col("_pr") <= CoreProbes)
-      .select(col("qid"), col("cell"), pqLut(col("qe")).as("lut"))
+      .select(col("qid"), col("cell"), pqLut(s, col("qe")).as("lut"))
     val adc = (0 until SubSpaces).map(m =>
       element_at(col("lut"),
         lit(m * CodesPerSub + 1) + element_at(col("codes"), m + 1)))

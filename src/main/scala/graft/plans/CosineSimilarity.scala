@@ -80,6 +80,8 @@ object GraftFunctions {
   val ShinglesName = "graft_shingles"
   val FingerprintName = "graft_fingerprint"
   val Md5Prefix60Name = "graft_md5prefix60"
+  val PqSubDotsName = "graft_pq_subdots"
+  val PqCodesName = "graft_pq_codes"
 
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     (CosineName, classOf[CosineSimilarity].getName,
@@ -97,7 +99,11 @@ object GraftFunctions {
     (FingerprintName, classOf[Fingerprint].getName,
       exprs => Fingerprint(exprs.head)),
     (Md5Prefix60Name, classOf[Md5Prefix60].getName,
-      exprs => Md5Prefix60(exprs.head)))
+      exprs => Md5Prefix60(exprs.head)),
+    (PqSubDotsName, classOf[PqSubDots].getName,
+      exprs => PqSubDots(exprs.head)),
+    (PqCodesName, classOf[PqCodes].getName,
+      exprs => PqCodes(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     registry.foreach { case (name, clazz, builder) =>
@@ -148,6 +154,16 @@ object GraftFunctions {
   def md5Prefix60(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function(Md5Prefix60Name, text)
+  }
+
+  def pqSubDots(spark: SparkSession, v: Column): Column = {
+    register(spark)
+    call_function(PqSubDotsName, v)
+  }
+
+  def pqCodes(spark: SparkSession, v: Column): Column = {
+    register(spark)
+    call_function(PqCodesName, v)
   }
 }
 

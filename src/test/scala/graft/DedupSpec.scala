@@ -157,7 +157,7 @@ class DedupSpec extends SparkSpec {
     // every code must be a valid codebook index — the compressed
     // representation is 8 small ints per vector
     val codes = Tables.embeddings(spark, sf("sf0.001"))
-      .select(Similarity.pqEncode(col("embedding")).as("c"))
+      .select(Similarity.pqEncode(spark, col("embedding")).as("c"))
       .as[Array[Int]].collect()
     assert(codes.forall(c => c.length == Similarity.SubSpaces &&
       c.forall(j => j >= 0 && j < Similarity.CodesPerSub)))
