@@ -37,13 +37,19 @@ object Histogram {
 
   /** Label for the FIRST matching bucket of an ordered, non-overlapping
     * range list; null when no bucket matches (ES drops those docs).
-    * A single codegen'd when-chain — no join, no UDF. */
+    * One flat CASE WHEN — first match wins, no join, no UDF. (A
+    * nested-coalesce fold has the same semantics but builds a tree
+    * ~2× deeper per bucket, which pushed the 18-bucket price list out
+    * of comfortable codegen size.) */
   def rangeLabel(value: Column, ranges: Seq[RangeBucket]): Column = {
     require(ranges.nonEmpty, "at least one range")
-    ranges.foldLeft(lit(null).cast("string")) { case (acc, r) =>
+    def cond(r: RangeBucket): Column = {
       val lo = r.from.map(f => value >= f).getOrElse(lit(true))
       val hi = r.to.map(t => value < t).getOrElse(lit(true))
-      coalesce(acc, when(lo && hi, r.label))
+      lo && hi
+    }
+    ranges.tail.foldLeft(when(cond(ranges.head), ranges.head.label)) {
+      (acc, r) => acc.when(cond(r), r.label)
     }
   }
 
