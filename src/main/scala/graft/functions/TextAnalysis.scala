@@ -40,21 +40,51 @@ object TextAnalysis {
     size(array_distinct(
       regexp_extract_all(textLower, lit(stopwordRegex(words)), lit(1))))
 
-  /** Deterministic priority-argmax language ID: zh on any Han char,
-    * then en ≥ es ≥ de ≥ fr on stopword hit counts, 'und' when no
-    * signal at all. */
-  def langId(textLower: Column): Column = {
-    val s = StopwordSets.toMap
-    val en = stopwordHits(textLower, s("en"))
-    val es = stopwordHits(textLower, s("es"))
-    val de = stopwordHits(textLower, s("de"))
-    val fr = stopwordHits(textLower, s("fr"))
-    when(textLower.rlike(HanRange), "zh")
+  /** The language decision CASE over already-computed hit counts —
+    * priority zh (Han), 'und' on no signal, then en ≥ es ≥ de ≥ fr. */
+  def langDecision(han: Column, en: Column, es: Column,
+      de: Column, fr: Column): Column =
+    when(han, "zh")
       .when(en + es + de + fr === 0, "und")
       .when(en >= es && en >= de && en >= fr, "en")
       .when(es >= de && es >= fr, "es")
       .when(de >= fr, "de")
       .otherwise("fr")
+
+  /** Deterministic priority-argmax language ID: zh on any Han char,
+    * then en ≥ es ≥ de ≥ fr on stopword hit counts, 'und' when no
+    * signal at all.
+    *
+    * This monolithic Column form re-evaluates hit counts per CaseWhen
+    * branch (conditional branches are excluded from codegen
+    * subexpression elimination — up to 16 regex scans/row on the
+    * worst path). Hot paths should use [[withLangId]], which stages
+    * the four scans as named columns so each runs once per row. */
+  def langId(textLower: Column): Column = {
+    val s = StopwordSets.toMap
+    langDecision(textLower.rlike(HanRange),
+      stopwordHits(textLower, s("en")), stopwordHits(textLower, s("es")),
+      stopwordHits(textLower, s("de")), stopwordHits(textLower, s("fr")))
+  }
+
+  /** Staged language ID: appends `out` to `df`. The four stopword
+    * scans land in their own projection (multi-referenced non-cheap
+    * producers — CollapseProject keeps the boundary), so each regex
+    * runs once per row regardless of how many decision branches read
+    * it. Same values as [[langId]], bit for bit. */
+  def withLangId(df: org.apache.spark.sql.DataFrame, text: Column,
+      out: String): org.apache.spark.sql.DataFrame = {
+    val s = StopwordSets.toMap
+    val t = lower(text)
+    df.withColumns(Map(
+        "_lid_han" -> t.rlike(HanRange),
+        "_lid_en" -> stopwordHits(t, s("en")),
+        "_lid_es" -> stopwordHits(t, s("es")),
+        "_lid_de" -> stopwordHits(t, s("de")),
+        "_lid_fr" -> stopwordHits(t, s("fr"))))
+      .withColumn(out, langDecision(col("_lid_han"), col("_lid_en"),
+        col("_lid_es"), col("_lid_de"), col("_lid_fr")))
+      .drop("_lid_han", "_lid_en", "_lid_es", "_lid_de", "_lid_fr")
   }
 
   /** Characteristic character-trigram profiles per language (drawn
@@ -94,18 +124,40 @@ object TextAnalysis {
   def reTokenCount(textLower: Column): Column =
     regexp_count(textLower, lit(ReTokenPattern))
 
-  /** Quality score in [0,1]: length saturation + stopword ratio +
-    * punctuation penalty. All inputs are integer counts so the double
-    * arithmetic is engine-identical. */
-  def qualityScore(text: Column): Column = {
-    val lower_ = lower(text)
-    val nw = wsTokenCount(text)
-    val stopHits = regexp_count(lower_, lit(stopwordRegex(QualityStopwords)))
-    val punct = regexp_count(lower_, lit("[^a-z0-9\\s]"))
-    val nChars = length(text)
+  /** The quality arithmetic over already-computed integer counts. */
+  def qualityExpr(nw: Column, stopHits: Column, punct: Column,
+      nChars: Column): Column =
     lit(0.4) * least(nw, lit(200)).cast("double") / 200.0 +
       lit(0.4) * stopHits.cast("double") / greatest(nw, lit(1)).cast("double") +
       lit(0.2) * (lit(1.0) - least(punct.cast("double") / greatest(nChars, lit(1)).cast("double"), lit(1.0)))
+
+  /** Quality score in [0,1]: length saturation + stopword ratio +
+    * punctuation penalty. All inputs are integer counts so the double
+    * arithmetic is engine-identical. Hot paths should use
+    * [[withQuality]] (the token count is referenced twice — staging
+    * runs the split once per row). */
+  def qualityScore(text: Column): Column = {
+    val lower_ = lower(text)
+    qualityExpr(wsTokenCount(text),
+      regexp_count(lower_, lit(stopwordRegex(QualityStopwords))),
+      regexp_count(lower_, lit("[^a-z0-9\\s]")), length(text))
+  }
+
+  /** Staged quality score: appends `out` to `df`, with the token/
+    * stopword/punctuation counts in their own projection so each scan
+    * runs once per row. Same values as [[qualityScore]], bit for
+    * bit. */
+  def withQuality(df: org.apache.spark.sql.DataFrame, text: Column,
+      out: String): org.apache.spark.sql.DataFrame = {
+    val t = lower(text)
+    df.withColumns(Map(
+        "_q_nw" -> wsTokenCount(text),
+        "_q_sh" -> regexp_count(t, lit(stopwordRegex(QualityStopwords))),
+        "_q_pc" -> regexp_count(t, lit("[^a-z0-9\\s]")),
+        "_q_nc" -> length(text)))
+      .withColumn(out, qualityExpr(col("_q_nw"), col("_q_sh"),
+        col("_q_pc"), col("_q_nc")))
+      .drop("_q_nw", "_q_sh", "_q_pc", "_q_nc")
   }
 
   def qualityBucket(score: Column): Column =

@@ -31,27 +31,30 @@ object Corpus {
     * `docs` needs (doc_id, text). */
   def clean(docs: DataFrame,
       maxDf: Option[Int] = Some(Dedup.DefaultMaxDf)): DataFrame = {
-    val scored = docs
-      .withColumn("pred_lang", langId(lower(col("text"))))
-      .withColumn("quality", qualityScore(col("text")))
+    val scored = withQuality(withLangId(docs, col("text"), "pred_lang"),
+        col("text"), "quality")
       .filter(col("pred_lang") =!= "und" && col("quality") >= MinQuality)
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
-    // Deliberately NOT cached despite two consumers (near-dup pairing
-    // and the final anti join): each consumer reads a column-pruned
-    // narrow pass, and caching the full-width survivors measured
-    // SLOWER at sf0.1 (3.7 s → 5.0 s — cache write + lost pruning
-    // outweigh the repeated scoring). The pairing side additionally
-    // caches its own derived shingle frame inside jaccardPairs.
     val uniq = scored
       .withColumn("fp", graft.plans.GraftFunctions.fingerprint(
         docs.sparkSession, col("text")))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "fp")
-    val drops = Dedup.jaccardPairs(uniq.select(col("doc_id"), col("text")), maxDf)
+    // Cache the SLIM survivor state (3 narrow columns, never text) so
+    // the regex-heavy scoring scan and the fingerprint window run
+    // exactly once; the pairing branch re-reads only (doc_id, text)
+    // from the source scan, filtered by a semi join on the cached ids.
+    // (Caching the full-width survivors instead measured SLOWER at
+    // sf0.1 — cache write + lost pruning outweigh the saved scoring —
+    // and at 100 TB a text-bearing cache is a memory hazard.)
+    val survivors = uniq.select(col("doc_id"), col("pred_lang"), col("quality"))
+      .transform(graft.CacheRegistry.register)
+    val survivorText = docs.select(col("doc_id"), col("text"))
+      .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val drops = Dedup.jaccardPairs(survivorText, maxDf)
       .select(col("b").as("doc_id")).distinct()
-    uniq.join(drops, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("pred_lang"), col("quality"))
+    survivors.join(drops, Seq("doc_id"), "left_anti")
   }
 
   def c01(s: SparkSession, dir: String): DataFrame =

@@ -49,8 +49,7 @@ object TextOps {
   // t01: language ID confusion matrix — labeled lang × predicted.
   // ---------------------------------------------------------------
   def t01(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .withColumn("pred_lang", langId(lower(col("text"))))
+    withLangId(Tables.documents(s, dir), col("text"), "pred_lang")
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
 
@@ -69,9 +68,8 @@ object TextOps {
   // t02: quality scoring — per-bucket counts + mean score.
   // ---------------------------------------------------------------
   def t02(s: SparkSession, dir: String): DataFrame = {
-    val q = qualityScore(col("text"))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), q.as("quality"))
+    withQuality(Tables.documents(s, dir), col("text"), "quality")
+      .select(col("doc_id"), col("quality"))
       .withColumn("bucket", qualityBucket(col("quality")))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
