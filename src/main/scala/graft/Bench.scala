@@ -15,6 +15,12 @@ object Bench {
     // Deliberately NOT one of the benched queries.
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Columnar-cache write/read machinery is its own JIT surface
+    // (~4-5 s on first use in a fresh JVM, measured): warm it on a
+    // trivial frame so whichever query registers a cache first isn't
+    // charged for infrastructure.
+    val cacheWarm = spark.range(100000).toDF("id").cache()
+    cacheWarm.count(); cacheWarm.unpersist(blocking = true)
     // Sorted-name order: Map hash order made per-query round-over-round
     // deltas meaningless (whichever query ran first paid shared JIT /
     // codegen warmup). Deterministic order makes them comparable.
@@ -22,6 +28,11 @@ object Bench {
     // (fresh-JVM per-query timings without cross-query cache effects).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
@@ -29,7 +40,16 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Per-query boundary hygiene: drop every library-registered cache
+      // pin (blocking) and nudge the ContextCleaner (localCheckpoint
+      // blocks are freed when their RDDs become unreachable), so each
+      // query is timed against the same cold-cache state an isolated
+      // fresh-JVM run sees instead of inheriting earlier queries'
+      // memory pressure.
+      CacheRegistry.unpersistAll()
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

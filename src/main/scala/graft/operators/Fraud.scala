@@ -179,6 +179,24 @@ object Fraud {
   def f04(s: SparkSession, dir: String): DataFrame =
     f04Named(s, dir).drop("p_name")
 
+  /** f04's scored frame staged through the session CacheRegistry — the
+    * shared input of every scored-corpus consumer (f05, f10 via
+    * f04WithFactors, Histogram's f19/f20 dashboard panels). Two
+    * reasons, both scale-critical:
+    * (a) the scoring tree runs ONCE per session instead of once per
+    *     consumer, and only the slim scored columns (5 numerics +
+    *     p_name) are pinned — never the stats-join intermediates;
+    * (b) the InMemoryRelation is a plan LEAF, so a consumer's trailing
+    *     filter on a column computed from risk_score (f19/f20's
+    *     null-bucket drop) substitutes down to the cached risk_score
+    *     attribute and stops — predicate pushdown can no longer
+    *     re-inline the whole composite-z scoring tree into a physical
+    *     Filter (the alias-substitution hazard RiskEngine.routeItems
+    *     documents; f19/f20 shipped with exactly that blowup in r7).
+    */
+  private[operators] def f04Cached(s: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.register(f04Named(s, dir))
+
   /** f04 with `p_name` threaded through from the same scan — lets
     * factor-building consumers (f04WithFactors/f10/FraudModel) avoid a
     * second `part` scan + re-join on p_partkey (two shuffles at scale). */
@@ -299,7 +317,7 @@ object Fraud {
   // (elastalert/rules/high_risk.yaml: risk_score >= threshold).
   // ---------------------------------------------------------------
   def f05(s: SparkSession, dir: String): DataFrame =
-    f04(s, dir).filter(col("risk_score") >= 30)
+    f04Cached(s, dir).drop("p_name").filter(col("risk_score") >= 30)
       .orderBy(col("risk_score").desc, col("p_partkey").asc)
       .limit(100)
 
@@ -567,7 +585,7 @@ object Fraud {
   def f04WithFactors(s: SparkSession, dir: String): DataFrame = {
     // p_name rides along from f04's own scan — no second part scan,
     // no p_partkey re-join (which would cost two shuffles at scale).
-    f04Named(s, dir)
+    f04Cached(s, dir)
       .withColumn("risk_factors", filter(array(
         when(col("price") < 5.0, "Symbolic Price"),
         when(col("price") >= 5.0 && col("composite_z") < -1.5, "Statistically Cheap"),

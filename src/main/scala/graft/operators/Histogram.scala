@@ -54,23 +54,30 @@ object Histogram {
   }
 
   /** Range-agg bucket counts: (bucket, n), non-matching values
-    * dropped. */
+    * dropped. The null-bucket drop runs AFTER the aggregation (over
+    * ≤ #buckets+1 rows) — a pre-agg `.filter(bucket.isNotNull)` is the
+    * trailing-filter-on-a-computed-column hazard: predicate pushdown
+    * substitutes the alias with no size guard, so when `value` is
+    * itself a heavy expression (f19/f20's risk_score) the ENTIRE tree
+    * lands inside a physical Filter and re-evaluates per row. Same
+    * result either way (the null group aggregates, then drops). */
   def rangeCounts(df: DataFrame, value: Column,
       ranges: Seq[RangeBucket]): DataFrame =
     df.select(rangeLabel(value, ranges).as("bucket"))
-      .filter(col("bucket").isNotNull)
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .filter(col("bucket").isNotNull)
 
   /** Fixed-width histogram bucket start (the ES histogram agg:
     * floor(value/width)*width), as a double. */
   def fixedWidthStart(value: Column, width: Double): Column =
     floor(value / width) * width
 
-  /** Fixed-width histogram counts: (bucket_start, n). */
+  /** Fixed-width histogram counts: (bucket_start, n). Null drop
+    * post-agg, same rationale as [[rangeCounts]]. */
   def fixedWidthCounts(df: DataFrame, value: Column, width: Double): DataFrame =
     df.select(fixedWidthStart(value, width).as("bucket_start"))
-      .filter(col("bucket_start").isNotNull)
       .groupBy(col("bucket_start")).agg(count(lit(1)).as("n"))
+      .filter(col("bucket_start").isNotNull)
 
   /** 2-D cell counts plus each cell's share of the grand total —
     * the lnsHeatmap count()/overall_sum(count()) metric. The window
@@ -78,9 +85,12 @@ object Histogram {
     * cross product), so the single-partition window is a driver-safe
     * constant cost at any input scale. */
   def heatmapShare(df: DataFrame, xLabel: Column, yLabel: Column): DataFrame = {
+    // null drop post-agg, same rationale as rangeCounts — and the
+    // share total must exclude the dropped cells, so the window runs
+    // after the filter (ES computes overall_sum over visible buckets)
     val cells = df.select(xLabel.as("x_bucket"), yLabel.as("y_bucket"))
-      .filter(col("x_bucket").isNotNull && col("y_bucket").isNotNull)
       .groupBy(col("x_bucket"), col("y_bucket")).agg(count(lit(1)).as("n"))
+      .filter(col("x_bucket").isNotNull && col("y_bucket").isNotNull)
     cells.withColumn("share",
       col("n").cast("double") / sum(col("n")).over(Window.partitionBy()))
   }
@@ -150,9 +160,12 @@ object Histogram {
        SELECT bucket, count(*) AS n FROM b WHERE bucket IS NOT NULL GROUP BY 1"""
 
   /** f19: "Heatmap (Risk vs Price)" — 2-D range×fixed-width cells over
-    * the scored corpus with each cell's share of the total. */
+    * the scored corpus with each cell's share of the total. Consumes
+    * the CACHED scored frame (Fraud.f04Cached): the cache leaf is what
+    * keeps the bucket labels' null checks from re-inlining the whole
+    * scoring tree into a Filter (r7's 12 s blowup). */
   def f19(s: SparkSession, dir: String): DataFrame =
-    heatmapShare(Fraud.f04(s, dir),
+    heatmapShare(Fraud.f04Cached(s, dir),
       rangeLabel(col("price"), HeatmapPriceRanges),
       riskDecadeLabel(col("risk_score")))
 
@@ -169,9 +182,10 @@ object Histogram {
               CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share
        FROM c"""
 
-  /** f20: "Risk Score Distribution" — the pie's range agg. */
+  /** f20: "Risk Score Distribution" — the pie's range agg, over the
+    * cached scored frame (same rationale as f19). */
   def f20(s: SparkSession, dir: String): DataFrame =
-    rangeCounts(Fraud.f04(s, dir), col("risk_score"), RiskPieRanges)
+    rangeCounts(Fraud.f04Cached(s, dir), col("risk_score"), RiskPieRanges)
 
   val f20Sql: String =
     s"""${Fraud.f04Ctes},

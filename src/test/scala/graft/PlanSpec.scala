@@ -110,6 +110,25 @@ class PlanSpec extends SparkSpec {
     assert(total <= 20, s"extraction plan holds $total regex scans — staging regressed")
   }
 
+  test("f19/f20: no scoring tree inside any Filter (scored-cache boundary holds)") {
+    // r7 regression: the null-bucket drop was substituted through the
+    // projection and the physical Filter carried the ENTIRE
+    // composite-z/risk-score CASE tree (~9 evaluations per row). The
+    // fix is two-fold — post-agg null drop + the f04Cached leaf — and
+    // both are observable here: every Filter condition stays small,
+    // and the scored cache appears in the plan.
+    try {
+      Seq("f19_risk_heatmap", "f20_risk_distribution").foreach { q =>
+        val p = plan(q)
+        assert(p.contains("InMemoryTableScan"), s"$q lost the scored-cache boundary")
+        p.linesIterator.filter(_.contains("Filter ")).foreach { l =>
+          assert(l.length < 2000,
+            s"$q carries a ${l.length}-char Filter line (scoring tree re-inlined?): ${l.take(160)}…")
+        }
+      }
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("native expressions reject wrong input types at analysis time") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
