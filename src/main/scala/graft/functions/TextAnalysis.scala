@@ -67,6 +67,18 @@ object TextAnalysis {
       stopwordHits(textLower, s("de")), stopwordHits(textLower, s("fr")))
   }
 
+  /** The staged scans use fixed `_lid_*`/`_q_*` column names; a caller
+    * frame already carrying one of those would be silently overwritten
+    * and then dropped — corrupting the caller's column. Fail loudly
+    * instead (the underscore prefix makes accidental collision
+    * near-impossible, so a clash is a bug worth surfacing). */
+  private def requireStagingFree(df: org.apache.spark.sql.DataFrame,
+      names: Seq[String]): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"TextAnalysis staging name collision: ${clash.mkString(", ")} already in ${df.columns.mkString("[", ",", "]")}")
+  }
+
   /** Staged language ID: appends `out` to `df`. The four stopword
     * scans land in their own projection (multi-referenced non-cheap
     * producers — CollapseProject keeps the boundary), so each regex
@@ -74,6 +86,7 @@ object TextAnalysis {
     * it. Same values as [[langId]], bit for bit. */
   def withLangId(df: org.apache.spark.sql.DataFrame, text: Column,
       out: String): org.apache.spark.sql.DataFrame = {
+    requireStagingFree(df, Seq("_lid_han", "_lid_en", "_lid_es", "_lid_de", "_lid_fr"))
     val s = StopwordSets.toMap
     val t = lower(text)
     df.withColumns(Map(
@@ -149,6 +162,7 @@ object TextAnalysis {
     * bit. */
   def withQuality(df: org.apache.spark.sql.DataFrame, text: Column,
       out: String): org.apache.spark.sql.DataFrame = {
+    requireStagingFree(df, Seq("_q_nw", "_q_sh", "_q_pc", "_q_nc"))
     val t = lower(text)
     df.withColumns(Map(
         "_q_nw" -> wsTokenCount(text),

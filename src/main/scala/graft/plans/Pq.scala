@@ -33,6 +33,17 @@ object Pq {
     * s03b coarse centroids (13). */
   private val Seed = 11
 
+  /** Shared input-length check: PQ reads exactly Dim float slots, so
+    * an UnsafeArrayData shorter than Dim would read out-of-bounds
+    * memory with NO exception — silent garbage codes/LUTs. A
+    * wrong-dimensionality embedding is a data error; fail loudly
+    * rather than clamp (a truncated PQ code is semantically wrong,
+    * unlike cosine over a shared prefix). Public: the generated code
+    * calls it through the object's static forwarder. */
+  def requireDim(n: Int): Unit =
+    if (n < Dim) throw new IllegalArgumentException(
+      s"graft PQ expressions need array<float> of >= $Dim elements, got $n")
+
   /** codebook: subspace m, code j, component d → ±1. */
   def codeSign(m: Int, j: Int, d: Int): Int =
     if ((scala.util.hashing.MurmurHash3.productHash((Seed, m, j, d)) & 1) == 1) 1 else -1
@@ -60,6 +71,7 @@ case class PqSubDots(child: Expression)
 
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
+    requireDim(v.numElements())
     val out = new Array[Double](SubSpaces * CodesPerSub)
     val cb = flatCodebook
     var m = 0
@@ -84,6 +96,7 @@ case class PqSubDots(child: Expression)
     nullSafeCodeGen(ctx, ev, v => {
       val cb = ctx.addReferenceObj("pqCodebook", flatCodebook, "double[]")
       s"""
+         |graft.plans.Pq.requireDim($v.numElements());
          |double[] out = new double[${SubSpaces * CodesPerSub}];
          |for (int m = 0; m < $SubSpaces; m++) {
          |  for (int j = 0; j < $CodesPerSub; j++) {
@@ -105,7 +118,16 @@ case class PqSubDots(child: Expression)
 
 /** PQ encode: per subspace, the argmax-dot code index (earliest code
   * wins ties — the `array_position(dots, array_max(dots))` semantics
-  * of the Column form). */
+  * of the Column form).
+  *
+  * NaN contract: embeddings containing NaN are OUT OF CONTRACT for PQ
+  * encode. The `dot > best` argmax skips NaN sub-dots (NaN comparisons
+  * are false → that subspace falls back to the earliest finite code),
+  * whereas the replaced Column form inherited Spark's ordering where
+  * NaN sorts greatest. No testdata or supported pipeline produces NaN
+  * embeddings (ingest should gate them — a NaN component poisons
+  * cosine/dot everywhere, not just PQ), so the native form documents
+  * rather than reproduces that degenerate-input divergence. */
 case class PqCodes(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   import Pq._
@@ -117,6 +139,7 @@ case class PqCodes(child: Expression)
 
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
+    requireDim(v.numElements())
     val out = new Array[Int](SubSpaces)
     val cb = flatCodebook
     var m = 0
@@ -142,6 +165,7 @@ case class PqCodes(child: Expression)
     nullSafeCodeGen(ctx, ev, v => {
       val cb = ctx.addReferenceObj("pqCodebook", flatCodebook, "double[]")
       s"""
+         |graft.plans.Pq.requireDim($v.numElements());
          |int[] out = new int[$SubSpaces];
          |for (int m = 0; m < $SubSpaces; m++) {
          |  double best = Double.NEGATIVE_INFINITY; int bestJ = 0;

@@ -136,6 +136,37 @@ class PropertySpec extends SparkSpec {
     assert(got == samples.map(_._2), s"got $got")
   }
 
+  test("PQ expressions reject short arrays loudly (no silent OOB garbage)") {
+    // reading past numElements() on UnsafeArrayData does NOT throw —
+    // without the guard a 63-element embedding would encode garbage
+    val short = Seq((1L, Array.fill(graft.plans.Pq.Dim - 1)(0.5f))).toDF("id", "v")
+    Seq(
+      graft.plans.GraftFunctions.pqCodes(spark, col("v")),
+      graft.plans.GraftFunctions.pqSubDots(spark, col("v"))
+    ).foreach { e =>
+      val ex = intercept[Exception] { short.select(e).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+      assert(msgs(ex).exists(m => m != null && m.contains("graft PQ expressions need")),
+        s"expected the dimension guard, got: $ex")
+    }
+    // exact-Dim input still evaluates
+    val ok = Seq((1L, Array.fill(graft.plans.Pq.Dim)(0.5f))).toDF("id", "v")
+      .select(graft.plans.GraftFunctions.pqCodes(spark, col("v")).as("c")).head()
+    assert(ok.getSeq[Int](0).length == graft.plans.Pq.SubSpaces)
+  }
+
+  test("staged langId/quality fail loudly on staging-name collisions") {
+    val df = Seq(("a", "the cat", 1)).toDF("doc_id", "text", "_lid_en")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.withLangId(df, col("text"), "lang")
+    }
+    val df2 = Seq(("a", "the cat", 1)).toDF("doc_id", "text", "_q_nw")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.withQuality(df2, col("text"), "quality")
+    }
+  }
+
   test("quality score stays in [0,1] on arbitrary text") {
     val rnd = new Random(19)
     val texts = (1 to 200).map { _ =>
