@@ -11,16 +11,37 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed generic warmup: JVM/classloader/codegen-infra/parquet
-    // reader spin-up, so the first benched query isn't charged for it.
-    // Deliberately NOT one of the benched queries.
+    // reader spin-up PLUS the hot runtime codepaths every query family
+    // exercises — all on synthetic data (none of the sf tables), so
+    // whichever benched query hits a codepath first isn't charged its
+    // one-time JIT. Measured skew without this: c01 9-13 s benched vs
+    // ~3.5 s steady-state, f05 8 s vs ~1.3 s — per-query numbers were
+    // JIT-attribution noise, not throughput.
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // Columnar-cache write/read machinery is its own JIT surface
-    // (~4-5 s on first use in a fresh JVM, measured): warm it on a
-    // trivial frame so whichever query registers a cache first isn't
-    // charged for infrastructure.
-    val cacheWarm = spark.range(100000).toDF("id").cache()
-    cacheWarm.count(); cacheWarm.unpersist(blocking = true)
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      // columnar cache write/read (~4-5 s first use in a fresh JVM)
+      val cacheWarm = spark.range(100000).toDF("id").cache()
+      cacheWarm.count(); cacheWarm.unpersist(blocking = true)
+      val base = spark.range(20000).select(col("id"), (col("id") % 997).as("k"),
+        concat(lit("the quick brown fox jumps over a lazy dog "),
+          col("id").cast("string")).as("txt"))
+      // regex scan + split/explode + shuffle agg
+      base.select(explode(split(col("txt"), " ")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1))).count()
+      base.select(size(regexp_extract_all(col("txt"),
+          lit("\\b(the|a|of)\\b"), lit(1))).as("h"))
+        .agg(sum(col("h"))).collect()
+      // shuffle join + broadcast join + window rank
+      base.as("a").join(base.as("b").hint("merge"), "k")
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k") % 32).orderBy(col("n").desc)))
+        .filter(col("rn") <= 5).count()
+      base.as("a").join(broadcast(base.as("b")), "k").count()
+    }
     // Sorted-name order: Map hash order made per-query round-over-round
     // deltas meaningless (whichever query ran first paid shared JIT /
     // codegen warmup). Deterministic order makes them comparable.
