@@ -82,6 +82,49 @@ object Ingest {
     expired.map(_.getName)
   }
 
+  /** The write segment appenders target (partition-style name so a
+    * plain `spark.read.parquet(root)` discovers sealed segments and
+    * the active one uniformly, as one string partition column). */
+  val ActiveSegment = "seg=active"
+
+  /** Append rows to the table's ACTIVE write segment — the analog of
+    * indexing through the reference's write alias
+    * (ingestion/index_alias.json `is_write_index`). */
+  def appendActive(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(s"$path/$ActiveSegment")
+
+  /** Size-triggered rollover — the ILM hot-phase `max_size` analog
+    * (reference: ingestion/ilm_policy.json `max_size: 1gb` + the write
+    * alias swap of ingestion/index_alias.json). When the active
+    * segment's data bytes reach `maxBytes`, it is SEALED: atomically
+    * renamed to the next `seg=NNNNNN` directory (same reader guarantee
+    * as compact()'s swap — a scan sees the old or the new layout,
+    * never a mix) and a fresh empty active segment takes its place.
+    * Sealed segments are immutable, so compaction and retention
+    * operate on them per directory exactly like the ES shrink/delete
+    * phases. A metadata-only operation — no data is read or rewritten.
+    * Returns the sealed segment name, or None below the threshold. */
+  def rollPartition(s: SparkSession, path: String, maxBytes: Long): Option[String] = {
+    val active = new Path(path, ActiveSegment)
+    val fs = active.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(active)) return None
+    val bytes = fs.listStatus(active).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    if (bytes < maxBytes) return None
+    val root = new Path(path)
+    val next = fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("seg=") && n != ActiveSegment)
+      .flatMap(n => scala.util.Try(n.stripPrefix("seg=").toInt).toOption)
+      .foldLeft(0)(math.max) + 1
+    val segName = f"seg=$next%06d"
+    require(fs.rename(active, new Path(root, segName)),
+      s"rollPartition: could not seal $active as $segName")
+    fs.mkdirs(active)
+    Some(segName)
+  }
+
   /** Small-file compaction — the maintenance pass every streaming
     * sink needs: a per-trigger file sink accumulates thousands of
     * KB-sized files per partition, and at 100 TB the per-file

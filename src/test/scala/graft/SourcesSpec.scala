@@ -72,6 +72,30 @@ class SourcesSpec extends SparkSpec {
       s"dt filter not pushed to partition pruning:\n$plan")
   }
 
+  test("size-triggered rollover seals the active segment (ILM max_size analog)") {
+    val dir = tmp() + "/roll"
+    Ingest.appendActive((1L to 100L).toDF("id"), dir)
+    // below threshold: no roll
+    assert(Ingest.rollPartition(spark, dir, maxBytes = 1L << 30).isEmpty)
+    // at/over threshold: active is sealed as seg=000001, fresh active
+    assert(Ingest.rollPartition(spark, dir, maxBytes = 1L).contains("seg=000001"))
+    // second roll finds an empty active segment — no-op
+    assert(Ingest.rollPartition(spark, dir, maxBytes = 1L).isEmpty)
+    // new writes land in the fresh active segment; next seal increments
+    Ingest.appendActive((101L to 150L).toDF("id"), dir)
+    assert(Ingest.rollPartition(spark, dir, maxBytes = 1L).contains("seg=000002"))
+    Ingest.appendActive((151L to 160L).toDF("id"), dir)
+    // one uniform read sees sealed segments + active, nothing lost
+    val all = spark.read.parquet(dir)
+    assert(all.select("id").as[Long].collect().toSet == (1L to 160L).toSet)
+    assert(all.filter(col("seg") === "000001").count() == 100)
+    assert(all.filter(col("seg") === "active").count() == 10)
+    // sealed segments are per-directory immutable units: retention/
+    // compaction style maintenance can target them like date partitions
+    assert(Ingest.compact(spark, dir, targetBytes = 1L << 30, minFiles = 0)
+      .map(_._1).toSet.contains("seg=000001"))
+  }
+
   test("compaction rewrites small files per partition, data intact") {
     val dir = tmp() + "/cmp"
     val df = (1L to 200L).map(i =>
