@@ -191,11 +191,21 @@ object TextAnalysis {
     * selection density. Pure column expressions over a pre-staged
     * token array (same no-retokenize rule as Dedup.shinglesFromTokens).
     */
-  def winnowFingerprints(tokens: Column, k: Int = 3, window: Int = 4): Column = {
-    val grams = when(size(tokens) < k, array().cast("array<string>"))
+  def winnowFingerprints(tokens: Column, k: Int = 3, window: Int = 4): Column =
+    winnowSelect(transform(winnowGrams(tokens, k), g => xxhash64(g)), window)
+
+  /** Non-distinct ordered word k-grams — the winnow selection input.
+    * Also the building block of Dedup.winnowPairs' RELATIONAL winnow
+    * (posexplode → native md5-prefix hash → doc-window minima), which
+    * is the portable/scale face: the array formulation above runs its
+    * lambdas interpreted, fine for a per-doc signature column, ~6x
+    * slower as a corpus-wide pair query. */
+  private[graft] def winnowGrams(tokens: Column, k: Int): Column =
+    when(size(tokens) < k, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(tokens) - k),
         i => concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j + 1)): _*)))
-    val hashes = transform(grams, g => xxhash64(g))
+
+  private def winnowSelect(hashes: Column, window: Int): Column = {
     val sel = when(size(hashes) < window, hashes)
       .otherwise(transform(sequence(lit(0), size(hashes) - window),
         i => array_min(slice(hashes, i + 1, lit(window)))))

@@ -236,6 +236,114 @@ object Dedup {
        SELECT v AS doc_id, min(l) AS component FROM reach GROUP BY v"""
 
   // ---------------------------------------------------------------
+  // d07: winnowing-fingerprint near-dup pairs — the rolling-hash
+  // document fingerprinting of Schleimer/Wilkerson/Aiken (SIGMOD'03),
+  // as a pair query. Winnowing GUARANTEES any shared token run of
+  // >= window+k-1 tokens yields a shared fingerprint at ~2/(window+1)
+  // selection density, so counting shared fingerprints finds pairs
+  // with CONTIGUOUS overlap (plagiarism/boilerplate-style) that
+  // set-based shingle Jaccard dilutes on long documents. Same scale
+  // shape as d02/d03: fingerprint explode (narrow map) → equi-join on
+  // the fingerprint — never a cross join — with the same maxDf cap on
+  // candidate generation and exact shared-count verification against
+  // full fingerprint sets. Grams hashed via the portable 60-bit md5
+  // prefix so DuckDB replays signatures bit-for-bit.
+  // ---------------------------------------------------------------
+  val WinnowK = 3
+  val WinnowWindow = 4
+  val WinnowMinShared = 3
+
+  /** Production face: winnow-fingerprint near-dup pairs of any
+    * (doc_id, text) frame — (a, b, shared fingerprint count). */
+  def winnowPairs(docs: DataFrame, minShared: Int = WinnowMinShared,
+      maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
+    val s = docs.sparkSession
+    // Relational winnow selection: posexplode the NON-distinct grams
+    // (tokens staged first — the no-retokenize rule), hash each gram
+    // through the native md5 prefix OUTSIDE any lambda (codegen'd),
+    // sliding-window minima via a doc-partitioned window, keep full
+    // windows only (short docs keep raw gram hashes — the same
+    // fallback as winnowFingerprints), then per-doc dedup that REUSES
+    // the window's doc_id exchange (hashpartitioning(doc_id) satisfies
+    // the (doc_id, fp) clustering). The all-lambda array formulation
+    // (winnowFingerprintsPortable) is interpreted per element and
+    // measured ~6x slower at sf0.1 (14.3 s vs this shape).
+    val hashed = docs
+      .withColumn("_w", split(trim(lower(col("text"))), "\\s+"))
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.winnowGrams(col("_w"), WinnowK)).as(Seq("i", "g")))
+      .select(col("doc_id"), col("i"),
+        graft.plans.GraftFunctions.md5Prefix60(s, col("g")).as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, WinnowWindow - 1)
+    val wc = Window.partitionBy(col("doc_id"))
+    val fps = hashed
+      .withColumn("mh", min(col("h")).over(w))
+      .withColumn("ng", count(lit(1)).over(wc))
+      .filter(col("ng") < WinnowWindow || col("i") <= col("ng") - WinnowWindow)
+      .select(col("doc_id"),
+        when(col("ng") < WinnowWindow, col("h")).otherwise(col("mh")).as("fp"))
+      .distinct()
+      .transform(graft.CacheRegistry.register)
+    val shared = maxDf match {
+      case None =>
+        fps.as("a").join(fps.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+          .agg(count(lit(1)).as("shared"))
+      case Some(k) =>
+        // candidates from rare fingerprints only; exact shared counts
+        // re-derived from the FULL sets (the d02 convention — the cap
+        // bounds the join, never the reported values)
+        val w = Window.partitionBy(col("fp"))
+        val rare = fps.withColumn("_df", count(lit(1)).over(w))
+          .filter(col("_df") <= k).drop("_df")
+        val cand = rare.as("a").join(rare.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a"), col("b.doc_id").as("b")).distinct()
+        cand
+          .join(fps.as("sa"), col("a") === col("sa.doc_id"))
+          .join(fps.as("sb"), col("b") === col("sb.doc_id") &&
+            col("sa.fp") === col("sb.fp"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+    }
+    shared.filter(col("shared") >= minShared)
+  }
+
+  def d07(s: SparkSession, dir: String): DataFrame =
+    // oracle face pins maxDf = None (DuckDB replays exhaustive pairs)
+    winnowPairs(Tables.documents(s, dir), maxDf = None)
+
+  /** DuckDB replay: identical gram hash (md5 prefix), identical
+    * min-of-window selection (full windows only; short docs keep raw
+    * gram hashes — the Spark fallback), identical pair counting.
+    * k is pinned at 3 in the gram concat, as in shSql. */
+  lazy val d07Sql: String =
+    raw"""WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+         FROM documents),
+       grams AS (
+         SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+         FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS i)),
+       hashes AS (
+         SELECT doc_id, i, CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS h
+         FROM grams),
+       wins AS (
+         SELECT doc_id, i, h,
+                min(h) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN CURRENT ROW AND ${WinnowWindow - 1} FOLLOWING) AS mh,
+                count(*) OVER (PARTITION BY doc_id) AS ng
+         FROM hashes),
+       fps AS (
+         SELECT DISTINCT doc_id, mh AS fp FROM wins
+         WHERE ng >= $WinnowWindow AND i <= ng - ${WinnowWindow - 1}
+         UNION
+         SELECT DISTINCT doc_id, h AS fp FROM wins WHERE ng < $WinnowWindow)
+       SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+       FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared"""
+
+  // ---------------------------------------------------------------
   // d03: MinHash + LSH — 16 min-hashes per doc from ONE md5 per
   // shingle (a universal-hash family (a_i·h + b_i) mod p over the
   // md5-derived base value — 16 modmuls instead of 16 digests, ~5×
@@ -463,7 +571,8 @@ object Dedup {
     "d04_simhash" -> (d04 _),
     "d04b_simhash_core" -> (d04b _),
     "d05_embedding_neardup" -> (d05 _),
-    "d06_dedup_clusters" -> (d06 _))
+    "d06_dedup_clusters" -> (d06 _),
+    "d07_winnow_pairs" -> (d07 _))
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -471,5 +580,6 @@ object Dedup {
     "d03_minhash_lsh" -> d03Sql,
     "d04b_simhash_core" -> d04bSql,
     "d05_embedding_neardup" -> d05Sql,
-    "d06_dedup_clusters" -> d06Sql)
+    "d06_dedup_clusters" -> d06Sql,
+    "d07_winnow_pairs" -> d07Sql)
 }
