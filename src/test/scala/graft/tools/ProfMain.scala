@@ -1,61 +1,35 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
 
-/** Scratch profiling entry (test scope only — never ships):
-  * `sbt "Test/runMain graft.tools.ProfMain"`. */
+/** Steady-state query profiler (test scope only — never ships):
+  *
+  *   sbt "Test/runMain graft.tools.ProfMain <query> [reps] [sfDir]"
+  *
+  * Times `reps` back-to-back runs of one SparkEntry query in a single
+  * JVM, unpersisting registered caches between runs. The FIRST rep
+  * carries that plan's one-time codegen/JIT cost; later reps approach
+  * steady-state throughput — the number that matters for the 100 TB
+  * posture (Bench's generic warmup covers shared infra but not
+  * per-plan compilation). */
 object ProfMain {
   def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("c01_corpus_clean")
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val dir = args.lift(2).getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
+    val fn = graft.SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query $name; known: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     spark.range(1000000).selectExpr("sum(id*2)").collect()
-    val cw = spark.range(100000).toDF("id").cache(); cw.count(); cw.unpersist(true)
-    def t(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"PHASE $name%-40s ${(System.nanoTime() - t0) / 1e9}%.3f s")
-    }
-    import graft.functions.TextAnalysis._
-    val docs = graft.Tables.documents(spark, dir)
-    val scored = withQuality(withLangId(docs, col("text"), "pred_lang"),
-        col("text"), "quality")
-      .filter(col("pred_lang") =!= "und" && col("quality") >= 0.30)
-    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
-    val uniq = scored
-      .withColumn("fp", graft.plans.GraftFunctions.fingerprint(spark, col("text")))
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .drop("_rn", "fp")
-    val survivors = uniq.select(col("doc_id"), col("pred_lang"), col("quality")).cache()
-    t("1 survivors (gates+window)") { println("  n=" + survivors.count()) }
-    val survivorText = docs.select(col("doc_id"), col("text"))
-      .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    val sh = survivorText.select(col("doc_id"),
-      explode(graft.plans.GraftFunctions.shingles(spark, col("text"), 3)).as("shingle")).cache()
-    t("2 shingle cache") { println("  sh=" + sh.count()) }
-    t("3 sizes") { println("  " + sh.groupBy(col("doc_id")).agg(count(lit(1))).count()) }
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-    t("4 inter pairs (self-join)") { println("  inter=" + inter.count()) }
-    t("5 c01 full (second time, warm)") {
-      println("  out=" + graft.operators.Corpus.c01(spark, dir).count())
-    }
-    graft.CacheRegistry.unpersistAll()
-    t("6 c01 full again") {
-      println("  out=" + graft.operators.Corpus.c01(spark, dir).count())
-    }
-    graft.CacheRegistry.unpersistAll()
-    t("7 d06 cold-ish") {
-      println("  out=" + graft.operators.Dedup.d06(spark, dir).count())
-    }
-    graft.CacheRegistry.unpersistAll()
-    t("8 d06 warm") {
-      println("  out=" + graft.operators.Dedup.d06(spark, dir).count())
+    (1 to reps).foreach { r =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, dir).count()
+      println(f"PROF $name rep $r%d: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      graft.CacheRegistry.unpersistAll()
+      System.gc()
     }
     spark.stop()
   }
