@@ -129,6 +129,24 @@ class PlanSpec extends SparkSpec {
     } finally CacheRegistry.unpersistAll()
   }
 
+  test("d07: fingerprint build shuffles once — per-doc dedup reuses the doc_id exchange") {
+    try {
+      val p = plan("d07_winnow_pairs")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        "d07 pair join regressed from broadcast/hash shape")
+      assert(p.contains("InMemoryTableScan"), "d07 lost the fingerprint cache boundary")
+      // hashpartitioning(doc_id) satisfies the (doc_id, fp) distinct's
+      // clustering, so the whole query holds TWO physical shuffles:
+      // the fingerprint build's doc_id exchange (printed twice — the
+      // cached subplan renders under both join-side scans) and the
+      // (a, b) shared-count exchange → 3 occurrences in the plan
+      // string. A 4th+ means the per-doc dedup stopped reusing the
+      // window's exchange.
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(shuffles <= 3, s"d07 grew to $shuffles printed hash exchanges:\n${p.take(2000)}")
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("native expressions reject wrong input types at analysis time") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
