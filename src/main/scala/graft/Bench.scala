@@ -60,8 +60,14 @@ object Bench {
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // a failed query must be VISIBLE in the output (value -1), never
+      // reported as its time-to-throw — that reads as a perf win
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+          false
+      }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // Per-query boundary hygiene: drop every library-registered cache
       // pin (blocking) and nudge the ContextCleaner (localCheckpoint
       // blocks are freed when their RDDs become unreachable), so each

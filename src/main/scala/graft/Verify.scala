@@ -24,6 +24,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same boundary hygiene as Bench: don't let 61 queries' cache
+      // pins accumulate for the whole run (the strong-ref registry
+      // frees nothing until unpersistAll)
+      CacheRegistry.unpersistAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -54,13 +54,18 @@ object Histogram {
   }
 
   /** Range-agg bucket counts: (bucket, n), non-matching values
-    * dropped. The null-bucket drop runs AFTER the aggregation (over
-    * ≤ #buckets+1 rows) — a pre-agg `.filter(bucket.isNotNull)` is the
-    * trailing-filter-on-a-computed-column hazard: predicate pushdown
-    * substitutes the alias with no size guard, so when `value` is
-    * itself a heavy expression (f19/f20's risk_score) the ENTIRE tree
-    * lands inside a physical Filter and re-evaluates per row. Same
-    * result either way (the null group aggregates, then drops). */
+    * dropped. The null-bucket drop is written AFTER the aggregation —
+    * same result either way (the null group aggregates, then drops).
+    * NOTE this ordering alone is NOT pushdown protection: Catalyst
+    * pushes predicates on grouping aliases back below the Aggregate
+    * with the same unguarded alias substitution, so when `value` is a
+    * heavy computed expression the caller MUST ALSO put a cache
+    * boundary under it (f19/f20 consume Fraud.f04Cached — the
+    * InMemoryRelation leaf is what stops the scoring tree from
+    * re-inlining into a Filter; PlanSpec pins it). Post-agg placement
+    * still helps: where the filter does get pushed, its condition is
+    * a cheap CASE over the cached attribute, and where it can't be,
+    * it runs over ≤ #buckets+1 aggregated rows. */
   def rangeCounts(df: DataFrame, value: Column,
       ranges: Seq[RangeBucket]): DataFrame =
     df.select(rangeLabel(value, ranges).as("bucket"))

@@ -33,16 +33,18 @@ object Pq {
     * s03b coarse centroids (13). */
   private val Seed = 11
 
-  /** Shared input-length check: PQ reads exactly Dim float slots, so
-    * an UnsafeArrayData shorter than Dim would read out-of-bounds
-    * memory with NO exception — silent garbage codes/LUTs. A
-    * wrong-dimensionality embedding is a data error; fail loudly
-    * rather than clamp (a truncated PQ code is semantically wrong,
-    * unlike cosine over a shared prefix). Public: the generated code
-    * calls it through the object's static forwarder. */
+  /** Shared input-length check: PQ reads exactly Dim float slots. An
+    * UnsafeArrayData shorter than Dim would read out-of-bounds memory
+    * with NO exception, and a LONGER embedding would be silently
+    * truncated to its first Dim components — both produce
+    * wrong-but-plausible codes/LUTs. A wrong-dimensionality embedding
+    * is a data error; fail loudly rather than clamp (a truncated PQ
+    * code is semantically wrong, unlike cosine over a shared prefix).
+    * Public: the generated code calls it through the object's static
+    * forwarder. */
   def requireDim(n: Int): Unit =
-    if (n < Dim) throw new IllegalArgumentException(
-      s"graft PQ expressions need array<float> of >= $Dim elements, got $n")
+    if (n != Dim) throw new IllegalArgumentException(
+      s"graft PQ expressions need array<float> of exactly $Dim elements, got $n")
 
   /** codebook: subspace m, code j, component d → ±1. */
   def codeSign(m: Int, j: Int, d: Int): Int =

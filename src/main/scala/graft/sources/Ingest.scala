@@ -97,13 +97,22 @@ object Ingest {
     * (reference: ingestion/ilm_policy.json `max_size: 1gb` + the write
     * alias swap of ingestion/index_alias.json). When the active
     * segment's data bytes reach `maxBytes`, it is SEALED: atomically
-    * renamed to the next `seg=NNNNNN` directory (same reader guarantee
-    * as compact()'s swap — a scan sees the old or the new layout,
-    * never a mix) and a fresh empty active segment takes its place.
-    * Sealed segments are immutable, so compaction and retention
-    * operate on them per directory exactly like the ES shrink/delete
-    * phases. A metadata-only operation — no data is read or rewritten.
-    * Returns the sealed segment name, or None below the threshold. */
+    * renamed to the next `seg=sNNNNNN` directory (same reader
+    * guarantee as compact()'s swap — a scan sees the old or the new
+    * layout, never a mix) and a fresh empty active segment takes its
+    * place. Sealed names are deliberately NON-numeric ("s000001"):
+    * while the recreated active dir is empty it contributes nothing to
+    * partition-type inference, and all-numeric values would flip the
+    * `seg` column to an integral type (dropping leading zeros and
+    * null-ing `seg = 'active'` comparisons) until the next append.
+    * The counter is monotonic across retention: a `_last_seg` marker
+    * in the table root remembers the last issued number, so deleting
+    * old sealed segments never reissues their names to an incremental
+    * consumer (the ES rollover counter semantics). Sealed segments are
+    * immutable, so compaction and retention operate on them per
+    * directory exactly like the ES shrink/delete phases. Metadata-only
+    * — no data is read or rewritten. Returns the sealed segment name,
+    * or None below the threshold. */
   def rollPartition(s: SparkSession, path: String, maxBytes: Long): Option[String] = {
     val active = new Path(path, ActiveSegment)
     val fs = active.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -113,15 +122,26 @@ object Ingest {
       .map(_.getLen).sum
     if (bytes < maxBytes) return None
     val root = new Path(path)
-    val next = fs.listStatus(root).toSeq.filter(_.isDirectory)
+    val marker = new Path(root, "_last_seg")
+    val fromMarker =
+      if (!fs.exists(marker)) 0
+      else scala.util.Using.resource(fs.open(marker)) { in =>
+        scala.util.Try(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt).getOrElse(0)
+      }
+    val fromDirs = fs.listStatus(root).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("seg=") && n != ActiveSegment)
-      .flatMap(n => scala.util.Try(n.stripPrefix("seg=").toInt).toOption)
-      .foldLeft(0)(math.max) + 1
-    val segName = f"seg=$next%06d"
+      .filter(n => n.startsWith("seg=s"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("seg=s").toInt).toOption)
+      .foldLeft(0)(math.max)
+    val next = math.max(fromMarker, fromDirs) + 1
+    val segName = f"seg=s$next%06d"
     require(fs.rename(active, new Path(root, segName)),
       s"rollPartition: could not seal $active as $segName")
     fs.mkdirs(active)
+    scala.util.Using.resource(fs.create(marker, true)) { out =>
+      out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     Some(segName)
   }
 

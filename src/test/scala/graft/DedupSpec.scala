@@ -70,28 +70,29 @@ class DedupSpec extends SparkSpec {
   test("d07 winnowing: shared run >= window+k-1 guarantees a pair; cap verifies exact") {
     // the winnowing guarantee: any shared token run of length
     // >= window+k-1 (= 6 here) yields at least one shared fingerprint
-    val run = "alpha bravo charlie delta echo foxtrot"
-    val docs = Seq(
-      (1L, s"unrelated prefix one $run suffix side"),
-      (2L, s"$run completely different tail words here"),
-      (3L, "nothing in common with the others at all wholly disjoint tokens")
-    ).toDF("doc_id", "text")
-    val pairs = Dedup.winnowPairs(docs, minShared = 1, maxDf = None)
-      .select("a", "b", "shared").as[(Long, Long, Long)].collect()
-    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 1),
-      s"planted contiguous run not found: ${pairs.mkString(", ")}")
-    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), "disjoint doc paired")
+    try {
+      val run = "alpha bravo charlie delta echo foxtrot"
+      val docs = Seq(
+        (1L, s"unrelated prefix one $run suffix side"),
+        (2L, s"$run completely different tail words here"),
+        (3L, "nothing in common with the others at all wholly disjoint tokens")
+      ).toDF("doc_id", "text")
+      val pairs = Dedup.winnowPairs(docs, minShared = 1, maxDf = None)
+        .select("a", "b", "shared").as[(Long, Long, Long)].collect()
+      assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 1),
+        s"planted contiguous run not found: ${pairs.mkString(", ")}")
+      assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), "disjoint doc paired")
 
-    // capped candidates report the same EXACT shared counts on the
-    // pairs they keep (verification runs against full sets)
-    val corpus = Tables.documents(spark, sf("sf0.001"))
-    val exhaustive = Dedup.winnowPairs(corpus, maxDf = None)
-      .as[(Long, Long, Long)].collect().toMap2
-    val capped = Dedup.winnowPairs(corpus, maxDf = Some(64))
-      .as[(Long, Long, Long)].collect().toMap2
-    assert(capped.keySet.subsetOf(exhaustive.keySet))
-    capped.foreach { case (k, v) => assert(exhaustive(k) == v, s"$k count drifted") }
-    CacheRegistry.unpersistAll()
+      // capped candidates report the same EXACT shared counts on the
+      // pairs they keep (verification runs against full sets)
+      val corpus = Tables.documents(spark, sf("sf0.001"))
+      val exhaustive = Dedup.winnowPairs(corpus, maxDf = None)
+        .as[(Long, Long, Long)].collect().toMap2
+      val capped = Dedup.winnowPairs(corpus, maxDf = Some(64))
+        .as[(Long, Long, Long)].collect().toMap2
+      assert(capped.keySet.subsetOf(exhaustive.keySet))
+      capped.foreach { case (k, v) => assert(exhaustive(k) == v, s"$k count drifted") }
+    } finally CacheRegistry.unpersistAll()
   }
 
   private implicit class TripleOps(rows: Array[(Long, Long, Long)]) {

@@ -136,19 +136,23 @@ class PropertySpec extends SparkSpec {
     assert(got == samples.map(_._2), s"got $got")
   }
 
-  test("PQ expressions reject short arrays loudly (no silent OOB garbage)") {
-    // reading past numElements() on UnsafeArrayData does NOT throw —
-    // without the guard a 63-element embedding would encode garbage
-    val short = Seq((1L, Array.fill(graft.plans.Pq.Dim - 1)(0.5f))).toDF("id", "v")
-    Seq(
-      graft.plans.GraftFunctions.pqCodes(spark, col("v")),
-      graft.plans.GraftFunctions.pqSubDots(spark, col("v"))
-    ).foreach { e =>
-      val ex = intercept[Exception] { short.select(e).collect() }
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Nil else t.getMessage +: msgs(t.getCause)
-      assert(msgs(ex).exists(m => m != null && m.contains("graft PQ expressions need")),
-        s"expected the dimension guard, got: $ex")
+  test("PQ expressions reject wrong-dimension arrays loudly (no silent OOB/truncation)") {
+    // reading past numElements() on UnsafeArrayData does NOT throw (a
+    // 63-element embedding would encode garbage), and an over-length
+    // embedding would be silently truncated to its first 64 components
+    // — both must fail analysis-of-data loudly
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    for (n <- Seq(graft.plans.Pq.Dim - 1, graft.plans.Pq.Dim * 2)) {
+      val bad = Seq((1L, Array.fill(n)(0.5f))).toDF("id", "v")
+      Seq(
+        graft.plans.GraftFunctions.pqCodes(spark, col("v")),
+        graft.plans.GraftFunctions.pqSubDots(spark, col("v"))
+      ).foreach { e =>
+        val ex = intercept[Exception] { bad.select(e).collect() }
+        assert(msgs(ex).exists(m => m != null && m.contains("graft PQ expressions need")),
+          s"expected the dimension guard for n=$n, got: $ex")
+      }
     }
     // exact-Dim input still evaluates
     val ok = Seq((1L, Array.fill(graft.plans.Pq.Dim)(0.5f))).toDF("id", "v")

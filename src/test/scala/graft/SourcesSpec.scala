@@ -77,23 +77,35 @@ class SourcesSpec extends SparkSpec {
     Ingest.appendActive((1L to 100L).toDF("id"), dir)
     // below threshold: no roll
     assert(Ingest.rollPartition(spark, dir, maxBytes = 1L << 30).isEmpty)
-    // at/over threshold: active is sealed as seg=000001, fresh active
-    assert(Ingest.rollPartition(spark, dir, maxBytes = 1L).contains("seg=000001"))
+    // at/over threshold: active is sealed as seg=s000001, fresh active
+    assert(Ingest.rollPartition(spark, dir, maxBytes = 1L).contains("seg=s000001"))
     // second roll finds an empty active segment — no-op
     assert(Ingest.rollPartition(spark, dir, maxBytes = 1L).isEmpty)
+    // the seg partition column must stay a STRING while active is
+    // empty — all-numeric sealed names would flip inference to int
+    // and null out the 'active' comparison until the next append
+    assert(spark.read.parquet(dir).schema("seg").dataType ==
+      org.apache.spark.sql.types.StringType)
     // new writes land in the fresh active segment; next seal increments
     Ingest.appendActive((101L to 150L).toDF("id"), dir)
-    assert(Ingest.rollPartition(spark, dir, maxBytes = 1L).contains("seg=000002"))
+    assert(Ingest.rollPartition(spark, dir, maxBytes = 1L).contains("seg=s000002"))
     Ingest.appendActive((151L to 160L).toDF("id"), dir)
     // one uniform read sees sealed segments + active, nothing lost
     val all = spark.read.parquet(dir)
     assert(all.select("id").as[Long].collect().toSet == (1L to 160L).toSet)
-    assert(all.filter(col("seg") === "000001").count() == 100)
+    assert(all.filter(col("seg") === "s000001").count() == 100)
     assert(all.filter(col("seg") === "active").count() == 10)
     // sealed segments are per-directory immutable units: retention/
     // compaction style maintenance can target them like date partitions
     assert(Ingest.compact(spark, dir, targetBytes = 1L << 30, minFiles = 0)
-      .map(_._1).toSet.contains("seg=000001"))
+      .map(_._1).toSet.contains("seg=s000001"))
+    // counter is monotonic across retention: deleting sealed segments
+    // must never reissue their names (incremental consumers key on them)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "seg=s000001"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "seg=s000002"), true)
+    assert(Ingest.rollPartition(spark, dir, maxBytes = 1L).contains("seg=s000003"))
   }
 
   test("compaction rewrites small files per partition, data intact") {
