@@ -429,9 +429,37 @@ object Relational {
         AND e.ts >= s.sts AND e.ts < s.sts + INTERVAL 3 DAY
        GROUP BY 1"""
 
+  // ---------------------------------------------------------------
+  // q17: salted equi-join under pathological key skew. l_returnflag
+  // has only 3 values, so a plain shuffle join puts ~1/3 of a 100 TB
+  // fact table on ONE reducer each — the exact hot-key case
+  // Skew.saltedJoin exists for. The oracle is the PLAIN join: salting
+  // must be invisible in the results, bit for bit (the scatter column
+  // never changes which rows match, only where they meet).
+  // ---------------------------------------------------------------
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val dim = li.select(col("l_returnflag")).distinct()
+      .withColumn("flag_label", concat(lit("FLAG_"), col("l_returnflag")))
+    Skew.saltedJoin(li.select(col("l_returnflag"), col("l_quantity")),
+        dim, Seq("l_returnflag"), salt = 8)
+      .groupBy(col("flag_label"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("total_qty"))
+  }
+
+  val q17Sql: String =
+    """WITH dim AS (
+       SELECT DISTINCT l_returnflag, 'FLAG_' || l_returnflag AS flag_label
+       FROM lineitem)
+       SELECT flag_label, count(*) AS n,
+              CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS total_qty
+       FROM lineitem JOIN dim USING (l_returnflag)
+       GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_asof_join" -> (q15 _),
     "q16_interval_join" -> (q16 _),
+    "q17_skew_salted_join" -> (q17 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_join_agg" -> (q03 _),
@@ -450,6 +478,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q15_asof_join" -> q15Sql,
     "q16_interval_join" -> q16Sql,
+    "q17_skew_salted_join" -> q17Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_join_agg" -> q03Sql,
