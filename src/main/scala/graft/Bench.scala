@@ -47,16 +47,17 @@ object Bench {
     // codegen warmup). Deterministic order makes them comparable.
     // Optional comma-separated name filter for isolated profiling runs
     // (fresh-JVM per-query timings without cross-query cache effects).
+    val benched = SparkEntry.queries ++ SparkEntry.benchOnly
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
+      val unknown = names -- benched.keySet
       require(unknown.isEmpty,
-        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries/benchOnly: ${unknown.toSeq.sorted.mkString(", ")}")
     }
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None => SparkEntry.queries
+      case Some(names) => benched.filter { case (n, _) => names(n) }
+      case None => benched
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -81,7 +82,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The full JSON line can exceed the driver's log-tail capture (r8 lost
+    // its "total" to mid-line truncation), so persist it to a file too and
+    // lead with a short headline line that always survives a tail.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size}}""")
+    println(json)
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: ${t.getMessage}")
+    }
     spark.stop()
   }
 }

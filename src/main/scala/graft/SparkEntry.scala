@@ -21,6 +21,18 @@ object SparkEntry {
       multimodal.Binary.queries ++
       streaming.Alerts.queries
 
+  /** Bench-only faces (run by Bench, NOT by Verify — no oracle row):
+    * the df-capped production paths of the quadratic-pair dedup
+    * queries. The oracle faces above pin `maxDf = None` so DuckDB can
+    * replay the exhaustive pair join, but the capped path is what runs
+    * at 100 TB — these entries make BENCH time the plan that actually
+    * scales, alongside its conservative exhaustive twin. */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c01_capped" -> ((s, dir) => operators.Corpus.clean(Tables.documents(s, dir))),
+    "d02_capped" -> ((s, dir) => operators.Dedup.d02(s, dir)),
+    "d07_capped" -> ((s, dir) =>
+      operators.Dedup.winnowPairs(Tables.documents(s, dir))))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

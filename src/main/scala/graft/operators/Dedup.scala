@@ -104,10 +104,16 @@ object Dedup {
   def jaccardPairs(docs: DataFrame,
       maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
     val s = docs.sparkSession
+    // Cache the shingle frame PRE-PARTITIONED on the join key: the
+    // pair self-join (and the capped path's df window) then consume
+    // the cache's hashpartitioning(shingle) directly instead of
+    // re-exchanging the full shingle frame once per join side — one
+    // shuffle at cache build replaces two post-cache shuffles.
     val sh = docs
       .select(col("doc_id"),
         explode(graft.plans.GraftFunctions.shingles(s, col("text"), ShingleN))
           .as("shingle"))
+      .repartition(col("shingle"))
       .transform(graft.CacheRegistry.register)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = maxDf match {
@@ -119,17 +125,38 @@ object Dedup {
           .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
           .agg(count(lit(1)).as("inter"))
       case Some(k) =>
-        val w = Window.partitionBy(col("shingle"))
-        val rare = sh.withColumn("_df", count(lit(1)).over(w))
-          .filter(col("_df") <= k).drop("_df")
-        val cand = rare.as("a").join(rare.as("b"),
+        // inter(a,b) decomposes by shingle df: interRare (shingles
+        // with df <= k) + interHot (the few stop-shingles above the
+        // cap). interRare is the SAME count-join shape as the
+        // exhaustive path — just df-bounded, so no posting list
+        // contributes more than k² pairs. interHot corrects the
+        // candidates' counts by joining ONLY the hot postings (tiny
+        // distinct-shingle set; empty when nothing exceeds the cap,
+        // where AQE collapses the correction to a no-op). Reported
+        // inter stays EXACT for every candidate pair; the only loss
+        // remains pairs sharing exclusively hot shingles — the
+        // documented cap semantics. All joins key on the cache's
+        // shingle partitioning (df agg, anti/semi prune) — no extra
+        // exchange of the shingle frame.
+        val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > k).select(col("shingle"))
+        val rare = sh.join(hot, Seq("shingle"), "left_anti")
+        // cached: consumed twice (result + the hot-correction probe) —
+        // uncached, the whole rare self-join would run once per use
+        val interRare = rare.as("a").join(rare.as("b"),
             col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a"), col("b.doc_id").as("b")).distinct()
-        cand
-          .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-          .join(sh.as("sb"), col("b") === col("sb.doc_id") &&
-            col("sa.shingle") === col("sb.shingle"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+          .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+          .agg(count(lit(1)).as("_ir"))
+          .transform(graft.CacheRegistry.register)
+        val shHot = sh.join(hot, Seq("shingle"), "left_semi")
+        val interHot = interRare.select(col("a"), col("b"))
+          .join(shHot.as("ha"), col("a") === col("ha.doc_id"))
+          .join(shHot.as("hb"), col("b") === col("hb.doc_id") &&
+            col("ha.shingle") === col("hb.shingle"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("_ih"))
+        interRare.join(interHot, Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            (col("_ir") + coalesce(col("_ih"), lit(0L))).as("inter"))
     }
     inter
       .join(sizes.select(col("doc_id"), col("n").as("na")), col("a") === col("doc_id")).drop("doc_id")
@@ -284,6 +311,11 @@ object Dedup {
       .select(col("doc_id"),
         when(col("ng") < WinnowWindow, col("h")).otherwise(col("mh")).as("fp"))
       .distinct()
+      // per-doc dedup reuses the window's doc_id exchange, then the
+      // cache is re-keyed on fp so the pair self-join (and the capped
+      // path's df window) consume the cache's partitioning instead of
+      // exchanging the fingerprint frame once per join side
+      .repartition(col("fp"))
       .transform(graft.CacheRegistry.register)
     val shared = maxDf match {
       case None =>
@@ -292,20 +324,30 @@ object Dedup {
           .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
           .agg(count(lit(1)).as("shared"))
       case Some(k) =>
-        // candidates from rare fingerprints only; exact shared counts
-        // re-derived from the FULL sets (the d02 convention — the cap
-        // bounds the join, never the reported values)
-        val w = Window.partitionBy(col("fp"))
-        val rare = fps.withColumn("_df", count(lit(1)).over(w))
-          .filter(col("_df") <= k).drop("_df")
-        val cand = rare.as("a").join(rare.as("b"),
+        // the d02 capped convention: shared(a,b) = sharedRare +
+        // sharedHot. Rare-fingerprint co-occurrences are counted
+        // directly (df-bounded count-join, no posting list above k²
+        // pairs); the hot correction joins only the tiny
+        // above-the-cap posting set, so candidate counts stay EXACT
+        // and the cap bounds the join, never the reported values.
+        val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > k).select(col("fp"))
+        val rare = fps.join(hot, Seq("fp"), "left_anti")
+        // cached: consumed twice (result + the hot-correction probe)
+        val sharedRare = rare.as("a").join(rare.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a"), col("b.doc_id").as("b")).distinct()
-        cand
-          .join(fps.as("sa"), col("a") === col("sa.doc_id"))
-          .join(fps.as("sb"), col("b") === col("sb.doc_id") &&
-            col("sa.fp") === col("sb.fp"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+          .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+          .agg(count(lit(1)).as("_sr"))
+          .transform(graft.CacheRegistry.register)
+        val fpHot = fps.join(hot, Seq("fp"), "left_semi")
+        val sharedHot = sharedRare.select(col("a"), col("b"))
+          .join(fpHot.as("ha"), col("a") === col("ha.doc_id"))
+          .join(fpHot.as("hb"), col("b") === col("hb.doc_id") &&
+            col("ha.fp") === col("hb.fp"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("_sh"))
+        sharedRare.join(sharedHot, Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            (col("_sr") + coalesce(col("_sh"), lit(0L))).as("shared"))
     }
     shared.filter(col("shared") >= minShared)
   }

@@ -145,6 +145,30 @@ object Ingest {
     Some(segName)
   }
 
+  /** Retention for the rollover layout — the ILM delete phase over
+    * sealed segments: keep the newest `keep` sealed `seg=sNNNNNN`
+    * directories, drop the rest (segment numbers are issue-ordered,
+    * so lowest = oldest). Never touches the active segment, and the
+    * `_last_seg` marker keeps the rollover counter monotonic, so an
+    * expired segment's name is never reissued to an incremental
+    * consumer. Metadata-only — no data scan. Returns deleted names. */
+  def expireSegments(s: SparkSession, path: String, keep: Int): Seq[String] = {
+    require(keep >= 0, s"keep must be >= 0, got $keep")
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val sealedSegs = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg=s"))
+      .flatMap { st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("seg=s").toInt)
+          .toOption.map(n => (n, st.getPath))
+      }
+      .sortBy(_._1)
+    val expired = sealedSegs.dropRight(keep)
+    expired.foreach { case (_, p) => fs.delete(p, true) }
+    expired.map(_._2.getName)
+  }
+
   /** Small-file compaction — the maintenance pass every streaming
     * sink needs: a per-trigger file sink accumulates thousands of
     * KB-sized files per partition, and at 100 TB the per-file

@@ -73,6 +73,66 @@ class GeoSkewSpec extends SparkSpec {
     assert(saltedLeft == plainLeft)
   }
 
+  test("saltedJoin: hot-key scatter is real and survives AQE at weight") {
+    // A salted join whose shards AQE quietly re-merges is theater at
+    // scale. Two pins: (a) the join's shuffle keys INCLUDE the salt
+    // column, so one hot key hashes into `salt` distinct reducer
+    // buckets; (b) when shards carry real weight relative to AQE's
+    // advisory partition size (the 100 TB condition, simulated by
+    // advisory=1b so no shard is "small"), the post-AQE read keeps the
+    // hot key spread over many partitions, where the plain join pins
+    // every hot row to ONE. AQE coalescing is size-targeted: it only
+    // merges below-advisory shards, so at scale the scatter stands.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // force the shuffle-join path: a broadcast join has no exchange
+      // to salt (and needs no salting)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      // the 100 TB simulation: make every byte-bearing shard count as
+      // "at weight" so coalescing behaves as it would on real shards.
+      // parallelismFirst=true (the default) ignores the advisory size
+      // and merges anything under minPartitionSize — at test scale
+      // that folds ALL shards into one, which is exactly the
+      // size-targeted behavior (tiny shards merge; big ones never do).
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1b")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
+      // key must be data-derived (non-foldable): a literal key would
+      // constant-fold out of the join condition and the control join
+      // below would not hash-partition on it at all
+      val big = spark.range(0, 2000)
+        .selectExpr("CASE WHEN id >= 0 THEN 'hot' ELSE 'cold' END AS k", "id AS v")
+      val small = Seq(("hot", 1)).toDF("k", "w")
+      val joined = Skew.saltedJoin(big, small, Seq("k"), salt = 8)
+
+      val p = joined.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning\\([^)]*_salt".r.findFirstIn(p).isDefined,
+        s"join exchange does not partition on the salt column:\n${p.take(1500)}")
+
+      // runtime: the single hot key's rows land in >= 4 distinct
+      // post-AQE partitions (8 salts into 32 buckets — >= 4 distinct
+      // even with hash collisions among salt values)...
+      val saltedParts = joined.select(spark_partition_id().as("p"))
+        .distinct().count()
+      assert(saltedParts >= 4,
+        s"salted hot key occupies only $saltedParts partitions")
+      // ...where the plain shuffle join pins them all to ONE reducer
+      val plainParts = big.join(small, Seq("k"))
+        .select(spark_partition_id().as("p")).distinct().count()
+      assert(plainParts == 1L,
+        s"plain-join control landed in $plainParts partitions, expected 1")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("keyHistogram surfaces the hot key") {
     val big = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i))
       .toDF("k", "v")

@@ -136,14 +136,42 @@ class PlanSpec extends SparkSpec {
         "d07 pair join regressed from broadcast/hash shape")
       assert(p.contains("InMemoryTableScan"), "d07 lost the fingerprint cache boundary")
       // hashpartitioning(doc_id) satisfies the (doc_id, fp) distinct's
-      // clustering, so the whole query holds TWO physical shuffles:
-      // the fingerprint build's doc_id exchange (printed twice — the
-      // cached subplan renders under both join-side scans) and the
-      // (a, b) shared-count exchange → 3 occurrences in the plan
-      // string. A 4th+ means the per-doc dedup stopped reusing the
-      // window's exchange.
-      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
-      assert(shuffles <= 3, s"d07 grew to $shuffles printed hash exchanges:\n${p.take(2000)}")
+      // clustering, so the whole query holds THREE physical shuffles:
+      // the fingerprint build's doc_id exchange, the cache's fp
+      // re-key (repartition so the pair self-join consumes the
+      // cache's partitioning at scale instead of exchanging each join
+      // side), and the (a, b) shared-count exchange. The cached
+      // subplan renders once per scan, so count DISTINCT plan ids —
+      // a 4th distinct exchange means the per-doc dedup stopped
+      // reusing the window's exchange or the join started
+      // re-exchanging the cached frame.
+      val shuffles = raw"Exchange hashpartitioning[^\n]*\[plan_id=(\d+)\]".r
+        .findAllMatchIn(p).map(_.group(1)).toSet.size
+      assert(shuffles <= 3, s"d07 grew to $shuffles distinct hash exchanges:\n${p.take(2000)}")
+    } finally CacheRegistry.unpersistAll()
+  }
+
+  test("f05/f10/f19/f20 consume ONE shared scored cache, not four") {
+    // All four consume Fraud.f04Cached. What makes that one cache
+    // instead of four look-alikes is the sameResult dedup in
+    // CacheRegistry.register + Spark's CacheManager: every consumer's
+    // plan must resolve to the SAME CachedRDDBuilder instance (i.e.
+    // one materialization shared by reference, not four equal copies).
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    try {
+      val builders = Seq("f05_high_risk_alerts", "f10_top_risk_factors",
+        "f19_risk_heatmap", "f20_risk_distribution").map { q =>
+        val qe = SparkEntry.queries(q)(spark, sf()).queryExecution
+        val bs = qe.optimizedPlan.collect { case r: InMemoryRelation => r.cacheBuilder }
+        assert(bs.nonEmpty, s"$q lost its InMemoryRelation boundary")
+        q -> bs
+      }
+      val (_, ref) = builders.head
+      builders.tail.foreach { case (q, bs) =>
+        assert(bs.exists(b => ref.exists(_ eq b)),
+          s"$q resolves to a different cache than ${builders.head._1} — " +
+            "the scored frame is being materialized more than once")
+      }
     } finally CacheRegistry.unpersistAll()
   }
 

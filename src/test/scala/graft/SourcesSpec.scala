@@ -130,6 +130,50 @@ class SourcesSpec extends SparkSpec {
     assert(Ingest.compact(spark, dir, targetBytes = 1L << 30).isEmpty)
   }
 
+  test("segment lifecycle composes: roll -> append -> roll -> compact -> expire") {
+    // The full ILM story on ONE table: sealed segments are immutable
+    // per-directory units, so compaction and retention must operate on
+    // them without disturbing reads, and the rollover counter must
+    // stay monotonic across expiry.
+    val dir = tmp() + "/life"
+    def ids(): Set[Long] =
+      spark.read.parquet(dir).select("id").as[Long].collect().toSet
+
+    Ingest.appendActive((1L to 50L).toDF("id").repartition(4), dir)
+    assert(Ingest.rollPartition(spark, dir, maxBytes = 1L).contains("seg=s000001"))
+    assert(ids() == (1L to 50L).toSet)
+
+    // chatty appends into the fresh active segment, then seal them too
+    Ingest.appendActive((51L to 80L).toDF("id").repartition(4), dir)
+    Ingest.appendActive((81L to 100L).toDF("id").repartition(4), dir)
+    assert(Ingest.rollPartition(spark, dir, maxBytes = 1L).contains("seg=s000002"))
+    Ingest.appendActive((101L to 110L).toDF("id"), dir)
+    assert(ids() == (1L to 110L).toSet)
+
+    // compaction rewrites the many-file sealed segment in place;
+    // the read is stable across the atomic swap
+    val report = Ingest.compact(spark, dir, targetBytes = 1L << 30, minFiles = 1)
+    assert(report.map(_._1).contains("seg=s000002"),
+      s"sealed segment not compacted: $report")
+    report.foreach { case (d, nBefore, nAfter) =>
+      assert(nAfter < nBefore, s"$d: $nBefore -> $nAfter files") }
+    assert(ids() == (1L to 110L).toSet)
+
+    // retention drops the oldest sealed segment only — active and the
+    // newest sealed segment survive
+    assert(Ingest.expireSegments(spark, dir, keep = 1) == Seq("seg=s000001"))
+    assert(ids() == (51L to 110L).toSet)
+
+    // the counter never reissues an expired name: the next seal is
+    // s000003 even though s000001 is gone
+    assert(Ingest.rollPartition(spark, dir, maxBytes = 1L).contains("seg=s000003"))
+    assert(ids() == (51L to 110L).toSet)
+    // expire everything sealed; the (now empty) active dir remains,
+    // so the table reads as empty rather than failing
+    assert(Ingest.expireSegments(spark, dir, keep = 0).toSet ==
+      Set("seg=s000002", "seg=s000003"))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = Tables.orders(spark, sf("sf0.001"))
       .select("o_orderkey", "o_custkey", "o_totalprice")
