@@ -41,6 +41,20 @@ object Bench {
           Window.partitionBy(col("k") % 32).orderBy(col("n").desc)))
         .filter(col("rn") <= 5).count()
       base.as("a").join(broadcast(base.as("b")), "k").count()
+      // graft-native expression family (fused shingle loop, md5-prefix
+      // hashing, canonical fingerprint, simhash) + the winnow window
+      // shape + the lang-id/quality scoring trees — the corpus/text
+      // queries' shared hot codepaths, still on synthetic rows only
+      val docs = spark.range(2000).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 30).map(i =>
+          concat(lit("tok"), pmod(col("id") * 31 + i, lit(211)))): _*).as("text"))
+      graft.operators.Dedup.winnowPairs(docs, maxDf = None).count()
+      graft.operators.Dedup.exactDedup(docs).count()
+      docs.select(graft.plans.GraftFunctions.simhash64(spark, col("text"))).count()
+      graft.functions.TextAnalysis.withQuality(
+        graft.functions.TextAnalysis.withLangId(docs, col("text"), "pl"),
+        col("text"), "q").agg(sum(col("q"))).collect()
+      graft.CacheRegistry.unpersistAll()
     }
     // Sorted-name order: Map hash order made per-query round-over-round
     // deltas meaningless (whichever query ran first paid shared JIT /

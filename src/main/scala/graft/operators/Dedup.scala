@@ -280,21 +280,21 @@ object Dedup {
   val WinnowWindow = 4
   val WinnowMinShared = 3
 
-  /** Production face: winnow-fingerprint near-dup pairs of any
-    * (doc_id, text) frame — (a, b, shared fingerprint count). */
-  def winnowPairs(docs: DataFrame, minShared: Int = WinnowMinShared,
-      maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
+  /** Relational winnow fingerprint set of any (doc_id, text) frame —
+    * (doc_id, fp), distinct per doc. Posexplode the NON-distinct grams
+    * (tokens staged first — the no-retokenize rule), hash each gram
+    * through the native md5 prefix OUTSIDE any lambda (codegen'd),
+    * sliding-window minima via a doc-partitioned window, keep full
+    * windows only (short docs keep raw gram hashes — the same
+    * fallback as winnowFingerprints), then per-doc dedup that REUSES
+    * the window's doc_id exchange (hashpartitioning(doc_id) satisfies
+    * the (doc_id, fp) clustering). The all-lambda array formulation
+    * (winnowFingerprintsPortable) is interpreted per element and
+    * measured ~6x slower at sf0.1 (14.3 s vs this shape). Shared by
+    * winnowPairs and the streaming near-dup gate (which persists
+    * these fingerprints as its sealed-corpus state). */
+  def winnowFps(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
-    // Relational winnow selection: posexplode the NON-distinct grams
-    // (tokens staged first — the no-retokenize rule), hash each gram
-    // through the native md5 prefix OUTSIDE any lambda (codegen'd),
-    // sliding-window minima via a doc-partitioned window, keep full
-    // windows only (short docs keep raw gram hashes — the same
-    // fallback as winnowFingerprints), then per-doc dedup that REUSES
-    // the window's doc_id exchange (hashpartitioning(doc_id) satisfies
-    // the (doc_id, fp) clustering). The all-lambda array formulation
-    // (winnowFingerprintsPortable) is interpreted per element and
-    // measured ~6x slower at sf0.1 (14.3 s vs this shape).
     val hashed = docs
       .withColumn("_w", split(trim(lower(col("text"))), "\\s+"))
       .select(col("doc_id"),
@@ -304,17 +304,23 @@ object Dedup {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(Window.currentRow, WinnowWindow - 1)
     val wc = Window.partitionBy(col("doc_id"))
-    val fps = hashed
+    hashed
       .withColumn("mh", min(col("h")).over(w))
       .withColumn("ng", count(lit(1)).over(wc))
       .filter(col("ng") < WinnowWindow || col("i") <= col("ng") - WinnowWindow)
       .select(col("doc_id"),
         when(col("ng") < WinnowWindow, col("h")).otherwise(col("mh")).as("fp"))
       .distinct()
-      // per-doc dedup reuses the window's doc_id exchange, then the
-      // cache is re-keyed on fp so the pair self-join (and the capped
-      // path's df window) consume the cache's partitioning instead of
-      // exchanging the fingerprint frame once per join side
+  }
+
+  /** Production face: winnow-fingerprint near-dup pairs of any
+    * (doc_id, text) frame — (a, b, shared fingerprint count). */
+  def winnowPairs(docs: DataFrame, minShared: Int = WinnowMinShared,
+      maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
+    val fps = winnowFps(docs)
+      // the cache is re-keyed on fp so the pair self-join (and the
+      // capped path's df agg) consume the cache's partitioning instead
+      // of exchanging the fingerprint frame once per join side
       .repartition(col("fp"))
       .transform(graft.CacheRegistry.register)
     val shared = maxDf match {

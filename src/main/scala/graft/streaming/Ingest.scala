@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.TextAnalysis
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
@@ -55,5 +55,97 @@ object Ingest {
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
+      .start()
+
+  // ---------------------------------------------------------------
+  // Streaming NEAR-dup gate — the missing composition between the
+  // batch dedup stack (d07 winnowing) and a continuously-ingesting
+  // pipeline. Exact dedup ([[dedupStream]]) only drops bit-identical
+  // re-crawls; a near-duplicate arriving a day later sails through.
+  // This gate runs the c01-style cascade per micro-batch:
+  //   1. within-batch near-dup pairs via Dedup.winnowPairs (capped
+  //      production path) — drop the higher doc_id of each pair;
+  //   2. cross-batch gate: a batch doc sharing >= minShared winnow
+  //      fingerprints with ANY already-accepted doc is dropped. The
+  //      sealed-corpus state is the accepted docs' FINGERPRINTS
+  //      (doc_id, fp), persisted per batch — never re-derived from
+  //      text, so each micro-batch pays one fp equi-join against
+  //      state, not a corpus re-scan. At 100 TB that state is what
+  //      you bucket on fp (sources.Ingest.writeBucketed) and compact.
+  //   3. survivors' docs and fingerprints land in batch=<id>
+  //      subdirectories via OVERWRITE — a replayed micro-batch
+  //      rewrites exactly the same directories from exactly the same
+  //      corpus view (only batches < its own id), so crash-replay is
+  //      idempotent: no duplicates, no self-matching.
+  // ---------------------------------------------------------------
+
+  /** One micro-batch of the near-dup gate (the foreachBatch body —
+    * public so a replay is testable as a plain call). Reads corpus
+    * fingerprint state from `fpDir` (batches BELOW `batchId` only),
+    * writes survivors to `docsDir/batch=<id>` and their fingerprints
+    * to `fpDir/batch=<id>`. Returns the survivor count. */
+  def gateBatch(batch: DataFrame, batchId: Long, docsDir: String,
+      fpDir: String, minShared: Int = graft.operators.Dedup.WinnowMinShared): Long = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    try {
+      val docs = batch.select(col("doc_id"), col("text"))
+        .transform(graft.CacheRegistry.register)
+      // 1. within-batch near-dups: keep the lower doc_id of each pair
+      val innerDrops = Dedup.winnowPairs(docs, minShared)
+        .select(col("b").as("doc_id")).distinct()
+      val kept = docs.join(innerDrops, Seq("doc_id"), "left_anti")
+      val keptFps = Dedup.winnowFps(kept)
+        .transform(graft.CacheRegistry.register)
+      // 2. cross-batch gate against the sealed fingerprint state.
+      // Restricting to batch < batchId is what makes replay
+      // idempotent: the rerun sees the same corpus as the first run,
+      // not its own previous output.
+      val root = new org.apache.hadoop.fs.Path(fpDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sealedFps =
+        if (!fs.exists(root) || fs.listStatus(root).isEmpty) None
+        else Some(spark.read.parquet(fpDir)
+          .filter(col("batch") < batchId)
+          .select(col("doc_id").as("corpus_id"), col("fp")))
+      val crossDrops = sealedFps match {
+        case None => None
+        case Some(corpus) => Some(keptFps.join(corpus, Seq("fp"))
+          .groupBy(col("corpus_id"), col("doc_id"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= minShared)
+          .select(col("doc_id")).distinct())
+      }
+      val survivors = crossDrops.fold(kept)(d => kept.join(d, Seq("doc_id"), "left_anti"))
+        .transform(graft.CacheRegistry.register)
+      // 3. idempotent per-batch writes: overwrite, never append
+      survivors.write.mode(SaveMode.Overwrite)
+        .parquet(s"$docsDir/batch=$batchId")
+      val survFps = crossDrops.fold(keptFps)(d =>
+        keptFps.join(d, Seq("doc_id"), "left_anti"))
+      survFps.write.mode(SaveMode.Overwrite)
+        .parquet(s"$fpDir/batch=$batchId")
+      survivors.count()
+    } finally
+      // a micro-batch IS a query-face boundary for the cache registry:
+      // leaving the pins would accumulate one shingle/fp cache per
+      // trigger for the stream's lifetime
+      graft.CacheRegistry.unpersistAll()
+  }
+
+  /** Start — or resume — the near-dup-gated NDJSON ingestion:
+    * exact dups are assumed handled upstream ([[dedupStream]] /
+    * batch d01); this gate drops near-duplicates within each
+    * micro-batch and against everything accepted before it. */
+  def resumeNearDupGated(spark: SparkSession, inDir: String,
+      schema: StructType, docsDir: String, fpDir: String,
+      checkpointDir: String,
+      minShared: Int = graft.operators.Dedup.WinnowMinShared): StreamingQuery =
+    spark.readStream.schema(schema).json(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gateBatch(batch, batchId, docsDir, fpDir, minShared); ()
+      }
+      .option("checkpointLocation", checkpointDir)
       .start()
 }

@@ -190,6 +190,54 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq(1L, 3L, 5L))
   }
 
+  test("streaming near-dup gate: later-batch near-duplicate dropped, replay idempotent") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-ndgate").toString
+    val inDir = s"$root/in"; val docsDir = s"$root/docs"
+    val fpDir = s"$root/fp"; val ckDir = s"$root/ck"
+    new java.io.File(inDir).mkdirs()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def writeBatch(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/$name"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def acceptedIds(): Seq[Long] =
+      spark.read.parquet(docsDir).select("doc_id").as[Long].collect().toSeq.sorted
+    // long shared run => many shared winnow fingerprints (>= minShared)
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green parrots recite astonishing poetry about distant nebulae and forgotten harbors"
+
+    // batch 0: a doc, its IN-batch near-dup (suffix edit — contiguous
+    // overlap, the winnowing specialty), and one distinct doc
+    writeBatch("b1.json", Seq(
+      s"""{"doc_id":1,"text":"$base"}""",
+      s"""{"doc_id":2,"text":"$base truly"}""",
+      """{"doc_id":3,"text":"completely unrelated inventory ledger rows describing turnip futures and maritime insurance claims from 1887"}"""))
+    val q1 = streaming.Ingest.resumeNearDupGated(
+      spark, inDir, schema, docsDir, fpDir, ckDir)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(acceptedIds() == Seq(1L, 3L), "in-batch near-dup not dropped")
+
+    // batch 1, after a restart: a near-duplicate of doc 1 arrives a
+    // batch LATE (the case exact dedup cannot catch) plus a novel doc
+    writeBatch("b2.json", Seq(
+      s"""{"doc_id":4,"text":"$base once more"}""",
+      """{"doc_id":5,"text":"novel astronomy puzzle involving hexagonal basalt columns and tidal resonance chambers beneath glaciers"}"""))
+    val q2 = streaming.Ingest.resumeNearDupGated(
+      spark, inDir, schema, docsDir, fpDir, ckDir)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(acceptedIds() == Seq(1L, 3L, 5L),
+      "cross-batch near-dup not dropped against the sealed corpus")
+
+    // crash-replay: foreachBatch re-delivers batch 1 — the gate must
+    // rewrite the same output from the same corpus view (batches < 1),
+    // not drop doc 5 against its own previous output
+    val batch2 = spark.read.schema(schema).json(s"$inDir/b2.json")
+    val n = streaming.Ingest.gateBatch(batch2, batchId = 1L, docsDir, fpDir)
+    assert(n == 1L, s"replayed batch emitted $n survivors, expected 1")
+    assert(acceptedIds() == Seq(1L, 3L, 5L), "replay was not idempotent")
+  }
+
   test("streaming exact dedup: dropDuplicatesWithinWatermark on fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
