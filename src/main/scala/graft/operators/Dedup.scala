@@ -213,17 +213,20 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("component").as("nl")), "dst")
         .groupBy(col("src")).agg(min(col("nl")).as("nmin"))
         .select(col("src").as("id"), col("nmin"))
+      // _changed rides along INTO the checkpoint, so the convergence
+      // probe is a filter over the already-materialized rows instead
+      // of a second labels-vs-next join (one fewer join + job per
+      // round — the probe dominated round cost at small diameters)
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component")))
-            .as("component"))
+            .as("component"),
+          (coalesce(col("nmin"), col("component")) < col("component"))
+            .as("_changed"))
         .localCheckpoint(true)
-      converged = next
-        .join(labels.select(col("id"), col("component").as("_old")), "id")
-        .filter(col("component") < col("_old"))
-        .isEmpty
+      converged = next.filter(col("_changed")).isEmpty
       labels.unpersist()
-      labels = next
+      labels = next.drop("_changed")
       i += 1
     }
     sym.unpersist()
@@ -442,6 +445,11 @@ object Dedup {
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b")).distinct()
 
     val sizes = sigs.select(col("doc_id"), col("n"))
+    // Exact-Jaccard verification stays a pairwise count-join: on a
+    // templated corpus LSH band collisions reach most documents, so a
+    // collect_set + array_intersect variant (measured) moves nearly
+    // every posting AND pays a per-pair intersect — 2.5x slower at
+    // sf0.1 than counting co-occurrences through the hash join.
     val inter = cand
       .join(sh.as("sa"), col("a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("b") === col("sb.doc_id") &&

@@ -88,6 +88,11 @@ object Ingest {
       fpDir: String, minShared: Int = graft.operators.Dedup.WinnowMinShared): Long = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
+    // "batch" is this sink's partition-directory column; an input
+    // column of the same name would silently shadow the corpus-view
+    // filter on re-read
+    require(!batch.columns.contains("batch"),
+      "near-dup gate input must not carry a 'batch' column (reserved for the sink layout)")
     try {
       val docs = batch.select(col("doc_id"), col("text"))
         .transform(graft.CacheRegistry.register)
