@@ -95,6 +95,33 @@ class DedupSpec extends SparkSpec {
     } finally CacheRegistry.unpersistAll()
   }
 
+  test("d07 capped hot-correction path: exact counts when fingerprints exceed the cap") {
+    // the rare+hot decomposition's correction join only executes when
+    // some fingerprint's df EXCEEDS the cap — force that with a tiny
+    // cap so a bug in the hot-count merge can't hide behind
+    // all-rare corpora (sf0.1's max shingle df is 25, far under the
+    // production cap of 256)
+    try {
+      val corpus = Tables.documents(spark, sf("sf0.001"))
+      val cap = 2
+      val maxFpDf = Dedup.winnowFps(corpus.select(col("doc_id"), col("text")))
+        .groupBy(col("fp")).count().agg(max("count")).as[Long].head()
+      assert(maxFpDf > cap,
+        s"test corpus has no fingerprint above cap=$cap (max df $maxFpDf) — hot path not exercised")
+      val exhaustive = Dedup.winnowPairs(corpus, maxDf = None)
+        .as[(Long, Long, Long)].collect().toMap2
+      val capped = Dedup.winnowPairs(corpus, maxDf = Some(cap))
+        .as[(Long, Long, Long)].collect().toMap2
+      // capped may (documented) miss pairs whose overlap is hot-only,
+      // but every pair it DOES report must carry the exact full count
+      // (sharedRare + sharedHot == exhaustive's shared)
+      assert(capped.nonEmpty, "capped face found nothing at cap=2")
+      assert(capped.keySet.subsetOf(exhaustive.keySet))
+      capped.foreach { case (k, v) =>
+        assert(exhaustive(k) == v, s"$k: capped=$v exhaustive=${exhaustive(k)}") }
+    } finally CacheRegistry.unpersistAll()
+  }
+
   private implicit class TripleOps(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] =
       rows.map(r => (r._1, r._2) -> r._3).toMap

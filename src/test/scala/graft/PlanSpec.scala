@@ -151,6 +151,19 @@ class PlanSpec extends SparkSpec {
     } finally CacheRegistry.unpersistAll()
   }
 
+  test("d02: shingle cache is pre-partitioned on the join key") {
+    // the r9 contract: the cached shingle frame carries
+    // hashpartitioning(shingle) (REPARTITION_BY_COL under the
+    // InMemoryRelation), so the pair self-join and the capped path's
+    // df aggregation never re-exchange the frame per consumer
+    try {
+      val p = plan("d02_ngram_jaccard")
+      assert(raw"Exchange hashpartitioning\(shingle[^\n]*REPARTITION_BY_COL".r
+        .findFirstIn(p).isDefined,
+        s"shingle cache lost its pre-partitioning:\n${p.take(2000)}")
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("f05/f10/f19/f20 consume ONE shared scored cache, not four") {
     // All four consume Fraud.f04Cached. What makes that one cache
     // instead of four look-alikes is the sameResult dedup in
