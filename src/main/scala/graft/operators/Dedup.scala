@@ -196,8 +196,12 @@ object Dedup {
     * returning a partially-propagated labeling. */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // pre-partitioned on dst: every round's neighbor-min join then
+    // consumes the cache's partitioning instead of re-exchanging the
+    // full edge frame once per round (rounds = component diameter)
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("dst"))
       .transform(graft.CacheRegistry.register)
     // eager localCheckpoint, not cache: each round's plan references
     // the previous round's twice (neighbor-min + convergence probe),
