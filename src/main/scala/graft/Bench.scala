@@ -100,9 +100,10 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The full JSON line can exceed the driver's log-tail capture (r8 lost
     // its "total" to mid-line truncation), so persist it to a file too and
-    // lead with a short headline line that always survives a tail.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size}}""")
+    // END with a short headline line: a tail capture keeps the END of the
+    // log, so the last line must be the short parseable one.
     println(json)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"full":"target/bench.json"}""")
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
