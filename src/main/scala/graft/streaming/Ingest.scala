@@ -85,7 +85,8 @@ object Ingest {
     * writes survivors to `docsDir/batch=<id>` and their fingerprints
     * to `fpDir/batch=<id>`. Returns the survivor count. */
   def gateBatch(batch: DataFrame, batchId: Long, docsDir: String,
-      fpDir: String, minShared: Int = graft.operators.Dedup.WinnowMinShared): Long = {
+      fpDir: String, minShared: Int = graft.operators.Dedup.WinnowMinShared,
+      maxDf: Option[Int] = Some(graft.operators.Dedup.DefaultMaxDf)): Long = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     // "batch" is this sink's partition-directory column; an input
@@ -108,11 +109,26 @@ object Ingest {
       // not its own previous output.
       val root = new org.apache.hadoop.fs.Path(fpDir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the cross join is fp-keyed, so a boilerplate fingerprint
+      // present in many corpus docs would contribute (corpus df ×
+      // batch df) rows — the same quadratic hazard the batch
+      // operators cap. Drop above-cap corpus fingerprints from the
+      // GATE join (d02/d07's documented loss mode: a doc near-dup
+      // only through ultra-common fingerprints passes). At scale the
+      // df would be maintained incrementally with the state; one agg
+      // per micro-batch is honest at this state size.
       val sealedFps =
         if (!fs.exists(root) || fs.listStatus(root).isEmpty) None
-        else Some(spark.read.parquet(fpDir)
-          .filter(col("batch") < batchId)
-          .select(col("doc_id").as("corpus_id"), col("fp")))
+        else {
+          val all = spark.read.parquet(fpDir)
+            .filter(col("batch") < batchId)
+            .select(col("doc_id").as("corpus_id"), col("fp"))
+          Some(maxDf.fold(all) { k =>
+            val hot = all.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+              .filter(col("_df") > k).select(col("fp"))
+            all.join(hot, Seq("fp"), "left_anti")
+          })
+        }
       val crossDrops = sealedFps match {
         case None => None
         case Some(corpus) => Some(keptFps.join(corpus, Seq("fp"))
@@ -145,11 +161,12 @@ object Ingest {
   def resumeNearDupGated(spark: SparkSession, inDir: String,
       schema: StructType, docsDir: String, fpDir: String,
       checkpointDir: String,
-      minShared: Int = graft.operators.Dedup.WinnowMinShared): StreamingQuery =
+      minShared: Int = graft.operators.Dedup.WinnowMinShared,
+      maxDf: Option[Int] = Some(graft.operators.Dedup.DefaultMaxDf)): StreamingQuery =
     spark.readStream.schema(schema).json(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        gateBatch(batch, batchId, docsDir, fpDir, minShared); ()
+        gateBatch(batch, batchId, docsDir, fpDir, minShared, maxDf); ()
       }
       .option("checkpointLocation", checkpointDir)
       .start()

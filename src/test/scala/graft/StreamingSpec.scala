@@ -236,6 +236,16 @@ class StreamingSpec extends SparkSpec {
     val n = streaming.Ingest.gateBatch(batch2, batchId = 1L, docsDir, fpDir)
     assert(n == 1L, s"replayed batch emitted $n survivors, expected 1")
     assert(acceptedIds() == Seq(1L, 3L, 5L), "replay was not idempotent")
+
+    // cap plumbing reaches the cross join: with maxDf=0 every corpus
+    // fingerprint is "hot" and excluded from the gate (the documented
+    // loss mode), so the near-dup of doc 1 now passes
+    val nCap = streaming.Ingest.gateBatch(batch2, batchId = 1L, docsDir, fpDir,
+      maxDf = Some(0))
+    assert(nCap == 2L, s"cap-disabled gate emitted $nCap survivors, expected 2")
+    // restore and confirm the overwrite semantics hold
+    assert(streaming.Ingest.gateBatch(batch2, batchId = 1L, docsDir, fpDir) == 1L)
+    assert(acceptedIds() == Seq(1L, 3L, 5L))
   }
 
   test("streaming exact dedup: dropDuplicatesWithinWatermark on fingerprint") {
