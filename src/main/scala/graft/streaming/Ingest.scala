@@ -98,7 +98,8 @@ object Ingest {
       val docs = batch.select(col("doc_id"), col("text"))
         .transform(graft.CacheRegistry.register)
       // 1. within-batch near-dups: keep the lower doc_id of each pair
-      val innerDrops = Dedup.winnowPairs(docs, minShared)
+      // (same cap as the cross gate — one knob governs both joins)
+      val innerDrops = Dedup.winnowPairs(docs, minShared, maxDf)
         .select(col("b").as("doc_id")).distinct()
       val kept = docs.join(innerDrops, Seq("doc_id"), "left_anti")
       val keptFps = Dedup.winnowFps(kept)
