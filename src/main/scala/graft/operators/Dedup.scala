@@ -369,12 +369,13 @@ object Dedup {
     // oracle face pins maxDf = None (DuckDB replays exhaustive pairs)
     winnowPairs(Tables.documents(s, dir), maxDf = None)
 
-  /** DuckDB replay: identical gram hash (md5 prefix), identical
-    * min-of-window selection (full windows only; short docs keep raw
-    * gram hashes — the Spark fallback), identical pair counting.
-    * k is pinned at 3 in the gram concat, as in shSql. */
-  lazy val d07Sql: String =
-    raw"""WITH toks AS (
+  /** Shared SQL prologue: the winnow fingerprint set (doc_id, fp) of
+    * the documents table — identical gram hash (md5 prefix),
+    * identical min-of-window selection (full windows only; short docs
+    * keep raw gram hashes — the Spark fallback). k is pinned at 3 in
+    * the gram concat, as in shSql. Used by d07 and d08. */
+  private lazy val winnowFpsSql: String =
+    raw"""toks AS (
          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
          FROM documents),
        grams AS (
@@ -393,9 +394,93 @@ object Dedup {
          SELECT DISTINCT doc_id, mh AS fp FROM wins
          WHERE ng >= $WinnowWindow AND i <= ng - ${WinnowWindow - 1}
          UNION
-         SELECT DISTINCT doc_id, h AS fp FROM wins WHERE ng < $WinnowWindow)
+         SELECT DISTINCT doc_id, h AS fp FROM wins WHERE ng < $WinnowWindow)"""
+
+  /** DuckDB replay of d07: the shared fingerprint CTE + identical
+    * pair counting. */
+  lazy val d07Sql: String =
+    raw"""WITH $winnowFpsSql
        SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared"""
+
+  // ---------------------------------------------------------------
+  // d08: eval-set decontamination — the CROSS-corpus face of the
+  // winnowing near-dup: which corpus docs share >= minShared
+  // fingerprints with any benchmark/eval document. This is the
+  // compliance pass every LLM training corpus runs before shipping
+  // (benchmark n-gram overlap detection): near-verbatim eval material
+  // in the training set inflates reported scores, and contiguous
+  // overlap is exactly what winnowing guarantees to catch. Same scale
+  // shape as d07 — one fp equi-join, never a cross join — with the
+  // df cap decomposed rare+hot on the CORPUS side (benchmark sets are
+  // small by construction), so reported counts stay exact for every
+  // candidate while no posting list contributes more than
+  // corpus-df × bench-df rows above the cap.
+  // ---------------------------------------------------------------
+
+  /** Production face: contaminated (doc_id, bench_id, shared) rows of
+    * `corpus` against `benchmark` (both (doc_id, text) frames). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      minShared: Int = WinnowMinShared,
+      maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
+    val cf = winnowFps(corpus)
+      .repartition(col("fp"))
+      .transform(graft.CacheRegistry.register)
+    val bf = winnowFps(benchmark)
+      .select(col("doc_id").as("bench_id"), col("fp"))
+      .transform(graft.CacheRegistry.register)
+    val shared = maxDf match {
+      case None =>
+        cf.join(bf, Seq("fp"))
+          .groupBy(col("doc_id"), col("bench_id"))
+          .agg(count(lit(1)).as("shared"))
+      case Some(k) =>
+        // the d02/d07 capped convention, cross-corpus: rare counts by
+        // the bounded join, hot correction only for candidate pairs
+        val hot = cf.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > k).select(col("fp"))
+        val rare = cf.join(hot, Seq("fp"), "left_anti")
+        val sharedRare = rare.join(bf, Seq("fp"))
+          .groupBy(col("doc_id"), col("bench_id"))
+          .agg(count(lit(1)).as("_sr"))
+          .transform(graft.CacheRegistry.register)
+        val cfHot = cf.join(hot, Seq("fp"), "left_semi")
+        val sharedHot = sharedRare.select(col("doc_id"), col("bench_id"))
+          .join(cfHot.select(col("doc_id"), col("fp").as("_hfp")), Seq("doc_id"))
+          .join(bf.select(col("bench_id").as("_b2"), col("fp").as("_bfp")),
+            col("bench_id") === col("_b2") && col("_hfp") === col("_bfp"))
+          .groupBy(col("doc_id"), col("bench_id"))
+          .agg(count(lit(1)).as("_sh"))
+        sharedRare.join(sharedHot, Seq("doc_id", "bench_id"), "left")
+          .select(col("doc_id"), col("bench_id"),
+            (col("_sr") + coalesce(col("_sh"), lit(0L))).as("shared"))
+    }
+    shared.filter(col("shared") >= minShared)
+  }
+
+  /** The deterministic eval split of the documents table (doc_id
+    * divisible by 7 ≈ 14% of the corpus) — stands in for an external
+    * benchmark set in the oracle-checked face. 7 is chosen so the
+    * corpus's planted near-dup pairs actually straddle the split
+    * (8 contaminated rows at sf0.01); a sparser split (e.g. %97)
+    * verified vacuously with 0 rows. */
+  val BenchIdMod = 7
+
+  def d08(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // oracle face pins maxDf = None (DuckDB replays exhaustive join)
+    decontaminate(
+      docs.filter(col("doc_id") % BenchIdMod =!= 0),
+      docs.filter(col("doc_id") % BenchIdMod === 0),
+      maxDf = None)
+  }
+
+  lazy val d08Sql: String =
+    raw"""WITH $winnowFpsSql
+       SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS shared
+       FROM fps c JOIN fps b ON c.fp = b.fp
+       WHERE c.doc_id % $BenchIdMod <> 0 AND b.doc_id % $BenchIdMod = 0
        GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared"""
 
   // ---------------------------------------------------------------
@@ -632,7 +717,8 @@ object Dedup {
     "d04b_simhash_core" -> (d04b _),
     "d05_embedding_neardup" -> (d05 _),
     "d06_dedup_clusters" -> (d06 _),
-    "d07_winnow_pairs" -> (d07 _))
+    "d07_winnow_pairs" -> (d07 _),
+    "d08_decontaminate" -> (d08 _))
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -641,5 +727,6 @@ object Dedup {
     "d04b_simhash_core" -> d04bSql,
     "d05_embedding_neardup" -> d05Sql,
     "d06_dedup_clusters" -> d06Sql,
-    "d07_winnow_pairs" -> d07Sql)
+    "d07_winnow_pairs" -> d07Sql,
+    "d08_decontaminate" -> d08Sql)
 }

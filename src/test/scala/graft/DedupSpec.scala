@@ -122,6 +122,40 @@ class DedupSpec extends SparkSpec {
     } finally CacheRegistry.unpersistAll()
   }
 
+  test("d08 decontamination: planted eval doc detected; forced-hot cap stays exact") {
+    try {
+      // a corpus doc that near-verbatim contains a benchmark doc must
+      // surface; an unrelated one must not
+      val bench = Seq(
+        (100L, "the seven wise storks delivered pamphlets describing ancient irrigation techniques")
+      ).toDF("doc_id", "text")
+      val corpus = Seq(
+        (1L, "the seven wise storks delivered pamphlets describing ancient irrigation techniques with minor edits"),
+        (2L, "entirely unrelated text about submarine cables and frozen yogurt economics")
+      ).toDF("doc_id", "text")
+      val hits = Dedup.decontaminate(corpus, bench, minShared = 1)
+        .as[(Long, Long, Long)].collect()
+      assert(hits.exists(h => h._1 == 1L && h._2 == 100L && h._3 >= 1),
+        s"planted contamination missed: ${hits.mkString(", ")}")
+      assert(!hits.exists(_._1 == 2L), "clean doc flagged")
+
+      // cross-corpus rare+hot decomposition: capped rows are a subset
+      // with EXACT counts, under a cap small enough that the hot
+      // correction join really executes
+      val docs = Tables.documents(spark, sf("sf0.001"))
+      val c = docs.filter(col("doc_id") % Dedup.BenchIdMod =!= 0)
+      val b = docs.filter(col("doc_id") % Dedup.BenchIdMod === 0)
+      val ex = Dedup.decontaminate(c, b, maxDf = None)
+        .as[(Long, Long, Long)].collect().toMap2
+      assert(ex.nonEmpty, "no contamination across the eval split at test scale")
+      val capped = Dedup.decontaminate(c, b, maxDf = Some(2))
+        .as[(Long, Long, Long)].collect().toMap2
+      assert(capped.keySet.subsetOf(ex.keySet))
+      capped.foreach { case (k, v) =>
+        assert(ex(k) == v, s"$k: capped=$v exhaustive=${ex(k)}") }
+    } finally CacheRegistry.unpersistAll()
+  }
+
   private implicit class TripleOps(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] =
       rows.map(r => (r._1, r._2) -> r._3).toMap
