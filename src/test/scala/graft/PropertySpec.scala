@@ -122,6 +122,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rare+hot df-cap decomposition stays exact over random corpora and caps") {
+    // the capped pair queries promise: reported rows are a subset of
+    // the exhaustive rows, every reported value is the EXACT full
+    // count, and the only loss mode is pairs sharing exclusively
+    // above-cap keys. Random templated corpora drive the hot
+    // correction through many shapes (caps small enough that hot sets
+    // are routinely nonempty).
+    val rnd = new Random(23)
+    val vocab = Array("alpha", "bravo", "carol", "delta", "echo", "fox",
+      "golf", "hotel", "india", "julie", "kilo", "lima")
+    def doc(): String = {
+      // half the docs embed a shared boilerplate run => hot shingles
+      val boiler = if (rnd.nextBoolean()) "common boiler plate run here " else ""
+      boiler + Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    }
+    for (trial <- 1 to 3; cap <- Seq(1, 3, 8)) {
+      try {
+        val docs = (1L to 40L).map(i => (i, doc())).toDF("doc_id", "text")
+        val exJ = Dedup.jaccardPairs(docs, maxDf = None)
+          .select("a", "b", "inter").as[(Long, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        val capJ = Dedup.jaccardPairs(docs, maxDf = Some(cap))
+          .select("a", "b", "inter").as[(Long, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        assert(capJ.keySet.subsetOf(exJ.keySet), s"trial $trial cap $cap: extra pairs")
+        capJ.foreach { case (k, v) =>
+          assert(exJ(k) == v, s"trial $trial cap $cap: $k capped=$v exhaustive=${exJ(k)}") }
+        val exW = Dedup.winnowPairs(docs, minShared = 1, maxDf = None)
+          .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+        val capW = Dedup.winnowPairs(docs, minShared = 1, maxDf = Some(cap))
+          .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+        assert(capW.keySet.subsetOf(exW.keySet), s"trial $trial cap $cap: extra winnow pairs")
+        capW.foreach { case (k, v) =>
+          assert(exW(k) == v, s"trial $trial cap $cap winnow: $k capped=$v exhaustive=${exW(k)}") }
+      } finally CacheRegistry.unpersistAll()
+    }
+  }
+
   test("char-ngram language ID identifies natural-language samples") {
     val samples = Seq(
       ("the quick brown fox and the lazy dog went over the hill", "en"),
