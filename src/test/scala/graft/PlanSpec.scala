@@ -188,6 +188,22 @@ class PlanSpec extends SparkSpec {
     } finally CacheRegistry.unpersistAll()
   }
 
+  test("driver contract: oracle keys ⊆ queries, benchOnly disjoint, rows-only pinned") {
+    // the driver verifies every `queries` entry and hash-compares the
+    // oracle rows; a stray oracle key or a benchOnly name colliding
+    // with a verified query would silently corrupt the round's
+    // correctness artifact. The rows-only set is pinned so a new
+    // query can't lose its oracle unnoticed.
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val b = SparkEntry.benchOnly.keySet
+    assert(o.subsetOf(q), s"oracle without query: ${(o -- q).toSeq.sorted}")
+    assert((b & q).isEmpty, s"benchOnly collides with queries: ${(b & q).toSeq.sorted}")
+    assert((q -- o) == Set("d04_simhash", "f11_extract_specs",
+      "f12_score_items", "f13_generate_stats", "s03_ann_ivf"),
+      s"rows-only set drifted: ${(q -- o).toSeq.sorted}")
+  }
+
   test("native expressions reject wrong input types at analysis time") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
