@@ -79,12 +79,27 @@ object TextAnalysis {
       s"TextAnalysis staging name collision: ${clash.mkString(", ")} already in ${df.columns.mkString("[", ",", "]")}")
   }
 
-  /** Staged language ID: appends `out` to `df`. The four stopword
-    * scans land in their own projection (multi-referenced non-cheap
-    * producers — CollapseProject keeps the boundary), so each regex
-    * runs once per row regardless of how many decision branches read
-    * it. Same values as [[langId]], bit for bit. */
+  /** Staged language ID: appends `out` to `df`. Since round 9 the
+    * signals come from ONE native fused pass (graft_textstats) staged
+    * as a struct column (multi-referenced non-cheap producer —
+    * CollapseProject keeps the boundary, so the pass runs once per
+    * row); the decision tree over the fields is unchanged. Same
+    * values as [[langId]], bit for bit — pinned by PropertySpec
+    * against [[withLangIdColumns]] on adversarial text. */
   def withLangId(df: org.apache.spark.sql.DataFrame, text: Column,
+      out: String): org.apache.spark.sql.DataFrame = {
+    requireStagingFree(df, Seq("_ts"))
+    df.withColumn("_ts",
+        graft.plans.GraftFunctions.textStats(df.sparkSession, text))
+      .withColumn(out, langDecision(col("_ts.han"), col("_ts.en"),
+        col("_ts.es"), col("_ts.de"), col("_ts.fr")))
+      .drop("_ts")
+  }
+
+  /** The pre-round-9 regex-staged formulation — kept as the
+    * equivalence REFERENCE for the native fused pass (the oracle SQL
+    * replays these semantics definitionally). */
+  def withLangIdColumns(df: org.apache.spark.sql.DataFrame, text: Column,
       out: String): org.apache.spark.sql.DataFrame = {
     requireStagingFree(df, Seq("_lid_han", "_lid_en", "_lid_es", "_lid_de", "_lid_fr"))
     val s = StopwordSets.toMap
@@ -156,11 +171,24 @@ object TextAnalysis {
       regexp_count(lower_, lit("[^a-z0-9\\s]")), length(text))
   }
 
-  /** Staged quality score: appends `out` to `df`, with the token/
-    * stopword/punctuation counts in their own projection so each scan
-    * runs once per row. Same values as [[qualityScore]], bit for
-    * bit. */
+  /** Staged quality score: appends `out` to `df`. The counts come
+    * from the same native fused pass as [[withLangId]] (one struct
+    * stage, one pass per row). Same values as [[qualityScore]], bit
+    * for bit — pinned by PropertySpec against [[withQualityColumns]]
+    * on adversarial text. */
   def withQuality(df: org.apache.spark.sql.DataFrame, text: Column,
+      out: String): org.apache.spark.sql.DataFrame = {
+    requireStagingFree(df, Seq("_ts"))
+    df.withColumn("_ts",
+        graft.plans.GraftFunctions.textStats(df.sparkSession, text))
+      .withColumn(out, qualityExpr(col("_ts.nw"), col("_ts.qsh"),
+        col("_ts.pc"), col("_ts.nc")))
+      .drop("_ts")
+  }
+
+  /** The pre-round-9 regex-staged formulation — the equivalence
+    * REFERENCE for the native fused pass. */
+  def withQualityColumns(df: org.apache.spark.sql.DataFrame, text: Column,
       out: String): org.apache.spark.sql.DataFrame = {
     requireStagingFree(df, Seq("_q_nw", "_q_sh", "_q_pc", "_q_nc"))
     val t = lower(text)
@@ -172,6 +200,21 @@ object TextAnalysis {
       .withColumn(out, qualityExpr(col("_q_nw"), col("_q_sh"),
         col("_q_pc"), col("_q_nc")))
       .drop("_q_nw", "_q_sh", "_q_pc", "_q_nc")
+  }
+
+  /** Language ID + quality in ONE staged fused pass — for cascades
+    * (corpus cleaning) that need both: the separate staged helpers
+    * would each run the pass once. */
+  def withLangQuality(df: org.apache.spark.sql.DataFrame, text: Column,
+      langOut: String, qualityOut: String): org.apache.spark.sql.DataFrame = {
+    requireStagingFree(df, Seq("_ts"))
+    df.withColumn("_ts",
+        graft.plans.GraftFunctions.textStats(df.sparkSession, text))
+      .withColumn(langOut, langDecision(col("_ts.han"), col("_ts.en"),
+        col("_ts.es"), col("_ts.de"), col("_ts.fr")))
+      .withColumn(qualityOut, qualityExpr(col("_ts.nw"), col("_ts.qsh"),
+        col("_ts.pc"), col("_ts.nc")))
+      .drop("_ts")
   }
 
   def qualityBucket(score: Column): Column =

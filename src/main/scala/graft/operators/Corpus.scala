@@ -31,8 +31,7 @@ object Corpus {
     * `docs` needs (doc_id, text). */
   def clean(docs: DataFrame,
       maxDf: Option[Int] = Some(Dedup.DefaultMaxDf)): DataFrame = {
-    val scored = withQuality(withLangId(docs, col("text"), "pred_lang"),
-        col("text"), "quality")
+    val scored = withLangQuality(docs, col("text"), "pred_lang", "quality")
       .filter(col("pred_lang") =!= "und" && col("quality") >= MinQuality)
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
     val uniq = scored

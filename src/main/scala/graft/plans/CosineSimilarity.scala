@@ -82,6 +82,7 @@ object GraftFunctions {
   val Md5Prefix60Name = "graft_md5prefix60"
   val PqSubDotsName = "graft_pq_subdots"
   val PqCodesName = "graft_pq_codes"
+  val TextStatsName = "graft_textstats"
 
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     (CosineName, classOf[CosineSimilarity].getName,
@@ -103,7 +104,9 @@ object GraftFunctions {
     (PqSubDotsName, classOf[PqSubDots].getName,
       exprs => PqSubDots(exprs.head)),
     (PqCodesName, classOf[PqCodes].getName,
-      exprs => PqCodes(exprs.head)))
+      exprs => PqCodes(exprs.head)),
+    (TextStatsName, classOf[TextStats].getName,
+      exprs => TextStats(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     registry.foreach { case (name, clazz, builder) =>
@@ -164,6 +167,11 @@ object GraftFunctions {
   def pqCodes(spark: SparkSession, v: Column): Column = {
     register(spark)
     call_function(PqCodesName, v)
+  }
+
+  def textStats(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function(TextStatsName, text)
   }
 }
 

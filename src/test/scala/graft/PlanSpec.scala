@@ -83,13 +83,15 @@ class PlanSpec extends SparkSpec {
          graft_simhash64('hello world') AS s,
          graft_pyround(CAST(2.675 AS DOUBLE), 2) AS p,
          graft_shingles('a b c d', 3) AS g,
-         graft_dot(array(3.0F, 4.0F), array(2.0F, 1.0F)) AS d""").head()
+         graft_dot(array(3.0F, 4.0F), array(2.0F, 1.0F)) AS d,
+         graft_textstats('the cat and the hat').en AS ts_en""").head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getDouble(4) == 10.0)
     assert(r.getLong(1) == graft.plans.SimHash64.compute(
       org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
     assert(r.getDouble(2) == 2.67) // python banker's rounding
     assert(r.getSeq[String](3) == Seq("a b c", "b c d"))
+    assert(r.getInt(5) == 2) // distinct hits: "the", "and"
   }
 
   test("extraction plan keeps regex scans staged (no tree re-duplication)") {

@@ -122,6 +122,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native graft_textstats equals the regex-staged scoring on adversarial text") {
+    // the fused one-pass expression must reproduce the five regex
+    // scans bit for bit — including Java-split empty-token quirks
+    // (tabs beyond the space-only trim), \b over ASCII \w
+    // (underscore joins runs), distinct-vs-total hit counting, Han
+    // detection, supplementary code points, and ICU-lowering length
+    // changes
+    val rnd = new Random(31)
+    val pieces = Array("the", "a", "of", "der", "die", "le", "les", "el",
+      "la", "de", "y", "that_", "_a", "a1", "thea", "THE", "And", "中文",
+      "漢字", "café", "İstanbul", "!!", "...", "a,b", "(the)", "x", "",
+      " ", "\t", "\n", "  ", "9000", "is")
+    val adversarial = Seq("", " ", "\t", "\tthe\t", " the ", "a  a  a",
+      "中文 the 漢字", "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 the", "the_that the.that") ++
+      (1 to 120).map(_ => Seq.fill(3 + rnd.nextInt(12))(
+        pieces(rnd.nextInt(pieces.length))).mkString(
+        if (rnd.nextBoolean()) " " else rnd.nextInt(3) match {
+          case 0 => "\t"; case 1 => ", "; case _ => " "
+        }))
+    val df = adversarial.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val fused = TextAnalysis.withQuality(
+      TextAnalysis.withLangId(df, col("text"), "lang"), col("text"), "q")
+      .select(col("id"), col("lang"), col("q"))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    val staged = TextAnalysis.withQualityColumns(
+      TextAnalysis.withLangIdColumns(df, col("text"), "lang"), col("text"), "q")
+      .select(col("id"), col("lang"), col("q"))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    fused.zip(staged).foreach { case ((i, lf, qf), (_, ls, qs)) =>
+      assert(lf == ls, s"row $i lang: fused=$lf staged=$ls text=${adversarial(i.toInt)}")
+      assert(java.lang.Double.doubleToLongBits(qf) ==
+        java.lang.Double.doubleToLongBits(qs),
+        s"row $i quality: fused=$qf staged=$qs text=${adversarial(i.toInt)}")
+    }
+    // the combined stage equals the two separate stages
+    val combined = TextAnalysis.withLangQuality(df, col("text"), "lang", "q")
+      .select(col("id"), col("lang"), col("q"))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(combined.toSeq == fused.toSeq)
+    // the word lists can't drift between the two definitions
+    assert(graft.plans.TextStats.LangWords.map(_.toSeq).toSeq ==
+      TextAnalysis.StopwordSets.map(_._2))
+    assert(graft.plans.TextStats.QualityWords.toSeq == TextAnalysis.QualityStopwords)
+  }
+
   test("rare+hot df-cap decomposition stays exact over random corpora and caps") {
     // the capped pair queries promise: reported rows are a subset of
     // the exhaustive rows, every reported value is the EXACT full
@@ -200,13 +246,24 @@ class PropertySpec extends SparkSpec {
   }
 
   test("staged langId/quality fail loudly on staging-name collisions") {
-    val df = Seq(("a", "the cat", 1)).toDF("doc_id", "text", "_lid_en")
+    val df = Seq(("a", "the cat", 1)).toDF("doc_id", "text", "_ts")
     intercept[IllegalArgumentException] {
       TextAnalysis.withLangId(df, col("text"), "lang")
     }
-    val df2 = Seq(("a", "the cat", 1)).toDF("doc_id", "text", "_q_nw")
     intercept[IllegalArgumentException] {
-      TextAnalysis.withQuality(df2, col("text"), "quality")
+      TextAnalysis.withQuality(df, col("text"), "quality")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.withLangQuality(df, col("text"), "lang", "quality")
+    }
+    // the legacy regex-staged reference forms keep their own guard
+    val df2 = Seq(("a", "the cat", 1)).toDF("doc_id", "text", "_lid_en")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.withLangIdColumns(df2, col("text"), "lang")
+    }
+    val df3 = Seq(("a", "the cat", 1)).toDF("doc_id", "text", "_q_nw")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.withQualityColumns(df3, col("text"), "quality")
     }
   }
 
