@@ -101,16 +101,21 @@ object Bench {
     // The full JSON line can exceed the driver's log-tail capture (r8 lost
     // its "total" to mid-line truncation), so persist it to a file too and
     // END with a short headline line: a tail capture keeps the END of the
-    // log, so the last line must be the short parseable one.
-    println(json)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"full":"target/bench.json"}""")
-    try {
+    // log, so the last line must be the short parseable one. The file is
+    // written FIRST and the headline only advertises it on success — a
+    // failed write must not point consumers at a stale previous run.
+    val wrote = try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+      true
     } catch { case t: Throwable =>
       System.err.println(s"[bench] could not write target/bench.json: ${t.getMessage}")
+      false
     }
+    val fullRef = if (wrote) ""","full":"target/bench.json"""" else ""
+    println(json)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size}$fullRef}""")
     spark.stop()
   }
 }

@@ -125,38 +125,9 @@ object Dedup {
           .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
           .agg(count(lit(1)).as("inter"))
       case Some(k) =>
-        // inter(a,b) decomposes by shingle df: interRare (shingles
-        // with df <= k) + interHot (the few stop-shingles above the
-        // cap). interRare is the SAME count-join shape as the
-        // exhaustive path — just df-bounded, so no posting list
-        // contributes more than k² pairs. interHot corrects the
-        // candidates' counts by joining ONLY the hot postings (tiny
-        // distinct-shingle set; empty when nothing exceeds the cap,
-        // where AQE collapses the correction to a no-op). Reported
-        // inter stays EXACT for every candidate pair; the only loss
-        // remains pairs sharing exclusively hot shingles — the
-        // documented cap semantics. All joins key on the cache's
-        // shingle partitioning (df agg, anti/semi prune) — no extra
-        // exchange of the shingle frame.
-        val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-          .filter(col("_df") > k).select(col("shingle"))
-        val rare = sh.join(hot, Seq("shingle"), "left_anti")
-        // cached: consumed twice (result + the hot-correction probe) —
-        // uncached, the whole rare self-join would run once per use
-        val interRare = rare.as("a").join(rare.as("b"),
-            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
-          .agg(count(lit(1)).as("_ir"))
-          .transform(graft.CacheRegistry.register)
-        val shHot = sh.join(hot, Seq("shingle"), "left_semi")
-        val interHot = interRare.select(col("a"), col("b"))
-          .join(shHot.as("ha"), col("a") === col("ha.doc_id"))
-          .join(shHot.as("hb"), col("b") === col("hb.doc_id") &&
-            col("ha.shingle") === col("hb.shingle"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("_ih"))
-        interRare.join(interHot, Seq("a", "b"), "left")
-          .select(col("a"), col("b"),
-            (col("_ir") + coalesce(col("_ih"), lit(0L))).as("inter"))
+        // the shared rare+hot capped convention — see
+        // cappedSelfPairCounts
+        cappedSelfPairCounts(sh, "shingle", k, "inter")
     }
     inter
       .join(sizes.select(col("doc_id"), col("n").as("na")), col("a") === col("doc_id")).drop("doc_id")
@@ -337,32 +308,48 @@ object Dedup {
           .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
           .agg(count(lit(1)).as("shared"))
       case Some(k) =>
-        // the d02 capped convention: shared(a,b) = sharedRare +
-        // sharedHot. Rare-fingerprint co-occurrences are counted
-        // directly (df-bounded count-join, no posting list above k²
-        // pairs); the hot correction joins only the tiny
-        // above-the-cap posting set, so candidate counts stay EXACT
-        // and the cap bounds the join, never the reported values.
-        val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
-          .filter(col("_df") > k).select(col("fp"))
-        val rare = fps.join(hot, Seq("fp"), "left_anti")
-        // cached: consumed twice (result + the hot-correction probe)
-        val sharedRare = rare.as("a").join(rare.as("b"),
-            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
-          .agg(count(lit(1)).as("_sr"))
-          .transform(graft.CacheRegistry.register)
-        val fpHot = fps.join(hot, Seq("fp"), "left_semi")
-        val sharedHot = sharedRare.select(col("a"), col("b"))
-          .join(fpHot.as("ha"), col("a") === col("ha.doc_id"))
-          .join(fpHot.as("hb"), col("b") === col("hb.doc_id") &&
-            col("ha.fp") === col("hb.fp"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("_sh"))
-        sharedRare.join(sharedHot, Seq("a", "b"), "left")
-          .select(col("a"), col("b"),
-            (col("_sr") + coalesce(col("_sh"), lit(0L))).as("shared"))
+        // the shared rare+hot capped convention — see
+        // cappedSelfPairCounts
+        cappedSelfPairCounts(fps, "fp", k, "shared")
     }
     shared.filter(col("shared") >= minShared)
+  }
+
+  /** The rare+hot df-cap decomposition shared by the d02 and d07
+    * capped faces (and mirrored cross-corpus by d08): for a
+    * (doc_id, `keyCol`) posting frame, count(a,b) = countRare +
+    * countHot. Rare co-occurrences (key df <= k) are counted by the
+    * SAME cheap count-join shape as the exhaustive path — df-bounded,
+    * so no posting list contributes more than k² pairs; the hot
+    * correction joins ONLY the above-the-cap postings for the
+    * candidate pairs (empty when nothing exceeds the cap, where AQE
+    * collapses it to a no-op). Reported counts stay EXACT for every
+    * candidate pair; the only loss is pairs sharing exclusively hot
+    * keys — the documented cap semantics. All frame-side joins key on
+    * the cache's `keyCol` partitioning (df agg, anti/semi prune) —
+    * no extra exchange of the posting frame. Pinned by the forced-hot
+    * specs and the randomized decomposition property. */
+  private def cappedSelfPairCounts(frame: DataFrame, keyCol: String,
+      k: Int, out: String): DataFrame = {
+    val hot = frame.groupBy(col(keyCol)).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > k).select(col(keyCol))
+    val rare = frame.join(hot, Seq(keyCol), "left_anti")
+    // cached: consumed twice (result + the hot-correction probe) —
+    // uncached, the whole rare self-join would run once per use
+    val countRare = rare.as("a").join(rare.as("b"),
+        col(s"a.$keyCol") === col(s"b.$keyCol") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .agg(count(lit(1)).as("_cr"))
+      .transform(graft.CacheRegistry.register)
+    val frameHot = frame.join(hot, Seq(keyCol), "left_semi")
+    val countHot = countRare.select(col("a"), col("b"))
+      .join(frameHot.as("ha"), col("a") === col("ha.doc_id"))
+      .join(frameHot.as("hb"), col("b") === col("hb.doc_id") &&
+        col(s"ha.$keyCol") === col(s"hb.$keyCol"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("_ch"))
+    countRare.join(countHot, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        (col("_cr") + coalesce(col("_ch"), lit(0L))).as(out))
   }
 
   def d07(s: SparkSession, dir: String): DataFrame =

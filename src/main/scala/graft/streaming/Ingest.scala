@@ -130,13 +130,18 @@ object Ingest {
             all.join(hot, Seq("fp"), "left_anti")
           })
         }
+      // cached: consumed by BOTH the survivors write and the survFps
+      // write — uncached, the sealed-state scan + fp join would run
+      // twice per trigger (the state is the thing that grows for the
+      // stream's lifetime; pay its join once)
       val crossDrops = sealedFps match {
         case None => None
         case Some(corpus) => Some(keptFps.join(corpus, Seq("fp"))
           .groupBy(col("corpus_id"), col("doc_id"))
           .agg(count(lit(1)).as("shared"))
           .filter(col("shared") >= minShared)
-          .select(col("doc_id")).distinct())
+          .select(col("doc_id")).distinct()
+          .transform(graft.CacheRegistry.register))
       }
       val survivors = crossDrops.fold(kept)(d => kept.join(d, Seq("doc_id"), "left_anti"))
         .transform(graft.CacheRegistry.register)

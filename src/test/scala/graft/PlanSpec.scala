@@ -149,6 +149,9 @@ class PlanSpec extends SparkSpec {
       // re-exchanging the cached frame.
       val shuffles = raw"Exchange hashpartitioning[^\n]*\[plan_id=(\d+)\]".r
         .findAllMatchIn(p).map(_.group(1)).toSet.size
+      // fail CLOSED: if a Spark upgrade stops printing plan_id, zero
+      // matches must break the guard, not vacuously pass it
+      assert(shuffles >= 1, s"plan_id regex matched no exchanges — guard disarmed:\n${p.take(1000)}")
       assert(shuffles <= 3, s"d07 grew to $shuffles distinct hash exchanges:\n${p.take(2000)}")
     } finally CacheRegistry.unpersistAll()
   }
