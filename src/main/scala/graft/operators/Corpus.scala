@@ -31,24 +31,33 @@ object Corpus {
     * `docs` needs (doc_id, text). */
   def clean(docs: DataFrame,
       maxDf: Option[Int] = Some(Dedup.DefaultMaxDf)): DataFrame = {
+    // Cache the SLIM scored state (3 narrow columns, never text)
+    // BEFORE the gate filter: a trailing filter on computed columns
+    // substitutes the whole scoring tree into the Filter (the §5
+    // pushdown hazard — 45 static graft_textstats references when the
+    // gate sat directly on the scoring projection), while a filter
+    // over InMemoryTableScan attributes leaves the fused pass
+    // evaluated exactly ONCE per row in the cache build. The text
+    // consumers (fingerprint window, pairing) re-read (doc_id, text)
+    // from the source scan via semi joins on the gated/surviving ids —
+    // at 100 TB a text-bearing cache is a memory hazard, and the
+    // doc_id semi joins prune those scans instead. PlanSpec pins the
+    // reference count.
     val scored = withLangQuality(docs, col("text"), "pred_lang", "quality")
+      .select(col("doc_id"), col("pred_lang"), col("quality"))
+      .transform(graft.CacheRegistry.register)
+    val gated = scored
       .filter(col("pred_lang") =!= "und" && col("quality") >= MinQuality)
+    val gatedText = docs.select(col("doc_id"), col("text"))
+      .join(gated.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
-    val uniq = scored
+    val uniqIds = gatedText
       .withColumn("fp", graft.plans.GraftFunctions.fingerprint(
         docs.sparkSession, col("text")))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_rn", "fp")
-    // Cache the SLIM survivor state (3 narrow columns, never text) so
-    // the regex-heavy scoring scan and the fingerprint window run
-    // exactly once; the pairing branch re-reads only (doc_id, text)
-    // from the source scan, filtered by a semi join on the cached ids.
-    // (Caching the full-width survivors instead measured SLOWER at
-    // sf0.1 — cache write + lost pruning outweigh the saved scoring —
-    // and at 100 TB a text-bearing cache is a memory hazard.)
-    val survivors = uniq.select(col("doc_id"), col("pred_lang"), col("quality"))
-      .transform(graft.CacheRegistry.register)
+      .select(col("doc_id"))
+    val survivors = gated.join(uniqIds, Seq("doc_id"), "left_semi")
     val survivorText = docs.select(col("doc_id"), col("text"))
       .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val drops = Dedup.jaccardPairs(survivorText, maxDf)

@@ -193,6 +193,50 @@ class PlanSpec extends SparkSpec {
     } finally CacheRegistry.unpersistAll()
   }
 
+  test("t01/t02/c01: fused textstats reference counts stay bounded") {
+    // the fused pass must appear once or twice (the staged struct +
+    // at most one re-render), never once per consumer field: t01/t02
+    // rely on CollapseProject keeping the staging boundary, and c01
+    // gates on a pre-filter slim CACHE precisely so predicate
+    // pushdown cannot substitute the scoring tree into the Filter
+    // (it held 45 static references when the gate sat directly on
+    // the scoring projection — the f19/f20 blowup class).
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val seenCaches = scala.collection.mutable.Set.empty[AnyRef]
+    def countIn(plan: org.apache.spark.sql.catalyst.trees.TreeNode[_]): Int = {
+      var total = 0
+      plan.foreach {
+        // descend into each DISTINCT cache's build plan once (the
+        // same cached frame renders under every consuming scan);
+        // AQE wraps cached plans, and nested caches appear as
+        // PHYSICAL scans inside other caches' build plans
+        case r: InMemoryRelation =>
+          if (seenCaches.add(r.cacheBuilder)) total += countIn(r.cachedPlan)
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          if (seenCaches.add(s.relation.cacheBuilder))
+            total += countIn(s.relation.cachedPlan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          total += countIn(a.inputPlan)
+        case node: org.apache.spark.sql.catalyst.plans.QueryPlan[_] =>
+          total += "graft_textstats".r
+            .findAllIn(node.expressions.map(_.toString).mkString).length
+        case _ =>
+      }
+      total
+    }
+    try {
+      Seq("t01_lang_id" -> 2, "t02_quality_score" -> 2,
+          "c01_corpus_clean" -> 3).foreach { case (q, bound) =>
+        seenCaches.clear()
+        val total = countIn(
+          SparkEntry.queries(q)(spark, sf()).queryExecution.optimizedPlan)
+        assert(total >= 1, s"$q no longer uses the fused pass")
+        assert(total <= bound,
+          s"$q holds $total graft_textstats references (bound $bound) — substitution blowup")
+      }
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("driver contract: oracle keys ⊆ queries, benchOnly disjoint, rows-only pinned") {
     // the driver verifies every `queries` entry and hash-compares the
     // oracle rows; a stray oracle key or a benchOnly name colliding
