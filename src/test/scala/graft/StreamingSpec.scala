@@ -248,6 +248,162 @@ class StreamingSpec extends SparkSpec {
     assert(acceptedIds() == Seq(1L, 3L, 5L))
   }
 
+  test("near-dup gate: census compaction + maintenance never change gate decisions") {
+    import org.apache.spark.sql.types._
+    val baseA = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green parrots recite astonishing poetry about distant nebulae and forgotten harbors"
+    val novelC = "novel astronomy puzzle involving hexagonal basalt columns " +
+      "and tidal resonance chambers beneath glaciers of a rogue moon"
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq(1L -> baseA, 2L -> s"$baseA truly",
+        3L -> "completely unrelated inventory ledger rows describing turnip futures and maritime insurance claims from 1887"),
+      Seq(4L -> s"$baseA once more", 5L -> novelC),
+      Seq(6L -> s"$baseA yet again", 7L -> s"$novelC addendum",
+        8L -> "entirely fresh treatise on fermentation chemistry in abandoned lighthouse pantries across the baltic coast"))
+    def run(maintainAfter: Option[Long]): (String, String, Seq[Long]) = {
+      val root = java.nio.file.Files.createTempDirectory("graft-ndinc").toString
+      val docsDir = s"$root/docs"; val fpDir = s"$root/fp"
+      batches.zipWithIndex.foreach { case (rows, id) =>
+        streaming.Ingest.gateBatch(rows.toDF("doc_id", "text"), id.toLong,
+          docsDir, fpDir)
+        if (maintainAfter.contains(id.toLong))
+          streaming.Ingest.maintain(spark, docsDir, fpDir,
+            belowBatch = id.toLong + 1)
+      }
+      val ids = spark.read.parquet(docsDir).select("doc_id")
+        .as[Long].collect().toSeq.sorted
+      (docsDir, fpDir, ids)
+    }
+    try {
+      // same three batches, with and without compacting the census
+      // mid-stream: identical accept decisions
+      val (_, _, plainIds) = run(None)
+      val (docsDir, fpDir, compIds) = run(Some(1L))
+      assert(plainIds == Seq(1L, 3L, 5L, 8L), s"unexpected accepts: $plainIds")
+      assert(compIds == plainIds,
+        "census compaction changed gate decisions")
+      // the merged census actually exists and deltas below it are gone
+      val fs = new org.apache.hadoop.fs.Path(fpDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$fpDir/_census/merged/_max")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$fpDir/_census/delta/batch=0")))
+      // replay of the last batch against the compacted state is
+      // idempotent: same survivor count, same accepted set
+      val b2 = batches(2).toDF("doc_id", "text")
+      assert(streaming.Ingest.gateBatch(b2, 2L, docsDir, fpDir) == 1L)
+      assert(spark.read.parquet(docsDir).select("doc_id")
+        .as[Long].collect().toSeq.sorted == compIds)
+      // census-derived hot detection == brute-force df over the per-doc
+      // state, at every threshold shape (all-hot, mixed, none-hot)
+      val state = spark.read.parquet(fpDir).filter(col("batch") < 3)
+      for (k <- Seq(0, 1, 2, 1000)) {
+        val brute = state.groupBy(col("fp")).count()
+          .filter(col("count") > k).select("fp").as[Long].collect().toSet
+        val censusHot = streaming.Ingest.hotFps(spark, fpDir, 3L, k)
+          .map(_.as[Long].collect().toSet).getOrElse(Set.empty[Long])
+        assert(censusHot == brute, s"census hot set diverged at k=$k")
+      }
+      // fail-fast guard: compacting PAST the committed frontier makes a
+      // replay of that batch refuse to run rather than silently gate
+      // against a polluted corpus view
+      streaming.Ingest.maintain(spark, docsDir, fpDir)
+      assertThrows[IllegalArgumentException] {
+        streaming.Ingest.gateBatch(b2, 2L, docsDir, fpDir)
+      }
+    } finally CacheRegistry.unpersistAll()
+  }
+
+  test("near-dup gate per-trigger plan: state side pruned to matched fp buckets, exchange-free") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val root = java.nio.file.Files.createTempDirectory("graft-ndplan").toString
+    val docsDir = s"$root/docs"; val fpDir = s"$root/fp"
+    // corpus batch: long docs -> many winnow fingerprints spread over
+    // many fpb buckets
+    val corpus = (1L to 12L).map { i =>
+      i -> (s"document number $i opens with its own preamble " +
+        (1 to 40).map(j => s"tok${i * 97 + j * 13}").mkString(" "))
+    }
+    streaming.Ingest.gateBatch(corpus.toDF("doc_id", "text"), 0L, docsDir, fpDir)
+    // probe batch: ONE short doc -> a handful of fingerprints, so the
+    // gate join must touch only its buckets, not the whole state
+    val probeFps = operators.Dedup.winnowFps(
+      Seq(100L -> "alpha beta gamma delta epsilon").toDF("doc_id", "text"))
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val drops = streaming.Ingest.crossGateDrops(probeFps, fpDir, 1L,
+        LongType, operators.Dedup.WinnowMinShared,
+        Some(operators.Dedup.DefaultMaxDf)).get
+      // the gate pieces are CacheRegistry-cached, so physical nodes
+      // hide inside InMemoryTableScanExec build plans — flatten through
+      // them (and census scans live under fpDir/_census, so the corpus
+      // scan is the one whose root is exactly fpDir)
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.execution.SparkPlan]
+        def go(n: org.apache.spark.sql.execution.SparkPlan): Unit = n.foreach {
+          case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            buf += s; go(s.relation.cachedPlan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            buf += a; go(a.inputPlan)
+          case other: org.apache.spark.sql.execution.SparkPlan => buf += other
+          case _ => ()
+        }
+        go(p)
+        buf.toSeq
+      }
+      val plan = drops.queryExecution.executedPlan
+      def isCorpusScan(s: FileSourceScanExec): Boolean =
+        s.relation.location.rootPaths.exists(_.toString.endsWith("/fp"))
+      val scan = flatten(plan).collectFirst {
+        case s: FileSourceScanExec if isCorpusScan(s) => s
+      }.get
+      // pruning happens AT the scan (PartitionFilters), on both the
+      // corpus-view frontier and the probe's fingerprint buckets
+      assert(scan.partitionFilters.exists(_.toString.contains("batch")),
+        "corpus-view batch frontier not a partition filter")
+      assert(scan.partitionFilters.exists(_.toString.contains("fpb")),
+        "fp-bucket pruning not a partition filter")
+      // the state side streams straight into a broadcast hash probe:
+      // no exchange (and no sort) anywhere between scan and join
+      val bhj = flatten(plan).collectFirst {
+        case b: BroadcastHashJoinExec if flatten(b).exists {
+          case s: FileSourceScanExec => isCorpusScan(s); case _ => false } => b
+      }
+      assert(bhj.isDefined, "gate join is not a broadcast hash join")
+      val streamedSide = bhj.get.children.find(
+        _.collectFirst { case s: FileSourceScanExec if isCorpusScan(s) => s }
+          .isDefined).get
+      assert(streamedSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "state side of the gate join is shuffled")
+      // and the pruning is real bytes, not plan decoration: the scan
+      // read strictly fewer files than the state holds
+      drops.collect()
+      val stateFiles = {
+        val fs = new org.apache.hadoop.fs.Path(fpDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(fpDir), true)
+        var n = 0
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet") &&
+            !f.getPath.toString.contains("_census")) n += 1
+        }
+        n
+      }
+      val read = scan.metrics("numFiles").value
+      assert(read < stateFiles,
+        s"scan read $read of $stateFiles state files — no pruning happened")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      CacheRegistry.unpersistAll()
+    }
+  }
+
   test("streaming exact dedup: dropDuplicatesWithinWatermark on fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
