@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // graft's native expressions pin ICU case mapping (plans/TextStats
+      // scaladoc); force the Column-form lower() onto the same path so
+      // the two can never diverge under a session-level conf flip
+      .config("spark.sql.icu.caseMappings.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -95,15 +99,20 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // a failed query reports -1 per-entry; summing that into the total
+    // would let a failing run read as a perf WIN, so the total covers
+    // successes only and the headline carries an explicit failure count
+    val failures = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}"""
     // The full JSON line can exceed the driver's log-tail capture (r8 lost
     // its "total" to mid-line truncation), so persist it to a file too and
-    // END with a short headline line: a tail capture keeps the END of the
-    // log, so the last line must be the short parseable one. The file is
-    // written FIRST and the headline only advertises it on success — a
-    // failed write must not point consumers at a stale previous run.
+    // BRACKET it with a short headline line — printed before AND after the
+    // full dump, so whichever end of the log a tail/head capture keeps,
+    // one intact parseable summary survives. The file is written FIRST
+    // and the headline only advertises it on success — a failed write
+    // must not point consumers at a stale previous run.
     val wrote = try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -114,8 +123,11 @@ object Bench {
       false
     }
     val fullRef = if (wrote) ""","full":"target/bench.json"""" else ""
+    val headline =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failures":$failures$fullRef}"""
+    println(headline)
     println(json)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size}$fullRef}""")
+    println(headline)
     spark.stop()
   }
 }

@@ -37,7 +37,26 @@ object SparkEntry {
       operators.Corpus.clean(Tables.documents(s, dir))),
     "d02_ngram_jaccard_capped" -> ((s, dir) => operators.Dedup.d02(s, dir)),
     "d07_winnow_pairs_capped" -> ((s, dir) =>
-      operators.Dedup.winnowPairs(Tables.documents(s, dir))))
+      operators.Dedup.winnowPairs(Tables.documents(s, dir))),
+    // the cap-binding demonstration pair: same query, boilerplate-heavy
+    // corpus where template-shingle df >> DefaultMaxDf — exhaustive
+    // pays the quadratic candidate join, capped must beat it big
+    "d09_boilerplate" -> ((s, dir) =>
+      operators.Dedup.d09(s, dir, maxDf = None)),
+    "d09_boilerplate_capped" -> ((s, dir) =>
+      operators.Dedup.d09(s, dir, maxDf = Some(operators.Dedup.DefaultMaxDf))),
+    // the production dedup COMPOSITION at its production settings:
+    // capped candidate pairs feeding connected-components clustering
+    // (the oracle face d06 pins maxDf = None for the DuckDB replay)
+    "d06_dedup_clusters_capped" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Dedup.connectedComponents(
+        operators.Dedup.jaccardPairs(docs,
+          maxDf = Some(operators.Dedup.DefaultMaxDf))
+          .select(org.apache.spark.sql.functions.col("a"),
+            org.apache.spark.sql.functions.col("b")),
+        docs.select(org.apache.spark.sql.functions.col("doc_id").as("id")))
+    }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

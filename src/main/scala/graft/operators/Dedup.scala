@@ -149,6 +149,70 @@ object Dedup {
        WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= $JaccardThreshold"""
 
   // ---------------------------------------------------------------
+  // d09: the df cap DEMONSTRATED BINDING. At the test corpus's scale
+  // the max shingle df (~25 at sf0.1) sits far below DefaultMaxDf, so
+  // the d02/d07 capped faces never actually prune — the claim the cap
+  // exists for ("boilerplate shingles are what makes the candidate
+  // join finish at all at 100 TB") needs a corpus where df >> cap.
+  // boilerplateCorpus builds one deterministically FROM the documents
+  // table: every doc gets the same leading template block (a shared
+  // footer, the real-world boilerplate shape), and every 50th doc is
+  // re-planted under a shifted id with a 3-token suffix edit — a RARE
+  // near-dup the capped path must still report with exact counts.
+  // The d09 bench pair runs the same jaccardPairs over it twice:
+  // exhaustive (every template co-occurrence becomes a candidate —
+  // the quadratic blowup) vs capped (template shingles pruned from
+  // candidate generation, counts corrected exactly via the hot join).
+  // ---------------------------------------------------------------
+
+  /** Planted near-dup ids in [[boilerplateCorpus]] are the source
+    * doc_id plus this offset (keeps them disjoint from real ids). */
+  val BoilerplateIdOffset = 10000000L
+
+  private val BoilerplateTemplate =
+    "subscribe to our newsletter for weekly updates click here to " +
+      "unsubscribe at any time all rights reserved terms of service " +
+      "apply contact customer support for further assistance this " +
+      "website stores cookies on your computer to improve your " +
+      "browsing experience and provide personalized recommendations " +
+      "by continuing you accept our privacy policy and cookie terms " +
+      "prices include applicable taxes unless stated otherwise " +
+      "delivery times may vary depending on destination and carrier " +
+      "report a problem with this listing through the resolution " +
+      "center available around the clock for registered members"
+
+  /** Boilerplate-heavy derivation of any (doc_id, ...) frame: the
+    * first `nDocs` ids, each given a deterministic per-doc UNIQUE body
+    * of `bodyTokens` tokens (df = 1 shingles — so the capped and
+    * exhaustive faces differ ONLY in the template quadratic, with no
+    * natural-near-dup noise) prefixed with the shared template block
+    * (every template shingle's df == corpus size, far above any
+    * useful cap). Every 50th doc is re-planted under
+    * id + [[BoilerplateIdOffset]] with a 3-token suffix edit — the
+    * rare near-dups the cap must not lose. `bodyTokens` stays above
+    * ~2x the template length so two docs sharing ONLY the template
+    * sit well under JaccardThreshold (the documented loss mode never
+    * produces a reportable pair here). */
+  def boilerplateCorpus(docs: DataFrame, nDocs: Int,
+      bodyTokens: Int = 150): DataFrame = {
+    val base = docs.select(col("doc_id")).orderBy(col("doc_id")).limit(nDocs)
+      .select(col("doc_id"), array_join(
+        transform(sequence(lit(1), lit(bodyTokens)),
+          j => concat(lit("b"), col("doc_id"), lit("t"), j)), " ").as("text"))
+    val planted = base.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select((col("doc_id") + BoilerplateIdOffset).as("doc_id"),
+        concat_ws(" ", col("text"), lit("planted suffix marker")).as("text"))
+    base.unionByName(planted)
+      .select(col("doc_id"),
+        concat_ws(" ", lit(BoilerplateTemplate), col("text")).as("text"))
+  }
+
+  /** Bench face: 2000-doc boilerplate corpus, exhaustive vs capped
+    * candidate generation (SparkEntry.benchOnly pair). */
+  def d09(s: SparkSession, dir: String, maxDf: Option[Int]): DataFrame =
+    jaccardPairs(boilerplateCorpus(Tables.documents(s, dir), 2000), maxDf)
+
+  // ---------------------------------------------------------------
   // d06: transitive near-dup CLUSTERS — connected components over the
   // near-dup pair graph. Pairwise "drop the higher id of each pair"
   // under-merges chains (A~B, B~C, A≁C leaves two survivors of one

@@ -45,7 +45,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * JDK-compat escape hatch OFF would see `lower()` diverge from this
   * expression for the handful of code points where ICU and JDK case
   * mapping differ; graft pins ICU so signatures and scores are
-  * identical across sessions regardless of that conf.
+  * identical across sessions regardless of that conf. To close the
+  * loop, every graft session entry point (Bench, Verify, Explain,
+  * ProfMain, the test session) FORCES the conf to true, so the
+  * Column forms ride the same path and the PropertySpec equivalences
+  * hold by construction, not by default.
   */
 case class TextStats(child: Expression) extends UnaryExpression with ExpectsInputTypes {
 

@@ -67,6 +67,54 @@ class DedupSpec extends SparkSpec {
     assert(default == exhaustive)
   }
 
+  test("d09 boilerplate corpus: cap binds (template df >> cap) yet planted pairs stay exact") {
+    // 60 ids get generated unique bodies, all sharing the leading
+    // template → every template shingle's df is 61 (the whole corpus),
+    // far above cap=8: the cap PRUNES for real here (unlike the sf
+    // tables, where max df ~25 never reaches DefaultMaxDf). The
+    // planted suffix-edit near-dups ride on rare body shingles and
+    // must survive with counts computed on FULL shingle sets —
+    // bit-identical to the exhaustive run.
+    // bodyTokens=30 makes bodies SHORTER than the template, so two
+    // unrelated docs sharing only the template sit ABOVE the jaccard
+    // threshold — the documented loss mode is actually exercised:
+    // exhaustive reports those template-only pairs, capped drops them
+    // (and ONLY them)
+    val docs = (1L to 60L).toDF("doc_id")
+    val corpus = Dedup.boilerplateCorpus(docs, 60, bodyTokens = 30)
+    // the fixture really is boilerplate-heavy: hottest shingle df
+    // equals the corpus size, far above the cap under test
+    val nCorpus = corpus.count()
+    val maxDfSeen = corpus.select(col("doc_id"),
+        explode(graft.plans.GraftFunctions.shingles(spark, col("text"),
+          Dedup.ShingleN)).as("sh"))
+      .groupBy(col("sh")).count().agg(max("count")).as[Long].head()
+    assert(maxDfSeen == nCorpus, "template shingles not shared by every doc")
+    assert(maxDfSeen > 8 * 5, "fixture df does not dominate the cap")
+    val exhaustive = Dedup.jaccardPairs(corpus, maxDf = None)
+      .select("a", "b", "inter", "jacc")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val capped = Dedup.jaccardPairs(corpus, maxDf = Some(8))
+      .select("a", "b", "inter", "jacc")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // every planted (source, source + offset) pair is reported by BOTH
+    // runs with identical intersection count and jaccard
+    val plantedIds = (1L to 60L).filter(_ % 50 == 0)
+    assert(plantedIds.nonEmpty)
+    plantedIds.foreach { i =>
+      val e = exhaustive.filter(p => p._1 == i && p._2 == i + Dedup.BoilerplateIdOffset)
+      val c = capped.filter(p => p._1 == i && p._2 == i + Dedup.BoilerplateIdOffset)
+      assert(e.size == 1, s"planted pair of doc $i missing from exhaustive run")
+      assert(c == e, s"planted pair of doc $i not exact under the cap")
+    }
+    // the cap may only LOSE pairs (those similar solely through hot
+    // shingles), never invent or change one — and at this body length
+    // such pairs exist, so the loss mode is demonstrated, not vacuous
+    assert(capped.subsetOf(exhaustive))
+    assert(capped.size < exhaustive.size,
+      "no template-only pairs were dropped — loss-mode leg is vacuous")
+  }
+
   test("d07 winnowing: shared run >= window+k-1 guarantees a pair; cap verifies exact") {
     // the winnowing guarantee: any shared token run of length
     // >= window+k-1 (= 6 here) yields at least one shared fingerprint

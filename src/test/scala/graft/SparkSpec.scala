@@ -17,6 +17,9 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // the graft session contract: lower() rides the same ICU path the
+      // native expressions pin (see plans/TextStats scaladoc)
+      .config("spark.sql.icu.caseMappings.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
