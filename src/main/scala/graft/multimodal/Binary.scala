@@ -7,9 +7,15 @@ import org.apache.spark.sql.types._
 
 /** Multimodal plumbing (SURVEY.md §2 rows 37–38): media payloads are
   * opaque `binary` columns with a typed metadata struct riding along.
-  * The decode step is a clearly-marked deterministic stub (no image /
-  * audio codecs in this environment); the Spark-side contract —
-  * schema, batched per-partition processing, partitioning — is real.
+  * IMAGE decode is REAL: any `javax.imageio`-readable payload
+  * (BMP/PNG/GIF/JPEG — all in the stock JDK) is decoded to its actual
+  * raster, with true dimensions and a luminance-histogram feature
+  * vector ([[decodeImage]]). Payloads that don't decode (and
+  * audio/video, which have no JDK codec) fall back to the
+  * clearly-marked deterministic stubs, and every decoded row says
+  * which path it took (`real_decode`). The Spark-side contract —
+  * schema, batched per-partition processing, partitioning — is the
+  * same for both.
   */
 object Binary {
 
@@ -60,12 +66,50 @@ object Binary {
 
   case class MediaRow(media_id: Long, payload: Array[Byte], media_type: String)
   case class DecodedRow(media_id: Long, media_type: String,
-      width: Int, height: Int, features: Array[Float])
+      width: Int, height: Int, features: Array[Float], real_decode: Boolean)
 
-  /** STUB decode: a real deployment plugs a codec (JPEG decode, PCM
-    * frame-sample, …) into this function; here it derives a
+  /** REAL image decode through `javax.imageio` (BMP, PNG, GIF, JPEG —
+    * the stock-JDK codecs; no extra dependency). Returns the decoded
+    * raster's true width/height plus a `featureDim`-bin luminance
+    * histogram normalized to pixel fractions (size-invariant — the
+    * cheap content feature an image-dedup/quality pass starts from).
+    * None when the payload is not a readable image. Executor-side
+    * only; the in-memory stream keeps ImageIO off its disk cache. */
+  def decodeImage(payload: Array[Byte],
+      featureDim: Int = 8): Option[(Int, Int, Array[Float])] = {
+    val stream = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val img =
+      try javax.imageio.ImageIO.read(stream)
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val feats = new Array[Float](featureDim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          feats(lum * featureDim / 256) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      var i = 0
+      while (i < featureDim) { feats(i) /= n; i += 1 }
+      Some((w, h, feats))
+    }
+  }
+
+  /** STUB decode — the fallback for payloads [[decodeImage]] can't
+    * read (and for audio/video, which have no JDK codec): derives a
     * deterministic fake (dimensions from byte length, features from a
-    * rolling byte hash) so the pipeline around it is fully testable.
+    * rolling byte hash) so the pipeline around it is fully testable
+    * on any payload.
     */
   def stubDecode(payload: Array[Byte], featureDim: Int = 8): (Int, Int, Array[Float]) = {
     val w = 16 + (payload.length % 64)
@@ -138,7 +182,10 @@ object Binary {
 
   /** Distributed decode: mapPartitions over typed rows — executor-side
     * only, one pass, no collect. Repartitions by media_id so payload
-    * bytes spread evenly regardless of input file layout. */
+    * bytes spread evenly regardless of input file layout. image-typed
+    * payloads get the REAL `javax.imageio` decode; anything that
+    * doesn't decode (or isn't an image) takes the deterministic stub,
+    * flagged per row in `real_decode`. */
   def decodeFeatures(media: DataFrame, partitions: Int = 0): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
@@ -147,8 +194,17 @@ object Binary {
     val sized = if (partitions > 0) typed.repartition(partitions, col("media_id")) else typed
     sized.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, f) = stubDecode(r.payload)
-        DecodedRow(r.media_id, r.media_type, w, h, f)
+        val real =
+          if (r.media_type != null && r.media_type.startsWith("image/"))
+            decodeImage(r.payload)
+          else None
+        real match {
+          case Some((w, h, f)) =>
+            DecodedRow(r.media_id, r.media_type, w, h, f, real_decode = true)
+          case None =>
+            val (w, h, f) = stubDecode(r.payload)
+            DecodedRow(r.media_id, r.media_type, w, h, f, real_decode = false)
+        }
       }
     }.toDF()
   }

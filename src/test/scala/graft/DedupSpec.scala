@@ -204,6 +204,44 @@ class DedupSpec extends SparkSpec {
     } finally CacheRegistry.unpersistAll()
   }
 
+  test("d08 decontamination against an EXTERNAL benchmark FILE (NDJSON)") {
+    // the real-world shape: eval sets arrive as files, not as a column
+    // predicate over the corpus table — the benchmark side is read
+    // from NDJSON through the ingestion layer and decontamination
+    // must catch a planted contaminated doc across the file boundary
+    import org.apache.spark.sql.types._
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-decon").toString
+      val evalQ = "what is the capital of the ancient river kingdom and " +
+        "why did its harbors silt over during the long drought season"
+      val lines = Seq(
+        s"""{"doc_id":9001,"text":"$evalQ"}""",
+        """{"doc_id":9002,"text":"name three moons of the outer gas giant visible without any telescope"}""")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/benchmark.ndjson"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val bench = sources.Ingest.readNdjson(spark, s"$root/benchmark.ndjson", schema)
+      val corpus = Seq(
+        (1L, s"training prose preamble then $evalQ and trailing commentary"),
+        (2L, "totally unrelated document about fermentation in lighthouse pantries"),
+        (3L, "another innocuous training document mentioning turnip futures"))
+        .toDF("doc_id", "text")
+      val hits = Dedup.decontaminate(corpus, bench)
+        .as[(Long, Long, Long)].collect()
+      assert(hits.map(h => (h._1, h._2)).toSet == Set((1L, 9001L)),
+        s"expected exactly the planted hit, got: ${hits.mkString(", ")}")
+      // the capped production face reports the same hit with the same
+      // exact count across the file boundary
+      val ex = Dedup.decontaminate(corpus, bench, maxDf = None)
+        .as[(Long, Long, Long)].collect().toMap2
+      val capped = Dedup.decontaminate(corpus, bench)
+        .as[(Long, Long, Long)].collect().toMap2
+      assert(capped == ex, "capped face diverged across the file boundary")
+    } finally CacheRegistry.unpersistAll()
+  }
+
   private implicit class TripleOps(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] =
       rows.map(r => (r._1, r._2) -> r._3).toMap

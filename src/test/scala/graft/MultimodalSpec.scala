@@ -72,6 +72,50 @@ class MultimodalSpec extends SparkSpec {
     assert(fps(1L).nonEmpty && fps(1L).toSet.size == fps(1L).size)
   }
 
+  test("decodeFeatures: REAL image decode — actual pixel values round-trip (BMP + PNG)") {
+    import java.awt.image.BufferedImage
+    // 4x2 image, left half black, right half white — known raster
+    def imgBytes(fmt: String): Array[Byte] = {
+      val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 4; y <- 0 until 2)
+        img.setRGB(x, y, if (x < 2) 0x000000 else 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, imgBytes("bmp"), "image/bmp"),
+      (2L, imgBytes("png"), "image/png"),
+      (3L, "definitely not an image payload".getBytes("UTF-8"), "image/jpeg"),
+      (4L, imgBytes("png"), "audio/wav")) // wrong type → codec never tried
+      .toDF("media_id", "payload", "media_type")
+      .select(col("media_id"), col("payload"),
+        struct(col("media_type").as("media_type"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("").as("header_hex")).as("meta"))
+    val out = Binary.decodeFeatures(media, partitions = 2)
+      .orderBy("media_id")
+      .select("media_id", "width", "height", "features", "real_decode")
+      .as[(Long, Int, Int, Array[Float], Boolean)].collect()
+    // both encodings decode to the SAME true raster: real dimensions,
+    // and the luminance histogram reads the actual pixels — 4 of 8
+    // black (bin 0) and 4 of 8 white (bin 7), exactly 0.5 each
+    Seq(out(0), out(1)).foreach { case (id, w, h, feats, real) =>
+      assert(real, s"media $id did not take the real decode path")
+      assert((w, h) == (4, 2), s"media $id decoded wrong dimensions")
+      assert(feats(0) == 0.5f && feats(7) == 0.5f,
+        s"media $id histogram ${feats.toSeq} does not match the raster")
+      assert((1 to 6).forall(feats(_) == 0f))
+    }
+    // an image-typed payload that is NOT a readable image falls back
+    // to the declared stub — flagged, with the stub's derived shape
+    val (_, w3, _, _, real3) = out(2)
+    assert(!real3 && w3 == 16 + ("definitely not an image payload".length % 64))
+    // a non-image media_type never reaches the codec, even if the
+    // bytes would decode
+    assert(!out(3)._5)
+  }
+
   test("decodeFeatures: distributed batch decode with repartitioning") {
     val m = Binary.mediaTable(spark, sf("sf0.001"))
     val decoded = Binary.decodeFeatures(m, partitions = 3)
