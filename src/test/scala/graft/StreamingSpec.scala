@@ -313,6 +313,82 @@ class StreamingSpec extends SparkSpec {
     } finally CacheRegistry.unpersistAll()
   }
 
+  test("near-dup gate property: incremental drops == brute-force reference, random corpora/caps/compaction") {
+    // the r9 gate computed cross-batch drops by re-scanning the whole
+    // state and re-aggregating the df census per trigger; the r10
+    // incremental path (census deltas + merged + pruned broadcast
+    // join) must produce EXACTLY the same drop set. This property
+    // pins that equivalence against a literal transcription of the
+    // old algorithm, across random corpora, random caps (incl. the
+    // all-hot 0 and uncapped None edges), and random compaction points.
+    import org.apache.spark.sql.DataFrame
+    def referenceDrops(fpDir: String, batchId: Long, keptFps: DataFrame,
+        minShared: Int, maxDf: Option[Int]): Set[Long] = {
+      val root = new org.apache.hadoop.fs.Path(fpDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) return Set.empty
+      val state = spark.read.parquet(fpDir)
+        .filter(col("batch") < batchId)
+        .select(col("doc_id").as("corpus_id"), col("fp"))
+      val corpus = maxDf.fold(state) { k =>
+        val hot = state.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > k).select(col("fp"))
+        state.join(hot, Seq("fp"), "left_anti")
+      }
+      keptFps.join(corpus, Seq("fp"))
+        .groupBy(col("corpus_id"), col("doc_id"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minShared)
+        .select("doc_id").distinct().as[Long].collect().toSet
+    }
+    val rnd = new scala.util.Random(42)
+    val phrases = Vector(
+      "amber catalog of riverside auction lots with provenance notes",
+      "meticulous survey of volcanic soil acidity across terraced vineyards",
+      "handbook for repairing antique clockwork carousels in coastal towns",
+      "ledger of unclaimed freight at the northern railway terminus",
+      "almanac of comet sightings compiled by lighthouse keepers")
+    for (trial <- 1 to 2) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-ndprop$trial").toString
+      val docsDir = s"$root/docs"; val fpDir = s"$root/fp"
+      var nextId = 1L
+      var accepted = Vector.empty[(Long, String)] // candidates for later near-dups
+      try {
+        for (b <- 0L to 2L) {
+          val docs = (1 to (4 + rnd.nextInt(4))).map { _ =>
+            val id = nextId; nextId += 1
+            val text =
+              if (accepted.nonEmpty && rnd.nextBoolean()) {
+                // near-dup of an accepted doc: shared long run + edit
+                val src = accepted(rnd.nextInt(accepted.size))._2
+                s"$src trailing edit ${rnd.nextInt(100)}"
+              } else {
+                val p = phrases(rnd.nextInt(phrases.size))
+                s"$p section ${rnd.nextInt(1000)} " +
+                  (1 to 6).map(_ => s"w${rnd.nextInt(500)}").mkString(" ")
+              }
+            (id, text)
+          }
+          val batch = docs.toDF("doc_id", "text")
+          val keptFps = operators.Dedup.winnowFps(batch)
+            .transform(CacheRegistry.register)
+          for (cap <- Seq(None, Some(0), Some(1), Some(3))) {
+            val inc = streaming.Ingest.crossGateDrops(keptFps, fpDir, b,
+                org.apache.spark.sql.types.LongType, 3, cap)
+              .map(_.as[Long].collect().toSet).getOrElse(Set.empty[Long])
+            val ref = referenceDrops(fpDir, b, keptFps, 3, cap)
+            assert(inc == ref,
+              s"trial $trial batch $b cap $cap: incremental $inc != reference $ref")
+          }
+          streaming.Ingest.gateBatch(batch, b, docsDir, fpDir)
+          accepted = accepted ++ docs // any doc can seed a later near-dup
+          if (rnd.nextBoolean())
+            streaming.Ingest.maintain(spark, docsDir, fpDir, belowBatch = b + 1)
+        }
+      } finally CacheRegistry.unpersistAll()
+    }
+  }
+
   test("near-dup gate per-trigger plan: state side pruned to matched fp buckets, exchange-free") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.execution.FileSourceScanExec
