@@ -398,8 +398,25 @@ object Dedup {
     * specs and the randomized decomposition property. */
   private def cappedSelfPairCounts(frame: DataFrame, keyCol: String,
       k: Int, out: String): DataFrame = {
+    // the df aggregation is the capped path's first step anyway;
+    // materializing its (small) result lets one cheap isEmpty probe
+    // decide ADAPTIVELY whether the cap binds at all. When nothing
+    // exceeds the cap — the sf-scale corpora — rare == frame and the
+    // hot correction is provably zero, so the plain exhaustive count
+    // IS the capped result and the anti/semi/correction machinery is
+    // pure overhead (the r9 capped-twin inversion). When something is
+    // hot — d09's boilerplate shape, and any real 100 TB corpus — the
+    // rare+hot decomposition runs as before. Both branches are pinned
+    // by the forced-hot specs and the randomized decomposition
+    // property (caps above and below the max df).
     val hot = frame.groupBy(col(keyCol)).agg(count(lit(1)).as("_df"))
       .filter(col("_df") > k).select(col(keyCol))
+      .transform(graft.CacheRegistry.register)
+    if (hot.isEmpty)
+      return frame.as("a").join(frame.as("b"),
+          col(s"a.$keyCol") === col(s"b.$keyCol") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+        .agg(count(lit(1)).as(out))
     val rare = frame.join(hot, Seq(keyCol), "left_anti")
     // cached: consumed twice (result + the hot-correction probe) —
     // uncached, the whole rare self-join would run once per use
@@ -491,9 +508,17 @@ object Dedup {
           .agg(count(lit(1)).as("shared"))
       case Some(k) =>
         // the d02/d07 capped convention, cross-corpus: rare counts by
-        // the bounded join, hot correction only for candidate pairs
+        // the bounded join, hot correction only for candidate pairs —
+        // with the same adaptive short-circuit as cappedSelfPairCounts
+        // (cap not binding ⇒ the plain join IS the capped result)
         val hot = cf.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
           .filter(col("_df") > k).select(col("fp"))
+          .transform(graft.CacheRegistry.register)
+        if (hot.isEmpty)
+          return cf.join(bf, Seq("fp"))
+            .groupBy(col("doc_id"), col("bench_id"))
+            .agg(count(lit(1)).as("shared"))
+            .filter(col("shared") >= minShared)
         val rare = cf.join(hot, Seq("fp"), "left_anti")
         val sharedRare = rare.join(bf, Seq("fp"))
           .groupBy(col("doc_id"), col("bench_id"))
