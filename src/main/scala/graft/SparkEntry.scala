@@ -56,6 +56,29 @@ object SparkEntry {
           .select(org.apache.spark.sql.functions.col("a"),
             org.apache.spark.sql.functions.col("b")),
         docs.select(org.apache.spark.sql.functions.col("doc_id").as("id")))
+    }),
+    // the streaming near-dup gate end-to-end (r10's incremental-state
+    // operator, made bench-measurable): the documents table ingested
+    // as 2 micro-batches through gateBatch — within-batch pair drop,
+    // then the cross-batch pruned-broadcast gate + census maintenance
+    // against the sealed first half. Side effects land in a fresh
+    // temp dir per run; the returned frame is the accepted corpus, so
+    // the count the bench takes reads the real output. The measured
+    // number is per-trigger LATENCY (a dozen small jobs), not
+    // throughput — it exists as a round-over-round regression signal
+    // for the gate's fixed costs.
+    "st02_neardup_gate_e2e" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-gatebench").toString
+      val docsDir = s"$root/docs"; val fpDir = s"$root/fp"
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      (0L to 1L).foreach { b =>
+        streaming.Ingest.gateBatch(
+          docs.filter(pmod(col("doc_id"), lit(2)) === b), b, docsDir, fpDir)
+        if (b == 0L) streaming.Ingest.maintain(s, docsDir, fpDir, belowBatch = 1L)
+      }
+      s.read.parquet(docsDir)
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -361,13 +361,26 @@ object Dedup {
   /** Production face: winnow-fingerprint near-dup pairs of any
     * (doc_id, text) frame — (a, b, shared fingerprint count). */
   def winnowPairs(docs: DataFrame, minShared: Int = WinnowMinShared,
+      maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame =
+    winnowPairsFromFps(
+      winnowFps(docs)
+        // the cache is re-keyed on fp so the pair self-join (and the
+        // capped path's df agg) consume the cache's partitioning
+        // instead of exchanging the fingerprint frame once per join
+        // side
+        .repartition(col("fp"))
+        .transform(graft.CacheRegistry.register),
+      minShared, maxDf)
+
+  /** [[winnowPairs]] over an already-materialized (doc_id, fp) frame —
+    * callers that need the fingerprints for OTHER joins too (the
+    * streaming gate: within-batch pairs AND the cross-batch state)
+    * pass ONE cached fp-partitioned frame instead of re-deriving the
+    * fingerprint pipeline per use. `fps` should be fp-partitioned and
+    * cached (as winnowPairs prepares it) for the self-join to be
+    * exchange-free. */
+  def winnowPairsFromFps(fps: DataFrame, minShared: Int = WinnowMinShared,
       maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
-    val fps = winnowFps(docs)
-      // the cache is re-keyed on fp so the pair self-join (and the
-      // capped path's df agg) consume the cache's partitioning instead
-      // of exchanging the fingerprint frame once per join side
-      .repartition(col("fp"))
-      .transform(graft.CacheRegistry.register)
     val shared = maxDf match {
       case None =>
         fps.as("a").join(fps.as("b"),

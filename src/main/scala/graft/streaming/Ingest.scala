@@ -296,12 +296,25 @@ object Ingest {
     try {
       val docs = batch.select(col("doc_id"), col("text"))
         .transform(graft.CacheRegistry.register)
+      // ONE fingerprint derivation feeds everything in the trigger:
+      // the within-batch pair join, the cross-batch gate probe, and
+      // the state/census writes all consume this cached fp-partitioned
+      // frame (deriving keptFps via winnowFps(kept) instead re-ran the
+      // gram/window pipeline a second time per batch)
+      val fps = Dedup.winnowFps(docs)
+        .repartition(col("fp"))
+        .transform(graft.CacheRegistry.register)
       // 1. within-batch near-dups: keep the lower doc_id of each pair
-      // (same cap as the cross gate — one knob governs both joins)
-      val innerDrops = Dedup.winnowPairs(docs, minShared, maxDf)
+      // (same cap as the cross gate — one knob governs both joins).
+      // innerDrops is tiny but gates every downstream frame — cached
+      // so the pair aggregation runs once, not once per consumer.
+      val innerDrops = Dedup.winnowPairsFromFps(fps, minShared, maxDf)
         .select(col("b").as("doc_id")).distinct()
+        .transform(graft.CacheRegistry.register)
       val kept = docs.join(innerDrops, Seq("doc_id"), "left_anti")
-      val keptFps = Dedup.winnowFps(kept)
+      // winnowFps is per-doc deterministic, so filtering the fp frame
+      // by surviving doc_id IS winnowFps(kept)
+      val keptFps = fps.join(innerDrops, Seq("doc_id"), "left_anti")
         .transform(graft.CacheRegistry.register)
       // 2. cross-batch gate against the sealed fingerprint state.
       // Restricting to batch < batchId is what makes replay
@@ -318,7 +331,14 @@ object Ingest {
       val survFps = crossDrops.fold(keptFps)(d =>
           keptFps.join(d, Seq("doc_id"), "left_anti"))
         .transform(graft.CacheRegistry.register)
+      // repartition on the bucket BEFORE the dynamic-partition write:
+      // without it every task writes a file into every fpb dir it
+      // touches (tasks × buckets small files — measured 11.7 s of a
+      // 25 s micro-batch at sf0.1, and a file-count explosion the
+      // later batches' corpus scans pay for); with it each bucket
+      // gets one or two files and the write is ~10x cheaper
       survFps.withColumn("fpb", fpBucket(col("fp")))
+        .repartition(col("fpb"))
         .write.mode(SaveMode.Overwrite).partitionBy("fpb")
         .parquet(s"$fpDir/batch=$batchId")
       // census delta: this batch's contribution to the per-fp df —
