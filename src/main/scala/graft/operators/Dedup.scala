@@ -207,13 +207,13 @@ object Dedup {
         concat_ws(" ", lit(BoilerplateTemplate), col("text")).as("text"))
   }
 
-  /** Bench face: 2400-doc boilerplate corpus, exhaustive vs capped
+  /** Bench face: 2200-doc boilerplate corpus, exhaustive vs capped
     * candidate generation (SparkEntry.benchOnly pair). Sized so the
     * exhaustive face's quadratic template join dominates even with
     * fully-warm JIT (the in-run condition), keeping the capped win
     * comfortably >= 2x. */
   def d09(s: SparkSession, dir: String, maxDf: Option[Int]): DataFrame =
-    jaccardPairs(boilerplateCorpus(Tables.documents(s, dir), 2400), maxDf)
+    jaccardPairs(boilerplateCorpus(Tables.documents(s, dir), 2200), maxDf)
 
   // ---------------------------------------------------------------
   // d06: transitive near-dup CLUSTERS — connected components over the
