@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset assembly operators — the two steps between a cleaned corpus
+  * and a training run that every large-scale pipeline needs and that
+  * must be REPRODUCIBLE across reruns, engines and partitionings:
+  *
+  *  - [[c02]] deterministic train/validation/test splitting: the
+  *    assignment is a pure function of doc_id (a 60-bit md5 prefix mod
+  *    100 against fraction cutoffs), so adding machines, reordering
+  *    input files or re-running months later yields the SAME split —
+  *    never `rand()` and never row position, both of which silently
+  *    reshuffle eval sets between runs. Narrow map, no shuffle; the
+  *    per-split counts face aggregates it with one combiner-friendly
+  *    shuffle on a 3-value key.
+  *
+  *  - [[c03]] sequence packing: assign documents to fixed token-budget
+  *    training sequences (the "sample packing" step that turns ragged
+  *    documents into dense batches). Greedy global packing is
+  *    inherently sequential, so the scalable form shards first
+  *    (pmod(doc_id, nShards) — shards pack independently and in
+  *    parallel) and packs WITHIN each shard by running token cumsum
+  *    over a deterministic order: a doc starts a new sequence whenever
+  *    the tokens before it fill the current budget. One window shuffle
+  *    on the shard key; integer arithmetic throughout, so the oracle
+  *    replays it bit-for-bit. Waste (budget overshoot) is bounded by
+  *    one document per boundary, the same guarantee the sequential
+  *    greedy packer gives within a shard.
+  *
+  * Both token counts reuse t03's whitespace tokenizer
+  * (TextAnalysis.wsTokenCount) — one definition of "token" across the
+  * text stack.
+  */
+object Split {
+
+  /** Percent of the hash space routed to train / validation (the rest
+    * is test) — the conventional 80/10/10. */
+  val TrainPct = 80
+  val ValPct = 10
+
+  /** Tokens per packed training sequence (c03). */
+  val PackBudget = 512
+
+  /** Shards that pack independently (c03). At 100 TB this is the
+    * parallelism knob: packing is embarrassingly parallel across
+    * shards and sequence ids only need to be unique per (shard, seq). */
+  val PackShards = 8
+
+  /** Deterministic split assignment for any (doc_id, ...) frame:
+    * (doc_id, bucket, split). */
+  def assignSplits(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val bucket = pmod(
+      graft.plans.GraftFunctions.md5Prefix60(s, col("doc_id").cast("string")),
+      lit(100))
+    docs.select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TrainPct, "train")
+          .when(col("bucket") < TrainPct + ValPct, "val")
+          .otherwise("test"))
+  }
+
+  /** c02 face: the full assignment over the documents table. */
+  def c02(s: SparkSession, dir: String): DataFrame =
+    assignSplits(Tables.documents(s, dir))
+      .select(col("doc_id"), col("bucket"), col("split"))
+
+  /** The oracle replays the 60-bit md5 prefix exactly as d04b/d07 do:
+    * hex-prefix → BIGINT → mod 100 → CASE cutoffs. */
+  val c02Sql: String =
+    s"""SELECT doc_id,
+       CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+       CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < $TrainPct THEN 'train'
+            WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < ${TrainPct + ValPct} THEN 'val'
+            ELSE 'test' END AS split
+       FROM documents"""
+
+  /** Sequence packing of any (doc_id, text) frame:
+    * (doc_id, shard, seq, tokens, offset) — `seq` is the packed
+    * sequence index within the shard, `offset` the doc's token start
+    * inside its sequence. */
+  def packSequences(docs: DataFrame, budget: Int = PackBudget,
+      shards: Int = PackShards): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(shards)).as("shard"),
+        graft.functions.TextAnalysis.wsTokenCount(col("text"))
+          .cast("long").as("tokens"))
+      .withColumn("running", sum(col("tokens")).over(w))
+      // the tokens BEFORE this doc decide its sequence; a doc longer
+      // than the budget occupies its sequence(s) alone — the standard
+      // pack-then-chunk convention
+      .select(col("doc_id"), col("shard"), col("tokens"),
+        ((col("running") - col("tokens")) / budget).cast("long").as("seq"),
+        pmod(col("running") - col("tokens"), lit(budget.toLong)).as("offset"))
+  }
+
+  /** c03 face: packing assignment over the documents table. */
+  def c03(s: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(s, dir))
+      .select(col("doc_id"), col("shard"), col("seq"),
+        col("tokens"), col("offset"))
+
+  val c03Sql: String =
+    s"""WITH t AS (
+         SELECT doc_id, doc_id % $PackShards AS shard,
+                CAST(${TextOps.sqlNw} AS BIGINT) AS tokens
+         FROM documents),
+       r AS (
+         SELECT doc_id, shard, tokens,
+                sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS running
+         FROM t)
+       SELECT doc_id, shard, (running - tokens) // $PackBudget AS seq,
+              tokens, (running - tokens) % $PackBudget AS offset
+       FROM r"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c02_train_split" -> (c02 _),
+    "c03_pack_sequences" -> (c03 _))
+
+  val oracles: Map[String, String] = Map(
+    "c02_train_split" -> c02Sql,
+    "c03_pack_sequences" -> c03Sql)
+}

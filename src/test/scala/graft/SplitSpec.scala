@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Split
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators (SURVEY.md §2: c02 deterministic splits,
+  * c03 sequence packing). */
+class SplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("c02: split is a pure function of doc_id — rerun- and partitioning-independent") {
+    val one = Split.c02(spark, sf("sf0.001"))
+      .as[(Long, Long, String)].collect().toSet
+    // same corpus arriving in a different physical layout must split
+    // identically (the property rand()/row-position splits lack)
+    val reshuffled = Split.assignSplits(
+        Tables.documents(spark, sf("sf0.001")).repartition(7))
+      .select("doc_id", "bucket", "split")
+      .as[(Long, Long, String)].collect().toSet
+    assert(one == reshuffled)
+    // hash buckets land near the 80/10/10 design on any real corpus
+    val n = one.size.toDouble
+    val frac = one.groupBy(_._3).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.80) < 0.06, s"train ${frac("train")}")
+    assert(math.abs(frac("val") - 0.10) < 0.05, s"val ${frac.get("val")}")
+    assert(math.abs(frac("test") - 0.10) < 0.05, s"test ${frac.get("test")}")
+    // and the assignment matches the cutoff contract exactly
+    one.foreach { case (_, bucket, split) =>
+      val expected =
+        if (bucket < Split.TrainPct) "train"
+        else if (bucket < Split.TrainPct + Split.ValPct) "val"
+        else "test"
+      assert(split == expected)
+    }
+  }
+
+  test("c03: packing replays the sequential greedy packer within every shard") {
+    val rows = Split.c03(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long, Long)].collect() // doc_id, shard, seq, tokens, offset
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (shard, docs) =>
+      var running = 0L
+      docs.sortBy(_._1).foreach { case (id, _, seq, tokens, offset) =>
+        // the doc's sequence and offset are exactly what a sequential
+        // greedy packer over the shard's doc_id order assigns
+        assert(seq == running / Split.PackBudget,
+          s"shard $shard doc $id: seq $seq != ${running / Split.PackBudget}")
+        assert(offset == running % Split.PackBudget,
+          s"shard $shard doc $id: offset $offset != ${running % Split.PackBudget}")
+        assert(offset >= 0 && offset < Split.PackBudget)
+        running += tokens
+      }
+    }
+    // shards partition the corpus: every doc packed exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+}
