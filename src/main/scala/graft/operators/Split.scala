@@ -122,11 +122,64 @@ object Split {
               tokens, (running - tokens) % $PackBudget AS offset
        FROM r"""
 
+  // ---------------------------------------------------------------
+  // c04: weighted mixture / epochs — the data-mixing step: each
+  // source gets a sampling weight; weight < 1 downsamples, weight > 1
+  // upsamples (full copies + a deterministic fractional extra copy).
+  // copies(doc) = floor(w) + [hash-bucket(doc) < frac(w)·100], with
+  // the weight held as an INTEGER w×100 so both engines compute the
+  // same copies with no floating point anywhere. The hash is salted
+  // with the source so per-source subsampling decisions are
+  // independent. Narrow map + explode — no shuffle; the mixture is
+  // reproducible run-over-run like c02.
+  // ---------------------------------------------------------------
+
+  /** Demo weight schedule for the synthetic srcN sources:
+    * w×100 = ((N mod 4) + 1) × 75 → 0.75, 1.50, 2.25, 3.00 — covers
+    * downsampling, integer epochs and fractional epochs. */
+  private def weightX100(idx: org.apache.spark.sql.Column) =
+    (pmod(idx, lit(4)) + 1) * 75
+
+  /** Mixture expansion of any (doc_id, source, ...) frame:
+    * (doc_id, source, copy) with copy in 1..copies. */
+  def mixtureEpochs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val idx = regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
+    val w100 = weightX100(idx)
+    val bucket = pmod(graft.plans.GraftFunctions.md5Prefix60(s,
+      concat(col("source"), lit(":"), col("doc_id").cast("string"))), lit(100))
+    docs.select(col("doc_id"), col("source"),
+        (floor(w100 / 100) +
+          when(bucket < pmod(w100, lit(100)), 1).otherwise(0))
+          .cast("int").as("copies"))
+      .select(col("doc_id"), col("source"),
+        explode(when(col("copies") >= 1, sequence(lit(1), col("copies")))
+          .otherwise(array().cast("array<int>"))).as("copy"))
+  }
+
+  def c04(s: SparkSession, dir: String): DataFrame =
+    mixtureEpochs(Tables.documents(s, dir))
+
+  val c04Sql: String =
+    """WITH m AS (
+         SELECT doc_id, source,
+                ((CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4) + 1) * 75 AS w100,
+                CAST(('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+         FROM documents),
+       c AS (
+         SELECT doc_id, source,
+                CAST(w100 // 100 + (CASE WHEN bucket < w100 % 100 THEN 1 ELSE 0 END) AS INT) AS copies
+         FROM m)
+       SELECT doc_id, source, CAST(g.copy AS INT) AS copy
+       FROM c, LATERAL (SELECT unnest(generate_series(1, copies)) AS copy) g"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c02_train_split" -> (c02 _),
-    "c03_pack_sequences" -> (c03 _))
+    "c03_pack_sequences" -> (c03 _),
+    "c04_mixture_epochs" -> (c04 _))
 
   val oracles: Map[String, String] = Map(
     "c02_train_split" -> c02Sql,
-    "c03_pack_sequences" -> c03Sql)
+    "c03_pack_sequences" -> c03Sql,
+    "c04_mixture_epochs" -> c04Sql)
 }

@@ -34,6 +34,38 @@ class SplitSpec extends SparkSpec {
     }
   }
 
+  test("c04: mixture weights give exact integer epochs and deterministic fractional copies") {
+    val rows = Split.c04(spark, sf("sf0.001"))
+      .as[(Long, String, Int)].collect()
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val copies = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    def widx(src: String) = src.filter(_.isDigit).toInt % 4
+    docs.foreach { case (id, src) =>
+      val c = copies.getOrElse((id, src), Seq.empty)
+      widx(src) match {
+        case 3 => assert(c == Seq(1, 2, 3), s"w=3.0 doc $id got $c") // exactly 3 epochs
+        case 1 => assert(c == Seq(1) || c == Seq(1, 2)) // 1.5 epochs
+        case 2 => assert(c == Seq(1, 2) || c == Seq(1, 2, 3)) // 2.25
+        case 0 => assert(c.isEmpty || c == Seq(1)) // 0.75 downsample
+      }
+    }
+    // fractional parts realize close to their targets over the corpus
+    def frac(i: Int): Double = {
+      val pool = docs.filter(d => widx(d._2) == i)
+      pool.count(d => copies.getOrElse((d._1, d._2), Seq.empty).size ==
+        (i match { case 0 => 1; case 1 => 2; case 2 => 3; case 3 => 3 })).toDouble / pool.size
+    }
+    assert(math.abs(frac(0) - 0.75) < 0.15, s"w=0.75 kept ${frac(0)}")
+    assert(math.abs(frac(1) - 0.50) < 0.15, s"w=1.5 extra ${frac(1)}")
+    assert(math.abs(frac(2) - 0.25) < 0.15, s"w=2.25 extra ${frac(2)}")
+    // deterministic across physical layouts, like c02
+    val reshuffled = Split.mixtureEpochs(
+        Tables.documents(spark, sf("sf0.001")).repartition(5))
+      .as[(Long, String, Int)].collect().toSet
+    assert(reshuffled == rows.toSet)
+  }
+
   test("c03: packing replays the sequential greedy packer within every shard") {
     val rows = Split.c03(spark, sf("sf0.001"))
       .as[(Long, Long, Long, Long, Long)].collect() // doc_id, shard, seq, tokens, offset
