@@ -66,6 +66,16 @@ class SplitSpec extends SparkSpec {
     assert(reshuffled == rows.toSet)
   }
 
+  test("plan shapes: split/mixture are narrow (no exchange); packing pays exactly one") {
+    val pc02 = Split.c02(spark, sf()).queryExecution.executedPlan.toString
+    assert(!pc02.contains("Exchange"), "c02 split should be a narrow map")
+    val pc04 = Split.c04(spark, sf()).queryExecution.executedPlan.toString
+    assert(!pc04.contains("Exchange"), "c04 mixture should be a narrow map")
+    val pc03 = Split.c03(spark, sf()).queryExecution.executedPlan.toString
+    val n = "Exchange".r.findAllIn(pc03).length
+    assert(n == 1, s"c03 packing should pay exactly the shard-window exchange, saw $n")
+  }
+
   test("c03: packing replays the sequential greedy packer within every shard") {
     val rows = Split.c03(spark, sf("sf0.001"))
       .as[(Long, Long, Long, Long, Long)].collect() // doc_id, shard, seq, tokens, offset
