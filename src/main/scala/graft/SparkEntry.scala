@@ -70,8 +70,13 @@ object SparkEntry {
     // for the gate's fixed costs.
     "st02_neardup_gate_e2e" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, lit, pmod}
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-gatebench").toString
+      // a FIXED scratch location, wiped at face start: a fresh random
+      // temp dir per run would leave an sf-scale corpus copy behind
+      // every bench invocation until /tmp fills
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-gatebench"
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
       val docsDir = s"$root/docs"; val fpDir = s"$root/fp"
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       (0L to 1L).foreach { b =>

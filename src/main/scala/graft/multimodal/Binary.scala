@@ -77,11 +77,22 @@ object Binary {
     * only; the in-memory stream keeps ImageIO off its disk cache. */
   def decodeImage(payload: Array[Byte],
       featureDim: Int = 8): Option[(Int, Int, Array[Float])] = {
-    val stream = javax.imageio.ImageIO.createImageInputStream(
+    // an explicitly memory-backed stream: the default
+    // createImageInputStream(InputStream) honors ImageIO.getUseCache
+    // (true) and spools every payload to a temp FILE — per-row disk
+    // I/O in the executor hot path, and the cache file leaks when no
+    // reader matches. Closed in finally for the same reason. The
+    // catch is NonFatal, not just IOException: the JDK codecs throw
+    // unchecked exceptions (ArrayIndexOutOfBounds, CMMException,
+    // NegativeArraySize, IllegalArgument) on corrupt-but-recognized
+    // payloads — the NORMAL case in a scraped corpus — and a decode
+    // failure must mean "stub fallback", never a dead task.
+    val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     val img =
       try javax.imageio.ImageIO.read(stream)
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
+      finally scala.util.Try(stream.close())
     if (img == null) None
     else {
       val w = img.getWidth

@@ -144,8 +144,15 @@ object Split {
     * (doc_id, source, copy) with copy in 1..copies. */
   def mixtureEpochs(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
-    val idx = regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
-    val w100 = weightX100(idx)
+    // a source with no digit index gets the NEUTRAL weight (1 epoch)
+    // in BOTH engines — without the guard, Spark's ANSI cast of the
+    // empty extract threw while DuckDB's CAST('') also errored; and a
+    // silent null would have dropped the source from the mixture. The
+    // length guard keeps the cast total (regexp_extract returns ""
+    // on no-match), mirroring the oracle's TRY_CAST.
+    val idxStr = regexp_extract(col("source"), "([0-9]+)", 1)
+    val idx = when(length(idxStr) > 0, idxStr).otherwise(lit(null)).cast("int")
+    val w100 = coalesce(weightX100(idx), lit(100))
     val bucket = pmod(graft.plans.GraftFunctions.md5Prefix60(s,
       concat(col("source"), lit(":"), col("doc_id").cast("string"))), lit(100))
     docs.select(col("doc_id"), col("source"),
@@ -163,7 +170,7 @@ object Split {
   val c04Sql: String =
     """WITH m AS (
          SELECT doc_id, source,
-                ((CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4) + 1) * 75 AS w100,
+                COALESCE(((TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4) + 1) * 75, 100) AS w100,
                 CAST(('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
          FROM documents),
        c AS (

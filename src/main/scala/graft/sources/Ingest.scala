@@ -186,7 +186,39 @@ object Ingest {
       minFiles: Int = 2): Seq[(String, Int, Int)] = {
     val root = new Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // unpartitioned-dir swaps use SIBLINGS of root for tmp/trash, and
+    // a crash between the two renames leaves root itself absent —
+    // restore it from its trash before the exists check below
+    locally {
+      val selfTrash = new Path(root.getParent, s".${root.getName}._compact_old")
+      val selfTmp = new Path(root.getParent, s".${root.getName}._compact_tmp")
+      if (!fs.exists(root) && fs.exists(selfTrash))
+        require(fs.rename(selfTrash, root),
+          s"compact: could not restore interrupted swap of $root")
+      else fs.delete(selfTrash, true)
+      fs.delete(selfTmp, true)
+    }
     if (!fs.exists(root)) return Seq.empty
+    // crash recovery BEFORE anything else: the swap is two renames
+    // (dir→trash, tmp→dir); a crash between them leaves the dir
+    // ABSENT with its only copy in `.X._compact_old` — restoring it
+    // here makes the swap loss-free for callers compacting the sole
+    // copy of their data (e.g. the streaming gate's fingerprint
+    // state). A tmp alongside a still-present dir is a pre-swap
+    // leftover and is discarded (its source data is intact).
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.endsWith("._compact_old"))
+      .foreach { st =>
+        val orig = new Path(root,
+          st.getPath.getName.stripPrefix(".").stripSuffix("._compact_old"))
+        if (!fs.exists(orig))
+          require(fs.rename(st.getPath, orig),
+            s"compact: could not restore interrupted swap of $orig")
+        else fs.delete(st.getPath, true)
+      }
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.endsWith("._compact_tmp"))
+      .foreach(st => fs.delete(st.getPath, true))
     val parts = fs.listStatus(root).toSeq.filter(st =>
       st.isDirectory && st.getPath.getName.contains("="))
     val dirs = if (parts.nonEmpty) parts.map(_.getPath) else Seq(root)

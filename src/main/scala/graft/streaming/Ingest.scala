@@ -147,6 +147,34 @@ object Ingest {
     StructField("fp", LongType), StructField("df", LongType),
     StructField("fpb", IntegerType)))
 
+  /** Crash recovery for the census compact-and-swap. The swap is two
+    * renames (merged→trash, tmp→merged); a crash between them leaves
+    * merged ABSENT while the complete new merge sits in tmp (its
+    * `_max` marker is written only after the data, so tmp-with-_max
+    * means fully written) and the old merged sits in trash. Every
+    * census reader/writer calls this first: it completes an
+    * interrupted swap (rename tmp→merged), discards a stale tmp from
+    * a crash BEFORE the swap-out (merged still present — the deltas
+    * were not yet deleted, so the next compaction simply re-merges),
+    * and clears leftover trash. After this runs, the census is always
+    * either the pre-compaction or the post-compaction state — never
+    * lost. */
+  private def recoverCensus(spark: SparkSession, fpDir: String): Unit = {
+    val cDir = censusDir(fpDir)
+    val (fs, _) = hadoopFs(spark, cDir)
+    val merged = new Path(s"$cDir/merged")
+    val tmp = new Path(s"$cDir/.merged._compact_tmp")
+    val trash = new Path(s"$cDir/.merged._compact_old")
+    if (fs.exists(tmp)) {
+      val tmpComplete = fs.exists(new Path(tmp, "_max"))
+      if (!fs.exists(merged) && tmpComplete)
+        require(fs.rename(tmp, merged),
+          s"recoverCensus: could not complete interrupted swap of $tmp")
+      else fs.delete(tmp, true)
+    }
+    fs.delete(trash, true)
+  }
+
   /** The merged census's frontier: highest batch id folded into
     * `merged`, or -1 when no merge has happened. Lives INSIDE the
     * merged directory so the atomic swap updates data and frontier
@@ -186,6 +214,7 @@ object Ingest {
     * deltas' buckets. None = no census yet (no earlier batch). */
   def hotFps(spark: SparkSession, fpDir: String, belowBatch: Long,
       k: Int): Option[DataFrame] = {
+    recoverCensus(spark, fpDir)
     val (fs, _) = hadoopFs(spark, fpDir)
     val mergedMax = mergedMaxBatch(spark, fpDir)
     require(mergedMax < belowBatch,
@@ -244,13 +273,41 @@ object Ingest {
       docIdType: DataType, minShared: Int,
       maxDf: Option[Int]): Option[DataFrame] = {
     val spark = keptFps.sparkSession
-    if (!stateBatchIds(spark, fpDir).exists(_ < batchId)) return None
+    val earlier = stateBatchIds(spark, fpDir).filter(_ < batchId)
+    if (earlier.isEmpty) return None
+    // fail fast on a state layout without fpb bucketing (pre-bucketed
+    // or foreign writes): the schema'd read would fill fpb with null
+    // and the bucket filter would silently drop EVERY corpus row —
+    // the gate would accept all near-duplicates with no error
+    locally {
+      val (fs, _) = hadoopFs(spark, fpDir)
+      val it = earlier.sorted.iterator
+      var checked = false
+      while (!checked && it.hasNext) {
+        val children = fs.listStatus(new Path(s"$fpDir/batch=${it.next()}"))
+          .filterNot(_.getPath.getName.startsWith("_"))
+        if (children.nonEmpty) {
+          checked = true
+          require(children.forall(st =>
+              st.isDirectory && st.getPath.getName.startsWith("fpb=")),
+            s"fingerprint state under $fpDir is not fpb-bucketed " +
+              "(flat per-batch files) — rebuild the state with this layout")
+        }
+      }
+    }
     // The hot-df cap guards the fp equi-join's fanout: a boilerplate
     // fingerprint in df corpus docs would contribute (df × batch
     // occurrences) join rows. Dropping above-cap fps from the BATCH
     // side is equivalent to dropping them from the corpus side (a
     // match needs the fp on both sides) and filters the small frame.
     val hot = maxDf.flatMap(k => hotFps(spark, fpDir, batchId, k))
+    // gateBatch writes a census delta with every state batch, so a
+    // defined cap with existing state but NO census is corruption —
+    // running uncapped would both lose the fanout guard and change
+    // drop decisions (hot fps would count toward shared) silently
+    require(maxDf.isEmpty || hot.isDefined,
+      s"df cap $maxDf configured but no census exists under $fpDir " +
+        "despite sealed state batches — census lost or foreign state")
     val gateFps = hot.fold(keptFps)(h =>
         keptFps.join(broadcast(h), Seq("fp"), "left_anti"))
       .transform(graft.CacheRegistry.register)
@@ -368,6 +425,7 @@ object Ingest {
     * frontier, or None when there was nothing to fold. */
   def compactCensus(spark: SparkSession, fpDir: String,
       belowBatch: Long = Long.MaxValue): Option[Long] = {
+    recoverCensus(spark, fpDir)
     val cDir = censusDir(fpDir)
     val (fs, _) = hadoopFs(spark, cDir)
     val deltaRoot = new Path(s"$cDir/delta")
@@ -389,8 +447,8 @@ object Ingest {
       if (!fs.exists(mergedPath)) deltas
       else spark.read.schema(censusMergedSchema).parquet(mergedPath.toString)
         .select(col("fp"), col("df")).unionByName(deltas)
+    // recoverCensus above guarantees no tmp/trash leftovers exist here
     val tmp = new Path(s"$cDir/.merged._compact_tmp")
-    fs.delete(tmp, true)
     all.groupBy(col("fp")).agg(sum(col("df")).as("df"))
       .withColumn("fpb", fpBucket(col("fp")))
       // one writer task per bucket group; the fpb-prefixed sort both
@@ -405,7 +463,6 @@ object Ingest {
       out.write(newMax.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     val trash = new Path(s"$cDir/.merged._compact_old")
-    fs.delete(trash, true)
     if (fs.exists(mergedPath))
       require(fs.rename(mergedPath, trash),
         s"compactCensus: could not swap out $mergedPath")

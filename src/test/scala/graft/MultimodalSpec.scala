@@ -116,6 +116,37 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(3)._5)
   }
 
+  test("decodeImage: corrupt-but-recognized payloads fall back, never kill the task") {
+    // a valid PNG header with a truncated body is the NORMAL failure
+    // in a scraped corpus; the JDK codec throws unchecked exceptions
+    // on it, which must mean "stub fallback", not a dead task
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val whole = bos.toByteArray
+    // truncations at every depth: some may still partially decode
+    // (that's codec-dependent and fine) — what must NEVER happen is an
+    // escaped unchecked exception
+    for (cut <- 8 to whole.length by 7) {
+      val r = Binary.decodeImage(whole.take(cut)) // must not throw
+      r.foreach { case (w, h, _) => assert(w == 8 && h == 8) }
+    }
+    // a header-only stub (recognized signature, no image data) is the
+    // unchecked-exception shape in the JDK codec: must be None
+    assert(Binary.decodeImage(whole.take(20)).isEmpty)
+    // and through the distributed path the job survives either way
+    val media = Seq((1L, whole.take(20), "image/png"))
+      .toDF("media_id", "payload", "media_type")
+      .select(col("media_id"), col("payload"),
+        struct(col("media_type").as("media_type"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("").as("header_hex")).as("meta"))
+    val row = Binary.decodeFeatures(media).select("real_decode")
+      .as[Boolean].collect()
+    assert(row.toSeq == Seq(false))
+  }
+
   test("decodeFeatures: distributed batch decode with repartitioning") {
     val m = Binary.mediaTable(spark, sf("sf0.001"))
     val decoded = Binary.decodeFeatures(m, partitions = 3)

@@ -130,6 +130,38 @@ class SourcesSpec extends SparkSpec {
     assert(Ingest.compact(spark, dir, targetBytes = 1L << 30).isEmpty)
   }
 
+  test("compaction swap crash windows recover: orphaned trash restored, stale tmp discarded") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // partition-dir case: crash between the two swap renames leaves
+    // the partition absent with its only copy in trash — the next
+    // compact run must restore it, not lose a batch of data
+    val dir = tmp() + "/crash"
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .withColumn("p", (col("id") % 2).cast("int"))
+    df.repartition(4).write.partitionBy("p").parquet(dir)
+    val before = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    require(fs.rename(new Path(s"$dir/p=0"), new Path(s"$dir/.p=0._compact_old")))
+    Ingest.compact(spark, dir, targetBytes = 1L << 30)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet == before,
+      "interrupted swap lost partition p=0")
+    // stale tmp next to a live partition is discarded, not swapped in
+    fs.mkdirs(new Path(s"$dir/.p=1._compact_tmp"))
+    Ingest.compact(spark, dir, targetBytes = 1L << 30)
+    assert(!fs.exists(new Path(s"$dir/.p=1._compact_tmp")))
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet == before)
+    // unpartitioned case: the swap uses SIBLINGS of the target dir and
+    // a crash leaves the dir itself absent — restored from its trash
+    val flat = tmp() + "/flatcrash"
+    (1L to 50L).toDF("id").repartition(3).write.parquet(flat)
+    val flatBefore = spark.read.parquet(flat).select("id").as[Long].collect().toSet
+    val parent = new Path(flat).getParent
+    require(fs.rename(new Path(flat), new Path(parent, s".flatcrash._compact_old")))
+    Ingest.compact(spark, flat, targetBytes = 1L << 30)
+    assert(spark.read.parquet(flat).select("id").as[Long].collect().toSet == flatBefore,
+      "interrupted unpartitioned swap lost the directory")
+  }
+
   test("segment lifecycle composes: roll -> append -> roll -> compact -> expire") {
     // The full ILM story on ONE table: sealed segments are immutable
     // per-directory units, so compaction and retention must operate on

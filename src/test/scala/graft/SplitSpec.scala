@@ -64,6 +64,12 @@ class SplitSpec extends SparkSpec {
         Tables.documents(spark, sf("sf0.001")).repartition(5))
       .as[(Long, String, Int)].collect().toSet
     assert(reshuffled == rows.toSet)
+    // a source with no digit index gets the neutral 1-epoch weight —
+    // not silently dropped (and the oracle's TRY_CAST agrees)
+    val noIdx = Split.mixtureEpochs(
+        Seq((1L, "web"), (2L, "books")).toDF("doc_id", "source"))
+      .as[(Long, String, Int)].collect().toSeq.sorted
+    assert(noIdx == Seq((1L, "web", 1), (2L, "books", 1)).sorted)
   }
 
   test("plan shapes: split/mixture are narrow (no exchange); packing pays exactly one") {

@@ -389,6 +389,69 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("near-dup gate: census swap crash windows recover; corrupted layouts fail fast") {
+    import org.apache.spark.sql.types._
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green parrots recite astonishing poetry about distant nebulae and forgotten harbors"
+    def freshState(): (String, String) = {
+      val root = java.nio.file.Files.createTempDirectory("graft-ndcrash").toString
+      val docsDir = s"$root/docs"; val fpDir = s"$root/fp"
+      streaming.Ingest.gateBatch(Seq(1L -> base,
+        2L -> "unrelated inventory ledger rows describing turnip futures")
+        .toDF("doc_id", "text"), 0L, docsDir, fpDir)
+      streaming.Ingest.gateBatch(Seq(3L -> "novel astronomy puzzle involving hexagonal basalt columns")
+        .toDF("doc_id", "text"), 1L, docsDir, fpDir)
+      streaming.Ingest.maintain(spark, docsDir, fpDir, belowBatch = 2L)
+      (docsDir, fpDir)
+    }
+    try {
+      // 1. crash BETWEEN the census swap's two renames: merged absent,
+      // complete tmp present — the next census read completes the swap
+      // instead of silently losing the merged frontier
+      val (_, fpDir) = freshState()
+      val hotBefore = streaming.Ingest.hotFps(spark, fpDir, 2L, 0)
+        .get.as[Long].collect().toSet
+      assert(hotBefore.nonEmpty)
+      val merged = new Path(s"$fpDir/_census/merged")
+      val tmp = new Path(s"$fpDir/_census/.merged._compact_tmp")
+      require(fs.rename(merged, tmp)) // simulate the crash window
+      val hotAfter = streaming.Ingest.hotFps(spark, fpDir, 2L, 0)
+        .get.as[Long].collect().toSet
+      assert(hotAfter == hotBefore, "interrupted swap lost the merged census")
+      assert(fs.exists(merged) && !fs.exists(tmp), "swap was not completed")
+      // ...and a STALE tmp next to a live merged is discarded, not swapped in
+      fs.mkdirs(tmp)
+      assert(streaming.Ingest.hotFps(spark, fpDir, 2L, 0)
+        .get.as[Long].collect().toSet == hotBefore)
+      assert(!fs.exists(tmp), "stale tmp not cleaned")
+      // 2. a capped gate with sealed state but NO census refuses to run
+      // (running uncapped would silently change drop decisions)
+      val (_, fpDir2) = freshState()
+      fs.delete(new Path(s"$fpDir2/_census"), true)
+      val probe = operators.Dedup.winnowFps(
+        Seq(9L -> s"$base with an edit").toDF("doc_id", "text"))
+      assertThrows[IllegalArgumentException] {
+        streaming.Ingest.crossGateDrops(probe, fpDir2, 2L, LongType, 3,
+          Some(operators.Dedup.DefaultMaxDf))
+      }
+      // uncapped gating never needs the census and still works
+      val unc = streaming.Ingest.crossGateDrops(probe, fpDir2, 2L,
+        LongType, 3, None).get.as[Long].collect().toSet
+      assert(unc == Set(9L), "uncapped gate should drop the near-dup")
+      // 3. a flat (non-fpb-bucketed) state layout fails fast instead of
+      // null-filtering every corpus row into silent accept-everything
+      val flatRoot = java.nio.file.Files.createTempDirectory("graft-ndflat").toString
+      val flatFp = s"$flatRoot/fp"
+      operators.Dedup.winnowFps(Seq(1L -> base).toDF("doc_id", "text"))
+        .write.parquet(s"$flatFp/batch=0")
+      assertThrows[IllegalArgumentException] {
+        streaming.Ingest.crossGateDrops(probe, flatFp, 1L, LongType, 3, None)
+      }
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("near-dup gate per-trigger plan: state side pruned to matched fp buckets, exchange-free") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.execution.FileSourceScanExec
