@@ -17,7 +17,7 @@ object SparkEntry {
       operators.RiskEngine.queries ++ operators.IncrementalStats.queries ++
       operators.TextOps.queries ++ operators.Dedup.queries ++
       operators.Similarity.queries ++ operators.Corpus.queries ++
-      operators.Split.queries ++
+      operators.Split.queries ++ operators.Redact.queries ++
       operators.Histogram.queries ++ functions.Geo.queries ++
       multimodal.Binary.queries ++
       streaming.Alerts.queries
@@ -94,7 +94,7 @@ object SparkEntry {
       operators.RiskEngine.oracles ++ operators.IncrementalStats.oracles ++
       operators.TextOps.oracles ++ operators.Dedup.oracles ++
       operators.Similarity.oracles ++ operators.Corpus.oracles ++
-      operators.Split.oracles ++
+      operators.Split.oracles ++ operators.Redact.oracles ++
       operators.Histogram.oracles ++ functions.Geo.oracles ++
       multimodal.Binary.oracles ++
       streaming.Alerts.oracles
