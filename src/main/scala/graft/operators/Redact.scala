@@ -55,7 +55,7 @@ object Redact {
   /** The c05 input: every 5th doc gets id-derived PII appended —
     * keeps the oracle non-vacuous on the synthetic corpus. */
   def plantedDocs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"),
+    Tables.documents(s, dir).select(col("doc_id"), col("source"),
       when(pmod(col("doc_id"), lit(5)) === 0,
         concat(col("text"),
           lit(" contact user"), col("doc_id").cast("string"),

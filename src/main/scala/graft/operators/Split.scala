@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -140,8 +140,9 @@ object Split {
   private def weightX100(idx: org.apache.spark.sql.Column) =
     (pmod(idx, lit(4)) + 1) * 75
 
-  /** Mixture expansion of any (doc_id, source, ...) frame:
-    * (doc_id, source, copy) with copy in 1..copies. */
+  /** Mixture expansion of any (doc_id, source, ...) frame: the input
+    * columns plus `copy` in 1..copies — carried columns ride along so
+    * the assembly composition (c06) can thread token counts through. */
   def mixtureEpochs(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     // a source with no digit index gets the NEUTRAL weight (1 epoch)
@@ -155,17 +156,18 @@ object Split {
     val w100 = coalesce(weightX100(idx), lit(100))
     val bucket = pmod(graft.plans.GraftFunctions.md5Prefix60(s,
       concat(col("source"), lit(":"), col("doc_id").cast("string"))), lit(100))
-    docs.select(col("doc_id"), col("source"),
-        (floor(w100 / 100) +
+    val carried = docs.columns.map(col).toSeq
+    docs.select(carried :+
+        ((floor(w100 / 100) +
           when(bucket < pmod(w100, lit(100)), 1).otherwise(0))
-          .cast("int").as("copies"))
-      .select(col("doc_id"), col("source"),
+          .cast("int").as("copies")): _*)
+      .select(carried :+
         explode(when(col("copies") >= 1, sequence(lit(1), col("copies")))
-          .otherwise(array().cast("array<int>"))).as("copy"))
+          .otherwise(array().cast("array<int>"))).as("copy"): _*)
   }
 
   def c04(s: SparkSession, dir: String): DataFrame =
-    mixtureEpochs(Tables.documents(s, dir))
+    mixtureEpochs(Tables.documents(s, dir).select(col("doc_id"), col("source")))
 
   val c04Sql: String =
     """WITH m AS (
@@ -180,13 +182,91 @@ object Split {
        SELECT doc_id, source, CAST(g.copy AS INT) AS copy
        FROM c, LATERAL (SELECT unnest(generate_series(1, copies)) AS copy) g"""
 
+  // ---------------------------------------------------------------
+  // c06: the ASSEMBLY COMPOSITION — scrub → split(train) → mixture →
+  // pack as ONE declarative plan (the c01 pattern applied to dataset
+  // assembly): PII-redact the corpus, keep the train split, expand to
+  // mixture epochs, pack the epoch stream into token-budget
+  // sequences. Token counts are taken on the REDACTED text (what a
+  // training run would actually see), the packing order is
+  // (doc_id, copy) within the shard so epochs of one doc stay
+  // adjacent, and the whole chain is still: narrow maps + one window
+  // shuffle. Oracle replays every stage bit-for-bit.
+  // ---------------------------------------------------------------
+
+  private def splitBucket(s: SparkSession, docId: Column): Column =
+    pmod(graft.plans.GraftFunctions.md5Prefix60(s, docId.cast("string")),
+      lit(100))
+
+  def c06(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, _, red) = Redact.redactions(col("text"))
+    val scrubbed = Redact.plantedDocs(s, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextAnalysis.wsTokenCount(red)
+          .cast("long").as("tokens"))
+    val train = scrubbed.filter(splitBucket(s, col("doc_id")) < TrainPct)
+    val mixed = mixtureEpochs(train)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("doc_id"), col("copy"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mixed
+      .withColumn("shard", pmod(col("doc_id"), lit(PackShards)))
+      .withColumn("running", sum(col("tokens")).over(w))
+      .select(col("doc_id"), col("copy"), col("shard"), col("tokens"),
+        ((col("running") - col("tokens")) / PackBudget).cast("long").as("seq"),
+        pmod(col("running") - col("tokens"), lit(PackBudget.toLong)).as("offset"))
+  }
+
+  val c06Sql: String = {
+    import Redact.{EmailPattern, Ipv4Pattern, PhonePattern}
+    s"""WITH planted AS (
+         SELECT doc_id, source,
+                CASE WHEN doc_id % 5 = 0
+                     THEN text || ' contact user' || doc_id || '@example.com or +1 555 010' || doc_id || ' from host 10.0.' || (doc_id % 250) || '.7'
+                     ELSE text END AS text0
+         FROM documents),
+       scrub AS (
+         SELECT doc_id, source,
+                regexp_replace(regexp_replace(regexp_replace(text0, '$EmailPattern', '<EMAIL>', 'g'), '$Ipv4Pattern', '<IP>', 'g'), '$PhonePattern', '<PHONE>', 'g') AS text
+         FROM planted),
+       tok AS (
+         SELECT doc_id, source, CAST(${TextOps.sqlNw} AS BIGINT) AS tokens
+         FROM scrub),
+       train AS (
+         SELECT * FROM tok
+         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < $TrainPct),
+       m AS (
+         SELECT doc_id, source, tokens,
+                COALESCE(((TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4) + 1) * 75, 100) AS w100,
+                CAST(('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+         FROM train),
+       mixed AS (
+         SELECT doc_id, tokens, CAST(g.copy AS INT) AS copy
+         FROM (SELECT doc_id, tokens,
+                      CAST(w100 // 100 + (CASE WHEN bucket < w100 % 100 THEN 1 ELSE 0 END) AS INT) AS copies
+               FROM m) c,
+              LATERAL (SELECT unnest(generate_series(1, copies)) AS copy) g),
+       r AS (
+         SELECT doc_id, copy, doc_id % $PackShards AS shard, tokens,
+                sum(tokens) OVER (PARTITION BY doc_id % $PackShards
+                                  ORDER BY doc_id, copy
+                                  ROWS UNBOUNDED PRECEDING) AS running
+         FROM mixed)
+       SELECT doc_id, copy, shard, tokens,
+              (running - tokens) // $PackBudget AS seq,
+              (running - tokens) % $PackBudget AS offset
+       FROM r"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c02_train_split" -> (c02 _),
     "c03_pack_sequences" -> (c03 _),
-    "c04_mixture_epochs" -> (c04 _))
+    "c04_mixture_epochs" -> (c04 _),
+    "c06_assemble" -> (c06 _))
 
   val oracles: Map[String, String] = Map(
     "c02_train_split" -> c02Sql,
     "c03_pack_sequences" -> c03Sql,
-    "c04_mixture_epochs" -> c04Sql)
+    "c04_mixture_epochs" -> c04Sql,
+    "c06_assemble" -> c06Sql)
 }

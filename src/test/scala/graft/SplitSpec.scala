@@ -61,7 +61,8 @@ class SplitSpec extends SparkSpec {
     assert(math.abs(frac(2) - 0.25) < 0.15, s"w=2.25 extra ${frac(2)}")
     // deterministic across physical layouts, like c02
     val reshuffled = Split.mixtureEpochs(
-        Tables.documents(spark, sf("sf0.001")).repartition(5))
+        Tables.documents(spark, sf("sf0.001"))
+          .select($"doc_id", $"source").repartition(5))
       .as[(Long, String, Int)].collect().toSet
     assert(reshuffled == rows.toSet)
     // a source with no digit index gets the neutral 1-epoch weight —
@@ -80,6 +81,36 @@ class SplitSpec extends SparkSpec {
     val pc03 = Split.c03(spark, sf()).queryExecution.executedPlan.toString
     val n = "Exchange".r.findAllIn(pc03).length
     assert(n == 1, s"c03 packing should pay exactly the shard-window exchange, saw $n")
+  }
+
+  test("c06: the assembly chain composes — train-only docs, epoch-adjacent packing") {
+    import graft.operators.Redact
+    val out = Split.c06(spark, sf("sf0.001"))
+      .as[(Long, Int, Long, Long, Long, Long)].collect() // doc_id, copy, shard, tokens, seq, offset
+    assert(out.nonEmpty)
+    // only train-bucket doc_ids appear (the split gate held)
+    val trainIds = Split.c02(spark, sf("sf0.001"))
+      .filter(col("split") === "train").select("doc_id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet.subsetOf(trainIds))
+    // token counts are taken on the REDACTED text
+    val (_, _, _, red) = Redact.redactions(col("text"))
+    val redTokens = Redact.plantedDocs(spark, sf("sf0.001"))
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.wsTokenCount(red).cast("long").as("t"))
+      .as[(Long, Long)].collect().toMap
+    out.foreach { case (id, _, _, tokens, _, _) =>
+      assert(tokens == redTokens(id), s"doc $id tokens not from redacted text")
+    }
+    // the packing replays the sequential greedy packer over the
+    // (doc_id, copy) epoch stream within each shard
+    out.groupBy(_._3).foreach { case (shard, rows) =>
+      var running = 0L
+      rows.sortBy(r => (r._1, r._2)).foreach { case (id, copy, _, tokens, seq, offset) =>
+        assert(seq == running / Split.PackBudget, s"shard $shard doc $id copy $copy")
+        assert(offset == running % Split.PackBudget)
+        running += tokens
+      }
+    }
   }
 
   test("c03: packing replays the sequential greedy packer within every shard") {
