@@ -70,13 +70,23 @@ object SparkEntry {
     // for the gate's fixed costs.
     "st02_neardup_gate_e2e" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, lit, pmod}
-      // a FIXED scratch location, wiped at face start: a fresh random
-      // temp dir per run would leave an sf-scale corpus copy behind
-      // every bench invocation until /tmp fills
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft-gatebench"
-      val rootPath = new org.apache.hadoop.fs.Path(root)
-      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(rootPath, true)
+      // pid-scoped scratch under a fixed base, wiped at face start: a
+      // fresh random temp dir per run would leave an sf-scale corpus
+      // copy behind every bench invocation until /tmp fills, while one
+      // shared fixed dir would let two concurrent bench processes wipe
+      // each other's state mid-run. Dead siblings (pids no longer
+      // alive) are swept too, so leftovers are bounded by live runs.
+      val base = new org.apache.hadoop.fs.Path(
+        s"${System.getProperty("java.io.tmpdir")}/graft-gatebench")
+      val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(base))
+        fs.listStatus(base).foreach { st =>
+          val alive = scala.util.Try(st.getPath.getName.toLong).toOption
+            .exists(p => ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+          if (!alive) fs.delete(st.getPath, true)
+        }
+      val root = s"$base/${ProcessHandle.current().pid()}"
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
       val docsDir = s"$root/docs"; val fpDir = s"$root/fp"
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       (0L to 1L).foreach { b =>

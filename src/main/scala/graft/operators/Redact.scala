@@ -32,11 +32,14 @@ object Redact {
     * n_phones, redacted). Order fixed: email → ip → phone. */
   def redactions(text: Column): (Column, Column, Column, Column) = {
     val nEmails = size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
-    val nIps = size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0)))
     val afterEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    // each count runs on the text AFTER the earlier redactions, so a
+    // span consumed by one category is never double-reported by the
+    // next (an IPv4-shaped substring inside an email domain, a digit
+    // run inside an address) — counts always describe exactly what
+    // the matching replace redacted
+    val nIps = size(regexp_extract_all(afterEmail, lit(Ipv4Pattern), lit(0)))
     val afterIp = regexp_replace(afterEmail, Ipv4Pattern, "<IP>")
-    // phones counted AFTER email/ip removal: digit runs inside an
-    // address would otherwise double-count (same order as the replace)
     val nPhones = size(regexp_extract_all(afterIp, lit(PhonePattern), lit(0)))
     val redacted = regexp_replace(afterIp, PhonePattern, "<PHONE>")
     (nEmails, nIps, nPhones, redacted)
@@ -45,7 +48,6 @@ object Redact {
   /** Scrub any (doc_id, text) frame: doc_id, counts, and the
     * canonical fingerprint of the redacted text. */
   def scrub(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
     val (ne, ni, np, red) = redactions(col("text"))
     docs.select(col("doc_id"), ne.as("n_emails"), ni.as("n_ips"),
       np.as("n_phones"),
@@ -76,14 +78,18 @@ object Redact {
          FROM documents),
        r AS (
          SELECT doc_id, text,
-                regexp_replace(regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g'), '$Ipv4Pattern', '<IP>', 'g') AS after_ip
-         FROM planted)
+                regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g') AS after_email
+         FROM planted),
+       r2 AS (
+         SELECT doc_id, text, after_email,
+                regexp_replace(after_email, '$Ipv4Pattern', '<IP>', 'g') AS after_ip
+         FROM r)
        SELECT doc_id,
               len(regexp_extract_all(text, '$EmailPattern')) AS n_emails,
-              len(regexp_extract_all(text, '$Ipv4Pattern')) AS n_ips,
+              len(regexp_extract_all(after_email, '$Ipv4Pattern')) AS n_ips,
               len(regexp_extract_all(after_ip, '$PhonePattern')) AS n_phones,
               md5(regexp_replace(after_ip, '$PhonePattern', '<PHONE>', 'g')) AS redacted_fp
-       FROM r"""
+       FROM r2"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c05_redact_pii" -> (c05 _))

@@ -98,7 +98,11 @@ object Split {
       // than the budget occupies its sequence(s) alone — the standard
       // pack-then-chunk convention
       .select(col("doc_id"), col("shard"), col("tokens"),
-        ((col("running") - col("tokens")) / budget).cast("long").as("seq"),
+        // integral DIV, not `/`: long/int division in Spark routes
+        // through a double, which can misassign a sequence once a
+        // shard's running sum passes ~2^52 — the one non-integer step
+        // in a chain documented as integer-exact
+        expr(s"(running - tokens) DIV $budget").as("seq"),
         pmod(col("running") - col("tokens"), lit(budget.toLong)).as("offset"))
   }
 
@@ -151,7 +155,10 @@ object Split {
     // silent null would have dropped the source from the mixture. The
     // length guard keeps the cast total (regexp_extract returns ""
     // on no-match), mirroring the oracle's TRY_CAST.
-    val idxStr = regexp_extract(col("source"), "([0-9]+)", 1)
+    // the extract is capped at 9 digits so the int cast can never
+    // overflow (ANSI would throw; DuckDB's TRY_CAST would NULL —
+    // divergent); both engines' regexes take the same leftmost window
+    val idxStr = regexp_extract(col("source"), "([0-9]{1,9})", 1)
     val idx = when(length(idxStr) > 0, idxStr).otherwise(lit(null)).cast("int")
     val w100 = coalesce(weightX100(idx), lit(100))
     val bucket = pmod(graft.plans.GraftFunctions.md5Prefix60(s,
@@ -172,7 +179,7 @@ object Split {
   val c04Sql: String =
     """WITH m AS (
          SELECT doc_id, source,
-                COALESCE(((TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4) + 1) * 75, 100) AS w100,
+                COALESCE(((TRY_CAST(regexp_extract(source, '([0-9]{1,9})', 1) AS INT) % 4) + 1) * 75, 100) AS w100,
                 CAST(('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
          FROM documents),
        c AS (
@@ -213,7 +220,7 @@ object Split {
       .withColumn("shard", pmod(col("doc_id"), lit(PackShards)))
       .withColumn("running", sum(col("tokens")).over(w))
       .select(col("doc_id"), col("copy"), col("shard"), col("tokens"),
-        ((col("running") - col("tokens")) / PackBudget).cast("long").as("seq"),
+        expr(s"(running - tokens) DIV $PackBudget").as("seq"),
         pmod(col("running") - col("tokens"), lit(PackBudget.toLong)).as("offset"))
   }
 
@@ -237,7 +244,7 @@ object Split {
          WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < $TrainPct),
        m AS (
          SELECT doc_id, source, tokens,
-                COALESCE(((TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4) + 1) * 75, 100) AS w100,
+                COALESCE(((TRY_CAST(regexp_extract(source, '([0-9]{1,9})', 1) AS INT) % 4) + 1) * 75, 100) AS w100,
                 CAST(('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
          FROM train),
        mixed AS (

@@ -181,31 +181,27 @@ object Ingest {
     * Runs per-directory so a routine nightly call touches only the
     * hot partitions (older ones were compacted by earlier runs).
     * Returns (dirName, filesBefore, filesAfter) per rewritten dir. */
-  def compact(s: SparkSession, path: String,
-      targetBytes: Long = 128L << 20,
-      minFiles: Int = 2): Seq[(String, Int, Int)] = {
+  /** Crash recovery for [[compact]]'s two-rename swap, runnable on
+    * any directory independently of compaction itself: restores a
+    * directory whose only copy sits in `.X._compact_old` (crash
+    * between swap-out and swap-in), discards stale `._compact_tmp`
+    * leftovers, both among `path`'s CHILDREN and for `path` itself
+    * (unpartitioned swaps use siblings of the target). Callers that
+    * enumerate `path`'s children by name (e.g. the streaming gate's
+    * maintenance pass) MUST run this first — an orphaned child is
+    * invisible to name-based listings, so per-child compact calls
+    * alone would never reach it. */
+  def recoverSwaps(s: SparkSession, path: String): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // unpartitioned-dir swaps use SIBLINGS of root for tmp/trash, and
-    // a crash between the two renames leaves root itself absent —
-    // restore it from its trash before the exists check below
-    locally {
-      val selfTrash = new Path(root.getParent, s".${root.getName}._compact_old")
-      val selfTmp = new Path(root.getParent, s".${root.getName}._compact_tmp")
-      if (!fs.exists(root) && fs.exists(selfTrash))
-        require(fs.rename(selfTrash, root),
-          s"compact: could not restore interrupted swap of $root")
-      else fs.delete(selfTrash, true)
-      fs.delete(selfTmp, true)
-    }
-    if (!fs.exists(root)) return Seq.empty
-    // crash recovery BEFORE anything else: the swap is two renames
-    // (dir→trash, tmp→dir); a crash between them leaves the dir
-    // ABSENT with its only copy in `.X._compact_old` — restoring it
-    // here makes the swap loss-free for callers compacting the sole
-    // copy of their data (e.g. the streaming gate's fingerprint
-    // state). A tmp alongside a still-present dir is a pre-swap
-    // leftover and is discarded (its source data is intact).
+    val selfTrash = new Path(root.getParent, s".${root.getName}._compact_old")
+    val selfTmp = new Path(root.getParent, s".${root.getName}._compact_tmp")
+    if (!fs.exists(root) && fs.exists(selfTrash))
+      require(fs.rename(selfTrash, root),
+        s"compact: could not restore interrupted swap of $root")
+    else fs.delete(selfTrash, true)
+    fs.delete(selfTmp, true)
+    if (!fs.exists(root)) return
     fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.endsWith("._compact_old"))
       .foreach { st =>
@@ -219,6 +215,17 @@ object Ingest {
     fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.endsWith("._compact_tmp"))
       .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  def compact(s: SparkSession, path: String,
+      targetBytes: Long = 128L << 20,
+      minFiles: Int = 2): Seq[(String, Int, Int)] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // crash recovery BEFORE anything else — see recoverSwaps: the
+    // two-rename swap can leave a directory's only copy in its trash
+    recoverSwaps(s, path)
+    if (!fs.exists(root)) return Seq.empty
     val parts = fs.listStatus(root).toSeq.filter(st =>
       st.isDirectory && st.getPath.getName.contains("="))
     val dirs = if (parts.nonEmpty) parts.map(_.getPath) else Seq(root)

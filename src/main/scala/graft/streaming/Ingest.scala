@@ -278,21 +278,25 @@ object Ingest {
     // fail fast on a state layout without fpb bucketing (pre-bucketed
     // or foreign writes): the schema'd read would fill fpb with null
     // and the bucket filter would silently drop EVERY corpus row —
-    // the gate would accept all near-duplicates with no error
+    // the gate would accept all near-duplicates with no error. EVERY
+    // earlier batch is checked (one listStatus per sealed batch, the
+    // same metadata the scan's partition discovery touches anyway):
+    // a single flat batch among bucketed ones would otherwise be
+    // silently excluded. Underscore AND dot prefixes are ignored —
+    // parquet readers skip both, and compaction leaves benign
+    // dot-prefixed tmp/trash dirs a crash away at any time.
     locally {
       val (fs, _) = hadoopFs(spark, fpDir)
-      val it = earlier.sorted.iterator
-      var checked = false
-      while (!checked && it.hasNext) {
-        val children = fs.listStatus(new Path(s"$fpDir/batch=${it.next()}"))
-          .filterNot(_.getPath.getName.startsWith("_"))
-        if (children.nonEmpty) {
-          checked = true
-          require(children.forall(st =>
-              st.isDirectory && st.getPath.getName.startsWith("fpb=")),
-            s"fingerprint state under $fpDir is not fpb-bucketed " +
-              "(flat per-batch files) — rebuild the state with this layout")
-        }
+      earlier.foreach { id =>
+        val children = fs.listStatus(new Path(s"$fpDir/batch=$id"))
+          .filterNot { st =>
+            val n = st.getPath.getName
+            n.startsWith("_") || n.startsWith(".")
+          }
+        require(children.isEmpty || children.forall(st =>
+            st.isDirectory && st.getPath.getName.startsWith("fpb=")),
+          s"fingerprint state batch=$id under $fpDir is not fpb-bucketed " +
+            "(flat per-batch files) — rebuild the state with this layout")
       }
     }
     // The hot-df cap guards the fp equi-join's fanout: a boilerplate
@@ -486,6 +490,12 @@ object Ingest {
   def maintain(spark: SparkSession, docsDir: String, fpDir: String,
       belowBatch: Long = Long.MaxValue,
       targetBytes: Long = 128L << 20): Unit = {
+    // recover orphaned swaps at the ROOTS first: a batch dir renamed
+    // to .batch=N._compact_old by a crashed compact is invisible to
+    // the name-based enumerations below, so without this sweep the
+    // per-batch compact calls would never reach (or restore) it
+    graft.sources.Ingest.recoverSwaps(spark, docsDir)
+    graft.sources.Ingest.recoverSwaps(spark, fpDir)
     compactCensus(spark, fpDir, belowBatch)
     stateBatchIds(spark, fpDir).filter(_ < belowBatch).foreach { id =>
       graft.sources.Ingest.compact(spark, s"$fpDir/batch=$id", targetBytes)

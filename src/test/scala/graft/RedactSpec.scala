@@ -29,6 +29,17 @@ class RedactSpec extends SparkSpec {
     // markers are present where PII was
     assert(rows(0)._5.contains("<EMAIL>") && rows(0)._5.contains("<PHONE>"))
     assert(rows(1)._5.contains("<IP>"))
+    // counts describe what was actually redacted: an IPv4-shaped
+    // substring inside an email domain is consumed by the email
+    // redaction and must NOT also be reported as an IP
+    val (ne3, ni3, _, red3) = Redact.redactions(col("text"))
+    val phantom = Seq((9L, "mail bob@1.2.3.4evil.com now"))
+      .toDF("doc_id", "text")
+      .select(ne3.as("e"), ni3.as("i"), red3.as("r"))
+      .as[(Int, Int, String)].head()
+    assert(phantom._1 == 1 && phantom._2 == 0,
+      s"phantom IP reported: $phantom")
+    assert(!phantom._3.contains("1.2.3.4"))
 
     // the c05 face is non-vacuous on the synthetic corpus: every 5th
     // doc carries planted PII and is detected

@@ -11,7 +11,12 @@ object GateProf {
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     spark.range(1000000).selectExpr("sum(id*2)").collect()
-    val root = java.nio.file.Files.createTempDirectory("gateprof").toString
+    // fixed scratch wiped per run — random temp dirs would accumulate
+    // an sf-scale state copy per profiling session
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-gateprof"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(rootPath, true)
     val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     (0L to 3L).foreach { b =>
       val t0 = System.nanoTime()
