@@ -67,6 +67,29 @@ class DedupSpec extends SparkSpec {
     assert(default == exhaustive)
   }
 
+  test("capped path adapts: exhaustive plan when nothing is hot, decomposition when hot") {
+    // the adaptive short-circuit is a PLAN property, pinned here so a
+    // refactor can't silently keep paying the correction machinery on
+    // corpora where the cap never binds (the r9 capped-twin inversion)
+    try {
+      // sf corpora: max shingle df far below the default cap → the
+      // capped face must resolve to the plain self-join shape with no
+      // anti/semi pruning joins anywhere in the plan
+      val idle = Dedup.d02(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
+      assert(!idle.contains("LeftAnti") && !idle.contains("LeftSemi"),
+        "cap machinery present although nothing exceeds the cap")
+      // boilerplate corpus with a binding cap → the rare+hot
+      // decomposition (anti + semi joins) must be in the plan
+      val corpus = Dedup.boilerplateCorpus((1L to 40L).toDF("doc_id"), 40,
+        bodyTokens = 30)
+      val hot = Dedup.jaccardPairs(corpus, maxDf = Some(8))
+        .queryExecution.executedPlan.toString
+      assert(hot.contains("LeftAnti") && hot.contains("LeftSemi"),
+        "decomposition not engaged although the cap binds")
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("d09 boilerplate corpus: cap binds (template df >> cap) yet planted pairs stay exact") {
     // 60 ids get generated unique bodies, all sharing the leading
     // template → every template shingle's df is 61 (the whole corpus),
