@@ -10,12 +10,15 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: any `javax.imageio`-readable payload
   * (BMP/PNG/GIF/JPEG — all in the stock JDK) is decoded to its actual
   * raster, with true dimensions and a luminance-histogram feature
-  * vector ([[decodeImage]]). Payloads that don't decode (and
-  * audio/video, which have no JDK codec) fall back to the
+  * vector ([[decodeImage]]). AUDIO decode is REAL too: any
+  * `javax.sound.sampled`-readable payload (WAV/AIFF/AU — stock JDK)
+  * yields its true format plus an RMS-energy envelope over the
+  * decoded PCM samples ([[decodeAudio]]). Payloads that don't decode
+  * (and video, which has no JDK codec) fall back to the
   * clearly-marked deterministic stubs, and every decoded row says
   * which path it took (`real_decode`). The Spark-side contract —
   * schema, batched per-partition processing, partitioning — is the
-  * same for both.
+  * same for all paths.
   */
 object Binary {
 
@@ -116,8 +119,92 @@ object Binary {
     }
   }
 
-  /** STUB decode — the fallback for payloads [[decodeImage]] can't
-    * read (and for audio/video, which have no JDK codec): derives a
+  /** REAL audio decode through `javax.sound.sampled` (WAV/AIFF/AU —
+    * the stock-JDK codecs; no extra dependency). Returns the format's
+    * true sample rate, channel count and frame length plus a
+    * `featureDim`-segment RMS-energy envelope over the decoded PCM
+    * samples, normalized to [0,1] (the cheap content feature an
+    * audio-dedup/silence-filter pass starts from). Handles 16-bit
+    * (either endianness) and 8-bit PCM; None when the payload is not
+    * a readable audio file or an unsupported encoding. Same
+    * robustness contract as [[decodeImage]]: NonFatal failures mean
+    * fallback, never a dead task. */
+  def decodeAudio(payload: Array[Byte],
+      featureDim: Int = 8): Option[(Int, Int, Long, Array[Float])] = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (ais == null) return None
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val pcmSigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val pcmUnsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      val bits = fmt.getSampleSizeInBits
+      if (!(pcmSigned || pcmUnsigned) || (bits != 8 && bits != 16)) return None
+      val raw = ais.readAllBytes()
+      val bytesPerSample = bits / 8
+      val n = raw.length / bytesPerSample
+      if (n == 0) return None
+      // RMS per equal-time segment over all interleaved channels
+      val feats = new Array[Float](featureDim)
+      val counts = new Array[Int](featureDim)
+      var i = 0
+      while (i < n) {
+        val v: Double =
+          if (bits == 16) {
+            val b0 = raw(i * 2) & 0xff
+            val b1 = raw(i * 2 + 1) & 0xff
+            val s = if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+            (if (pcmSigned) s.toShort.toInt else s - 32768) / 32768.0
+          } else {
+            val s = raw(i) & 0xff
+            (if (pcmSigned) raw(i).toInt else s - 128) / 128.0
+          }
+        val seg = (i.toLong * featureDim / n).toInt
+        feats(seg) += (v * v).toFloat
+        counts(seg) += 1
+        i += 1
+      }
+      var k = 0
+      while (k < featureDim) {
+        if (counts(k) > 0)
+          feats(k) = math.sqrt(feats(k) / counts(k)).toFloat
+        k += 1
+      }
+      Some((fmt.getSampleRate.toInt, fmt.getChannels, ais.getFrameLength, feats))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally scala.util.Try(ais.close())
+  }
+
+  case class AudioRow(media_id: Long, sample_rate: Int, channels: Int,
+      n_frames: Long, features: Array[Float], real_decode: Boolean)
+
+  /** Distributed audio feature extraction over audio-typed rows only
+    * (filter pushes to the scan): real `javax.sound.sampled` decode
+    * with the deterministic stub as the flagged fallback — the audio
+    * counterpart of [[decodeFeatures]]'s image path. */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.filter(col("meta.media_type").startsWith("audio/"))
+      .select(col("media_id"), col("payload"),
+        col("meta.media_type").as("media_type")).as[MediaRow]
+      .mapPartitions(_.map { r =>
+        decodeAudio(r.payload) match {
+          case Some((rate, ch, frames, f)) =>
+            AudioRow(r.media_id, rate, ch, frames, f, real_decode = true)
+          case None =>
+            val (w, h, f) = stubDecode(r.payload)
+            AudioRow(r.media_id, w * 1000, 1, h.toLong, f, real_decode = false)
+        }
+      }).toDF()
+  }
+
+  /** STUB decode — the fallback for payloads [[decodeImage]] and
+    * [[decodeAudio]] can't read (and for video, which has no JDK
+    * codec): derives a
     * deterministic fake (dimensions from byte length, features from a
     * rolling byte hash) so the pipeline around it is fully testable
     * on any payload.

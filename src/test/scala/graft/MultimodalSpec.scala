@@ -116,6 +116,49 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(3)._5)
   }
 
+  test("audioFeatures: REAL WAV decode — true format and RMS envelope from actual samples") {
+    import javax.sound.sampled._
+    // 800 frames of 8 kHz mono 16-bit PCM: first half silence, second
+    // half a full-scale square wave — a signal whose RMS envelope is
+    // known exactly (0 then ~1) so the features prove REAL sample
+    // values round-tripped, not a derived fake
+    val n = 800
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s: Short =
+        if (i < n / 2) 0
+        else if (i % 2 == 0) 32767 else -32767
+      pcm(i * 2) = (s & 0xff).toByte          // little-endian
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val media = Seq(
+      (1L, wav, "audio/wav"),
+      (2L, "not audio at all".getBytes("UTF-8"), "audio/wav"), // fallback
+      (3L, wav, "video/mp4")) // wrong modality → excluded entirely
+      .toDF("media_id", "payload", "media_type")
+      .select(col("media_id"), col("payload"),
+        struct(col("media_type").as("media_type"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("").as("header_hex")).as("meta"))
+    val out = Binary.audioFeatures(media).orderBy("media_id")
+      .as[(Long, Int, Int, Long, Array[Float], Boolean)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L), "video row must not reach audio decode")
+    val (_, rate, ch, frames, feats, real) = out(0)
+    assert(real && rate == 8000 && ch == 1 && frames == 800L)
+    // silence segments: exactly zero; square-wave segments: RMS at
+    // full scale (32767/32768)
+    assert(feats.take(4).forall(_ == 0f), s"silence not silent: ${feats.toSeq}")
+    assert(feats.drop(4).forall(f => f > 0.999f && f <= 1f),
+      s"square wave RMS off: ${feats.toSeq}")
+    assert(!out(1)._6, "undecodable audio payload must take the stub path")
+  }
+
   test("decodeImage: corrupt-but-recognized payloads fall back, never kill the task") {
     // a valid PNG header with a truncated body is the NORMAL failure
     // in a scraped corpus; the JDK codec throws unchecked exceptions
