@@ -22,18 +22,58 @@ object CacheRegistry {
 
   private val refs = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
 
+  // innermost-first stack of active scopes FOR THIS THREAD — a scope
+  // collects the registrations it newly pinned so scoped() can release
+  // exactly those and nothing else (a foreachBatch trigger thread must
+  // not clobber caches pinned by concurrent streams or host queries,
+  // which a global unpersistAll from inside a trigger would)
+  private val scopes =
+    ThreadLocal.withInitial[List[scala.collection.mutable.ArrayBuffer[Dataset[_]]]](
+      () => Nil)
+
   /** Cache `ds` and track it for a later bulk unpersist. Re-registering
     * a Dataset with the same analyzed plan (operators register
     * per-call locals for the same cached stats frame) keeps one entry,
-    * so the registry stays bounded under repeated query-face calls. */
+    * so the registry stays bounded under repeated query-face calls.
+    * Inside [[scoped]], a NEWLY pinned entry is owned by the innermost
+    * scope; an already-registered plan stays owned by whoever pinned
+    * it first. */
   def register[T](ds: Dataset[T]): Dataset[T] = {
     ds.cache()
     synchronized {
-      if (!refs.exists(r => (r.sparkSession eq ds.sparkSession) &&
-          r.queryExecution.analyzed.sameResult(ds.queryExecution.analyzed)))
+      val fresh = !refs.exists(r => (r.sparkSession eq ds.sparkSession) &&
+        r.queryExecution.analyzed.sameResult(ds.queryExecution.analyzed))
+      if (fresh) {
         refs += ds
+        scopes.get() match {
+          case buf :: _ => buf += ds
+          case Nil =>
+        }
+      }
     }
     ds
+  }
+
+  /** Run `f` in a cache scope: every cache `f` NEWLY registers is
+    * unpersisted (blocking) when `f` finishes — and ONLY those, so
+    * concurrent users' pins survive. The per-micro-batch boundary of
+    * the streaming gate runs inside this; `unpersistAll` remains the
+    * whole-session query-face boundary for single-owner drivers
+    * (Bench/Verify). */
+  def scoped[T](f: => T): T = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+    scopes.set(buf :: scopes.get())
+    try f
+    finally {
+      scopes.set(scopes.get().tail)
+      synchronized {
+        buf.foreach { d =>
+          d.unpersist(blocking = true)
+          val i = refs.indexWhere(_ eq d)
+          if (i >= 0) refs.remove(i)
+        }
+      }
+    }
   }
 
   /** Unpersist every registered Dataset (blocking, so the memory is

@@ -136,12 +136,18 @@ object Ingest {
       .foldLeft(0)(math.max)
     val next = math.max(fromMarker, fromDirs) + 1
     val segName = f"seg=s$next%06d"
-    require(fs.rename(active, new Path(root, segName)),
-      s"rollPartition: could not seal $active as $segName")
-    fs.mkdirs(active)
+    // RESERVE the number before sealing: a crash between rename and a
+    // trailing marker write would leave the counter stale, and once
+    // the sealed segment expired its name could be REISSUED to an
+    // incremental consumer — the exact violation the marker exists to
+    // prevent. Reserving first means a crash merely burns a number
+    // (the next roll issues next+1), which the contract permits.
     scala.util.Using.resource(fs.create(marker, true)) { out =>
       out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+    require(fs.rename(active, new Path(root, segName)),
+      s"rollPartition: could not seal $active as $segName")
+    fs.mkdirs(active)
     Some(segName)
   }
 
@@ -175,8 +181,12 @@ object Ingest {
     * open/footer overhead starts to dominate scan time. Each partition
     * directory (or the root, if unpartitioned) holding more than
     * `minFiles` data files is rewritten into ceil(bytes/targetBytes)
-    * files and atomically swapped in via directory rename — readers
-    * see the old or the new complete directory, never a mix.
+    * files and swapped in via directory renames. The swap is
+    * crash-safe ([[recoverSwaps]] restores any interrupted state) but
+    * NOT reader-atomic: between the two renames a concurrent scan's
+    * partition discovery can observe the directory absent and silently
+    * return without its rows — run compaction in a maintenance window,
+    * not concurrently with readers of the same table.
     *
     * Runs per-directory so a routine nightly call touches only the
     * hot partitions (older ones were compacted by earlier runs).

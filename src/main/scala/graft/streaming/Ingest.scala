@@ -32,12 +32,18 @@ object Ingest {
     * canonicalization as the batch d01 operator, so batch backfill and
     * streaming ingest drop the same duplicates). */
   def dedupStream(input: DataFrame, tsCol: String = "ts",
-      textCol: String = "text", watermark: String = "10 minutes"): DataFrame =
+      textCol: String = "text", watermark: String = "10 minutes"): DataFrame = {
+    // same reserved-name convention as the gate's "batch" guard: a
+    // user column named fp would be silently overwritten by the
+    // derived fingerprint AND persisted under the user's name
+    require(!input.columns.contains("fp"),
+      "dedupStream input must not carry an 'fp' column (reserved for the derived fingerprint)")
     input
       .withColumn("fp", graft.plans.GraftFunctions.fingerprint(
         input.sparkSession, col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
+  }
 
   /** Start — or resume from `checkpointDir`, if it exists — the
     * deduplicated NDJSON→parquet ingestion. Calling this again after a
@@ -288,11 +294,18 @@ object Ingest {
     locally {
       val (fs, _) = hadoopFs(spark, fpDir)
       earlier.foreach { id =>
-        val children = fs.listStatus(new Path(s"$fpDir/batch=$id"))
-          .filterNot { st =>
-            val n = st.getPath.getName
-            n.startsWith("_") || n.startsWith(".")
-          }
+        val all = fs.listStatus(new Path(s"$fpDir/batch=$id"))
+        // a dot-prefixed compaction TRASH dir means a crashed swap may
+        // hold a bucket's only copy — parquet readers would silently
+        // skip it, so gating must stop until maintain() recovers it.
+        // Stale _compact_tmp leftovers are benign (source intact).
+        require(!all.exists(_.getPath.getName.endsWith("._compact_old")),
+          s"state batch=$id under $fpDir holds an interrupted compaction swap " +
+            "(._compact_old) — run maintain() to recover before gating")
+        val children = all.filterNot { st =>
+          val n = st.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }
         require(children.isEmpty || children.forall(st =>
             st.isDirectory && st.getPath.getName.startsWith("fpb=")),
           s"fingerprint state batch=$id under $fpDir is not fpb-bucketed " +
@@ -354,15 +367,21 @@ object Ingest {
     // filter on re-read
     require(!batch.columns.contains("batch"),
       "near-dup gate input must not carry a 'batch' column (reserved for the sink layout)")
-    try {
-      val docs = batch.select(col("doc_id"), col("text"))
-        .transform(graft.CacheRegistry.register)
+    // a cache SCOPE, not a global unpersistAll: a trigger boundary must
+    // release exactly the caches this call pinned — clearing the whole
+    // registry from a stream-execution thread would clobber caches a
+    // concurrent stream or host query is mid-flight on
+    graft.CacheRegistry.scoped {
+      // ALL input columns survive the gate (metadata — timestamps,
+      // urls — rides along to the sink); the fingerprint pipeline runs
+      // on the (doc_id, text) projection only
+      val docs = batch.transform(graft.CacheRegistry.register)
       // ONE fingerprint derivation feeds everything in the trigger:
       // the within-batch pair join, the cross-batch gate probe, and
       // the state/census writes all consume this cached fp-partitioned
       // frame (deriving keptFps via winnowFps(kept) instead re-ran the
       // gram/window pipeline a second time per batch)
-      val fps = Dedup.winnowFps(docs)
+      val fps = Dedup.winnowFps(docs.select(col("doc_id"), col("text")))
         .repartition(col("fp"))
         .transform(graft.CacheRegistry.register)
       // 1. within-batch near-dups: keep the lower doc_id of each pair
@@ -412,11 +431,7 @@ object Ingest {
       if (batchId > 0 && batchId % CensusCompactInterval == 0)
         compactCensus(batch.sparkSession, fpDir, belowBatch = batchId)
       survivors.count()
-    } finally
-      // a micro-batch IS a query-face boundary for the cache registry:
-      // leaving the pins would accumulate one shingle/fp cache per
-      // trigger for the stream's lifetime
-      graft.CacheRegistry.unpersistAll()
+    }
   }
 
   /** Fold census deltas of batches below `belowBatch` into the
@@ -486,7 +501,20 @@ object Ingest {
     * census deltas ([[compactCensus]]) and small-file-compacts every
     * sealed state/docs batch directory via [[graft.sources.Ingest
     * .compact]] (per-trigger file sinks accumulate KB-files; at scale
-    * the per-file open overhead would dominate the pruned gate scan). */
+    * the per-file open overhead would dominate the pruned gate scan).
+    *
+    * Known growth path, deliberately NOT implemented here: per-trigger
+    * driver metadata (one listStatus per sealed batch in the layout
+    * check + partition discovery over batch dirs) grows with the
+    * number of sealed batches, so a stream running for years wants
+    * old batches FOLDED into consolidated generations the way the
+    * census folds deltas into `merged` — same compact-and-swap with
+    * the fold marker written inside the swapped directory, plus a
+    * gate-side exclusion of not-yet-deleted originals derived from
+    * that marker (without it, the window between swap and deletion
+    * double-counts folded rows and changes drop decisions). File
+    * counts are already bounded (compact above); directory counts are
+    * what consolidation would bound. */
   def maintain(spark: SparkSession, docsDir: String, fpDir: String,
       belowBatch: Long = Long.MaxValue,
       targetBytes: Long = 128L << 20): Unit = {

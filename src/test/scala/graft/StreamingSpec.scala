@@ -196,8 +196,11 @@ class StreamingSpec extends SparkSpec {
     val inDir = s"$root/in"; val docsDir = s"$root/docs"
     val fpDir = s"$root/fp"; val ckDir = s"$root/ck"
     new java.io.File(inDir).mkdirs()
+    // an extra metadata column (url) rides along to prove the gate
+    // writes FULL survivor rows, not just (doc_id, text)
     val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType)))
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("url", StringType)))
     def writeBatch(name: String, lines: Seq[String]): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/$name"),
         lines.mkString("\n").getBytes("UTF-8"))
@@ -210,19 +213,24 @@ class StreamingSpec extends SparkSpec {
     // batch 0: a doc, its IN-batch near-dup (suffix edit — contiguous
     // overlap, the winnowing specialty), and one distinct doc
     writeBatch("b1.json", Seq(
-      s"""{"doc_id":1,"text":"$base"}""",
-      s"""{"doc_id":2,"text":"$base truly"}""",
-      """{"doc_id":3,"text":"completely unrelated inventory ledger rows describing turnip futures and maritime insurance claims from 1887"}"""))
+      s"""{"doc_id":1,"text":"$base","url":"https://ex.test/1"}""",
+      s"""{"doc_id":2,"text":"$base truly","url":"https://ex.test/2"}""",
+      """{"doc_id":3,"text":"completely unrelated inventory ledger rows describing turnip futures and maritime insurance claims from 1887","url":"https://ex.test/3"}"""))
     val q1 = streaming.Ingest.resumeNearDupGated(
       spark, inDir, schema, docsDir, fpDir, ckDir)
     try q1.processAllAvailable() finally q1.stop()
     assert(acceptedIds() == Seq(1L, 3L), "in-batch near-dup not dropped")
+    // metadata survived the gate
+    assert(spark.read.parquet(docsDir).select("doc_id", "url")
+      .as[(Long, String)].collect().toMap ==
+      Map(1L -> "https://ex.test/1", 3L -> "https://ex.test/3"),
+      "metadata columns lost in the gated sink")
 
     // batch 1, after a restart: a near-duplicate of doc 1 arrives a
     // batch LATE (the case exact dedup cannot catch) plus a novel doc
     writeBatch("b2.json", Seq(
-      s"""{"doc_id":4,"text":"$base once more"}""",
-      """{"doc_id":5,"text":"novel astronomy puzzle involving hexagonal basalt columns and tidal resonance chambers beneath glaciers"}"""))
+      s"""{"doc_id":4,"text":"$base once more","url":"https://ex.test/4"}""",
+      """{"doc_id":5,"text":"novel astronomy puzzle involving hexagonal basalt columns and tidal resonance chambers beneath glaciers","url":"https://ex.test/5"}"""))
     val q2 = streaming.Ingest.resumeNearDupGated(
       spark, inDir, schema, docsDir, fpDir, ckDir)
     try q2.processAllAvailable() finally q2.stop()
@@ -449,6 +457,57 @@ class StreamingSpec extends SparkSpec {
       assertThrows[IllegalArgumentException] {
         streaming.Ingest.crossGateDrops(probe, flatFp, 1L, LongType, 3, None)
       }
+      // 4. an interrupted per-batch compaction (a bucket's only copy in
+      // its ._compact_old trash) stops the gate instead of silently
+      // gating without that bucket; maintain() recovers it and the
+      // gate's decisions are exactly the pre-crash ones
+      val (docsDir3, fpDir3) = freshState()
+      val preCrash = streaming.Ingest.crossGateDrops(probe, fpDir3, 2L,
+        LongType, 3, None).get.as[Long].collect().toSet
+      val b0 = new Path(s"$fpDir3/batch=0")
+      val bucket = fs.listStatus(b0).map(_.getPath)
+        .find(_.getName.startsWith("fpb=")).get
+      require(fs.rename(bucket,
+        new Path(b0, s".${bucket.getName}._compact_old")))
+      assertThrows[IllegalArgumentException] {
+        streaming.Ingest.crossGateDrops(probe, fpDir3, 2L, LongType, 3, None)
+      }
+      streaming.Ingest.maintain(spark, docsDir3, fpDir3, belowBatch = 2L)
+      assert(streaming.Ingest.crossGateDrops(probe, fpDir3, 2L,
+        LongType, 3, None).get.as[Long].collect().toSet == preCrash,
+        "recovery changed gate decisions")
+    } finally CacheRegistry.unpersistAll()
+  }
+
+  test("dedupStream refuses a reserved fp input column") {
+    implicit val sqlCtx = spark.sqlContext
+    val df = Seq((java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), "t", 1L))
+      .toDF("ts", "text", "fp")
+    assertThrows[IllegalArgumentException] {
+      streaming.Ingest.dedupStream(df)
+    }
+  }
+
+  test("cache scopes release only their own pins") {
+    val outer = CacheRegistry.register(
+      Seq(1, 2, 3).toDF("apple_of_my_i"))
+    try {
+      outer.count()
+      val before = CacheRegistry.registeredCount
+      CacheRegistry.scoped {
+        val inner = CacheRegistry.register(
+          Seq(4, 5).toDF("pear_of_my_i"))
+        inner.count()
+        assert(CacheRegistry.registeredCount == before + 1)
+        // re-registering an OUTER-owned plan inside the scope must not
+        // transfer ownership (scope exit would clobber it)
+        CacheRegistry.register(Seq(1, 2, 3).toDF("apple_of_my_i"))
+        assert(CacheRegistry.registeredCount == before + 1)
+      }
+      assert(CacheRegistry.registeredCount == before,
+        "scope did not release its pin")
+      assert(outer.storageLevel.useMemory,
+        "scope exit clobbered an outer pin")
     } finally CacheRegistry.unpersistAll()
   }
 
