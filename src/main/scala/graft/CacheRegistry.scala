@@ -66,13 +66,18 @@ object CacheRegistry {
     try f
     finally {
       scopes.set(scopes.get().tail)
+      // Drop the scope's entries from the registry under the lock, but
+      // run the BLOCKING unpersists outside it: holding the global lock
+      // through N blocking unpersist jobs would stall every concurrent
+      // register() (other streams' triggers, host queries) for the full
+      // release duration at each micro-batch boundary.
       synchronized {
         buf.foreach { d =>
-          d.unpersist(blocking = true)
           val i = refs.indexWhere(_ eq d)
           if (i >= 0) refs.remove(i)
         }
       }
+      buf.foreach(_.unpersist(blocking = true))
     }
   }
 

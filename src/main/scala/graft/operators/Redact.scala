@@ -26,7 +26,17 @@ object Redact {
 
   val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
-  val PhonePattern = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+  /** Phone = optional '+', then 7-15 digits with at most TWO
+    * separator chars (space/paren/dash) between consecutive digits —
+    * covers "+1 555 0102000", "(555) 123-4567", "555-123-4567".
+    * Bounding TOTAL DIGITS (not filler length, the r10 shape) stops
+    * the worst over-redaction: unbounded digit runs, long ID lists
+    * and score dumps no longer match. Remaining bias is deliberately
+    * CONSERVATIVE for a compliance pass: a benign 7-15-digit
+    * separated run ("1887 2024 123") still redacts — preferring
+    * recall over precision on possible phone numbers. */
+  val PhonePattern = "\\+?[0-9]([ ()-]{0,2}[0-9]){6,14}"
 
   /** Counts + redaction of one text column: (n_emails, n_ips,
     * n_phones, redacted). Order fixed: email → ip → phone. */

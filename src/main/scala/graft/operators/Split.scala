@@ -122,8 +122,10 @@ object Split {
                 sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
                                   ROWS UNBOUNDED PRECEDING) AS running
          FROM t)
-       SELECT doc_id, shard, (running - tokens) // $PackBudget AS seq,
-              tokens, (running - tokens) % $PackBudget AS offset
+       SELECT doc_id, shard,
+              CAST((running - tokens) // $PackBudget AS BIGINT) AS seq,
+              tokens,
+              CAST((running - tokens) % $PackBudget AS BIGINT) AS offset
        FROM r"""
 
   // ---------------------------------------------------------------
@@ -260,8 +262,8 @@ object Split {
                                   ROWS UNBOUNDED PRECEDING) AS running
          FROM mixed)
        SELECT doc_id, copy, shard, tokens,
-              (running - tokens) // $PackBudget AS seq,
-              (running - tokens) % $PackBudget AS offset
+              CAST((running - tokens) // $PackBudget AS BIGINT) AS seq,
+              CAST((running - tokens) % $PackBudget AS BIGINT) AS offset
        FROM r"""
   }
 

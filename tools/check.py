@@ -55,6 +55,20 @@ def main():
         diffs = []
         for c in got.columns:
             a, b = got[c].values, exp[c].values
+            # Driver-faithful dtype strictness: the driver hashes canonical
+            # STRING forms, so an integral column on one side meeting a
+            # floating column on the other (e.g. DuckDB HUGEINT -> pandas
+            # float64) hashes "0.0" vs "0" and FAILS there even when the
+            # values are numerically equal. Flag that drift here instead of
+            # silently comparing through float.
+            ga, gb = got[c].dtype, exp[c].dtype
+            int_vs_float = (
+                (np.issubdtype(ga, np.integer) and np.issubdtype(gb, np.floating)) or
+                (np.issubdtype(ga, np.floating) and np.issubdtype(gb, np.integer)))
+            if int_vs_float:
+                diffs.append(f"{c}: dtype drift spark={ga} oracle={gb} "
+                             "(driver hashes canonical strings; cast the oracle column)")
+                continue
             if np.issubdtype(got[c].dtype, np.floating) or np.issubdtype(exp[c].dtype, np.floating):
                 af = a.astype(float); bf = b.astype(float)
                 both_nan = np.isnan(af) & np.isnan(bf)
