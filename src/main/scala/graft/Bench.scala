@@ -77,7 +77,15 @@ object Bench {
       case Some(names) => benched.filter { case (n, _) => names(n) }
       case None => benched
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // The d09 cap-demonstration pair is the bench's biggest churn
+    // source (a quadratic candidate join built BY DESIGN); in r10 its
+    // alphabetical slot front-ran the f/q families and their driver-run
+    // numbers inflated 2-2.6x from its heap/JIT wake. Run the pair LAST
+    // (still adjacent, exhaustive before capped, so the twin comparison
+    // stays like-for-like) so its churn can't contaminate anything.
+    val runLast = Set("d09_boilerplate", "d09_boilerplate_capped")
+    val results = selected.toSeq.sortBy { case (n, _) => (runLast(n), n) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE in the output (value -1), never
       // reported as its time-to-throw — that reads as a perf win

@@ -207,13 +207,16 @@ object Dedup {
         concat_ws(" ", lit(BoilerplateTemplate), col("text")).as("text"))
   }
 
-  /** Bench face: 2200-doc boilerplate corpus, exhaustive vs capped
+  /** Bench face: 1500-doc boilerplate corpus, exhaustive vs capped
     * candidate generation (SparkEntry.benchOnly pair). Sized so the
-    * exhaustive face's quadratic template join dominates even with
-    * fully-warm JIT (the in-run condition), keeping the capped win
-    * comfortably >= 2x. */
+    * exhaustive face's quadratic template join still dominates with
+    * fully-warm JIT (warm steady-state ~6.5 s vs ~3.0 s capped, >=2x;
+    * the in-run bench charges the exhaustive face the pair's plan
+    * codegen, widening it) while staying clear of the shuffle-spill
+    * cliff that inflated the r10 2200-doc sizing 2.9x in the driver
+    * environment (36.5 s, 25% of total bench wall-time). */
   def d09(s: SparkSession, dir: String, maxDf: Option[Int]): DataFrame =
-    jaccardPairs(boilerplateCorpus(Tables.documents(s, dir), 2200), maxDf)
+    jaccardPairs(boilerplateCorpus(Tables.documents(s, dir), 1500), maxDf)
 
   // ---------------------------------------------------------------
   // d06: transitive near-dup CLUSTERS — connected components over the

@@ -22,8 +22,9 @@ object ProfMain {
       .config("spark.sql.icu.caseMappings.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = graft.SparkEntry.queries.getOrElse(name,
-      sys.error(s"unknown query $name; known: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    val all = graft.SparkEntry.queries ++ graft.SparkEntry.benchOnly
+    val fn = all.getOrElse(name,
+      sys.error(s"unknown query $name; known: ${all.keys.toSeq.sorted.mkString(", ")}"))
     spark.range(1000000).selectExpr("sum(id*2)").collect()
     (1 to reps).foreach { r =>
       val t0 = System.nanoTime()
