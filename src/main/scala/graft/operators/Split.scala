@@ -96,7 +96,9 @@ object Split {
       .withColumn("running", sum(col("tokens")).over(w))
       // the tokens BEFORE this doc decide its sequence; a doc longer
       // than the budget occupies its sequence(s) alone — the standard
-      // pack-then-chunk convention
+      // pack-then-chunk convention (the chunk half lives in
+      // [[packChunks]]: this face records each doc's ASSIGNMENT, that
+      // one the budget-true pieces a training run consumes)
       .select(col("doc_id"), col("shard"), col("tokens"),
         // integral DIV, not `/`: long/int division in Spark routes
         // through a double, which can misassign a sequence once a
@@ -127,6 +129,80 @@ object Split {
               tokens,
               CAST((running - tokens) % $PackBudget AS BIGINT) AS offset
        FROM r"""
+
+  /** Chunked packing of any (doc_id, text) frame — the CONSUMABLE view
+    * of [[packSequences]]. Under the concat-and-cut convention a
+    * document may span budget boundaries (and a doc longer than the
+    * budget spans several), so what a training run actually reads is
+    * each document SPLIT at those boundaries: one row per
+    * (doc, sequence-it-touches) with the token count and in-sequence
+    * offset of that piece. Every emitted sequence then holds exactly
+    * `budget` tokens except each shard's final partial one — the
+    * invariant SplitSpec pins. A zero-token doc keeps one empty chunk
+    * row so c03's row-per-doc accounting survives into this view.
+    * Cost: the same single window shuffle as [[packSequences]] plus a
+    * narrow explode bounded by ceil(tokens/budget) rows per doc —
+    * still shard-parallel, still integer-exact. */
+  def packChunks(docs: DataFrame, budget: Int = PackBudget,
+      shards: Int = PackShards): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = budget.toLong
+    docs
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(shards)).as("shard"),
+        graft.functions.TextAnalysis.wsTokenCount(col("text"))
+          .cast("long").as("tokens"))
+      .withColumn("running", sum(col("tokens")).over(w))
+      .withColumn("tok_start", col("running") - col("tokens"))
+      .withColumn("first_seq", expr(s"tok_start DIV $b"))
+      .withColumn("last_seq",
+        expr(s"if(tokens = 0, first_seq, (running - 1) DIV $b)"))
+      .select(col("doc_id"), col("shard"), col("tokens"), col("running"),
+        col("tok_start"), col("first_seq"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq"))
+      .select(col("doc_id"), col("shard"), col("seq"),
+        (col("seq") - col("first_seq")).as("chunk_idx"),
+        (least((col("seq") + 1) * b, col("running"))
+          - greatest(col("seq") * b, col("tok_start"))).as("chunk_tokens"),
+        (greatest(col("tok_start"), col("seq") * b) - col("seq") * b)
+          .as("offset"))
+  }
+
+  /** c03b face: the chunk view over the documents table. */
+  def c03b(s: SparkSession, dir: String): DataFrame =
+    packChunks(Tables.documents(s, dir))
+
+  /** Every derived column CAST to BIGINT — DuckDB's windowed sum (and
+    * arithmetic on it) goes HUGEINT, which pandas renders float64 and
+    * the driver's canonical-string hash then rejects (the c03/c06 r10
+    * lesson, now a check.py-enforced rule). */
+  val c03bSql: String =
+    s"""WITH t AS (
+         SELECT doc_id, doc_id % $PackShards AS shard,
+                CAST(${TextOps.sqlNw} AS BIGINT) AS tokens
+         FROM documents),
+       r AS (
+         SELECT doc_id, shard, tokens,
+                sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS running
+         FROM t),
+       e AS (
+         SELECT doc_id, shard, tokens, running,
+                CAST(running - tokens AS BIGINT) AS tok_start,
+                CAST((running - tokens) // $PackBudget AS BIGINT) AS first_seq,
+                CAST(CASE WHEN tokens = 0
+                          THEN (running - tokens) // $PackBudget
+                          ELSE (running - 1) // $PackBudget END AS BIGINT) AS last_seq
+         FROM r)
+       SELECT doc_id, shard, CAST(g.seq AS BIGINT) AS seq,
+              CAST(g.seq - first_seq AS BIGINT) AS chunk_idx,
+              CAST(LEAST((g.seq + 1) * $PackBudget, running)
+                   - GREATEST(g.seq * $PackBudget, tok_start) AS BIGINT) AS chunk_tokens,
+              CAST(GREATEST(tok_start, g.seq * $PackBudget)
+                   - g.seq * $PackBudget AS BIGINT) AS offset
+       FROM e, LATERAL (SELECT unnest(generate_series(first_seq, last_seq)) AS seq) g"""
 
   // ---------------------------------------------------------------
   // c04: weighted mixture / epochs — the data-mixing step: each
@@ -270,12 +346,14 @@ object Split {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c02_train_split" -> (c02 _),
     "c03_pack_sequences" -> (c03 _),
+    "c03b_pack_chunks" -> (c03b _),
     "c04_mixture_epochs" -> (c04 _),
     "c06_assemble" -> (c06 _))
 
   val oracles: Map[String, String] = Map(
     "c02_train_split" -> c02Sql,
     "c03_pack_sequences" -> c03Sql,
+    "c03b_pack_chunks" -> c03bSql,
     "c04_mixture_epochs" -> c04Sql,
     "c06_assemble" -> c06Sql)
 }

@@ -133,4 +133,51 @@ class SplitSpec extends SparkSpec {
     // shards partition the corpus: every doc packed exactly once
     assert(rows.map(_._1).distinct.length == rows.length)
   }
+
+  test("c03b: chunks honor the budget exactly and reassemble every document") {
+    val chunks = Split.c03b(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect() // doc_id, shard, seq, chunk_idx, chunk_tokens, offset
+    assert(chunks.nonEmpty)
+    val assign = Split.c03(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long, Long)].collect() // doc_id, shard, seq, tokens, offset
+      .map(r => r._1 -> r).toMap
+
+    // THE budget invariant chunking exists for: every emitted sequence
+    // sums to exactly PackBudget tokens — except each shard's final
+    // partial sequence — and none ever exceeds it
+    chunks.groupBy(c => (c._2, c._3)).foreach { case ((shard, seq), cs) =>
+      val filled = cs.map(_._5).sum
+      val lastSeq = chunks.filter(_._2 == shard).map(_._3).max
+      assert(filled <= Split.PackBudget, s"shard $shard seq $seq over budget: $filled")
+      if (seq != lastSeq)
+        assert(filled == Split.PackBudget,
+          s"shard $shard seq $seq underfilled mid-shard: $filled")
+    }
+
+    // chunks of one doc are contiguous (idx 0..n-1, seqs consecutive)
+    // and reassemble its full token count
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (0L until cs.length).toSeq, s"doc $id chunk idxs")
+      assert(sorted.map(_._3).toSeq == (sorted.head._3 until sorted.head._3 + cs.length).toSeq,
+        s"doc $id seqs not consecutive")
+      val (_, _, seq0, _, _, off0) = sorted.head
+      // chunk 0 sits exactly where c03 assigned the doc
+      val (_, _, aSeq, aTokens, aOff) = assign(id)
+      assert(seq0 == aSeq && off0 == aOff, s"doc $id chunk 0 disagrees with c03")
+      assert(sorted.map(_._5).sum == aTokens, s"doc $id chunk tokens != doc tokens")
+      // non-first chunks start at offset 0 (they begin a fresh sequence)
+      sorted.tail.foreach { c => assert(c._6 == 0L, s"doc $id chunk ${c._4} offset") }
+    }
+
+    // over-budget docs genuinely chunk: the sf0.001 corpus must contain
+    // at least one doc spanning a boundary, else the test is vacuous
+    assert(chunks.groupBy(_._1).exists(_._2.length > 1),
+      "corpus has no boundary-spanning doc — chunking untested")
+
+    // same plan cost as c03: exactly the one shard-window exchange
+    val plan = Split.c03b(spark, sf()).queryExecution.executedPlan.toString
+    val n = "Exchange".r.findAllIn(plan).length
+    assert(n == 1, s"c03b should pay exactly the shard-window exchange, saw $n")
+  }
 }
