@@ -134,15 +134,273 @@ object Ingest {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Ids of state batches present under `fpDir` (directory names, no
-    * data read). */
-  private def stateBatchIds(spark: SparkSession, fpDir: String): Seq[Long] = {
-    val (fs, root) = hadoopFs(spark, fpDir)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.startsWith("batch="))
-      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+  // ---------------------------------------------------------------
+  // Generation folding — bounds the DIRECTORY count of the gate state
+  // the way the census bounds its per-trigger row work. Every sealed
+  // batch is one batch=<id> dir; per-trigger driver metadata
+  // (partition discovery + the layout check) walks those dirs, so a
+  // stream running for years accumulates O(#batches) metadata work
+  // per trigger. maintain() folds FoldGroup same-level dirs into ONE
+  // level-up "generation" dir — LSM-style tiered compaction on the
+  // batch axis: level-0 dirs are plain sealed batches, a level-1
+  // generation holds FoldGroup of them, level-2 holds FoldGroup
+  // level-1 generations, and so on. Directory count stays
+  // <= FoldGroup x levels = O(log #batches); each state row is
+  // rewritten once per level it climbs (the LSM write-amplification
+  // tradeoff, paid in the maintenance window, never per trigger).
+  //
+  // A generation keeps the HIGHEST folded id as its directory name
+  // (batch=<maxId>) and records "<loId>,<level>" in a `_gen` marker
+  // file written into the new dir BEFORE the swap. The gate's
+  // `batch < batchId` partition filter stays correct with no row
+  // rewrites: every folded row's partition value becomes the
+  // generation id, which is below any batch the stream gates next
+  // (folds only cover ids below the committed frontier). Because
+  // folds always take the OLDEST FoldGroup dirs of a level, marker
+  // ranges [lo, id] never interleave — any OTHER existing dir whose
+  // id falls inside one is a not-yet-deleted fold source.
+  //
+  // Swap protocol (the census's compact-and-swap, applied to dirs):
+  // write consolidated rows to .batch=<k>._fold_tmp, write `_gen`
+  // last, rename batch=<k> -> .batch=<k>._fold_old, rename tmp in,
+  // delete the other covered originals, delete trash. A crash in any
+  // window leaves either the originals intact (tmp discarded) or a
+  // complete generation alongside not-yet-deleted originals — both
+  // [[recoverFolds]] (roll forward + delete) and the gate's
+  // stale-source exclusion (markers identify originals covered by an
+  // existing generation) handle that, so gating stays correct even
+  // if the stream restarts before maintenance recovery runs.
+  // ---------------------------------------------------------------
+
+  /** Same-level sealed dirs that fold into one generation. Smaller in
+    * tests via the maintain/foldBatches parameter; 16 keeps directory
+    * count logarithmic with gentle write amplification. */
+  val FoldGroup = 16
+
+  /** One sealed batch=<id> dir: fold coverage ((lo, level) from the
+    * `_gen` marker; (id, 0) for a plain un-folded batch) plus the
+    * dir's mtime, which keys the per-trigger metadata caches — a fold
+    * or compact replaces the directory via rename, changing its
+    * mtime, so a warm JVM cannot trust cached metadata across another
+    * process's maintenance run. */
+  private case class SealedDir(id: Long, lo: Long, level: Int, mtime: Long)
+
+  private def genMarkerPath(root: String, id: Long) =
+    new Path(s"$root/batch=$id/_gen")
+
+  private def readGenMarker(spark: SparkSession, root: String,
+      id: Long): Option[(Long, Int)] = {
+    val (fs, _) = hadoopFs(spark, root)
+    val m = genMarkerPath(root, id)
+    if (!fs.exists(m)) None
+    else scala.util.Using.resource(fs.open(m)) { in =>
+      val parts = new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split(",")
+      Some((parts(0).toLong, parts(1).toInt))
+    }
+  }
+
+  // (root, id, dir mtime) -> (lo, level); mtime in the key makes the
+  // cache self-invalidating when maintenance (this JVM's or another
+  // process's) replaces the directory — see ADVICE r10: per-trigger
+  // metadata reads must not grow with stream lifetime, but a plain
+  // id-keyed cache would go silently stale across an external fold
+  private val sealedDirMeta = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), SealedDir]
+  // (root, id, dir mtime) -> layout validated (fpb-bucketed, no
+  // interrupted compaction swap inside)
+  private val layoutValidated = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[(String, Long, Long)]
+
+  /** Drop cached sealed-dir metadata for `root` — called by the
+    * maintenance entry points before they rewrite directories. */
+  private def invalidateSealedMeta(root: String): Unit = {
+    sealedDirMeta.keySet.removeIf(_._1 == root)
+    layoutValidated.removeIf(_._1 == root)
+  }
+
+  /** All sealed batch dirs under `root` with fold coverage, via ONE
+    * root listStatus plus cached marker reads. With
+    * `failOnOrphanFolds` (the gate's per-trigger posture), a
+    * fold-swap crash state whose generation's only copy sits in a
+    * dot-prefixed dir — which parquet readers silently skip — fails
+    * loudly instead of gating against a corpus view missing rows;
+    * recovery entry points pass false because they run AFTER fixing
+    * exactly those states. */
+  private def sealedDirs(spark: SparkSession, root: String,
+      failOnOrphanFolds: Boolean = false): Seq[SealedDir] = {
+    val (fs, rootPath) = hadoopFs(spark, root)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val entries = fs.listStatus(rootPath).toSeq.filter(_.isDirectory)
+    if (failOnOrphanFolds)
+      entries.filter { e =>
+        val n = e.getPath.getName
+        n.endsWith("._fold_tmp") || n.endsWith("._fold_old")
+      }.foreach { e =>
+        val n = e.getPath.getName
+        val target = n.stripPrefix(".")
+          .stripSuffix("._fold_tmp").stripSuffix("._fold_old")
+        require(fs.exists(new Path(rootPath, target)),
+          s"$root holds an interrupted generation fold ($n with no $target) " +
+            "— run maintain() (or recoverFolds) to recover before gating")
+      }
+    entries.flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("batch=")) None
+      else scala.util.Try(n.stripPrefix("batch=").toLong).toOption.map { id =>
+        val key = (root, id, st.getModificationTime)
+        Option(sealedDirMeta.get(key)).getOrElse {
+          val meta = readGenMarker(spark, root, id) match {
+            case Some((lo, level)) =>
+              SealedDir(id, lo, level, st.getModificationTime)
+            case None => SealedDir(id, id, 0, st.getModificationTime)
+          }
+          sealedDirMeta.put(key, meta)
+          meta
+        }
+      }
+    }
+  }
+
+  /** Ids covered by an EXISTING generation other than itself — fold
+    * sources whose deletion a crash interrupted. Their rows are
+    * duplicated inside the covering generation, so readers must
+    * exclude them (double-counted fps would inflate shared counts and
+    * change drop decisions). */
+  private def staleFoldSources(dirs: Seq[SealedDir]): Set[Long] = {
+    val ids = dirs.map(_.id).toSet
+    dirs.filter(_.level > 0)
+      .flatMap(g => ids.filter(i => i >= g.lo && i < g.id)).toSet
+  }
+
+  /** Crash recovery for [[foldBatches]]' swap: completes an
+    * interrupted swap-in (tmp holds the generation's only copy),
+    * discards stale tmps, restores an orphaned trash, and deletes
+    * fold sources covered by a completed generation. After this, the
+    * state is either pre-fold or post-fold — never partial. */
+  def recoverFolds(spark: SparkSession, root: String): Unit = {
+    val (fs, rootPath) = hadoopFs(spark, root)
+    if (!fs.exists(rootPath)) return
+    invalidateSealedMeta(root)
+    val entries = fs.listStatus(rootPath).toSeq.filter(_.isDirectory)
+    entries.filter(_.getPath.getName.endsWith("._fold_tmp")).foreach { st =>
+      val target = new Path(rootPath,
+        st.getPath.getName.stripPrefix(".").stripSuffix("._fold_tmp"))
+      val complete = fs.exists(new Path(st.getPath, "_gen"))
+      if (!fs.exists(target) && complete)
+        require(fs.rename(st.getPath, target),
+          s"recoverFolds: could not complete interrupted swap of ${st.getPath}")
+      else fs.delete(st.getPath, true)
+    }
+    entries.filter(_.getPath.getName.endsWith("._fold_old")).foreach { st =>
+      val target = new Path(rootPath,
+        st.getPath.getName.stripPrefix(".").stripSuffix("._fold_old"))
+      // an orphaned trash with no completed swap-in holds the old
+      // generation's only copy — restore it (its sources were already
+      // deleted by the fold that created it)
+      if (!fs.exists(target))
+        require(fs.rename(st.getPath, target),
+          s"recoverFolds: could not restore orphaned $target")
+      else fs.delete(st.getPath, true)
+    }
+    val dirs = sealedDirs(spark, root)
+    staleFoldSources(dirs).foreach { id =>
+      fs.delete(new Path(s"$root/batch=$id"), true)
+    }
+    invalidateSealedMeta(root)
+  }
+
+  /** Fold sealed batch dirs below `belowBatch` into generations until
+    * no level holds `foldGroup` dirs — see the design block above.
+    * `fpbPartitioned` = the fpDir layout (fpb=<b> children, preserved
+    * through the fold); false for the flat docs sink. Returns the
+    * (lo, id, level) of each generation written. */
+  def foldBatches(spark: SparkSession, root: String, belowBatch: Long,
+      fpbPartitioned: Boolean,
+      foldGroup: Int = FoldGroup,
+      targetBytes: Long = 128L << 20): Seq[(Long, Long, Int)] = {
+    require(foldGroup >= 2, s"foldGroup must be >= 2, got $foldGroup")
+    recoverFolds(spark, root)
+    val (fs, _) = hadoopFs(spark, root)
+    val done = scala.collection.mutable.ListBuffer.empty[(Long, Long, Int)]
+    var continue = true
+    while (continue) {
+      val dirs = sealedDirs(spark, root).filter(_.id < belowBatch)
+      dirs.groupBy(_.level).toSeq.sortBy(_._1)
+        .find(_._2.size >= foldGroup) match {
+        case None => continue = false
+        case Some((level, atLevel)) =>
+          val group = atLevel.sortBy(_.id).take(foldGroup)
+          val k = group.map(_.id).max
+          val lo = group.map(_.lo).min
+          val sources = group.map(d => s"$root/batch=${d.id}")
+          // an all-dropped micro-batch seals an EMPTY dir (no data
+          // files) — unreadable by schema inference and contributing
+          // nothing; fold only the non-empty sources
+          val nonEmpty = sources.filter { p =>
+            val d = new Path(p)
+            fs.exists(d) && {
+              val it = fs.listFiles(d, true)
+              var found = false
+              while (!found && it.hasNext) {
+                val n = it.next().getPath.getName
+                if (!n.startsWith("_") && !n.startsWith(".")) found = true
+              }
+              found
+            }
+          }
+          val tmp = new Path(s"$root/.batch=$k._fold_tmp")
+          fs.delete(tmp, true)
+          if (nonEmpty.isEmpty)
+            // the generation still has to exist to carry its marker
+            fs.mkdirs(tmp)
+          else {
+            // per-dir reads + union (a multi-root partitioned read
+            // would need a basePath dance; schemas are identical by
+            // writer)
+            val rows = nonEmpty.map(p => spark.read.parquet(p))
+              .reduce(_ unionByName _)
+            if (fpbPartitioned)
+              // one writer task per bucket -> one file per fpb dir;
+              // the later per-generation compact pass is then a no-op
+              rows.repartition(col("fpb"))
+                .write.mode(SaveMode.Overwrite).partitionBy("fpb")
+                .parquet(tmp.toString)
+            else {
+              // flat generations are written AT target file size here
+              // (maintain never re-compacts them — a whole-dir rewrite
+              // would drop the `_gen` marker)
+              val totalBytes = nonEmpty.map { p =>
+                fs.getContentSummary(new Path(p)).getLength
+              }.sum
+              val nFiles =
+                math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+              rows.coalesce(nFiles)
+                .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+            }
+          }
+          // marker LAST: tmp-with-_gen means fully written
+          scala.util.Using.resource(
+              fs.create(new Path(tmp, "_gen"), true)) { out =>
+            out.write(s"$lo,${level + 1}".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+          }
+          val target = new Path(s"$root/batch=$k")
+          val trash = new Path(s"$root/.batch=$k._fold_old")
+          fs.delete(trash, true)
+          require(fs.rename(target, trash),
+            s"foldBatches: could not swap out $target")
+          require(fs.rename(tmp, target),
+            s"foldBatches: could not swap in $tmp")
+          group.map(_.id).filter(_ != k).foreach { id =>
+            fs.delete(new Path(s"$root/batch=$id"), true)
+          }
+          fs.delete(trash, true)
+          invalidateSealedMeta(root)
+          done += ((lo, k, level + 1))
+      }
+    }
+    done.toSeq
   }
 
   private def censusDeltaSchema: StructType = StructType(Seq(
@@ -200,12 +458,17 @@ object Ingest {
     * optionally partition-pruned to the given fingerprint buckets
     * (the scan's PartitionFilters, not a post-read filter). */
   def corpusView(spark: SparkSession, fpDir: String, belowBatch: Long,
-      docIdType: DataType, buckets: Option[Seq[Int]] = None): DataFrame = {
+      docIdType: DataType, buckets: Option[Seq[Int]] = None,
+      excludeIds: Set[Long] = Set.empty): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", docIdType), StructField("fp", LongType),
       StructField("batch", LongType), StructField("fpb", IntegerType)))
-    val base = spark.read.schema(schema).parquet(fpDir)
+    val base0 = spark.read.schema(schema).parquet(fpDir)
       .filter(col("batch") < belowBatch)
+    // stale fold sources: their rows are duplicated inside a covering
+    // generation, so reading both would double-count shared fps
+    val base = if (excludeIds.isEmpty) base0
+      else base0.filter(!col("batch").isin(excludeIds.toSeq: _*))
     buckets.fold(base)(bs => base.filter(col("fpb").isin(bs: _*)))
       .select(col("doc_id").as("corpus_id"), col("fp"))
   }
@@ -279,37 +542,48 @@ object Ingest {
       docIdType: DataType, minShared: Int,
       maxDf: Option[Int]): Option[DataFrame] = {
     val spark = keptFps.sparkSession
-    val earlier = stateBatchIds(spark, fpDir).filter(_ < batchId)
-    if (earlier.isEmpty) return None
+    // one root listing: sealed dirs + fold coverage (markers cached by
+    // (dir, mtime)), loud failure on unrecovered fold-swap crashes
+    val dirs = sealedDirs(spark, fpDir, failOnOrphanFolds = true)
+    val stale = staleFoldSources(dirs)
+    val live = dirs.filterNot(d => stale(d.id)).filter(_.id < batchId)
+    if (live.isEmpty) return None
     // fail fast on a state layout without fpb bucketing (pre-bucketed
     // or foreign writes): the schema'd read would fill fpb with null
     // and the bucket filter would silently drop EVERY corpus row —
     // the gate would accept all near-duplicates with no error. EVERY
-    // earlier batch is checked (one listStatus per sealed batch, the
-    // same metadata the scan's partition discovery touches anyway):
-    // a single flat batch among bucketed ones would otherwise be
-    // silently excluded. Underscore AND dot prefixes are ignored —
-    // parquet readers skip both, and compaction leaves benign
-    // dot-prefixed tmp/trash dirs a crash away at any time.
+    // live earlier batch is checked, but the verdict is CACHED by
+    // (dir, mtime): a sealed dir is immutable except for maintenance
+    // rewrites, which replace it via rename and so change its mtime —
+    // steady-state triggers re-validate only NEW batches instead of
+    // paying one listStatus per sealed batch per trigger (the r10
+    // linear-metadata growth path). Underscore AND dot prefixes are
+    // ignored — parquet readers skip both, and compaction leaves
+    // benign dot-prefixed tmp/trash dirs a crash away at any time.
     locally {
       val (fs, _) = hadoopFs(spark, fpDir)
-      earlier.foreach { id =>
-        val all = fs.listStatus(new Path(s"$fpDir/batch=$id"))
-        // a dot-prefixed compaction TRASH dir means a crashed swap may
-        // hold a bucket's only copy — parquet readers would silently
-        // skip it, so gating must stop until maintain() recovers it.
-        // Stale _compact_tmp leftovers are benign (source intact).
-        require(!all.exists(_.getPath.getName.endsWith("._compact_old")),
-          s"state batch=$id under $fpDir holds an interrupted compaction swap " +
-            "(._compact_old) — run maintain() to recover before gating")
-        val children = all.filterNot { st =>
-          val n = st.getPath.getName
-          n.startsWith("_") || n.startsWith(".")
+      live.foreach { d =>
+        val key = (fpDir, d.id, d.mtime)
+        if (!layoutValidated.contains(key)) {
+          val all = fs.listStatus(new Path(s"$fpDir/batch=${d.id}"))
+          // a dot-prefixed compaction TRASH dir means a crashed swap
+          // may hold a bucket's only copy — parquet readers would
+          // silently skip it, so gating must stop until maintain()
+          // recovers it. Stale _compact_tmp leftovers are benign
+          // (source intact).
+          require(!all.exists(_.getPath.getName.endsWith("._compact_old")),
+            s"state batch=${d.id} under $fpDir holds an interrupted compaction " +
+              "swap (._compact_old) — run maintain() to recover before gating")
+          val children = all.filterNot { st =>
+            val n = st.getPath.getName
+            n.startsWith("_") || n.startsWith(".")
+          }
+          require(children.isEmpty || children.forall(st =>
+              st.isDirectory && st.getPath.getName.startsWith("fpb=")),
+            s"fingerprint state batch=${d.id} under $fpDir is not fpb-bucketed " +
+              "(flat per-batch files) — rebuild the state with this layout")
+          layoutValidated.add(key)
         }
-        require(children.isEmpty || children.forall(st =>
-            st.isDirectory && st.getPath.getName.startsWith("fpb=")),
-          s"fingerprint state batch=$id under $fpDir is not fpb-bucketed " +
-            "(flat per-batch files) — rebuild the state with this layout")
       }
     }
     // The hot-df cap guards the fp equi-join's fanout: a boilerplate
@@ -333,7 +607,8 @@ object Ingest {
       .distinct().collect().map(_.getInt(0)).toSeq
     if (buckets.isEmpty) None
     else {
-      val corpus = corpusView(spark, fpDir, batchId, docIdType, Some(buckets))
+      val corpus = corpusView(spark, fpDir, batchId, docIdType, Some(buckets),
+        excludeIds = stale)
       // batch side is micro-batch-sized -> broadcast; the state scan
       // streams matched buckets straight into the hash probe
       Some(corpus.join(broadcast(gateFps), Seq("fp"))
@@ -496,28 +771,72 @@ object Ingest {
     Some(newMax)
   }
 
+  /** Highest batch id the stream's checkpoint has COMMITTED, plus
+    * one — the safe `belowBatch` frontier for [[maintain]]: batches
+    * at or above it may REPLAY after a crash-stop even though their
+    * state and census writes already landed (foreachBatch side
+    * effects run BEFORE the commit-log entry), so maintenance must
+    * never fold them. 0 when nothing has committed yet. */
+  def committedFrontier(spark: SparkSession, checkpointDir: String): Long = {
+    val (fs, commits) = hadoopFs(spark, s"$checkpointDir/commits")
+    if (!fs.exists(commits)) 0L
+    else {
+      val ids = fs.listStatus(commits).toSeq.filter(_.isFile)
+        .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      if (ids.isEmpty) 0L else ids.max + 1L
+    }
+  }
+
+  /** Rebuild the census from the per-batch fingerprint state — the
+    * recovery path for a census that ran AHEAD of the stream (e.g. an
+    * r10-era maintenance pass folded a written-but-uncommitted
+    * batch's delta into `merged`; the replay then fails hotFps'
+    * frontier check on every restart) or was lost entirely (the
+    * state-but-no-census corruption crossGateDrops refuses). Deletes
+    * `_census` and regenerates one delta per sealed state dir from
+    * its (doc_id, fp) rows — the same per-fp counts gateBatch wrote,
+    * so gate decisions are unchanged; the next compaction re-merges.
+    * Run while the stream is stopped. */
+  def rebuildCensus(spark: SparkSession, fpDir: String): Unit = {
+    recoverFolds(spark, fpDir)
+    val (fs, _) = hadoopFs(spark, fpDir)
+    fs.delete(new Path(censusDir(fpDir)), true)
+    val schema = StructType(Seq(
+      StructField("fp", LongType), StructField("fpb", IntegerType)))
+    sealedDirs(spark, fpDir).map(_.id).foreach { id =>
+      spark.read.schema(schema).parquet(s"$fpDir/batch=$id")
+        .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"${censusDir(fpDir)}/delta/batch=$id")
+    }
+  }
+
   /** The gate state's maintenance pass — run while the stream is
-    * stopped, or with `belowBatch` = the committed frontier: folds
-    * census deltas ([[compactCensus]]) and small-file-compacts every
-    * sealed state/docs batch directory via [[graft.sources.Ingest
-    * .compact]] (per-trigger file sinks accumulate KB-files; at scale
-    * the per-file open overhead would dominate the pruned gate scan).
+    * stopped. `belowBatch` is the stream's committed frontier and is
+    * MANDATORY: r10 defaulted it to Long.MaxValue, which after a
+    * crash-stop could fold a written-but-uncommitted batch's census
+    * delta into `merged` — the replay then permanently failed hotFps'
+    * frontier check with no recovery API. Pass
+    * `committedFrontier(spark, checkpointDir)` (see
+    * [[maintainFromCheckpoint]], which does exactly that), or
+    * [[rebuildCensus]] as the escape hatch for state already bricked
+    * that way.
     *
-    * Known growth path, deliberately NOT implemented here: per-trigger
-    * driver metadata (one listStatus per sealed batch in the layout
-    * check + partition discovery over batch dirs) grows with the
-    * number of sealed batches, so a stream running for years wants
-    * old batches FOLDED into consolidated generations the way the
-    * census folds deltas into `merged` — same compact-and-swap with
-    * the fold marker written inside the swapped directory, plus a
-    * gate-side exclusion of not-yet-deleted originals derived from
-    * that marker (without it, the window between swap and deletion
-    * double-counts folded rows and changes drop decisions). File
-    * counts are already bounded (compact above); directory counts are
-    * what consolidation would bound. */
+    * Work done: fold census deltas ([[compactCensus]]), fold sealed
+    * batch DIRECTORIES into generations ([[foldBatches]] — keeps the
+    * gate's per-trigger driver metadata O(log batches) instead of
+    * O(batches), closing r10's documented growth path), then
+    * small-file-compact sealed dirs via
+    * [[graft.sources.Ingest.compact]] (per-trigger file sinks
+    * accumulate KB-files; at scale per-file open overhead would
+    * dominate the pruned gate scan). Flat docs GENERATIONS are
+    * skipped there: foldBatches already wrote them at target file
+    * size, and compact's whole-dir rewrite would drop the `_gen`
+    * coverage marker. */
   def maintain(spark: SparkSession, docsDir: String, fpDir: String,
-      belowBatch: Long = Long.MaxValue,
-      targetBytes: Long = 128L << 20): Unit = {
+      belowBatch: Long,
+      targetBytes: Long = 128L << 20,
+      foldGroup: Int = FoldGroup): Unit = {
     // recover orphaned swaps at the ROOTS first: a batch dir renamed
     // to .batch=N._compact_old by a crashed compact is invisible to
     // the name-based enumerations below, so without this sweep the
@@ -525,19 +844,29 @@ object Ingest {
     graft.sources.Ingest.recoverSwaps(spark, docsDir)
     graft.sources.Ingest.recoverSwaps(spark, fpDir)
     compactCensus(spark, fpDir, belowBatch)
-    stateBatchIds(spark, fpDir).filter(_ < belowBatch).foreach { id =>
+    foldBatches(spark, fpDir, belowBatch, fpbPartitioned = true,
+      foldGroup, targetBytes)
+    foldBatches(spark, docsDir, belowBatch, fpbPartitioned = false,
+      foldGroup, targetBytes)
+    sealedDirs(spark, fpDir).map(_.id).filter(_ < belowBatch).foreach { id =>
       graft.sources.Ingest.compact(spark, s"$fpDir/batch=$id", targetBytes)
     }
-    val (fs, docsRoot) = hadoopFs(spark, docsDir)
-    if (fs.exists(docsRoot))
-      fs.listStatus(docsRoot).toSeq.filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
-        .filter(_ < belowBatch)
-        .foreach { id =>
-          graft.sources.Ingest.compact(spark, s"$docsDir/batch=$id", targetBytes)
-        }
+    sealedDirs(spark, docsDir)
+      .filter(d => d.level == 0 && d.id < belowBatch)
+      .foreach { d =>
+        graft.sources.Ingest.compact(spark, s"$docsDir/batch=${d.id}", targetBytes)
+      }
+    invalidateSealedMeta(fpDir); invalidateSealedMeta(docsDir)
   }
+
+  /** [[maintain]] with the frontier read from the stream's own
+    * checkpoint — the safe default for the advertised
+    * "run while the stream is stopped" usage. */
+  def maintainFromCheckpoint(spark: SparkSession, docsDir: String,
+      fpDir: String, checkpointDir: String,
+      targetBytes: Long = 128L << 20): Unit =
+    maintain(spark, docsDir, fpDir,
+      belowBatch = committedFrontier(spark, checkpointDir), targetBytes)
 
   /** Start — or resume — the near-dup-gated NDJSON ingestion:
     * exact dups are assumed handled upstream ([[dedupStream]] /
@@ -547,7 +876,15 @@ object Ingest {
       schema: StructType, docsDir: String, fpDir: String,
       checkpointDir: String,
       minShared: Int = graft.operators.Dedup.WinnowMinShared,
-      maxDf: Option[Int] = Some(graft.operators.Dedup.DefaultMaxDf)): StreamingQuery =
+      maxDf: Option[Int] = Some(graft.operators.Dedup.DefaultMaxDf)): StreamingQuery = {
+    // start/resume-time fold recovery: if the last maintenance pass
+    // crashed mid-fold, roll its swaps forward and drop covered
+    // originals BEFORE any trigger runs — the gate's own stale
+    // exclusion would keep fp decisions correct regardless, but
+    // readers of docsDir have no such filter and would see folded
+    // documents twice
+    recoverFolds(spark, docsDir)
+    recoverFolds(spark, fpDir)
     spark.readStream.schema(schema).json(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -555,4 +892,5 @@ object Ingest {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+  }
 }

@@ -254,6 +254,20 @@ class StreamingSpec extends SparkSpec {
     // restore and confirm the overwrite semantics hold
     assert(streaming.Ingest.gateBatch(batch2, batchId = 1L, docsDir, fpDir) == 1L)
     assert(acceptedIds() == Seq(1L, 3L, 5L))
+
+    // maintenance driven by the stream's own checkpoint: the frontier
+    // is exactly the committed batches (safe to fold below), and the
+    // next resumed batch still gates correctly afterwards
+    assert(streaming.Ingest.committedFrontier(spark, ckDir) == 2L)
+    streaming.Ingest.maintainFromCheckpoint(spark, docsDir, fpDir, ckDir)
+    writeBatch("b3.json", Seq(
+      s"""{"doc_id":6,"text":"$base a third time","url":"https://ex.test/6"}""",
+      """{"doc_id":7,"text":"fresh catalogue of lighthouse lens rotations measured across four stormy equinox nights","url":"https://ex.test/7"}"""))
+    val q3 = streaming.Ingest.resumeNearDupGated(
+      spark, inDir, schema, docsDir, fpDir, ckDir)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(acceptedIds() == Seq(1L, 3L, 5L, 7L),
+      "post-maintenance resume gated incorrectly")
   }
 
   test("near-dup gate: census compaction + maintenance never change gate decisions") {
@@ -313,11 +327,21 @@ class StreamingSpec extends SparkSpec {
       }
       // fail-fast guard: compacting PAST the committed frontier makes a
       // replay of that batch refuse to run rather than silently gate
-      // against a polluted corpus view
-      streaming.Ingest.maintain(spark, docsDir, fpDir)
+      // against a polluted corpus view (belowBatch is mandatory now —
+      // Long.MaxValue here IS the r10 bug being simulated)
+      streaming.Ingest.maintain(spark, docsDir, fpDir,
+        belowBatch = Long.MaxValue)
       assertThrows[IllegalArgumentException] {
         streaming.Ingest.gateBatch(b2, 2L, docsDir, fpDir)
       }
+      // ...and rebuildCensus is the documented escape hatch: the census
+      // regenerates from per-batch state and the replay gates again
+      // with its original decisions
+      streaming.Ingest.rebuildCensus(spark, fpDir)
+      assert(streaming.Ingest.gateBatch(b2, 2L, docsDir, fpDir) == 1L,
+        "rebuilt census changed the replay's decisions")
+      assert(spark.read.parquet(docsDir).select("doc_id")
+        .as[Long].collect().toSeq.sorted == compIds)
     } finally CacheRegistry.unpersistAll()
   }
 
@@ -476,6 +500,158 @@ class StreamingSpec extends SparkSpec {
       assert(streaming.Ingest.crossGateDrops(probe, fpDir3, 2L,
         LongType, 3, None).get.as[Long].collect().toSet == preCrash,
         "recovery changed gate decisions")
+    } finally CacheRegistry.unpersistAll()
+  }
+
+  test("near-dup gate: generation folding bounds directory count, decisions unchanged") {
+    // 11 micro-batches, maintenance (foldGroup=3) after every sealed
+    // batch: level-0 folds cascade into a level-2 generation along the
+    // way (including a fold whose target id is itself a generation).
+    // Late batches carry near-dups of docs accepted in batches 0 and 2
+    // — by then that state lives two fold levels deep, so the drops
+    // prove the gate reads folded state correctly. Batch 4 is
+    // all-dropped (its state dir seals EMPTY — the fold must cope).
+    // each batch's text must be genuinely distinct (no shared skeleton
+    // — a common template would make every doc a near-dup of the first)
+    val texts = Seq(
+      "granite causeway inspection notes from the fourth tidal survey beneath the rotating heliograph array of the signal tower",
+      "inventory of carved soapstone weights recovered from the flooded mill race downstream of the abandoned felt factory weir",
+      "meteorological observations of lenticular clouds stacked above the caldera rim during the solstice kite festival villages",
+      "catalogue of misprinted railway timetables collected by the stationmaster of the narrow gauge line through juniper forests",
+      "ledger of beeswax candle shipments lost when the river barge grounded on the chalk shoals below the monastery orchard",
+      "transcript of whistled shepherd signals recorded across three valleys during the autumn transhumance of the longhorn flocks",
+      "registry of lighthouse lens rotations measured through four stormy equinox nights by the apprentice keeper and her brother",
+      "compendium of fermentation vessels unearthed beside the roman road where the peat cutters struck a preserved oak walkway",
+      "survey of rooftop rainwater cisterns painted with cobalt glaze patterns unique to the terraced quarter of the lower town",
+      "almanac of comet sightings annotated by the harbormaster between shipping seasons and bound in sailcloth with tar thread",
+      "digest of bell foundry casting failures attributed to damp moulds during the wettest winter the guild records remember")
+    def mkBatch(i: Int): Seq[(Long, String)] = i match {
+      case 4 => Seq(102L -> (texts(1) + " once more")) // all-dropped batch
+      case 9 => Seq(19L -> texts(9), 100L -> (texts(0) + " appended"))
+      case 10 => Seq(20L -> texts(10), 101L -> (texts(2) + " slightly"))
+      case _ => Seq((10L + i) -> texts(i))
+    }
+    def run(fold: Boolean): (String, String, Seq[Long]) = {
+      val root = java.nio.file.Files.createTempDirectory("graft-ndfold").toString
+      val docsDir = s"$root/docs"; val fpDir = s"$root/fp"
+      (0 until 11).foreach { i =>
+        streaming.Ingest.gateBatch(mkBatch(i).toDF("doc_id", "text"),
+          i.toLong, docsDir, fpDir)
+        if (fold)
+          streaming.Ingest.maintain(spark, docsDir, fpDir,
+            belowBatch = i + 1L, foldGroup = 3)
+      }
+      (docsDir, fpDir, spark.read.parquet(docsDir).select("doc_id")
+        .as[Long].collect().toSeq.sorted)
+    }
+    def batchDirs(dir: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).toSeq.map(_.getPath.getName).filter(_.startsWith("batch="))
+    }
+    try {
+      val (docsPlain, fpPlain, plainIds) = run(fold = false)
+      val (docsDir, fpDir, foldedIds) = run(fold = true)
+      // near-dups dropped in both worlds, novel docs all accepted
+      assert(plainIds == (10L to 20L).filterNot(_ == 14L), s"plain: $plainIds")
+      assert(foldedIds == plainIds, "generation folding changed gate decisions")
+      // the folded state holds the same fingerprint rows (none lost,
+      // none duplicated by the fold)
+      assert(spark.read.parquet(fpDir).count() ==
+        spark.read.parquet(fpPlain).count())
+      assert(spark.read.parquet(docsDir).count() ==
+        spark.read.parquet(docsPlain).count())
+      // directory count is BOUNDED: 11 sealed batches collapse to a
+      // handful of generations (vs 11 plain dirs in the control)
+      assert(batchDirs(fpPlain).size == 11)
+      assert(batchDirs(fpDir).size <= 4,
+        s"fp dirs not folded: ${batchDirs(fpDir).sorted}")
+      assert(batchDirs(docsDir).size <= 4,
+        s"docs dirs not folded: ${batchDirs(docsDir).sorted}")
+      // a later batch still gates correctly against fully-folded state
+      val n = streaming.Ingest.gateBatch(
+        Seq(103L -> (texts(3) + " revisited"), 21L -> "entirely novel treatise on tidal bore surfing through mangrove estuaries under monsoon moonlight")
+          .toDF("doc_id", "text"), 11L, docsDir, fpDir)
+      assert(n == 1L, "near-dup of two-level-deep folded state not dropped")
+    } finally CacheRegistry.unpersistAll()
+  }
+
+  test("near-dup gate: fold crash windows fail fast or self-exclude; recoverFolds completes them") {
+    import org.apache.spark.sql.types._
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val texts = Seq(
+      "granite causeway inspection notes from the fourth survey of tidal flats beneath the signal tower and its rotating heliograph array",
+      "inventory of carved soapstone weights recovered from the flooded mill race downstream of the abandoned felt factory near the weir",
+      "meteorological observations of lenticular clouds stacked above the caldera rim during the solstice kite festival of the highland villages",
+      "catalogue of misprinted railway timetables collected by the stationmaster of the narrow gauge line through the juniper forest plateau")
+    def build(): (String, String) = {
+      val root = java.nio.file.Files.createTempDirectory("graft-foldcrash").toString
+      val docsDir = s"$root/docs"; val fpDir = s"$root/fp"
+      texts.zipWithIndex.foreach { case (t, i) =>
+        streaming.Ingest.gateBatch(Seq((10L + i) -> t).toDF("doc_id", "text"),
+          i.toLong, docsDir, fpDir)
+      }
+      (docsDir, fpDir)
+    }
+    def drops(fpDir: String): Set[Long] = {
+      val probe = operators.Dedup.winnowFps(
+        Seq(90L -> (texts(0) + " annotated")).toDF("doc_id", "text"))
+      streaming.Ingest.crossGateDrops(probe, fpDir, 4L, LongType, 3, None)
+        .map(_.as[Long].collect().toSet).getOrElse(Set.empty)
+    }
+    try {
+      // keep a copy of batch=1 from BEFORE the fold — it becomes the
+      // "covered original whose deletion the crash interrupted"
+      val (docsDir, fpDir) = build()
+      val aside = new Path(s"$fpDir/.aside")
+      FileUtil.copy(fs, new Path(s"$fpDir/batch=1"), fs, aside, false, conf)
+      streaming.Ingest.maintain(spark, docsDir, fpDir, belowBatch = 4L,
+        foldGroup = 3)
+      val pre = drops(fpDir)
+      assert(pre == Set(90L), s"expected the probe dropped, got $pre")
+
+      // window 1: crash after swap-out, before swap-in — the
+      // generation's only copy sits in the tmp dir. Gating must stop
+      // loudly; recoverFolds rolls the swap forward.
+      require(fs.rename(new Path(s"$fpDir/batch=2"),
+        new Path(s"$fpDir/.batch=2._fold_tmp")))
+      assertThrows[IllegalArgumentException] { drops(fpDir) }
+      streaming.Ingest.recoverFolds(spark, fpDir)
+      assert(drops(fpDir) == pre, "roll-forward changed decisions")
+
+      // window 2: crash after swap-in, before source deletion — a
+      // covered original resurfaces next to its generation. The gate
+      // must EXCLUDE it (double-counted fps would change decisions);
+      // recoverFolds deletes it.
+      require(fs.rename(aside, new Path(s"$fpDir/batch=1")))
+      assert(drops(fpDir) == pre, "stale fold source not excluded")
+      streaming.Ingest.recoverFolds(spark, fpDir)
+      assert(!fs.exists(new Path(s"$fpDir/batch=1")),
+        "stale fold source not deleted")
+      assert(drops(fpDir) == pre)
+
+      // window 3: orphaned trash with no live target — restore it
+      require(fs.rename(new Path(s"$fpDir/batch=2"),
+        new Path(s"$fpDir/.batch=2._fold_old")))
+      assertThrows[IllegalArgumentException] { drops(fpDir) }
+      streaming.Ingest.recoverFolds(spark, fpDir)
+      assert(drops(fpDir) == pre, "trash restore changed decisions")
+
+      // committedFrontier parses the checkpoint commit log (and is 0
+      // with no checkpoint at all)
+      val ck = java.nio.file.Files.createTempDirectory("graft-ck").toString
+      assert(streaming.Ingest.committedFrontier(spark, ck) == 0L)
+      new java.io.File(s"$ck/commits").mkdirs()
+      Seq("0", "1", "2").foreach { n =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$ck/commits/$n"),
+          "v1".getBytes("UTF-8"))
+      }
+      // non-batch metadata files are ignored
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$ck/commits/.2.crc"), Array[Byte]())
+      assert(streaming.Ingest.committedFrontier(spark, ck) == 3L)
     } finally CacheRegistry.unpersistAll()
   }
 
