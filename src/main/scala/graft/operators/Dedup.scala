@@ -460,11 +460,13 @@ object Dedup {
     * the documents table — identical gram hash (md5 prefix),
     * identical min-of-window selection (full windows only; short docs
     * keep raw gram hashes — the Spark fallback). k is pinned at 3 in
-    * the gram concat, as in shSql. Used by d07 and d08. */
-  private lazy val winnowFpsSql: String =
+    * the gram concat, as in shSql. Used by d07 and d08 (over the raw
+    * documents table) and by the c07 compliance chain (over its
+    * scrubbed-text CTE — hence the `src` parameter). */
+  private[operators] def winnowFpsSqlFrom(src: String): String =
     raw"""toks AS (
          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-         FROM documents),
+         FROM $src),
        grams AS (
          SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
          FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS i)),
@@ -482,6 +484,8 @@ object Dedup {
          WHERE ng >= $WinnowWindow AND i <= ng - ${WinnowWindow - 1}
          UNION
          SELECT DISTINCT doc_id, h AS fp FROM wins WHERE ng < $WinnowWindow)"""
+
+  private lazy val winnowFpsSql: String = winnowFpsSqlFrom("documents")
 
   /** DuckDB replay of d07: the shared fingerprint CTE + identical
     * pair counting. */

@@ -343,17 +343,120 @@ object Split {
        FROM r"""
   }
 
+  // ---------------------------------------------------------------
+  // c07: the assembly chain WITH eval-set decontamination — the full
+  // compliance pipeline a shipping training corpus runs:
+  // scrub → decontaminate → split(train) → mixture → pack. c06 packs
+  // every train doc; the real chain first carves out the eval/
+  // benchmark set (here d08's deterministic doc_id % 7 == 0 split of
+  // the scrubbed corpus) and DROPS every remaining doc sharing
+  // >= WinnowMinShared winnow fingerprints with any eval doc
+  // (near-verbatim eval material in the training set inflates
+  // reported scores). Decontamination runs on the SCRUBBED text —
+  // what is actually retained — between scrub and split. Cost on top
+  // of c06: the two winnow-fp derivations and one fp equi-join
+  // (d08's shape — never a cross join) plus an anti-join; the
+  // packing stays one window shuffle. The corpus's planted near-dup
+  // pairs straddle the % 7 split (5 in-train contaminated docs at
+  // BOTH sf0.001 and sf0.01 — checked against DuckDB), so the
+  // oracle exercises real drops at spec and driver scale.
+  // ---------------------------------------------------------------
+
+  def c07(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, _, red) = Redact.redactions(col("text"))
+    // ONE redaction pass feeds fingerprints AND token counts — cached,
+    // or the regex-heavy scrub tree re-runs per consumer
+    val scrubbed = Redact.plantedDocs(s, dir)
+      .select(col("doc_id"), col("source"), red.as("text"))
+      .transform(graft.CacheRegistry.register)
+    val isBench = pmod(col("doc_id"), lit(Dedup.BenchIdMod)) === 0
+    val corpus = scrubbed.filter(!isBench)
+    val bench = scrubbed.filter(isBench).select(col("doc_id"), col("text"))
+    val contaminated = Dedup.decontaminate(
+        corpus.select(col("doc_id"), col("text")), bench, maxDf = None)
+      .select(col("doc_id")).distinct()
+    val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+    val toks = clean.select(col("doc_id"), col("source"),
+      graft.functions.TextAnalysis.wsTokenCount(col("text"))
+        .cast("long").as("tokens"))
+    val train = toks.filter(splitBucket(s, col("doc_id")) < TrainPct)
+    val mixed = mixtureEpochs(train)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("doc_id"), col("copy"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mixed
+      .withColumn("shard", pmod(col("doc_id"), lit(PackShards)))
+      .withColumn("running", sum(col("tokens")).over(w))
+      .select(col("doc_id"), col("copy"), col("shard"), col("tokens"),
+        expr(s"(running - tokens) DIV $PackBudget").as("seq"),
+        pmod(col("running") - col("tokens"), lit(PackBudget.toLong)).as("offset"))
+  }
+
+  val c07Sql: String = {
+    import Redact.{EmailPattern, Ipv4Pattern, PhonePattern}
+    import graft.operators.{Dedup => D}
+    s"""WITH planted AS (
+         SELECT doc_id, source,
+                CASE WHEN doc_id % 5 = 0
+                     THEN text || ' contact user' || doc_id || '@example.com or +1 555 010' || doc_id || ' from host 10.0.' || (doc_id % 250) || '.7'
+                     ELSE text END AS text0
+         FROM documents),
+       scrub AS (
+         SELECT doc_id, source,
+                regexp_replace(regexp_replace(regexp_replace(text0, '$EmailPattern', '<EMAIL>', 'g'), '$Ipv4Pattern', '<IP>', 'g'), '$PhonePattern', '<PHONE>', 'g') AS text
+         FROM planted),
+       ${D.winnowFpsSqlFrom("scrub")},
+       contaminated AS (
+         SELECT DISTINCT doc_id FROM (
+           SELECT c.doc_id
+           FROM fps c JOIN fps b ON c.fp = b.fp
+           WHERE c.doc_id % ${D.BenchIdMod} <> 0 AND b.doc_id % ${D.BenchIdMod} = 0
+           GROUP BY c.doc_id, b.doc_id
+           HAVING count(*) >= ${D.WinnowMinShared})),
+       tok AS (
+         SELECT doc_id, source, CAST(${TextOps.sqlNw} AS BIGINT) AS tokens
+         FROM scrub
+         WHERE doc_id % ${D.BenchIdMod} <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       train AS (
+         SELECT * FROM tok
+         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < $TrainPct),
+       m AS (
+         SELECT doc_id, source, tokens,
+                COALESCE(((TRY_CAST(regexp_extract(source, '([0-9]{1,9})', 1) AS INT) % 4) + 1) * 75, 100) AS w100,
+                CAST(('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+         FROM train),
+       mixed AS (
+         SELECT doc_id, tokens, CAST(g.copy AS INT) AS copy
+         FROM (SELECT doc_id, tokens,
+                      CAST(w100 // 100 + (CASE WHEN bucket < w100 % 100 THEN 1 ELSE 0 END) AS INT) AS copies
+               FROM m) c,
+              LATERAL (SELECT unnest(generate_series(1, copies)) AS copy) g),
+       r AS (
+         SELECT doc_id, copy, doc_id % $PackShards AS shard, tokens,
+                sum(tokens) OVER (PARTITION BY doc_id % $PackShards
+                                  ORDER BY doc_id, copy
+                                  ROWS UNBOUNDED PRECEDING) AS running
+         FROM mixed)
+       SELECT doc_id, copy, shard, tokens,
+              CAST((running - tokens) // $PackBudget AS BIGINT) AS seq,
+              CAST((running - tokens) % $PackBudget AS BIGINT) AS offset
+       FROM r"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c02_train_split" -> (c02 _),
     "c03_pack_sequences" -> (c03 _),
     "c03b_pack_chunks" -> (c03b _),
     "c04_mixture_epochs" -> (c04 _),
-    "c06_assemble" -> (c06 _))
+    "c06_assemble" -> (c06 _),
+    "c07_assemble_decontaminated" -> (c07 _))
 
   val oracles: Map[String, String] = Map(
     "c02_train_split" -> c02Sql,
     "c03_pack_sequences" -> c03Sql,
     "c03b_pack_chunks" -> c03bSql,
     "c04_mixture_epochs" -> c04Sql,
-    "c06_assemble" -> c06Sql)
+    "c06_assemble" -> c06Sql,
+    "c07_assemble_decontaminated" -> c07Sql)
 }

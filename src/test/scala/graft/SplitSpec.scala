@@ -134,6 +134,49 @@ class SplitSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length == rows.length)
   }
 
+  test("c07: decontaminated assembly — eval split carved out, contaminated train docs dropped") {
+    import graft.operators.{Dedup, Redact}
+    try {
+      val out = Split.c07(spark, sf("sf0.001"))
+        .as[(Long, Int, Long, Long, Long, Long)].collect() // doc_id, copy, shard, tokens, seq, offset
+      assert(out.nonEmpty)
+      val ids = out.map(_._1).toSet
+      // no eval-split doc is ever packed
+      assert(ids.forall(_ % Dedup.BenchIdMod != 0), "eval docs packed")
+      // contaminated train docs are DROPPED — and the check is not
+      // vacuous: the corpus's planted near-dups straddle the % 7 split
+      val (_, _, _, red) = Redact.redactions(col("text"))
+      val scrubbed = Redact.plantedDocs(spark, sf("sf0.001"))
+        .select(col("doc_id"), red.as("text"))
+      val contaminated = Dedup.decontaminate(
+          scrubbed.filter(col("doc_id") % Dedup.BenchIdMod =!= 0),
+          scrubbed.filter(col("doc_id") % Dedup.BenchIdMod === 0),
+          maxDf = None)
+        .select("doc_id").as[Long].collect().toSet
+      val trainIds = Split.c02(spark, sf("sf0.001"))
+        .filter(col("split") === "train").select("doc_id").as[Long].collect().toSet
+      assert((contaminated & trainIds).nonEmpty,
+        "no in-train contamination — decontamination untested")
+      assert((ids & contaminated).isEmpty, "contaminated docs were packed")
+      // c07's doc set is exactly c06's minus the eval split and the
+      // contaminated docs
+      val c06ids = Split.c06(spark, sf("sf0.001"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids == c06ids.filter(_ % Dedup.BenchIdMod != 0) -- contaminated)
+      // the packing still replays the sequential greedy packer over
+      // the reduced epoch stream
+      out.groupBy(_._3).foreach { case (shard, rows) =>
+        var running = 0L
+        rows.sortBy(r => (r._1, r._2)).foreach {
+          case (id, copy, _, tokens, seq, offset) =>
+            assert(seq == running / Split.PackBudget, s"shard $shard doc $id copy $copy")
+            assert(offset == running % Split.PackBudget)
+            running += tokens
+        }
+      }
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("c03b: chunks honor the budget exactly and reassemble every document") {
     val chunks = Split.c03b(spark, sf("sf0.001"))
       .as[(Long, Long, Long, Long, Long, Long)].collect() // doc_id, shard, seq, chunk_idx, chunk_tokens, offset
