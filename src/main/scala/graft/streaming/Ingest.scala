@@ -188,16 +188,25 @@ object Ingest {
   private def genMarkerPath(root: String, id: Long) =
     new Path(s"$root/batch=$id/_gen")
 
+  /** Parse "<lo>,<level>" from a marker file; None when the file is
+    * missing OR unparseable — a crash between creating and writing
+    * the tiny marker leaves an empty file, which must read as
+    * "fold incomplete", not blow up every later listing. */
+  private def parseGenMarker(fs: org.apache.hadoop.fs.FileSystem,
+      m: Path): Option[(Long, Int)] =
+    if (!fs.exists(m)) None
+    else scala.util.Try {
+      scala.util.Using.resource(fs.open(m)) { in =>
+        val parts = new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.split(",")
+        (parts(0).toLong, parts(1).toInt)
+      }
+    }.toOption
+
   private def readGenMarker(spark: SparkSession, root: String,
       id: Long): Option[(Long, Int)] = {
     val (fs, _) = hadoopFs(spark, root)
-    val m = genMarkerPath(root, id)
-    if (!fs.exists(m)) None
-    else scala.util.Using.resource(fs.open(m)) { in =>
-      val parts = new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.split(",")
-      Some((parts(0).toLong, parts(1).toInt))
-    }
+    parseGenMarker(fs, genMarkerPath(root, id))
   }
 
   // (root, id, dir mtime) -> (lo, level); mtime in the key makes the
@@ -286,7 +295,10 @@ object Ingest {
     entries.filter(_.getPath.getName.endsWith("._fold_tmp")).foreach { st =>
       val target = new Path(rootPath,
         st.getPath.getName.stripPrefix(".").stripSuffix("._fold_tmp"))
-      val complete = fs.exists(new Path(st.getPath, "_gen"))
+      // completeness = a PARSEABLE marker (an empty _gen from a crash
+      // mid-marker-write counts as incomplete; the originals are
+      // intact, so discarding the tmp and re-folding later is safe)
+      val complete = parseGenMarker(fs, new Path(st.getPath, "_gen")).isDefined
       if (!fs.exists(target) && complete)
         require(fs.rename(st.getPath, target),
           s"recoverFolds: could not complete interrupted swap of ${st.getPath}")
