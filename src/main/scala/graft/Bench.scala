@@ -10,6 +10,7 @@ object Bench {
       // graft's native expressions pin ICU case mapping (plans/TextStats
       // scaladoc); force the Column-form lower() onto the same path so
       // the two can never diverge under a session-level conf flip
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.icu.caseMappings.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

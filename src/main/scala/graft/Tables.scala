@@ -19,11 +19,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects as a
-    * timestamp type; read it as raw nanos and convert (truncate) to a
-    * microsecond timestamp — same truncation DuckDB's epoch_us does.
-    * `div` keeps the arithmetic in Long (a double would lose precision
-    * above 2^53 ns).
+  /** events.ts normalization — the generated parquet has carried two
+    * physical types across driver revisions, both loaded here to one
+    * logical shape (session-tz TIMESTAMP, microsecond precision):
+    *
+    *  - TIMESTAMP(NANOS), which Spark 4 rejects as a timestamp type:
+    *    read as raw nanos (`nanosAsLong`) and truncate to micros —
+    *    the same truncation DuckDB's epoch_us does. `div` keeps the
+    *    arithmetic in Long (a double loses precision above 2^53 ns).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 reads
+    *    as TIMESTAMP_NTZ: cast to TIMESTAMP. Every graft entry point
+    *    pins spark.sql.session.timeZone=UTC, so the cast reinterprets
+    *    the naive micros as epoch micros — exactly how DuckDB's
+    *    epoch_us treats a naive timestamp, keeping oracle parity.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -32,6 +40,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          raw("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

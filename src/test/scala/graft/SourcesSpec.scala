@@ -228,7 +228,7 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
-  test("events table loads with microsecond-truncated nano timestamps") {
+  test("events ts normalizes to a session-tz TIMESTAMP (nanos or NTZ source)") {
     val e = Tables.events(spark, sf("sf0.001"))
     assert(e.schema("ts").dataType == TimestampType)
     assert(e.count() > 0)
