@@ -34,6 +34,14 @@ object Tables {
     *    epoch_us treats a naive timestamp, keeping oracle parity.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // The NTZ→TIMESTAMP cast below reinterprets naive micros in the
+    // SESSION timezone; every graft entry point pins UTC, but an
+    // external caller that doesn't would silently shift every
+    // NTZ-sourced timestamp by the host offset. Fail fast instead.
+    require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Tables.events requires spark.sql.session.timeZone=UTC " +
+        "(the NTZ branch reinterprets naive micros as epoch micros; " +
+        "any other session zone silently shifts them)")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {

@@ -233,4 +233,39 @@ class SourcesSpec extends SparkSpec {
     assert(e.schema("ts").dataType == TimestampType)
     assert(e.count() > 0)
   }
+
+  // Value-level coverage of BOTH physical ts variants (r11 ADVICE):
+  // the checked-in sf data only carries whichever variant the driver
+  // last generated, and a timezone misinterpretation passes a
+  // type+count check. Synthesize each variant and pin a known epoch.
+  test("events NTZ variant: naive micros reinterpreted as UTC epoch micros") {
+    val dir = tmp() + "/ntz"
+    // 2020-01-01T00:00:00 naive == 1577836800000000 epoch-micros in UTC
+    Seq(java.time.LocalDateTime.of(2020, 1, 1, 0, 0, 0))
+      .toDF("ts").write.parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    assert(raw.schema("ts").dataType == TimestampNTZType)
+    val got = Tables.events(spark, dir)
+      .select(unix_micros(col("ts"))).as[Long].head()
+    assert(got == 1577836800000000L, s"NTZ branch shifted the epoch: $got")
+  }
+
+  test("events nanos variant: int64 nanos truncated to epoch micros") {
+    val dir = tmp() + "/nanos"
+    // Spark reads parquet TIMESTAMP(NANOS) as LongType under
+    // nanosAsLong, so a raw int64 ts column exercises the same branch.
+    Seq(1577836800123456789L).toDF("ts")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Tables.events(spark, dir)
+      .select(unix_micros(col("ts"))).as[Long].head()
+    assert(got == 1577836800123456L, s"nanos branch lost precision: $got")
+  }
+
+  test("events fails fast off a non-UTC session (NTZ cast guard)") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Europe/Madrid")
+    try intercept[IllegalArgumentException] {
+      Tables.events(spark, sf("sf0.001"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
