@@ -58,24 +58,67 @@ object SparkEntry {
             org.apache.spark.sql.functions.col("b")),
         docs.select(org.apache.spark.sql.functions.col("doc_id").as("id")))
     }),
-    // the streaming near-dup gate end-to-end (r10's incremental-state
-    // operator, made bench-measurable): the documents table ingested
-    // as 2 micro-batches through gateBatch — within-batch pair drop,
-    // then the cross-batch pruned-broadcast gate + census maintenance
-    // against the sealed first half. Side effects land in a fresh
-    // temp dir per run; the returned frame is the accepted corpus, so
-    // the count the bench takes reads the real output. The measured
-    // number is per-trigger LATENCY (a dozen small jobs), not
-    // throughput — it exists as a round-over-round regression signal
-    // for the gate's fixed costs.
-    "st02_neardup_gate_e2e" -> ((s, dir) => {
+    // the streaming near-dup gate, bench-measurable and SPLIT (r11
+    // verdict #3): r10/r11 benched one `st02_neardup_gate_e2e` face
+    // bundling gate triggers AND the census/compaction maintenance
+    // pass, so a regression in either was unattributable. Both faces
+    // measure per-trigger/per-pass LATENCY (a dozen small jobs), not
+    // throughput — round-over-round regression signals for the gate's
+    // fixed costs. Their sum covers exactly what the old st02 did.
+    //
+    // st02_gate_trigger: the documents table ingested as 2
+    // micro-batches through gateBatch — within-batch pair drop, then
+    // the cross-batch pruned-broadcast gate against the sealed first
+    // half. The returned frame is the accepted corpus, so the count
+    // the bench takes reads the real output.
+    "st02_gate_trigger" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, lit, pmod}
-      // pid-scoped scratch under a fixed base, wiped at face start: a
-      // fresh random temp dir per run would leave an sf-scale corpus
-      // copy behind every bench invocation until /tmp fills, while one
-      // shared fixed dir would let two concurrent bench processes wipe
-      // each other's state mid-run. Dead siblings (pids no longer
-      // alive) are swept too, so leftovers are bounded by live runs.
+      val root = GateScratch.fresh(s, "trig")
+      val docsDir = s"$root/docs"; val fpDir = s"$root/fp"
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      (0L to 1L).foreach { b =>
+        streaming.Ingest.gateBatch(
+          docs.filter(pmod(col("doc_id"), lit(2)) === b), b, docsDir, fpDir)
+      }
+      s.read.parquet(docsDir)
+    }),
+    // st03_maintain: the maintenance pass alone (recoverSwaps +
+    // compactCensus + foldBatches×2 + sealed-dir compacts) over gate
+    // state built UNTIMED by the benchSetup hook of the same name —
+    // the stream-stopped pass an operator runs between triggers.
+    "st03_maintain" -> ((s, dir) => {
+      val root = GateScratch.path(s, "maint") // state from benchSetup
+      streaming.Ingest.maintain(s, s"$root/docs", s"$root/fp",
+        belowBatch = 1L)
+      s.read.parquet(s"$root/docs")
+    }))
+
+  /** Untimed per-face setup, run by Bench immediately before timing
+    * the same-named face (isolated SPARK_GRAFT_ONLY runs included):
+    * state construction whose cost is ANOTHER face's measurement —
+    * st03 must not be charged the gate triggers st02 already times. */
+  def benchSetup: Map[String, (SparkSession, String) => Unit] = Map(
+    "st03_maintain" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val root = GateScratch.fresh(s, "maint")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      streaming.Ingest.gateBatch(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0L), 0L,
+        s"$root/docs", s"$root/fp")
+    }))
+
+  /** pid-scoped bench scratch under a fixed base: a fresh random temp
+    * dir per run would leave an sf-scale corpus copy behind every
+    * bench invocation until /tmp fills, while one shared fixed dir
+    * would let two concurrent bench processes wipe each other's state
+    * mid-run. Dead siblings (pids no longer alive) are swept on
+    * `fresh`, so leftovers are bounded by live runs. */
+  private object GateScratch {
+    def path(s: SparkSession, tag: String): String =
+      s"${System.getProperty("java.io.tmpdir")}/graft-gatebench/" +
+        s"${ProcessHandle.current().pid()}/$tag"
+    /** sweep dead siblings, wipe this pid's `tag` dir, return it */
+    def fresh(s: SparkSession, tag: String): String = {
       val base = new org.apache.hadoop.fs.Path(
         s"${System.getProperty("java.io.tmpdir")}/graft-gatebench")
       val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -85,17 +128,11 @@ object SparkEntry {
             .exists(p => ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
           if (!alive) fs.delete(st.getPath, true)
         }
-      val root = s"$base/${ProcessHandle.current().pid()}"
+      val root = path(s, tag)
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
-      val docsDir = s"$root/docs"; val fpDir = s"$root/fp"
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      (0L to 1L).foreach { b =>
-        streaming.Ingest.gateBatch(
-          docs.filter(pmod(col("doc_id"), lit(2)) === b), b, docsDir, fpDir)
-        if (b == 0L) streaming.Ingest.maintain(s, docsDir, fpDir, belowBatch = 1L)
-      }
-      s.read.parquet(docsDir)
-    }))
+      root
+    }
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
