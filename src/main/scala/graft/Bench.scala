@@ -2,6 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // face-name listing for tools/bench_isolated.sh (no session spin-up)
+    if (sys.env.contains("SPARK_GRAFT_LIST")) {
+      (SparkEntry.queries ++ SparkEntry.benchOnly).keys.toSeq.sorted
+        .foreach(println)
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
