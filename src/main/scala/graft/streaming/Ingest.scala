@@ -543,6 +543,39 @@ object Ingest {
     }
   }
 
+  /** Pin an eval/benchmark set's winnow fingerprints for the
+    * streaming decontamination gate: (bench_id, fp) parquet at
+    * `evalFpDir`. The set is derived ONCE, ahead of ingestion, from
+    * the (doc_id, text) projection of the eval docs — eval sets are
+    * benchmark-sized by construction, so [[gateBatch]] broadcasts the
+    * whole file per trigger. */
+  def writeEvalFps(evalDocs: DataFrame, evalFpDir: String): Unit =
+    graft.operators.Dedup.winnowFps(
+        evalDocs.select(col("doc_id"), col("text")))
+      .select(col("doc_id").as("bench_id"), col("fp"))
+      .write.mode(SaveMode.Overwrite).parquet(evalFpDir)
+
+  /** The per-trigger decontamination drop set — the streaming face of
+    * batch d08/c07 compliance: doc_ids of `keptFps` sharing >=
+    * `minShared` winnow fingerprints with any pinned eval doc
+    * ([[writeEvalFps]]). The eval side is broadcast (small by
+    * construction) and the probe rides the batch's cached fp frame —
+    * NO state scan, NO state-side shuffle; the only exchange is the
+    * pair aggregation of the matched (micro-batch-sized) subset. No
+    * df cap is applied: the join fanout is bounded by the eval set's
+    * size, not the corpus df. Exposed separately from [[gateBatch]]
+    * so the plan shape is assertable in specs. */
+  def evalGateDrops(keptFps: DataFrame, evalFpDir: String,
+      minShared: Int = graft.operators.Dedup.WinnowMinShared): DataFrame = {
+    val evalFps = keptFps.sparkSession.read.parquet(evalFpDir)
+    keptFps
+      .join(broadcast(evalFps.select(col("bench_id"), col("fp"))), Seq("fp"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("doc_id")).distinct()
+  }
+
   /** The cross-batch drop set for one micro-batch: doc_ids of
     * `keptFps` (the batch survivors' (doc_id, fp) fingerprints)
     * sharing >= `minShared` non-hot fingerprints with any accepted
@@ -647,7 +680,8 @@ object Ingest {
     * count and could inflate it past minShared. */
   def gateBatch(batch: DataFrame, batchId: Long, docsDir: String,
       fpDir: String, minShared: Int = graft.operators.Dedup.WinnowMinShared,
-      maxDf: Option[Int] = Some(graft.operators.Dedup.DefaultMaxDf)): Long = {
+      maxDf: Option[Int] = Some(graft.operators.Dedup.DefaultMaxDf),
+      evalFpDir: Option[String] = None): Long = {
     import graft.operators.Dedup
     // "batch" is this sink's partition-directory column; an input
     // column of the same name would silently shadow the corpus-view
@@ -689,13 +723,22 @@ object Ingest {
       // not its own previous output.
       val crossDrops = crossGateDrops(keptFps, fpDir, batchId,
         batch.schema("doc_id").dataType, minShared, maxDf)
-      val survivors = crossDrops.fold(kept)(d =>
+      // 2b. OPTIONAL streaming decontamination against the pinned
+      // eval set — the same compliance the batch chain (d08/c07)
+      // enforces, applied at ingest so a contaminated doc never
+      // reaches the corpus, its fingerprint state, or the census
+      val evalDrops = evalFpDir.map(d =>
+        evalGateDrops(keptFps, d, minShared))
+      val extDrops = (crossDrops.toSeq ++ evalDrops.toSeq)
+        .reduceOption(_ unionByName _)
+        .map(_.distinct().transform(graft.CacheRegistry.register))
+      val survivors = extDrops.fold(kept)(d =>
           kept.join(d, Seq("doc_id"), "left_anti"))
         .transform(graft.CacheRegistry.register)
       // 3. idempotent per-batch writes: overwrite, never append
       survivors.write.mode(SaveMode.Overwrite)
         .parquet(s"$docsDir/batch=$batchId")
-      val survFps = crossDrops.fold(keptFps)(d =>
+      val survFps = extDrops.fold(keptFps)(d =>
           keptFps.join(d, Seq("doc_id"), "left_anti"))
         .transform(graft.CacheRegistry.register)
       // repartition on the bucket BEFORE the dynamic-partition write:
@@ -888,7 +931,8 @@ object Ingest {
       schema: StructType, docsDir: String, fpDir: String,
       checkpointDir: String,
       minShared: Int = graft.operators.Dedup.WinnowMinShared,
-      maxDf: Option[Int] = Some(graft.operators.Dedup.DefaultMaxDf)): StreamingQuery = {
+      maxDf: Option[Int] = Some(graft.operators.Dedup.DefaultMaxDf),
+      evalFpDir: Option[String] = None): StreamingQuery = {
     // start/resume-time fold recovery: if the last maintenance pass
     // crashed mid-fold, roll its swaps forward and drop covered
     // originals BEFORE any trigger runs — the gate's own stale
@@ -900,7 +944,8 @@ object Ingest {
     spark.readStream.schema(schema).json(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        gateBatch(batch, batchId, docsDir, fpDir, minShared, maxDf); ()
+        gateBatch(batch, batchId, docsDir, fpDir, minShared, maxDf,
+          evalFpDir); ()
       }
       .option("checkpointLocation", checkpointDir)
       .start()

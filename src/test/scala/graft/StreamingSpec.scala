@@ -829,4 +829,86 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("near-dup gate: pinned eval decontamination rejects overlapping docs at ingest") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-evalgate").toString
+    val docsDir = s"$root/docs"; val fpDir = s"$root/fp"
+    val evalDir = s"$root/evalfp"
+    val evalText = "the committee convened beneath seventeen flickering " +
+      "lanterns to debate the migratory patterns of unusually punctual " +
+      "storks across three disputed mountain provinces"
+    // pin the eval set ONCE, ahead of ingestion (c07's eval side)
+    streaming.Ingest.writeEvalFps(
+      Seq(9001L -> evalText).toDF("doc_id", "text"), evalDir)
+
+    // batch 0: one doc contaminated against the eval set (suffix
+    // edit — contiguous winnow overlap), two clean docs
+    val b0 = Seq(
+      10L -> s"$evalText indeed",
+      11L -> ("inventory of copper kettles and their tin linings " +
+        "catalogued by a meticulous harbor customs clerk in autumn"),
+      12L -> ("field notes on the acoustics of limestone caverns " +
+        "recorded during four consecutive winter expeditions"))
+      .toDF("doc_id", "text")
+    val n = streaming.Ingest.gateBatch(b0, 0L, docsDir, fpDir,
+      evalFpDir = Some(evalDir))
+    assert(n == 2L, s"expected 2 survivors, got $n")
+    val accepted = spark.read.parquet(docsDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(accepted == Set(11L, 12L), "eval-overlapping doc not rejected")
+    // the contaminated doc reached NEITHER the corpus nor its
+    // fingerprint state nor the census (state is compliance-clean)
+    assert(spark.read.parquet(fpDir).select("doc_id").as[Long]
+      .collect().toSet == Set(11L, 12L),
+      "contaminated doc's fingerprints leaked into gate state")
+
+    // the decontamination probe's plan: eval side broadcast, no scan
+    // of the fingerprint STATE, and no exchange between the batch's
+    // fp frame and the join (the only shuffle is the tiny pair
+    // aggregation). The fp frame is CACHED here exactly as gateBatch
+    // caches it per trigger — its internal winnow-window shuffle is
+    // paid once for the whole trigger, not by this probe.
+    val keptFps = operators.Dedup
+      .winnowFps(b0.select(col("doc_id"), col("text"))).cache()
+    keptFps.count()
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val drops = streaming.Ingest.evalGateDrops(keptFps, evalDir)
+      assert(drops.as[Long].collect().toSeq == Seq(10L))
+      val plan = drops.queryExecution.executedPlan
+      val bhj = plan.collectFirst { case b: BroadcastHashJoinExec => b }
+      assert(bhj.isDefined, "eval probe is not a broadcast hash join")
+      assert(!plan.collect { case s: FileSourceScanExec => s }
+        .exists(_.relation.location.rootPaths.exists(_.toString.contains("/fp"))),
+        "eval probe scanned the fingerprint state")
+      assert(bhj.get.children.forall(
+        _.collect { case e: ShuffleExchangeExec => e }.isEmpty),
+        s"probe join has a shuffle below it:\n${bhj.get}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      keptFps.unpersist(blocking = true)
+    }
+
+    // a later batch is gated against BOTH the corpus state and the
+    // eval set: a near-dup of an accepted doc AND a fresh
+    // eval-contaminated doc are each dropped; a clean doc passes
+    val b1 = Seq(
+      20L -> s"$evalText as recorded later",
+      21L -> ("inventory of copper kettles and their tin linings " +
+        "catalogued by a meticulous harbor customs clerk in autumn revised"),
+      22L -> ("recipe archive describing fermentation schedules for " +
+        "nine heritage barley strains across coastal microclimates"))
+      .toDF("doc_id", "text")
+    val n1 = streaming.Ingest.gateBatch(b1, 1L, docsDir, fpDir,
+      evalFpDir = Some(evalDir))
+    assert(n1 == 1L, s"expected 1 survivor of batch 1, got $n1")
+    assert(spark.read.parquet(docsDir).select("doc_id").as[Long]
+      .collect().toSet == Set(11L, 12L, 22L))
+    CacheRegistry.unpersistAll()
+  }
 }
