@@ -48,14 +48,18 @@ class FoldLatticeSpec extends SparkSpec {
     "fold" -> 0, "crashTmp" -> 0, "crashTrash" -> 0, "staleSrc" -> 0)
 
   test("fold lattice invariants hold under random op/crash interleavings") {
-    (1 to 8).foreach(runScenario)
+    // both fold layouts: flat (docs root) and fpb-partitioned (fp
+    // state root — the branch that repartitions on the bucket and
+    // preserves fpb= children through the fold)
+    (1 to 4).foreach(runScenario(_, fpbPartitioned = false))
+    (5 to 8).foreach(runScenario(_, fpbPartitioned = true))
     fired.foreach { case (k, n) =>
       assert(n > 0, s"injection '$k' never fired — property is vacuous " +
         s"for it (fired=$fired); retune seeds or frequencies")
     }
   }
 
-  private def runScenario(seed: Int): Unit = {
+  private def runScenario(seed: Int, fpbPartitioned: Boolean): Unit = {
     val ops = opsGen.pureApply(Gen.Parameters.default, rng.Seed(seed.toLong))
     val root = java.nio.file.Files
       .createTempDirectory(s"graft-foldprop$seed").toString
@@ -96,8 +100,13 @@ class FoldLatticeSpec extends SparkSpec {
     ops.foreach {
       case Add(n) =>
         val rows = (0 until n).map(_ => { val d = nextDoc; nextDoc += 1; d })
-        rows.toDF("doc_id").withColumn("src", lit(nextBatch))
-          .coalesce(1).write.parquet(s"$root/batch=$nextBatch")
+        val df = rows.toDF("doc_id").withColumn("src", lit(nextBatch))
+        if (fpbPartitioned)
+          // the fp-state layout: fpb= children inside each batch dir
+          df.withColumn("fpb", (col("doc_id") % 4).cast("int"))
+            .repartition(col("fpb"))
+            .write.partitionBy("fpb").parquet(s"$root/batch=$nextBatch")
+        else df.coalesce(1).write.parquet(s"$root/batch=$nextBatch")
         expected ++= rows
         nextBatch += 1
 
@@ -116,7 +125,8 @@ class FoldLatticeSpec extends SparkSpec {
           }
         }
         val wrote = streaming.Ingest.foldBatches(spark, root,
-          belowBatch = nextBatch, fpbPartitioned = false, foldGroup = g)
+          belowBatch = nextBatch, fpbPartitioned = fpbPartitioned,
+          foldGroup = g)
         if (wrote.nonEmpty) fired("fold") += 1
 
       case CrashTmp =>
@@ -162,10 +172,15 @@ class FoldLatticeSpec extends SparkSpec {
 
     streaming.Ingest.recoverFolds(spark, root)
 
-    // coverage exactness: every ingested doc, exactly once
+    // coverage exactness: every ingested doc, exactly once (and, for
+    // the fpb layout, still under its correct bucket child)
     if (expected.nonEmpty) {
       val got = spark.read.parquet(root)
         .select("doc_id").as[Long].collect().toSeq
+      if (fpbPartitioned)
+        assert(spark.read.parquet(root)
+          .filter(col("fpb") =!= (col("doc_id") % 4)).isEmpty,
+          ctx("fold scrambled fpb bucket assignment"))
       assert(got.size == expected.size,
         ctx(s"read ${got.size} rows, ingested ${expected.size}"))
       assert(got.toSet == expected, ctx("coverage mismatch"))
