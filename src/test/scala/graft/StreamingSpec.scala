@@ -909,6 +909,31 @@ class StreamingSpec extends SparkSpec {
     assert(n1 == 1L, s"expected 1 survivor of batch 1, got $n1")
     assert(spark.read.parquet(docsDir).select("doc_id").as[Long]
       .collect().toSet == Set(11L, 12L, 22L))
+
+    // the STREAM-level wiring: resumeNearDupGated passes evalFpDir
+    // through to every trigger (a dropped pass-through would silently
+    // disable compliance on the advertised entry point)
+    val sroot = java.nio.file.Files
+      .createTempDirectory("graft-evalgate-stream").toString
+    val inDir = s"$sroot/in"; new java.io.File(inDir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$inDir/b0.json"),
+      Seq(
+        s"""{"doc_id":30,"text":"$evalText with a coda"}""",
+        """{"doc_id":31,"text":"survey of rooftop rainwater cisterns painted with cobalt glaze patterns unique to the terraced quarter"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = streaming.Ingest.resumeNearDupGated(spark, inDir, schema,
+      s"$sroot/docs", s"$sroot/fp", s"$sroot/ck",
+      evalFpDir = Some(evalDir))
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(s"$sroot/docs").select("doc_id").as[Long]
+      .collect().toSet == Set(31L),
+      "stream entry point did not enforce eval decontamination")
     CacheRegistry.unpersistAll()
   }
 }
