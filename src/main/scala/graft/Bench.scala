@@ -2,8 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
-    // face-name listing for tools/bench_isolated.sh (no session spin-up)
-    if (sys.env.contains("SPARK_GRAFT_LIST")) {
+    // face-name listing for tools/bench_isolated.sh (no session spin-up);
+    // value-gated like SPARK_GRAFT_ONLY — empty or "0" means off, so an
+    // exported-but-disabled variable can't silently turn a bench run
+    // into a listing
+    if (sys.env.get("SPARK_GRAFT_LIST").exists(v => v.nonEmpty && v != "0")) {
       (SparkEntry.queries ++ SparkEntry.benchOnly).keys.toSeq.sorted
         .foreach(println)
       return
@@ -29,7 +32,20 @@ object Bench {
     // ~3.5 s steady-state, f05 8 s vs ~1.3 s — per-query numbers were
     // JIT-attribution noise, not throughput.
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Untimed warm scan of every REAL sf table (~17 MB at sf0.1): the
+    // first timed face otherwise absorbs cold page-cache IO for its
+    // tables — on a churned driver host that read as a 4x inflation of
+    // the head face (r12: c01 18.2 s driver vs 4.4 s idle full-run,
+    // with the oracle gate run minutes earlier evicting the cache).
+    // A count() drives a full-file read of every column-chunk's pages
+    // cheaply; correctness of the timed numbers is unchanged (faces
+    // are timed against warm storage either way on a healthy host).
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").foreach(_ => ())
+    }
+    // events has its own loader (nanos/NTZ normalization)
+    Tables.events(spark, sfDir).foreach(_ => ())
     locally {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
@@ -97,22 +113,29 @@ object Bench {
       // trigger cost is st02's measurement, not st03's); boundary
       // hygiene after so the timed face starts from the same clean
       // state a setup-less face does
-      SparkEntry.benchSetup.get(name).foreach { setup =>
-        try setup(spark, sfDir) catch {
+      val setupOk = SparkEntry.benchSetup.get(name).forall { setup =>
+        val ok = try { setup(spark, sfDir); true } catch {
           case t: Throwable =>
-            System.err.println(s"[bench] $name setup FAILED: ${t.getMessage}")
+            // tag the failure as setup-originated and SKIP timing: a
+            // face timed against missing/partial state would report a
+            // -1 indistinguishable from a query failure (or worse, a
+            // bogus fast number)
+            System.err.println(
+              s"[bench] $name setup FAILED (face skipped): ${t.getMessage}")
+            false
         }
         CacheRegistry.unpersistAll()
         System.gc()
+        ok
       }
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE in the output (value -1), never
       // reported as its time-to-throw — that reads as a perf win
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = setupOk && (try { fn(spark, sfDir).count(); true } catch {
         case t: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
           false
-      }
+      })
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // Per-query boundary hygiene: drop every library-registered cache
       // pin (blocking) and nudge the ContextCleaner (localCheckpoint

@@ -64,7 +64,12 @@ object SparkEntry {
     // pass, so a regression in either was unattributable. Both faces
     // measure per-trigger/per-pass LATENCY (a dozen small jobs), not
     // throughput — round-over-round regression signals for the gate's
-    // fixed costs. Their sum covers exactly what the old st02 did.
+    // fixed costs. Their sum approximately covers what the old st02
+    // did, but not exactly: the old face ran maintain(belowBatch=1)
+    // BETWEEN the two triggers, so its second trigger probed compacted
+    // batch-0 state, while st02's second trigger now probes the
+    // uncompacted layout — read round-over-round deltas against r11's
+    // bundled number accordingly.
     //
     // st02_gate_trigger: the documents table ingested as 2
     // micro-batches through gateBatch — within-batch pair drop, then

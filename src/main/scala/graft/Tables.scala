@@ -38,8 +38,15 @@ object Tables {
     // SESSION timezone; every graft entry point pins UTC, but an
     // external caller that doesn't would silently shift every
     // NTZ-sourced timestamp by the host offset. Fail fast instead.
-    require(s.conf.get("spark.sql.session.timeZone") == "UTC",
-      "Tables.events requires spark.sql.session.timeZone=UTC " +
+    // Semantically-UTC aliases ("Etc/UTC", "GMT", "+00:00", "Z") are
+    // accepted via ZoneId normalization — only a zone that would
+    // actually shift the micros is rejected.
+    val zone = s.conf.get("spark.sql.session.timeZone")
+    val normalized =
+      try Some(java.time.ZoneId.of(zone).normalized())
+      catch { case _: java.time.DateTimeException => None }
+    require(normalized.contains(java.time.ZoneOffset.UTC),
+      s"Tables.events requires a UTC session timeZone, got '$zone' " +
         "(the NTZ branch reinterprets naive micros as epoch micros; " +
         "any other session zone silently shifts them)")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

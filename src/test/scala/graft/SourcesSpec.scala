@@ -268,4 +268,14 @@ class SourcesSpec extends SparkSpec {
       Tables.events(spark, sf("sf0.001"))
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
+
+  test("events accepts semantically-UTC session zone aliases") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try Seq("Etc/UTC", "GMT", "+00:00", "Z").foreach { z =>
+      spark.conf.set("spark.sql.session.timeZone", z)
+      // same value-pinned read as the UTC case: no shift under aliases
+      assert(Tables.events(spark, sf("sf0.001")).limit(1).count() == 1L,
+        s"alias $z rejected or unreadable")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }

@@ -16,17 +16,39 @@ Exit 1 if any ceiling is exceeded.
 import json
 import sys
 
-# face -> ceiling seconds. ~1.3x of the r12 steady-state full-run
-# band: catches the r10-scale f19 inflation (2.4-2.5 s) while leaving
+# face -> ceiling seconds. ~1.3-1.4x of the r12 steady-state full-run
+# band (SURVEY §7 pinned bands): catches the r10-scale f19 inflation
+# (2.4-2.5 s) and any doc-family structural regression while leaving
 # room for ordinary run-to-run variance.
 CEILINGS = {
-    "f19_risk_heatmap": 2.2,      # steady ~1.7 s (r9 1.34, r12 1.70)
+    "f19_risk_heatmap": 2.2,       # steady ~1.7 s (r9 1.34, r12 1.70)
     "f20_risk_distribution": 1.5,  # steady ~0.9-1.1 s
+    "c01_corpus_clean": 6.0,       # steady ~4.4-4.8 s (r12 full-run 4.44)
+    "f17_stats_merge": 3.0,        # steady ~2.2 s (r12 full-run 2.20)
+    "d06_dedup_clusters": 6.5,     # steady ~4.7 s (r12 full-run 4.70)
+    "d08_decontaminate": 2.5,      # steady ~1.8 s (r12 full-run 1.77)
+}
+
+# (numerator face, denominator face) -> required min ratio. The d09
+# pair is the df-cap-binding demonstration: exhaustive must pay >= 2x
+# the capped cost or the cap has stopped binding (r12 driver 3.05x,
+# r12 local full-run 3.4x). Enforced mechanically here instead of by
+# judge eyeballs (r12 verdict item 2).
+RATIO_FLOORS = {
+    ("d09_boilerplate", "d09_boilerplate_capped"): 2.0,
 }
 
 def main() -> int:
     path = sys.argv[1] if len(sys.argv) > 1 else "target/bench.json"
-    queries = json.load(open(path))["queries"]
+    dump = json.load(open(path))
+    if "sf0.1" not in dump.get("sf", ""):
+        # ceilings AND the d09 ratio are calibrated at sf0.1 (at sf0.01
+        # the boilerplate corpus is too small for the quadratic join to
+        # bind, so the ratio reads <1 and would false-alarm)
+        print(f"SKIP all: {path} is sf={dump.get('sf')!r}, guard bands "
+              "are calibrated for a full sf0.1 run")
+        return 0
+    queries = dump["queries"]
     bad = []
     for face, ceiling in CEILINGS.items():
         got = queries.get(face)
@@ -37,6 +59,16 @@ def main() -> int:
             print(f"FAIL {face}: {got:.2f} s > ceiling {ceiling} s")
         else:
             print(f"ok   {face}: {got:.2f} s <= {ceiling} s")
+    for (num, den), floor in RATIO_FLOORS.items():
+        n, d = queries.get(num), queries.get(den)
+        if n is None or d is None:
+            print(f"SKIP {num}/{den}: missing from {path}")
+        elif n < 0 or d <= 0 or n / d < floor:
+            bad.append((f"{num}/{den}", n, d))
+            print(f"FAIL {num}/{den}: {n:.2f}/{d:.2f} = "
+                  f"{(n / d if d > 0 else float('nan')):.2f}x < floor {floor}x")
+        else:
+            print(f"ok   {num}/{den}: {n / d:.2f}x >= {floor}x")
     return 1 if bad else 0
 
 if __name__ == "__main__":

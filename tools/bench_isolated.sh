@@ -43,9 +43,13 @@ TMP=$(mktemp)
 echo "{}" > "$TMP"
 for f in "${FACES[@]}"; do
   t0=$(date +%s)
+  # Bench tolerates a failed bench.json write (exit 0) — delete the
+  # previous face's file first and fall back to -1 if extraction fails,
+  # so a stale value can never be recorded under the wrong face
+  rm -f target/bench.json
   if SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" SPARK_GRAFT_ONLY="$f" \
       "${JAVA_CMD[@]}" graft.Bench >/dev/null 2>&1; then
-    sec=$(python3 -c "import json;print(json.load(open('target/bench.json'))['queries']['$f'])")
+    sec=$(python3 -c "import json;print(json.load(open('target/bench.json'))['queries']['$f'])") || sec=-1
   else
     sec=-1
   fi
