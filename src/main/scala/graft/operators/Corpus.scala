@@ -27,10 +27,150 @@ object Corpus {
 
   val MinQuality = 0.30
 
+  // ---------------------------------------------------------------
+  // c08: line-level boilerplate removal — the RefinedWeb/CCNet-style
+  // pass d09 motivates but nothing previously REMOVED: d02/d09 find
+  // template-heavy near-DUPLICATE DOCS, while the shared template
+  // lines themselves (headers/footers/nav text repeated across many
+  // docs) stay in every survivor's text. stripBoilerplate drops the
+  // lines, not the docs: explode docs to lines, census line document-
+  // frequency, drop lines appearing in more than MaxLineDf distinct
+  // docs, reassemble each doc's surviving lines in original order.
+  //
+  // Scale shape (100 TB): the census is ONE shuffle on the line string
+  // with partial aggregation (distinct lines compress per partition —
+  // boilerplate is by definition massively repeated, so the map-side
+  // combine does most of the work); the hot set (lines with df >
+  // MaxLineDf) is small by construction — bounded by total_lines /
+  // MaxLineDf distinct values and in practice a handful of template
+  // strings — so AQE turns the anti-join into a broadcast; reassembly
+  // is one doc_id shuffle. The exploded lines frame is deliberately
+  // NOT cached (two source scans instead): a text-bearing cache is a
+  // memory hazard at corpus scale — the same rationale as clean()'s
+  // slim scored cache.
+  // ---------------------------------------------------------------
+
+  /** A line is boilerplate when it appears in more than this many
+    * distinct docs. Absolute-df convention (RefinedWeb-style); tune
+    * per corpus scale. */
+  val MaxLineDf = 10
+
+  /** Tokens per body line in the planted test corpus. */
+  val LineTokens = 8
+
+  // Planted lines for the c08 face: the documents table is single-line
+  // by construction, so the face derives a deterministic line-
+  // structured corpus (the d09 pattern applied at line level). The
+  // header is on EVERY doc (df = corpus size), the promo on every 3rd
+  // (df ~ n/3 — boilerplate at any tested sf), the rare notice on
+  // every 100th (df = 5 at sf0.01 — under MaxLineDf, must survive).
+  private[graft] val HeaderLine =
+    "graft header line shared across every document in this corpus"
+  private[graft] val PromoLine =
+    "promotional banner planted on every third document"
+  private[graft] val RareLine =
+    "rare archival notice shared by a handful of documents"
+
+  /** Column expr: single-line `text` re-chunked into
+    * `lineTokens`-token lines joined by \n — the line-structured view
+    * of a token stream. */
+  private def chunkedBody(lineTokens: Int): org.apache.spark.sql.Column = {
+    val w = split(col("text"), " ")
+    val nLines = greatest(ceil(size(w) / lit(lineTokens.toDouble)), lit(1))
+      .cast("int")
+    array_join(
+      transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(w, i * lineTokens + 1, lit(lineTokens)), " ")),
+      "\n")
+  }
+
+  /** Single-line corpus → line-structured corpus (token-chunked body,
+    * no planting) — turns e.g. the d09 boilerplate corpus's leading
+    * template block into repeated whole lines stripBoilerplate can
+    * census. */
+  def chunkLines(docs: DataFrame, lineTokens: Int = LineTokens): DataFrame =
+    docs.select(col("doc_id"), chunkedBody(lineTokens).as("text"))
+
+  /** Deterministic line-structured derivation of a single-line corpus:
+    * body split into [[LineTokens]]-token lines (per-doc unique except
+    * exact-dup docs), header/promo/rare lines planted by doc_id. */
+  def plantedLineCorpus(docs: DataFrame): DataFrame =
+    // concat_ws skips NULL args in both engines, so the conditional
+    // lines drop out of non-matching docs without an empty-line gap
+    docs.select(col("doc_id"),
+      concat_ws("\n",
+        lit(HeaderLine),
+        when(col("doc_id") % 3 === 0, PromoLine),
+        chunkedBody(LineTokens),
+        when(col("doc_id") % 100 === 0, RareLine)).as("text"))
+
+  /** Line-level boilerplate removal over any (doc_id, text) frame.
+    * Returns (doc_id, clean_text, n_kept); a doc whose every line was
+    * boilerplate disappears (nothing left to train on). Blank lines
+    * are structure, not content: excluded from the census (so they
+    * can never be "boilerplate") and always kept. */
+  def stripBoilerplate(docs: DataFrame,
+      maxLineDf: Int = MaxLineDf): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val hot = lines
+      .filter(trim(col("line")) =!= "")
+      .groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+      .filter(col("line_df") > maxLineDf)
+      .select(col("line"))
+    val kept = lines.join(hot, Seq("line"), "left_anti")
+    kept.groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
+  def c08(s: SparkSession, dir: String): DataFrame =
+    stripBoilerplate(plantedLineCorpus(Tables.documents(s, dir)))
+
+  val c08Sql: String =
+    raw"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       lc AS (SELECT doc_id, concat_ws(chr(10),
+               '$HeaderLine',
+               CASE WHEN doc_id % 3 = 0 THEN '$PromoLine' END,
+               array_to_string(list_transform(
+                 generate_series(0, greatest(CAST(ceil(len(w)/$LineTokens.0) AS INT), 1)-1),
+                 i -> array_to_string(w[i*$LineTokens+1 : i*$LineTokens+$LineTokens], ' ')), chr(10)),
+               CASE WHEN doc_id % 100 = 0 THEN '$RareLine' END) AS text
+             FROM base),
+       lines AS (SELECT doc_id, i-1 AS pos, ln[i] AS line FROM
+                 (SELECT doc_id, string_split(text, chr(10)) AS ln FROM lc),
+                 LATERAL (SELECT unnest(generate_series(1, len(ln))) AS i)),
+       census AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM lines
+                  WHERE trim(line) <> '' GROUP BY 1),
+       hot AS (SELECT line FROM census WHERE line_df > $MaxLineDf),
+       kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot))
+       SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+              CAST(count(*) AS BIGINT) AS n_kept
+       FROM kept GROUP BY doc_id"""
+
   /** Survivors of the cleaning cascade: (doc_id, pred_lang, quality).
-    * `docs` needs (doc_id, text). */
+    * `docs` needs (doc_id, text). `stripLineDf`: when set, run
+    * [[stripBoilerplate]] at that df threshold BEFORE the gates, so
+    * language/quality scoring, dedup fingerprints and near-dup pairing
+    * all see boilerplate-free text (shared template lines otherwise
+    * drag every doc's shingle sets toward each other — the d09
+    * failure shape). */
   def clean(docs: DataFrame,
-      maxDf: Option[Int] = Some(Dedup.DefaultMaxDf)): DataFrame = {
+      maxDf: Option[Int] = Some(Dedup.DefaultMaxDf),
+      stripLineDf: Option[Int] = None): DataFrame = {
+    val input = stripLineDf match {
+      case Some(k) => stripBoilerplate(docs, k)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      case None => docs
+    }
+    cleanImpl(input, maxDf)
+  }
+
+  private def cleanImpl(docs: DataFrame, maxDf: Option[Int]): DataFrame = {
     // Cache the SLIM scored state (3 narrow columns, never text)
     // BEFORE the gate filter: a trailing filter on computed columns
     // substitutes the whole scoring tree into the Filter (the §5
@@ -102,8 +242,10 @@ object Corpus {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c01_corpus_clean" -> (c01 _))
+    "c01_corpus_clean" -> (c01 _),
+    "c08_strip_boilerplate" -> (c08 _))
 
   val oracles: Map[String, String] = Map(
-    "c01_corpus_clean" -> c01Sql)
+    "c01_corpus_clean" -> c01Sql,
+    "c08_strip_boilerplate" -> c08Sql)
 }

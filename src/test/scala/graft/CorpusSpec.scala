@@ -46,4 +46,94 @@ class CorpusSpec extends SparkSpec {
       assert(a == b)
     } finally CacheRegistry.unpersistAll()
   }
+
+  // ---- c08 stripBoilerplate -------------------------------------
+
+  test("c08: planted header/promo stripped, rare line kept, order preserved") {
+    val docs = Tables.documents(spark, sf())
+    val original = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    val out = Corpus.stripBoilerplate(Corpus.plantedLineCorpus(docs))
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out.size == original.size, "no doc should vanish (bodies are unique)")
+    out.values.foreach { t =>
+      assert(!t.contains(Corpus.HeaderLine) && !t.contains(Corpus.PromoLine))
+    }
+    // rare line (df = 5 at this sf, under MaxLineDf) survives, and only
+    // on its planted docs — as the LAST line (order preserved)
+    out.foreach { case (id, t) =>
+      if (id % 100 == 0) assert(t.linesIterator.toSeq.last == Corpus.RareLine)
+      else assert(!t.contains(Corpus.RareLine))
+    }
+    // body lines reassemble the original token stream in order: for a
+    // doc with no planted rare line, clean_text re-flattened on
+    // whitespace IS the original text
+    out.filter(_._1 % 100 != 0).foreach { case (id, t) =>
+      assert(t.replace('\n', ' ') == original(id),
+        s"doc $id body not reassembled in original order")
+    }
+  }
+
+  test("c08: blank lines kept + never census'd; all-boilerplate docs vanish") {
+    val shared = "shared footer boilerplate line"
+    val docs = ((1L to 12L).map(i => (i, s"$shared\n\nunique body $i")) :+
+      (99L, shared)).toDF("doc_id", "text")
+    val out = Corpus.stripBoilerplate(docs) // shared df = 13 > 10
+      .select("doc_id", "clean_text", "n_kept").as[(Long, String, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!out.contains(99L), "doc of pure boilerplate should vanish")
+    (1L to 12L).foreach { i =>
+      assert(out(i) == (s"\nunique body $i", 2L),
+        s"doc $i: blank line must survive the census, body must remain")
+    }
+  }
+
+  test("c08 x d09: template lines stripped, planted near-dups still found") {
+    // bodyTokens=30 is the d09 spec's regime where template-only pairs
+    // sit ABOVE the Jaccard threshold: without stripping, unrelated
+    // docs read as near-dups; after stripping, only the planted
+    // suffix-edit pairs remain — the results-level case for running
+    // c08 BEFORE dedup (at the bench's bodyTokens=100 the template
+    // costs quadratic join time instead of precision).
+    val bp = Dedup.boilerplateCorpus(
+      Tables.documents(spark, sf()), nDocs = 60, bodyTokens = 30)
+    try {
+      val plantedPairs = Set((0L, Dedup.BoilerplateIdOffset),
+        (50L, 50L + Dedup.BoilerplateIdOffset))
+      val unstripped = Dedup.jaccardPairs(bp, maxDf = None)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(plantedPairs.subsetOf(unstripped) && unstripped.size > plantedPairs.size,
+        s"template-only pairs should pollute the unstripped result, got $unstripped")
+
+      val stripped = Corpus.stripBoilerplate(Corpus.chunkLines(bp))
+      val texts = stripped.select("doc_id", "clean_text")
+        .as[(Long, String)].collect().toMap
+      assert(texts.size == 62, "every doc must survive (unique bodies)")
+      texts.values.foreach(t => assert(!t.contains("subscribe to our newsletter"),
+        "template opening must be stripped"))
+      val after = Dedup.jaccardPairs(
+        stripped.select(col("doc_id"), col("clean_text").as("text")),
+        maxDf = None)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(after == plantedPairs,
+        s"only planted pairs should remain after stripping, got $after")
+    } finally CacheRegistry.unpersistAll()
+  }
+
+  test("c08 -> clean integration: strip-first equals clean on template-free text") {
+    // one-line bodies + a universal template line: stripping removes
+    // exactly the template, so the cascade must see the ORIGINAL text
+    // verbatim and produce the identical survivor rows
+    val docs = Tables.documents(spark, sf())
+    val templated = docs.select(col("doc_id"),
+      concat(lit(Corpus.HeaderLine), lit("\n"), col("text")).as("text"))
+    try {
+      val viaStrip = Corpus.clean(templated, maxDf = None,
+        stripLineDf = Some(Corpus.MaxLineDf))
+        .as[(Long, String, Double)].collect().toSet
+      val direct = Corpus.clean(docs, maxDf = None)
+        .as[(Long, String, Double)].collect().toSet
+      assert(viaStrip == direct)
+    } finally CacheRegistry.unpersistAll()
+  }
 }

@@ -55,6 +55,17 @@ class PlanSpec extends SparkSpec {
     assert(pq.contains("WindowGroupLimit"), "ADC top-R not pushed down")
   }
 
+  test("c08: hot-line set broadcast into the anti-join, bounded exchanges") {
+    val p = plan("c08_strip_boilerplate")
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      "boilerplate-line removal must broadcast the hot set, not shuffle the corpus")
+    assert(!p.contains("SortMergeJoin"), "line anti-join fell back to shuffle join")
+    // census (2-phase distinct agg) + reassembly: <= 3 data exchanges
+    val exchanges = "(?<!Broadcast)Exchange hashpartitioning".r
+      .findAllIn(p).size
+    assert(exchanges <= 3, s"c08 plan grew to $exchanges exchanges:\n$p")
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))
