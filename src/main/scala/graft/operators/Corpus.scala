@@ -158,15 +158,25 @@ object Corpus {
     * language/quality scoring, dedup fingerprints and near-dup pairing
     * all see boilerplate-free text (shared template lines otherwise
     * drag every doc's shingle sets toward each other — the d09
-    * failure shape). */
+    * failure shape). `repetitionGate`: drop docs TextOps.
+    * repetitionMetrics flags as repetitive BEFORE the cascade — the
+    * phrase-repeat degenerates t02's score cannot see (they read as
+    * long, punctuation-free, stopword-bearing = HIGH). */
   def clean(docs: DataFrame,
       maxDf: Option[Int] = Some(Dedup.DefaultMaxDf),
-      stripLineDf: Option[Int] = None): DataFrame = {
-    val input = stripLineDf match {
+      stripLineDf: Option[Int] = None,
+      repetitionGate: Boolean = false): DataFrame = {
+    val stripped = stripLineDf match {
       case Some(k) => stripBoilerplate(docs, k)
         .select(col("doc_id"), col("clean_text").as("text"))
       case None => docs
     }
+    val input =
+      if (!repetitionGate) stripped
+      else stripped.join(
+        TextOps.repetitionMetrics(stripped)
+          .filter(col("repetitive") === 1L).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
     cleanImpl(input, maxDf)
   }
 

@@ -119,15 +119,138 @@ object TextOps {
   val t04Sql: String =
     s"SELECT doc_id, $sqlFingerprint AS fp, n_chars FROM documents"
 
+  // ---------------------------------------------------------------
+  // t05: repetition-based quality signals — the Gopher-style (Rae et
+  // al. 2021) repetition filters a production corpus is actually
+  // gated on, which t02's length/punct/stopword score cannot see: a
+  // doc that is one phrase repeated 40x reads as HIGH quality to t02
+  // (long, punctuation-free, stopword-bearing) while being training
+  // poison. Three signals, all token-level and engine-portable:
+  //   top1_frac — share of tokens taken by the most frequent token;
+  //   top2_frac — share of tokens covered by the most frequent
+  //               bigram (2 x count / ntok, capped at 1; overlapping
+  //               occurrences counted — a cheap upper bound);
+  //   dup3_frac — fraction of trigram occurrences whose trigram
+  //               appears more than once in the doc.
+  // A doc is flagged `repetitive` when the top bigram repeats (count
+  // >= 2) and covers >= MinTop2Frac, or dup3_frac >= MinDup3Frac.
+  // Thresholds calibrated on the documents corpus: natural docs top
+  // out at top2 0.31 / dup3 0.042, while a phrase-repeat doc sits at
+  // 0.40 / 1.0 — clean separation, zero natural false positives.
+  //
+  // Scale: one narrow gram-explode (~3 struct rows per token), a
+  // (doc_id, sz, gram) count with map-side combine (repeated grams —
+  // the thing being measured — compress in the partial agg), then a
+  // per-doc rollup whose shuffle key is a prefix of the first. No
+  // UDFs, no driver involvement.
+  // ---------------------------------------------------------------
+
+  val MinTop2Frac = 0.35
+  val MinDup3Frac = 0.30
+
+  /** Planted degenerate phrase for the t05 face (every 7th doc):
+    * flags via BOTH signals (top2 0.40, dup3 1.0). */
+  private[graft] val RepeatPhrase = "spam offer click here now"
+  private[graft] val RepeatCount = 40
+
+  /** Per-doc repetition metrics over any (doc_id, text) frame:
+    * (doc_id, ntok, top1_frac, top2_frac, dup3_frac, repetitive).
+    * Docs with blank text are dropped (no tokens to measure). */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val emptyGrams = array().cast("array<struct<sz:int,g:string>>")
+    val w = split(trim(col("text")), "\\s+")
+    val uni = transform(w, t => struct(lit(1).as("sz"), t.as("g")))
+    val bi = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1), i =>
+        struct(lit(2).as("sz"),
+          concat_ws(" ", element_at(w, i), element_at(w, i + 1)).as("g"))))
+      .otherwise(emptyGrams)
+    val tri = when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2), i =>
+        struct(lit(3).as("sz"),
+          concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+            element_at(w, i + 2)).as("g"))))
+      .otherwise(emptyGrams)
+    val top2c = coalesce(col("top2c"), lit(0L))
+    val top2Frac = round(least(lit(2.0) * top2c / col("ntok"), lit(1.0)), 6)
+    val dup3Frac = round(
+      coalesce(col("dup3").cast("double") / col("ntri"), lit(0.0)), 6)
+    docs.filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), explode(concat(uni, bi, tri)).as("gr"))
+      .select(col("doc_id"), col("gr.sz").as("sz"), col("gr.g").as("g"))
+      .groupBy(col("doc_id"), col("sz"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("sz") === 1, col("c"))).as("ntok"),
+        max(when(col("sz") === 1, col("c"))).as("top1c"),
+        max(when(col("sz") === 2, col("c"))).as("top2c"),
+        sum(when(col("sz") === 3, col("c"))).as("ntri"),
+        sum(when(col("sz") === 3 && col("c") > 1, col("c"))).as("dup3"))
+      .select(col("doc_id"), col("ntok"),
+        round(col("top1c").cast("double") / col("ntok"), 6).as("top1_frac"),
+        top2Frac.as("top2_frac"),
+        dup3Frac.as("dup3_frac"),
+        when(top2c >= 2 && top2Frac >= MinTop2Frac, 1L)
+          .when(dup3Frac >= MinDup3Frac, 1L).otherwise(0L).as("repetitive"))
+  }
+
+  /** Face corpus: every 7th doc degenerates to [[RepeatPhrase]]
+    * repeated [[RepeatCount]] times — t02 scores it acceptable, t05
+    * must flag it; the other docs are the natural negatives. */
+  def repetitionCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        rtrim(lit((RepeatPhrase + " ") * RepeatCount))).otherwise(col("text"))
+        .as("text"))
+
+  def t05(s: SparkSession, dir: String): DataFrame =
+    repetitionMetrics(repetitionCorpus(Tables.documents(s, dir)))
+
+  val t05Sql: String =
+    raw"""WITH src AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN rtrim(repeat('$RepeatPhrase ', $RepeatCount))
+                  ELSE text END AS text FROM documents),
+       toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM src WHERE trim(text) <> ''),
+       grams AS (
+         SELECT doc_id, 1 AS sz, w[i] AS g FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)
+         UNION ALL
+         SELECT doc_id, 2, w[i] || ' ' || w[i+1] FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-1, 0))) AS i)
+         UNION ALL
+         SELECT doc_id, 3, w[i] || ' ' || w[i+1] || ' ' || w[i+2] FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS i)),
+       cnt AS (SELECT doc_id, sz, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+       m AS (SELECT doc_id,
+               sum(CASE WHEN sz = 1 THEN c END) AS ntok,
+               max(CASE WHEN sz = 1 THEN c END) AS top1c,
+               max(CASE WHEN sz = 2 THEN c END) AS top2c,
+               sum(CASE WHEN sz = 3 THEN c END) AS ntri,
+               sum(CASE WHEN sz = 3 AND c > 1 THEN c END) AS dup3
+             FROM cnt GROUP BY 1)
+       SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
+         round(CAST(top1c AS DOUBLE)/ntok, 6) AS top1_frac,
+         round(least(2.0*coalesce(top2c, 0)/ntok, 1.0), 6) AS top2_frac,
+         round(coalesce(CAST(dup3 AS DOUBLE)/ntri, 0.0), 6) AS dup3_frac,
+         CAST(CASE WHEN (coalesce(top2c, 0) >= 2
+                         AND round(least(2.0*coalesce(top2c, 0)/ntok, 1.0), 6) >= $MinTop2Frac)
+                     OR round(coalesce(CAST(dup3 AS DOUBLE)/ntri, 0.0), 6) >= $MinDup3Frac
+              THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+       FROM m"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_token_count" -> (t03 _),
-    "t04_fingerprint" -> (t04 _))
+    "t04_fingerprint" -> (t04 _),
+    "t05_repetition" -> (t05 _))
 
   val oracles: Map[String, String] = Map(
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,
-    "t04_fingerprint" -> t04Sql)
+    "t04_fingerprint" -> t04Sql,
+    "t05_repetition" -> t05Sql)
 }
