@@ -84,15 +84,16 @@ object Split {
     * sequence index within the shard, `offset` the doc's token start
     * inside its sequence. */
   def packSequences(docs: DataFrame, budget: Int = PackBudget,
-      shards: Int = PackShards): DataFrame = {
+      shards: Int = PackShards,
+      tokenCount: Column =
+        graft.functions.TextAnalysis.wsTokenCount(col("text"))): DataFrame = {
     require(budget > 0 && shards > 0)
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col("doc_id"),
         pmod(col("doc_id"), lit(shards)).as("shard"),
-        graft.functions.TextAnalysis.wsTokenCount(col("text"))
-          .cast("long").as("tokens"))
+        tokenCount.cast("long").as("tokens"))
       .withColumn("running", sum(col("tokens")).over(w))
       // the tokens BEFORE this doc decide its sequence; a doc longer
       // than the budget occupies its sequence(s) alone — the standard
@@ -127,6 +128,36 @@ object Split {
        SELECT doc_id, shard,
               CAST((running - tokens) // $PackBudget AS BIGINT) AS seq,
               tokens,
+              CAST((running - tokens) % $PackBudget AS BIGINT) AS offset
+       FROM r"""
+
+  /** c03c face: packing on SUBWORD counts under the pinned WordPiece
+    * vocab (plans.SubwordCount) instead of whitespace counts — the
+    * tokenizer-realistic budget basis an actual training run packs
+    * on (whitespace counts under-fill sequences by the subword
+    * expansion factor). Identical packing math and plan shape (the
+    * single shard-window shuffle); only the per-doc count expression
+    * changes, and the oracle replays the greedy tokenizer itself. */
+  def c03c(s: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(s, dir),
+      tokenCount = graft.plans.GraftFunctions.subwordCount(s, col("text")))
+      .select(col("doc_id"), col("shard"), col("seq"),
+        col("tokens"), col("offset"))
+
+  val c03cSql: String =
+    s"""WITH src AS (SELECT doc_id, text FROM documents),
+       ${graft.plans.SubwordCount.oracleTokensCtes},
+       t AS (
+         SELECT doc_id, doc_id % $PackShards AS shard, tokens
+         FROM sub),
+       r AS (
+         SELECT doc_id, shard, tokens,
+                sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS running
+         FROM t)
+       SELECT doc_id, shard,
+              CAST((running - tokens) // $PackBudget AS BIGINT) AS seq,
+              CAST(tokens AS BIGINT) AS tokens,
               CAST((running - tokens) % $PackBudget AS BIGINT) AS offset
        FROM r"""
 
@@ -448,6 +479,7 @@ object Split {
     "c02_train_split" -> (c02 _),
     "c03_pack_sequences" -> (c03 _),
     "c03b_pack_chunks" -> (c03b _),
+    "c03c_pack_subword" -> (c03c _),
     "c04_mixture_epochs" -> (c04 _),
     "c06_assemble" -> (c06 _),
     "c07_assemble_decontaminated" -> (c07 _))
@@ -456,6 +488,7 @@ object Split {
     "c02_train_split" -> c02Sql,
     "c03_pack_sequences" -> c03Sql,
     "c03b_pack_chunks" -> c03bSql,
+    "c03c_pack_subword" -> c03cSql,
     "c04_mixture_epochs" -> c04Sql,
     "c06_assemble" -> c06Sql,
     "c07_assemble_decontaminated" -> c07Sql)

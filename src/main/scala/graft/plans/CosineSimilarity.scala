@@ -83,6 +83,7 @@ object GraftFunctions {
   val PqSubDotsName = "graft_pq_subdots"
   val PqCodesName = "graft_pq_codes"
   val TextStatsName = "graft_textstats"
+  val SubwordCountName = "graft_subword_count"
 
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     (CosineName, classOf[CosineSimilarity].getName,
@@ -106,7 +107,9 @@ object GraftFunctions {
     (PqCodesName, classOf[PqCodes].getName,
       exprs => PqCodes(exprs.head)),
     (TextStatsName, classOf[TextStats].getName,
-      exprs => TextStats(exprs.head)))
+      exprs => TextStats(exprs.head)),
+    (SubwordCountName, classOf[SubwordCount].getName,
+      exprs => SubwordCount(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     registry.foreach { case (name, clazz, builder) =>
@@ -172,6 +175,11 @@ object GraftFunctions {
   def textStats(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function(TextStatsName, text)
+  }
+
+  def subwordCount(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function(SubwordCountName, text)
   }
 }
 

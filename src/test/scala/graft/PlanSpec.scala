@@ -95,7 +95,8 @@ class PlanSpec extends SparkSpec {
          graft_pyround(CAST(2.675 AS DOUBLE), 2) AS p,
          graft_shingles('a b c d', 3) AS g,
          graft_dot(array(3.0F, 4.0F), array(2.0F, 1.0F)) AS d,
-         graft_textstats('the cat and the hat').en AS ts_en""").head()
+         graft_textstats('the cat and the hat').en AS ts_en,
+         graft_subword_count('the table dup') AS sw""").head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getDouble(4) == 10.0)
     assert(r.getLong(1) == graft.plans.SimHash64.compute(
@@ -103,6 +104,7 @@ class PlanSpec extends SparkSpec {
     assert(r.getDouble(2) == 2.67) // python banker's rounding
     assert(r.getSeq[String](3) == Seq("a b c", "b c d"))
     assert(r.getInt(5) == 2) // distinct hits: "the", "and"
+    assert(r.getLong(6) == 4L) // the(1) + tab/##le(2) + [UNK](1)
   }
 
   test("extraction plan keeps regex scans staged (no tree re-duplication)") {
