@@ -236,6 +236,129 @@ object Split {
        FROM e, LATERAL (SELECT unnest(generate_series(first_seq, last_seq)) AS seq) g"""
 
   // ---------------------------------------------------------------
+  // c09: deterministic global sequence shuffle + training manifest —
+  // the last mile from packed sequences to a training run. Training
+  // order must be SHUFFLED (packing order is doc_id order — strongly
+  // correlated with source/time) yet REPRODUCIBLE and partition-
+  // independent: the c02 principle applied to ordering. Each packed
+  // sequence (shard, seq) gets a salted 60-bit md5 hash; the hash
+  // routes it to an output shard (pmod) and orders it within the
+  // shard (hash asc, (shard, seq) tiebreak — collisions at 60 bits
+  // are near-impossible but the order must be TOTAL to be
+  // deterministic). A different salt ("epoch1", ...) yields an
+  // independent reshuffle — epoch reshuffling without rand().
+  //
+  // Scale: sequence rows are tiny (counts, not text) — the shuffle
+  // assignment is a narrow map over the packed frame; the in-shard
+  // rank is a window per out_shard (parallel across shards, never a
+  // global single-partition sort). writeTrainingShards materializes
+  // data partitioned by out_shard, size-bounds files via the
+  // existing compact machinery, and emits a per-shard manifest
+  // (sequence/doc counts + token totals) a training job reads
+  // instead of listing data files.
+  // ---------------------------------------------------------------
+
+  /** Output training shards (c09). */
+  val ShuffleOutShards = 16
+
+  /** Default shuffle salt; vary per epoch for independent orders. */
+  val ShuffleSalt = "epoch0"
+
+  /** Sequence-level rollup of [[packChunks]] output: one row per
+    * packed sequence with its doc count and true token total. */
+  def sequenceFrame(chunks: DataFrame): DataFrame =
+    chunks.groupBy(col("shard"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chunk_tokens")).as("seq_tokens"))
+
+  /** Salted-hash shuffle assignment over a (shard, seq, ...) frame:
+    * + shuffle_hash, out_shard, ord (1-based rank within out_shard). */
+  def shuffleSequences(seqs: DataFrame, salt: String = ShuffleSalt,
+      outShards: Int = ShuffleOutShards): DataFrame = {
+    require(outShards > 0)
+    val s = seqs.sparkSession
+    val h = graft.plans.GraftFunctions.md5Prefix60(s,
+      concat_ws(":", lit(salt), col("shard"), col("seq")))
+    seqs
+      .withColumn("shuffle_hash", h)
+      .withColumn("out_shard", pmod(col("shuffle_hash"), lit(outShards)))
+      .withColumn("ord", row_number().over(
+        Window.partitionBy(col("out_shard"))
+          .orderBy(col("shuffle_hash"), col("shard"), col("seq")))
+        .cast("long"))
+  }
+
+  /** c09 face: the full shuffle assignment over the packed documents
+    * table. */
+  def c09(s: SparkSession, dir: String): DataFrame =
+    shuffleSequences(sequenceFrame(packChunks(Tables.documents(s, dir))))
+      .select(col("shard"), col("seq"), col("n_docs"), col("seq_tokens"),
+        col("shuffle_hash"), col("out_shard"), col("ord"))
+
+  /** c09b face: the per-shard training manifest. */
+  def c09b(s: SparkSession, dir: String): DataFrame =
+    shuffleSequences(sequenceFrame(packChunks(Tables.documents(s, dir))))
+      .groupBy(col("out_shard"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("n_docs")).as("n_docs"),
+        sum(col("seq_tokens")).as("total_tokens"))
+
+  // the oracle reuses the (already bit-exact) c03b chunk replay as a
+  // nested subquery, rolls it to sequences, and replays the salted
+  // md5-prefix hash the same way c02 does
+  private def c09BaseSql: String =
+    s"""seqs AS (
+         SELECT shard, seq, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(chunk_tokens) AS BIGINT) AS seq_tokens
+         FROM ($c03bSql) GROUP BY 1, 2),
+       h AS (
+         SELECT *,
+           CAST(('0x' || substring(md5('$ShuffleSalt:' || shard || ':' || seq), 1, 15)) AS BIGINT) AS shuffle_hash
+         FROM seqs)"""
+
+  val c09Sql: String =
+    s"""WITH $c09BaseSql
+       SELECT shard, seq, n_docs, seq_tokens, shuffle_hash,
+              shuffle_hash % $ShuffleOutShards AS out_shard,
+              CAST(row_number() OVER (
+                PARTITION BY shuffle_hash % $ShuffleOutShards
+                ORDER BY shuffle_hash, shard, seq) AS BIGINT) AS ord
+       FROM h"""
+
+  val c09bSql: String =
+    s"""WITH $c09BaseSql
+       SELECT shuffle_hash % $ShuffleOutShards AS out_shard,
+              CAST(count(*) AS BIGINT) AS n_seqs,
+              CAST(sum(n_docs) AS BIGINT) AS n_docs,
+              CAST(sum(seq_tokens) AS BIGINT) AS total_tokens
+       FROM h GROUP BY 1"""
+
+  /** Materialize a shuffled training run: sequence rows written
+    * partitioned by out_shard (each shard's rows in training order),
+    * size-bounded via [[graft.sources.Ingest.compact]], plus a
+    * `_manifest` parquet of the per-shard counts and token totals.
+    * The manifest is written LAST, from a re-read of the swapped-in
+    * data — a crash mid-write leaves data without a manifest (the
+    * incomplete state a training job can detect), never a manifest
+    * describing missing data. */
+  def writeTrainingShards(seqs: DataFrame, dir: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    val s = seqs.sparkSession
+    seqs
+      .repartition(col("out_shard"))
+      .sortWithinPartitions(col("out_shard"), col("ord"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("out_shard").parquet(dir)
+    graft.sources.Ingest.compact(s, dir, targetBytes)
+    s.read.parquet(dir)
+      .groupBy(col("out_shard"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("n_docs")).as("n_docs"),
+        sum(col("seq_tokens")).as("total_tokens"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/_manifest")
+  }
+
+  // ---------------------------------------------------------------
   // c04: weighted mixture / epochs — the data-mixing step: each
   // source gets a sampling weight; weight < 1 downsamples, weight > 1
   // upsamples (full copies + a deterministic fractional extra copy).
@@ -480,6 +603,8 @@ object Split {
     "c03_pack_sequences" -> (c03 _),
     "c03b_pack_chunks" -> (c03b _),
     "c03c_pack_subword" -> (c03c _),
+    "c09_seq_shuffle" -> (c09 _),
+    "c09b_shard_manifest" -> (c09b _),
     "c04_mixture_epochs" -> (c04 _),
     "c06_assemble" -> (c06 _),
     "c07_assemble_decontaminated" -> (c07 _))
@@ -489,6 +614,8 @@ object Split {
     "c03_pack_sequences" -> c03Sql,
     "c03b_pack_chunks" -> c03bSql,
     "c03c_pack_subword" -> c03cSql,
+    "c09_seq_shuffle" -> c09Sql,
+    "c09b_shard_manifest" -> c09bSql,
     "c04_mixture_epochs" -> c04Sql,
     "c06_assemble" -> c06Sql,
     "c07_assemble_decontaminated" -> c07Sql)

@@ -8,6 +8,58 @@ import org.apache.spark.sql.functions._
 class SplitSpec extends SparkSpec {
   import spark.implicits._
 
+  test("c09: shuffle is salt-deterministic, partition-independent, total-ordered") {
+    val chunks = Split.packChunks(Tables.documents(spark, sf()))
+    val base = Split.sequenceFrame(chunks)
+    val one = Split.shuffleSequences(base)
+      .select("shard", "seq", "out_shard", "ord")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // same rows in a different physical layout shuffle identically
+    val two = Split.shuffleSequences(base.repartition(7).sortWithinPartitions("seq"))
+      .select("shard", "seq", "out_shard", "ord")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(one == two, "shuffle order must not depend on partitioning")
+    // ord is a dense 1..n rank within every out_shard
+    val byShard = one.groupBy(_._3)
+    byShard.foreach { case (os, rows) =>
+      assert(rows.map(_._4).toSeq.sorted == (1L to rows.size).toSeq,
+        s"out_shard $os rank not dense")
+    }
+    // a different salt produces a genuinely different order
+    val other = Split.shuffleSequences(base, salt = "epoch1")
+      .select("shard", "seq", "out_shard", "ord")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(other != one, "epoch salt must reshuffle")
+    assert(other.map(r => (r._1, r._2)) == one.map(r => (r._1, r._2)),
+      "reshuffle must keep the same sequence set")
+  }
+
+  test("c09: writeTrainingShards lifecycle — manifest matches data, rerun idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val seqs = Split.shuffleSequences(
+      Split.sequenceFrame(Split.packChunks(Tables.documents(spark, sf()))))
+    Split.writeTrainingShards(seqs, dir, targetBytes = 4L << 20)
+    val data = spark.read.parquet(dir)
+    val manifest = spark.read.parquet(s"$dir/_manifest")
+      .select("out_shard", "n_seqs", "n_docs", "total_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // manifest says exactly what the data holds, shard by shard
+    val recomputed = data.groupBy(col("out_shard"))
+      .agg(count(lit(1)).as("a"), sum(col("n_docs")).as("b"),
+        sum(col("seq_tokens")).as("c"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(manifest == recomputed)
+    // totals cover every packed sequence exactly once
+    assert(manifest.toSeq.map(_._2).sum == seqs.count())
+    // the partition read back in file order IS the training order
+    val shard0 = data.filter(col("out_shard") === manifest.head._1)
+      .select("ord").as[Long].collect().toSeq
+    assert(shard0.sorted == shard0, "shard rows must be stored in rank order")
+    // rerun overwrites to the identical state (no duplicate shards)
+    Split.writeTrainingShards(seqs, dir, targetBytes = 4L << 20)
+    assert(spark.read.parquet(dir).count() == seqs.count())
+  }
+
   test("c02: split is a pure function of doc_id — rerun- and partitioning-independent") {
     val one = Split.c02(spark, sf("sf0.001"))
       .as[(Long, Long, String)].collect().toSet
