@@ -158,7 +158,15 @@ object TextOps {
     * Docs with blank text are dropped (no tokens to measure). */
   def repetitionMetrics(docs: DataFrame): DataFrame = {
     val emptyGrams = array().cast("array<struct<sz:int,g:string>>")
-    val w = split(trim(col("text")), "\\s+")
+    // the token array MUST be staged as a column before the gram
+    // lambdas consume it: every element_at reference inside a
+    // transform duplicates its subtree, and lambda-bearing trees are
+    // excluded from codegen subexpression elimination — the inline
+    // formulation re-ran split() per element access (measured 28.8 s
+    // at sf0.1 vs ~2 s staged, the TextSpecs.cpuScans lesson).
+    // CollapseProject refuses to re-inline a multi-referenced
+    // non-cheap producer, so `w` is computed once per row.
+    val w = col("w")
     val uni = transform(w, t => struct(lit(1).as("sz"), t.as("g")))
     val bi = when(size(w) >= 2,
       transform(sequence(lit(1), size(w) - 1), i =>
@@ -176,6 +184,7 @@ object TextOps {
     val dup3Frac = round(
       coalesce(col("dup3").cast("double") / col("ntri"), lit(0.0)), 6)
     docs.filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .select(col("doc_id"), explode(concat(uni, bi, tri)).as("gr"))
       .select(col("doc_id"), col("gr.sz").as("sz"), col("gr.g").as("g"))
       .groupBy(col("doc_id"), col("sz"), col("g"))

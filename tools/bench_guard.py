@@ -27,6 +27,8 @@ CEILINGS = {
     "f17_stats_merge": 3.0,        # steady ~2.2 s (r12 full-run 2.20)
     "d06_dedup_clusters": 6.5,     # steady ~4.7 s (r12 full-run 4.70)
     "d08_decontaminate": 2.5,      # steady ~1.8 s (r12 full-run 1.77)
+    "t05_repetition": 2.5,         # steady ~1.7 s; the unstaged-HOF
+                                   # formulation measured 28.8 s (r13)
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
