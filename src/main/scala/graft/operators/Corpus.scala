@@ -131,8 +131,10 @@ object Corpus {
   def c08(s: SparkSession, dir: String): DataFrame =
     stripBoilerplate(plantedLineCorpus(Tables.documents(s, dir)))
 
-  val c08Sql: String =
-    raw"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** The plantedLineCorpus replay as CTE text over `src` (doc_id,
+    * text): defines `base` and `lc(doc_id, text)`. */
+  def lineCorpusCtes(src: String): String =
+    raw"""base AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
        lc AS (SELECT doc_id, concat_ws(chr(10),
                '$HeaderLine',
                CASE WHEN doc_id % 3 = 0 THEN '$PromoLine' END,
@@ -140,17 +142,28 @@ object Corpus {
                  generate_series(0, greatest(CAST(ceil(len(w)/$LineTokens.0) AS INT), 1)-1),
                  i -> array_to_string(w[i*$LineTokens+1 : i*$LineTokens+$LineTokens], ' ')), chr(10)),
                CASE WHEN doc_id % 100 = 0 THEN '$RareLine' END) AS text
-             FROM base),
-       lines AS (SELECT doc_id, i-1 AS pos, ln[i] AS line FROM
-                 (SELECT doc_id, string_split(text, chr(10)) AS ln FROM lc),
+             FROM base)"""
+
+  /** The stripBoilerplate replay as CTE text over `src` (doc_id,
+    * text): defines `lines/census/hot/kept` and
+    * `stripped(doc_id, clean_text, n_kept)`. */
+  def stripCtes(src: String, maxLineDf: Int = MaxLineDf): String =
+    raw"""lines AS (SELECT doc_id, i-1 AS pos, ln[i] AS line FROM
+                 (SELECT doc_id, string_split(text, chr(10)) AS ln FROM $src),
                  LATERAL (SELECT unnest(generate_series(1, len(ln))) AS i)),
        census AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM lines
                   WHERE trim(line) <> '' GROUP BY 1),
-       hot AS (SELECT line FROM census WHERE line_df > $MaxLineDf),
-       kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot))
-       SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+       hot AS (SELECT line FROM census WHERE line_df > $maxLineDf),
+       kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)),
+       stripped AS (SELECT doc_id,
+              string_agg(line, chr(10) ORDER BY pos) AS clean_text,
               CAST(count(*) AS BIGINT) AS n_kept
-       FROM kept GROUP BY doc_id"""
+              FROM kept GROUP BY doc_id)"""
+
+  val c08Sql: String =
+    s"""WITH ${lineCorpusCtes("documents")},
+       ${stripCtes("lc")}
+       SELECT doc_id, clean_text, n_kept FROM stripped"""
 
   /** Survivors of the cleaning cascade: (doc_id, pred_lang, quality).
     * `docs` needs (doc_id, text). `stripLineDf`: when set, run
@@ -177,7 +190,20 @@ object Corpus {
         TextOps.repetitionMetrics(stripped)
           .filter(col("repetitive") === 1L).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
-    cleanImpl(input, maxDf)
+    // the cascade reads its input THREE times (scoring, gated text,
+    // survivor text) — cheap re-scans when the input is a raw source,
+    // but with strip/repetition stages ahead each consumer would
+    // re-execute the whole pre-pipeline (measured: c10 isolated at
+    // sf0.1 21.2 s uncached vs 13.5 s cached — the remainder is the
+    // sum of the constituent faces). A text-bearing cache is the documented 100 TB
+    // hazard, so this is the in-plan composition convenience only —
+    // at corpus scale the strip output is materialized to storage
+    // between stages (writeTrainingShards-style), which is what the
+    // cache stands in for here.
+    val prestaged =
+      if (stripLineDf.isEmpty && !repetitionGate) input
+      else input.transform(graft.CacheRegistry.register)
+    cleanImpl(prestaged, maxDf)
   }
 
   private def cleanImpl(docs: DataFrame, maxDf: Option[Int]): DataFrame = {
@@ -219,9 +245,54 @@ object Corpus {
     // oracle face pins maxDf = None (DuckDB replays exhaustive pairs)
     clean(Tables.documents(s, dir), maxDf = None)
 
-  lazy val c01Sql: String = {
+  // ---------------------------------------------------------------
+  // c10: the FULL cleaning composition — every gate this engine has,
+  // in shipping order, as ONE declarative plan (the c07 pattern
+  // applied to cleaning): line-level boilerplate strip (c08) →
+  // repetition gate (t05) → language/quality gates → exact dedup →
+  // near-dup removal (c01). The face's corpus layers BOTH failure
+  // modes the new gates exist for: the planted line corpus (header/
+  // promo boilerplate the cascade alone cannot remove) over a corpus
+  // where every 11th doc is a PER-DOC-UNIQUE phrase repeat — unique
+  // lines survive the df census (c08 cannot see them), the phrase
+  // carries a stopword so language/quality pass it (t02 cannot see
+  // it), and only the repetition gate rejects it. Defense in depth,
+  // each layer catching what the previous one structurally misses.
+  // ---------------------------------------------------------------
+
+  /** Every 11th doc degenerates to a per-doc-unique phrase repeat —
+    * invisible to the line-df census AND to t02, en-classified,
+    * flagged only by t05. */
+  private[graft] def degenerateCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 11 === 0,
+        array_join(array_repeat(
+          concat(lit("claim the offer now x"), col("doc_id")), 30), " "))
+        .otherwise(col("text")).as("text"))
+
+  def c10(s: SparkSession, dir: String): DataFrame =
+    clean(plantedLineCorpus(degenerateCorpus(Tables.documents(s, dir))),
+      maxDf = None, stripLineDf = Some(MaxLineDf), repetitionGate = true)
+
+  val c10Sql: String =
+    s"""WITH src0 AS (SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0
+                  THEN rtrim(repeat('claim the offer now x' || doc_id || ' ', 30))
+                  ELSE text END AS text FROM documents),
+       ${lineCorpusCtes("src0")},
+       ${stripCtes("lc")},
+       sdocs AS (SELECT doc_id, clean_text AS text FROM stripped),
+       ${TextOps.repetitionCtes("sdocs")},
+       gate AS (SELECT doc_id, text FROM sdocs
+                WHERE doc_id NOT IN
+                  (SELECT doc_id FROM rep WHERE repetitive = 1)),
+       ${cascadeSql("gate")}"""
+
+  /** The full cleaning-cascade replay (gates → fp dedup → near-dup
+    * drop) over `src` (doc_id, text): CTE chain + final SELECT. */
+  def cascadeSql(src: String): String = {
     val m = StopwordSets.toMap
-    raw"""WITH d0 AS (SELECT doc_id, text, lower(text) AS t, len(text) AS nc FROM documents),
+    raw"""d0 AS (SELECT doc_id, text, lower(text) AS t, len(text) AS nc FROM $src),
        hits AS (SELECT *, ${TextOps.sqlHits(m("en"))} AS s_en, ${TextOps.sqlHits(m("es"))} AS s_es,
                 ${TextOps.sqlHits(m("de"))} AS s_de, ${TextOps.sqlHits(m("fr"))} AS s_fr,
                 regexp_matches(t, '$HanRange') AS han,
@@ -251,11 +322,15 @@ object Corpus {
        WHERE doc_id NOT IN (SELECT doc_id FROM drops)"""
   }
 
+  lazy val c01Sql: String = s"WITH ${cascadeSql("documents")}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_corpus_clean" -> (c01 _),
-    "c08_strip_boilerplate" -> (c08 _))
+    "c08_strip_boilerplate" -> (c08 _),
+    "c10_clean_full" -> (c10 _))
 
   val oracles: Map[String, String] = Map(
     "c01_corpus_clean" -> c01Sql,
-    "c08_strip_boilerplate" -> c08Sql)
+    "c08_strip_boilerplate" -> c08Sql,
+    "c10_clean_full" -> c10Sql)
 }

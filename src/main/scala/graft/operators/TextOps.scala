@@ -216,30 +216,31 @@ object TextOps {
   def t05(s: SparkSession, dir: String): DataFrame =
     repetitionMetrics(repetitionCorpus(Tables.documents(s, dir)))
 
-  val t05Sql: String =
-    raw"""WITH src AS (SELECT doc_id,
-             CASE WHEN doc_id % 7 = 0 THEN rtrim(repeat('$RepeatPhrase ', $RepeatCount))
-                  ELSE text END AS text FROM documents),
-       toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-                FROM src WHERE trim(text) <> ''),
-       grams AS (
-         SELECT doc_id, 1 AS sz, w[i] AS g FROM toks,
+  /** The repetition-metrics replay as CTE text over `src` (doc_id,
+    * text): defines r-prefixed intermediates (composable next to the
+    * cascade CTEs without name collisions) and `rep(doc_id, ntok,
+    * top1_frac, top2_frac, dup3_frac, repetitive)`. */
+  def repetitionCtes(src: String): String =
+    raw"""rtoks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM $src WHERE trim(text) <> ''),
+       rgrams AS (
+         SELECT doc_id, 1 AS sz, w[i] AS g FROM rtoks,
            LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)
          UNION ALL
-         SELECT doc_id, 2, w[i] || ' ' || w[i+1] FROM toks,
+         SELECT doc_id, 2, w[i] || ' ' || w[i+1] FROM rtoks,
            LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-1, 0))) AS i)
          UNION ALL
-         SELECT doc_id, 3, w[i] || ' ' || w[i+1] || ' ' || w[i+2] FROM toks,
+         SELECT doc_id, 3, w[i] || ' ' || w[i+1] || ' ' || w[i+2] FROM rtoks,
            LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS i)),
-       cnt AS (SELECT doc_id, sz, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
-       m AS (SELECT doc_id,
+       rcnt AS (SELECT doc_id, sz, g, count(*) AS c FROM rgrams GROUP BY 1, 2, 3),
+       rm AS (SELECT doc_id,
                sum(CASE WHEN sz = 1 THEN c END) AS ntok,
                max(CASE WHEN sz = 1 THEN c END) AS top1c,
                max(CASE WHEN sz = 2 THEN c END) AS top2c,
                sum(CASE WHEN sz = 3 THEN c END) AS ntri,
                sum(CASE WHEN sz = 3 AND c > 1 THEN c END) AS dup3
-             FROM cnt GROUP BY 1)
-       SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
+             FROM rcnt GROUP BY 1),
+       rep AS (SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
          round(CAST(top1c AS DOUBLE)/ntok, 6) AS top1_frac,
          round(least(2.0*coalesce(top2c, 0)/ntok, 1.0), 6) AS top2_frac,
          round(coalesce(CAST(dup3 AS DOUBLE)/ntri, 0.0), 6) AS dup3_frac,
@@ -247,7 +248,15 @@ object TextOps {
                          AND round(least(2.0*coalesce(top2c, 0)/ntok, 1.0), 6) >= $MinTop2Frac)
                      OR round(coalesce(CAST(dup3 AS DOUBLE)/ntri, 0.0), 6) >= $MinDup3Frac
               THEN 1 ELSE 0 END AS BIGINT) AS repetitive
-       FROM m"""
+       FROM rm)"""
+
+  val t05Sql: String =
+    raw"""WITH src AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN rtrim(repeat('$RepeatPhrase ', $RepeatCount))
+                  ELSE text END AS text FROM documents),
+       ${repetitionCtes("src")}
+       SELECT doc_id, ntok, top1_frac, top2_frac, dup3_frac, repetitive
+       FROM rep"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> (t01 _),

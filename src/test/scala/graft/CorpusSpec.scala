@@ -120,6 +120,34 @@ class CorpusSpec extends SparkSpec {
     } finally CacheRegistry.unpersistAll()
   }
 
+  test("c10: each gate catches what the previous one structurally misses") {
+    val docs = Tables.documents(spark, sf())
+    val degenerates = docs.select("doc_id").as[Long].collect()
+      .filter(_ % 11 == 0).toSet
+    val corpus = Corpus.plantedLineCorpus(Corpus.degenerateCorpus(docs))
+    try {
+      // full composition: no degenerate survives
+      val full = Corpus.c10(spark, sf()).select("doc_id").as[Long]
+        .collect().toSet
+      assert(full.nonEmpty && full.intersect(degenerates).isEmpty)
+      // ablation: strip-only (no repetition gate) — the per-doc-unique
+      // phrase repeats pass the line-df census AND the lang/quality
+      // gates; most degenerates survive, proving t05 is the only
+      // layer that catches them (near-dup pairing may clip a few)
+      val noGate = Corpus.clean(corpus, maxDf = None,
+        stripLineDf = Some(Corpus.MaxLineDf))
+        .select("doc_id").as[Long].collect().toSet
+      val leaked = noGate.intersect(degenerates)
+      assert(leaked.size >= degenerates.size / 2,
+        s"expected degenerates to slip past strip+lang+quality, " +
+          s"got ${leaked.size}/${degenerates.size}")
+      // the two runs differ EXACTLY by what the gate rejected: the
+      // flagged set is the planted one, nothing natural
+      assert((noGate -- full) == leaked,
+        "repetition gate must change only the degenerate docs")
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("c08 -> clean integration: strip-first equals clean on template-free text") {
     // one-line bodies + a universal template line: stripping removes
     // exactly the template, so the cascade must see the ORIGINAL text

@@ -66,6 +66,32 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"c08 plan grew to $exchanges exchanges:\n$p")
   }
 
+  test("t05: staged gram pipeline keeps exactly two exchanges, no joins") {
+    val p = plan("t05_repetition")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"t05 should pay the (doc,sz,gram) count + per-doc rollup only, got $exchanges:\n$p")
+    assert(!p.contains("Join"), "t05 needs no join")
+    // the split() stage must survive optimization as ONE producer —
+    // an inlined split re-evaluates per element_at (28.8 s vs 1.8 s
+    // at sf0.1, r13); the plan re-inlining it would show a split per
+    // gram lambda
+    assert("split\\(".r.findAllIn(p).size <= 2,
+      "token-array stage was re-inlined into the gram lambdas")
+  }
+
+  test("c09: shuffle rank is windowed per out_shard — never a global sort") {
+    val p = plan("c09_seq_shuffle")
+    assert(!p.contains("Exchange SinglePartition"),
+      "c09 must not funnel sequences through one partition")
+    assert(!p.contains("rangepartitioning"),
+      "c09 must not global-sort; order is per-out_shard")
+    // c03b window + out_shard rank window; the sequence rollup rides
+    // the shard partitioning without its own exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"c09 grew to $exchanges exchanges:\n$p")
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))
