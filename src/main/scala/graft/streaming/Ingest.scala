@@ -681,7 +681,8 @@ object Ingest {
   def gateBatch(batch: DataFrame, batchId: Long, docsDir: String,
       fpDir: String, minShared: Int = graft.operators.Dedup.WinnowMinShared,
       maxDf: Option[Int] = Some(graft.operators.Dedup.DefaultMaxDf),
-      evalFpDir: Option[String] = None): Long = {
+      evalFpDir: Option[String] = None,
+      repetitionGate: Boolean = false): Long = {
     import graft.operators.Dedup
     // "batch" is this sink's partition-directory column; an input
     // column of the same name would silently shadow the corpus-view
@@ -696,7 +697,22 @@ object Ingest {
       // ALL input columns survive the gate (metadata — timestamps,
       // urls — rides along to the sink); the fingerprint pipeline runs
       // on the (doc_id, text) projection only
-      val docs = batch.transform(graft.CacheRegistry.register)
+      val raw = batch.transform(graft.CacheRegistry.register)
+      // 0. OPTIONAL repetition gate — the t05 quality gate the batch
+      // chain applies in Corpus.clean(repetitionGate), enforced AT
+      // INGEST: phrase-repeat degenerates are rejected before their
+      // fingerprints exist, so they never reach the corpus, the
+      // fingerprint state, or the census (the 41f pattern). Pure
+      // per-batch aggregation over micro-batch-sized frames — no
+      // state interaction, no broadcast, nothing to replay.
+      val docs =
+        if (!repetitionGate) raw
+        else raw.join(
+          graft.operators.TextOps.repetitionMetrics(
+              raw.select(col("doc_id"), col("text")))
+            .filter(col("repetitive") === 1L).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+          .transform(graft.CacheRegistry.register)
       // ONE fingerprint derivation feeds everything in the trigger:
       // the within-batch pair join, the cross-batch gate probe, and
       // the state/census writes all consume this cached fp-partitioned
@@ -932,7 +948,8 @@ object Ingest {
       checkpointDir: String,
       minShared: Int = graft.operators.Dedup.WinnowMinShared,
       maxDf: Option[Int] = Some(graft.operators.Dedup.DefaultMaxDf),
-      evalFpDir: Option[String] = None): StreamingQuery = {
+      evalFpDir: Option[String] = None,
+      repetitionGate: Boolean = false): StreamingQuery = {
     // start/resume-time fold recovery: if the last maintenance pass
     // crashed mid-fold, roll its swaps forward and drop covered
     // originals BEFORE any trigger runs — the gate's own stale
@@ -945,7 +962,7 @@ object Ingest {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         gateBatch(batch, batchId, docsDir, fpDir, minShared, maxDf,
-          evalFpDir); ()
+          evalFpDir, repetitionGate); ()
       }
       .option("checkpointLocation", checkpointDir)
       .start()

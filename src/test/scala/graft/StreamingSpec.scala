@@ -936,4 +936,68 @@ class StreamingSpec extends SparkSpec {
       "stream entry point did not enforce eval decontamination")
     CacheRegistry.unpersistAll()
   }
+
+  test("near-dup gate: repetition gate rejects phrase-repeat degenerates at ingest") {
+    def degenerate(id: Long): String =
+      Seq.fill(25)(s"quarterly alloy audit entry x$id").mkString(" ")
+    val clean0 = 11L -> ("inventory of copper kettles and their tin " +
+      "linings catalogued by a meticulous harbor customs clerk")
+    val clean1 = 12L -> ("field notes on the acoustics of limestone " +
+      "caverns recorded during four consecutive expeditions")
+
+    // control: the near-dup gate ALONE accepts a per-doc-unique
+    // phrase repeat (nothing to near-dup against) — proving the
+    // repetition gate is the deciding layer, not a redundancy
+    val ctrl = java.nio.file.Files.createTempDirectory("graft-repgate-ctrl").toString
+    streaming.Ingest.gateBatch(
+      Seq(10L -> degenerate(10L), clean0).toDF("doc_id", "text"),
+      0L, s"$ctrl/docs", s"$ctrl/fp")
+    assert(spark.read.parquet(s"$ctrl/docs").select("doc_id").as[Long]
+      .collect().toSet == Set(10L, 11L),
+      "control: ungated ingest should accept the degenerate")
+
+    // gated: rejected in batch 0, fingerprints and census stay clean
+    val root = java.nio.file.Files.createTempDirectory("graft-repgate").toString
+    val docsDir = s"$root/docs"; val fpDir = s"$root/fp"
+    val n0 = streaming.Ingest.gateBatch(
+      Seq(10L -> degenerate(10L), clean0).toDF("doc_id", "text"),
+      0L, docsDir, fpDir, repetitionGate = true)
+    assert(n0 == 1L, s"expected 1 survivor of batch 0, got $n0")
+    assert(spark.read.parquet(fpDir).select("doc_id").as[Long]
+      .collect().toSet == Set(11L),
+      "degenerate doc's fingerprints leaked into gate state")
+
+    // later batch: a fresh degenerate AND a near-dup of an accepted
+    // doc are dropped while a clean doc passes — both gates compose
+    val n1 = streaming.Ingest.gateBatch(
+      Seq(20L -> degenerate(20L),
+        21L -> (clean0._2 + " revised"), clean1).toDF("doc_id", "text"),
+      1L, docsDir, fpDir, repetitionGate = true)
+    assert(n1 == 1L, s"expected 1 survivor of batch 1, got $n1")
+    assert(spark.read.parquet(docsDir).select("doc_id").as[Long]
+      .collect().toSet == Set(11L, 12L))
+
+    // stream-level wiring: resumeNearDupGated passes the flag through
+    val sroot = java.nio.file.Files
+      .createTempDirectory("graft-repgate-stream").toString
+    val inDir = s"$sroot/in"; new java.io.File(inDir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$inDir/b0.json"),
+      Seq(
+        s"""{"doc_id":30,"text":"${degenerate(30L)}"}""",
+        """{"doc_id":31,"text":"survey of rooftop rainwater cisterns painted with cobalt glaze patterns"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = streaming.Ingest.resumeNearDupGated(spark, inDir, schema,
+      s"$sroot/docs", s"$sroot/fp", s"$sroot/ck", repetitionGate = true)
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(s"$sroot/docs").select("doc_id").as[Long]
+      .collect().toSet == Set(31L),
+      "stream entry point did not enforce the repetition gate")
+    CacheRegistry.unpersistAll()
+  }
 }
