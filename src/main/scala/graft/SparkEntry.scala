@@ -39,6 +39,9 @@ object SparkEntry {
     "d02_ngram_jaccard_capped" -> ((s, dir) => operators.Dedup.d02(s, dir)),
     "d07_winnow_pairs_capped" -> ((s, dir) =>
       operators.Dedup.winnowPairs(Tables.documents(s, dir))),
+    "d10_run_overlap_capped" -> ((s, dir) =>
+      operators.Dedup.d10(s, dir,
+        maxDf = Some(operators.Dedup.DefaultMaxDf))),
     // the cap-binding demonstration pair: same query, boilerplate-heavy
     // corpus where template-shingle df >> DefaultMaxDf — exhaustive
     // pays the quadratic candidate join, capped must beat it big

@@ -219,6 +219,69 @@ object Dedup {
     jaccardPairs(boilerplateCorpus(Tables.documents(s, dir), 1500), maxDf)
 
   // ---------------------------------------------------------------
+  // d10: EXACT shared-run detection — the Lee et al. (2022)
+  // "exact substring dedup" signal as a relational query. Two docs
+  // share a contiguous run of >= K tokens IFF they share a K-token
+  // gram, so one distinct-K-gram equi-join detects shared runs
+  // EXACTLY — no sampling. This is the precision anchor of the
+  // near-dup family: d02 measures SET similarity (3-gram Jaccard,
+  // dilutes contiguous overlap on long docs), d07 samples contiguous
+  // overlap at winnowing density (guaranteed for runs >= window+k-1
+  // but ~2/(window+1) of the join volume), d10 pays every gram
+  // position for exact run evidence (`shared` = distinct shared
+  // K-grams ≈ run length - K + 1). Same scale shape as d02/d07:
+  // gram explode → 60-bit md5 hash (8-byte join keys instead of
+  // ~50-byte gram strings) → pre-partitioned cache → equi-join with
+  // the same df cap (boilerplate K-grams are exactly what the cap
+  // exists for). Hash collisions merge gram identities identically
+  // in both engines — bit-exact parity, negligible overcount.
+  // ---------------------------------------------------------------
+
+  /** Run length (tokens) whose sharing d10 detects exactly. */
+  val RunTokens = 8
+
+  /** Exact shared-run pairs over any (doc_id, text) frame:
+    * (a, b, shared) for doc pairs sharing >= `minShared` distinct
+    * K-token grams. */
+  def runOverlapPairs(docs: DataFrame, runTokens: Int = RunTokens,
+      maxDf: Option[Int] = Some(DefaultMaxDf),
+      minShared: Int = 1): DataFrame = {
+    val s = docs.sparkSession
+    val sh = docs.select(col("doc_id"),
+        explode(graft.plans.GraftFunctions.shingles(s, col("text"), runTokens))
+          .as("g"))
+      .select(col("doc_id"),
+        graft.plans.GraftFunctions.md5Prefix60(s, col("g")).as("gh"))
+      .repartition(col("gh"))
+      .transform(graft.CacheRegistry.register)
+    val inter = maxDf match {
+      case None =>
+        sh.as("a").join(sh.as("b"),
+            col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+          .agg(count(lit(1)).as("shared"))
+      case Some(k) => cappedSelfPairCounts(sh, "gh", k, "shared")
+    }
+    inter.filter(col("shared") >= minShared)
+  }
+
+  def d10(s: SparkSession, dir: String, maxDf: Option[Int]): DataFrame =
+    runOverlapPairs(Tables.documents(s, dir), maxDf = maxDf)
+
+  val d10Sql: String =
+    raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                CAST(('0x' || substring(md5(array_to_string(w[i : i+$RunTokens-1], ' ')), 1, 15)) AS BIGINT) AS gh
+              FROM toks,
+                LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-$RunTokens+1, 0))) AS i)),
+       inter AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(count(*) AS BIGINT) AS shared
+                 FROM sh a JOIN sh b ON a.gh = b.gh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT a, b, shared FROM inter WHERE shared >= 1"""
+
+  // ---------------------------------------------------------------
   // d06: transitive near-dup CLUSTERS — connected components over the
   // near-dup pair graph. Pairwise "drop the higher id of each pair"
   // under-merges chains (A~B, B~C, A≁C leaves two survivors of one
@@ -817,7 +880,8 @@ object Dedup {
     "d05_embedding_neardup" -> (d05 _),
     "d06_dedup_clusters" -> (d06 _),
     "d07_winnow_pairs" -> (d07 _),
-    "d08_decontaminate" -> (d08 _))
+    "d08_decontaminate" -> (d08 _),
+    "d10_run_overlap" -> ((s: SparkSession, dir: String) => d10(s, dir, maxDf = None)))
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -827,5 +891,6 @@ object Dedup {
     "d05_embedding_neardup" -> d05Sql,
     "d06_dedup_clusters" -> d06Sql,
     "d07_winnow_pairs" -> d07Sql,
-    "d08_decontaminate" -> d08Sql)
+    "d08_decontaminate" -> d08Sql,
+    "d10_run_overlap" -> d10Sql)
 }

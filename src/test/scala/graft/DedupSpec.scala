@@ -138,6 +138,46 @@ class DedupSpec extends SparkSpec {
       "no template-only pairs were dropped — loss-mode leg is vacuous")
   }
 
+  test("d10 exact run overlap: K-run boundary exact; winnow guarantee cross-pinned") {
+    import graft.operators.Dedup
+    // boundary: docs sharing EXACTLY an 8-token run are detected with
+    // shared == 1; a 7-token overlap is invisible at K=8
+    val run = (1 to 8).map(i => s"r$i").mkString(" ")
+    val run7 = (1 to 7).map(i => s"r$i").mkString(" ")
+    def uniq(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"${uniq("a", 10)} $run ${uniq("b", 10)}",
+      2L -> s"${uniq("c", 10)} $run ${uniq("d", 10)}",
+      3L -> s"${uniq("e", 10)} $run7 ${uniq("f", 10)}").toDF("doc_id", "text")
+    try {
+      val pairs = Dedup.runOverlapPairs(docs, maxDf = None)
+        .select("a", "b", "shared").as[(Long, Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L, 1L)),
+        s"expected exactly the 8-run pair with shared=1, got $pairs")
+
+      // the winnowing GUARANTEE, cross-operator: any pair sharing a
+      // run of >= WinnowWindow + WinnowK - 1 tokens must surface at
+      // least one shared winnow fingerprint — so d10 pairs at that K
+      // are a subset of d07 pairs at minShared = 1, on the real corpus
+      val k = Dedup.WinnowWindow + Dedup.WinnowK - 1
+      val corpus = Tables.documents(spark, sf())
+      val exact = Dedup.runOverlapPairs(corpus, runTokens = k, maxDf = None)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(exact.nonEmpty, "guarantee check is vacuous: no shared runs")
+      val winnow = Dedup.winnowPairs(corpus, minShared = 1, maxDf = None)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(exact.subsetOf(winnow),
+        s"winnow guarantee violated for ${exact -- winnow}")
+
+      // capped default equals exhaustive at test scale (df << cap)
+      val capped = Dedup.runOverlapPairs(Tables.documents(spark, sf()))
+        .select("a", "b", "shared").as[(Long, Long, Long)].collect().toSet
+      val exh = Dedup.runOverlapPairs(Tables.documents(spark, sf()), maxDf = None)
+        .select("a", "b", "shared").as[(Long, Long, Long)].collect().toSet
+      assert(capped == exh)
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("d07 winnowing: shared run >= window+k-1 guarantees a pair; cap verifies exact") {
     // the winnowing guarantee: any shared token run of length
     // >= window+k-1 (= 6 here) yields at least one shared fingerprint
