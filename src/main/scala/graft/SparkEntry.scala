@@ -16,7 +16,8 @@ object SparkEntry {
     operators.Relational.queries ++ operators.Fraud.queries ++
       operators.RiskEngine.queries ++ operators.IncrementalStats.queries ++
       operators.TextOps.queries ++ operators.Dedup.queries ++
-      operators.Similarity.queries ++ operators.Corpus.queries ++
+      operators.Similarity.queries ++ operators.Search.queries ++
+      operators.Corpus.queries ++ operators.Upsert.queries ++
       operators.Split.queries ++ operators.Redact.queries ++
       operators.Histogram.queries ++ functions.Geo.queries ++
       multimodal.Binary.queries ++
@@ -148,7 +149,8 @@ object SparkEntry {
     operators.Relational.oracles ++ operators.Fraud.oracles ++
       operators.RiskEngine.oracles ++ operators.IncrementalStats.oracles ++
       operators.TextOps.oracles ++ operators.Dedup.oracles ++
-      operators.Similarity.oracles ++ operators.Corpus.oracles ++
+      operators.Similarity.oracles ++ operators.Search.oracles ++
+      operators.Corpus.oracles ++ operators.Upsert.oracles ++
       operators.Split.oracles ++ operators.Redact.oracles ++
       operators.Histogram.oracles ++ functions.Geo.oracles ++
       multimodal.Binary.oracles ++

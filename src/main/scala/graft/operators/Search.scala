@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the documents corpus — the engine-side
+  * analogs of the reference deployment's Elasticsearch retrieval
+  * primitives (the reference indexes every listing into ES and its
+  * pollers/dashboards query by `match` relevance and fuzzy terms;
+  * ingestion/index_template.json maps `title`/`description` as
+  * analyzed `text`). A user running keyword search against the
+  * reference's index needs the same capability here:
+  *
+  *  - s06: BM25-ranked top-k match query (Robertson/Sparck Jones;
+  *    the scoring function behind ES `match` — Lucene practical
+  *    scoring), with the Lucene IDF form `ln(1 + (N-df+0.5)/(df+0.5))`
+  *    and classic `(k1+1)` tf saturation, k1=1.2 b=0.75.
+  *  - s07: fuzzy term matching with ES `fuzziness: AUTO` edit budgets
+  *    (len<=2 exact, 3..5 one edit, >5 two edits) resolved against a
+  *    corpus vocabulary census, Levenshtein distance.
+  *
+  * Scale design: query terms are a handful of literals, so everything
+  * query-sized is BROADCAST. s06 stages one slim cached frame
+  * (doc_id, dl, matched-terms array — the full token array is never
+  * materialized past the projection) and the only corpus-scale
+  * shuffle is the (doc, term) tf aggregation over docs that matched
+  * at least one term; df and corpus stats ride tiny broadcast joins
+  * and top-k is TakeOrdered (rank materialized after the limit, so no
+  * global window). In production N/avgdl/df come from an incrementally
+  * maintained lexicon (the IncrementalStats pattern) rather than a
+  * per-query census — the census here doubles as the oracle-checkable
+  * construction of that lexicon. s07's vocabulary census is the
+  * classic token-distinct rollup (vocab << corpus by Heaps' law); the
+  * edit-distance probe runs vocab x |terms| against the broadcast
+  * query set, never corpus x terms.
+  */
+object Search {
+
+  val K1 = 1.2
+  val B = 0.75
+  val TopK = 20
+
+  /** Mixed-selectivity match query over the synthetic corpus: "dup"
+    * is rare (df ~5% of docs) so IDF dominates; the other two are
+    * common terms that differentiate via tf saturation and length
+    * normalization. */
+  val QueryTerms: Seq[String] = Seq("dup", "merge", "hash")
+
+  /** Fuzzy probes: one exact hit, typos at each AUTO edit budget, and
+    * one ("tabel" -> "table", a transposition = 2 edits at a 1-edit
+    * budget) that the AUTO cutoff correctly rejects. */
+  val FuzzyTerms: Seq[String] =
+    Seq("haash", "colum", "vectr", "qery", "merrge", "streem", "tabel", "scan")
+
+  /** Exact double literal for the oracle: DuckDB parses the shortest
+    * round-trip decimal back to the identical IEEE double (via a
+    * string cast — a bare SQL decimal literal would be DECIMAL-typed
+    * and could re-round differently mid-expression). */
+  private def dlit(x: Double): String = s"CAST('$x' AS DOUBLE)"
+
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+
+  // ---------------------------------------------------------------
+  // s06: BM25 top-k match query.
+  // ---------------------------------------------------------------
+
+  /** BM25 top-k of `terms` against `docs` (doc_id, text): returns
+    * (rank, doc_id, score, terms_matched). Per-term contributions are
+    * rounded and summed through DECIMAL so the per-doc score is
+    * independent of aggregation order (and engine-portable). */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = TopK): DataFrame = {
+    // slim staged frame: per-doc length + ONLY the query-term tokens
+    // (the t05 lesson — stage arrays consumed by lambdas as columns);
+    // consumed by both the tf branch and the corpus-stats branch, so
+    // cache it rather than re-scan the corpus
+    val toks = tokenized(docs)
+      .select(col("doc_id"), size(col("w")).as("dl"),
+        filter(col("w"), t => t.isin(terms: _*)).as("qw"))
+      .transform(graft.CacheRegistry.register)
+    val g = toks.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.select(col("doc_id"), col("dl"), explode(col("qw")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .transform(graft.CacheRegistry.register)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = round(log(lit(1.0) +
+      (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))), 6)
+    val denom = col("tf").cast("double") +
+      lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / col("avgdl"))
+    val contrib = round(idf * (col("tf").cast("double") * lit(K1 + 1)) / denom, 6)
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(g))
+      .select(col("doc_id"), contrib.as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c").cast("decimal(25,8)")).cast("double").as("score"),
+        count(lit(1)).as("terms_matched"))
+    // top-k via TakeOrdered (total order: doc_id tiebreak), THEN rank
+    // over the k survivors — never a global single-partition window
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score"), col("terms_matched"))
+  }
+
+  def s06(s: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(s, dir), QueryTerms)
+
+  val s06Sql: String = {
+    val half = dlit(0.5); val one = dlit(1.0)
+    val k1 = dlit(K1); val k1p1 = dlit(K1 + 1); val omb = dlit(1.0 - B)
+    val b = dlit(B)
+    val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+    raw"""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                  FROM documents WHERE trim(text) <> ''),
+       g AS (SELECT count(*) AS n, CAST(sum(len(w)) AS DOUBLE)/count(*) AS avgdl FROM toks),
+       tf AS (SELECT doc_id, dl, tk AS term, count(*) AS tf
+              FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS tk FROM toks)
+              WHERE tk IN ($termList) GROUP BY 1, 2, 3),
+       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       sc AS (SELECT doc_id,
+                round(round(ln($one + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + $half)/(CAST(df AS DOUBLE) + $half)), 6)
+                  * (CAST(tf AS DOUBLE) * $k1p1)
+                  / (CAST(tf AS DOUBLE) + $k1 * ($omb + $b * CAST(dl AS DOUBLE) / avgdl)), 6) AS c
+              FROM tf JOIN dfreq USING (term) CROSS JOIN g),
+       agg AS (SELECT doc_id, CAST(sum(CAST(c AS DECIMAL(25,8))) AS DOUBLE) AS score,
+                 count(*) AS terms_matched FROM sc GROUP BY 1),
+       r AS (SELECT doc_id, score, terms_matched,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM agg)
+       SELECT CAST(rank AS BIGINT) AS rank, doc_id, score,
+         CAST(terms_matched AS BIGINT) AS terms_matched
+       FROM r WHERE rank <= $TopK"""
+  }
+
+  // ---------------------------------------------------------------
+  // s07: fuzzy term matching (ES fuzziness AUTO).
+  // ---------------------------------------------------------------
+
+  /** Resolve `terms` against the corpus vocabulary under AUTO edit
+    * budgets: returns one row per (q_term, matched variant) with the
+    * edit distance, the variant's doc frequency, and the number of
+    * distinct docs matching ANY variant of that term. */
+  def fuzzyMatch(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val s = docs.sparkSession
+    // distinct (doc, token) pairs, cached pre-partitioned on token:
+    // the vocab census aggregates on the cache's partitioning and the
+    // doc-match probe is a broadcast join, so the corpus is shuffled
+    // exactly once (SURVEY §5 multi-consumer cache rule)
+    val pairs = tokenized(docs)
+      .select(col("doc_id"), explode(col("w")).as("tok")).distinct()
+      .repartition(col("tok"))
+      .transform(graft.CacheRegistry.register)
+    val vocab = pairs.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val q = s.createDataset(terms)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("q_term")
+      .withColumn("max_edits",
+        when(length(col("q_term")) <= 2, 0)
+          .when(length(col("q_term")) <= 5, 1).otherwise(2))
+    val variants = vocab.join(broadcast(q),
+        levenshtein(col("q_term"), col("tok")) <= col("max_edits"))
+      .select(col("q_term"), col("tok").as("variant"),
+        levenshtein(col("q_term"), col("tok")).cast("long").as("dist"),
+        col("df"))
+      .transform(graft.CacheRegistry.register)
+    val nDocs = pairs
+      .join(broadcast(variants.select(col("q_term"), col("variant"))),
+        col("tok") === col("variant"))
+      .groupBy(col("q_term"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+    variants.join(broadcast(nDocs), "q_term")
+      .select(col("q_term"), col("variant"), col("dist"), col("df"),
+        col("n_docs"))
+  }
+
+  def s07(s: SparkSession, dir: String): DataFrame =
+    fuzzyMatch(Tables.documents(s, dir), FuzzyTerms)
+
+  val s07Sql: String = {
+    val termList = FuzzyTerms.map(t => s"'$t'").mkString(", ")
+    raw"""WITH toks AS (SELECT DISTINCT doc_id, tok FROM
+                 (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                  FROM documents WHERE trim(text) <> '')),
+       vocab AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+       q AS (SELECT unnest([$termList]) AS q_term),
+       qd AS (SELECT q_term, CASE WHEN len(q_term) <= 2 THEN 0
+                    WHEN len(q_term) <= 5 THEN 1 ELSE 2 END AS max_edits FROM q),
+       v AS (SELECT q_term, tok AS variant, levenshtein(q_term, tok) AS dist, df
+             FROM qd, vocab WHERE levenshtein(q_term, tok) <= max_edits),
+       nd AS (SELECT v.q_term, count(DISTINCT t.doc_id) AS n_docs
+              FROM v JOIN toks t ON t.tok = v.variant GROUP BY 1)
+       SELECT v.q_term, v.variant, CAST(v.dist AS BIGINT) AS dist,
+         CAST(v.df AS BIGINT) AS df, CAST(nd.n_docs AS BIGINT) AS n_docs
+       FROM v JOIN nd ON v.q_term = nd.q_term"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s06_bm25" -> (s06 _),
+    "s07_fuzzy_match" -> (s07 _))
+
+  val oracles: Map[String, String] = Map(
+    "s06_bm25" -> s06Sql,
+    "s07_fuzzy_match" -> s07Sql)
+}

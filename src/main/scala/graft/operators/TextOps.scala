@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextAnalysis._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis queries over the documents corpus (SURVEY.md §2 rows
@@ -258,17 +258,77 @@ object TextOps {
        SELECT doc_id, ntok, top1_frac, top2_frac, dup3_frac, repetitive
        FROM rep"""
 
+  // ---------------------------------------------------------------
+  // t06: Unicode normalization pass — the canonical first stage of a
+  // web-scale text pipeline (before fingerprinting/dedup, so that
+  // "Café" composed and "Cafe" + U+0301 hash identically): NFC
+  // composition (native `graft_nfc` — Spark has no built-in
+  // normalizer; the expression stays codegen'd), strip C0/DEL control
+  // characters except tab/newline, collapse space runs, trim. DuckDB
+  // replays it with utf8proc's `nfc_normalize` — canonical
+  // composition is Unicode-stability-guaranteed, so JDK and utf8proc
+  // agree bit-exactly (the spec pins the composed case).
+  //
+  // Scale: scan -> narrow codegen'd projection, no shuffle at all.
+  // The isNormalized fast path makes already-clean text (the corpus
+  // majority) a single allocation-free scan.
+  // ---------------------------------------------------------------
+
+  /** Planted denormalization (every 5th doc): a combining-accent
+    * sequence NFC must compose, a BEL control char, and double-space
+    * runs — each exercising one normalization stage. */
+  private[graft] val DenormPrefix = "Cafe\u0301\u0007  "
+  private[graft] val DenormSuffix = "  ."
+
+  def denormCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(DenormPrefix), col("text"), lit(DenormSuffix)))
+        .otherwise(col("text")).as("text"))
+
+  /** The normalization pipeline over a text column. */
+  def normalizeText(s: SparkSession, c: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      graft.plans.GraftFunctions.nfc(s, c),
+      "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""), " {2,}", " "))
+
+  def t06(s: SparkSession, dir: String): DataFrame =
+    denormCorpus(Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"),
+        normalizeText(s, col("text")).as("norm"))
+      .select(col("doc_id"),
+        (col("norm") =!= col("text")).cast("long").as("changed"),
+        length(col("text")).cast("long").as("n_before"),
+        length(col("norm")).cast("long").as("n_after"),
+        md5(col("norm").cast("binary")).as("fp"))
+
+  val t06Sql: String =
+    raw"""WITH src AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'Cafe' || chr(769) || chr(7) || '  ' || text || '  .'
+                  ELSE text END AS text FROM documents),
+       nrm AS (SELECT doc_id, text,
+                 trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                   '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'), ' {2,}', ' ', 'g')) AS norm
+               FROM src)
+       SELECT doc_id, CAST(norm <> text AS BIGINT) AS changed,
+         CAST(len(text) AS BIGINT) AS n_before,
+         CAST(len(norm) AS BIGINT) AS n_after,
+         md5(norm) AS fp
+       FROM nrm"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_token_count" -> (t03 _),
     "t04_fingerprint" -> (t04 _),
-    "t05_repetition" -> (t05 _))
+    "t05_repetition" -> (t05 _),
+    "t06_normalize" -> (t06 _))
 
   val oracles: Map[String, String] = Map(
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,
     "t04_fingerprint" -> t04Sql,
-    "t05_repetition" -> t05Sql)
+    "t05_repetition" -> t05Sql,
+    "t06_normalize" -> t06Sql)
 }

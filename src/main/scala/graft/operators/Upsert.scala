@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus maintenance: latest-wins upsert of a CDC-style
+  * update batch (puts + deletes, versioned) into a base snapshot —
+  * the engine-side analog of the reference's re-index/update cycle
+  * (its pollers re-PUT changed listings into Elasticsearch by `_id`
+  * and the index keeps the latest document version; deletes arrive as
+  * tombstones). A 100 TB training corpus is maintained the same way:
+  * periodic crawl deltas merged into the canonical snapshot.
+  *
+  * Merge semantics (Delta-style MERGE, CDC flavor):
+  *   1. within the update batch, the highest `version` per key wins
+  *      (so a later put overrides an earlier tombstone of the same
+  *      key, and vice versa);
+  *   2. base rows whose key appears in the batch are replaced;
+  *   3. surviving winner rows with op='delete' drop the key.
+  *
+  * Scale design: the per-key "latest" window runs over the UPDATE
+  * BATCH ONLY (deltas are orders of magnitude smaller than the base);
+  * the base is never windowed and never shuffled — it flows through
+  * one broadcast LEFT ANTI join on the batch's key set plus a union.
+  * When a delta outgrows broadcast, the same plan runs as a bucketed
+  * sort-merge anti join over `Ingest.writeBucketed` snapshots
+  * (exchange-free on the base side) — the join shape is the tuning
+  * knob, the algebra is unchanged.
+  */
+object Upsert {
+
+  /** Latest-wins merge of `updates` (doc_id, text, version, op) into
+    * `base` (doc_id, text, version): returns (doc_id, text, version)
+    * after applying puts and tombstones. */
+  def upsert(base: DataFrame, updates: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("version").desc)
+    val latest = updates
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("text"), col("version"), col("op"))
+      .transform(graft.CacheRegistry.register)
+    val untouched = base
+      .join(broadcast(latest.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"), col("version"))
+    untouched.unionByName(
+      latest.filter(col("op") =!= "delete")
+        .select(col("doc_id"), col("text"), col("version")))
+  }
+
+  /** Deterministic synthetic CDC batch for the c11 face — every update
+    * class represented: tombstones (%13), single puts (%10), a
+    * higher-version put that must override same-batch rows (%20 —
+    * including some tombstoned keys, exercising rule 1), and inserts
+    * of brand-new keys (%25, offset ids). */
+  def updatesFor(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"))
+    val deletes = d.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), lit(null).cast("string").as("text"),
+        lit(1L).as("version"), lit("delete").as("op"))
+    val rev2 = d.filter(col("doc_id") % 13 =!= 0 && col("doc_id") % 10 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"),
+        lit(1L).as("version"), lit("put").as("op"))
+    val rev3 = d.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" [rev3]")).as("text"),
+        lit(2L).as("version"), lit("put").as("op"))
+    val fresh = d.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("replacement listing: "), col("text")).as("text"),
+        lit(1L).as("version"), lit("put").as("op"))
+    deletes.unionByName(rev2).unionByName(rev3).unionByName(fresh)
+  }
+
+  def c11(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.select(col("doc_id"), col("text"), lit(0L).as("version"))
+    upsert(base, updatesFor(docs))
+      .select(col("doc_id"), col("version"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text").cast("binary")).as("fp"))
+  }
+
+  val c11Sql: String =
+    """WITH base AS (SELECT doc_id, text, CAST(0 AS BIGINT) AS version FROM documents),
+       upd AS (
+         SELECT doc_id, CAST(NULL AS VARCHAR) AS text,
+                CAST(1 AS BIGINT) AS version, 'delete' AS op
+         FROM documents WHERE doc_id % 13 = 0
+         UNION ALL
+         SELECT doc_id, text || ' [rev2]', CAST(1 AS BIGINT), 'put'
+         FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 10 = 0
+         UNION ALL
+         SELECT doc_id, text || ' [rev3]', CAST(2 AS BIGINT), 'put'
+         FROM documents WHERE doc_id % 20 = 0
+         UNION ALL
+         SELECT doc_id + 1000000, 'replacement listing: ' || text,
+                CAST(1 AS BIGINT), 'put'
+         FROM documents WHERE doc_id % 25 = 0),
+       latest AS (SELECT * FROM upd
+         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) = 1),
+       merged AS (
+         SELECT doc_id, text, version FROM base
+         WHERE doc_id NOT IN (SELECT doc_id FROM latest)
+         UNION ALL
+         SELECT doc_id, text, version FROM latest WHERE op <> 'delete')
+       SELECT doc_id, version, CAST(len(text) AS BIGINT) AS n_chars,
+         md5(text) AS fp
+       FROM merged"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c11_corpus_upsert" -> (c11 _))
+
+  val oracles: Map[String, String] = Map(
+    "c11_corpus_upsert" -> c11Sql)
+}

@@ -84,6 +84,7 @@ object GraftFunctions {
   val PqCodesName = "graft_pq_codes"
   val TextStatsName = "graft_textstats"
   val SubwordCountName = "graft_subword_count"
+  val NfcName = "graft_nfc"
 
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     (CosineName, classOf[CosineSimilarity].getName,
@@ -109,7 +110,9 @@ object GraftFunctions {
     (TextStatsName, classOf[TextStats].getName,
       exprs => TextStats(exprs.head)),
     (SubwordCountName, classOf[SubwordCount].getName,
-      exprs => SubwordCount(exprs.head)))
+      exprs => SubwordCount(exprs.head)),
+    (NfcName, classOf[Nfc].getName,
+      exprs => Nfc(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     registry.foreach { case (name, clazz, builder) =>
@@ -180,6 +183,11 @@ object GraftFunctions {
   def subwordCount(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function(SubwordCountName, text)
+  }
+
+  def nfc(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function(NfcName, text)
   }
 }
 
