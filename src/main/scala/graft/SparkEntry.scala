@@ -18,7 +18,7 @@ object SparkEntry {
       operators.TextOps.queries ++ operators.Dedup.queries ++
       operators.Similarity.queries ++ operators.Search.queries ++
       operators.Corpus.queries ++ operators.Upsert.queries ++
-      operators.Dsir.queries ++
+      operators.Dsir.queries ++ operators.Census.queries ++
       operators.Split.queries ++ operators.Redact.queries ++
       operators.Histogram.queries ++ functions.Geo.queries ++
       multimodal.Binary.queries ++
@@ -152,7 +152,7 @@ object SparkEntry {
       operators.TextOps.oracles ++ operators.Dedup.oracles ++
       operators.Similarity.oracles ++ operators.Search.oracles ++
       operators.Corpus.oracles ++ operators.Upsert.oracles ++
-      operators.Dsir.oracles ++
+      operators.Dsir.oracles ++ operators.Census.oracles ++
       operators.Split.oracles ++ operators.Redact.oracles ++
       operators.Histogram.oracles ++ functions.Geo.oracles ++
       multimodal.Binary.oracles ++

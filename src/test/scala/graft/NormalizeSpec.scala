@@ -28,6 +28,25 @@ class NormalizeSpec extends SparkSpec {
     assert(c == "plain ascii text")
   }
 
+  test("t06 before t04: composed/decomposed variants fingerprint identically") {
+    // the reason normalization runs FIRST in a pipeline: the same
+    // visible text in NFC vs NFD falls into different dedup buckets
+    // without it (the canonical fingerprint keeps the decomposed base
+    // letter 'e' but drops the composed 'é', so the digests differ)
+    val variants = Seq((1L, "Caf\u00e9 price"), (2L, "Cafe\u0301 price"))
+      .toDF("doc_id", "text")
+    val raw = variants
+      .select(graft.plans.GraftFunctions.fingerprint(spark, col("text")).as("fp"))
+      .as[String].collect()
+    assert(raw(0) != raw(1), "un-normalized variants should (sadly) differ")
+    val normed = variants
+      .select(graft.plans.GraftFunctions.fingerprint(spark,
+        TextOps.normalizeText(spark, col("text"))).as("fp"))
+      .as[String].collect()
+    assert(normed(0) == normed(1),
+      "after t06 both variants must land in the same dedup bucket")
+  }
+
   test("t06 face: exactly the planted docs change, and shrink") {
     val out = TextOps.t06(spark, sf()).cache()
     try {
