@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -64,6 +64,27 @@ object Search {
     docs.filter(trim(col("text")) =!= "")
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
 
+  /** The BM25 per-term contribution over columns tf/dl/df/n/avgdl —
+    * one expression shared by the match (s06) and phrase (s08) faces,
+    * with [[bm25ScoreSql]] its token-for-token DuckDB replay. */
+  private def bm25ScoreExpr: Column = {
+    val idf = round(log(lit(1.0) +
+      (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))), 6)
+    val denom = col("tf").cast("double") +
+      lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / col("avgdl"))
+    round(idf * (col("tf").cast("double") * lit(K1 + 1)) / denom, 6)
+  }
+
+  private def bm25ScoreSql: String = {
+    val half = dlit(0.5); val one = dlit(1.0)
+    val k1 = dlit(K1); val k1p1 = dlit(K1 + 1); val omb = dlit(1.0 - B)
+    val b = dlit(B)
+    s"""round(round(ln($one + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + $half)/(CAST(df AS DOUBLE) + $half)), 6)
+       * (CAST(tf AS DOUBLE) * $k1p1)
+       / (CAST(tf AS DOUBLE) + $k1 * ($omb + $b * CAST(dl AS DOUBLE) / avgdl)), 6)"""
+  }
+
   // ---------------------------------------------------------------
   // s06: BM25 top-k match query.
   // ---------------------------------------------------------------
@@ -88,14 +109,8 @@ object Search {
       .agg(count(lit(1)).as("tf"))
       .transform(graft.CacheRegistry.register)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val idf = round(log(lit(1.0) +
-      (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5))), 6)
-    val denom = col("tf").cast("double") +
-      lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / col("avgdl"))
-    val contrib = round(idf * (col("tf").cast("double") * lit(K1 + 1)) / denom, 6)
     val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(g))
-      .select(col("doc_id"), contrib.as("c"))
+      .select(col("doc_id"), bm25ScoreExpr.as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c").cast("decimal(25,8)")).cast("double").as("score"),
         count(lit(1)).as("terms_matched"))
@@ -111,9 +126,6 @@ object Search {
     bm25(Tables.documents(s, dir), QueryTerms)
 
   val s06Sql: String = {
-    val half = dlit(0.5); val one = dlit(1.0)
-    val k1 = dlit(K1); val k1p1 = dlit(K1 + 1); val omb = dlit(1.0 - B)
-    val b = dlit(B)
     val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
     raw"""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
                   FROM documents WHERE trim(text) <> ''),
@@ -122,10 +134,7 @@ object Search {
               FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS tk FROM toks)
               WHERE tk IN ($termList) GROUP BY 1, 2, 3),
        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-       sc AS (SELECT doc_id,
-                round(round(ln($one + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + $half)/(CAST(df AS DOUBLE) + $half)), 6)
-                  * (CAST(tf AS DOUBLE) * $k1p1)
-                  / (CAST(tf AS DOUBLE) + $k1 * ($omb + $b * CAST(dl AS DOUBLE) / avgdl)), 6) AS c
+       sc AS (SELECT doc_id, $bm25ScoreSql AS c
               FROM tf JOIN dfreq USING (term) CROSS JOIN g),
        agg AS (SELECT doc_id, CAST(sum(CAST(c AS DECIMAL(25,8))) AS DOUBLE) AS score,
                  count(*) AS terms_matched FROM sc GROUP BY 1),
@@ -197,11 +206,75 @@ object Search {
        FROM v JOIN nd ON v.q_term = nd.q_term"""
   }
 
+  // ---------------------------------------------------------------
+  // s08: phrase query (ES match_phrase, zero slop).
+  // ---------------------------------------------------------------
+
+  /** Adjacent-bigram phrase with tf variation in the corpus (one doc
+    * contains it twice at sf0.01). */
+  val PhraseTerms: Seq[String] = Seq("hash", "join")
+
+  /** Phrase search: exact adjacent-token occurrences of `phrase`,
+    * BM25-scored with the phrase as a single "term" (tf = occurrence
+    * count, df = docs containing it). Returns (rank, doc_id, tf,
+    * score). One corpus scan: the slim (doc_id, dl, tf) frame is
+    * cached and feeds both the corpus stats and the match set. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+      k: Int = TopK): DataFrame = {
+    require(phrase.length >= 2, "a phrase needs at least two tokens")
+    val n = phrase.length
+    val pstr = phrase.mkString(" ")
+    val grams = when(size(col("w")) >= n,
+      transform(sequence(lit(1), size(col("w")) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(col("w"), i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val perDoc = tokenized(docs)
+      .select(col("doc_id"), size(col("w")).as("dl"), col("w"))
+      .select(col("doc_id"), col("dl"),
+        size(filter(grams, g => g === pstr)).cast("long").as("tf"))
+      .transform(graft.CacheRegistry.register)
+    val g = perDoc.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = perDoc.filter(col("tf") > 0)
+    val dfreq = tf.agg(count(lit(1)).as("df"))
+    val scored = tf.crossJoin(broadcast(dfreq)).crossJoin(broadcast(g))
+      .select(col("doc_id"), col("tf"), bm25ScoreExpr.as("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rank"), col("doc_id"), col("tf"), col("score"))
+  }
+
+  def s08(s: SparkSession, dir: String): DataFrame =
+    phraseSearch(Tables.documents(s, dir), PhraseTerms)
+
+  val s08Sql: String = {
+    val pstr = PhraseTerms.mkString(" ")
+    raw"""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                  FROM documents WHERE trim(text) <> ''),
+       pd AS (SELECT doc_id, len(w) AS dl,
+                len(list_filter(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+                  i -> w[i] || ' ' || w[i+1]), x -> x = '$pstr')) AS tf
+              FROM toks),
+       g AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM pd),
+       tf AS (SELECT doc_id, dl, tf FROM pd WHERE tf > 0),
+       dfq AS (SELECT count(*) AS df FROM tf),
+       sc AS (SELECT doc_id, tf, $bm25ScoreSql AS score
+              FROM tf CROSS JOIN dfq CROSS JOIN g),
+       r AS (SELECT doc_id, tf, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+       SELECT CAST(rank AS BIGINT) AS rank, doc_id, CAST(tf AS BIGINT) AS tf,
+         score
+       FROM r WHERE rank <= $TopK"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s06_bm25" -> (s06 _),
-    "s07_fuzzy_match" -> (s07 _))
+    "s07_fuzzy_match" -> (s07 _),
+    "s08_match_phrase" -> (s08 _))
 
   val oracles: Map[String, String] = Map(
     "s06_bm25" -> s06Sql,
-    "s07_fuzzy_match" -> s07Sql)
+    "s07_fuzzy_match" -> s07Sql,
+    "s08_match_phrase" -> s08Sql)
 }

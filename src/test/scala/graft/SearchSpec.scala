@@ -64,6 +64,25 @@ class SearchSpec extends SparkSpec {
     } finally CacheRegistry.unpersistAll()
   }
 
+  test("s08: phrase matches are adjacent-exact and tf-ranked") {
+    // doc 2 has the phrase twice, doc 1 once, doc 3 has both words but
+    // NOT adjacent (the match-vs-match_phrase distinction), doc 4 has
+    // the reversed order
+    val docs = Seq(
+      (1L, "a hash join b"),
+      (2L, "hash join c hash join"),
+      (3L, "hash c join"),
+      (4L, "join hash")).toDF("doc_id", "text")
+    try {
+      val rows = graft.operators.Search.phraseSearch(docs, Seq("hash", "join"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.map(_._2).toSet == Set(1L, 2L),
+        s"only adjacent in-order occurrences count: ${rows.toSeq}")
+      assert(rows.head == ((1L, 2L, 2L)),
+        s"the tf=2 doc must rank first: ${rows.toSeq}")
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("s07: df and n_docs agree for single-variant terms") {
     try {
       val bad = Search.s07(spark, sf())
