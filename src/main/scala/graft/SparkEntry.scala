@@ -92,6 +92,23 @@ object SparkEntry {
       }
       s.read.parquet(docsDir)
     }),
+    // st04_upsert_cdc: the streaming CDC upsert lifecycle at corpus
+    // scale — full corpus lands as the first delta generation, folds
+    // into a base snapshot, the c11 update batch lands as a second
+    // generation, and the timed read is the merge-on-read view.
+    "st04_upsert_cdc" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val root = GateScratch.fresh(s, "upsert")
+      val base = s"$root/base"; val delta = s"$root/delta"
+      val docs = graft.Tables.documents(s, dir)
+      streaming.UpsertStream.upsertBatch(
+        docs.select(col("doc_id"), col("text"), lit(1L).as("version"),
+          lit("put").as("op")), 0L, delta)
+      streaming.UpsertStream.compactUpserts(s, base, delta)
+      streaming.UpsertStream.upsertBatch(
+        operators.Upsert.updatesFor(docs), 1L, delta)
+      streaming.UpsertStream.snapshotView(s, base, delta)
+    }),
     // st03_maintain: the maintenance pass alone (recoverSwaps +
     // compactCensus + foldBatches×2 + sealed-dir compacts) over gate
     // state built UNTIMED by the benchSetup hook of the same name —
