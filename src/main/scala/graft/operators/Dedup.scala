@@ -268,6 +268,70 @@ object Dedup {
   def d10(s: SparkSession, dir: String, maxDf: Option[Int]): DataFrame =
     runOverlapPairs(Tables.documents(s, dir), maxDf = maxDf)
 
+  // ---------------------------------------------------------------
+  // d11: contamination REPORT — the eval-overlap AUDIT the GPT-3
+  // appendix popularized (per-doc n-gram overlap against the
+  // benchmark set), complementing the enforcement faces: d08 DROPS
+  // contaminated docs, 41f rejects them at ingest, d11 MEASURES how
+  // contaminated each surviving-or-not doc is, the number a release
+  // report actually publishes. Fraction of a train doc's distinct
+  // K-token grams (RunTokens, the d10 exactness anchor) that appear
+  // anywhere in the eval set.
+  //
+  // Scale: eval sets are benchmark-sized by construction (the 41f
+  // principle), so the distinct eval gram set is BROADCAST; the train
+  // side is one gram explode + a per-doc aggregation — no self-join,
+  // no state scan, O(corpus) total.
+  // ---------------------------------------------------------------
+
+  /** Per-doc contamination fractions of `train` against `evalDocs`:
+    * (doc_id, n_grams, n_contaminated, cont_frac), contaminated docs
+    * only. */
+  def contaminationReport(train: DataFrame, evalDocs: DataFrame,
+      runTokens: Int = RunTokens): DataFrame = {
+    val s = train.sparkSession
+    def grams(d: DataFrame) = d.select(col("doc_id"),
+        explode(graft.plans.GraftFunctions.shingles(s, col("text"), runTokens))
+          .as("g"))
+      .select(col("doc_id"),
+        graft.plans.GraftFunctions.md5Prefix60(s, col("g")).as("gh"))
+    val evalSet = grams(evalDocs).select(col("gh")).distinct()
+      .withColumn("hit", lit(1L))
+    grams(train)
+      .join(broadcast(evalSet), Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .filter(col("n_contaminated") > 0)
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6)
+          .as("cont_frac"))
+  }
+
+  /** Face: the c07/41f eval split (doc_id % 7) audited against the
+    * rest of the corpus. */
+  def d11(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    contaminationReport(docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0))
+  }
+
+  val d11Sql: String =
+    raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                CAST(('0x' || substring(md5(array_to_string(w[i : i+$RunTokens-1], ' ')), 1, 15)) AS BIGINT) AS gh
+              FROM toks,
+                LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-$RunTokens+1, 0))) AS i)),
+       ev AS (SELECT DISTINCT gh FROM sh WHERE doc_id % 7 = 0),
+       tr AS (SELECT doc_id, count(*) AS n_grams,
+                sum(CASE WHEN gh IN (SELECT gh FROM ev) THEN 1 ELSE 0 END) AS n_cont
+              FROM sh WHERE doc_id % 7 <> 0 GROUP BY 1)
+       SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         CAST(n_cont AS BIGINT) AS n_contaminated,
+         round(CAST(n_cont AS DOUBLE)/n_grams, 6) AS cont_frac
+       FROM tr WHERE n_cont > 0"""
+
   val d10Sql: String =
     raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
                 FROM documents),
@@ -881,7 +945,8 @@ object Dedup {
     "d06_dedup_clusters" -> (d06 _),
     "d07_winnow_pairs" -> (d07 _),
     "d08_decontaminate" -> (d08 _),
-    "d10_run_overlap" -> ((s: SparkSession, dir: String) => d10(s, dir, maxDf = None)))
+    "d10_run_overlap" -> ((s: SparkSession, dir: String) => d10(s, dir, maxDf = None)),
+    "d11_contamination_report" -> ((s: SparkSession, dir: String) => d11(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
@@ -892,5 +957,6 @@ object Dedup {
     "d06_dedup_clusters" -> d06Sql,
     "d07_winnow_pairs" -> d07Sql,
     "d08_decontaminate" -> d08Sql,
-    "d10_run_overlap" -> d10Sql)
+    "d10_run_overlap" -> d10Sql,
+    "d11_contamination_report" -> d11Sql)
 }

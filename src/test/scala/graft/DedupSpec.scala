@@ -178,6 +178,29 @@ class DedupSpec extends SparkSpec {
     } finally CacheRegistry.unpersistAll()
   }
 
+  test("d11 contamination report: per-doc overlap fractions exact") {
+    import graft.operators.Dedup
+    // eval doc E; train doc 10 embeds a verbatim 10-token span of E
+    // (10-8+1 = 3 contaminated 8-grams), train doc 11 is a full copy
+    // (frac 1.0), train doc 12 is disjoint (absent from the report)
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    def uniq(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val evalDocs = Seq(100L -> s"${uniq("e", 5)} $span ${uniq("g", 5)}")
+      .toDF("doc_id", "text")
+    val train = Seq(
+      10L -> s"${uniq("a", 10)} $span ${uniq("b", 10)}",
+      11L -> s"${uniq("e", 5)} $span ${uniq("g", 5)}",
+      12L -> uniq("z", 30)).toDF("doc_id", "text")
+    try {
+      val m = Dedup.contaminationReport(train, evalDocs)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(m.keySet == Set(10L, 11L), s"report rows: $m")
+      assert(m(10L)._2 == 3L, s"10-token span must hit 3 distinct 8-grams: $m")
+      assert(m(11L)._3 == 1.0, s"full copy must read fully contaminated: $m")
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("d07 winnowing: shared run >= window+k-1 guarantees a pair; cap verifies exact") {
     // the winnowing guarantee: any shared token run of length
     // >= window+k-1 (= 6 here) yields at least one shared fingerprint
