@@ -207,6 +207,75 @@ object Search {
   }
 
   // ---------------------------------------------------------------
+  // The production lexicon: s06 fits corpus stats (df/N/avgdl)
+  // in-query, which is the oracle-checkable construction — at 100 TB
+  // those stats are a fit-once artifact maintained incrementally and
+  // shipped with the corpus (the RiskEngine stats-artifact pattern).
+  // The artifact is EXACTLY mergeable (df/doc-count/token-sum are
+  // sums), so a crawl delta updates the lexicon without a rescan, and
+  // scoring from the artifact is bit-identical to the in-query census
+  // (spec-pinned) — the same fold==recompute contract IncrementalStats
+  // holds for the market stats.
+  // ---------------------------------------------------------------
+
+  /** Corpus lexicon: full-vocab doc frequencies + the corpus totals
+    * BM25 needs. `stats` stores sum_dl (not avgdl) so merges stay
+    * exact; avgdl is derived at scoring time. */
+  case class Lexicon(vocab: DataFrame, stats: DataFrame)
+
+  def fitLexicon(docs: DataFrame): Lexicon = {
+    val toks = tokenized(docs)
+    val vocab = toks.select(col("doc_id"), explode(array_distinct(col("w"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("w"))).as("sum_dl"))
+    Lexicon(vocab, stats)
+  }
+
+  def writeLexicon(lex: Lexicon, path: String): Unit = {
+    lex.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+    lex.stats.write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  def readLexicon(s: SparkSession, path: String): Lexicon =
+    Lexicon(s.read.parquet(s"$path/vocab"), s.read.parquet(s"$path/stats"))
+
+  /** Exact incremental maintenance: lexicon(a ∪ b) == merge(lexicon(a),
+    * lexicon(b)) — all three fields are sums. */
+  def mergeLexicons(a: Lexicon, b: Lexicon): Lexicon = {
+    val vocab = a.vocab.unionByName(b.vocab)
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+    val stats = a.stats.unionByName(b.stats)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    Lexicon(vocab, stats)
+  }
+
+  /** s06 scoring with df/N/avgdl from a prebuilt lexicon instead of an
+    * in-query census — bit-identical to [[bm25]] on the same corpus
+    * (the fit-once production path). */
+  def bm25WithLexicon(docs: DataFrame, terms: Seq[String], lex: Lexicon,
+      k: Int = TopK): DataFrame = {
+    val tf = tokenized(docs)
+      .select(col("doc_id"), size(col("w")).as("dl"),
+        explode(filter(col("w"), t => t.isin(terms: _*))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = lex.vocab.filter(col("tok").isin(terms: _*))
+      .select(col("tok").as("term"), col("df"))
+    val g = lex.stats.select(col("n_docs").as("n"),
+      (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(g))
+      .select(col("doc_id"), bm25ScoreExpr.as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c").cast("decimal(25,8)")).cast("double").as("score"),
+        count(lit(1)).as("terms_matched"))
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score"), col("terms_matched"))
+  }
+
+  // ---------------------------------------------------------------
   // s08: phrase query (ES match_phrase, zero slop).
   // ---------------------------------------------------------------
 

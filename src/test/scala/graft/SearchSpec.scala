@@ -64,6 +64,37 @@ class SearchSpec extends SparkSpec {
     } finally CacheRegistry.unpersistAll()
   }
 
+  test("s06 lexicon: artifact round-trip scores identically; merge == refit") {
+    import graft.operators.Search
+    val docs = Tables.documents(spark, sf())
+    val dir = java.nio.file.Files.createTempDirectory("graft-lex").toString
+    try {
+      Search.writeLexicon(Search.fitLexicon(docs), dir)
+      val fromArtifact = Search.bm25WithLexicon(docs, Search.QueryTerms,
+          Search.readLexicon(spark, dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3)))
+      CacheRegistry.unpersistAll()
+      val inQuery = Search.s06(spark, sf())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3)))
+      assert(fromArtifact.sameElements(inQuery),
+        "the fit-once artifact must score bit-identically to the in-query census")
+      // exact incremental maintenance: fit two halves, merge, compare
+      // against a full refit — the IncrementalStats fold==recompute
+      // contract for the lexicon
+      val merged = Search.mergeLexicons(
+        Search.fitLexicon(docs.filter(col("doc_id") % 2 === 0)),
+        Search.fitLexicon(docs.filter(col("doc_id") % 2 =!= 0)))
+      val full = Search.fitLexicon(docs)
+      def vmap(l: Search.Lexicon) = l.vocab.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(vmap(merged) == vmap(full), "merged vocab df must equal refit")
+      assert(merged.stats.collect().head.toSeq ==
+        full.stats.collect().head.toSeq, "merged totals must equal refit")
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("s08: phrase matches are adjacent-exact and tf-ranked") {
     // doc 2 has the phrase twice, doc 1 once, doc 3 has both words but
     // NOT adjacent (the match-vs-match_phrase distinction), doc 4 has
