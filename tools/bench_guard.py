@@ -29,6 +29,16 @@ CEILINGS = {
     "d08_decontaminate": 2.5,      # steady ~1.8 s (r12 full-run 1.77)
     "t05_repetition": 2.5,         # steady ~1.7 s; the unstaged-HOF
                                    # formulation measured 28.8 s (r13)
+    # r13 faces — ceilings ~1.5x the first two clean full-run readings
+    "s06_bm25": 2.2,               # steady ~1.4-1.5 s
+    "s07_fuzzy_match": 2.4,        # steady ~1.3-1.6 s
+    "s08_match_phrase": 1.5,       # steady ~0.9 s
+    "t06_normalize": 0.8,          # steady ~0.25-0.3 s (narrow scan)
+    "c11_corpus_upsert": 1.8,      # steady ~0.75-1.1 s
+    "c12_dsir": 6.5,               # steady ~3.3-4.8 s (gram explode)
+    "c13_corpus_census": 2.5,      # steady ~1.5 s
+    "d11_contamination_report": 1.7,  # steady ~1.0 s
+    "st04_upsert_cdc": 4.5,        # steady ~2.7 s (full CDC lifecycle)
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
