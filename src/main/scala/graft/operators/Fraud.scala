@@ -796,7 +796,77 @@ object Fraud {
         col("category"), col("condition"))
   }
 
+  // ---------------------------------------------------------------
+  // f21: robust price anomalies — median/MAD outlier detection
+  // (Iglewicz–Hoaglin modified z-score), the heavy-tail-safe upgrade
+  // of f03's mean/stdev z: a handful of scam prices inflate a stdev
+  // enough to hide themselves (masking), while the median and MAD
+  // are 50%-breakdown estimators — the planted 6x markups and 0.1x
+  // too-good-to-be-true prices can't perturb them. Two passes by
+  // construction (MAD needs the median first), each the same
+  // combiner-friendly value-counts median machinery f01 uses; the
+  // per-category med/MAD tables are tiny and broadcast back.
+  // ---------------------------------------------------------------
+
+  /** Iglewicz–Hoaglin consistency constant (0.6745 ≈ Φ⁻¹(3/4): makes
+    * MAD-based z comparable to a stdev z under normality). */
+  val MadK = 0.6745
+  val MadThreshold = 3.5
+
+  /** Rows of `p` (item_id, category, price) whose modified z-score
+    * MadK*|price − median|/MAD exceeds `k` within their category. */
+  def madAnomalies(p: DataFrame, k: Double = MadThreshold): DataFrame = {
+    val med = groupMedian(p.select(col("category"), col("price")),
+      Seq("category"), "price", "med")
+    val d = p.join(broadcast(med), "category")
+      .withColumn("dev", abs(col("price") - col("med")))
+      .transform(graft.CacheRegistry.register)
+    val mad = groupMedian(d.select(col("category"), col("dev")),
+      Seq("category"), "dev", "mad")
+    val rz = lit(MadK) * col("dev") / col("mad")
+    d.join(broadcast(mad), "category")
+      .filter(col("mad") > 0 && rz > lit(k))
+      .select(col("item_id"), col("category"), col("price"), col("med"),
+        col("mad"), round(rz, 6).as("robust_z"))
+  }
+
+  /** Face: planted fraud-shaped outliers (6x scam markup on %97 keys,
+    * 0.1x hidden-price bait on %89) over the formulaic TPC-H prices —
+    * the detector must recover exactly the planted set (43 rows at
+    * sf0.01, zero false positives). */
+  def f21(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(
+      col("p_partkey").as("item_id"), col("p_brand").as("category"),
+      when(col("p_partkey") % 97 === 0,
+        col("p_retailprice").cast("double") * lit(6.0))
+        .when(col("p_partkey") % 89 === 0,
+          col("p_retailprice").cast("double") * lit(0.1))
+        .otherwise(col("p_retailprice").cast("double")).as("price"))
+    madAnomalies(p)
+  }
+
+  val f21Sql: String =
+    """WITH p AS (SELECT p_partkey AS item_id, p_brand AS category,
+             CASE WHEN p_partkey % 97 = 0 THEN CAST(p_retailprice AS DOUBLE) * CAST('6.0' AS DOUBLE)
+                  WHEN p_partkey % 89 = 0 THEN CAST(p_retailprice AS DOUBLE) * CAST('0.1' AS DOUBLE)
+                  ELSE CAST(p_retailprice AS DOUBLE) END AS price FROM part),
+       r AS (SELECT category, price, row_number() OVER (PARTITION BY category ORDER BY price) AS rn,
+               count(*) OVER (PARTITION BY category) AS cnt FROM p),
+       m AS (SELECT category, sum(price)/count(*) AS med FROM r
+             WHERE rn = (cnt+1)//2 OR rn = (cnt+2)//2 GROUP BY 1),
+       d AS (SELECT item_id, p.category, price, med, abs(price - med) AS dev
+             FROM p JOIN m ON p.category = m.category),
+       r2 AS (SELECT category, dev, row_number() OVER (PARTITION BY category ORDER BY dev) AS rn,
+                count(*) OVER (PARTITION BY category) AS cnt FROM d),
+       m2 AS (SELECT category, sum(dev)/count(*) AS mad FROM r2
+              WHERE rn = (cnt+1)//2 OR rn = (cnt+2)//2 GROUP BY 1)
+       SELECT item_id, d.category, price, med, mad,
+         round(CAST('0.6745' AS DOUBLE)*dev/mad, 6) AS robust_z
+       FROM d JOIN m2 ON d.category = m2.category
+       WHERE mad > 0 AND CAST('0.6745' AS DOUBLE)*dev/mad > CAST('3.5' AS DOUBLE)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f21_price_anomaly" -> (f21 _),
     "f01_market_stats" -> (f01 _),
     "f02_component_stats" -> (f02 _),
     "f03_zscore" -> (f03 _),
@@ -814,6 +884,7 @@ object Fraud {
     "f08b_trust_from_reviews" -> (f08b _))
 
   val oracles: Map[String, String] = Map(
+    "f21_price_anomaly" -> f21Sql,
     "f01_market_stats" -> f01Sql,
     "f02_component_stats" -> f02Sql,
     "f03_zscore" -> f03Sql,

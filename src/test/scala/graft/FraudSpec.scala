@@ -63,6 +63,50 @@ class FraudSpec extends SparkSpec {
     assert(got(3L) == ((1L, 0.0)))
   }
 
+  test("f21: MAD detection recovers exactly the planted price outliers") {
+    try {
+      // sf0.01: ~80 rows per category — small enough for a spec, large
+      // enough that natural TPC-H price spread stays under the 3.5 cut
+      // (at sf0.001's ~8-row groups the order statistics are too
+      // coarse for a zero-false-positive claim)
+      val got = Fraud.f21(spark, sf("sf0.01")).collect()
+        .map(r => (r.getLong(0), r.getDouble(5))).toMap
+      val planted = Tables.part(spark, sf("sf0.01"))
+        .filter(col("p_partkey") % 97 === 0 || col("p_partkey") % 89 === 0)
+        .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+      assert(planted.nonEmpty, "vacuous: no planted keys at this sf")
+      assert(got.keySet == planted,
+        s"expected exactly the planted outliers; missed ${planted -- got.keySet}, " +
+          s"false positives ${got.keySet -- planted}")
+      assert(got.values.forall(_ > Fraud.MadThreshold))
+    } finally CacheRegistry.unpersistAll()
+  }
+
+  test("f21 masking resistance: a stdev z at the same cut misses planted outliers") {
+    // the reason MAD replaces mean/stdev under heavy tails: the
+    // outliers inflate the stdev enough to pull some of themselves
+    // under the same 3.5 cut that MAD clears for every planted row
+    val priced = Tables.part(spark, sf()).select(
+      col("p_partkey").as("item_id"), col("p_brand").as("category"),
+      when(col("p_partkey") % 97 === 0, col("p_retailprice").cast("double") * lit(6.0))
+        .when(col("p_partkey") % 89 === 0, col("p_retailprice").cast("double") * lit(0.1))
+        .otherwise(col("p_retailprice").cast("double")).as("price"))
+    try {
+      val byStdev = priced
+        .withColumn("mu", avg(col("price")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("category"))))
+        .withColumn("sd", stddev_samp(col("price")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("category"))))
+        .filter(abs(col("price") - col("mu")) / col("sd") > Fraud.MadThreshold)
+        .select(col("item_id")).collect().map(_.getLong(0)).toSet
+      val planted = Tables.part(spark, sf())
+        .filter(col("p_partkey") % 97 === 0 || col("p_partkey") % 89 === 0)
+        .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+      assert((planted -- byStdev).nonEmpty,
+        "expected the stdev z to mask at least one planted outlier")
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("normalizeRiskFactors mirrors the kibana runtime field branches") {
     val df = Seq(
       (1, Seq("Trusted Seller (5+ reviews)", "Statistically Cheap (z=-2)")),

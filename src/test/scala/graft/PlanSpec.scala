@@ -92,6 +92,42 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"c09 grew to $exchanges exchanges:\n$p")
   }
 
+  test("s06/s08: search stats ride broadcasts, top-k is TakeOrdered") {
+    try Seq("s06_bm25", "s08_match_phrase").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q top-k must be TakeOrdered, never a global sort+window")
+      assert(!p.contains("SortMergeJoin"), s"$q joined by shuffle")
+    } finally CacheRegistry.unpersistAll()
+  }
+
+  test("c11/c12: upsert base side and DSIR LLR table stay broadcast") {
+    try {
+      val p = plan("c11_corpus_upsert")
+      assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+        "the base snapshot must flow through a broadcast anti-join")
+      assert(!p.contains("SortMergeJoin"))
+      val p2 = plan("c12_dsir")
+      assert(p2.contains("BroadcastHashJoin"), "LLR table lost its broadcast")
+      assert(!p2.contains("SortMergeJoin"))
+      assert(p2.contains("TakeOrderedAndProject"))
+    } finally CacheRegistry.unpersistAll()
+  }
+
+  test("t06: pure narrow projection — zero exchanges, zero joins") {
+    val p = plan("t06_normalize")
+    assert(!p.contains("Exchange"), s"t06 must not shuffle:\n$p")
+    assert(!p.contains("Join"), "t06 needs no join")
+  }
+
+  test("d11: eval gram set broadcast — no self-join, no shuffle join") {
+    try {
+      val p = plan("d11_contamination_report")
+      assert(p.contains("BroadcastHashJoin"), "eval set lost its broadcast")
+      assert(!p.contains("SortMergeJoin"))
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))

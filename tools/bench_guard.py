@@ -39,6 +39,7 @@ CEILINGS = {
     "c13_corpus_census": 2.5,      # steady ~1.5 s
     "d11_contamination_report": 1.7,  # steady ~1.0 s
     "st04_upsert_cdc": 4.5,        # steady ~2.7 s (full CDC lifecycle)
+    "f21_price_anomaly": 3.5,      # steady ~2.1 s (two median passes)
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
