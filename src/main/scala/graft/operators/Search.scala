@@ -337,13 +337,139 @@ object Search {
        FROM r WHERE rank <= $TopK"""
   }
 
+  // ---------------------------------------------------------------
+  // s09: hybrid retrieval — BM25 + vector, fused by Reciprocal Rank
+  // Fusion (the ES 8 hybrid-search default). The corpus has no text
+  // encoder, so the vector query comes from pseudo-relevance
+  // feedback (Rocchio): the centroid of the top-PrfK BM25 hits'
+  // embeddings — the classic IR bridge when queries arrive as text
+  // but the index carries vectors. RRF(d) = Σ_lists 1/(60 + rank_d),
+  // rank-only fusion, so the two retrievers' incomparable score
+  // scales never meet.
+  //
+  // Scale: the lexical list is s06; the PRF centroid is a PrfK-row
+  // join + one 64-row aggregation; the vector pass is one corpus
+  // scan against the broadcast 1-row centroid (s01's shape); fusion
+  // joins two k-row lists. Cosine here uses the double-HOF form, not
+  // graft_cosine: the centroid is double-valued and the float-typed
+  // native expression would quantize it differently than the oracle.
+  // ---------------------------------------------------------------
+
+  val PrfK = 3
+  val RrfK = 60
+  val HybridTopK = 10
+
+  /** Index-ordered double cosine over two array<double> columns —
+    * bit-identical to DuckDB's list lambdas. */
+  private def dcos(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v * v)
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v * v)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Hybrid top-k: RRF fusion of the BM25 list and a PRF-centroid
+    * cosine list. Returns (rank, doc_id, rrf, rank_lex, rank_vec) —
+    * absent-from-list ranks read 0. */
+  def hybridSearch(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      k: Int = HybridTopK): DataFrame = {
+    val lex = bm25(docs, terms, TopK)
+      .select(col("doc_id"), col("rank").as("rank_lex"))
+      .transform(graft.CacheRegistry.register)
+    val qv = lex.filter(col("rank_lex") <= PrfK)
+      .join(emb, col("vec_id") === col("doc_id"))
+      .select(col("rank_lex").as("rk"), posexplode(col("embedding")))
+      .groupBy(col("pos"))
+      .agg(((sum(when(col("rk") === 1, col("col").cast("double")).otherwise(lit(0.0)))
+          + sum(when(col("rk") === 2, col("col").cast("double")).otherwise(lit(0.0))))
+          + sum(when(col("rk") === 3, col("col").cast("double")).otherwise(lit(0.0))))
+        .as("qsum"))
+      .select(col("pos"), (col("qsum") / lit(3.0)).as("q"))
+    val qvec = qv.agg(sort_array(collect_list(struct(col("pos"), col("q"))))
+        .as("ps"))
+      .select(transform(col("ps"), p => p.getField("q")).as("qe"))
+    val vc = emb.crossJoin(broadcast(qvec))
+      .select(col("vec_id").as("doc_id"),
+        dcos(col("qe"), col("embedding").cast("array<double>")).as("cos"))
+    val vtop = vc.orderBy(col("cos").desc, col("doc_id").asc).limit(TopK)
+    val vr = vtop.withColumn("rank_vec", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("rank_vec"))
+    val fused = lex.join(vr, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_vec")), lit(0.0)))
+          .as("rrfraw"),
+        coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+        coalesce(col("rank_vec"), lit(0L)).as("rank_vec"))
+    val top = fused.orderBy(col("rrfraw").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("rrfraw").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rank"), col("doc_id"), round(col("rrfraw"), 6).as("rrf"),
+        col("rank_lex"), col("rank_vec"))
+  }
+
+  def s09(s: SparkSession, dir: String): DataFrame =
+    hybridSearch(Tables.documents(s, dir), Tables.embeddings(s, dir),
+      QueryTerms)
+
+  val s09Sql: String = {
+    val one = dlit(1.0); val zero = dlit(0.0); val three = dlit(3.0)
+    val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+    val half = dlit(0.5); val k1 = dlit(K1); val k1p1 = dlit(K1 + 1)
+    val omb = dlit(1.0 - B); val b = dlit(B)
+    raw"""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                  FROM documents WHERE trim(text) <> ''),
+       g AS (SELECT count(*) AS n, CAST(sum(len(w)) AS DOUBLE)/count(*) AS avgdl FROM toks),
+       tf AS (SELECT doc_id, dl, tk AS term, count(*) AS tf
+              FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS tk FROM toks)
+              WHERE tk IN ($termList) GROUP BY 1, 2, 3),
+       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       sc AS (SELECT doc_id, round(round(ln($one + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + $half)/(CAST(df AS DOUBLE) + $half)), 6)
+                * (CAST(tf AS DOUBLE) * $k1p1)
+                / (CAST(tf AS DOUBLE) + $k1 * ($omb + $b * CAST(dl AS DOUBLE) / avgdl)), 6) AS c
+              FROM tf JOIN dfreq USING (term) CROSS JOIN g),
+       agg AS (SELECT doc_id, CAST(sum(CAST(c AS DECIMAL(25,8))) AS DOUBLE) AS score FROM sc GROUP BY 1),
+       lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+               FROM agg QUALIFY rank_lex <= $TopK),
+       pe AS (SELECT l.rank_lex AS rk, e.embedding AS emb FROM lex l
+              JOIN embeddings e ON e.vec_id = l.doc_id WHERE l.rank_lex <= $PrfK),
+       pos AS (SELECT rk, i, CAST(emb[i] AS DOUBLE) AS v FROM pe,
+               LATERAL (SELECT unnest(generate_series(1, len(emb))) AS i)),
+       qv AS (SELECT i, (sum(CASE WHEN rk = 1 THEN v ELSE 0 END)
+                       + sum(CASE WHEN rk = 2 THEN v ELSE 0 END)
+                       + sum(CASE WHEN rk = 3 THEN v ELSE 0 END)) / $three AS q
+              FROM pos GROUP BY i),
+       qvec AS (SELECT list(q ORDER BY i) AS qe FROM qv),
+       vc AS (SELECT vec_id AS doc_id,
+                list_sum(list_transform(list_zip(qe, embedding::DOUBLE[]), x -> x[1]*x[2]))
+                / (sqrt(list_sum(list_transform(qe, x -> x*x)))
+                 * sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))) AS cos
+              FROM embeddings CROSS JOIN qvec),
+       vr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_vec
+              FROM vc QUALIFY rank_vec <= $TopK),
+       f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+               coalesce($one/($RrfK + l.rank_lex), $zero)
+             + coalesce($one/($RrfK + v.rank_vec), $zero) AS rrfraw,
+               coalesce(l.rank_lex, 0) AS rank_lex, coalesce(v.rank_vec, 0) AS rank_vec
+             FROM lex l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id),
+       r2 AS (SELECT doc_id, rrfraw, rank_lex, rank_vec,
+                row_number() OVER (ORDER BY rrfraw DESC, doc_id) AS rank FROM f)
+       SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(rrfraw, 6) AS rrf,
+         CAST(rank_lex AS BIGINT) AS rank_lex, CAST(rank_vec AS BIGINT) AS rank_vec
+       FROM r2 WHERE rank <= $HybridTopK"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s06_bm25" -> (s06 _),
     "s07_fuzzy_match" -> (s07 _),
-    "s08_match_phrase" -> (s08 _))
+    "s08_match_phrase" -> (s08 _),
+    "s09_hybrid_rrf" -> (s09 _))
 
   val oracles: Map[String, String] = Map(
     "s06_bm25" -> s06Sql,
     "s07_fuzzy_match" -> s07Sql,
-    "s08_match_phrase" -> s08Sql)
+    "s08_match_phrase" -> s08Sql,
+    "s09_hybrid_rrf" -> s09Sql)
 }

@@ -114,6 +114,32 @@ class SearchSpec extends SparkSpec {
     } finally CacheRegistry.unpersistAll()
   }
 
+  test("s09: RRF fuses both lists; consensus docs outrank single-list docs") {
+    import graft.operators.Search
+    try {
+      val rows = Search.s09(spark, sf()).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+          r.getLong(4)))
+      assert(rows.length == Search.HybridTopK)
+      // every fused doc came from at least one list, and rrf is the
+      // exact RRF of the recorded ranks
+      rows.foreach { case (_, id, rrf, rl, rv) =>
+        assert(rl > 0 || rv > 0, s"doc $id in neither list")
+        val expect = (if (rl > 0) 1.0 / (Search.RrfK + rl) else 0.0) +
+          (if (rv > 0) 1.0 / (Search.RrfK + rv) else 0.0)
+        assert(math.abs(rrf - expect) < 1e-6, s"doc $id rrf $rrf != $expect")
+      }
+      // PRF closes the loop: the BM25 seeds are nearest their own
+      // centroid, so at least one doc sits in BOTH lists — and any
+      // both-lists doc must outrank every one-list-only doc whose
+      // single rank is no better
+      val both = rows.filter(r => r._4 > 0 && r._5 > 0)
+      assert(both.nonEmpty, "no consensus docs — fusion is vacuous")
+      assert(both.map(_._1).min == 1L,
+        "a consensus doc should take the top fused rank here")
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("s07: df and n_docs agree for single-variant terms") {
     try {
       val bad = Search.s07(spark, sf())
