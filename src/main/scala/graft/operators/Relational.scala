@@ -456,7 +456,74 @@ object Relational {
        FROM lineitem JOIN dim USING (l_returnflag)
        GROUP BY 1"""
 
+  // ---------------------------------------------------------------
+  // q18: funnel analysis — strictly-ordered step conversion
+  // (view → click → purchase per user), the sequence-analytics shape
+  // none of the set-oriented aggregations above express: each step's
+  // anchor is the EARLIEST qualifying event AFTER the previous step's
+  // anchor, so a click before any view doesn't count. Three
+  // conditional-min aggregations, each a combiner-friendly per-user
+  // groupBy; the step frames shrink monotonically and broadcast into
+  // the next step's filter. Time-to-convert stays in exact integer
+  // microseconds (unix_micros / epoch_us — engine-portable; a
+  // seconds-granularity extract would truncate differently).
+  // ---------------------------------------------------------------
+  def q18(s: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(s, dir))
+
+  /** The funnel over any (user_id, event_type, ts) frame. */
+  def funnel(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      .transform(graft.CacheRegistry.register)
+    val c = e.filter(col("event_type") === "click")
+      .join(broadcast(v), "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+      .transform(graft.CacheRegistry.register)
+    val p = e.filter(col("event_type") === "purchase")
+      .join(broadcast(c.select(col("user_id"), col("t2"))), "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      .join(broadcast(c), "user_id")
+      .transform(graft.CacheRegistry.register)
+    val nv = v.agg(count(lit(1)).as("users_view"))
+    val nc = c.agg(count(lit(1)).as("users_click"))
+    val np = p.agg(count(lit(1)).as("users_purchase"),
+      sum(unix_micros(col("t3")) - unix_micros(col("t1")))
+        .cast("bigint").as("total_convert_us"))
+    nv.crossJoin(nc).crossJoin(np)
+      .select(col("users_view"), col("users_click"), col("users_purchase"),
+        round(col("users_click").cast("double") / col("users_view"), 6)
+          .as("view_to_click"),
+        round(col("users_purchase").cast("double") / col("users_click"), 6)
+          .as("click_to_purchase"),
+        col("total_convert_us"))
+  }
+
+  val q18Sql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+       c AS (SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+             FROM events e JOIN v ON e.user_id = v.user_id
+             WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+       p AS (SELECT e.user_id, min(e.ts) AS t3, min(c.t2) AS t2, min(c.t1) AS t1
+             FROM events e JOIN c ON e.user_id = c.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+       nv AS (SELECT count(*) AS users_view FROM v),
+       nc AS (SELECT count(*) AS users_click FROM c),
+       np AS (SELECT count(*) AS users_purchase,
+                CAST(sum(epoch_us(t3) - epoch_us(t1)) AS BIGINT) AS total_convert_us
+              FROM p)
+       SELECT users_view, users_click, users_purchase,
+         round(CAST(users_click AS DOUBLE)/users_view, 6) AS view_to_click,
+         round(CAST(users_purchase AS DOUBLE)/users_click, 6) AS click_to_purchase,
+         total_convert_us
+       FROM nv CROSS JOIN nc CROSS JOIN np"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_funnel" -> (q18 _),
     "q15_asof_join" -> (q15 _),
     "q16_interval_join" -> (q16 _),
     "q17_skew_salted_join" -> (q17 _),
@@ -476,6 +543,7 @@ object Relational {
     "q14_cube_rollup" -> (q14 _))
 
   val oracles: Map[String, String] = Map(
+    "q18_funnel" -> q18Sql,
     "q15_asof_join" -> q15Sql,
     "q16_interval_join" -> q16Sql,
     "q17_skew_salted_join" -> q17Sql,

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Relational
+import java.sql.Timestamp
+
+/** q18 funnel: strict step ordering on a hand-built event log — the
+  * semantics an oracle can't independently confirm (the same SQL
+  * mistake would hide on both engines). */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+  test("q18: only strictly-ordered view -> click -> purchase converts") {
+    val events = Seq(
+      // user 1: full ordered funnel (view 1, click 3, purchase 5)
+      (1L, "view", ts(1)), (1L, "click", ts(3)), (1L, "purchase", ts(5)),
+      // user 2: click BEFORE any view — click must not count
+      (2L, "click", ts(1)), (2L, "view", ts(2)), (2L, "purchase", ts(4)),
+      // user 3: purchase before the click — purchase must not count
+      (3L, "view", ts(1)), (3L, "purchase", ts(2)), (3L, "click", ts(3)),
+      // user 4: view only
+      (4L, "view", ts(9)),
+      // user 5: second click is the anchor-eligible one; earliest
+      // qualifying purchase is AFTER the first qualifying click
+      (5L, "click", ts(1)), (5L, "view", ts(2)), (5L, "click", ts(4)),
+      (5L, "purchase", ts(3)), (5L, "purchase", ts(6)))
+      .toDF("user_id", "event_type", "ts")
+    try {
+      val r = Relational.funnel(events).collect().head
+      assert(r.getLong(0) == 5L, "all five users viewed")
+      // qualifying clicks: user 1 (3>1), user 3 (3>1), user 5 (4>2)
+      assert(r.getLong(1) == 3L, s"users_click: ${r.getLong(1)}")
+      // qualifying purchases: user 1 (5>3), user 5 (6>4)
+      assert(r.getLong(2) == 2L, s"users_purchase: ${r.getLong(2)}")
+      // convert time: user 1 view(1)->purchase(5) = 4 min, user 5
+      // view(2)->purchase(6) = 4 min -> 8 min total in micros
+      assert(r.getLong(5) == 8L * 60 * 1000000, s"total: ${r.getLong(5)}")
+    } finally CacheRegistry.unpersistAll()
+  }
+}
