@@ -522,8 +522,66 @@ object Relational {
          total_convert_us
        FROM nv CROSS JOIN nc CROSS JOIN np"""
 
+  // ---------------------------------------------------------------
+  // q19: cohort retention — the companion sequence-analytics mart to
+  // q18: users grouped by signup week (week of FIRST signup event),
+  // activity bucketed into week offsets from the cohort week,
+  // retention = active/cohort-size per cell. Pre-signup activity is
+  // excluded (it would read as a negative offset). Week offsets are
+  // computed as exact integer arithmetic on week-aligned UTC
+  // timestamps (both operands date_trunc'd, so the division by
+  // 604800000000 us is exact) — engine-portable, no calendar
+  // functions whose week conventions could differ.
+  // ---------------------------------------------------------------
+  private val WeekUs = 7L * 24 * 3600 * 1000000L
+
+  def q19(s: SparkSession, dir: String): DataFrame =
+    retention(Tables.events(s, dir))
+
+  /** Weekly retention matrix over any (user_id, event_type, ts)
+    * frame. */
+  def retention(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    val s0 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      .transform(graft.CacheRegistry.register)
+    val act = e.join(broadcast(s0), "user_id")
+      .filter(col("ts") >= col("cohort"))
+      .select(col("user_id"), col("cohort"),
+        ((unix_micros(date_trunc("week", col("ts"))) -
+          unix_micros(col("cohort"))) / lit(WeekUs)).cast("long").as("week_n"))
+      .distinct()
+    val cohorts = s0.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_users"))
+    act.groupBy(col("cohort"), col("week_n"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(cohorts), "cohort")
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_n"), col("active_users"), col("cohort_users"),
+        round(col("active_users").cast("double") / col("cohort_users"), 6)
+          .as("retention"))
+  }
+
+  val q19Sql: String =
+    """WITH s AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+              FROM events WHERE event_type = 'signup' GROUP BY 1),
+       a AS (SELECT DISTINCT e.user_id, s.cohort,
+               CAST((epoch_us(date_trunc('week', e.ts)) - epoch_us(s.cohort))
+                    / 604800000000 AS BIGINT) AS week_n
+             FROM events e JOIN s ON e.user_id = s.user_id
+             WHERE e.ts >= s.cohort),
+       c AS (SELECT cohort, count(*) AS cohort_users FROM s GROUP BY 1),
+       r AS (SELECT cohort, week_n, count(*) AS active_users FROM a GROUP BY 1, 2)
+       SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort_week, week_n,
+         CAST(active_users AS BIGINT) AS active_users,
+         CAST(cohort_users AS BIGINT) AS cohort_users,
+         round(CAST(active_users AS DOUBLE)/cohort_users, 6) AS retention
+       FROM r JOIN c ON r.cohort = c.cohort"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_funnel" -> (q18 _),
+    "q19_retention" -> (q19 _),
     "q15_asof_join" -> (q15 _),
     "q16_interval_join" -> (q16 _),
     "q17_skew_salted_join" -> (q17 _),
@@ -544,6 +602,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q18_funnel" -> q18Sql,
+    "q19_retention" -> q19Sql,
     "q15_asof_join" -> q15Sql,
     "q16_interval_join" -> q16Sql,
     "q17_skew_salted_join" -> q17Sql,

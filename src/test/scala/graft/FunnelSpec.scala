@@ -38,4 +38,30 @@ class FunnelSpec extends SparkSpec {
       assert(r.getLong(5) == 8L * 60 * 1000000, s"total: ${r.getLong(5)}")
     } finally CacheRegistry.unpersistAll()
   }
+
+  test("q19: cohort = first-signup week; pre-signup activity excluded") {
+    def t(d: String) = Timestamp.valueOf(s"2026-01-$d 10:00:00")
+    val events = Seq(
+      // user 1 signs up Mon Jan 5 week; active that week and week+2
+      (1L, "view", t("02")), // BEFORE signup: must not count anywhere
+      (1L, "signup", t("06")), (1L, "click", t("07")),
+      (1L, "view", t("20")), // Jan 19 week = +2
+      // user 2: two signups — cohort is the FIRST (Jan 5 week)
+      (2L, "signup", t("08")), (2L, "signup", t("15")),
+      // user 3: never signs up — in no cohort
+      (3L, "view", t("06")))
+      .toDF("user_id", "event_type", "ts")
+    try {
+      val m = Relational.retention(events).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      // one cohort (week of Jan 5), 2 users; week 0 active: both
+      // (signup itself is activity); week 1: user 2's second signup;
+      // week 2: user 1's view
+      assert(m == Map(
+        ("2026-01-05", 0L) -> ((2L, 2L)),
+        ("2026-01-05", 1L) -> ((1L, 2L)),
+        ("2026-01-05", 2L) -> ((1L, 2L))), s"got $m")
+    } finally CacheRegistry.unpersistAll()
+  }
 }

@@ -42,6 +42,7 @@ CEILINGS = {
     "f21_price_anomaly": 3.5,      # steady ~2.1 s (two median passes)
     "s09_hybrid_rrf": 5.5,         # steady ~3.7 s (BM25 + HOF-cosine pass)
     "q18_funnel": 3.5,             # steady ~2.2 s (three step aggs)
+    "q19_retention": 2.2,          # steady ~1.3 s
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
