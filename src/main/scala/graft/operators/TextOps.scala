@@ -316,13 +316,62 @@ object TextOps {
          md5(norm) AS fp
        FROM nrm"""
 
+  // ---------------------------------------------------------------
+  // t07: TF-IDF keyword extraction — per-doc top-k characteristic
+  // terms (tf·ln(N/df)), the document-tagging/labeling primitive (and
+  // the classical relevance weighting BM25 refines). One (doc, term)
+  // count shuffle; the df table rides a broadcast; per-doc top-k is a
+  // doc-partitioned rank window (WindowGroupLimit pushes the k-filter
+  // below the shuffle, the s01 pattern — never a global sort).
+  // ---------------------------------------------------------------
+
+  val TfidfTopK = 3
+
+  def t07(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir).filter(trim(col("text")) =!= "")
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .transform(graft.CacheRegistry.register)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n"))
+    val idf = round(log(col("n").cast("double") / col("df").cast("double")), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf").cast("double") * idf, 6).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TfidfTopK)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+  }
+
+  val t07Sql: String =
+    raw"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+                  FROM documents WHERE trim(text) <> ''),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+       sc AS (SELECT doc_id, term,
+                round(CAST(tf AS DOUBLE) * round(ln(CAST(n AS DOUBLE)/CAST(df AS DOUBLE)), 6), 6) AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+       r AS (SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+             FROM sc)
+       SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+       FROM r WHERE rank <= $TfidfTopK"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_token_count" -> (t03 _),
     "t04_fingerprint" -> (t04 _),
     "t05_repetition" -> (t05 _),
-    "t06_normalize" -> (t06 _))
+    "t06_normalize" -> (t06 _),
+    "t07_tfidf_keywords" -> (t07 _))
 
   val oracles: Map[String, String] = Map(
     "t01_lang_id" -> t01Sql,
@@ -330,5 +379,6 @@ object TextOps {
     "t03_token_count" -> t03Sql,
     "t04_fingerprint" -> t04Sql,
     "t05_repetition" -> t05Sql,
-    "t06_normalize" -> t06Sql)
+    "t06_normalize" -> t06Sql,
+    "t07_tfidf_keywords" -> t07Sql)
 }
