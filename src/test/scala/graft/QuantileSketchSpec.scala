@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.QuantileSketch
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+/** The sketch contract, property-tested (fixed-seed Gen.pureApply,
+  * the FoldLatticeSpec pattern): α-bounded relative error against
+  * exact quantiles, EXACT merge/retract algebra, and the
+  * bounded-state guarantee that justifies its existence. */
+class QuantileSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Alpha = 0.02
+  private val Qs = Seq(0.1, 0.5, 0.9, 0.99)
+
+  // log-uniform positive values over ~5 orders of magnitude — the
+  // all-distinct continuous domain the exact value-counts state
+  // cannot hold
+  private val valuesGen: Gen[List[Double]] =
+    Gen.chooseNum(30, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-4.0, 6.0).map(e => math.exp(e))))
+
+  private def sampleValues(seed: Long): List[Double] =
+    valuesGen.pureApply(Gen.Parameters.default, rng.Seed(seed))
+
+  private def exactQuantile(sorted: Vector[Double], q: Double): Double =
+    sorted(math.ceil(q * sorted.size).toInt - 1)
+
+  test("quantile estimates carry <= alpha relative error (property)") {
+    (1L to 12L).foreach { seed =>
+      val vs = sampleValues(seed)
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v").withColumn("k", lit("g"))
+      val est = QuantileSketch.quantiles(
+          QuantileSketch.fit(df, Seq("k"), "v", Alpha), Seq("k"), Qs, Alpha)
+        .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+      val sorted = vs.sorted.toVector
+      Qs.foreach { q =>
+        val exact = exactQuantile(sorted, q)
+        val rel = math.abs(est(q) - exact) / exact
+        assert(rel <= Alpha + 1e-9,
+          s"seed=$seed q=$q exact=$exact est=${est(q)} rel=$rel")
+      }
+    }
+  }
+
+  test("merge of split fits == full fit, exactly; retract inverts (property)") {
+    (20L to 25L).foreach { seed =>
+      val vs = sampleValues(seed)
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v").withColumn("k", lit("g"))
+      val (a, b) = (df.filter(col("id") % 2 === 0),
+        df.filter(col("id") % 2 =!= 0))
+      def rows(s: org.apache.spark.sql.DataFrame) =
+        s.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+          .toSet
+      val full = QuantileSketch.fit(df, Seq("k"), "v", Alpha)
+      val merged = QuantileSketch.merge(Seq(
+        QuantileSketch.fit(a, Seq("k"), "v", Alpha),
+        QuantileSketch.fit(b, Seq("k"), "v", Alpha)))
+      assert(rows(merged) == rows(full),
+        s"seed=$seed: merge must equal refit EXACTLY")
+      val backToA = QuantileSketch.retract(merged,
+        QuantileSketch.fit(b, Seq("k"), "v", Alpha))
+      assert(rows(backToA) == rows(QuantileSketch.fit(a, Seq("k"), "v", Alpha)),
+        s"seed=$seed: retracting b's sketch must recover a's exactly")
+    }
+  }
+
+  test("state stays bounded while distinct values grow (the reason it exists)") {
+    // 50k distinct values over (0.01, 1e4): exact value-counts state
+    // would hold 50k rows; the sketch holds <= maxBuckets
+    val n = 50000
+    val df = spark.range(n).select(lit("g").as("k"),
+      (lit(0.01) + col("id").cast("double") * lit(0.2)).as("v"))
+    val st = QuantileSketch.fit(df, Seq("k"), "v", Alpha)
+    val buckets = st.count()
+    val bound = QuantileSketch.maxBuckets(0.01, 0.01 + n * 0.2, Alpha)
+    assert(buckets <= bound, s"$buckets buckets > bound $bound")
+    assert(buckets < n / 50, s"sketch is not compressing: $buckets rows")
+    // and the median estimate still lands within alpha
+    val med = QuantileSketch.quantiles(st, Seq("k"), Seq(0.5), Alpha)
+      .collect().head.getDouble(2)
+    val exact = 0.01 + (n / 2 - 1) * 0.2
+    assert(math.abs(med - exact) / exact <= Alpha + 1e-9)
+  }
+}
