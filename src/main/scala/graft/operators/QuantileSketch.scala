@@ -85,4 +85,25 @@ object QuantileSketch {
     * occupy — the state-size guarantee the spec asserts. */
   def maxBuckets(minPos: Double, maxPos: Double, alpha: Double): Long =
     math.ceil(math.log(maxPos / minPos) / math.log(gamma(alpha))).toLong + 2
+
+  /** Maintain sketch quantiles over a stream — identical lifecycle to
+    * `IncrementalStats.maintainStats` (the state shares its shape, so
+    * `foldBatch`'s generation-versioned exactly-once fold applies
+    * verbatim): each micro-batch's sketch delta folds into the state,
+    * the quantile frame is republished. Replay of a batch id rebuilds
+    * the identical generation (overwrite from the same parent), so a
+    * crash between fold and publish re-converges. */
+  def maintainQuantiles(stream: DataFrame, keys: Seq[String], value: String,
+      qs: Seq[Double], stateDir: String, outDir: String,
+      checkpointDir: String,
+      alpha: Double = DefaultAlpha): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val merged = IncrementalStats.foldBatch(stateDir,
+          fit(batch, keys, value, alpha), id)
+        quantiles(merged, keys, qs, alpha)
+          .write.mode("overwrite").parquet(outDir)
+      }
+      .start()
 }

@@ -68,6 +68,36 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("streaming maintenance: fold == recompute, replay rebuilds identically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-qsk").toString
+    val (stateDir, outDir, ckpt) = (s"$root/state", s"$root/out", s"$root/ckpt")
+    val input = MemoryStream[(String, Double)]
+    val stream = input.toDF().toDF("k", "v")
+    val b0 = Seq(("g", 1.5), ("g", 220.0), ("h", 3.25))
+    val b1 = Seq(("g", 14.0), ("h", 3.25), ("h", 900.0))
+    val q = QuantileSketch.maintainQuantiles(stream, Seq("k"), "v",
+      Seq(0.5), stateDir, outDir, ckpt, Alpha)
+    try {
+      input.addData(b0: _*); q.processAllAvailable()
+      input.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // the published quantiles equal a from-scratch batch fit over
+    // everything the stream has seen (fold == recompute)
+    val expect = QuantileSketch.quantiles(
+      QuantileSketch.fit((b0 ++ b1).toDF("k", "v"), Seq("k"), "v", Alpha),
+      Seq("k"), Seq(0.5), Alpha)
+    assert(rows(spark.read.parquet(outDir)) == rows(expect))
+    // crash-replay of the last batch id rebuilds the identical state
+    val before = rows(spark.read.parquet(s"$stateDir/gen=1"))
+    val replayed = graft.operators.IncrementalStats.foldBatch(stateDir,
+      QuantileSketch.fit(b1.toDF("k", "v"), Seq("k"), "v", Alpha), 1L)
+    assert(rows(replayed) == before)
+  }
+
   test("state stays bounded while distinct values grow (the reason it exists)") {
     // 50k distinct values over (0.01, 1e4): exact value-counts state
     // would hold 50k rows; the sketch holds <= maxBuckets
