@@ -107,9 +107,74 @@ object Geo {
        g AS (SELECT ${geohashSqlChars(5)} AS cell FROM f)
        SELECT cell, count(*) AS n FROM g GROUP BY 1"""
 
+  // =================================================================
+  // g02: radius search — "everything within R km of a point" (the
+  // map-dashboard drill-down / geo_distance filter analog). The scale
+  // shape is the spatial candidate/verify pattern: a sargable
+  // bounding-box prefilter (pure column comparisons — pushes to the
+  // scan when coordinates are stored columns, prunes ~97% of the
+  // globe here) followed by the exact haversine predicate on the
+  // survivors. The bbox is widened to the circle's max-|lat| edge so
+  // the longitude span stays conservative away from the equator.
+  // =================================================================
+
+  /** Madrid — the reference marketplace's home market. */
+  val QLat = 40.42
+  val QLon = -3.70
+  val RadiusKm = 2000.0
+  private val EarthR = 6371.0088
+
+  /** Conservative bbox half-spans (degrees), computed once on the
+    * driver and shipped identically to both engines. */
+  val DLatDeg: Double = math.toDegrees(RadiusKm / EarthR)
+  val DLonDeg: Double = math.toDegrees(
+    RadiusKm / (EarthR * math.cos(math.toRadians(
+      math.min(90.0, math.abs(QLat) + DLatDeg)))))
+
+  private def pointsWithId(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Tables.customer(s, dir).select(
+      col("c_custkey").as("cust_id"),
+      (lit(-90.0) + (col("c_custkey") * 7919 % 18000) / 100.0).as("lat"),
+      (lit(-180.0) + (col("c_custkey") * 104729 % 36000) / 100.0).as("lon"))
+
+  def g02(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    pointsWithId(s, dir)
+      .filter(inBoundingBox(col("lat"), col("lon"),
+        QLat - DLatDeg, QLat + DLatDeg, QLon - DLonDeg, QLon + DLonDeg))
+      .withColumn("dist_km",
+        haversineKm(lit(QLat), lit(QLon), col("lat"), col("lon")))
+      .filter(col("dist_km") <= RadiusKm)
+      .select(col("cust_id"), col("lat"), col("lon"),
+        round(col("dist_km"), 6).as("dist_km"))
+
+  /** Token-for-token haversine replay (same association order as
+    * [[haversineKm]]); bbox constants shipped as exact round-trip
+    * string casts so the prefilter admits identical rows. */
+  lazy val g02Sql: String = {
+    def d(x: Double) = s"CAST('$x' AS DOUBLE)"
+    val dist = s"""${d(EarthR)} * ${d(2.0)} * asin(sqrt(
+         pow(sin(radians(lat - ${d(QLat)}) / 2), 2)
+       + cos(radians(${d(QLat)})) * cos(radians(lat))
+         * pow(sin(radians(lon - ${d(QLon)}) / 2), 2)))"""
+    s"""WITH pts AS (SELECT c_custkey AS cust_id,
+         -90.0 + (c_custkey * 7919 % 18000) / 100.0 AS lat,
+         -180.0 + (c_custkey * 104729 % 36000) / 100.0 AS lon
+       FROM customer),
+       b AS (SELECT * FROM pts
+             WHERE lat >= ${d(QLat - DLatDeg)} AND lat <= ${d(QLat + DLatDeg)}
+               AND lon >= ${d(QLon - DLonDeg)} AND lon <= ${d(QLon + DLonDeg)}),
+       h AS (SELECT cust_id, lat, lon, $dist AS dist_km FROM b)
+       SELECT cust_id, lat, lon, round(dist_km, 6) AS dist_km
+       FROM h WHERE dist_km <= ${d(RadiusKm)}"""
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
-    Map("g01_geo_buckets" -> (g01 _))
+    Map("g01_geo_buckets" -> (g01 _),
+      "g02_geo_radius" -> (g02 _))
 
-  val oracles: Map[String, String] = Map("g01_geo_buckets" -> g01Sql)
+  val oracles: Map[String, String] = Map("g01_geo_buckets" -> g01Sql,
+    "g02_geo_radius" -> g02Sql)
 }

@@ -45,6 +45,25 @@ class GeoSkewSpec extends SparkSpec {
     assert(d > 1020 && d < 1070) // Madrid–Paris ≈ 1053 km
   }
 
+  test("g02: bbox prune is sound — equals brute-force haversine over all points") {
+    // the prune's correctness property: the conservative bounding box
+    // must never reject a point the exact predicate would keep
+    val pts = Tables.customer(spark, sf("sf0.01")).select(
+      col("c_custkey").as("cust_id"),
+      (lit(-90.0) + (col("c_custkey") * 7919 % 18000) / 100.0).as("lat"),
+      (lit(-180.0) + (col("c_custkey") * 104729 % 36000) / 100.0).as("lon"))
+    val brute = pts.withColumn("dist",
+        Geo.haversineKm(lit(Geo.QLat), lit(Geo.QLon), col("lat"), col("lon")))
+      .filter(col("dist") <= Geo.RadiusKm)
+      .select(col("cust_id")).collect().map(_.getLong(0)).toSet
+    val pruned = Geo.g02(spark, sf("sf0.01"))
+      .select(col("cust_id")).collect().map(_.getLong(0)).toSet
+    assert(pruned == brute, s"prune changed the answer: ${brute -- pruned}")
+    assert(brute.nonEmpty, "vacuous: no points in radius")
+    // and the prune actually prunes (it's why the bbox exists)
+    assert(brute.size < pts.count() / 10)
+  }
+
   test("geohashBuckets groups nearby points into one cell") {
     val df = Seq(
       (40.4168, -3.7038), (40.4170, -3.7040), (40.4169, -3.7039), // Madrid cluster
