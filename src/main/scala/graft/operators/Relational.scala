@@ -579,9 +579,59 @@ object Relational {
          round(CAST(active_users AS DOUBLE)/cohort_users, 6) AS retention
        FROM r JOIN c ON r.cohort = c.cohort"""
 
+  // ---------------------------------------------------------------
+  // q20: co-purchase mining — frequent item PAIRS with lift (the
+  // market-basket association primitive; support-thresholded pairs +
+  // lift = P(a,b)/(P(a)P(b)) is the Apriori k=2 pass, which in
+  // practice carries most of the recommendation signal). Pair
+  // generation is a self-join on the ORDER key, so the blow-up is
+  // bounded by basket size squared per order (baskets are small by
+  // nature — TPC-H ≤ 7 lines); item counts and the one-row
+  // transaction total ride broadcasts for the lift arithmetic.
+  // Integer counts end-to-end; lift is the one double, rounded.
+  // ---------------------------------------------------------------
+
+  val MinSupport = 3
+
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .repartition(col("ok"))
+      .transform(graft.CacheRegistry.register)
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= MinSupport)
+    val itemCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    val total = li.agg(count_distinct(col("ok")).as("n_tx"))
+    pairs
+      .join(broadcast(itemCnt.select(col("pk").as("pa"), col("cnt").as("ca"))), "pa")
+      .join(broadcast(itemCnt.select(col("pk").as("pb"), col("cnt").as("cb"))), "pb")
+      .crossJoin(broadcast(total))
+      .select(col("pa"), col("pb"), col("n_orders"),
+        round(col("n_orders").cast("double") * col("n_tx") /
+          (col("ca") * col("cb")), 6).as("lift"))
+  }
+
+  val q20Sql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       p AS (SELECT a.ok, a.pk AS pa, b.pk AS pb
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       c AS (SELECT pa, pb, count(*) AS n_orders FROM p
+             GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+       ic AS (SELECT pk, count(*) AS cnt FROM li GROUP BY 1),
+       t AS (SELECT count(DISTINCT ok) AS n_tx FROM li)
+       SELECT pa, pb, CAST(n_orders AS BIGINT) AS n_orders,
+         round(CAST(n_orders AS DOUBLE) * n_tx / (ia.cnt * ib.cnt), 6) AS lift
+       FROM c JOIN ic ia ON c.pa = ia.pk JOIN ic ib ON c.pb = ib.pk
+       CROSS JOIN t"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_funnel" -> (q18 _),
     "q19_retention" -> (q19 _),
+    "q20_copurchase" -> (q20 _),
     "q15_asof_join" -> (q15 _),
     "q16_interval_join" -> (q16 _),
     "q17_skew_salted_join" -> (q17 _),
@@ -603,6 +653,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q18_funnel" -> q18Sql,
     "q19_retention" -> q19Sql,
+    "q20_copurchase" -> q20Sql,
     "q15_asof_join" -> q15Sql,
     "q16_interval_join" -> q16Sql,
     "q17_skew_salted_join" -> q17Sql,

@@ -44,6 +44,7 @@ CEILINGS = {
     "q18_funnel": 3.5,             # steady ~2.2 s (three step aggs)
     "q19_retention": 2.2,          # steady ~1.3 s
     "g02_geo_radius": 1.0,         # steady ~0.4 s (bbox-pruned scan)
+    "q20_copurchase": 4.2,         # steady ~2.8 s (basket self-join)
     "t07_tfidf_keywords": 5.2,     # steady ~3.6 s (doc-partitioned rank)
 }
 
