@@ -364,6 +364,82 @@ object TextOps {
        SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
        FROM r WHERE rank <= $TfidfTopK"""
 
+  // ---------------------------------------------------------------
+  // t08: LM-perplexity quality scoring — the CCNet filter (Wenzek et
+  // al. 2020): score every doc by its perplexity under a language
+  // model fit on TARGET-domain exemplars; low-perplexity docs read
+  // like the target. Here the LM is an add-α bigram model over the
+  // labeled-en slice; per-doc cross-entropy is the mean of per-bigram
+  // log-probs (each rounded and DECIMAL-summed — aggregation-order-
+  // independent), ppl = exp(−H). Complements c12: DSIR reweights by a
+  // bag-of-ngrams LLR, perplexity scores SEQUENCE plausibility.
+  //
+  // Scale: the model tables (bigram/unigram counts) are bounded by
+  // target vocabulary (Heaps' law; at open-vocab scale hash tokens
+  // into buckets exactly as c12 does) and broadcast; the corpus side
+  // is one bigram explode + a per-doc rollup.
+  // ---------------------------------------------------------------
+
+  val PplAlpha = 0.1
+
+  /** Per-doc perplexity of every doc under the bigram model fit on
+    * `isTarget` docs: (doc_id, n_bigrams, ppl). Docs with fewer than
+    * two tokens are not scored. */
+  def perplexity(docs: DataFrame, isTarget: Column): DataFrame = {
+    val w = col("w")
+    val biArr = when(size(w) >= 2, transform(sequence(lit(1), size(w) - 1),
+        i => struct(element_at(w, i).as("prev"),
+          element_at(w, i + 1).as("cur"))))
+      .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
+    val bg = docs.filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), isTarget.cast("int").as("is_t"),
+        split(lower(trim(col("text"))), "\\s+").as("w"))
+      .select(col("doc_id"), col("is_t"), explode(biArr).as("b"))
+      .select(col("doc_id"), col("is_t"),
+        col("b.prev").as("prev"), col("b.cur").as("cur"))
+      .transform(graft.CacheRegistry.register)
+    val tc2 = bg.filter(col("is_t") === 1)
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+      .transform(graft.CacheRegistry.register)
+    val tc1 = tc2.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+    val vv = tc2.agg(count_distinct(col("cur")).cast("double").as("v"))
+    val lp = round(log(
+      (coalesce(col("c2"), lit(0L)).cast("double") + lit(PplAlpha)) /
+        (coalesce(col("c1"), lit(0L)).cast("double") + lit(PplAlpha) * col("v"))), 6)
+    bg.join(broadcast(tc2), Seq("prev", "cur"), "left")
+      .join(broadcast(tc1), Seq("prev"), "left")
+      .crossJoin(broadcast(vv))
+      .select(col("doc_id"), lp.as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp").cast("decimal(25,8)")).cast("double").as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(exp(-(col("slp") / col("n_bigrams"))), 6).as("ppl"))
+  }
+
+  def t08(s: SparkSession, dir: String): DataFrame =
+    perplexity(Tables.documents(s, dir), col("lang") === "en")
+
+  val t08Sql: String =
+    raw"""WITH toks AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS w
+                  FROM documents WHERE trim(text) <> ''),
+       bg AS (SELECT doc_id, lang, w[i] AS prev, w[i+1] AS cur FROM toks,
+              LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-1, 0))) AS i)),
+       tc2 AS (SELECT prev, cur, count(*) AS c2 FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+       tc1 AS (SELECT prev, sum(c2) AS c1 FROM tc2 GROUP BY 1),
+       vv AS (SELECT CAST(count(DISTINCT cur) AS DOUBLE) AS v FROM tc2),
+       terms AS (SELECT b.doc_id,
+           round(ln((CAST(coalesce(c2, 0) AS DOUBLE) + CAST('$PplAlpha' AS DOUBLE))
+                  / (CAST(coalesce(c1, 0) AS DOUBLE) + CAST('$PplAlpha' AS DOUBLE) * v)), 6) AS lp
+         FROM bg b LEFT JOIN tc2 ON b.prev = tc2.prev AND b.cur = tc2.cur
+         LEFT JOIN tc1 ON b.prev = tc1.prev CROSS JOIN vv),
+       h AS (SELECT doc_id, count(*) AS n,
+               CAST(sum(CAST(lp AS DECIMAL(25,8))) AS DOUBLE) AS slp
+             FROM terms GROUP BY 1)
+       SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+         round(exp(-(slp / n)), 6) AS ppl
+       FROM h"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -371,7 +447,8 @@ object TextOps {
     "t04_fingerprint" -> (t04 _),
     "t05_repetition" -> (t05 _),
     "t06_normalize" -> (t06 _),
-    "t07_tfidf_keywords" -> (t07 _))
+    "t07_tfidf_keywords" -> (t07 _),
+    "t08_perplexity" -> (t08 _))
 
   val oracles: Map[String, String] = Map(
     "t01_lang_id" -> t01Sql,
@@ -380,5 +457,6 @@ object TextOps {
     "t04_fingerprint" -> t04Sql,
     "t05_repetition" -> t05Sql,
     "t06_normalize" -> t06Sql,
-    "t07_tfidf_keywords" -> t07Sql)
+    "t07_tfidf_keywords" -> t07Sql,
+    "t08_perplexity" -> t08Sql)
 }

@@ -46,6 +46,7 @@ CEILINGS = {
     "g02_geo_radius": 1.0,         # steady ~0.4 s (bbox-pruned scan)
     "q20_copurchase": 4.2,         # steady ~2.8 s (basket self-join)
     "t07_tfidf_keywords": 5.2,     # steady ~3.6 s (doc-partitioned rank)
+    "t08_perplexity": 2.8,         # steady ~1.7 s (bigram explode + bcast LM)
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
