@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Similarity.queries ++ operators.Search.queries ++
       operators.Corpus.queries ++ operators.Upsert.queries ++
       operators.Dsir.queries ++ operators.Census.queries ++
+      operators.Sampling.queries ++ operators.Benford.queries ++
       operators.Split.queries ++ operators.Redact.queries ++
       operators.Histogram.queries ++ functions.Geo.queries ++
       multimodal.Binary.queries ++
@@ -170,6 +171,7 @@ object SparkEntry {
       operators.Similarity.oracles ++ operators.Search.oracles ++
       operators.Corpus.oracles ++ operators.Upsert.oracles ++
       operators.Dsir.oracles ++ operators.Census.oracles ++
+      operators.Sampling.oracles ++ operators.Benford.oracles ++
       operators.Split.oracles ++ operators.Redact.oracles ++
       operators.Histogram.oracles ++ functions.Geo.oracles ++
       multimodal.Binary.oracles ++

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** c14: deterministic stratified sampling — the eval-set / inspection-
+  * sample constructor every corpus release needs (a data card quotes
+  * per-(source, lang) samples; a manual quality audit reads a fixed
+  * per-stratum panel; a held-out calibration set must be reproducible
+  * months later). Per stratum, take the first `n` documents ordered by
+  * a salted 60-bit md5 hash of the doc id (doc_id tiebreak so the
+  * order is total even under hash collisions) — the c02 determinism
+  * principle applied to per-stratum selection: re-runs, re-partitioned
+  * inputs and engine swaps all pick the SAME sample, and a different
+  * salt yields an independent re-draw. Never `rand()`, never
+  * `TABLESAMPLE` (both reshuffle the sample between runs), never "take
+  * the first n in file order" (file order is crawl order — heavily
+  * biased).
+  *
+  * Scale: one window shuffle keyed by the stratum. The rank-filter on
+  * `row_number() <= n` is recognized by Catalyst's WindowGroupLimit
+  * rule (Spark 3.5+), which pushes a per-partition top-n BELOW the
+  * exchange — each map task forwards at most n rows per stratum it
+  * sees, so the shuffle carries O(strata × n × tasks) rows, not the
+  * corpus (SamplingSpec plan-asserts the node). Stratum skew therefore
+  * never concentrates corpus-scale data on one reducer.
+  *
+  * Reference anchor: the reference audits listings by sampling recent
+  * items per category for manual review (poller cycle +
+  * kibana/export.ndjson saved searches); this is that audit sample
+  * made deterministic.
+  */
+object Sampling {
+
+  /** Per-stratum sample size — binding on the larger (source, lang)
+    * strata at every SF (en strata run 6-16 docs at sf0.01) while
+    * small strata pass through whole, so both branches are exercised
+    * under the oracle. */
+  val SampleN = 8
+
+  /** Default draw salt; vary for an independent re-draw. */
+  val SampleSalt = "audit0"
+
+  /** Deterministic per-(source, lang) sample of any
+    * (doc_id, source, lang, ...) frame: (doc_id, source, lang,
+    * sample_rank) with sample_rank in 1..n. */
+  def stratifiedSample(docs: DataFrame, n: Int = SampleN,
+      salt: String = SampleSalt): DataFrame = {
+    require(n > 0)
+    val s = docs.sparkSession
+    val h = graft.plans.GraftFunctions.md5Prefix60(s,
+      concat_ws(":", lit(salt), col("doc_id")))
+    docs.select(col("doc_id"), col("source"), col("lang"), h.as("skey"))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col("source"), col("lang"))
+          .orderBy(col("skey"), col("doc_id"))).cast("long"))
+      .filter(col("sample_rank") <= n)
+      .select(col("doc_id"), col("source"), col("lang"), col("sample_rank"))
+  }
+
+  def c14(s: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(s, dir))
+
+  /** The oracle replays the salted 60-bit md5 prefix exactly as c02/c09
+    * do (hex-prefix → BIGINT), then the same rank-filter. */
+  val c14Sql: String =
+    s"""WITH h AS (
+         SELECT doc_id, source, lang,
+                CAST(('0x' || substring(md5('$SampleSalt:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
+         FROM documents)
+       SELECT doc_id, source, lang,
+              CAST(row_number() OVER (PARTITION BY source, lang
+                                      ORDER BY skey, doc_id) AS BIGINT) AS sample_rank
+       FROM h
+       QUALIFY sample_rank <= $SampleN"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c14_stratified_sample" -> (c14 _))
+
+  val oracles: Map[String, String] = Map(
+    "c14_stratified_sample" -> c14Sql)
+}

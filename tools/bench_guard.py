@@ -47,6 +47,8 @@ CEILINGS = {
     "q20_copurchase": 4.2,         # steady ~2.8 s (basket self-join)
     "t07_tfidf_keywords": 5.2,     # steady ~3.6 s (doc-partitioned rank)
     "t08_perplexity": 2.8,         # steady ~1.7 s (bigram explode + bcast LM)
+    "c14_stratified_sample": 1.0,  # steady ~0.5 s (WindowGroupLimit top-n)
+    "f22_benford": 1.2,            # steady ~0.65 s (45-cell digit rollup)
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
