@@ -461,15 +461,119 @@ object Search {
        FROM r2 WHERE rank <= $HybridTopK"""
   }
 
+  // ---------------------------------------------------------------
+  // s10: ranking evaluation — the metrics harness that closes the
+  // retrieval family: s06-s09 PRODUCE rankings, s10 MEASURES one
+  // (precision@k / recall@k / MRR / graded NDCG@k), the numbers a
+  // relevance dashboard or an offline eval of a retriever change
+  // reports. Relevance labels are deterministic pseudo-qrels derived
+  // from the corpus itself: a doc's grade = how many distinct query
+  // terms it contains (0..3; binary-relevant at >= RelMin) — so the
+  // whole evaluation is oracle-replayable with no external judgment
+  // file, while the operator takes ANY (doc_id, rel) frame in
+  // production.
+  //
+  // Oracle-parity: the DCG gain (2^rel - 1) / log2(rank + 1) is
+  // computed as (2^rel - 1) * Ln2 / ln(rank + 1) with Ln2 pinned once
+  // in Scala and shipped as a string-cast double (the s06 double
+  // rule); every term is rounded then DECIMAL-summed; IDCG re-ranks
+  // the SAME graded corpus ideally (rel desc, doc_id tiebreak).
+  //
+  // Scale: the ranking is k rows; grading is one narrow corpus scan
+  // (no shuffle past the aggregation); IDCG's ideal head is
+  // TakeOrdered, never a global window; the final row is a crossJoin
+  // of 1-row aggregates.
+  // ---------------------------------------------------------------
+
+  val EvalK = 10
+  /** Binary-relevance cut: docs carrying >= RelMin of the query terms. */
+  val RelMin = 2
+  /** ln(2), pinned once (shipped to the oracle as a string cast). */
+  val Ln2: Double = math.log(2.0)
+
+  /** Per-doc graded relevance vs `terms`: (doc_id, rel in 0..|terms|). */
+  private def graded(docs: DataFrame, terms: Seq[String]): DataFrame =
+    tokenized(docs).select(col("doc_id"),
+      terms.map(t => when(array_contains(col("w"), t), 1L).otherwise(0L))
+        .reduce(_ + _).as("rel"))
+
+  /** Evaluate a (rank, doc_id) ranking against a (doc_id, rel) graded
+    * frame: one row of k/n_rel/hits/precision/recall/mrr/dcg/idcg/ndcg. */
+  def rankEval(ranking: DataFrame, rel: DataFrame, k: Int = EvalK): DataFrame = {
+    val dcgTerm = round((pow(lit(2.0), col("rel")) - lit(1.0)) * lit(Ln2) /
+      log(col("rk").cast("double") + lit(1.0)), 6)
+    val judged = ranking.filter(col("rank") <= k)
+      .join(rel, Seq("doc_id"), "left")
+      .select(col("rank").as("rk"), coalesce(col("rel"), lit(0L)).as("rel"))
+    val head = judged.agg(
+      sum(when(col("rel") >= RelMin, 1L).otherwise(0L)).as("hits"),
+      min(when(col("rel") >= RelMin, col("rk"))).as("first_rel"),
+      sum(dcgTerm.cast("decimal(25,8)")).cast("double").as("dcg_k"))
+    val nRel = rel.agg(
+      sum(when(col("rel") >= RelMin, 1L).otherwise(0L)).as("n_rel"))
+    val ideal = rel.orderBy(col("rel").desc, col("doc_id").asc).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rel").desc, col("doc_id").asc)).cast("long"))
+      .agg(sum(dcgTerm.cast("decimal(25,8)")).cast("double").as("idcg_k"))
+    head.crossJoin(nRel).crossJoin(ideal)
+      .select(lit(k.toLong).as("k"), col("n_rel"), col("hits"),
+        round(col("hits").cast("double") / k, 6).as("precision_k"),
+        round(col("hits").cast("double") / col("n_rel"), 6).as("recall_k"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("mrr"),
+        col("dcg_k"), col("idcg_k"),
+        round(col("dcg_k") / col("idcg_k"), 6).as("ndcg_k"))
+  }
+
+  /** s10 face: the s06 BM25 ranking judged against term-count qrels. */
+  def s10(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    rankEval(bm25(docs, QueryTerms), graded(docs, QueryTerms))
+  }
+
+  val s10Sql: String = {
+    val ln2 = dlit(Ln2); val one = dlit(1.0); val zero = dlit(0.0)
+    val two = dlit(2.0)
+    val relSum = QueryTerms.map(t =>
+      s"(CASE WHEN list_contains(w, '$t') THEN 1 ELSE 0 END)").mkString(" + ")
+    raw"""WITH rel AS (
+         SELECT doc_id, CAST($relSum AS BIGINT) AS rel
+         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+               FROM documents WHERE trim(text) <> '')),
+       ranked AS (SELECT rank AS rk, doc_id FROM ($s06Sql) WHERE rank <= $EvalK),
+       judged AS (
+         SELECT rk, coalesce(rel, 0) AS rel
+         FROM ranked LEFT JOIN rel USING (doc_id)),
+       head AS (
+         SELECT CAST(sum(CASE WHEN rel >= $RelMin THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                min(CASE WHEN rel >= $RelMin THEN rk END) AS first_rel,
+                CAST(sum(CAST(round((power($two, rel) - $one) * $ln2 / ln(CAST(rk AS DOUBLE) + $one), 6) AS DECIMAL(25,8))) AS DOUBLE) AS dcg_k
+         FROM judged),
+       nr AS (SELECT CAST(sum(CASE WHEN rel >= $RelMin THEN 1 ELSE 0 END) AS BIGINT) AS n_rel FROM rel),
+       ihead AS (
+         SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rk
+         FROM rel QUALIFY rk <= $EvalK),
+       ideal AS (
+         SELECT CAST(sum(CAST(round((power($two, rel) - $one) * $ln2 / ln(CAST(rk AS DOUBLE) + $one), 6) AS DECIMAL(25,8))) AS DOUBLE) AS idcg_k
+         FROM ihead)
+       SELECT CAST($EvalK AS BIGINT) AS k, n_rel, hits,
+         round(CAST(hits AS DOUBLE) / $EvalK, 6) AS precision_k,
+         round(CAST(hits AS DOUBLE) / n_rel, 6) AS recall_k,
+         round(coalesce($one / first_rel, $zero), 6) AS mrr,
+         dcg_k, idcg_k, round(dcg_k / idcg_k, 6) AS ndcg_k
+       FROM head CROSS JOIN nr CROSS JOIN ideal"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s06_bm25" -> (s06 _),
     "s07_fuzzy_match" -> (s07 _),
     "s08_match_phrase" -> (s08 _),
-    "s09_hybrid_rrf" -> (s09 _))
+    "s09_hybrid_rrf" -> (s09 _),
+    "s10_rank_eval" -> (s10 _))
 
   val oracles: Map[String, String] = Map(
     "s06_bm25" -> s06Sql,
     "s07_fuzzy_match" -> s07Sql,
     "s08_match_phrase" -> s08Sql,
-    "s09_hybrid_rrf" -> s09Sql)
+    "s09_hybrid_rrf" -> s09Sql,
+    "s10_rank_eval" -> s10Sql)
 }

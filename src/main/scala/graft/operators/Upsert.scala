@@ -107,9 +107,86 @@ object Upsert {
          md5(text) AS fp
        FROM merged"""
 
+  // ---------------------------------------------------------------
+  // c15: SCD Type-2 history — the other consumer of the same CDC log.
+  // c11 answers "what is the corpus NOW" (latest-wins snapshot); c15
+  // answers "what was row X at version V" (the slowly-changing-
+  // dimension history a warehouse keeps for time-travel joins, audit
+  // and training-data provenance: WHICH revision of a document went
+  // into WHICH training run). Standard SCD2 construction: one row per
+  // PUT with [valid_from, valid_to) version bounds; the next change
+  // of the same key (put OR tombstone) closes the interval; an open
+  // interval carries the conventional high sentinel, so `is_current`
+  // is derivable and the column stays non-null (driver-hash-friendly).
+  //
+  // Scale: the lead() window runs over the CDC LOG ONLY (log ≪
+  // corpus, like c11's batch window) partitioned by the key — one
+  // log-sized shuffle, nothing corpus-scale. At 100 TB the log is
+  // append-only date-partitioned parquet (rows 42-43) and the history
+  // table is rebuilt incrementally per partition.
+  // ---------------------------------------------------------------
+
+  /** Open-interval sentinel (the "9999-12-31" of version space). */
+  val OpenVersion = 9999L
+
+  /** SCD2 history of a (doc_id, text, version, op) change log: one row
+    * per put with version-interval bounds; tombstones close intervals
+    * but emit no row. */
+  def scd2(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("version"))
+    log
+      .withColumn("valid_to",
+        coalesce(lead(col("version"), 1).over(w), lit(OpenVersion)))
+      .filter(col("op") =!= "delete")
+      .select(col("doc_id"), col("version").as("valid_from"),
+        col("valid_to"),
+        when(col("valid_to") === OpenVersion, 1L).otherwise(0L)
+          .as("is_current"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** c15 face: the full history of the c11 log (base as version-0
+    * puts + the same CDC batch). */
+  def c15(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.select(col("doc_id"), col("text"),
+      lit(0L).as("version"), lit("put").as("op"))
+    scd2(base.unionByName(updatesFor(docs)))
+  }
+
+  val c15Sql: String =
+    s"""WITH log AS (
+         SELECT doc_id, text, CAST(0 AS BIGINT) AS version, 'put' AS op
+         FROM documents
+         UNION ALL
+         SELECT doc_id, CAST(NULL AS VARCHAR), CAST(1 AS BIGINT), 'delete'
+         FROM documents WHERE doc_id % 13 = 0
+         UNION ALL
+         SELECT doc_id, text || ' [rev2]', CAST(1 AS BIGINT), 'put'
+         FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 10 = 0
+         UNION ALL
+         SELECT doc_id, text || ' [rev3]', CAST(2 AS BIGINT), 'put'
+         FROM documents WHERE doc_id % 20 = 0
+         UNION ALL
+         SELECT doc_id + 1000000, 'replacement listing: ' || text,
+                CAST(1 AS BIGINT), 'put'
+         FROM documents WHERE doc_id % 25 = 0),
+       closed AS (
+         SELECT doc_id, text, version, op,
+                coalesce(lead(version) OVER (PARTITION BY doc_id
+                                             ORDER BY version),
+                         $OpenVersion) AS valid_to
+         FROM log)
+       SELECT doc_id, version AS valid_from, valid_to,
+         CAST(CASE WHEN valid_to = $OpenVersion THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+         CAST(len(text) AS BIGINT) AS n_chars
+       FROM closed WHERE op <> 'delete'"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c11_corpus_upsert" -> (c11 _))
+    "c11_corpus_upsert" -> (c11 _),
+    "c15_scd2_history" -> (c15 _))
 
   val oracles: Map[String, String] = Map(
-    "c11_corpus_upsert" -> c11Sql)
+    "c11_corpus_upsert" -> c11Sql,
+    "c15_scd2_history" -> c15Sql)
 }

@@ -152,4 +152,48 @@ class SearchSpec extends SparkSpec {
         "a single-variant term must match exactly df distinct docs")
     } finally CacheRegistry.unpersistAll()
   }
+
+  test("s10: hand-computed metrics on a pinned ranking and qrels") {
+    import spark.implicits._
+    // ranking: docs 10,20,30 at ranks 1..3; qrels: 10 rel=3, 30 rel=2,
+    // 40 rel=2 (unranked), 20 rel=1 (below RelMin)
+    val ranking = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("rank", "doc_id")
+    val rel = Seq((10L, 3L), (20L, 1L), (30L, 2L), (40L, 2L))
+      .toDF("doc_id", "rel")
+    val r = Search.rankEval(ranking, rel, k = 3).collect().head
+    assert(r.getAs[Long]("n_rel") == 3)     // 10, 30, 40
+    assert(r.getAs[Long]("hits") == 2)      // 10 and 30 ranked
+    assert(math.abs(r.getAs[Double]("precision_k") - 2.0 / 3) < 1e-6)
+    assert(math.abs(r.getAs[Double]("recall_k") - 2.0 / 3) < 1e-6)
+    assert(r.getAs[Double]("mrr") == 1.0)   // first relevant at rank 1
+    def g(rel: Long, rk: Long): Double =
+      BigDecimal((math.pow(2.0, rel.toDouble) - 1) * Search.Ln2 /
+        math.log(rk + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dcg = g(3, 1) + g(1, 2) + g(2, 3)
+    // ideal order: rel 3 (doc 10), rel 2 (doc 30), rel 2 (doc 40) —
+    // doc 20's rel-1 is pushed out of the ideal top-3
+    val idcg = g(3, 1) + g(2, 2) + g(2, 3)
+    assert(math.abs(r.getAs[Double]("dcg_k") - dcg) < 1e-6,
+      s"dcg ${r.getAs[Double]("dcg_k")} != $dcg")
+    assert(math.abs(r.getAs[Double]("idcg_k") - idcg) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ndcg_k") -
+      BigDecimal(dcg / idcg).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("s10: a perfect ranking scores ndcg == 1 and mrr == 1") {
+    import spark.implicits._
+    val rel = Seq((1L, 3L), (2L, 2L), (3L, 2L), (4L, 0L)).toDF("doc_id", "rel")
+    val perfect = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("rank", "doc_id")
+    val r = Search.rankEval(perfect, rel, k = 3).collect().head
+    assert(r.getAs[Double]("ndcg_k") == 1.0)
+    assert(r.getAs[Double]("mrr") == 1.0)
+    assert(r.getAs[Double]("recall_k") == 1.0)
+    // and a ranking with NO relevant docs reads all-zero, not null/NaN
+    val miss = Seq((1L, 4L)).toDF("rank", "doc_id")
+    val m = Search.rankEval(miss, rel, k = 3).collect().head
+    assert(m.getAs[Long]("hits") == 0 && m.getAs[Double]("mrr") == 0.0)
+    assert(m.getAs[Double]("dcg_k") == 0.0)
+  }
 }

@@ -48,4 +48,44 @@ class UpsertSpec extends SparkSpec {
         s"row accounting off: $rows")
     } finally CacheRegistry.unpersistAll()
   }
+
+  test("c15: SCD2 intervals on a hand-built log — closure, tombstones, sentinel") {
+    import spark.implicits._
+    // key 1: put v0 -> put v2 -> delete v5  (two closed rows, none open)
+    // key 2: put v0 only                    (one open row)
+    // key 3: put v0 -> delete v1 -> put v2  (closed, then re-opened)
+    val log = Seq(
+      (1L, "a", 0L, "put"), (1L, "aa", 2L, "put"),
+      (1L, null.asInstanceOf[String], 5L, "delete"),
+      (2L, "b", 0L, "put"),
+      (3L, "c", 0L, "put"), (3L, null.asInstanceOf[String], 1L, "delete"),
+      (3L, "ccc", 2L, "put")
+    ).toDF("doc_id", "text", "version", "op")
+    val got = Upsert.scd2(log).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == 5, "tombstones must not emit rows")
+    assert(got((1L, 0L)) == (2L, 0L, 1L)) // closed by the v2 put
+    assert(got((1L, 2L)) == (5L, 0L, 2L)) // closed by the tombstone
+    assert(got((2L, 0L)) == (Upsert.OpenVersion, 1L, 1L))
+    assert(got((3L, 0L)) == (1L, 0L, 1L)) // closed by the tombstone
+    assert(got((3L, 2L)) == (Upsert.OpenVersion, 1L, 3L)) // revived key open
+  }
+
+  test("c15 + c11 agree: current SCD2 rows == the latest-wins snapshot keys") {
+    try {
+      val docs = Tables.documents(spark, sf())
+      val base = docs.select(col("doc_id"), col("text"), lit(0L).as("version"))
+      val snapshot = Upsert.upsert(base, Upsert.updatesFor(docs))
+        .select(col("doc_id"), col("version"))
+      val current = Upsert.c15(spark, sf())
+        .filter(col("is_current") === 1L)
+        .select(col("doc_id"), col("valid_from").as("version"))
+      // the history's open intervals must be EXACTLY the snapshot —
+      // two independently-built views of the same log
+      assert(current.exceptAll(snapshot).isEmpty &&
+        snapshot.exceptAll(current).isEmpty,
+        "open SCD2 intervals diverge from the c11 snapshot")
+    } finally CacheRegistry.unpersistAll()
+  }
 }

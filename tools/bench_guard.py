@@ -49,6 +49,8 @@ CEILINGS = {
     "t08_perplexity": 2.8,         # steady ~1.7 s (bigram explode + bcast LM)
     "c14_stratified_sample": 1.0,  # steady ~0.5 s (WindowGroupLimit top-n)
     "f22_benford": 1.2,            # steady ~0.65 s (45-cell digit rollup)
+    "c15_scd2_history": 1.2,       # steady ~0.6 s (log-only lead window)
+    "s10_rank_eval": 3.6,          # steady ~2.4 s (s06 + graded rescan)
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
