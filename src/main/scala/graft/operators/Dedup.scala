@@ -710,6 +710,53 @@ object Dedup {
        GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared"""
 
   // ---------------------------------------------------------------
+  // d12: bloom-prefiltered decontamination — the 100 TB acceleration
+  // of d08, result-identical by construction. d08's cost at scale is
+  // the corpus-side fp frame entering the equi-join shuffle: EVERY
+  // corpus fingerprint is hashed, shuffled and sorted even though
+  // only the tiny fraction colliding with an eval fingerprint can
+  // contribute. d12 builds a bloom filter over the eval fp set (a
+  // distributed aggregate — the bits, never the fps, reach the
+  // driver) and probes it scan-side via the codegen'd native
+  // expression, so the shuffle carries only probable candidates. The
+  // bloom's one-sided error is what makes this EXACT: false positives
+  // are eliminated by the downstream exact join, false negatives are
+  // impossible — so d12 == d08 row-for-row (spec-asserted, and the
+  // oracle IS d08's), while the shuffled volume drops by ~(1 - fpp)
+  // for a disjoint corpus. This is Spark's InjectRuntimeFilter made
+  // explicit and artifact-shippable: the filter bytes can persist
+  // next to a pinned eval set and be reused every ingest run without
+  // re-aggregating (the 41f streaming gate's natural batch-side
+  // companion).
+  // ---------------------------------------------------------------
+
+  /** Bloom-accelerated [[decontaminate]] (exhaustive-count semantics,
+    * maxDf = None): identical output, candidate-only shuffle. */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      minShared: Int = WinnowMinShared, fpp: Double = 0.01): DataFrame = {
+    val s = corpus.sparkSession
+    val bf = winnowFps(benchmark)
+      .select(col("doc_id").as("bench_id"), col("fp"))
+      .transform(graft.CacheRegistry.register)
+    // build-side count is an aggregate over the (cached) eval frame —
+    // eval sets are benchmark-sized by construction (the 41f rule)
+    val bloom = bf.stat.bloomFilter("fp", math.max(bf.count(), 1L), fpp)
+    val cf = winnowFps(corpus)
+      .filter(graft.plans.GraftFunctions.bloomContains(s, col("fp"), bloom))
+    cf.join(bf, Seq("fp"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  def d12(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    bloomDecontaminate(
+      docs.filter(col("doc_id") % BenchIdMod =!= 0),
+      docs.filter(col("doc_id") % BenchIdMod === 0))
+  }
+
+  // ---------------------------------------------------------------
   // d03: MinHash + LSH — 16 min-hashes per doc from ONE md5 per
   // shingle (a universal-hash family (a_i·h + b_i) mod p over the
   // md5-derived base value — 16 modmuls instead of 16 digests, ~5×
@@ -945,6 +992,7 @@ object Dedup {
     "d06_dedup_clusters" -> (d06 _),
     "d07_winnow_pairs" -> (d07 _),
     "d08_decontaminate" -> (d08 _),
+    "d12_bloom_decontaminate" -> (d12 _),
     "d10_run_overlap" -> ((s: SparkSession, dir: String) => d10(s, dir, maxDf = None)),
     "d11_contamination_report" -> ((s: SparkSession, dir: String) => d11(s, dir)))
 
@@ -957,6 +1005,11 @@ object Dedup {
     "d06_dedup_clusters" -> d06Sql,
     "d07_winnow_pairs" -> d07Sql,
     "d08_decontaminate" -> d08Sql,
+    // d12 is d08 with a scan-side bloom pre-filter whose false
+    // positives the exact join removes — the oracle is therefore
+    // d08's own SQL, making "bloom changes nothing" a driver-checked
+    // guarantee, not just a spec claim
+    "d12_bloom_decontaminate" -> d08Sql,
     "d10_run_overlap" -> d10Sql,
     "d11_contamination_report" -> d11Sql)
 }

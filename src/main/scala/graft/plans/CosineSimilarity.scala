@@ -85,6 +85,7 @@ object GraftFunctions {
   val TextStatsName = "graft_textstats"
   val SubwordCountName = "graft_subword_count"
   val NfcName = "graft_nfc"
+  val BloomName = "graft_bloom_contains"
 
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     (CosineName, classOf[CosineSimilarity].getName,
@@ -112,7 +113,10 @@ object GraftFunctions {
     (SubwordCountName, classOf[SubwordCount].getName,
       exprs => SubwordCount(exprs.head)),
     (NfcName, classOf[Nfc].getName,
-      exprs => Nfc(exprs.head)))
+      exprs => Nfc(exprs.head)),
+    (BloomName, classOf[BloomMightContain].getName,
+      exprs => BloomMightContain(exprs.head,
+        exprs(1).eval().asInstanceOf[Array[Byte]])))
 
   def register(spark: SparkSession): Unit =
     registry.foreach { case (name, clazz, builder) =>
@@ -188,6 +192,17 @@ object GraftFunctions {
   def nfc(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function(NfcName, text)
+  }
+
+  /** Probe `key` (long) against a pre-built bloom filter — the filter
+    * rides the plan as its serialized bytes. */
+  def bloomContains(spark: SparkSession, key: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    register(spark)
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    call_function(BloomName, key,
+      org.apache.spark.sql.functions.lit(out.toByteArray))
   }
 }
 

@@ -480,4 +480,36 @@ class DedupSpec extends SparkSpec {
     assert(b1 == b2)
     assert(b1.values.forall(b => b >= 0 && b < (1 << Similarity.NumPlanes)))
   }
+
+  test("d12: bloom-prefiltered decontamination == d08 exactly, and the bloom prunes") {
+    try {
+      val dir = sf("sf0.01")
+      val exact = Dedup.d08(spark, dir)
+      val bloomed = Dedup.d12(spark, dir)
+      assert(exact.exceptAll(bloomed).isEmpty &&
+        bloomed.exceptAll(exact).isEmpty,
+        "bloom prefilter changed the decontamination result")
+      assert(exact.count() > 0, "vacuous corpus: no contaminated rows")
+      // the prefilter must actually prune: corpus fps surviving the
+      // bloom ≪ all corpus fps (corpus and eval are mostly disjoint)
+      val docs = Tables.documents(spark, dir)
+      val corpus = docs.filter(col("doc_id") % Dedup.BenchIdMod =!= 0)
+      val bench = docs.filter(col("doc_id") % Dedup.BenchIdMod === 0)
+      val bf = Dedup.winnowFps(bench)
+      val bloom = bf.stat.bloomFilter("fp", math.max(bf.count(), 1L), 0.01)
+      val all = Dedup.winnowFps(corpus).count()
+      val kept = Dedup.winnowFps(corpus)
+        .filter(graft.plans.GraftFunctions.bloomContains(spark,
+          col("fp"), bloom))
+        .count()
+      assert(kept < all / 2,
+        s"bloom kept $kept of $all corpus fps — prefilter not pruning")
+      // one-sided error: every actual eval fp must probe true
+      val misses = bf
+        .filter(!graft.plans.GraftFunctions.bloomContains(spark,
+          col("fp"), bloom))
+        .count()
+      assert(misses == 0L, "bloom false negative — breaks exactness")
+    } finally CacheRegistry.unpersistAll()
+  }
 }

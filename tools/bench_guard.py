@@ -51,6 +51,7 @@ CEILINGS = {
     "f22_benford": 1.2,            # steady ~0.65 s (45-cell digit rollup)
     "c15_scd2_history": 1.2,       # steady ~0.6 s (log-only lead window)
     "s10_rank_eval": 3.6,          # steady ~2.4 s (s06 + graded rescan)
+    "d12_bloom_decontaminate": 2.4,  # steady ~1.2 s (candidate-only join)
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
