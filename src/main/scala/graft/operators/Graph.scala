@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** g03: PageRank over the co-purchase part graph — the iterative
+  * graph-analytics counterpart to d06's connected components. Parts
+  * bought together in one order form an undirected edge; PageRank
+  * over the symmetrized graph surfaces the "hub" parts whose
+  * centrality a recommendation / fraud-ring view ranks by (the
+  * reference's co-occurrence dashboards stop at pair counts — q20;
+  * this is the global-structure extension a marketplace graph needs).
+  *
+  * Oracle-parity rules (SURVEY §4): a fixed iteration count unrolled
+  * in the DuckDB oracle (DuckDB forbids aggregates in a recursive CTE
+  * term), and the WHOLE iteration runs in integer-scaled arithmetic —
+  * rank × 10^12 as BIGINT, integer division for the per-edge share
+  * and the damping factor (× 85 div 100). Decimal `round` ties broke
+  * a double formulation at the 9th digit (engines disagree on
+  * half-up-vs-half-even for doubles); integer division has no ties,
+  * so the fixpoint is bit-exact across engines by construction.
+  * Magnitudes are safe in BIGINT: total mass ≤ 10^12, and the
+  * damping product peaks at 8.5 × 10^13.
+  *
+  * Scale: per-order line count is bounded (TPC-H ≤ 7), so the pair
+  * explode is LINEAR in orders, never quadratic in parts. The
+  * symmetrized edge frame is built once, pre-partitioned on `src`,
+  * and cached with its out-degree window — each iteration consumes
+  * that partitioning (only the small per-node rank frame shuffles)
+  * plus one combiner-friendly shuffle on `dst` for the neighbor sum.
+  * Lineage is cut per round with an eager localCheckpoint (the d06
+  * pattern), so rounds never accrete plan depth.
+  */
+object Graph {
+
+  /** Fixed-point scale: ranks live in [0, 10^12] as BIGINT. */
+  val Scale = 1000000000000L
+  val DampingNum = 85L // damping 0.85 as the rational 85/100
+  val DampingDen = 100L
+  val Iters = 5
+
+  /** Distinct undirected co-purchase edges (a < b) from a
+    * (l_orderkey, l_partkey) frame. */
+  def coEdges(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("a"), col("b.l_partkey").as("b"))
+      .distinct()
+  }
+
+  /** PageRank over undirected (a, b) edges: (node, outdeg, rank_e12)
+    * after exactly `iters` damped iterations from a uniform start,
+    * rank_e12 = rank scaled by 10^12 in exact integer arithmetic.
+    * The graph has no dangling nodes by construction (symmetrized
+    * edges give every node out-degree ≥ 1). */
+  def pagerank(edges: DataFrame, iters: Int = Iters): DataFrame = {
+    // symmetrize + out-degree in one cached, src-partitioned frame:
+    // the window consumes the repartition's hash distribution, and
+    // every iteration's rank join consumes the cache's partitioning
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .withColumn("outdeg",
+        count(lit(1)).over(Window.partitionBy(col("src"))))
+      .transform(graft.CacheRegistry.register)
+    val nDf = sym.select(col("src")).distinct()
+      .agg(count(lit(1)).as("n"))
+    // (node, per-node jump term) — the static left side of every
+    // iteration; jump = (0.15 × Scale) div n, exact integer division
+    val nodes = sym.select(col("src").as("node")).distinct()
+      .crossJoin(broadcast(nDf))
+      .select(col("node"),
+        expr(s"(${Scale * (DampingDen - DampingNum) / DampingDen}L div n)")
+          .as("jump"),
+        expr(s"(${Scale}L div n)").as("r0"))
+      .transform(graft.CacheRegistry.register)
+    var ranks = nodes.select(col("node"), col("r0").as("rank_e12"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val contrib = sym
+        .join(ranks.select(col("node").as("src"), col("rank_e12")), "src")
+        .select(col("dst"), expr("rank_e12 div outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("sumc"))
+      val next = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (col("jump") +
+            expr(s"(coalesce(sumc, 0L) * ${DampingNum}L) div ${DampingDen}L"))
+            .as("rank_e12"))
+        .localCheckpoint(true)
+      ranks.unpersist()
+      ranks = next
+    }
+    sym.select(col("src").as("node"), col("outdeg")).distinct()
+      .join(ranks, "node")
+      .select(col("node"), col("outdeg"), col("rank_e12"))
+  }
+
+  def g03(s: SparkSession, dir: String): DataFrame =
+    pagerank(coEdges(Tables.lineitem(s, dir)))
+
+  val g03Sql: String = {
+    val jumpNum = Scale * (DampingDen - DampingNum) / DampingDen
+    // unrolled fixed-point: rK computed from r(K-1), Iters times; all
+    // arithmetic BIGINT (DuckDB's sum() widens to HUGEINT — cast back)
+    val iterCtes = (1 to Iters).map { k =>
+      s"""c$k AS (SELECT s.dst, CAST(sum(r.rank_e12 // s.outdeg) AS BIGINT) AS sumc
+             FROM sym s JOIN r${k - 1} r ON s.src = r.node GROUP BY 1),
+       r$k AS (SELECT b.node, b.jump + (coalesce(c$k.sumc, 0) * $DampingNum) // $DampingDen AS rank_e12
+             FROM nodes b LEFT JOIN c$k ON b.node = c$k.dst)"""
+    }.mkString(",\n       ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       sym0 AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       sym AS (SELECT src, dst,
+                 count(*) OVER (PARTITION BY src) AS outdeg
+               FROM sym0),
+       nn AS (SELECT count(DISTINCT src) AS n FROM sym0),
+       nodes AS (SELECT DISTINCT src AS node,
+                   $jumpNum // n AS jump, $Scale // n AS r0
+                 FROM sym0, nn),
+       r0 AS (SELECT node, r0 AS rank_e12 FROM nodes),
+       $iterCtes
+       SELECT deg.node, deg.outdeg, CAST(r.rank_e12 AS BIGINT) AS rank_e12
+       FROM (SELECT DISTINCT src AS node, outdeg FROM sym) deg
+       JOIN r$Iters r ON deg.node = r.node"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g03_pagerank" -> (g03 _))
+
+  val oracles: Map[String, String] = Map(
+    "g03_pagerank" -> g03Sql)
+}

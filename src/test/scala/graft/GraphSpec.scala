@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** PageRank semantics the DuckDB oracle can't pin alone: structural
+  * properties on planted graphs, mass accounting under the integer
+  * fixpoint, and partition-independence of the iterative plan. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("coEdges: distinct undirected pairs per order, no self-edges") {
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L), (1L, 10L), // dup line in order 1
+      (2L, 10L), (2L, 20L),
+      (3L, 40L)) // single-item order → no edge
+      .toDF("l_orderkey", "l_partkey")
+    val got = Graph.coEdges(li).as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 20L), (10L, 30L), (20L, 30L)))
+    assert(got.forall { case (a, b) => a < b })
+  }
+
+  test("star graph: hub outranks every leaf; ranks are plausible") {
+    // hub 1 connected to leaves 2..9
+    val edges = (2L to 9L).map(l => (1L, l)).toDF("a", "b")
+    val pr = Graph.pagerank(edges)
+      .select(col("node"), col("rank_e12")).as[(Long, Long)]
+      .collect().toMap
+    val hub = pr(1L)
+    (2L to 9L).foreach(l => assert(pr(l) < hub, s"leaf $l >= hub"))
+    // leaves are symmetric → identical ranks
+    assert((2L to 9L).map(pr).toSet.size == 1)
+  }
+
+  test("rank mass is conserved up to integer-division truncation") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    val total = Graph.pagerank(edges)
+      .agg(sum(col("rank_e12"))).as[Long].head()
+    // each of the |nodes| + |sym edges| integer divisions per
+    // iteration truncates < 1 unit of 1e-12 mass; with 4 nodes, 10
+    // directed edges, 5 iterations the loss is far under 100 units
+    assert(total <= Graph.Scale)
+    assert(total > Graph.Scale - 100L)
+  }
+
+  test("partition-independence: same ranks from a shuffled edge frame") {
+    val docs = Tables.lineitem(spark, sf("sf0.001"))
+    val edges = Graph.coEdges(docs)
+    val a = Graph.pagerank(edges)
+      .orderBy("node").as[(Long, Long, Long)].collect().toSeq
+    val b = Graph.pagerank(edges.repartition(7, col("b")))
+      .orderBy("node").as[(Long, Long, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+}
