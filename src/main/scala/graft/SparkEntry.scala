@@ -22,7 +22,7 @@ object SparkEntry {
       operators.Sampling.queries ++ operators.Benford.queries ++
       operators.Split.queries ++ operators.Redact.queries ++
       operators.Histogram.queries ++ functions.Geo.queries ++
-      operators.Graph.queries ++
+      operators.Graph.queries ++ operators.Quota.queries ++
       multimodal.Binary.queries ++
       streaming.Alerts.queries
 
@@ -175,7 +175,7 @@ object SparkEntry {
       operators.Sampling.oracles ++ operators.Benford.oracles ++
       operators.Split.oracles ++ operators.Redact.oracles ++
       operators.Histogram.oracles ++ functions.Geo.oracles ++
-      operators.Graph.oracles ++
+      operators.Graph.oracles ++ operators.Quota.oracles ++
       multimodal.Binary.oracles ++
       streaming.Alerts.oracles
 }
