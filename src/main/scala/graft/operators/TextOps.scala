@@ -440,6 +440,81 @@ object TextOps {
          round(exp(-(slp / n)), 6) AS ppl
        FROM h"""
 
+  // ---------------------------------------------------------------
+  // t09: lexical-diversity quality signals — unigram Shannon entropy,
+  // normalized entropy and type-token ratio per doc. The complement
+  // of t05's repetition fractions: t05 catches a doc dominated by ONE
+  // repeated token/phrase, entropy catches the broader degenerate
+  // distributions (keyword-stuffed spam, template chatter, RNG noise)
+  // whose mass is spread over a few dozen tokens — the
+  // distribution-level signal corpus quality stacks (CCNet, Gopher)
+  // gate on alongside repetition.
+  //
+  // Oracle-parity: entropy terms p·ln(p) are rounded to 6 and summed
+  // through DECIMAL(25,8) (aggregation-order-independent, the t07/t08
+  // ln precedent); the nats→bits conversion divides by ln2 pinned
+  // once in Scala and shipped to both engines as a string-cast double
+  // literal (the s10 precedent). Normalized entropy divides by the
+  // 6-rounded ln(ndistinct), with the single-token doc pinned to 0.
+  //
+  // Scale: tokenize → one combiner-friendly shuffle on
+  // (doc_id, term) → one per-doc aggregation. Nothing corpus-scale
+  // survives the first aggregation; no windows, no sorts.
+  // ---------------------------------------------------------------
+
+  /** ln(2) pinned once; shortest-round-trip string form for the SQL. */
+  val Ln2: Double = math.log(2.0)
+
+  def t09(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir).filter(trim(col("text")) =!= "")
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("ntok"),
+        count(lit(1)).as("ndistinct"),
+        sum(col("c") * col("c")).as("sumsq"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    val terms = tf
+      .join(perDoc.select(col("doc_id"), col("ntok").as("n")), "doc_id")
+      .select(col("doc_id"), round(p * log(p), 6).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("t").cast("decimal(25,8)")).cast("double").as("slp"))
+    perDoc.join(terms, "doc_id")
+      .select(col("doc_id"), col("ntok"), col("ndistinct"),
+        round(col("ndistinct").cast("double") / col("ntok"), 6).as("ttr"),
+        round(-col("slp") / lit(Ln2), 6).as("entropy_bits"),
+        when(col("ndistinct") <= 1, lit(0.0))
+          .otherwise(round(-col("slp") /
+            round(log(col("ndistinct").cast("double")), 6), 6))
+          .as("norm_entropy"),
+        // Simpson/repeat concentration: Σ(c/n)² — 1.0 = one token
+        round(col("sumsq").cast("double") / (col("ntok") * col("ntok")), 6)
+          .as("concentration"))
+  }
+
+  val t09Sql: String =
+    raw"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+                  FROM documents WHERE trim(text) <> ''),
+       tf AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+       pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS ntok,
+                count(*) AS ndistinct, CAST(sum(c*c) AS BIGINT) AS sumsq
+              FROM tf GROUP BY 1),
+       tm AS (SELECT tf.doc_id,
+                round((CAST(c AS DOUBLE)/ntok) * ln(CAST(c AS DOUBLE)/ntok), 6) AS t
+              FROM tf JOIN pd ON tf.doc_id = pd.doc_id),
+       sl AS (SELECT doc_id, CAST(sum(CAST(t AS DECIMAL(25,8))) AS DOUBLE) AS slp
+              FROM tm GROUP BY 1)
+       SELECT pd.doc_id, ntok, ndistinct,
+         round(CAST(ndistinct AS DOUBLE)/ntok, 6) AS ttr,
+         round(-slp / CAST('${Ln2}' AS DOUBLE), 6) AS entropy_bits,
+         CASE WHEN ndistinct <= 1 THEN 0.0
+              ELSE round(-slp / round(ln(CAST(ndistinct AS DOUBLE)), 6), 6)
+         END AS norm_entropy,
+         round(CAST(sumsq AS DOUBLE) / (CAST(ntok AS DOUBLE) * ntok), 6) AS concentration
+       FROM pd JOIN sl ON pd.doc_id = sl.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -448,7 +523,8 @@ object TextOps {
     "t05_repetition" -> (t05 _),
     "t06_normalize" -> (t06 _),
     "t07_tfidf_keywords" -> (t07 _),
-    "t08_perplexity" -> (t08 _))
+    "t08_perplexity" -> (t08 _),
+    "t09_entropy" -> (t09 _))
 
   val oracles: Map[String, String] = Map(
     "t01_lang_id" -> t01Sql,
@@ -458,5 +534,6 @@ object TextOps {
     "t05_repetition" -> t05Sql,
     "t06_normalize" -> t06Sql,
     "t07_tfidf_keywords" -> t07Sql,
-    "t08_perplexity" -> t08Sql)
+    "t08_perplexity" -> t08Sql,
+    "t09_entropy" -> t09Sql)
 }
