@@ -612,7 +612,64 @@ object Similarity {
        SELECT qid, rank, vec_id, cos FROM r WHERE rank <= $TopK"""
   }
 
+  // ---------------------------------------------------------------
+  // s11: kNN classification over the ANN stack — the serving-side
+  // CONSUMER of s01–s05: predict each query vector's label by
+  // majority vote among its exact top-k cosine neighbors, scored
+  // against the embeddings table's own labels (leave-one-out: the
+  // query never votes for itself — s01 already excludes it). The
+  // label column has sat unused by the similarity family until now;
+  // this face closes the loop retrieval → prediction → evaluation.
+  //
+  // Vote tie-break is total and deterministic: most votes, then best
+  // top neighbor rank within the tied label (nearest-neighbor
+  // preference, the standard kNN tie rule), then smallest label.
+  //
+  // Scale: everything downstream of the s01 top-k frame is
+  // query-set-sized (|Q| × k rows) — the vote, the window and the
+  // label joins are trivially broadcast-able; the corpus is touched
+  // exactly once, inside s01.
+  // ---------------------------------------------------------------
+
+  /** kNN majority vote over a (qid, rank, vec_id, cos) top-k frame
+    * and a (vec_id, label) frame: one row per qid with the predicted
+    * and true label. */
+  def knnClassify(topk: DataFrame, labels: DataFrame): DataFrame = {
+    val votes = topk
+      .join(labels.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("best_rank").asc, col("label").asc)
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(labels.select(col("vec_id").as("qid"),
+        col("label").as("true_label")), "qid")
+      .select(col("qid"), col("true_label"),
+        col("label").as("pred_label"), col("votes"),
+        (col("label") === col("true_label")).as("correct"))
+  }
+
+  def s11(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    knnClassify(s01(s, dir), e)
+  }
+
+  val s11Sql: String =
+    s"""WITH topk AS ($s01Sql),
+       votes AS (SELECT qid, label, count(*) AS votes, min(rank) AS best_rank
+                 FROM topk JOIN embeddings e ON e.vec_id = topk.vec_id
+                 GROUP BY 1, 2),
+       best AS (SELECT qid, label, votes,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY votes DESC, best_rank, label) AS rn
+                FROM votes)
+       SELECT b.qid, q.label AS true_label, b.label AS pred_label,
+         b.votes, b.label = q.label AS correct
+       FROM best b JOIN embeddings q ON q.vec_id = b.qid
+       WHERE rn = 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_knn_classify" -> (s11 _),
     "s01_ann_bruteforce" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_ann_ivf" -> (s03 _),
@@ -621,6 +678,7 @@ object Similarity {
     "s05_ivfpq" -> (s05 _))
 
   val oracles: Map[String, String] = Map(
+    "s11_knn_classify" -> s11Sql,
     "s01_ann_bruteforce" -> s01Sql,
     "s02_ann_lsh" -> s02Sql,
     "s03b_ivf_core" -> s03bSql,
