@@ -628,7 +628,35 @@ object Relational {
        FROM c JOIN ic ia ON c.pa = ia.pk JOIN ic ib ON c.pb = ib.pk
        CROSS JOIN t"""
 
+  // ---------------------------------------------------------------
+  // q21: explicit GROUPING SETS — the multi-grain report q14's
+  // cube/rollup can't express: exactly three grains in ONE pass
+  // (status, priority, grand total — NOT the status×priority cross
+  // that cube would add), disambiguated by grouping flags so a NULL
+  // group value and a rolled-up grain stay distinct. One expand +
+  // one shuffle; money summed through DECIMAL (q01 rule).
+  // ---------------------------------------------------------------
+  def q21(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+
+  val q21Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_price
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_grouping_sets" -> (q21 _),
     "q18_funnel" -> (q18 _),
     "q19_retention" -> (q19 _),
     "q20_copurchase" -> (q20 _),
@@ -651,6 +679,7 @@ object Relational {
     "q14_cube_rollup" -> (q14 _))
 
   val oracles: Map[String, String] = Map(
+    "q21_grouping_sets" -> q21Sql,
     "q18_funnel" -> q18Sql,
     "q19_retention" -> q19Sql,
     "q20_copurchase" -> q20Sql,

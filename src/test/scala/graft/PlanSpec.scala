@@ -348,4 +348,18 @@ class PlanSpec extends SparkSpec {
     val floats = Seq((Seq(1.0f, 2.0f), Seq(2.0f, 3.0f))).toDF("a", "b")
     floats.select(graft.plans.GraftFunctions.cosine(spark, col("a"), col("b")))
   }
+
+  test("q21: three grains in ONE pass — a single Expand, no union of scans") {
+    val df = SparkEntry.queries("q21_grouping_sets")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), "grouping sets lost the Expand strategy")
+    // one scan of orders, not one per grain
+    assert("(?s)FileScan parquet".r.findAllIn(p).size == 1, "orders scanned more than once")
+    // semantics: grand-total row aggregates every order exactly once
+    import org.apache.spark.sql.functions.col
+    val total = df.filter(col("g_status") === 1 && col("g_priority") === 1)
+      .select("n_orders").collect().map(_.getLong(0))
+    val nOrders = Tables.orders(spark, sf("sf0.001")).count()
+    assert(total.toSeq == Seq(nOrders))
+  }
 }
