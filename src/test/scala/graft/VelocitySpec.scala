@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Velocity
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** f23 burst semantics on planted timelines (the oracle pins
+  * cross-engine parity; these pin the detection boundary). */
+class VelocitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, i: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d 0${i % 10}:0${i / 10 % 6}:00")
+
+  private def burstsOf(rows: Seq[(Long, Timestamp)]) =
+    Velocity.bursts(rows.toDF("user_id", "ts"))
+      .select(col("user_id"), col("day"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+
+  test("planted spike flags exactly once; steady users never flag") {
+    val quiet = (1 to 20).map(d => (1L, ts(d, 0))) // 1/day × 20 days
+    val spike = (0 until 10).map(i => (1L, ts(25, i))) // 10 on day 25
+    val steady = (1 to 10).flatMap(d => (0 until 7).map(i => (2L, ts(d, i))))
+    val got = burstsOf(quiet ++ spike ++ steady)
+    // user 1: mean = 30/21, 10 ≥ max(6, 2×mean) → burst on day 25 only
+    // user 2: every day == mean → ratio 1 < 2, never a burst
+    assert(got == Set((1L, "2024-01-25", 10L)))
+  }
+
+  test("boundary: n exactly at factor × mean IS a burst; one below is not") {
+    // user 1: days 1..3 with 4 events, day 4 with 12 → sum 24, nw 4,
+    // mean 6; 12·4 = 48 == 2·24 → exactly at the boundary, flagged
+    val atBoundary = (1 to 3).flatMap(d => (0 until 4).map(i => (1L, ts(d, i)))) ++
+      (0 until 12).map(i => (1L, ts(4, i)))
+    assert(burstsOf(atBoundary) == Set((1L, "2024-01-04", 12L)))
+    // user 2: same shape but day 4 has 11 → 11·4 = 44 < 2·23+... sum
+    // 23, 2·23 = 46 > 44 → not flagged
+    val below = (1 to 3).flatMap(d => (0 until 4).map(i => (2L, ts(d, i)))) ++
+      (0 until 11).map(i => (2L, ts(4, i)))
+    assert(burstsOf(below).isEmpty)
+  }
+
+  test("MinBurst floor: a relative spike under 6 events never flags") {
+    // 1/day × 9 days then 5 on day 10: ratio 5·10/14 ≈ 3.6 ≥ 2 but
+    // n = 5 < MinBurst → suppressed (tiny users can't alarm)
+    val rows = (1 to 9).map(d => (1L, ts(d, 0))) ++
+      (0 until 5).map(i => (1L, ts(10, i)))
+    assert(burstsOf(rows).isEmpty)
+  }
+}
