@@ -307,9 +307,198 @@ object Binary {
     }.toDF()
   }
 
+  // ---------------------------------------------------------------
+  // m02: perceptual image hashing (dHash) + near-dup pairs — the
+  // image counterpart of d04's SimHash text dedup, built on the REAL
+  // javax.imageio decode path. The face's images are synthesized
+  // 9×8 grayscale BMPs whose pixel values follow an md5 formula both
+  // engines can compute, so the oracle replays encode → ImageIO
+  // decode → box-sample → gradient bits ARITHMETICALLY: if the JDK
+  // codec decoded a single pixel wrong, the 64-bit hashes diverge
+  // and the driver's compare fails. That puts a real binary codec
+  // inside the correctness gate — the strongest check the multimodal
+  // family has.
+  //
+  // Scale: hashing is a narrow mapPartitions (one decode per row, no
+  // shuffle); near-dup pairs use the d04 banding trick — 8 bands ×
+  // 8 bits, so any pair at hamming ≤ 7 shares a band by pigeonhole —
+  // and candidates meet in a band equi-join, never all-pairs.
+  // ---------------------------------------------------------------
+
+  /** Deterministic pixel formula shared with the oracle: gray value
+    * of (image id, x, y) = 60-bit md5 prefix of "id:x:y" mod 256. */
+  def md5Gray(id: Long, x: Int, y: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:$x:$y".getBytes("UTF-8"))
+    val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % 256L).toInt
+  }
+
+  /** DHash grid width/height: 9×8 → 8×8 gradient bits. */
+  val DhashW = 9
+  val DhashH = 8
+
+  /** A real 24-bit uncompressed BMP (9×8, bottom-up rows, 4-byte row
+    * padding) whose pixels are [[md5Gray]] grays — built byte-by-byte
+    * so the decode side is exercised against a payload no JDK encoder
+    * produced. */
+  def syntheticBmp(id: Long): Array[Byte] = {
+    val rowBytes = DhashW * 3
+    val padded = (rowBytes + 3) / 4 * 4
+    val imageSize = padded * DhashH
+    val fileSize = 54 + imageSize
+    val out = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54)
+    out.putInt(40).putInt(DhashW).putInt(DhashH).putShort(1).putShort(24)
+      .putInt(0).putInt(imageSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var y = DhashH - 1 // bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < DhashW) {
+        val g = md5Gray(id, x, y).toByte
+        out.put(g).put(g).put(g)
+        x += 1
+      }
+      var p = rowBytes
+      while (p < padded) { out.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    out.array()
+  }
+
+  /** 64-bit dHash: box-averaged luminance on a 9×8 grid, bit y·8+x
+    * set iff grid(x+1, y) > grid(x, y) (row-wise gradients). */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val grid = Array.ofDim[Double](DhashH, DhashW)
+    var gy = 0
+    while (gy < DhashH) {
+      val y0 = gy * h / DhashH
+      val y1 = math.max((gy + 1) * h / DhashH, y0 + 1)
+      var gx = 0
+      while (gx < DhashW) {
+        val x0 = gx * w / DhashW
+        val x1 = math.max((gx + 1) * w / DhashW, x0 + 1)
+        var sum = 0.0
+        var n = 0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        grid(gy)(gx) = if (n == 0) 0.0 else sum / n
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    var y = 0
+    while (y < DhashH) {
+      var x = 0
+      while (x < 8) {
+        if (grid(y)(x + 1) > grid(y)(x)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  case class HashedImage(media_id: Long, width: Int, height: Int,
+      dhash: Long, real_decode: Boolean)
+
+  /** Distributed perceptual hashing: narrow mapPartitions, REAL
+    * ImageIO decode with the stub-feature fold as flagged fallback. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id"), col("payload"),
+        col("meta.media_type").as("media_type")).as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(r.payload)))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img != null)
+          HashedImage(r.media_id, img.getWidth, img.getHeight,
+            dHash64(img), real_decode = true)
+        else {
+          val (w, h, f) = stubDecode(r.payload)
+          val fold = f.foldLeft(1469598103934665603L)((acc, v) =>
+            (acc ^ java.lang.Float.floatToIntBits(v)) * 1099511628211L)
+          HashedImage(r.media_id, w, h, fold, real_decode = false)
+        }
+      }).toDF()
+  }
+
+  /** Near-dup image pairs at hamming ≤ `maxHamming` (≤ 7 exact by
+    * pigeonhole over 8 bands × 8 bits — the d04 candidate scheme). */
+  def dhashPairs(hashed: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val banded = hashed.select(col("media_id"), col("dhash"),
+        explode(array((0 until 8).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("dhash"), b * 8).bitwiseAND(0xFFL).as("key"))): _*))
+          .as("bk"))
+      .select(col("media_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a"), col("b.media_id").as("b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** m02 face: the image-typed media rows re-materialized as real
+    * BMPs (one per image id), decoded with the stock JDK codec and
+    * perceptually hashed. */
+  def m02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = mediaTable(s, dir)
+      .filter(col("meta.media_type") === "image/jpeg")
+      .select(col("media_id")).as[Long]
+    imageDHash(ids.mapPartitions(_.map { id =>
+      val payload = syntheticBmp(id)
+      (id, payload, "image/bmp")
+    }).toDF("media_id", "payload", "media_type")
+      .select(col("media_id"), col("payload"),
+        struct(col("media_type").as("media_type"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("").as("header_hex")).as("meta")))
+  }
+
+  val m02Sql: String = {
+    def g(x: Int, y: Int): String =
+      s"(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':$x:$y'), 1, 15)) AS BIGINT) % 256)"
+    val terms = (for (y <- 0 until DhashH; x <- 0 until 8) yield {
+      val b = y * 8 + x
+      val pow =
+        if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+      s"CASE WHEN ${g(x + 1, y)} > ${g(x, y)} THEN CAST($pow AS BIGINT) ELSE 0 END"
+    }).mkString("\n         + ")
+    s"""SELECT doc_id AS media_id, $DhashW AS width, $DhashH AS height,
+       CAST($terms AS BIGINT) AS dhash,
+       TRUE AS real_decode
+       FROM documents WHERE doc_id % 3 = 0"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m01_binary_meta" -> (m01 _))
+    "m01_binary_meta" -> (m01 _),
+    "m02_image_dhash" -> (m02 _))
 
   val oracles: Map[String, String] = Map(
-    "m01_binary_meta" -> m01Sql)
+    "m01_binary_meta" -> m01Sql,
+    "m02_image_dhash" -> m02Sql)
 }
