@@ -287,33 +287,40 @@ object Similarity {
     * (vec_id, embedding) over the pinned codebook. Each corpus vector
     * lands in exactly ONE cell (argmax cosine, earliest cell wins
     * ties), so probe candidates need no dedup. */
-  def annIvfCore(corpus: DataFrame, queries: DataFrame,
-      k: Int = TopK): DataFrame = {
-    val s = corpus.sparkSession
-    // all-cells DOT as ONE array column: per row, cosine = dot scaled
-    // by the same positive constant (1/(‖v‖·8)) for every cell, so
-    // argmax/probe-rank over dots ≡ over cosines for a third of the
-    // arithmetic. The 16 codegen'd dots are materialized once, and the
-    // argmax folds over cheap element refs instead of duplicating dot
-    // subtrees (when/otherwise folds double their branch tree per level)
-    def cellDots(v: Column): Column =
-      array((0 until CoreCells).map(c =>
-        graft.plans.GraftFunctions.dot(s, v, centroidLit(c))): _*)
-    val assigned = corpus
-      .withColumn("_d", cellDots(col("embedding")))
-      // first occurrence of the max → smallest cell id on exact ties,
-      // matching the oracle's ORDER BY dot DESC, cell ASC. coalesce
-      // makes the column NON-NULLABLE: otherwise the probe equi-join
-      // infers isnotnull(cell) and inlines all 16 dots a second time
-      // into a Filter (constraint-inference tree duplication)
+  /** all-cells DOT as ONE array column: per row, cosine = dot scaled
+    * by the same positive constant (1/(‖v‖·8)) for every cell, so
+    * argmax/probe-rank over dots ≡ over cosines for a third of the
+    * arithmetic. The 16 codegen'd dots are materialized once, and the
+    * argmax folds over cheap element refs instead of duplicating dot
+    * subtrees (when/otherwise folds double their branch tree per level) */
+  private def cellDots(s: SparkSession, v: Column): Column =
+    array((0 until CoreCells).map(c =>
+      graft.plans.GraftFunctions.dot(s, v, centroidLit(c))): _*)
+
+  /** Coarse-quantizer assignment over the pinned codebook:
+    * (vec_id, embedding, cell) with cell = argmax-dot (smallest cell
+    * id on exact ties — matching the oracle's ORDER BY dot DESC,
+    * cell ASC). Narrow codegen'd map, no shuffle. */
+  def assignCells(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("_d", cellDots(corpus.sparkSession, col("embedding")))
+      // coalesce makes the column NON-NULLABLE: otherwise a
+      // downstream equi-join infers isnotnull(cell) and inlines all
+      // 16 dots a second time into a Filter (constraint-inference
+      // tree duplication)
       .withColumn("cell", coalesce(
         (array_position(col("_d"), array_max(col("_d"))) - 1).cast("int"),
         lit(-1)))
       .select(col("vec_id"), col("embedding"), col("cell"))
+
+  def annIvfCore(corpus: DataFrame, queries: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val s = corpus.sparkSession
+    val assigned = assignCells(corpus)
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("qcos").desc, col("cell").asc)
     val probes = queries
-      .select(col("qid"), col("qe"), posexplode(cellDots(col("qe"))))
+      .select(col("qid"), col("qe"), posexplode(cellDots(s, col("qe"))))
       .withColumnsRenamed(Map("pos" -> "cell", "col" -> "qcos"))
       .withColumn("_pr", row_number().over(wq))
       .filter(col("_pr") <= CoreProbes)
@@ -668,8 +675,81 @@ object Similarity {
        FROM best b JOIN embeddings q ON q.vec_id = b.qid
        WHERE rn = 1"""
 
+  // ---------------------------------------------------------------
+  // d13: semantic deduplication (SemDeDup, Abbas et al. 2023) — the
+  // embedding-space counterpart of d01/d05: cluster the corpus with
+  // the coarse quantizer, then WITHIN each cluster drop every vector
+  // that has a lower-id neighbor above the cosine threshold (keep-
+  // first, the d01 rule — the lowest id of every near-dup chain
+  // survives). d05 detects pairs given a blocking label; d13 derives
+  // the blocking from the data (the pinned ±1 codebook, so the whole
+  // dataflow stays DuckDB-replayable — trained KMeans would make it
+  // engine-specific like s03) and makes the REMOVAL decision.
+  //
+  // Scale: assignment is a narrow codegen'd map; the pair join is
+  // cell-bucketed (candidates meet inside a cell, never all-pairs —
+  // at 100 TB the quantizer bounds candidate counts exactly like
+  // s03's IVF bounds probe counts); the removal aggregation shuffles
+  // only surviving pairs.
+  // ---------------------------------------------------------------
+
+  val SemDedupThreshold = 0.4 // the d05 near-dup bar, cell-blocked
+
+  /** Removed-vector report over any (vec_id, embedding) frame:
+    * (vec_id, cell, dup_of, n_dups) — one row per DROPPED vector,
+    * dup_of = its smallest lower-id near-neighbor in the cell. */
+  def semanticDedup(corpus: DataFrame,
+      threshold: Double = SemDedupThreshold): DataFrame = {
+    val s = corpus.sparkSession
+    val asg = assignCells(corpus)
+      .repartition(col("cell"))
+      .transform(graft.CacheRegistry.register)
+    val a = asg.select(col("cell"), col("vec_id").as("a"),
+      col("embedding").as("ea"))
+    val b = asg.select(col("cell"), col("vec_id").as("b"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .select(col("cell"), col("a"), col("b"),
+        graft.plans.GraftFunctions.cosine(s, col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("cell"), col("b").as("vec_id"))
+      .agg(min(col("a")).as("dup_of"), count(lit(1)).as("n_dups"))
+      .select(col("vec_id"), col("cell"), col("dup_of"), col("n_dups"))
+  }
+
+  def d13(s: SparkSession, dir: String): DataFrame =
+    semanticDedup(Tables.embeddings(s, dir))
+
+  lazy val d13Sql: String = {
+    def cvLit(c: Int): String =
+      (0 until Dim).map(d => centroidSign(c, d).toString)
+        .mkString("[", ",", "]") + "::DOUBLE[]"
+    val centRows = (0 until CoreCells).map(c => s"($c, ${cvLit(c)})")
+      .mkString(",\n         ")
+    s"""WITH cent(cell, cv) AS (VALUES
+         $centRows),
+       ec AS (SELECT e.vec_id, e.embedding, c.cell,
+                list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv), x -> x[1]*x[2])) AS ccos
+              FROM embeddings e CROSS JOIN cent c),
+       asg AS (SELECT vec_id, embedding, cell FROM
+               (SELECT vec_id, embedding, cell,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+                FROM ec) WHERE rn = 1),
+       p AS (SELECT a.cell, a.vec_id AS a, b.vec_id AS b
+             FROM asg a JOIN asg b
+             ON a.cell = b.cell AND a.vec_id < b.vec_id
+             WHERE list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), x -> x[1]*x[2]))
+               / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))
+                * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x))))
+               >= CAST('$SemDedupThreshold' AS DOUBLE))
+       SELECT b AS vec_id, cell, min(a) AS dup_of, count(*) AS n_dups
+       FROM p GROUP BY 1, 2"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s11_knn_classify" -> (s11 _),
+    "d13_semantic_dedup" -> (d13 _),
     "s01_ann_bruteforce" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_ann_ivf" -> (s03 _),
@@ -679,6 +759,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "s11_knn_classify" -> s11Sql,
+    "d13_semantic_dedup" -> d13Sql,
     "s01_ann_bruteforce" -> s01Sql,
     "s02_ann_lsh" -> s02Sql,
     "s03b_ivf_core" -> s03bSql,
