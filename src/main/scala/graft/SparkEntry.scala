@@ -23,7 +23,7 @@ object SparkEntry {
       operators.Split.queries ++ operators.Redact.queries ++
       operators.Histogram.queries ++ functions.Geo.queries ++
       operators.Graph.queries ++ operators.Quota.queries ++
-      operators.Velocity.queries ++
+      operators.Velocity.queries ++ operators.Vocab.queries ++
       multimodal.Binary.queries ++
       streaming.Alerts.queries
 
@@ -177,7 +177,7 @@ object SparkEntry {
       operators.Split.oracles ++ operators.Redact.oracles ++
       operators.Histogram.oracles ++ functions.Geo.oracles ++
       operators.Graph.oracles ++ operators.Quota.oracles ++
-      operators.Velocity.oracles ++
+      operators.Velocity.oracles ++ operators.Vocab.oracles ++
       multimodal.Binary.oracles ++
       streaming.Alerts.oracles
 }

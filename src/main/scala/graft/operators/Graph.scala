@@ -69,36 +69,37 @@ object Graph {
       .transform(graft.CacheRegistry.register)
     val nDf = sym.select(col("src")).distinct()
       .agg(count(lit(1)).as("n"))
-    // (node, per-node jump term) — the static left side of every
-    // iteration; jump = (0.15 × Scale) div n, exact integer division
-    val nodes = sym.select(col("src").as("node")).distinct()
+    // (node, outdeg, per-node jump term) — the static left side of
+    // every iteration; jump = (0.15 × Scale) div n, exact integer
+    // division. Carrying outdeg here saves the final degree join.
+    val nodes = sym.select(col("src").as("node"), col("outdeg")).distinct()
       .crossJoin(broadcast(nDf))
-      .select(col("node"),
+      .select(col("node"), col("outdeg"),
         expr(s"(${Scale * (DampingDen - DampingNum) / DampingDen}L div n)")
           .as("jump"),
         expr(s"(${Scale}L div n)").as("r0"))
       .transform(graft.CacheRegistry.register)
-    var ranks = nodes.select(col("node"), col("r0").as("rank_e12"))
-      .localCheckpoint(true)
+    // fixed iteration count, each round referencing the previous ONCE
+    // → lineage grows linearly, so the whole fixpoint stays ONE lazy
+    // plan with no per-round materialization (d06 needs per-round
+    // localCheckpoint cuts only because its convergence probe makes
+    // the reference count 2 per round — exponential growth)
+    var ranks = nodes.select(col("node"), col("outdeg"),
+      col("r0").as("rank_e12"))
     (1 to iters).foreach { _ =>
       val contrib = sym
         .join(ranks.select(col("node").as("src"), col("rank_e12")), "src")
         .select(col("dst"), expr("rank_e12 div outdeg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("sumc"))
-      val next = nodes
+      ranks = nodes
         .join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
+        .select(col("node"), col("outdeg"),
           (col("jump") +
             expr(s"(coalesce(sumc, 0L) * ${DampingNum}L) div ${DampingDen}L"))
             .as("rank_e12"))
-        .localCheckpoint(true)
-      ranks.unpersist()
-      ranks = next
     }
-    sym.select(col("src").as("node"), col("outdeg")).distinct()
-      .join(ranks, "node")
-      .select(col("node"), col("outdeg"), col("rank_e12"))
+    ranks.select(col("node"), col("outdeg"), col("rank_e12"))
   }
 
   def g03(s: SparkSession, dir: String): DataFrame =
