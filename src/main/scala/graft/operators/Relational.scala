@@ -655,7 +655,44 @@ object Relational {
        FROM orders
        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
 
+  // ---------------------------------------------------------------
+  // q22: time-RANGE sliding window — the trailing-interval frame q09
+  // (rows-based running total) can't express: per order, the count
+  // and spend of the SAME customer over the preceding 7 days of
+  // EVENT TIME, duplicate dates included as peers. RANGE frames are
+  // the window surface AQE can't rewrite away and the one a velocity
+  // / trailing-exposure report actually needs (a rows-frame is wrong
+  // the moment a customer places two orders on one day). Frame
+  // bounds ride on epoch seconds in both engines; money through
+  // DECIMAL (q01 rule).
+  // ---------------------------------------------------------------
+  /** Trailing 7-day RANGE frame over any orders-shaped frame. */
+  def slidingWindow(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-6L * 86400, 0)
+    orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        count(lit(1)).over(w).as("n_7d"),
+        sum(col("o_totalprice").cast("decimal(25,4)")).over(w)
+          .cast("double").as("spend_7d"))
+  }
+
+  def q22(s: SparkSession, dir: String): DataFrame =
+    slidingWindow(Tables.orders(s, dir))
+
+  val q22Sql: String =
+    """SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS day,
+       count(*) OVER w AS n_7d,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) OVER w AS DOUBLE) AS spend_7d
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                    RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_sliding_window" -> (q22 _),
     "q21_grouping_sets" -> (q21 _),
     "q18_funnel" -> (q18 _),
     "q19_retention" -> (q19 _),
@@ -679,6 +716,7 @@ object Relational {
     "q14_cube_rollup" -> (q14 _))
 
   val oracles: Map[String, String] = Map(
+    "q22_sliding_window" -> q22Sql,
     "q21_grouping_sets" -> q21Sql,
     "q18_funnel" -> q18Sql,
     "q19_retention" -> q19Sql,

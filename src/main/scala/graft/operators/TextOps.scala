@@ -515,7 +515,63 @@ object TextOps {
          round(CAST(sumsq AS DOUBLE) / (CAST(ntok AS DOUBLE) * ntok), 6) AS concentration
        FROM pd JOIN sl ON pd.doc_id = sl.doc_id"""
 
+  // ---------------------------------------------------------------
+  // t10: readability scoring — Flesch reading ease from the three
+  // classic surface counts (words, sentence-punctuation runs, vowel-
+  // group syllable estimate), the remaining standard document-level
+  // quality signal after t02 (composition), t05 (repetition), t08
+  // (LM plausibility) and t09 (diversity): an education-level prior
+  // a curriculum-ordered training mix buckets on. All three counts
+  // are regex-count scans (codegen'd, engine-portable); the Flesch
+  // constants ship to both engines as string-cast double literals
+  // and the score is rounded to 6 before the bucket CASE, so the
+  // bucket boundaries cannot tie apart. Zero-word docs are dropped;
+  // sentence count floors at 1 (unpunctuated docs are one sentence).
+  //
+  // Scale: one narrow projection pass, no joins, no windows — the
+  // per-doc row is final at the scan.
+  // ---------------------------------------------------------------
+
+  def t10(s: SparkSession, dir: String): DataFrame = {
+    val nw = wsTokenCount(col("text"))
+    val ns = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+    val syl = greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")), lit(1))
+    val score = round(
+      lit(206.835) - lit(1.015) * (nw.cast("double") / ns) -
+        lit(84.6) * (syl.cast("double") / nw), 6)
+    Tables.documents(s, dir)
+      .filter(nw > 0)
+      .select(col("doc_id"), nw.cast("bigint").as("n_words"),
+        ns.cast("bigint").as("n_sentences"),
+        syl.cast("bigint").as("n_syllables"),
+        score.as("flesch"),
+        when(score >= 90, "very_easy").when(score >= 60, "standard")
+          .when(score >= 30, "difficult").otherwise("very_difficult")
+          .as("bucket"))
+  }
+
+  val t10Sql: String = {
+    val c0 = "CAST('206.835' AS DOUBLE)"
+    val c1 = "CAST('1.015' AS DOUBLE)"
+    val c2 = "CAST('84.6' AS DOUBLE)"
+    raw"""WITH c AS (SELECT doc_id, $sqlNw AS nw,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+               greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS syl
+             FROM documents),
+       f AS (SELECT doc_id, nw, ns, syl,
+               round($c0 - $c1 * (CAST(nw AS DOUBLE)/ns) - $c2 * (CAST(syl AS DOUBLE)/nw), 6) AS flesch
+             FROM c WHERE nw > 0)
+       SELECT doc_id, CAST(nw AS BIGINT) AS n_words, CAST(ns AS BIGINT) AS n_sentences,
+         CAST(syl AS BIGINT) AS n_syllables, flesch,
+         CASE WHEN flesch >= 90 THEN 'very_easy'
+              WHEN flesch >= 60 THEN 'standard'
+              WHEN flesch >= 30 THEN 'difficult'
+              ELSE 'very_difficult' END AS bucket
+       FROM f"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_readability" -> (t10 _),
     "t01_lang_id" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_token_count" -> (t03 _),
@@ -535,5 +591,6 @@ object TextOps {
     "t06_normalize" -> t06Sql,
     "t07_tfidf_keywords" -> t07Sql,
     "t08_perplexity" -> t08Sql,
-    "t09_entropy" -> t09Sql)
+    "t09_entropy" -> t09Sql,
+    "t10_readability" -> t10Sql)
 }

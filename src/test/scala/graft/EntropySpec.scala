@@ -7,6 +7,34 @@ import org.apache.spark.sql.functions._
 class EntropySpec extends SparkSpec {
   import spark.implicits._
 
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("tdocs").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t10: hand-computed Flesch on a pinned sentence; buckets order") {
+    val dir = docsDir(Seq(
+      (1L, "The cat sat. The dog ran!"),      // easy: short words
+      (2L, "Extraordinarily complicated administrative bureaucratization necessitates interdepartmental reorganization")))
+    val m = graft.operators.TextOps.t10(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: words 6, sentence runs 2, vowel groups:
+    // the(1) cat(1) sat.(1) the(1) dog(1) ran!(1) = 6
+    // flesch = 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
+    assert(m(1L).getAs[Long]("n_words") == 6L)
+    assert(m(1L).getAs[Long]("n_sentences") == 2L)
+    assert(m(1L).getAs[Long]("n_syllables") == 6L)
+    assert(math.abs(m(1L).getAs[Double]("flesch") - 119.19) < 1e-6)
+    assert(m(1L).getAs[String]("bucket") == "very_easy")
+    // doc 2: polysyllabic monster scores far lower
+    assert(m(2L).getAs[Double]("flesch") < m(1L).getAs[Double]("flesch"))
+    assert(m(2L).getAs[String]("bucket") == "very_difficult")
+  }
+
   private def t09Of(rows: Seq[(Long, String)]) = {
     val dir = java.nio.file.Files.createTempDirectory("t09").toString
     rows.toDF("doc_id", "text")

@@ -40,6 +40,25 @@ class VelocitySpec extends SparkSpec {
     assert(burstsOf(below).isEmpty)
   }
 
+  test("q22 RANGE frame: same-day peers included, day 8 falls out") {
+    import graft.operators.Relational
+    def o(k: Long, d: Int, price: Double) =
+      (k, 1L, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"), price)
+    // two orders on day 1 (peers), one on day 7 (inside the 7-day
+    // frame of day 1's orders? no — frame is TRAILING), one on day 8
+    // (outside day 1's trailing frame, inside day 7's)
+    val orders = Seq(o(1, 1, 10.0), o(2, 1, 20.0), o(3, 7, 40.0), o(4, 8, 80.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val got = Relational.slidingWindow(orders)
+      .select("o_orderkey", "n_7d", "spend_7d")
+      .as[(Long, Long, Double)].collect()
+      .map { case (k, n, s) => k -> ((n, s)) }.toMap
+    assert(got(1L) == ((2L, 30.0))) // same-day peer included BOTH ways
+    assert(got(2L) == ((2L, 30.0)))
+    assert(got(3L) == ((3L, 70.0))) // day 1 still inside [day 1, day 7]
+    assert(got(4L) == ((2L, 120.0))) // day 1 fell out; day 7 inside
+  }
+
   test("MinBurst floor: a relative spike under 6 events never flags") {
     // 1/day × 9 days then 5 on day 10: ratio 5·10/14 ≈ 3.6 ≥ 2 but
     // n = 5 < MinBurst → suppressed (tiny users can't alarm)
