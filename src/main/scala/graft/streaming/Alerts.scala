@@ -140,6 +140,32 @@ object Alerts {
       .toDF()
   }
 
+  // ---------------------------------------------------------------
+  // Streaming velocity gate (row 41i): f23's self-baselined burst
+  // rule enforced at ingest. Tumbling event-time windows count each
+  // user's events; a static per-user baseline (sum_n, nw — the f23
+  // batch frame, refreshed per micro-batch by stream-static join
+  // semantics) supplies the mean; the flag boundary is the same
+  // exact-integer rule as f23 (n·nw ≥ factor·Σn, absolute floor
+  // minBurst). Users ABSENT from the baseline default to 0·0 — the
+  // relative test passes vacuously and only the absolute floor
+  // gates, the right cold-start posture. Watermark bounds state;
+  // append mode emits each window once final.
+  // ---------------------------------------------------------------
+  def burstAlerts(events: DataFrame, baseline: DataFrame,
+      windowLen: String = "1 day", watermark: String = "2 days",
+      factor: Long = graft.operators.Velocity.BurstFactor,
+      minBurst: Long = graft.operators.Velocity.MinBurst): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(baseline), Seq("user_id"), "left")
+      .filter(col("n") >= minBurst &&
+        col("n") * coalesce(col("nw"), lit(0L)) >=
+          lit(factor) * coalesce(col("sum_n"), lit(0L)))
+      .select(col("w.start").as("wstart"), col("user_id"), col("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_windowed_counts" -> (st01 _))
 
