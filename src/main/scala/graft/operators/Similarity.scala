@@ -747,7 +747,37 @@ object Similarity {
        FROM p GROUP BY 1, 2"""
   }
 
+  // ---------------------------------------------------------------
+  // s12: ANN recall evaluation — the acceptance metric an ANN rollout
+  // ships with, as a driver-checked FACE instead of a spec-only
+  // property: per query, |approx top-k ∩ exact top-k| / k for the
+  // pinned-codebook IVF (s03b) against brute force (s01). Everything
+  // is |Q|×k-sized after the two retrievals; the join is on
+  // (qid, vec_id) pairs.
+  // ---------------------------------------------------------------
+  def s12(s: SparkSession, dir: String): DataFrame = {
+    val exact = s01(s, dir).select(col("qid"), col("vec_id"))
+    val approx = s03b(s, dir).select(col("qid"), col("vec_id"),
+      lit(1L).as("hit"))
+    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("qid"), col("k"), col("hits"),
+        round(col("hits").cast("double") / col("k"), 6).as("recall"))
+  }
+
+  lazy val s12Sql: String =
+    s"""WITH e AS ($s01Sql),
+       a AS ($s03bSql)
+       SELECT e.qid, count(*) AS k,
+         CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 6) AS recall
+       FROM e LEFT JOIN a ON e.qid = a.qid AND e.vec_id = a.vec_id
+       GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_ann_recall" -> (s12 _),
     "s11_knn_classify" -> (s11 _),
     "d13_semantic_dedup" -> (d13 _),
     "s01_ann_bruteforce" -> (s01 _),
@@ -758,6 +788,7 @@ object Similarity {
     "s05_ivfpq" -> (s05 _))
 
   val oracles: Map[String, String] = Map(
+    "s12_ann_recall" -> s12Sql,
     "s11_knn_classify" -> s11Sql,
     "d13_semantic_dedup" -> d13Sql,
     "s01_ann_bruteforce" -> s01Sql,
