@@ -52,6 +52,20 @@ CEILINGS = {
     "c15_scd2_history": 1.2,       # steady ~0.6 s (log-only lead window)
     "s10_rank_eval": 3.6,          # steady ~2.4 s (s06 + graded rescan)
     "d12_bloom_decontaminate": 2.4,  # steady ~1.2 s (candidate-only join)
+    # r13 second batch — ceilings ~1.5x the first clean full-run reading
+    "g03_pagerank": 7.0,           # steady ~4.6 s (5-iteration fixpoint,
+                                   # one lazy plan after the checkpoint fix)
+    "c16_source_quota": 2.1,       # steady ~1.4 s (two-phase selection)
+    "t09_entropy": 1.5,            # steady ~1.0 s ((doc, term) rollup)
+    "s11_knn_classify": 1.2,       # steady ~0.8 s (s01 + |Q|-sized vote)
+    "q21_grouping_sets": 0.7,      # steady ~0.35 s (one Expand pass)
+    "f23_user_burst": 1.2,         # steady ~0.8 s ((user, day) rollup)
+    "m02_image_dhash": 2.2,        # steady ~1.5 s (BMP encode+decode scan)
+    "d13_semantic_dedup": 1.3,     # steady ~0.8 s (cell-blocked pairs)
+    "c17_vocab_fit": 0.8,          # steady ~0.5 s (TakeOrdered vocab cut)
+    "q22_sliding_window": 0.5,     # steady ~0.15 s (one RANGE window)
+    "t10_readability": 0.6,        # steady ~0.35 s (3 regex-count scans)
+    "s12_ann_recall": 3.0,         # s01 + s03b + |Q|x k-sized join
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
