@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Histogram.queries ++ functions.Geo.queries ++
       operators.Graph.queries ++ operators.Quota.queries ++
       operators.Velocity.queries ++ operators.Vocab.queries ++
+      operators.Privacy.queries ++
       multimodal.Binary.queries ++
       streaming.Alerts.queries
 
@@ -178,6 +179,7 @@ object SparkEntry {
       operators.Histogram.oracles ++ functions.Geo.oracles ++
       operators.Graph.oracles ++ operators.Quota.oracles ++
       operators.Velocity.oracles ++ operators.Vocab.oracles ++
+      operators.Privacy.oracles ++
       multimodal.Binary.oracles ++
       streaming.Alerts.oracles
 }
