@@ -494,11 +494,141 @@ object Binary {
        FROM documents WHERE doc_id % 3 = 0"""
   }
 
+  // ---------------------------------------------------------------
+  // m03: audio energy extraction with the JDK codec driver-checked —
+  // the m02 trick applied to javax.sound.sampled: the face's WAVs are
+  // real RIFF/PCM16 files synthesized byte-by-byte from an md5 sample
+  // formula, decoded through AudioSystem, and reduced to EXACT
+  // integer segment energies (sum of |sample| per eighth) — so the
+  // DuckDB oracle recomputes the same BIGINTs arithmetically and one
+  // wrongly-decoded sample fails the driver compare. Together with
+  // m02 this puts BOTH stock-JDK media codecs inside the correctness
+  // gate; energy extraction itself is the silence-/clipping-filter
+  // primitive an audio corpus pass starts from.
+  // ---------------------------------------------------------------
+
+  /** Deterministic PCM sample shared with the oracle: int16 from the
+    * 60-bit md5 prefix of "au:id:i". */
+  def md5Sample(id: Long, i: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"au:$id:$i".getBytes("UTF-8"))
+    val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+    ((java.lang.Long.parseLong(hex, 16) % 65536L) - 32768L).toInt
+  }
+
+  val WavSamples = 64
+  val WavRate = 8000
+  val EnergySegments = 8
+
+  /** A real RIFF/WAVE PCM16LE mono file (44-byte header + samples)
+    * whose samples are [[md5Sample]] values. */
+  def syntheticWav(id: Long, n: Int = WavSamples): Array[Byte] = {
+    val dataSize = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(WavRate).putInt(WavRate * 2).putShort(2).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) { out.putShort(md5Sample(id, i).toShort); i += 1 }
+    out.array()
+  }
+
+  case class AudioEnergy(media_id: Long, sample_rate: Int, n_samples: Int,
+      e0: Long, e1: Long, e2: Long, e3: Long,
+      e4: Long, e5: Long, e6: Long, e7: Long, real_decode: Boolean)
+
+  /** Distributed integer energy extraction: REAL javax.sound decode,
+    * |sample| summed per eighth — exact BIGINTs, fallback flagged. */
+  def audioEnergy(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id"), col("payload"),
+        col("meta.media_type").as("media_type")).as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val segs = new Array[Long](EnergySegments)
+        val decoded =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            try {
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16) None
+              else {
+                val raw = ais.readAllBytes()
+                val n = raw.length / 2
+                var i = 0
+                while (i < n) {
+                  val lo = raw(i * 2) & 0xff
+                  val hi = raw(i * 2 + 1) & 0xff
+                  val v =
+                    (if (fmt.isBigEndian) (lo << 8) | hi else (hi << 8) | lo)
+                      .toShort.toInt
+                  segs((i * EnergySegments / n).min(EnergySegments - 1)) +=
+                    math.abs(v).toLong
+                  i += 1
+                }
+                Some((fmt.getSampleRate.toInt, n))
+              }
+            } finally scala.util.Try(ais.close())
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case Some((rate, n)) =>
+            AudioEnergy(r.media_id, rate, n, segs(0), segs(1), segs(2),
+              segs(3), segs(4), segs(5), segs(6), segs(7),
+              real_decode = true)
+          case None =>
+            val (w, h, f) = stubDecode(r.payload)
+            AudioEnergy(r.media_id, w * 1000, h,
+              f(0).toLong, f(1).toLong, f(2).toLong, f(3).toLong,
+              f(4).toLong, f(5).toLong, f(6).toLong, f(7).toLong,
+              real_decode = false)
+        }
+      }).toDF()
+  }
+
+  /** m03 face: the audio-typed media rows re-materialized as real
+    * WAVs, decoded with the stock JDK codec. */
+  def m03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = mediaTable(s, dir)
+      .filter(col("meta.media_type") === "audio/wav")
+      .select(col("media_id")).as[Long]
+    audioEnergy(ids.mapPartitions(_.map { id =>
+      (id, syntheticWav(id), "audio/wav")
+    }).toDF("media_id", "payload", "media_type")
+      .select(col("media_id"), col("payload"),
+        struct(col("media_type").as("media_type"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("").as("header_hex")).as("meta")))
+  }
+
+  val m03Sql: String = {
+    def sample(i: Int): String =
+      s"((CAST(('0x' || substring(md5('au:' || CAST(doc_id AS VARCHAR) || ':$i'), 1, 15)) AS BIGINT) % 65536) - 32768)"
+    val perSeg = WavSamples / EnergySegments
+    val segCols = (0 until EnergySegments).map { k =>
+      val terms = (0 until perSeg)
+        .map(j => s"abs(${sample(k * perSeg + j)})").mkString(" + ")
+      s"CAST($terms AS BIGINT) AS e$k"
+    }.mkString(",\n         ")
+    s"""SELECT doc_id AS media_id, $WavRate AS sample_rate,
+         $WavSamples AS n_samples,
+         $segCols,
+         TRUE AS real_decode
+       FROM documents WHERE doc_id % 3 = 1"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta" -> (m01 _),
-    "m02_image_dhash" -> (m02 _))
+    "m02_image_dhash" -> (m02 _),
+    "m03_audio_energy" -> (m03 _))
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
-    "m02_image_dhash" -> m02Sql)
+    "m02_image_dhash" -> m02Sql,
+    "m03_audio_energy" -> m03Sql)
 }

@@ -691,7 +691,35 @@ object Relational {
        WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
                     RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)"""
 
+  // ---------------------------------------------------------------
+  // q23: INTERSECT / EXCEPT — the set-operator surface q07's
+  // distinct-union doesn't cover, with their bag-semantics subtlety
+  // pinned: both are DISTINCT set ops (Spark intersect/except ==
+  // SQL INTERSECT/EXCEPT). Customers active in BOTH halves of the
+  // order history vs only the first half, labeled and unioned so one
+  // face exercises both operators. Each set op is one shuffle on the
+  // key; Spark plans them as left-semi/left-anti over distincts.
+  // ---------------------------------------------------------------
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val cut = lit("1997-01-01").cast("timestamp")
+    val early = o.filter(col("o_orderdate") < cut).select(col("o_custkey"))
+    val late = o.filter(col("o_orderdate") >= cut).select(col("o_custkey"))
+    early.intersect(late)
+      .select(col("o_custkey"), lit("both_halves").as("cohort"))
+      .union(early.except(late)
+        .select(col("o_custkey"), lit("early_only").as("cohort")))
+  }
+
+  val q23Sql: String =
+    """WITH early AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+       late AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+       SELECT o_custkey, 'both_halves' AS cohort FROM (SELECT * FROM early INTERSECT SELECT * FROM late)
+       UNION ALL
+       SELECT o_custkey, 'early_only' AS cohort FROM (SELECT * FROM early EXCEPT SELECT * FROM late)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_set_ops" -> (q23 _),
     "q22_sliding_window" -> (q22 _),
     "q21_grouping_sets" -> (q21 _),
     "q18_funnel" -> (q18 _),
@@ -716,6 +744,7 @@ object Relational {
     "q14_cube_rollup" -> (q14 _))
 
   val oracles: Map[String, String] = Map(
+    "q23_set_ops" -> q23Sql,
     "q22_sliding_window" -> q22Sql,
     "q21_grouping_sets" -> q21Sql,
     "q18_funnel" -> q18Sql,

@@ -59,6 +59,44 @@ class DhashSpec extends SparkSpec {
     }
   }
 
+  test("m03: synthetic WAV decodes to the exact md5Sample PCM; energies sum") {
+    val id = 7L
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(Binary.syntheticWav(id)))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate.toInt == Binary.WavRate)
+    assert(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
+    val raw = ais.readAllBytes()
+    assert(raw.length == Binary.WavSamples * 2)
+    (0 until Binary.WavSamples).foreach { i =>
+      val v = (((raw(i * 2 + 1) & 0xff) << 8) | (raw(i * 2) & 0xff)).toShort.toInt
+      assert(v == Binary.md5Sample(id, i), s"sample $i")
+    }
+  }
+
+  test("m03 energy separates silence from loud segments") {
+    // hand-built WAV: 32 zero samples then 32 full-scale samples
+    val n = 64
+    val out = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    (0 until n).foreach(i => out.putShort(if (i < 32) 0 else 30000))
+    val media = Seq((1L, out.array()))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        struct(lit("audio/wav").as("media_type"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("").as("header_hex")).as("meta"))
+    val r = Binary.audioEnergy(media).collect().head
+    assert(r.getAs[Boolean]("real_decode"))
+    (0 to 3).foreach(k => assert(r.getAs[Long](s"e$k") == 0L, s"e$k"))
+    (4 to 7).foreach(k => assert(r.getAs[Long](s"e$k") == 8L * 30000, s"e$k"))
+  }
+
   test("dhashPairs finds exactly the planted near-dup via the band join") {
     val rows = Seq(
       (1L, bmpBytes(gradient(18, 16))),
