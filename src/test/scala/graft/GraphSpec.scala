@@ -44,6 +44,22 @@ class GraphSpec extends SparkSpec {
     assert(total > Graph.Scale - 100L)
   }
 
+  test("g04: hand-counted triangles and clustering on a planted graph") {
+    import graft.operators.Graph
+    // K4 on {1,2,3,4} (4 triangles, cc=1 everywhere) plus a pendant 5-1
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(1L,5L))
+      .toDF("a","b")
+    val got = Graph.triangles(k4)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // node 1: degree 4 (incl. pendant), 3 triangles, cc = 6/12 = 0.5
+    assert(got(1L) == ((4L, 3L, 0.5)))
+    // nodes 2..4: degree 3, 3 triangles, cc = 6/6 = 1.0
+    (2L to 4L).foreach(n => assert(got(n) == ((3L, 3L, 1.0)), s"node $n"))
+    // pendant: degree 1, no triangles, cc pinned 0
+    assert(got(5L) == ((1L, 0L, 0.0)))
+  }
+
   test("partition-independence: same ranks from a shuffled edge frame") {
     val docs = Tables.lineitem(spark, sf("sf0.001"))
     val edges = Graph.coEdges(docs)
