@@ -59,6 +59,26 @@ class VelocitySpec extends SparkSpec {
     assert(got(4L) == ((2L, 120.0))) // day 1 fell out; day 7 inside
   }
 
+  test("f24 KS: identical, disjoint and hand-computed shifted samples") {
+    import graft.operators.Velocity
+    def rows(grp: String, ref: Seq[Double], live: Seq[Double]) =
+      ref.map(v => (grp, true, v)) ++ live.map(v => (grp, false, v))
+    val df = (rows("same", Seq(1, 2, 3), Seq(1, 2, 3)) ++
+      rows("disjoint", Seq(1, 2), Seq(10, 20, 30)) ++
+      // shifted: ref {1,2,3,4}, live {3,4,5,6} → max gap at v=2:
+      // F1=2/4, F2=0 → D = 1/2, num = |2·4 − 0·4| = 8
+      rows("shift", Seq(1, 2, 3, 4), Seq(3, 4, 5, 6)))
+      .toDF("grp", "is_ref", "v")
+    val got = Velocity.ksDrift(df)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("same")._5 == 0.0)
+    assert(got("disjoint")._5 == 1.0) // fully separated CDFs
+    assert(got("disjoint")._6 == 2.0) // attained at ref's last value
+    assert(got("shift")._4 == 8L && got("shift")._5 == 0.5 &&
+      got("shift")._6 == 2.0)
+  }
+
   test("MinBurst floor: a relative spike under 6 events never flags") {
     // 1/day × 9 days then 5 on day 10: ratio 5·10/14 ≈ 3.6 ≥ 2 but
     // n = 5 < MinBurst → suppressed (tiny users can't alarm)
