@@ -36,4 +36,23 @@ class VocabSpec extends SparkSpec {
       a._3 >= b._3 && b._5 > a._5 })
     assert(math.abs(rows.last._5 - 1.0) < 1e-4)
   }
+
+  test("c21: temperature upsamples the tail; alpha=1 is the identity") {
+    import graft.operators.Vocab
+    val docs = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (91 to 100).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source").withColumn("text", lit("x"))
+    val t = Vocab.mixtureWeights(docs, 0.7)
+      .select("source", "p", "weight", "sample_factor")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // alpha < 1: the small source is upsampled, the big one damped
+    assert(t("small")._4 > 1.0 && t("big")._4 < 1.0)
+    assert(math.abs(t("small")._3 + t("big")._3 - 1.0) < 1e-4)
+    val id = Vocab.mixtureWeights(docs, 1.0)
+      .select("source", "p", "weight")
+      .as[(String, Double, Double)].collect()
+    id.foreach { case (src, p, w) =>
+      assert(math.abs(w - p) < 1e-4, src) } // identity at alpha = 1
+  }
 }
