@@ -65,7 +65,13 @@ CEILINGS = {
     "c17_vocab_fit": 0.8,          # steady ~0.5 s (TakeOrdered vocab cut)
     "q22_sliding_window": 0.5,     # steady ~0.15 s (one RANGE window)
     "t10_readability": 0.6,        # steady ~0.35 s (3 regex-count scans)
-    "s12_ann_recall": 3.0,         # s01 + s03b + |Q|x k-sized join
+    "s12_ann_recall": 1.0,         # steady ~0.6 s (s01 + s03b + tiny join)
+    "c18_dp_census": 0.6,          # steady ~0.4 s (count + noise projection)
+    "q23_set_ops": 0.8,            # steady ~0.5 s (two set ops)
+    "m03_audio_energy": 2.0,       # steady ~1.2 s (WAV encode+decode scan)
+    "g04_triangles": 4.0,          # steady ~2.6 s (two edge equi-joins)
+    "f24_ks_drift": 1.9,           # steady ~1.2 s (value-census CDF windows)
+    "c21_mixture_weights": 0.8,    # steady ~0.5 s (source-sized tempering)
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
