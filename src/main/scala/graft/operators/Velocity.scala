@@ -141,11 +141,99 @@ object Velocity {
        FROM d JOIN m ON d.grp = m.grp AND d.diff = m.d_num
        GROUP BY 1, 2, 3, 4"""
 
+  // ---------------------------------------------------------------
+  // f25: CUSUM sequential changepoint detection — the drift alarm
+  // f23 can't raise: f23 flags a single spiking day against the
+  // mean; CUSUM accumulates small persistent excess (a seller whose
+  // activity creeps up 30% never trips a 2× day rule but walks the
+  // CUSUM up linearly). Classic Page (1954) one-sided CUSUM with the
+  // PREFIX-MIN closed form: S_t = max_{j≤t} Σ_{i>j}(x_i − μ − k)
+  // = P_t − min_{j≤t} P_j — so the sequential recurrence becomes two
+  // stock window functions (running sum, running min), no recursion,
+  // no state.
+  //
+  // Exactness: everything is scaled by the user's lattice size nd —
+  // P'_t = nd·ΣX_t − t·(ΣX + k·nd) — all BIGINT (the g03/f23/f24
+  // integer discipline); μ never materializes as a double. The day
+  // lattice is FILLED (missing days are x = 0 — inactivity must pull
+  // the statistic down or a sparse user's two spikes a month apart
+  // read as a run).
+  //
+  // Scale: the lattice explode is bounded by the time span, windows
+  // are per-user partitions, and the per-user totals broadcast back.
+  // ---------------------------------------------------------------
+
+  val CusumSlack = 1L // k: per-day allowance above the mean
+  val CusumThreshold = 4L // h: alarm at S ≥ h·nd (≥ h events of excess)
+
+  /** Alarm rows (user_id, day, x, cusum_num, nd, cusum) over any
+    * (user_id, ts) frame. */
+  def cusum(events: DataFrame, slack: Long = CusumSlack,
+      threshold: Long = CusumThreshold): DataFrame = {
+    val e = events
+      .groupBy(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val span = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val lat = span.select(col("user_id"),
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+        .as("day"))
+    val f = lat.join(e, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val t = f.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("nd"), sum(col("x")).as("sx"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val p = f.join(broadcast(t), "user_id")
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("pp",
+        col("nd") * sum(col("x")).over(run) -
+          col("i") * (col("sx") + lit(slack) * col("nd")))
+    p.withColumn("s", col("pp") - min(col("pp")).over(run))
+      .filter(col("s") >= lit(threshold) * col("nd"))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("x"), col("s").as("cusum_num"), col("nd"),
+        round(col("s").cast("double") / col("nd"), 6).as("cusum"))
+  }
+
+  def f25(s: SparkSession, dir: String): DataFrame =
+    cusum(Tables.events(s, dir))
+
+  val f25Sql: String =
+    s"""WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                 count(*) AS x
+               FROM events GROUP BY 1, 2),
+       span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY 1),
+       lat AS (SELECT user_id,
+                 CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+               FROM span),
+       f AS (SELECT l.user_id, l.day, CAST(coalesce(e.x, 0) AS BIGINT) AS x
+             FROM lat l LEFT JOIN e ON l.user_id = e.user_id AND l.day = e.day),
+       t AS (SELECT user_id, count(*) AS nd, CAST(sum(x) AS BIGINT) AS sx
+             FROM f GROUP BY 1),
+       p AS (SELECT f.user_id, day, x, nd,
+               nd * CAST(sum(x) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 - row_number() OVER w * (sx + $CusumSlack * nd) AS pp
+             FROM f JOIN t ON f.user_id = t.user_id
+             WINDOW w AS (PARTITION BY f.user_id ORDER BY day)),
+       c AS (SELECT user_id, day, x, nd,
+               CAST(pp - min(pp) OVER (PARTITION BY user_id ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+             FROM p)
+       SELECT user_id, strftime(day, '%Y-%m-%d') AS day, x,
+         s AS cusum_num, nd,
+         round(CAST(s AS DOUBLE) / nd, 6) AS cusum
+       FROM c WHERE s >= $CusumThreshold * nd"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f23_user_burst" -> (f23 _),
-    "f24_ks_drift" -> (f24 _))
+    "f24_ks_drift" -> (f24 _),
+    "f25_cusum" -> (f25 _))
 
   val oracles: Map[String, String] = Map(
     "f23_user_burst" -> f23Sql,
-    "f24_ks_drift" -> f24Sql)
+    "f24_ks_drift" -> f24Sql,
+    "f25_cusum" -> f25Sql)
 }

@@ -79,6 +79,37 @@ class VelocitySpec extends SparkSpec {
       got("shift")._6 == 2.0)
   }
 
+  test("f25 CUSUM: persistent creep alarms where the spike rule stays silent") {
+    import graft.operators.Velocity
+    // 10 days at 1/day, then 10 days at 4/day: no single day reaches
+    // the f23 burst floor (6), but the CUSUM accumulates the
+    // +0.5/day slack-adjusted excess (mean 2.5, k=1) and crosses h=4
+    // within the creep phase
+    val creep = (1 to 10).map(d => (1L, ts(d, 0))) ++
+      (11 to 20).flatMap(d => (0 until 4).map(i => (1L, ts(d, i))))
+    val rows = creep.toDF("user_id", "ts")
+    assert(Velocity.bursts(rows).count() == 0) // f23 blind to the creep
+    val alarms = Velocity.cusum(rows)
+      .select("day").as[String].collect().toSet
+    assert(alarms.nonEmpty)
+    // the alarm fires only in the raised-rate phase
+    assert(alarms.forall(_ >= "2024-01-11"))
+  }
+
+  test("f25 gap handling: inactive days pull the statistic down") {
+    import graft.operators.Velocity
+    // 3 busy days, then 20 silent days, then 3 busy days: each run is
+    // excess but the silent lattice days reset the statistic between
+    // them — the SECOND run must not inherit the first run's sum
+    val rows = ((1 to 3) ++ (24 to 26))
+      .flatMap(d => (0 until 4).map(i => (1L, ts(d, i))))
+      .toDF("user_id", "ts")
+    val got = Velocity.cusum(rows, slack = 1, threshold = 8)
+    // total excess per run ≈ 3·(4 − mean − 1) < 8·nd → no alarm; a
+    // naive unreset cumulative sum of (x − mean) WOULD cross
+    assert(got.count() == 0)
+  }
+
   test("MinBurst floor: a relative spike under 6 events never flags") {
     // 1/day × 9 days then 5 on day 10: ratio 5·10/14 ≈ 3.6 ≥ 2 but
     // n = 5 < MinBurst → suppressed (tiny users can't alarm)
