@@ -324,13 +324,104 @@ object Corpus {
 
   lazy val c01Sql: String = s"WITH ${cascadeSql("documents")}"
 
+  // ---------------------------------------------------------------
+  // c22: drop audit — the provenance mart for the c01 cascade. c01
+  // answers "what survived"; c22 answers the question a data-ops
+  // on-call actually gets: "WHY did doc X disappear". One row per
+  // INPUT doc with its scores and the first gate that dropped it
+  // (lang → quality → exact_dup → near_dup → kept), using the
+  // cascade's own precedence so audit and cleaner can never disagree
+  // (the spec reconciles kept == c01 exactly).
+  //
+  // Scale: the same plan as c01 plus two doc_id-keyed flag joins —
+  // the audit adds no new corpus-scale pass.
+  // ---------------------------------------------------------------
+
+  /** Per-doc audit over any (doc_id, text) frame (exhaustive pair
+    * join — the oracle face; production passes maxDf). */
+  def dropAudit(docs: DataFrame,
+      maxDf: Option[Int] = Some(Dedup.DefaultMaxDf)): DataFrame = {
+    val scored = withLangQuality(docs, col("text"), "pred_lang", "quality")
+      .select(col("doc_id"), col("pred_lang"), col("quality"))
+      .transform(graft.CacheRegistry.register)
+    val gated = scored
+      .filter(col("pred_lang") =!= "und" && col("quality") >= MinQuality)
+    val gatedText = docs.select(col("doc_id"), col("text"))
+      .join(gated.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
+    val ranked = gatedText
+      .withColumn("fp", graft.plans.GraftFunctions.fingerprint(
+        docs.sparkSession, col("text")))
+      .withColumn("_rn", row_number().over(w))
+      .select(col("doc_id"), (col("_rn") > 1).as("is_exact_dup"))
+      .transform(graft.CacheRegistry.register)
+    val survivorText = docs.select(col("doc_id"), col("text"))
+      .join(ranked.filter(!col("is_exact_dup")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    val ndDrops = Dedup.jaccardPairs(survivorText, maxDf)
+      .select(col("b").as("doc_id")).distinct()
+      .withColumn("_nd", lit(true))
+    scored
+      .join(ranked, Seq("doc_id"), "left")
+      .join(ndDrops, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("pred_lang"), col("quality"),
+        when(col("pred_lang") === "und", "lang")
+          .when(col("quality") < MinQuality, "quality")
+          .when(col("is_exact_dup"), "exact_dup")
+          .when(coalesce(col("_nd"), lit(false)), "near_dup")
+          .otherwise("kept").as("stage"))
+  }
+
+  def c22(s: SparkSession, dir: String): DataFrame =
+    dropAudit(Tables.documents(s, dir), maxDf = None)
+
+  lazy val c22Sql: String = {
+    val m = StopwordSets.toMap
+    raw"""WITH d0 AS (SELECT doc_id, text, lower(text) AS t, len(text) AS nc FROM documents),
+       hits AS (SELECT *, ${TextOps.sqlHits(m("en"))} AS s_en, ${TextOps.sqlHits(m("es"))} AS s_es,
+                ${TextOps.sqlHits(m("de"))} AS s_de, ${TextOps.sqlHits(m("fr"))} AS s_fr,
+                regexp_matches(t, '$HanRange') AS han,
+                ${TextOps.sqlNw} AS nw,
+                len(regexp_extract_all(t, '${stopwordRegex(QualityStopwords)}')) AS sh,
+                len(regexp_extract_all(t, '[^a-z0-9\s]')) AS pc
+                FROM d0),
+       scored AS (SELECT doc_id, text,
+                ${TextOps.sqlPredLang} AS pred_lang,
+                ${TextOps.sqlQuality} AS quality
+                FROM hits),
+       gated AS (SELECT * FROM scored WHERE pred_lang <> 'und' AND quality >= $MinQuality),
+       ranked AS (SELECT doc_id, text,
+                row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1 AS is_exact_dup
+                FROM (SELECT *, ${TextOps.sqlFingerprint} AS fp FROM gated)),
+       toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM ranked WHERE NOT is_exact_dup),
+       sh2 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+               FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS i)),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1),
+       inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+                 FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       drops AS (SELECT DISTINCT b AS doc_id FROM inter
+                 JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+                 WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= ${Dedup.JaccardThreshold})
+       SELECT s.doc_id, pred_lang, quality,
+         CASE WHEN pred_lang = 'und' THEN 'lang'
+              WHEN quality < $MinQuality THEN 'quality'
+              WHEN r.is_exact_dup THEN 'exact_dup'
+              WHEN s.doc_id IN (SELECT doc_id FROM drops) THEN 'near_dup'
+              ELSE 'kept' END AS stage
+       FROM scored s LEFT JOIN ranked r ON s.doc_id = r.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_corpus_clean" -> (c01 _),
     "c08_strip_boilerplate" -> (c08 _),
-    "c10_clean_full" -> (c10 _))
+    "c10_clean_full" -> (c10 _),
+    "c22_drop_audit" -> (c22 _))
 
   val oracles: Map[String, String] = Map(
     "c01_corpus_clean" -> c01Sql,
     "c08_strip_boilerplate" -> c08Sql,
-    "c10_clean_full" -> c10Sql)
+    "c10_clean_full" -> c10Sql,
+    "c22_drop_audit" -> c22Sql)
 }

@@ -164,4 +164,29 @@ class CorpusSpec extends SparkSpec {
       assert(viaStrip == direct)
     } finally CacheRegistry.unpersistAll()
   }
+
+  test("c22 drop audit reconciles with c01 and covers every stage") {
+    import org.apache.spark.sql.functions._
+    val audit = graft.operators.Corpus.c22(spark, sf("sf0.001"))
+      .select("doc_id", "stage").as[(Long, String)].collect().toMap
+    val kept = graft.operators.Corpus.c01(spark, sf("sf0.001"))
+      .select("doc_id").as[Long].collect().toSet
+    // the audit's 'kept' set IS c01's survivor set, doc for doc
+    assert(audit.filter(_._2 == "kept").keySet == kept)
+    assert(audit.size == 500)
+    // planted corpus exercises exact_dup (absent from the synthetic
+    // table) and pins gate precedence: an undetermined-language dup
+    // reports 'lang', not 'exact_dup'
+    val good = "the quick brown fox jumps over the lazy dog and " +
+      "then the calm rain falls on the quiet field tonight again"
+    val docs = Seq(
+      (1L, good), (2L, good),            // exact dups: 1 kept, 2 exact_dup
+      (3L, "zzz qqq xxx"),               // no stopwords → und → lang
+      (4L, "the !!!! ???? %%%% ####")    // english, punct-heavy → quality
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Corpus.dropAudit(docs, maxDf = None)
+      .select("doc_id", "stage").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "kept", 2L -> "exact_dup",
+      3L -> "lang", 4L -> "quality"))
+  }
 }
