@@ -200,11 +200,107 @@ object Graph {
          END AS clustering
        FROM deg LEFT JOIN pn ON deg.node = pn.node"""
 
+  // ---------------------------------------------------------------
+  // g05: link prediction — the classic neighborhood scores (common
+  // neighbors, Jaccard, Adamic–Adar) for NON-adjacent 2-hop pairs:
+  // the "parts bought together by the same baskets but never yet in
+  // one basket" recommendation candidates, and the third member of
+  // the graph family (g03 ranks nodes, g04 measures cohesion, g05
+  // scores missing EDGES).
+  //
+  // Oracle-parity: Adamic–Adar terms 1/ln(deg m) are rounded to 6
+  // and DECIMAL-summed (a common neighbor has degree ≥ 2 by
+  // construction, so ln never hits 0); Jaccard divides two BIGINTs
+  // once at the end; candidate set bounded by MinCommon and the
+  // existing-edge anti-join.
+  //
+  // Scale: one 2-hop self-join over the cached src-partitioned
+  // symmetric frame (the g04 argument bounds fan-out by basket
+  // size), one combiner-friendly (a, b) aggregation, then an
+  // anti-join against the edge set.
+  // ---------------------------------------------------------------
+
+  /** Predicted links need at least this many shared neighbors. */
+  val MinCommon = 3
+  /** Keep the top-k predictions per left node — the recommender
+    * output shape, and what keeps the face (and the 100 TB job's
+    * sink) node-bounded instead of pair-bounded: the unranked
+    * candidate set reads 1.76M rows at sf0.01 alone. */
+  val TopPredictions = 3
+
+  /** Non-edge 2-hop pairs with neighborhood scores over undirected
+    * (a, b) edges: (a, b, cn, jaccard, adamic_adar). */
+  def linkPredict(edges: DataFrame, minCommon: Int = MinCommon): DataFrame = {
+    val e = edges.transform(graft.CacheRegistry.register)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .withColumn("deg",
+        count(lit(1)).over(Window.partitionBy(col("src"))))
+      .transform(graft.CacheRegistry.register)
+    val deg = sym.select(col("src"), col("deg")).distinct()
+    // 2-hop paths a −m− b with a < b; m carries its degree for the
+    // Adamic–Adar term
+    val hops = sym.select(col("dst").as("a"), col("src").as("m"), col("deg"))
+      .join(sym.select(col("src").as("m2"), col("dst").as("b")),
+        col("m") === col("m2"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(round(lit(1.0) / log(col("deg").cast("double")), 6)
+          .cast("decimal(25,8)")).cast("double").as("aa"))
+      .filter(col("cn") >= minCommon)
+    val wr = Window.partitionBy(col("a"))
+      .orderBy(col("cn").desc, col("b").asc)
+    hops
+      .join(e, Seq("a", "b"), "left_anti") // existing edges are not predictions
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= TopPredictions)
+      .join(deg.select(col("src").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("src").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("rank"), col("b"), col("cn"),
+        round(col("cn").cast("double") /
+          (col("da") + col("db") - col("cn")), 6).as("jaccard"),
+        round(col("aa"), 6).as("adamic_adar"))
+  }
+
+  def g05(s: SparkSession, dir: String): DataFrame =
+    linkPredict(coEdges(Tables.lineitem(s, dir)))
+
+  val g05Sql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+             FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       sym AS (SELECT a AS src, b AS dst FROM e
+               UNION ALL SELECT b, a FROM e),
+       symd AS (SELECT src, dst, count(*) OVER (PARTITION BY src) AS deg
+                FROM sym),
+       deg AS (SELECT DISTINCT src, deg FROM symd),
+       hops AS (SELECT h1.dst AS a, h1.src AS m, h2.dst AS b, h1.deg
+                FROM symd h1 JOIN symd h2 ON h1.src = h2.src
+                WHERE h1.dst < h2.dst),
+       agg AS (SELECT a, b, count(*) AS cn,
+                 CAST(sum(CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 6) AS DECIMAL(25,8))) AS DOUBLE) AS aa
+               FROM hops GROUP BY 1, 2 HAVING count(*) >= $MinCommon),
+       ne AS (SELECT agg.* FROM agg
+              LEFT JOIN e ON agg.a = e.a AND agg.b = e.b
+              WHERE e.a IS NULL),
+       rk AS (SELECT *, row_number() OVER (PARTITION BY a
+                ORDER BY cn DESC, b) AS rank FROM ne)
+       SELECT rk.a, rank, rk.b, cn,
+         round(CAST(cn AS DOUBLE) / (da.deg + db.deg - cn), 6) AS jaccard,
+         round(aa, 6) AS adamic_adar
+       FROM rk JOIN deg da ON rk.a = da.src JOIN deg db ON rk.b = db.src
+       WHERE rank <= $TopPredictions"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g03_pagerank" -> (g03 _),
-    "g04_triangles" -> (g04 _))
+    "g04_triangles" -> (g04 _),
+    "g05_link_predict" -> (g05 _))
 
   val oracles: Map[String, String] = Map(
     "g03_pagerank" -> g03Sql,
-    "g04_triangles" -> g04Sql)
+    "g04_triangles" -> g04Sql,
+    "g05_link_predict" -> g05Sql)
 }

@@ -60,6 +60,25 @@ class GraphSpec extends SparkSpec {
     assert(got(5L) == ((1L, 0L, 0.0)))
   }
 
+  test("g05: link prediction scores a planted missing edge, skips real ones") {
+    import graft.operators.Graph
+    // two hubs 1 and 2 share neighbors 10..14 but are NOT connected
+    // themselves — the classic "should be linked" configuration
+    val edges = (10L to 14L).flatMap(m => Seq((1L, m), (2L, m)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("a", "b")
+    val got = Graph.linkPredict(edges, minCommon = 3)
+      .select("a", "b", "cn", "jaccard", "adamic_adar")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(got.length == 1)
+    val (a, b, cn, j, aa) = got.head
+    assert((a, b, cn) == ((1L, 2L, 5L)))
+    assert(j == 1.0) // identical neighborhoods: 5/(5+5-5)
+    // each shared neighbor m has degree 2 → 5 × round(1/ln 2, 6)
+    assert(math.abs(aa - 5 * 1.442695) < 1e-5)
+    // and no (1, m) / (2, m) real edge is ever "predicted"
+  }
+
   test("partition-independence: same ranks from a shuffled edge frame") {
     val docs = Tables.lineitem(spark, sf("sf0.001"))
     val edges = Graph.coEdges(docs)
