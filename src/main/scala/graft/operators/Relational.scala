@@ -718,7 +718,39 @@ object Relational {
        UNION ALL
        SELECT o_custkey, 'early_only' AS cohort FROM (SELECT * FROM early EXCEPT SELECT * FROM late)"""
 
+  // ---------------------------------------------------------------
+  // q24: equi-depth decile profile — ntile, the remaining stock
+  // window function family (q05 row_number, q09 running, q22 RANGE):
+  // each priority class's order totals cut into 10 equal-count
+  // buckets with per-bucket count/min/max/sum — the equi-DEPTH
+  // histogram (f18's fixed ranges are equi-WIDTH), i.e. the quantile
+  // banding a pricing dashboard reads. Total tie-break (price, key)
+  // makes bucket membership deterministic in both engines.
+  // ---------------------------------------------------------------
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("o_orderpriority"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        dsum(col("o_totalprice")).as("total"))
+  }
+
+  val q24Sql: String =
+    """WITH d AS (SELECT o_orderpriority, o_totalprice,
+                CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+              FROM orders)
+       SELECT o_orderpriority, decile, count(*) AS n,
+         min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS total
+       FROM d GROUP BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_ntile_deciles" -> (q24 _),
     "q23_set_ops" -> (q23 _),
     "q22_sliding_window" -> (q22 _),
     "q21_grouping_sets" -> (q21 _),
@@ -744,6 +776,7 @@ object Relational {
     "q14_cube_rollup" -> (q14 _))
 
   val oracles: Map[String, String] = Map(
+    "q24_ntile_deciles" -> q24Sql,
     "q23_set_ops" -> q23Sql,
     "q22_sliding_window" -> q22Sql,
     "q21_grouping_sets" -> q21Sql,
