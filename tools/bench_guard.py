@@ -72,6 +72,13 @@ CEILINGS = {
     "g04_triangles": 4.0,          # steady ~2.6 s (two edge equi-joins)
     "f24_ks_drift": 1.9,           # steady ~1.2 s (value-census CDF windows)
     "c21_mixture_weights": 0.8,    # steady ~0.5 s (source-sized tempering)
+    "f25_cusum": 2.0,              # steady ~1.3 s (lattice + two windows)
+    "c22_drop_audit": 1.6,         # steady ~1.0 s (c01 plan + flag joins)
+    "g05_link_predict": 4.0,       # ~2.6 s isolated on the sampled
+                                   # subgraph (133 s on the full
+                                   # near-complete graph — the face
+                                   # input guard matters here)
+    "q24_ntile_deciles": 1.4,      # steady ~0.9 s (one ntile window)
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
