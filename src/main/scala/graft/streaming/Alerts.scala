@@ -166,6 +166,97 @@ object Alerts {
           lit(factor) * coalesce(col("sum_n"), lit(0L)))
       .select(col("w.start").as("wstart"), col("user_id"), col("n"))
 
+  // ---------------------------------------------------------------
+  // Streaming CUSUM gate (row 41j): f25's changepoint statistic
+  // maintained INCREMENTALLY — the prefix-min closed form needs only
+  // (P, min P) per user, so the whole sequential test is O(1) state:
+  // fold each completed day into P' += nd·x − (Σn + k·nd), track the
+  // running min, alarm when P − minP ≥ h·nd. Exact-integer, the same
+  // scaled arithmetic as the batch face, so batch and stream agree
+  // row-for-row on the shared lattice (parity spec). Per-user
+  // baselines arrive as flatMapGroupsWithState INITIAL STATE (a
+  // distributed keyed frame — no driver collect, no closure capture);
+  // users without a baseline run an absolute cold-start CUSUM with
+  // target rate k/day (sum_n = 0, nd = 1 — the 41i posture). Gap
+  // days fold as x = 0 (inactivity drains the statistic, mirroring
+  // the batch lattice fill); a pending day folds when a later day's
+  // first event arrives.
+  // ---------------------------------------------------------------
+
+  case class CusumState(sumN: Long, nd: Long,
+      lastDay: Long, x: Long, p: Long, minP: Long, started: Boolean)
+  case class CusumAlarm(user_id: Long, day: String, x: Long,
+      cusum_num: Long, nd: Long)
+
+  private def epochDay(t: Timestamp): Long = t.getTime / 86400000L
+
+  private def dayStr(d: Long): String =
+    java.time.LocalDate.ofEpochDay(d).toString
+
+  /** Fold one completed day into the state; emit an alarm row if the
+    * statistic crosses the threshold. */
+  private def foldDay(uid: Long, st: CusumState, day: Long, x: Long,
+      slack: Long, threshold: Long): (CusumState, Option[CusumAlarm]) = {
+    val p = st.p + st.nd * x - (st.sumN + slack * st.nd)
+    val minP = math.min(st.minP, p)
+    val s = p - minP
+    val alarm =
+      if (s >= threshold * st.nd)
+        Some(CusumAlarm(uid, dayStr(day), x, s, st.nd))
+      else None
+    (st.copy(p = p, minP = minP), alarm)
+  }
+
+  def cusumGateFunc(slack: Long, threshold: Long)(
+      userId: Long, events: Iterator[(Timestamp, Long)],
+      state: GroupState[CusumState]): Iterator[CusumAlarm] = {
+    var st = state.getOption.getOrElse(
+      CusumState(0L, 1L, -1L, 0L, 0L, 0L, started = false))
+    val out = scala.collection.mutable.ListBuffer.empty[CusumAlarm]
+    events.toSeq.sortBy(_._1.getTime).foreach { case (ts, _) =>
+      val d = epochDay(ts)
+      if (!st.started) st = st.copy(lastDay = d, x = 1L, started = true)
+      else if (d == st.lastDay) st = st.copy(x = st.x + 1)
+      else if (d > st.lastDay) {
+        // fold the completed day, then the empty gap days before d
+        val (s1, a1) = foldDay(userId, st, st.lastDay, st.x, slack, threshold)
+        a1.foreach(out += _)
+        var cur = s1
+        var g = st.lastDay + 1
+        while (g < d) {
+          val (s2, a2) = foldDay(userId, cur, g, 0L, slack, threshold)
+          a2.foreach(out += _)
+          cur = s2
+          g += 1
+        }
+        st = cur.copy(lastDay = d, x = 1L)
+      } // d < lastDay: late event for a folded day — dropped (watermark)
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Streaming CUSUM over (ts, user_id) with per-user baselines
+    * (user_id, sum_n, nd) as distributed initial state. */
+  def cusumGate(events: DataFrame, baseline: DataFrame,
+      slack: Long = graft.operators.Velocity.CusumSlack,
+      threshold: Long = graft.operators.Velocity.CusumThreshold): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val init = baseline.select(col("user_id"), col("sum_n"), col("nd"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, sumN, nd) =>
+        CusumState(sumN, nd, -1L, 0L, 0L, 0L, started = false)
+      }
+    events.withWatermark("ts", "2 days")
+      .select(col("ts"), col("user_id")).as[(Timestamp, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout(), init)(cusumGateFunc(slack, threshold))
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_windowed_counts" -> (st01 _))
 

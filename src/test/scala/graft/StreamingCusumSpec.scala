@@ -1,0 +1,70 @@
+package graft
+
+import graft.streaming.Alerts
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Row 41j: streaming CUSUM — O(1)-state changepoint detection with
+  * exact batch/stream parity on the shared lattice. */
+class StreamingCusumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, i: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d ${i % 24}%02d:00:00")
+
+  /** the f25 creep timeline: 10 days at 1/day then 10 at 4/day. */
+  private val creep: Seq[(Timestamp, Long)] =
+    (1 to 10).map(d => (ts(d, 0), 1L)) ++
+      (11 to 20).flatMap(d => (0 until 4).map(i => (ts(d, i), 1L)))
+
+  test("stream alarms == batch f25 alarms on the same data + baseline") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.operators.Velocity.cusum(creep.toDF("ts", "user_id"))
+      .select(col("user_id"), col("day"), col("x"),
+        col("cusum_num"), col("nd"))
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    // the stream gets the SAME baseline the batch derives (sum over
+    // the lattice, lattice size), plus a sentinel far past the end so
+    // the final day folds; comparison is on the shared lattice
+    val baseline = Seq((1L, creep.size.toLong, 20L))
+      .toDF("user_id", "sum_n", "nd")
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = Alerts.cusumGate(input.toDF().toDF("ts", "user_id"), baseline)
+      .writeStream.format("memory").queryName("cusum_gate")
+      .outputMode("append").start()
+    try {
+      // two triggers: state must carry P/minP across micro-batches
+      input.addData(creep.take(25): _*)
+      q.processAllAvailable()
+      input.addData(creep.drop(25) :+ ((ts(28, 0), 1L)): _*)
+      q.processAllAvailable()
+      val got = spark.table("cusum_gate")
+        .filter(col("day") <= "2024-01-20")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("cold-start user (no baseline) runs the absolute k/day CUSUM") {
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = Seq.empty[(Long, Long, Long)]
+      .toDF("user_id", "sum_n", "nd")
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = Alerts.cusumGate(input.toDF().toDF("ts", "user_id"), baseline)
+      .writeStream.format("memory").queryName("cusum_cold")
+      .outputMode("append").start()
+    try {
+      // 3/day for 3 days: excess (3-1)/day accumulates 2, 4, 6 ≥ h=4
+      // from day 2 onward (nd=1 scaling)
+      input.addData((1 to 3).flatMap(d =>
+        (0 until 3).map(i => (ts(d, i), 9L))) :+ ((ts(9, 0), 9L)): _*)
+      q.processAllAvailable()
+      val got = spark.table("cusum_cold")
+        .select("day").as[String].collect().toSet
+      assert(got.contains("2024-01-02") && got.contains("2024-01-03"))
+      assert(!got.contains("2024-01-01"))
+    } finally q.stop()
+  }
+}
