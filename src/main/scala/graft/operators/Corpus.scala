@@ -413,15 +413,82 @@ object Corpus {
        FROM scored s LEFT JOIN ranked r ON s.doc_id = r.doc_id"""
   }
 
+  // ---------------------------------------------------------------
+  // d15: cross-document paragraph dedup — first-occurrence-wins at
+  // LINE granularity: every repeated paragraph keeps exactly its
+  // first occurrence (by (doc_id, pos)) and later copies are cut
+  // from their docs. The syndication/quotation cleanup c08 cannot
+  // express: c08's df threshold drops a hot line from EVERY doc
+  // (including the original) and only once it crosses MaxLineDf; d15
+  // removes the 2nd+ copy of ANY repeated paragraph while always
+  // preserving the original — the Lee-et-al exact-substring dedup
+  // applied at paragraph granularity with a deterministic keeper.
+  // Blank lines are structure, not content: exempt (the c08 stance).
+  //
+  // Scale: one shuffle on the line string (the same combiner
+  // argument as c08's census — repeats compress map-side), one
+  // doc_id shuffle to reassemble. The keeper window partitions by
+  // LINE — a pathological line repeated 10^9 times puts its copies
+  // on one task; at that scale the first-occurrence rank is computed
+  // as min-aggregate + semi-join instead (same semantics), which is
+  // why the operator takes the window path only below the df cap.
+  // ---------------------------------------------------------------
+
+  /** First-occurrence paragraph dedup over (doc_id, text with \n):
+    * (doc_id, clean_text, n_kept, n_cut). Docs losing every line
+    * disappear. */
+  def paraDedup(docs: DataFrame): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val w = Window.partitionBy(col("line"))
+      .orderBy(col("doc_id").asc, col("pos").asc)
+    val flagged = lines
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_keep", col("_rn") === 1 || trim(col("line")) === "")
+    flagged.groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            filter(array_sort(collect_list(
+              struct(col("pos"), col("_keep"), col("line")))),
+              x => x.getField("_keep")),
+            x => x.getField("line")), "\n").as("clean_text"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_cut"))
+      .filter(col("n_kept") > 0)
+  }
+
+  def d15(s: SparkSession, dir: String): DataFrame =
+    paraDedup(plantedLineCorpus(Tables.documents(s, dir)))
+
+  val d15Sql: String =
+    s"""WITH ${lineCorpusCtes("documents")},
+       lines AS (SELECT doc_id, i-1 AS pos, ln[i] AS line FROM
+                 (SELECT doc_id, string_split(text, chr(10)) AS ln FROM lc),
+                 LATERAL (SELECT unnest(generate_series(1, len(ln))) AS i)),
+       flagged AS (SELECT doc_id, pos, line,
+                 (row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
+                  OR trim(line) = '') AS keep
+               FROM lines),
+       out AS (SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY pos)
+                   FILTER (keep) AS clean_text,
+                 CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_cut
+               FROM flagged GROUP BY 1)
+       SELECT doc_id, clean_text, n_kept, n_cut FROM out WHERE n_kept > 0"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_corpus_clean" -> (c01 _),
     "c08_strip_boilerplate" -> (c08 _),
     "c10_clean_full" -> (c10 _),
-    "c22_drop_audit" -> (c22 _))
+    "c22_drop_audit" -> (c22 _),
+    "d15_para_dedup" -> (d15 _))
 
   val oracles: Map[String, String] = Map(
     "c01_corpus_clean" -> c01Sql,
     "c08_strip_boilerplate" -> c08Sql,
     "c10_clean_full" -> c10Sql,
-    "c22_drop_audit" -> c22Sql)
+    "c22_drop_audit" -> c22Sql,
+    "d15_para_dedup" -> d15Sql)
 }

@@ -189,4 +189,24 @@ class CorpusSpec extends SparkSpec {
     assert(got == Map(1L -> "kept", 2L -> "exact_dup",
       3L -> "lang", 4L -> "quality"))
   }
+
+  test("d15: first occurrence survives, later copies cut, blanks exempt") {
+    import graft.operators.Corpus
+    val docs = Seq(
+      (1L, "alpha one\nshared para\n\nbeta two"),
+      (2L, "shared para\ngamma three\n\ngamma three"), // cross-doc AND in-doc dup
+      (3L, "shared para\nbeta two")) // every line seen before → vanishes
+      .toDF("doc_id", "text")
+    val got = Corpus.paraDedup(docs)
+      .select("doc_id", "clean_text", "n_kept", "n_cut")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 keeps everything incl. the blank (first occurrences)
+    assert(got(1L) == (("alpha one\nshared para\n\nbeta two", 4L, 0L)))
+    // doc 2: "shared para" cut (doc 1 owns it), second "gamma three"
+    // cut (in-doc repeat), blank kept
+    assert(got(2L) == (("gamma three\n", 2L, 2L)))
+    // doc 3 lost every line → absent
+    assert(!got.contains(3L))
+  }
 }
