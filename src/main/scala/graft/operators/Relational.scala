@@ -749,7 +749,74 @@ object Relational {
          CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS total
        FROM d GROUP BY 1, 2"""
 
+  // ---------------------------------------------------------------
+  // q25: UNPIVOT — the inverse of q12's pivot and the remaining
+  // reshape primitive: lineitem's three charge measures melted to
+  // (measure, value) rows, then aggregated per measure. Spark plans
+  // Dataset.unpivot as a single Expand (one pass, no union of
+  // scans — the q21 machinery reused for reshaping); the oracle
+  // replays with UNION ALL, pinning the same row multiplication.
+  // ---------------------------------------------------------------
+  def q25(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+
+  val q25Sql: String =
+    """WITH m AS (
+       SELECT l_returnflag, 'l_extendedprice' AS measure, l_extendedprice AS value FROM lineitem
+       UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+       UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+       SELECT l_returnflag, measure, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total
+       FROM m GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------
+  // q26: full-outer reconciliation — the audit join q06's semi/anti
+  // pair can't express in one pass: customers' account balances vs
+  // their aggregated order spend, with a three-way match status
+  // (both / customer_only / orders_only). FULL OUTER keeps BOTH
+  // unmatched sides — the shape every ledger/migration reconciliation
+  // report takes. One aggregation + one full-outer shuffle join.
+  // ---------------------------------------------------------------
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 9000.0)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val o = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("spend"),
+        count(lit(1)).as("n_orders"))
+      .filter(col("spend") > 600000.0)
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_acctbal"), col("spend"), col("n_orders"),
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+          .when(col("c_custkey").isNotNull, "customer_only")
+          .otherwise("orders_only").as("status"))
+  }
+
+  val q26Sql: String =
+    """WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000.0),
+       o AS (SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS spend,
+               count(*) AS n_orders
+             FROM orders GROUP BY 1 HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) > 600000.0)
+       SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal, spend, n_orders,
+         CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+              WHEN c_custkey IS NOT NULL THEN 'customer_only'
+              ELSE 'orders_only' END AS status
+       FROM c FULL OUTER JOIN o ON c_custkey = o_custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_unpivot" -> (q25 _),
+    "q26_reconcile" -> (q26 _),
     "q24_ntile_deciles" -> (q24 _),
     "q23_set_ops" -> (q23 _),
     "q22_sliding_window" -> (q22 _),
@@ -776,6 +843,8 @@ object Relational {
     "q14_cube_rollup" -> (q14 _))
 
   val oracles: Map[String, String] = Map(
+    "q25_unpivot" -> q25Sql,
+    "q26_reconcile" -> q26Sql,
     "q24_ntile_deciles" -> q24Sql,
     "q23_set_ops" -> q23Sql,
     "q22_sliding_window" -> q22Sql,
