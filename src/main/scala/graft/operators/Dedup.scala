@@ -981,9 +981,68 @@ object Dedup {
          / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))
           * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x)))) >= $CosineThreshold"""
 
+  // ---------------------------------------------------------------
+  // d16: dedup-method agreement audit — the comparison that tells you
+  // WHICH near-dup detector to trust on a given corpus: pairwise
+  // overlap (common pairs + Jaccard of the pair SETS) between the
+  // three exhaustive detectors (d02 shingle-Jaccard, d07 winnowing
+  // fingerprints, d10 K-gram runs). Methodology face, the s12 pattern
+  // applied to dedup: each method's oracle SQL composes as a CTE, so
+  // the whole audit is driver-checked. Everything downstream of the
+  // three (already pair-sized) frames is trivially small.
+  // ---------------------------------------------------------------
+
+  def d16(s: SparkSession, dir: String): DataFrame = {
+    val sets = Seq(
+      "d02_jaccard" -> d02(s, dir, maxDf = None).select(col("a"), col("b")),
+      "d07_winnow" -> d07(s, dir).select(col("a"), col("b")),
+      "d10_runs" -> d10(s, dir, maxDf = None).select(col("a"), col("b")))
+      .map { case (n, df) => n -> df.transform(graft.CacheRegistry.register) }
+    // fully declarative: per combo, three 1-row count aggregates
+    // cross-joined into one output row — no driver-side actions
+    val rows = for {
+      ((na, fa), i) <- sets.zipWithIndex
+      ((nb, fb), j) <- sets.zipWithIndex
+      if i < j
+    } yield fa.agg(count(lit(1)).as("pairs_a"))
+      .crossJoin(fb.agg(count(lit(1)).as("pairs_b")))
+      .crossJoin(fa.join(fb, Seq("a", "b"))
+        .agg(count(lit(1)).as("common")))
+      .select(lit(na).as("method_a"), lit(nb).as("method_b"),
+        col("pairs_a"), col("pairs_b"), col("common"),
+        round(col("common").cast("double") /
+          (col("pairs_a") + col("pairs_b") - col("common")), 6)
+          .as("jaccard"))
+    rows.reduce(_ union _)
+  }
+
+  lazy val d16Sql: String =
+    s"""WITH pa AS (SELECT a, b FROM ($d02Sql)),
+       pb AS (SELECT a, b FROM ($d07Sql)),
+       pc AS (SELECT a, b FROM ($d10Sql)),
+       ca AS (SELECT count(*) AS n FROM pa),
+       cb AS (SELECT count(*) AS n FROM pb),
+       cc AS (SELECT count(*) AS n FROM pc),
+       ab AS (SELECT count(*) AS n FROM pa JOIN pb USING (a, b)),
+       ac AS (SELECT count(*) AS n FROM pa JOIN pc USING (a, b)),
+       bc AS (SELECT count(*) AS n FROM pb JOIN pc USING (a, b))
+       SELECT 'd02_jaccard' AS method_a, 'd07_winnow' AS method_b,
+         ca.n AS pairs_a, cb.n AS pairs_b, ab.n AS common,
+         round(CAST(ab.n AS DOUBLE)/(ca.n + cb.n - ab.n), 6) AS jaccard
+       FROM ca, cb, ab
+       UNION ALL
+       SELECT 'd02_jaccard', 'd10_runs', ca.n, cc.n, ac.n,
+         round(CAST(ac.n AS DOUBLE)/(ca.n + cc.n - ac.n), 6)
+       FROM ca, cc, ac
+       UNION ALL
+       SELECT 'd07_winnow', 'd10_runs', cb.n, cc.n, bc.n,
+         round(CAST(bc.n AS DOUBLE)/(cb.n + cc.n - bc.n), 6)
+       FROM cb, cc, bc"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (d01 _),
     // oracle row pins maxDf = None: DuckDB replays the exhaustive join
+    "d16_dedup_compare" -> (d16 _),
     "d02_ngram_jaccard" -> ((s: SparkSession, dir: String) => d02(s, dir, maxDf = None)),
     "d03_minhash_lsh" -> (d03 _),
     "d04_simhash" -> (d04 _),
@@ -998,6 +1057,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
+    "d16_dedup_compare" -> d16Sql,
     "d02_ngram_jaccard" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,
     "d04b_simhash_core" -> d04bSql,
