@@ -257,6 +257,46 @@ object Alerts {
       .toDF()
   }
 
+  // ---------------------------------------------------------------
+  // Streaming quota gate (row 41k): per-source admission control at
+  // ingest — the streaming counterpart of c16's per-domain cap. The
+  // batch face selects the K smallest salted hashes (content-
+  // independent, requires the whole corpus); at ingest the standard
+  // policy is FIRST-K-ADMITTED: one counter per source, docs beyond
+  // the quota rejected at the door. O(1) state per source; within a
+  // micro-batch, docs admit in doc_id order so replays are
+  // deterministic. Emits the admission ledger (both outcomes) so the
+  // census/debugging side sees rejections too.
+  // ---------------------------------------------------------------
+
+  case class QuotaDecision(doc_id: Long, source: String,
+      seq: Long, admitted: Boolean)
+
+  def quotaGateFunc(quota: Long)(source: String,
+      docs: Iterator[(Long, String)],
+      state: GroupState[Long]): Iterator[QuotaDecision] = {
+    var n = state.getOption.getOrElse(0L)
+    val out = docs.toSeq.sortBy(_._1).map { case (id, _) =>
+      val admit = n < quota
+      if (admit) n += 1
+      QuotaDecision(id, source, n, admit)
+    }
+    state.update(n)
+    out.iterator
+  }
+
+  /** Streaming per-source quota over (doc_id, source). */
+  def quotaGate(docs: DataFrame,
+      quota: Long = graft.operators.Quota.DefaultQuota.toLong): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(quotaGateFunc(quota))
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_windowed_counts" -> (st01 _))
 

@@ -67,4 +67,27 @@ class StreamingCusumSpec extends SparkSpec {
       assert(!got.contains("2024-01-01"))
     } finally q.stop()
   }
+
+  test("41k quota gate: first-K admitted, counter survives triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.Alerts.quotaGate(
+        input.toDF().toDF("doc_id", "source"), quota = 3)
+      .writeStream.format("memory").queryName("quota_gate")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a"), (2L, "a"), (5L, "b"))
+      q.processAllAvailable()
+      // second trigger crosses a's quota: only one more admit
+      input.addData((3L, "a"), (4L, "a"), (6L, "b"))
+      q.processAllAvailable()
+      val got = spark.table("quota_gate")
+        .select("doc_id", "source", "admitted")
+        .as[(Long, String, Boolean)].collect().toSet
+      assert(got == Set(
+        (1L, "a", true), (2L, "a", true), (3L, "a", true),
+        (4L, "a", false), // quota 3 crossed — state carried over
+        (5L, "b", true), (6L, "b", true)))
+    } finally q.stop()
+  }
 }
