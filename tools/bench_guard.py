@@ -82,6 +82,10 @@ CEILINGS = {
     "d15_para_dedup": 1.4,         # steady ~0.9 s (line shuffle + reassembly)
     "q25_unpivot": 0.8,            # steady ~0.5 s (one Expand pass)
     "q26_reconcile": 1.0,          # steady ~0.6 s (agg + full-outer join)
+    "d16_dedup_compare": 9.0,      # ~7 s: three exhaustive dedup
+                                   # pipelines + pair intersections —
+                                   # a composition face, cost = sum of
+                                   # its constituents
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
