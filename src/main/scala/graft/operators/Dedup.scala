@@ -102,7 +102,8 @@ object Dedup {
   /** Shingle-Jaccard near-dup pairs over any (doc_id, text) frame —
     * shared by the d02 query and the corpus-cleaning cascade. */
   def jaccardPairs(docs: DataFrame,
-      maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
+      maxDf: Option[Int] = Some(DefaultMaxDf),
+      threshold: Double = JaccardThreshold): DataFrame = {
     val s = docs.sparkSession
     // Cache the shingle frame PRE-PARTITIONED on the join key: the
     // pair self-join (and the capped path's df window) then consume
@@ -134,7 +135,7 @@ object Dedup {
       .join(sizes.select(col("doc_id"), col("n").as("nb")), col("b") === col("doc_id")).drop("doc_id")
       .select(col("a"), col("b"), col("inter"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jacc"))
-      .filter(col("jacc") >= JaccardThreshold)
+      .filter(col("jacc") >= threshold)
   }
 
   val d02Sql: String =
@@ -147,6 +148,55 @@ object Dedup {
               CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jacc
        FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
        WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= $JaccardThreshold"""
+
+  // ---------------------------------------------------------------
+  // d17: threshold-sensitivity curve — how many near-dup pairs each
+  // Jaccard cut would flag (0.3 … 0.9): the calibration table a
+  // dedup rollout reads before picking its threshold (too low →
+  // false merges, too high → missed dups; the knee of this curve is
+  // the decision). One exhaustive pair pass at the lowest threshold,
+  // then a tiny explode × filter — the curve costs one d02, not
+  // seven. Thresholds ship string-pinned (0.3 is not binary-exact;
+  // both engines must parse the same literal).
+  // ---------------------------------------------------------------
+
+  /** Curve cut points: the synthetic corpus's pair mass is bimodal
+    * (background noise below ~0.08, planted near-dups above 0.9), so
+    * the grid spans BOTH regimes — low cuts where the curve actually
+    * moves (312 → 29 → 25 pairs at sf0.01) and the conventional
+    * 0.3–0.9 range a production corpus varies over. */
+  val CurveThresholds: Seq[String] =
+    Seq("0.02", "0.05", "0.1", "0.3", "0.5", "0.7", "0.9")
+
+  def d17(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(Tables.documents(s, dir),
+        maxDf = None, threshold = 0.02)
+      .select(col("jacc"))
+    val ts = explode(array(CurveThresholds.map(t =>
+      lit(t).cast("double")): _*)).as("threshold")
+    pairs.select(col("jacc"), ts)
+      .groupBy(col("threshold"))
+      .agg(sum(when(col("jacc") >= col("threshold"), 1L).otherwise(0L))
+        .as("n_pairs"))
+  }
+
+  lazy val d17Sql: String = {
+    val tlist = CurveThresholds
+      .map(t => s"CAST('$t' AS DOUBLE)").mkString(", ")
+    raw"""WITH $shSql,
+       inter AS (
+         SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       j AS (SELECT CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jacc
+             FROM inter JOIN sizes sa ON a = sa.doc_id
+             JOIN sizes sb ON b = sb.doc_id
+             WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= CAST('0.02' AS DOUBLE)),
+       t AS (SELECT unnest([$tlist]) AS threshold)
+       SELECT threshold,
+         CAST(coalesce(sum(CASE WHEN jacc >= threshold THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+       FROM t LEFT JOIN j ON TRUE GROUP BY 1"""
+  }
 
   // ---------------------------------------------------------------
   // d09: the df cap DEMONSTRATED BINDING. At the test corpus's scale
@@ -1043,6 +1093,7 @@ object Dedup {
     "d01_dedup_exact" -> (d01 _),
     // oracle row pins maxDf = None: DuckDB replays the exhaustive join
     "d16_dedup_compare" -> (d16 _),
+    "d17_threshold_curve" -> (d17 _),
     "d02_ngram_jaccard" -> ((s: SparkSession, dir: String) => d02(s, dir, maxDf = None)),
     "d03_minhash_lsh" -> (d03 _),
     "d04_simhash" -> (d04 _),
@@ -1058,6 +1109,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql,
     "d16_dedup_compare" -> d16Sql,
+    "d17_threshold_curve" -> d17Sql,
     "d02_ngram_jaccard" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,
     "d04b_simhash_core" -> d04bSql,

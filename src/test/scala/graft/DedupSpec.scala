@@ -512,4 +512,15 @@ class DedupSpec extends SparkSpec {
       assert(misses == 0L, "bloom false negative — breaks exactness")
     } finally CacheRegistry.unpersistAll()
   }
+
+  test("d17 curve is monotone and shows the noise/dup knee") {
+    val rows = graft.operators.Dedup.d17(spark, sf("sf0.001"))
+      .orderBy("threshold").as[(Double, Long)].collect()
+    assert(rows.length == 7)
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 >= b._2 })
+    // the knee: background co-occurrence noise disappears between the
+    // lowest cut and 0.1, planted near-dups survive to 0.9
+    assert(rows.head._2 > rows.last._2)
+    assert(rows.last._2 > 0)
+  }
 }
