@@ -287,4 +287,70 @@ class PropertySpec extends SparkSpec {
       assert(j >= Dedup.JaccardThreshold && j <= 1.0)
     }
   }
+
+  test("g03 pagerank matches an in-memory integer reference on random graphs") {
+    // seeded random graphs; the Spark fixpoint must agree NODE-FOR-
+    // NODE with a sequential Scala replay of the identical integer
+    // arithmetic — catching any distributed-aggregation or
+    // join-semantics divergence the planted-graph tests can't
+    import graft.operators.Graph
+    val rnd = new Random(43)
+    (1 to 5).foreach { trial =>
+      val n = 4 + rnd.nextInt(10)
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.4
+      } yield (a.toLong, b.toLong)) match {
+        case e if e.isEmpty => Seq((0L, 1L))
+        case e => e
+      }
+      val got = Graph.pagerank(edges.toDF("a", "b"))
+        .select("node", "rank_e12").as[(Long, Long)].collect().toMap
+      // sequential reference with the same integer ops
+      val nbrs = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val nodes = nbrs.keys.toSeq.sorted
+      val nn = nodes.size.toLong
+      val jump = (Graph.Scale * 15L / 100L) / nn
+      var rank = nodes.map(_ -> Graph.Scale / nn).toMap
+      (1 to Graph.Iters).foreach { _ =>
+        val contrib = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        nodes.foreach { v =>
+          val share = rank(v) / nbrs(v).size
+          nbrs(v).foreach(u => contrib(u) += share)
+        }
+        rank = nodes.map(v => v -> (jump + contrib(v) * 85L / 100L)).toMap
+      }
+      nodes.foreach { v =>
+        assert(got(v) == rank(v), s"trial $trial node $v: ${got(v)} vs ${rank(v)}")
+      }
+    }
+  }
+
+  test("f24 KS matches a sequential reference on random two-sample data") {
+    import graft.operators.Velocity
+    val rnd = new Random(91)
+    (1 to 4).foreach { trial =>
+      val ref = Seq.fill(30 + rnd.nextInt(40))(rnd.nextInt(15).toDouble)
+      val live = Seq.fill(30 + rnd.nextInt(40))(rnd.nextInt(15).toDouble + trial)
+      val df = (ref.map(("g", true, _)) ++ live.map(("g", false, _)))
+        .toDF("grp", "is_ref", "v")
+      val Array((_, n1, n2, dnum, dstat, ksAt)) = Velocity.ksDrift(df)
+        .as[(String, Long, Long, Long, Double, Double)].collect()
+      // sequential reference: exact integer numerator over the value census
+      val vs = (ref ++ live).distinct.sorted
+      var c1 = 0L; var c2 = 0L; var best = -1L; var bestV = Double.NaN
+      vs.foreach { v =>
+        c1 += ref.count(_ == v); c2 += live.count(_ == v)
+        val d = math.abs(c1 * live.size - c2 * ref.size)
+        if (d > best) { best = d; bestV = v }
+      }
+      assert((n1, n2) == ((ref.size.toLong, live.size.toLong)))
+      assert(dnum == best, s"trial $trial")
+      assert(ksAt == bestV, s"trial $trial argmax")
+      assert(math.abs(dstat - BigDecimal(best.toDouble / (n1 * n2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+  }
 }
