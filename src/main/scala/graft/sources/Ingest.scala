@@ -33,6 +33,30 @@ object Ingest {
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
 
+  /** Media-file ingest via Spark's binaryFile source — how raw
+    * image/audio payloads actually ENTER the multimodal pipeline
+    * (m01–m03 then operate on the (media_id, payload, meta) frame).
+    * One row per file with content bytes; `pathGlobFilter` prunes at
+    * listing time, media_id derives from the file name, and the meta
+    * struct matches `multimodal.Binary.mediaTable`'s shape so the
+    * dHash/energy operators consume it unchanged. binaryFile is scan-
+    * only by design (no write side — sinks for media are the rolled
+    * segment dirs); maxPartitionBytes governs files-per-task exactly
+    * as for parquet. */
+  def readMedia(s: SparkSession, dir: String, glob: String = "*",
+      mediaType: String = "application/octet-stream"): DataFrame =
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.[A-Za-z0-9]+$", 1)
+          .cast("long").as("media_id"),
+        col("content").as("payload"),
+        struct(lit(mediaType).as("media_type"),
+          col("length").as("n_bytes"),
+          lower(substring(hex(col("content")), 1, 16)).as("header_hex"))
+          .as("meta"))
+
   /** ORC read/write — the columnar alternative to parquet for
     * warehouse interop; same pushdown/pruning behavior. */
   def readOrc(s: SparkSession, path: String, schema: StructType): DataFrame =

@@ -278,4 +278,28 @@ class SourcesSpec extends SparkSpec {
         s"alias $z rejected or unreadable")
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
+
+  test("binaryFile media ingest feeds the dHash pipeline end-to-end") {
+    import graft.multimodal.Binary
+    val dir = java.nio.file.Files.createTempDirectory("media").toFile
+    // three real BMPs + one decoy the glob must skip
+    Seq(3L, 6L, 9L).foreach { id =>
+      java.nio.file.Files.write(
+        new java.io.File(dir, s"img_$id.bmp").toPath, Binary.syntheticBmp(id))
+    }
+    java.nio.file.Files.write(
+      new java.io.File(dir, "notes.txt").toPath, "not an image".getBytes)
+    val media = graft.sources.Ingest.readMedia(spark, dir.toString,
+      glob = "*.bmp", mediaType = "image/bmp")
+    val got = Binary.imageDHash(media)
+      .select("media_id", "dhash", "real_decode")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (k, h, r) => k -> ((h, r)) }.toMap
+    assert(got.keySet == Set(3L, 6L, 9L)) // decoy pruned at listing
+    Seq(3L, 6L, 9L).foreach { id =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Binary.syntheticBmp(id)))
+      assert(got(id) == ((Binary.dHash64(img), true)), s"media $id")
+    }
+  }
 }
