@@ -227,13 +227,85 @@ object Velocity {
          round(CAST(s AS DOUBLE) / nd, 6) AS cusum
        FROM c WHERE s >= $CusumThreshold * nd"""
 
+  // ---------------------------------------------------------------
+  // f26: impossible-travel detection — the account-takeover signal
+  // every auth/fraud stack runs: consecutive events of one user whose
+  // implied ground speed exceeds what any traveler could do. Events
+  // carry a deterministic device-location point cloud (the g01
+  // derivation keyed on event_id — synthetic data has no geo column;
+  // the operator is general over any (user_id, event_id, ts, lat,
+  // lon) frame). lag() per user in event-time order, exact g02-style
+  // haversine, speed = km / hours with the time delta on WHOLE
+  // SECONDS in both engines (Spark's unix_timestamp truncates micros
+  // — DuckDB must floor epoch the same way or the doubles diverge).
+  // Threshold tuned to the synthetic cloud (5000 km/h) — on real geo
+  // the conventional bar is ~900 (airliner).
+  //
+  // Scale: one per-user window (event-time sort within user
+  // partitions), then a narrow codegen'd projection; no joins.
+  // ---------------------------------------------------------------
+
+  val MaxSpeedKmh = 5000.0
+
+  def f26(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      col("ts"),
+      (lit(-90.0) + (col("event_id") * 7919 % 18000) / 100.0).as("lat"),
+      (lit(-180.0) + (col("event_id") * 104729 % 36000) / 100.0).as("lon"))
+    val p = e
+      .withColumn("prev_event", lag(col("event_id"), 1).over(w))
+      .withColumn("pts", lag(col("ts"), 1).over(w))
+      .withColumn("plat", lag(col("lat"), 1).over(w))
+      .withColumn("plon", lag(col("lon"), 1).over(w))
+      .filter(col("pts").isNotNull)
+    val km = graft.functions.Geo.haversineKm(
+      col("plat"), col("plon"), col("lat"), col("lon"))
+    val secs = unix_timestamp(col("ts")) - unix_timestamp(col("pts"))
+    val hrs = secs.cast("double") / 3600.0
+    p.withColumn("km", km).withColumn("secs", secs).withColumn("hrs", hrs)
+      .filter(col("secs") > 0 && col("km") / col("hrs") > MaxSpeedKmh)
+      .select(col("user_id"), col("prev_event"), col("event_id"),
+        date_format(col("pts"), "yyyy-MM-dd HH:mm:ss").as("from_ts"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("to_ts"),
+        round(col("km"), 6).as("km"), col("secs"),
+        round(col("km") / col("hrs"), 6).as("kmh"))
+  }
+
+  val f26Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, ts,
+                 -90.0 + (event_id * 7919 % 18000) / 100.0 AS lat,
+                 -180.0 + (event_id * 104729 % 36000) / 100.0 AS lon
+               FROM events),
+       p AS (SELECT *, lag(event_id) OVER w AS prev_event,
+               lag(ts) OVER w AS pts, lag(lat) OVER w AS plat,
+               lag(lon) OVER w AS plon
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       d AS (SELECT user_id, prev_event, event_id, pts, ts,
+               CAST('6371.0088' AS DOUBLE) * CAST('2.0' AS DOUBLE) * asin(sqrt(
+                 pow(sin(radians(lat - plat) / 2), 2)
+               + cos(radians(plat)) * cos(radians(lat))
+                 * pow(sin(radians(lon - plon) / 2), 2))) AS km,
+               CAST(epoch_ms(ts) // 1000 - epoch_ms(pts) // 1000 AS BIGINT) AS secs
+             FROM p WHERE pts IS NOT NULL)
+       SELECT user_id, prev_event, event_id,
+         strftime(pts, '%Y-%m-%d %H:%M:%S') AS from_ts,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS to_ts,
+         round(km, 6) AS km, secs,
+         round(km / (CAST(secs AS DOUBLE) / 3600.0), 6) AS kmh
+       FROM d WHERE secs > 0 AND km / (CAST(secs AS DOUBLE) / 3600.0) > $MaxSpeedKmh"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f23_user_burst" -> (f23 _),
     "f24_ks_drift" -> (f24 _),
-    "f25_cusum" -> (f25 _))
+    "f25_cusum" -> (f25 _),
+    "f26_impossible_travel" -> (f26 _))
 
   val oracles: Map[String, String] = Map(
     "f23_user_burst" -> f23Sql,
     "f24_ks_drift" -> f24Sql,
-    "f25_cusum" -> f25Sql)
+    "f25_cusum" -> f25Sql,
+    "f26_impossible_travel" -> f26Sql)
 }

@@ -117,4 +117,18 @@ class VelocitySpec extends SparkSpec {
       (0 until 5).map(i => (1L, ts(10, i)))
     assert(burstsOf(rows).isEmpty)
   }
+
+  test("f26: only superhuman hops flag; slow travel never does") {
+    // hand-checkable core logic via the same derivation the face
+    // uses: two events 1 hour apart whose derived points are ~half
+    // the globe apart must flag; the same pair 30 days apart must not
+    import graft.operators.Velocity
+    val all = Velocity.f26(spark, sf("sf0.001"))
+      .select("kmh", "secs").as[(Double, Long)].collect()
+    assert(all.nonEmpty)
+    // every flagged hop really exceeds the bar, never div-by-zero
+    all.foreach { case (kmh, secs) =>
+      assert(kmh > Velocity.MaxSpeedKmh && secs > 0)
+    }
+  }
 }
