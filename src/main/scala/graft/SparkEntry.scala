@@ -24,7 +24,8 @@ object SparkEntry {
       operators.Histogram.queries ++ functions.Geo.queries ++
       operators.Graph.queries ++ operators.Quota.queries ++
       operators.Velocity.queries ++ operators.Vocab.queries ++
-      operators.Privacy.queries ++
+      operators.Privacy.queries ++ operators.Sketch.queries ++
+      operators.DqAudit.queries ++
       multimodal.Binary.queries ++
       streaming.Alerts.queries
 
@@ -179,7 +180,8 @@ object SparkEntry {
       operators.Histogram.oracles ++ functions.Geo.oracles ++
       operators.Graph.oracles ++ operators.Quota.oracles ++
       operators.Velocity.oracles ++ operators.Vocab.oracles ++
-      operators.Privacy.oracles ++
+      operators.Privacy.oracles ++ operators.Sketch.oracles ++
+      operators.DqAudit.oracles ++
       multimodal.Binary.oracles ++
       streaming.Alerts.oracles
 }

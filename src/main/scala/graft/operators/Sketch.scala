@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** f27: HyperLogLog distinct-cardinality census — the mergeable
+  * "how many distinct active users" sketch (Flajolet et al. 2007;
+  * the HLL every warehouse ships as approx_count_distinct). The
+  * exact answer needs a corpus-wide shuffle of every distinct item;
+  * the sketch needs 256 BIGINT
+  * registers per group, and — because registers combine by MAX,
+  * which is idempotent/commutative/associative — sketch(a ∪ b) ==
+  * merge(sketch(a), sketch(b)) EXACTLY, the IncrementalStats
+  * fold==recompute contract: a crawl delta updates the census with
+  * no rescan of the base corpus.
+  *
+  * Engine-portable by construction (the house integer discipline):
+  * the hash is the c02/c09/c14 60-bit md5 prefix, bucket = top 8
+  * bits, and the register value rho = leading-zero count of the
+  * 52-bit remainder + 1 is computed by an UNROLLED integer CASE
+  * chain (never floor(log2(w)) — libm doubles at a power-of-two
+  * boundary would flip a register). The harmonic-mean denominator
+  * sum(2^-rho) is kept EXACT by scaling to 2^53: each term is the
+  * BIGINT 1<<(53-rho), so the sum is order-independent integer
+  * arithmetic; doubles appear only in the final one-shot estimate
+  * division (deterministic IEEE ops on exact inputs). The raw-vs-
+  * linear-counting branch compares SCALED INTEGERS (sum_scaled vs
+  * a pinned threshold), so both engines take the same branch even
+  * when the double estimate differs in the last ulp.
+  *
+  * Scale: one combiner-friendly (source, bucket) max-shuffle over
+  * the token stream — repeated tokens collapse map-side because
+  * max(rho) is computed per partition first; the register frame is
+  * sources × 256 rows, driver-negligible at any corpus size. The
+  * exact_distinct companion column (the accuracy witness the face
+  * carries) is the expensive path the sketch replaces — kept in the
+  * face because at sf it is cheap and it makes the estimate's error
+  * auditable by the oracle, but the PRODUCTION artifact is
+  * `fitRegisters` alone.
+  */
+object Sketch {
+
+  /** log2(m) — 256 buckets, the standard 1.04/sqrt(256) ≈ 6.5% rse. */
+  val HllP = 8
+  val HllM: Int = 1 << HllP // 256
+  /** remainder width: 60-bit hash minus the p bucket bits. */
+  val HllW: Int = 60 - HllP // 52
+
+  /** bitlen(w) for w in [0, 2^52): unrolled descending threshold
+    * chain, k if 2^(k-1) <= w < 2^k, 0 for w == 0. */
+  private def bitLen(w: Column): Column =
+    ((HllW - 1) to 1 by -1)
+      .foldLeft(when(w >= (1L << (HllW - 1)), HllW)) { (acc, k) =>
+        acc.when(w >= (1L << (k - 1)), k)
+      }
+      .otherwise(0)
+
+  /** The same chain as DuckDB SQL, generated from the same loop. */
+  private def bitLenSql(w: String): String = {
+    val branches = (HllW to 1 by -1)
+      .map(k => s"WHEN $w >= ${1L << (k - 1)} THEN $k")
+      .mkString(" ")
+    s"CASE $branches ELSE 0 END"
+  }
+
+  /** Mergeable register artifact over any (source, term) stream:
+    * (source, bucket, r) with r = max rho. Merge rule: union +
+    * groupBy(source, bucket) max(r). */
+  def fitRegisters(terms: DataFrame): DataFrame = {
+    val s = terms.sparkSession
+    val h = graft.plans.GraftFunctions.md5Prefix60(s, col("term"))
+    val w = h.bitwiseAND(lit((1L << HllW) - 1))
+    terms
+      .select(col("source"), shiftright(h, HllW).as("bucket"),
+        (lit(HllW + 1) - bitLen(w)).cast("int").as("rho"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+  }
+
+  /** Per-source estimate report from a register frame + the exact
+    * distinct witness. */
+  def hllReport(registers: DataFrame, exact: DataFrame): DataFrame = {
+    val m = HllM
+    // alpha_m for m >= 128, pinned as string-cast doubles (c21 rule)
+    val alpha = lit("0.7213").cast("double") /
+      (lit(1.0) + lit("1.079").cast("double") / m)
+    val agg = registers.groupBy(col("source"))
+      .agg(count(lit(1)).as("buckets_used"),
+        sum(expr(s"shiftleft(cast(1 as bigint), ${HllW + 1} - r)"))
+          .cast("bigint").as("present_scaled"))
+    // absent buckets carry rho = 0 => 2^-0 = 1 => 2^53 each, exactly
+    val sumScaled = (col("present_scaled") +
+      (lit(m.toLong) - col("buckets_used")) * (1L << (HllW + 1))).as("sum_scaled")
+    val zeros = (lit(m.toLong) - col("buckets_used")).as("zeros")
+    val withState = agg.select(col("source"), col("buckets_used"),
+      zeros, sumScaled)
+    // raw estimate: alpha * m^2 * 2^53 / sum_scaled. The 2.5m small-
+    // range branch is decided on INTEGERS: raw <= 2.5m  <=>
+    // sum_scaled >= alpha*m^2*2^53/(2.5m) — but alpha is a double, so
+    // pin the threshold as the exact integer floor computed once here
+    // (both engines inline the same literal).
+    val raw = alpha * lit(m.toDouble * m) * lit((1L << (HllW + 1)).toDouble) /
+      col("sum_scaled").cast("double")
+    val est = when(col("sum_scaled") >= SmallRangeThreshold && col("zeros") > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
+      .otherwise(raw)
+    withState.join(exact, Seq("source"))
+      .select(col("source"), col("exact_distinct"), col("buckets_used"),
+        col("zeros"), col("sum_scaled"),
+        round(est, 4).as("hll_estimate"),
+        round((est - col("exact_distinct").cast("double")) /
+          col("exact_distinct"), 4).as("err_frac"))
+  }
+
+  /** Integer branch threshold: sum_scaled values AT OR ABOVE this mean
+    * the raw estimate is <= 2.5m (the linear-counting regime). Pinned
+    * as a literal so both engines compare BIGINTs, never doubles. */
+  val SmallRangeThreshold: Long = {
+    val alpha = 0.7213 / (1.0 + 1.079 / HllM)
+    // raw = alpha*m^2*2^53/sum <= 2.5m  <=>  sum >= alpha*m*2^53/2.5
+    math.ceil(alpha * HllM * (1L << (HllW + 1)).toDouble / 2.5).toLong
+  }
+
+  /** The face stream: distinct active USER-DAYS per event type (the
+    * canonical "distinct visitors" cardinality HLL was built for) —
+    * item = `user_id:yyyy-MM-dd`, the q08 date idiom. ~1.6k distinct
+    * per group at sf0.01 and ~16k at sf0.1, so the face exercises the
+    * HARMONIC estimator branch (not just linear counting), with
+    * per-group cardinalities that genuinely differ. */
+  private def userDays(events: DataFrame): DataFrame =
+    events.select(col("event_type").as("source"),
+      concat(col("user_id").cast("string"), lit(":"),
+        date_format(col("ts"), "yyyy-MM-dd")).as("term"))
+
+  def f27(s: SparkSession, dir: String): DataFrame = {
+    val t = userDays(Tables.events(s, dir))
+      .transform(graft.CacheRegistry.register)
+    val exact = t.groupBy(col("source"))
+      .agg(countDistinct(col("term")).as("exact_distinct"))
+    hllReport(fitRegisters(t), exact)
+      .withColumnRenamed("source", "event_type")
+  }
+
+  val f27Sql: String = {
+    val m = HllM
+    val mask = (1L << HllW) - 1
+    val scale = 1L << (HllW + 1)
+    val alpha = s"(CAST('0.7213' AS DOUBLE)/(1 + CAST('1.079' AS DOUBLE)/$m))"
+    raw"""WITH toks AS (SELECT event_type AS source,
+               user_id || ':' || strftime(ts, '%Y-%m-%d') AS term
+             FROM events),
+       h AS (SELECT source,
+               CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) AS hv
+             FROM toks),
+       b AS (SELECT source, hv >> ${HllW} AS bucket,
+               ${HllW + 1} - ${bitLenSql(s"(hv & $mask)")} AS rho
+             FROM h),
+       reg AS (SELECT source, bucket, max(rho) AS r FROM b GROUP BY 1, 2),
+       agg AS (SELECT source, count(*) AS buckets_used,
+                 CAST(sum(CAST(1 AS BIGINT) << (${HllW + 1} - r)) AS BIGINT)
+                   AS present_scaled
+               FROM reg GROUP BY 1),
+       st AS (SELECT source, buckets_used,
+                CAST($m - buckets_used AS BIGINT) AS zeros,
+                CAST(present_scaled + ($m - buckets_used) *
+                  CAST($scale AS BIGINT) AS BIGINT) AS sum_scaled
+              FROM agg),
+       ex AS (SELECT source, count(DISTINCT term) AS exact_distinct
+              FROM toks GROUP BY 1),
+       est AS (SELECT source, buckets_used, zeros, sum_scaled,
+                 CASE WHEN sum_scaled >= $SmallRangeThreshold AND zeros > 0
+                      THEN CAST($m AS DOUBLE) *
+                           ln(CAST($m AS DOUBLE) / zeros)
+                      ELSE $alpha * CAST($m AS DOUBLE) * $m *
+                           CAST($scale AS DOUBLE) / CAST(sum_scaled AS DOUBLE)
+                 END AS e
+               FROM st)
+       SELECT source AS event_type, exact_distinct, buckets_used, zeros,
+         sum_scaled, round(e, 4) AS hll_estimate,
+         round((e - CAST(exact_distinct AS DOUBLE)) / exact_distinct, 4)
+           AS err_frac
+       FROM est JOIN ex USING (source)"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f27_hll_users" -> (f27 _))
+
+  val oracles: Map[String, String] = Map(
+    "f27_hll_users" -> f27Sql)
+}

@@ -86,6 +86,9 @@ CEILINGS = {
                                    # pipelines + pair intersections —
                                    # a composition face, cost = sum of
                                    # its constituents
+    # r13 seventh batch
+    "f27_hll_users": 1.4,          # ~0.86 s isolated (one register shuffle)
+    "q27_dq_audit": 2.1,           # ~1.3 s isolated (2 scans + FK join)
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
