@@ -25,7 +25,7 @@ object SparkEntry {
       operators.Graph.queries ++ operators.Quota.queries ++
       operators.Velocity.queries ++ operators.Vocab.queries ++
       operators.Privacy.queries ++ operators.Sketch.queries ++
-      operators.DqAudit.queries ++
+      operators.DqAudit.queries ++ operators.ZOrder.queries ++
       multimodal.Binary.queries ++
       streaming.Alerts.queries
 
@@ -181,7 +181,7 @@ object SparkEntry {
       operators.Graph.oracles ++ operators.Quota.oracles ++
       operators.Velocity.oracles ++ operators.Vocab.oracles ++
       operators.Privacy.oracles ++ operators.Sketch.oracles ++
-      operators.DqAudit.oracles ++
+      operators.DqAudit.oracles ++ operators.ZOrder.oracles ++
       multimodal.Binary.oracles ++
       streaming.Alerts.oracles
 }
