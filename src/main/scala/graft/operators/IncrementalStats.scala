@@ -103,10 +103,21 @@ object IncrementalStats {
     * state. Generations older than the parent can be pruned externally
     * (each is a complete state, not a delta chain). */
   def foldBatch(stateDir: String, delta: DataFrame,
-      batchId: Long): DataFrame = {
+      batchId: Long): DataFrame =
+    foldBatchWith(stateDir, delta, batchId)(merge)
+
+  /** [[foldBatch]] with a caller-supplied merge law — the same
+    * generation-versioned exactly-once fold for state whose combine
+    * rule isn't count-sum (e.g. HLL registers fold by MAX). The
+    * merge function must be idempotent under replay of the same
+    * delta (sum over counts and max over registers both are, because
+    * a replayed batch overwrites its own generation rather than
+    * folding twice). */
+  def foldBatchWith(stateDir: String, delta: DataFrame, batchId: Long)(
+      mergeFn: Seq[DataFrame] => DataFrame): DataFrame = {
     val s = delta.sparkSession
     val merged = latestGen(s, stateDir, batchId)
-      .map(prev => merge(Seq(prev, delta))).getOrElse(delta)
+      .map(prev => mergeFn(Seq(prev, delta))).getOrElse(delta)
     merged.write.mode("overwrite").parquet(s"$stateDir/gen=$batchId")
     s.read.parquet(s"$stateDir/gen=$batchId")
   }

@@ -78,9 +78,23 @@ object Sketch {
       .agg(max(col("rho")).as("r"))
   }
 
-  /** Per-source estimate report from a register frame + the exact
-    * distinct witness. */
-  def hllReport(registers: DataFrame, exact: DataFrame): DataFrame = {
+  /** Register union + the merge law: max per (source, bucket). */
+  def mergeRegisters(frames: Seq[DataFrame]): DataFrame =
+    frames.reduce(_ unionAll _)
+      .groupBy(col("source"), col("bucket")).agg(max(col("r")).as("r"))
+
+  /** Parquet register artifact (the lexicon convention: fit once,
+    * merge deltas, never rescan the base). */
+  def writeRegisters(registers: DataFrame, path: String): Unit =
+    registers.write.mode("overwrite").parquet(path)
+
+  def readRegisters(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** Internal: per-source state + the UNROUNDED estimate column `e`
+    * (shared by the production estimate and the witnessed report so
+    * err_frac rides the unrounded value, matching the oracle). */
+  private def estimated(registers: DataFrame): DataFrame = {
     val m = HllM
     // alpha_m for m >= 128, pinned as string-cast doubles (c21 rule)
     val alpha = lit("0.7213").cast("double") /
@@ -105,13 +119,43 @@ object Sketch {
     val est = when(col("sum_scaled") >= SmallRangeThreshold && col("zeros") > 0,
       lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
       .otherwise(raw)
-    withState.join(exact, Seq("source"))
+    withState.withColumn("e", est)
+  }
+
+  /** Production estimate from a register frame alone (no exact
+    * witness — the thing the sketch exists to avoid computing). */
+  def hllEstimate(registers: DataFrame): DataFrame =
+    estimated(registers)
+      .select(col("source"), col("buckets_used"), col("zeros"),
+        col("sum_scaled"), round(col("e"), 4).as("hll_estimate"))
+
+  /** Per-source estimate report from a register frame + the exact
+    * distinct witness. */
+  def hllReport(registers: DataFrame, exact: DataFrame): DataFrame =
+    estimated(registers).join(exact, Seq("source"))
       .select(col("source"), col("exact_distinct"), col("buckets_used"),
         col("zeros"), col("sum_scaled"),
-        round(est, 4).as("hll_estimate"),
-        round((est - col("exact_distinct").cast("double")) /
+        round(col("e"), 4).as("hll_estimate"),
+        round((col("e") - col("exact_distinct").cast("double")) /
           col("exact_distinct"), 4).as("err_frac"))
-  }
+
+  /** Streaming census maintenance: each micro-batch's registers fold
+    * into the generation-versioned state by the MAX merge law (the
+    * maintainStats/maintainQuantiles pattern on foldBatchWith —
+    * replay of a batch id overwrites its own generation, so the
+    * at-least-once foreachBatch callback yields exactly-once state),
+    * and the published estimate is re-derived from the merged
+    * registers — no history rescan, ever. */
+  def maintainHll(stream: DataFrame, stateDir: String, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val merged = IncrementalStats.foldBatchWith(stateDir,
+          fitRegisters(batch), id)(mergeRegisters)
+        hllEstimate(merged).write.mode("overwrite").parquet(outDir)
+      }
+      .start()
 
   /** Integer branch threshold: sum_scaled values AT OR ABOVE this mean
     * the raw estimate is <= 2.5m (the linear-counting regime). Pinned

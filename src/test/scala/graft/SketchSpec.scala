@@ -70,6 +70,51 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(row._6 - 10.0) < 2.0)
   }
 
+  test("register artifact round-trip scores identically; merge-of-halves == full refit") {
+    val root = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    val a = (1 to 800).map(i => ("g", s"a_$i")).toDF("source", "term")
+    val b = (400 to 1200).map(i => ("g", s"a_$i")).toDF("source", "term")
+    val full = Sketch.fitRegisters(a.unionAll(b))
+    Sketch.writeRegisters(Sketch.fitRegisters(a), s"$root/ra")
+    Sketch.writeRegisters(Sketch.fitRegisters(b), s"$root/rb")
+    val merged = Sketch.mergeRegisters(Seq(
+      Sketch.readRegisters(spark, s"$root/ra"),
+      Sketch.readRegisters(spark, s"$root/rb")))
+    assert(regMap(merged) == regMap(full))
+    // and the derived estimates agree bit-for-bit
+    val est = (df: org.apache.spark.sql.DataFrame) =>
+      Sketch.hllEstimate(df).collect().map(_.toSeq).toSet
+    assert(est(merged) == est(full))
+  }
+
+  test("streaming maintenance: fold == recompute, replay rebuilds identically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-hllstream").toString
+    val (stateDir, outDir, ckpt) = (s"$root/state", s"$root/out", s"$root/ckpt")
+    val input = MemoryStream[(String, String)]
+    val stream = input.toDF().toDF("source", "term")
+    val b0 = (1 to 600).map(i => ("g", s"u_$i")) ++ Seq(("h", "x"))
+    val b1 = (300 to 900).map(i => ("g", s"u_$i")) ++ Seq(("h", "y"))
+    val q = Sketch.maintainHll(stream, stateDir, outDir, ckpt)
+    try {
+      input.addData(b0: _*); q.processAllAvailable()
+      input.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // published estimate == a from-scratch batch fit over everything
+    val expect = Sketch.hllEstimate(
+      Sketch.fitRegisters((b0 ++ b1).toDF("source", "term")))
+    assert(rows(spark.read.parquet(outDir)) == rows(expect))
+    // crash-replay of the last batch id rebuilds the identical state
+    val before = rows(spark.read.parquet(s"$stateDir/gen=1"))
+    val replayed = graft.operators.IncrementalStats.foldBatchWith(stateDir,
+      Sketch.fitRegisters(b1.toDF("source", "term")), 1L)(
+      Sketch.mergeRegisters)
+    assert(rows(replayed) == before)
+  }
+
   // at sf0.001 the ~160 user-days/type sit in the linear-counting
   // regime; sf0.01+ (the oracle gate) exercises the harmonic branch
   test("f27 face: five event types, sane errors") {
