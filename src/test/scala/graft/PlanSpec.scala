@@ -36,6 +36,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_cosine"), "native expression not in plan")
   }
 
+  test("f28: rank-1 touch pick rides WindowGroupLimit, no cross join") {
+    val p = plan("f28_last_touch")
+    assert(p.contains("WindowGroupLimit"), "argmax touch not pushed down")
+    assert(!p.contains("CartesianProduct"), "attribution fell to cross join")
+  }
+
   test("d04: simhash signature is a narrow map (no aggregate before banding)") {
     val p = plan("d04_simhash")
     assert(p.contains("graft_simhash64"))

@@ -90,6 +90,7 @@ CEILINGS = {
     "f27_hll_users": 1.4,          # ~0.86 s isolated (one register shuffle)
     "q27_dq_audit": 2.1,           # ~1.3 s isolated (2 scans + FK join)
     "z01_zorder": 1.0,             # ~0.6 s isolated (interleave + rollup)
+    "f28_last_touch": 2.0,         # ~1.2 s isolated (user join + rank-1)
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
