@@ -227,9 +227,109 @@ object Sketch {
        FROM est JOIN ex USING (source)"""
   }
 
+  // =================================================================
+  // f29: Count-Min sketch — the FREQUENCY twin of the HLL (Cormode &
+  // Muthukrishnan 2005): per-key occurrence estimates from d=4 rows
+  // of w=1024 BIGINT counters instead of a full per-key census.
+  // Registers combine by SUM (the counters are linear), so
+  // cms(a ∪ b) == register-sum(cms(a), cms(b)) exactly — a delta
+  // folds in with no rescan, same contract as the HLL/lexicon.
+  // Estimates are min over the d row counters: ALWAYS >= the true
+  // count (one-sided error, the property the spec pins), within
+  // e·N/w with probability 1 - e^-d. Integer end-to-end — hashes are
+  // the salted 60-bit md5 prefix mod w, counters BIGINTs; no doubles
+  // anywhere, so parity is trivial. Scale: one combiner-friendly
+  // (row, bucket) shuffle over d× the stream (d=4 constant); the
+  // register table is d·w rows total. Probes join registers on
+  // (row, bucket) — register side broadcast-sized by construction.
+  // =================================================================
+
+  /** Count-Min depth (hash rows) and width (counters per row). */
+  val CmsD = 4
+  val CmsW = 1024
+
+  private def cmsBucket(s: SparkSession, row: Column, key: Column): Column =
+    pmod(graft.plans.GraftFunctions.md5Prefix60(s,
+      concat(lit("cms"), row, lit(":"), key)), lit(CmsW.toLong))
+
+  /** Mergeable CMS registers over any (key) frame: one counter row
+    * per (row, bucket); absent cells are implicit zeros. */
+  def cmsFit(keys: DataFrame): DataFrame = {
+    val s = keys.sparkSession
+    keys.select(col("key"), explode(lit((0 until CmsD).toArray)).as("row"))
+      .select(col("row"), cmsBucket(s, col("row"), col("key")).as("bucket"))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** SUM-merge — the CMS register law. */
+  def cmsMerge(frames: Seq[DataFrame]): DataFrame =
+    frames.reduce(_ unionAll _)
+      .groupBy(col("row"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point estimates for a probe key frame: min over row counters. */
+  def cmsEstimate(registers: DataFrame, probes: DataFrame): DataFrame = {
+    val s = registers.sparkSession
+    probes.select(col("key"), explode(lit((0 until CmsD).toArray)).as("row"))
+      .select(col("key"), col("row"),
+        cmsBucket(s, col("row"), col("key")).as("bucket"))
+      .join(registers, Seq("row", "bucket"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
+  }
+
+  /** The face: per-USER-DAY event-count estimates for a
+    * deterministic probe subset (user_id % 13 == 0), exact witness
+    * alongside, and the one-sided overestimate — never negative BY
+    * CONSTRUCTION. The user-day domain (~1.6k keys at sf0.01, ~16k
+    * at sf0.1) loads the 4×1024 registers past one key per cell, so
+    * collisions — the thing the min-over-rows estimate exists to
+    * survive — actually occur (an all-zero overestimate column would
+    * prove nothing). */
+  def f29(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.events(s, dir)
+      .select(concat(col("user_id").cast("string"), lit(":"),
+        date_format(col("ts"), "yyyy-MM-dd")).as("key"))
+      .transform(graft.CacheRegistry.register)
+    val registers = cmsFit(keys)
+    val probes = keys
+      .filter(split(col("key"), ":").getItem(0).cast("bigint") % 13 === 0)
+      .distinct()
+    val exact = keys.groupBy(col("key")).agg(count(lit(1)).as("exact_n"))
+    cmsEstimate(registers, probes)
+      .join(exact, Seq("key"))
+      .select(col("key"), col("exact_n"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact_n")).as("overestimate"))
+  }
+
+  val f29Sql: String =
+    raw"""WITH keys AS (SELECT user_id || ':' || strftime(ts, '%Y-%m-%d') AS key
+                 FROM events),
+       cells AS (SELECT key, row FROM keys
+                 CROSS JOIN (SELECT unnest(range(0, $CmsD)) AS row)),
+       hashed AS (SELECT key, row,
+                    CAST(('0x' || substring(md5('cms' || row || ':' || key), 1, 15)) AS BIGINT) % $CmsW AS bucket
+                  FROM cells),
+       reg AS (SELECT row, bucket, count(*) AS cnt FROM hashed GROUP BY 1, 2),
+       probes AS (SELECT DISTINCT key FROM keys
+                  WHERE CAST(string_split(key, ':')[1] AS BIGINT) % 13 = 0),
+       pcells AS (SELECT key, row,
+                    CAST(('0x' || substring(md5('cms' || row || ':' || key), 1, 15)) AS BIGINT) % $CmsW AS bucket
+                  FROM probes CROSS JOIN (SELECT unnest(range(0, $CmsD)) AS row)),
+       est AS (SELECT p.key, min(coalesce(r.cnt, 0)) AS cms_estimate
+               FROM pcells p LEFT JOIN reg r USING (row, bucket)
+               GROUP BY 1),
+       ex AS (SELECT key, count(*) AS exact_n FROM keys GROUP BY 1)
+       SELECT key, exact_n,
+         CAST(cms_estimate AS BIGINT) AS cms_estimate,
+         CAST(cms_estimate - exact_n AS BIGINT) AS overestimate
+       FROM est JOIN ex USING (key)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "f27_hll_users" -> (f27 _))
+    "f27_hll_users" -> (f27 _),
+    "f29_cms_counts" -> (f29 _))
 
   val oracles: Map[String, String] = Map(
-    "f27_hll_users" -> f27Sql)
+    "f27_hll_users" -> f27Sql,
+    "f29_cms_counts" -> f29Sql)
 }

@@ -115,6 +115,42 @@ class SketchSpec extends SparkSpec {
     assert(rows(replayed) == before)
   }
 
+  test("cms: estimates are one-sided (never below exact) and sum-mergeable") {
+    val items = (1 to 4000).map(i => s"k_${i % 700}") // 700 keys, skewed
+    val keys = items.toDF("key")
+    val reg = Sketch.cmsFit(keys)
+    val probes = (0 until 700 by 7).map(i => s"k_$i").toDF("key")
+    val exact = keys.groupBy(col("key")).agg(count(lit(1)).as("n"))
+    val est = Sketch.cmsEstimate(reg, probes)
+      .join(exact, Seq("key"))
+      .as[(String, Long, Long)].collect()
+    assert(est.length == 100)
+    est.foreach { case (k, cms, n) =>
+      assert(cms >= n, s"$k: cms $cms below exact $n") }
+    // merge law: sum of half registers == full fit
+    val (a, b) = items.splitAt(2000)
+    val merged = Sketch.cmsMerge(Seq(
+      Sketch.cmsFit(a.toDF("key")), Sketch.cmsFit(b.toDF("key"))))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    assert(m(merged) == m(reg))
+  }
+
+  test("f29 face: overestimates non-negative, collisions actually occur") {
+    val rows = Sketch.f29(spark, sf("sf0.001"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r => assert(r._4 >= 0L, s"${r._1} under-estimated") }
+    // mean one-sided error within the e*N/w Markov bound (min over 4
+    // rows sits far inside it; the MEAN is a stable assertion where a
+    // per-key bound is probabilistic)
+    val n = Tables.events(spark, sf("sf0.001")).count()
+    val bound = math.E * n / Sketch.CmsW
+    val meanOver = rows.map(_._4).sum.toDouble / rows.length
+    assert(meanOver <= bound, s"mean over $meanOver beyond $bound")
+  }
+
   // at sf0.001 the ~160 user-days/type sit in the linear-counting
   // regime; sf0.01+ (the oracle gate) exercises the harmonic branch
   test("f27 face: five event types, sane errors") {

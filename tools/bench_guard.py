@@ -91,6 +91,7 @@ CEILINGS = {
     "q27_dq_audit": 2.1,           # ~1.3 s isolated (2 scans + FK join)
     "z01_zorder": 1.0,             # ~0.6 s isolated (interleave + rollup)
     "f28_last_touch": 2.0,         # ~1.2 s isolated (user join + rank-1)
+    "f29_cms_counts": 1.6,         # ~1.0 s isolated (d*stream shuffle)
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
