@@ -278,6 +278,22 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
 
+  /** Streaming CMS maintenance — identical contract to
+    * [[maintainHll]], with the SUM merge law: batch registers fold
+    * into generation-versioned state, replay of a batch id
+    * overwrites its own generation (exactly-once counters on an
+    * at-least-once callback — the linearity of the counters is what
+    * makes overwrite-not-refold the correct replay rule). */
+  def maintainCms(stream: DataFrame, stateDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        IncrementalStats.foldBatchWith(stateDir, cmsFit(batch), id)(cmsMerge)
+        ()
+      }
+      .start()
+
   /** The face: per-USER-DAY event-count estimates for a
     * deterministic probe subset (user_id % 13 == 0), exact witness
     * alongside, and the one-sided overestimate — never negative BY

@@ -137,6 +137,27 @@ class SketchSpec extends SparkSpec {
     assert(m(merged) == m(reg))
   }
 
+  test("streaming cms: folded state == batch fit over everything seen") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-cmsstream").toString
+    val input = MemoryStream[String]
+    val stream = input.toDF().toDF("key")
+    val b0 = (1 to 500).map(i => s"k_${i % 90}")
+    val b1 = (1 to 400).map(i => s"k_${i % 70}")
+    val q = Sketch.maintainCms(stream, s"$root/state", s"$root/ckpt")
+    try {
+      input.addData(b0: _*); q.processAllAvailable()
+      input.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val folded = m(spark.read.parquet(s"$root/state/gen=1"))
+    val whole = m(Sketch.cmsFit((b0 ++ b1).toDF("key")))
+    assert(folded == whole)
+  }
+
   test("f29 face: overestimates non-negative, collisions actually occur") {
     val rows = Sketch.f29(spark, sf("sf0.001"))
       .as[(String, Long, Long, Long)].collect()
