@@ -297,6 +297,74 @@ object Alerts {
       .toDF()
   }
 
+  // ---------------------------------------------------------------
+  // Streaming last-touch attribution (row 41m): f28 enforced at
+  // ingest. State per user is O(1) — the single best touch seen so
+  // far ((ts, event_id) max, the f28 total argmax) — so a purchase
+  // is credited the moment it arrives instead of by a corpus-wide
+  // join. Parity contract: ROW-FOR-ROW equal to batch f28 for
+  // event-time-ordered arrival (the spec feeds ts-ordered batches);
+  // within a micro-batch events are processed in (ts, purchases-
+  // after-touches, event_id) order so a same-timestamp touch credits
+  // the purchase exactly as the batch predicate t_us <= p_us does.
+  // ---------------------------------------------------------------
+
+  case class TouchState(tUs: Long, tId: Long, touchType: String)
+  case class Credit(user_id: Long, p_id: Long, value: Double,
+      touch_type: String)
+
+  def attributionGateFunc(lookbackUs: Long)(userId: Long,
+      events: Iterator[(Long, String, Double, Timestamp)],
+      state: GroupState[TouchState]): Iterator[Credit] = {
+    var st = state.getOption.orNull
+    val out = scala.collection.mutable.ListBuffer.empty[Credit]
+    events.toSeq
+      .map { case (id, typ, value, ts) =>
+        // full microsecond precision: getTime truncates to millis,
+        // getNanos carries the fractional second (the f26 lesson —
+        // epoch micros, never a lossy unit)
+        val us = math.floorDiv(ts.getTime, 1000L) * 1000000L +
+          ts.getNanos / 1000L
+        (id, typ, value, us)
+      }
+      .sortBy { case (id, typ, _, us) => (us, typ == "purchase", id) }
+      .foreach { case (id, typ, value, us) =>
+        typ match {
+          case "click" | "view" =>
+            if (st == null || us > st.tUs || (us == st.tUs && id > st.tId))
+              st = TouchState(us, id, typ)
+          case "purchase" =>
+            val credited =
+              if (st != null && us - st.tUs <= lookbackUs) st.touchType
+              else "direct"
+            out += Credit(userId, id, value, credited)
+          case _ => ()
+        }
+      }
+    if (st != null) state.update(st)
+    out.iterator
+  }
+
+  /** Streaming last-touch attribution over (event_id, user_id,
+    * event_type, value, ts): emits one credit row per purchase. */
+  def attributionGate(events: DataFrame,
+      lookbackUs: Long = graft.operators.Attribution.LookbackUs): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+      .as[(Long, Long, String, Double, Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[(Long, Long, String, Double, Timestamp)],
+            st: GroupState[TouchState]) =>
+          attributionGateFunc(lookbackUs)(uid,
+            it.map(e => (e._1, e._3, e._4, e._5)), st)
+      }
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_windowed_counts" -> (st01 _))
 

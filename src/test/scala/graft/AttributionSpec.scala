@@ -56,6 +56,38 @@ class AttributionSpec extends SparkSpec {
     assert(run(rows) == Map("direct" -> ((1L, 10.0))))
   }
 
+  test("streaming gate: batch/stream parity ROW-FOR-ROW on ts-ordered feed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the real sf0.001 event log, fed in event-time order as 3 batches
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+      .as[(Long, Long, String, Double, java.sql.Timestamp)]
+      .collect().sortBy(e => (e._5.getTime, e._5.getNanos, e._1))
+    val input = MemoryStream[(Long, Long, String, Double, java.sql.Timestamp)]
+    val q = graft.streaming.Alerts.attributionGate(
+      input.toDF().toDF("event_id", "user_id", "event_type", "value", "ts"))
+      .writeStream.format("memory").queryName("attr_gate")
+      .outputMode("append").start()
+    try {
+      val third = ev.length / 3
+      input.addData(ev.take(third).toSeq: _*); q.processAllAvailable()
+      input.addData(ev.slice(third, 2 * third).toSeq: _*); q.processAllAvailable()
+      input.addData(ev.drop(2 * third).toSeq: _*); q.processAllAvailable()
+      // per-purchase credits rolled up == the batch f28 report
+      val got = spark.table("attr_gate")
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          graft.operators.Relational.dsum(col("value"))
+            .as("attributed_revenue"))
+        .as[(String, Long, Double)].collect().toSet
+      val batch = Attribution.f28(spark, sf("sf0.001"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("f28 face: full credit conservation, all buckets populated") {
     val df = Attribution.f28(spark, sf("sf0.001"))
       .as[(String, Long, Double)].collect()
