@@ -26,7 +26,7 @@ object SparkEntry {
       operators.Velocity.queries ++ operators.Vocab.queries ++
       operators.Privacy.queries ++ operators.Sketch.queries ++
       operators.DqAudit.queries ++ operators.ZOrder.queries ++
-      operators.Attribution.queries ++
+      operators.Attribution.queries ++ operators.Paths.queries ++
       multimodal.Binary.queries ++
       streaming.Alerts.queries
 
@@ -183,7 +183,7 @@ object SparkEntry {
       operators.Velocity.oracles ++ operators.Vocab.oracles ++
       operators.Privacy.oracles ++ operators.Sketch.oracles ++
       operators.DqAudit.oracles ++ operators.ZOrder.oracles ++
-      operators.Attribution.oracles ++
+      operators.Attribution.oracles ++ operators.Paths.oracles ++
       multimodal.Binary.oracles ++
       streaming.Alerts.oracles
 }

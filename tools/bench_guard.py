@@ -92,6 +92,7 @@ CEILINGS = {
     "z01_zorder": 1.0,             # ~0.6 s isolated (interleave + rollup)
     "f28_last_touch": 2.0,         # ~1.2 s isolated (user join + rank-1)
     "f29_cms_counts": 1.6,         # ~1.0 s isolated (d*stream shuffle)
+    "q28_top_paths": 2.8,          # ~1.9 s isolated (two-window sessions)
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
