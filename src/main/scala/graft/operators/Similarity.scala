@@ -776,7 +776,147 @@ object Similarity {
        FROM e LEFT JOIN a ON e.qid = a.qid AND e.vec_id = a.vec_id
        GROUP BY 1"""
 
+  // ---------------------------------------------------------------
+  // s13: MMR diversified re-rank (Carbonell & Goldstein 1998) — the
+  // result-diversification pass a retrieval stack runs over its
+  // top-k: greedily pick argmax of λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s)
+  // so near-duplicate hits don't crowd the page. The greedy loop is
+  // SEQUENTIAL — expressed as a FIXED-ITERATION relational unroll
+  // (the g03 fixpoint pattern): MmrK steps, each an anti-join
+  // (remaining pool) + a max-sim join against the selected set + a
+  // per-query rank-1 pick, all over the cached pool/pair-sim frames.
+  // Per query the pool is MmrPool rows and the pair-sim frame
+  // MmrPool² — everything after the s01-style scan is
+  // query-set-sized. Doubles are safe here BECAUSE the cosines are
+  // the proven bit-exact s01 machinery and λ ships string-pinned;
+  // ordering ties break on vec_id (total). One lazy plan, no
+  // per-step materialization (fixed iteration ⇒ linear lineage).
+  // ---------------------------------------------------------------
+  val MmrPool = 10
+  val MmrK = 5
+  val MmrLambda = "0.7"
+
+  def s13(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    mmr(e, queriesDf(e))
+  }
+
+  /** MMR over any (vec_id, embedding) corpus + (qid, qe) query set. */
+  def mmr(e: DataFrame, queries: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    val pool = annBruteForce(e, queries, MmrPool)
+      .withColumnRenamed("cos", "rel")
+      .transform(graft.CacheRegistry.register)
+    // pairwise sims inside each query's pool
+    // the pair frame is query-set-sized (|Q|·MmrPool² rows) — always
+    // the broadcast side against the corpus-scale embedding table
+    val ea = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val eb = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    val pairSims = ea.join(
+        broadcast(pool.select(col("qid"), col("vec_id").as("a"))
+          .join(pool.select(col("qid"), col("vec_id").as("b")), Seq("qid"))
+          .filter(col("a") =!= col("b"))), Seq("a"))
+      .join(eb, Seq("b"))
+      .select(col("qid"), col("a"), col("b"),
+        graft.plans.GraftFunctions.cosine(s, col("ea"), col("eb")).as("sim"))
+      .transform(graft.CacheRegistry.register)
+    // The greedy loop is sequential PER QUERY and the per-query frame
+    // is MmrPool + MmrPool² rows by construction — so after the two
+    // declarative corpus passes above, the selection runs as one
+    // cogroup shuffle with the loop local to each query group (the
+    // sessionize precedent: per-key sequential logic belongs in a
+    // grouped map, not in an N-step relational unroll whose 4 rounds
+    // of anti-join/agg/window each pay full stage overhead for
+    // query-set-sized data — measured 8-18 s vs ~2 s at sf0.1).
+    // Score arithmetic is the SAME IEEE ops the oracle's unrolled SQL
+    // runs (lam*rel - (1-lam)*max sim on bit-identical cosines), so
+    // parity carries over; ties break on vec_id, a total order.
+    import s.implicits._
+    val lamD = MmrLambda.toDouble
+    val picks = pool.select(col("qid"), col("vec_id"), col("rel"))
+      .as[(Long, Long, Double)].groupByKey(_._1)
+      .cogroup(pairSims.as[(Long, Long, Long, Double)].groupByKey(_._1)) {
+        (qid, poolIt, simIt) =>
+          val cands = poolIt.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+          val sim = simIt.map(t => ((t._2, t._3), t._4)).toMap
+          val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val out = scala.collection.mutable.ListBuffer
+            .empty[(Long, Int, Long, Double)]
+          (1 to math.min(MmrK, cands.length)).foreach { step =>
+            var bestId = -1L
+            var bestScore = Double.NegativeInfinity
+            cands.foreach { case (id, rel) =>
+              if (!selected.contains(id)) {
+                val ms =
+                  if (selected.isEmpty) 0.0
+                  else selected.map(s => sim((id, s))).max
+                val score = lamD * rel - (1.0 - lamD) * ms
+                // argmax, tie -> smaller vec_id (cands are id-sorted,
+                // so strict > keeps the first, i.e. smallest, id)
+                if (score > bestScore) { bestScore = score; bestId = id }
+              }
+            }
+            selected += bestId
+            out += ((qid, step, bestId, bestScore))
+          }
+          out.iterator
+      }
+      .toDF("qid", "step", "vec_id", "mmr_score")
+    picks.select(col("qid"), col("step"), col("vec_id"),
+      round(col("mmr_score"), 6).as("mmr_score"))
+  }
+
+  val s13Sql: String = {
+    val lam = s"CAST('$MmrLambda' AS DOUBLE)"
+    val cosExpr = (x: String, y: String) =>
+      s"""list_sum(list_transform(list_zip($x::DOUBLE[], $y::DOUBLE[]), v -> v[1]*v[2]))
+         / (sqrt(list_sum(list_transform($x::DOUBLE[], v -> v*v)))
+          * sqrt(list_sum(list_transform($y::DOUBLE[], v -> v*v))))"""
+    val steps = (2 to MmrK).map { j =>
+      s"""ms$j AS (SELECT r.qid, r.vec_id, r.rel, max(ps.sim) AS ms
+             FROM pool r
+             JOIN ps ON ps.qid = r.qid AND ps.a = r.vec_id
+             JOIN sel${j - 1} s ON s.qid = ps.qid AND s.vec_id = ps.b
+             WHERE NOT EXISTS (SELECT 1 FROM sel${j - 1} x
+                               WHERE x.qid = r.qid AND x.vec_id = r.vec_id)
+             GROUP BY 1, 2, 3),
+       pick$j AS (SELECT qid, vec_id, $j AS step,
+                    $lam * rel - (1 - $lam) * ms AS mmr_score
+                  FROM (SELECT qid, vec_id, rel, ms,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY $lam * rel - (1 - $lam) * ms DESC,
+                            vec_id) AS rn
+                        FROM ms$j)
+                  WHERE rn = 1),
+       sel$j AS (SELECT * FROM sel${j - 1} UNION ALL SELECT * FROM pick$j)"""
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                  WHERE vec_id % $QueryStride = 0),
+       c AS (SELECT qid, vec_id, ${cosExpr("qe", "embedding")} AS rel
+             FROM q, embeddings WHERE vec_id <> qid),
+       pool AS (SELECT qid, vec_id, rel FROM (
+                  SELECT qid, vec_id, rel,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY rel DESC, vec_id) AS rank
+                  FROM c) WHERE rank <= $MmrPool),
+       ps AS (SELECT p1.qid, p1.vec_id AS a, p2.vec_id AS b,
+                ${cosExpr("e1.embedding", "e2.embedding")} AS sim
+              FROM pool p1
+              JOIN pool p2 ON p1.qid = p2.qid AND p1.vec_id <> p2.vec_id
+              JOIN embeddings e1 ON e1.vec_id = p1.vec_id
+              JOIN embeddings e2 ON e2.vec_id = p2.vec_id),
+       sel1 AS (SELECT qid, vec_id, 1 AS step, $lam * rel AS mmr_score
+                FROM (SELECT qid, vec_id, rel,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY rel DESC, vec_id) AS rank
+                      FROM pool) WHERE rank = 1),
+       $steps
+       SELECT qid, step, vec_id, round(mmr_score, 6) AS mmr_score
+       FROM sel$MmrK"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_mmr" -> (s13 _),
     "s12_ann_recall" -> (s12 _),
     "s11_knn_classify" -> (s11 _),
     "d13_semantic_dedup" -> (d13 _),
@@ -788,6 +928,7 @@ object Similarity {
     "s05_ivfpq" -> (s05 _))
 
   val oracles: Map[String, String] = Map(
+    "s13_mmr" -> s13Sql,
     "s12_ann_recall" -> s12Sql,
     "s11_knn_classify" -> s11Sql,
     "d13_semantic_dedup" -> d13Sql,

@@ -93,6 +93,8 @@ CEILINGS = {
     "f28_last_touch": 2.0,         # ~1.2 s isolated (user join + rank-1)
     "f29_cms_counts": 1.6,         # ~1.0 s isolated (d*stream shuffle)
     "q28_top_paths": 2.8,          # ~1.9 s isolated (two-window sessions)
+    "s13_mmr": 2.8,                # ~1.8 s isolated (cogroup greedy; the
+                                   # relational unroll measured 8-18 s)
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
