@@ -353,4 +353,39 @@ class PropertySpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
     }
   }
+
+  test("sketch merge laws hold under random multiset splits") {
+    import graft.operators.Sketch
+    val rnd = new Random(131)
+    (1 to 3).foreach { trial =>
+      // random multiset with duplicates, random 3-way split
+      val items = Seq.fill(1500 + rnd.nextInt(1000))(
+        ("g" + rnd.nextInt(3), "item_" + rnd.nextInt(400 + trial * 300)))
+      val parts = items.groupBy(_ => rnd.nextInt(3)).values.toSeq
+        .filter(_.nonEmpty)
+      def reg(df: org.apache.spark.sql.DataFrame) =
+        df.as[(String, Long, Int)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+      // HLL: max-merge of the parts == one fit over the whole
+      val hllWhole = reg(Sketch.fitRegisters(items.toDF("source", "term")))
+      val hllMerged = reg(Sketch.mergeRegisters(
+        parts.map(p => Sketch.fitRegisters(p.toDF("source", "term")))))
+      assert(hllMerged == hllWhole, s"trial $trial hll")
+      // CMS: sum-merge of the parts == one fit over the whole, and
+      // estimates stay one-sided vs exact counts
+      val keyed = items.map(t => t._1 + "|" + t._2)
+      def cms(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Int, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+      val cmsWhole = cms(Sketch.cmsFit(keyed.toDF("key")))
+      val cmsMerged = cms(Sketch.cmsMerge(parts.map(p =>
+        Sketch.cmsFit(p.map(t => t._1 + "|" + t._2).toDF("key")))))
+      assert(cmsMerged == cmsWhole, s"trial $trial cms")
+      val exact = keyed.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      val probes = exact.keys.take(40).toSeq.toDF("key")
+      Sketch.cmsEstimate(Sketch.cmsFit(keyed.toDF("key")), probes)
+        .as[(String, Long)].collect().foreach { case (k, est) =>
+          assert(est >= exact(k), s"trial $trial: $k one-sidedness") }
+    }
+  }
 }
