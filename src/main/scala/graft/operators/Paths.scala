@@ -54,8 +54,12 @@ object Paths {
       .agg(array_join(transform(
         sort_array(collect_list(struct(col("step"), col("event_type")))),
         e => e.getField("event_type")), "->").as("path"))
+    // counts feeds BOTH the top-k cut and the total — cache it or the
+    // whole session pipeline (scan + two windows + path build) runs
+    // twice (plan-asserted: one user exchange in the shared subtree)
     val counts = paths.groupBy(col("path"))
       .agg(count(lit(1)).as("n_sessions"))
+      .transform(graft.CacheRegistry.register)
     val total = counts.agg(sum(col("n_sessions")).as("total"))
     counts.orderBy(col("n_sessions").desc, col("path").asc).limit(TopK)
       .crossJoin(broadcast(total))

@@ -42,6 +42,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "attribution fell to cross join")
   }
 
+  test("f27/f29: sketch shuffles are combiner-friendly (partial agg present)") {
+    Seq("f27_hll_users", "f29_cms_counts").foreach { q =>
+      val p = plan(q)
+      // max/count registers must combine map-side: a partial_
+      // aggregate before the exchange is what keeps the shuffle
+      // register-sized instead of stream-sized
+      assert(p.contains("partial_max") || p.contains("partial_count"),
+        s"$q: no map-side combine before the register shuffle")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q28: both session windows ride ONE user-keyed exchange") {
+    val p = plan("q28_top_paths")
+    // the session-flag window and the step window partition by
+    // (user_id) and (user_id, session_id) — the second is a
+    // restriction of the first, so no second corpus exchange for it.
+    // Count DISTINCT exchange plan ids: the cached counts subtree
+    // prints in both consumer branches.
+    val exchanges = "Exchange hashpartitioning[^\\[]*\\[plan_id=(\\d+)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.size <= 2,
+      s"q28 plan has ${exchanges.size} distinct hash exchanges (user " +
+        s"shuffle + path count expected; total rides SinglePartition)")
+  }
+
+  test("z01: the interleave is pure projection — no join, no extra shuffle") {
+    val p = plan("z01_zorder")
+    assert(!p.contains("Join"), "z-value must not need a join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"z01: $exchanges exchanges, expected the " +
+      "single block rollup")
+  }
+
   test("d04: simhash signature is a narrow map (no aggregate before banding)") {
     val p = plan("d04_simhash")
     assert(p.contains("graft_simhash64"))
