@@ -168,17 +168,30 @@ object Dedup {
   val CurveThresholds: Seq[String] =
     Seq("0.02", "0.05", "0.1", "0.3", "0.5", "0.7", "0.9")
 
-  def d17(s: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairs(Tables.documents(s, dir),
-        maxDf = None, threshold = 0.02)
-      .select(col("jacc"))
+  /** Threshold curve over any near-dup pair frame with a `jacc`
+    * column. The grid frame is built INDEPENDENTLY and the counted
+    * curve left-joins onto it, so a corpus with zero pairs above the
+    * pre-cut still yields one row per threshold with n_pairs = 0
+    * (matching the oracle's `t LEFT JOIN j ON TRUE` shape — an
+    * explode-only formulation emits nothing when the pair set is
+    * empty). */
+  def thresholdCurve(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
     val ts = explode(array(CurveThresholds.map(t =>
       lit(t).cast("double")): _*)).as("threshold")
-    pairs.select(col("jacc"), ts)
+    val grid = s.range(1).select(ts)
+    val counted = pairs.select(col("jacc"), ts)
       .groupBy(col("threshold"))
       .agg(sum(when(col("jacc") >= col("threshold"), 1L).otherwise(0L))
         .as("n_pairs"))
+    grid.join(counted, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
   }
+
+  def d17(s: SparkSession, dir: String): DataFrame =
+    thresholdCurve(jaccardPairs(Tables.documents(s, dir),
+      maxDf = None, threshold = 0.02).select(col("jacc")))
 
   lazy val d17Sql: String = {
     val tlist = CurveThresholds

@@ -30,8 +30,10 @@ import org.apache.spark.sql.functions._
   * and cached with its out-degree window — each iteration consumes
   * that partitioning (only the small per-node rank frame shuffles)
   * plus one combiner-friendly shuffle on `dst` for the neighbor sum.
-  * Lineage is cut per round with an eager localCheckpoint (the d06
-  * pattern), so rounds never accrete plan depth.
+  * The fixed iteration count builds ONE lazy plan (no per-round
+  * checkpoint or materialization): with Iters small and each round a
+  * join + aggregate over the cached edge frame, Catalyst handles the
+  * plan depth fine and the whole fixpoint runs as a single job.
   */
 object Graph {
 

@@ -586,9 +586,14 @@ object Relational {
   // practice carries most of the recommendation signal). Pair
   // generation is a self-join on the ORDER key, so the blow-up is
   // bounded by basket size squared per order (baskets are small by
-  // nature — TPC-H ≤ 7 lines); item counts and the one-row
-  // transaction total ride broadcasts for the lift arithmetic.
-  // Integer counts end-to-end; lift is the one double, rounded.
+  // nature — TPC-H ≤ 7 lines). The lift arithmetic needs per-item
+  // counts only for items that SURVIVE the support threshold, so the
+  // catalog-sized itemCnt frame is semi-join-pruned down to pair
+  // members BEFORE any broadcast: the support-filtered pair frame is
+  // small by construction, so the pruned count frame is ≤ 2·|pairs|
+  // rows no matter how large the catalog — broadcasting the full
+  // itemCnt would OOM at a 10^8-item catalog. Integer counts
+  // end-to-end; lift is the one double, rounded.
   // ---------------------------------------------------------------
 
   val MinSupport = 3
@@ -604,11 +609,17 @@ object Relational {
       .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= MinSupport)
+      .transform(graft.CacheRegistry.register) // consumed 3× below
     val itemCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    // semi-prune: distinct pair members (small) broadcast INTO the
+    // catalog-scale count frame; only the surviving counts broadcast
+    val pairParts = pairs.select(col("pa").as("pk"))
+      .union(pairs.select(col("pb").as("pk"))).distinct()
+    val prunedCnt = itemCnt.join(broadcast(pairParts), "pk")
     val total = li.agg(count_distinct(col("ok")).as("n_tx"))
     pairs
-      .join(broadcast(itemCnt.select(col("pk").as("pa"), col("cnt").as("ca"))), "pa")
-      .join(broadcast(itemCnt.select(col("pk").as("pb"), col("cnt").as("cb"))), "pb")
+      .join(broadcast(prunedCnt.select(col("pk").as("pa"), col("cnt").as("ca"))), "pa")
+      .join(broadcast(prunedCnt.select(col("pk").as("pb"), col("cnt").as("cb"))), "pb")
       .crossJoin(broadcast(total))
       .select(col("pa"), col("pb"), col("n_orders"),
         round(col("n_orders").cast("double") * col("n_tx") /

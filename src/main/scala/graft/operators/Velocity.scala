@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   * ties (the g03 lesson); the reported ratio is display-only.
   *
   * Scale: one combiner-friendly shuffle on (user, day); the per-user
-  * baseline is a second tiny aggregate broadcast back. Nothing
-  * event-scale survives the first aggregation; no windows, no sorts.
+  * baseline joins back on user_id with no explicit broadcast hint —
+  * the frame is USER-cardinality (10^9 at 100 TB), so the strategy is
+  * left to Catalyst/AQE, which broadcasts only when stats say it
+  * fits. Nothing event-scale survives the first aggregation; no
+  * windows, no sorts.
   */
 object Velocity {
 
@@ -35,7 +38,7 @@ object Velocity {
       .agg(count(lit(1)).as("n"))
     val base = perDay.groupBy(col("user_id"))
       .agg(sum(col("n")).as("sum_n"), count(lit(1)).as("nw"))
-    perDay.join(broadcast(base), "user_id")
+    perDay.join(base, "user_id")
       .filter(col("n") >= MinBurst &&
         col("n") * col("nw") >= lit(BurstFactor) * col("sum_n"))
       .select(col("user_id"), col("day"), col("n"),
@@ -147,10 +150,15 @@ object Velocity {
   // mean; CUSUM accumulates small persistent excess (a seller whose
   // activity creeps up 30% never trips a 2× day rule but walks the
   // CUSUM up linearly). Classic Page (1954) one-sided CUSUM with the
-  // PREFIX-MIN closed form: S_t = max_{j≤t} Σ_{i>j}(x_i − μ − k)
-  // = P_t − min_{j≤t} P_j — so the sequential recurrence becomes two
-  // stock window functions (running sum, running min), no recursion,
-  // no state.
+  // PREFIX-MIN closed form: S_t = max_{0≤j≤t} Σ_{i>j}(x_i − μ − k)
+  // = P_t − min_{0≤j≤t} P_j — so the sequential recurrence becomes
+  // two stock window functions (running sum, running min), no
+  // recursion, no state. The min includes the VIRTUAL P_0 = 0 (the
+  // Page recursion's S_0 = 0 anchor): without it the first lattice
+  // day could never alarm and S_t is understated whenever the prefix
+  // sums stay positive (a day-1 burst). The streaming gate
+  // (Alerts.cusumGate, minP seeded at 0) implements the same form,
+  // so batch and stream agree row-for-row.
   //
   // Exactness: everything is scaled by the user's lattice size nd —
   // P'_t = nd·ΣX_t − t·(ΣX + k·nd) — all BIGINT (the g03/f23/f24
@@ -160,7 +168,9 @@ object Velocity {
   // read as a run).
   //
   // Scale: the lattice explode is bounded by the time span, windows
-  // are per-user partitions, and the per-user totals broadcast back.
+  // are per-user partitions, and the per-user totals join back on
+  // user_id (no explicit broadcast — the frame is user-cardinality;
+  // AQE picks the strategy).
   // ---------------------------------------------------------------
 
   val CusumSlack = 1L // k: per-day allowance above the mean
@@ -185,12 +195,12 @@ object Velocity {
       .agg(count(lit(1)).as("nd"), sum(col("x")).as("sx"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val run = w.rowsBetween(Window.unboundedPreceding, 0)
-    val p = f.join(broadcast(t), "user_id")
+    val p = f.join(t, "user_id")
       .withColumn("i", row_number().over(w).cast("long"))
       .withColumn("pp",
         col("nd") * sum(col("x")).over(run) -
           col("i") * (col("sx") + lit(slack) * col("nd")))
-    p.withColumn("s", col("pp") - min(col("pp")).over(run))
+    p.withColumn("s", col("pp") - least(lit(0L), min(col("pp")).over(run)))
       .filter(col("s") >= lit(threshold) * col("nd"))
       .select(col("user_id"),
         date_format(col("day"), "yyyy-MM-dd").as("day"),
@@ -219,8 +229,8 @@ object Velocity {
              FROM f JOIN t ON f.user_id = t.user_id
              WINDOW w AS (PARTITION BY f.user_id ORDER BY day)),
        c AS (SELECT user_id, day, x, nd,
-               CAST(pp - min(pp) OVER (PARTITION BY user_id ORDER BY day
-                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+               CAST(pp - least(0, min(pp) OVER (PARTITION BY user_id ORDER BY day
+                 ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS s
              FROM p)
        SELECT user_id, strftime(day, '%Y-%m-%d') AS day, x,
          s AS cusum_num, nd,

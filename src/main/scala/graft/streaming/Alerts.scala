@@ -150,7 +150,9 @@ object Alerts {
   // minBurst). Users ABSENT from the baseline default to 0·0 — the
   // relative test passes vacuously and only the absolute floor
   // gates, the right cold-start posture. Watermark bounds state;
-  // append mode emits each window once final.
+  // append mode emits each window once final. The baseline join is
+  // unhinted: the frame is user-cardinality, so whether it
+  // broadcasts is left to Catalyst's stats, not forced.
   // ---------------------------------------------------------------
   def burstAlerts(events: DataFrame, baseline: DataFrame,
       windowLen: String = "1 day", watermark: String = "2 days",
@@ -160,7 +162,7 @@ object Alerts {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n"))
-      .join(broadcast(baseline), Seq("user_id"), "left")
+      .join(baseline, Seq("user_id"), "left")
       .filter(col("n") >= minBurst &&
         col("n") * coalesce(col("nw"), lit(0L)) >=
           lit(factor) * coalesce(col("sum_n"), lit(0L)))

@@ -523,4 +523,23 @@ class DedupSpec extends SparkSpec {
     assert(rows.head._2 > rows.last._2)
     assert(rows.last._2 > 0)
   }
+
+  test("d17 emits all threshold rows with n_pairs=0 on a pair-free corpus") {
+    // no shared shingles anywhere → the pair frame is EMPTY; the
+    // curve must still match the oracle's `t LEFT JOIN j ON TRUE`
+    // shape: one row per threshold, all zero (an explode-over-pairs
+    // formulation would emit nothing)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    try {
+      val pairs = graft.operators.Dedup.jaccardPairs(docs,
+        maxDf = None, threshold = 0.02).select(col("jacc"))
+      val got = graft.operators.Dedup.thresholdCurve(pairs)
+        .orderBy("threshold").as[(Double, Long)].collect()
+      assert(got.length == graft.operators.Dedup.CurveThresholds.length)
+      assert(got.forall(_._2 == 0L))
+    } finally CacheRegistry.unpersistAll()
+  }
 }

@@ -389,6 +389,22 @@ class PlanSpec extends SparkSpec {
     floats.select(graft.plans.GraftFunctions.cosine(spark, col("a"), col("b")))
   }
 
+  test("q20: item-count broadcast is semi-pruned to pair members first") {
+    // the lift joins may broadcast ONLY the pruned count frame
+    // (≤ 2·|pairs| rows), never the catalog-sized itemCnt: each
+    // broadcast side must itself be built by a prune join of
+    // broadcast(pairParts) into itemCnt, so the plan carries the two
+    // lift BHJs PLUS at least one prune BHJ inside each broadcast
+    // subtree (4+ total), and nothing falls back to a shuffle join.
+    try {
+      val p = plan("q20_copurchase")
+      assert(!p.contains("SortMergeJoin"), "q20 fell back to shuffle join")
+      val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+      assert(bhj >= 4,
+        s"q20 lost the itemCnt semi-prune joins ($bhj BHJs):\n${p.take(2000)}")
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("q21: three grains in ONE pass — a single Expand, no union of scans") {
     val df = SparkEntry.queries("q21_grouping_sets")(spark, sf("sf0.001"))
     val p = df.queryExecution.executedPlan.toString

@@ -47,6 +47,33 @@ class StreamingCusumSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("day-1 excess: stream and batch both alarm on the first lattice day") {
+    implicit val sqlCtx = spark.sqlContext
+    // 10 events on day 1, 1 on day 10 — the virtual-P_0 case: the
+    // very first folded day must alarm in BOTH engines (the batch
+    // prefix min includes 0; the stream's minP is seeded at 0)
+    val burst: Seq[(Timestamp, Long)] =
+      (0 until 10).map(i => (ts(1, i), 1L)) :+ ((ts(10, 0), 1L))
+    val batch = graft.operators.Velocity.cusum(burst.toDF("ts", "user_id"))
+      .select(col("user_id"), col("day"), col("x"),
+        col("cusum_num"), col("nd"))
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(batch.exists(_._2 == "2024-01-01"))
+    val baseline = Seq((1L, 11L, 10L)).toDF("user_id", "sum_n", "nd")
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = Alerts.cusumGate(input.toDF().toDF("ts", "user_id"), baseline)
+      .writeStream.format("memory").queryName("cusum_day1")
+      .outputMode("append").start()
+    try {
+      input.addData(burst :+ ((ts(12, 0), 1L)): _*)
+      q.processAllAvailable()
+      val got = spark.table("cusum_day1")
+        .filter(col("day") <= "2024-01-10")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("cold-start user (no baseline) runs the absolute k/day CUSUM") {
     implicit val sqlCtx = spark.sqlContext
     val baseline = Seq.empty[(Long, Long, Long)]

@@ -110,6 +110,19 @@ class VelocitySpec extends SparkSpec {
     assert(got.count() == 0)
   }
 
+  test("f25 day-1 burst alarms (virtual P_0 = 0 in the prefix min)") {
+    import graft.operators.Velocity
+    // 10 events on day 1, then 1 on day 10: nd = 10, Σx = 11,
+    // pp_1 = 10·10 − 1·(11 + 10) = 79 ≥ h·nd = 40 → day 1 alarms.
+    // A prefix min omitting the virtual P_0 = 0 would give
+    // s_1 = pp_1 − pp_1 = 0 and the first lattice day could never
+    // alarm regardless of how extreme it is.
+    val rows = ((0 until 10).map(i => (1L, ts(1, i))) :+ ((1L, ts(10, 0))))
+      .toDF("user_id", "ts")
+    val days = Velocity.cusum(rows).select("day").as[String].collect().toSet
+    assert(days.contains("2024-01-01"))
+  }
+
   test("MinBurst floor: a relative spike under 6 events never flags") {
     // 1/day × 9 days then 5 on day 10: ratio 5·10/14 ≈ 3.6 ≥ 2 but
     // n = 5 < MinBurst → suppressed (tiny users can't alarm)
