@@ -1048,19 +1048,51 @@ object Dedup {
   // d16: dedup-method agreement audit — the comparison that tells you
   // WHICH near-dup detector to trust on a given corpus: pairwise
   // overlap (common pairs + Jaccard of the pair SETS) between the
-  // three exhaustive detectors (d02 shingle-Jaccard, d07 winnowing
-  // fingerprints, d10 K-gram runs). Methodology face, the s12 pattern
-  // applied to dedup: each method's oracle SQL composes as a CTE, so
-  // the whole audit is driver-checked. Everything downstream of the
-  // three (already pair-sized) frames is trivially small.
+  // three detectors (d02 shingle-Jaccard, d07 winnowing fingerprints,
+  // d10 K-gram runs). Methodology face, the s12 pattern applied to
+  // dedup: each method's oracle SQL composes as a CTE, so the whole
+  // audit is driver-checked. Everything downstream of the three
+  // (already pair-sized) frames is trivially small.
+  //
+  // The SHIPPED plan runs the CAPPED detectors (r13 verdict: an
+  // exhaustive audit is a quadratic candidate join on whatever hot
+  // shingle exists at 100 TB). The oracle still replays the
+  // exhaustive CTEs: on any corpus whose max posting df sits under
+  // the cap — every sf test corpus — the capped decomposition is
+  // provably identical output (and, via the adaptive short-circuit,
+  // the identical physical join), so capped == exhaustive is itself
+  // a driver-checked fact here and spec-pinned besides. The one
+  // shared documents cache feeds all three detectors (one text scan,
+  // not three).
   // ---------------------------------------------------------------
 
-  def d16(s: SparkSession, dir: String): DataFrame = {
-    val sets = Seq(
-      "d02_jaccard" -> d02(s, dir, maxDf = None).select(col("a"), col("b")),
-      "d07_winnow" -> d07(s, dir).select(col("a"), col("b")),
-      "d10_runs" -> d10(s, dir, maxDf = None).select(col("a"), col("b")))
-      .map { case (n, df) => n -> df.transform(graft.CacheRegistry.register) }
+  def d16(s: SparkSession, dir: String,
+      maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .transform(graft.CacheRegistry.register)
+    // The three detectors are independent pipelines over the shared
+    // docs cache: build AND materialize them concurrently (Spark's
+    // scheduler interleaves concurrent jobs; the BlockManager's
+    // per-partition compute-or-wait makes racing on the shared cache
+    // safe), so the capped path's adaptive probes and the three pair
+    // materializations overlap instead of serializing — audit wall
+    // time tracks max(detector), not the sum.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val defs: Seq[(String, () => DataFrame)] = Seq(
+      "d02_jaccard" -> (() => jaccardPairs(docs, maxDf = maxDf)),
+      "d07_winnow" -> (() => winnowPairs(docs, maxDf = maxDf)),
+      "d10_runs" -> (() => runOverlapPairs(docs, maxDf = maxDf)))
+    val sets = Await.result(
+      Future.traverse(defs) { case (n, f) =>
+        Future {
+          val p = f().select(col("a"), col("b"))
+            .transform(graft.CacheRegistry.register)
+          p.count() // force the cache now, overlapped with the others
+          n -> p
+        }
+      }, Duration.Inf)
     // fully declarative: per combo, three 1-row count aggregates
     // cross-joined into one output row — no driver-side actions
     val rows = for {
@@ -1104,8 +1136,9 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (d01 _),
-    // oracle row pins maxDf = None: DuckDB replays the exhaustive join
-    "d16_dedup_compare" -> (d16 _),
+    // shipped plan is the CAPPED audit; the oracle replays the
+    // exhaustive CTEs, equal by the under-cap corpus property
+    "d16_dedup_compare" -> ((s: SparkSession, dir: String) => d16(s, dir)),
     "d17_threshold_curve" -> (d17 _),
     "d02_ngram_jaccard" -> ((s: SparkSession, dir: String) => d02(s, dir, maxDf = None)),
     "d03_minhash_lsh" -> (d03 _),

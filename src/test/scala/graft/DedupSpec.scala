@@ -524,6 +524,21 @@ class DedupSpec extends SparkSpec {
     assert(rows.last._2 > 0)
   }
 
+  test("d16 capped audit == exhaustive audit where the cap does not bind") {
+    // the shipped d16 runs the CAPPED detectors while the oracle
+    // replays the exhaustive CTEs — valid because on an under-cap
+    // corpus the decomposition is output-identical; pin that here
+    try {
+      val capped = graft.operators.Dedup.d16(spark, sf("sf0.001"))
+        .collect().map(_.toSeq).toSet
+      val exhaustive = graft.operators.Dedup
+        .d16(spark, sf("sf0.001"), maxDf = None)
+        .collect().map(_.toSeq).toSet
+      assert(capped == exhaustive)
+      assert(capped.nonEmpty)
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("d17 emits all threshold rows with n_pairs=0 on a pair-free corpus") {
     // no shared shingles anywhere → the pair frame is EMPTY; the
     // curve must still match the oracle's `t LEFT JOIN j ON TRUE`

@@ -60,8 +60,21 @@ CEILINGS = {
     "s11_knn_classify": 1.2,       # steady ~0.8 s (s01 + |Q|-sized vote)
     "q21_grouping_sets": 0.7,      # steady ~0.35 s (one Expand pass)
     "f23_user_burst": 1.2,         # steady ~0.8 s ((user, day) rollup)
-    "m02_image_dhash": 2.2,        # steady ~1.5 s (BMP encode+decode scan)
-    "d13_semantic_dedup": 1.3,     # steady ~0.8 s (cell-blocked pairs)
+    "m02_image_dhash": 3.2,        # steady ~1.5 s (BMP encode+decode
+                                   # scan). History: r13 isolated 1.5,
+                                   # r13 driver full-run 2.64 (loaded
+                                   # host), r14 isolated 1.23 — the
+                                   # plan is a narrow mapPartitions and
+                                   # unchanged, so 2.64 was churn; the
+                                   # 2.2 ceiling sat inside the driver
+                                   # host's noise band. 3.2 ≈ 1.2x the
+                                   # worst observed clean-plan reading.
+    "d13_semantic_dedup": 1.9,     # steady ~0.8 s (cell-blocked
+                                   # pairs). History: r13 isolated 0.8,
+                                   # r13 driver full-run 1.36, r14
+                                   # isolated 0.92 — same churn call as
+                                   # m02 (plan unchanged); 1.9 ≈ 1.4x
+                                   # the worst observed reading.
     "c17_vocab_fit": 0.8,          # steady ~0.5 s (TakeOrdered vocab cut)
     "q22_sliding_window": 0.5,     # steady ~0.15 s (one RANGE window)
     "t10_readability": 0.6,        # steady ~0.35 s (3 regex-count scans)
@@ -82,10 +95,15 @@ CEILINGS = {
     "d15_para_dedup": 1.4,         # steady ~0.9 s (line shuffle + reassembly)
     "q25_unpivot": 0.8,            # steady ~0.5 s (one Expand pass)
     "q26_reconcile": 1.0,          # steady ~0.6 s (agg + full-outer join)
-    "d16_dedup_compare": 9.0,      # ~7 s: three exhaustive dedup
-                                   # pipelines + pair intersections —
-                                   # a composition face, cost = sum of
-                                   # its constituents
+    "d16_dedup_compare": 6.5,      # composition face: three CAPPED
+                                   # dedup pipelines (shared docs
+                                   # cache, concurrently materialized)
+                                   # + pair intersections. History:
+                                   # r13 exhaustive+serial 8.5 driver /
+                                   # 7.0 isolated; r14 capped+serial
+                                   # 7.8 isolated; r14 capped+parallel
+                                   # 5.0 isolated (expect ~3.5-4.5
+                                   # full-run).
     # r13 seventh batch
     "f27_hll_users": 1.4,          # ~0.86 s isolated (one register shuffle)
     "q27_dq_audit": 2.1,           # ~1.3 s isolated (2 scans + FK join)
