@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Privacy.queries ++ operators.Sketch.queries ++
       operators.DqAudit.queries ++ operators.ZOrder.queries ++
       operators.Attribution.queries ++ operators.Paths.queries ++
+      operators.VectorIndex.queries ++
       multimodal.Binary.queries ++
       streaming.Alerts.queries
 
@@ -184,6 +185,7 @@ object SparkEntry {
       operators.Privacy.oracles ++ operators.Sketch.oracles ++
       operators.DqAudit.oracles ++ operators.ZOrder.oracles ++
       operators.Attribution.oracles ++ operators.Paths.oracles ++
+      operators.VectorIndex.oracles ++
       multimodal.Binary.oracles ++
       streaming.Alerts.oracles
 }

@@ -20,7 +20,7 @@ object Similarity {
   /** every 50th vector is a query (deterministic, data-derived) */
   val QueryStride = 50
 
-  private def queriesDf(e: DataFrame): DataFrame =
+  private[operators] def queriesDf(e: DataFrame): DataFrame =
     e.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
 
@@ -39,7 +39,7 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
-  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
+  private[operators] def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -104,10 +104,21 @@ object GraftFunctions {
       exprs => Fingerprint(exprs.head)),
     (Md5Prefix60Name, classOf[Md5Prefix60].getName,
       exprs => Md5Prefix60(exprs.head)),
+    // optional 2nd arg: a literal array<double> codebook (flat
+    // [(m*16+j)*8+d] layout) — the VectorIndex artifact path; 1-arg
+    // form keeps the pinned Murmur family
     (PqSubDotsName, classOf[PqSubDots].getName,
-      exprs => PqSubDots(exprs.head)),
+      exprs =>
+        if (exprs.lengthIs >= 2)
+          PqSubDots(exprs.head,
+            exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray())
+        else PqSubDots(exprs.head)),
     (PqCodesName, classOf[PqCodes].getName,
-      exprs => PqCodes(exprs.head)),
+      exprs =>
+        if (exprs.lengthIs >= 2)
+          PqCodes(exprs.head,
+            exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray())
+        else PqCodes(exprs.head)),
     (TextStatsName, classOf[TextStats].getName,
       exprs => TextStats(exprs.head)),
     (SubwordCountName, classOf[SubwordCount].getName,
@@ -177,6 +188,23 @@ object GraftFunctions {
   def pqCodes(spark: SparkSession, v: Column): Column = {
     register(spark)
     call_function(PqCodesName, v)
+  }
+
+  /** Artifact-path variants: the same fused PQ loops over an EXPLICIT
+    * flat codebook (a loaded VectorIndex artifact) instead of the
+    * pinned family — bit-identical arithmetic by construction. */
+  def pqSubDotsWith(spark: SparkSession, v: Column,
+      cb: Array[Double]): Column = {
+    register(spark)
+    call_function(PqSubDotsName, v,
+      org.apache.spark.sql.functions.typedLit(cb))
+  }
+
+  def pqCodesWith(spark: SparkSession, v: Column,
+      cb: Array[Double]): Column = {
+    register(spark)
+    call_function(PqCodesName, v,
+      org.apache.spark.sql.functions.typedLit(cb))
   }
 
   def textStats(spark: SparkSession, text: Column): Column = {

@@ -61,8 +61,13 @@ object Pq {
 
 /** All SubSpaces×CodesPerSub sub-dots of `child` against the PQ
   * codebook, ordered (m*CodesPerSub + j) — exactly the query-side ADC
-  * lookup table. */
-case class PqSubDots(child: Expression)
+  * lookup table. `cb` defaults to the pinned Murmur sign family; an
+  * artifact-loaded codebook (VectorIndex) rides the expression as a
+  * per-instance reference object, so scoring from a persisted index
+  * runs the IDENTICAL fused loop (bit-identical sums) as in-query
+  * fit. */
+case class PqSubDots(child: Expression,
+    cb: Array[Double] = Pq.flatCodebook)
     extends UnaryExpression with ExpectsInputTypes {
   import Pq._
 
@@ -75,7 +80,6 @@ case class PqSubDots(child: Expression)
     val v = a.asInstanceOf[ArrayData]
     requireDim(v.numElements())
     val out = new Array[Double](SubSpaces * CodesPerSub)
-    val cb = flatCodebook
     var m = 0
     while (m < SubSpaces) {
       var j = 0
@@ -96,7 +100,7 @@ case class PqSubDots(child: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val cb = ctx.addReferenceObj("pqCodebook", flatCodebook, "double[]")
+      val cbRef = ctx.addReferenceObj("pqCodebook", cb, "double[]")
       s"""
          |graft.plans.Pq.requireDim($v.numElements());
          |double[] out = new double[${SubSpaces * CodesPerSub}];
@@ -105,7 +109,7 @@ case class PqSubDots(child: Expression)
          |    double dot = 0.0;
          |    for (int d = 0; d < $SubDim; d++) {
          |      dot += (double) $v.getFloat(m * $SubDim + d)
-         |        * $cb[(m * $CodesPerSub + j) * $SubDim + d];
+         |        * $cbRef[(m * $CodesPerSub + j) * $SubDim + d];
          |    }
          |    out[m * $CodesPerSub + j] = dot;
          |  }
@@ -116,6 +120,16 @@ case class PqSubDots(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): PqSubDots =
     copy(child = newChild)
+
+  // Array fields compare by reference under case-class equality; make
+  // plan equality/canonicalization see the VALUES so two instances
+  // with the same loaded codebook are the same expression.
+  override def equals(o: Any): Boolean = o match {
+    case PqSubDots(c, ocb) => c == child && java.util.Arrays.equals(cb, ocb)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(cb)
 }
 
 /** PQ encode: per subspace, the argmax-dot code index (earliest code
@@ -130,7 +144,8 @@ case class PqSubDots(child: Expression)
   * embeddings (ingest should gate them — a NaN component poisons
   * cosine/dot everywhere, not just PQ), so the native form documents
   * rather than reproduces that degenerate-input divergence. */
-case class PqCodes(child: Expression)
+case class PqCodes(child: Expression,
+    cb: Array[Double] = Pq.flatCodebook)
     extends UnaryExpression with ExpectsInputTypes {
   import Pq._
 
@@ -143,7 +158,6 @@ case class PqCodes(child: Expression)
     val v = a.asInstanceOf[ArrayData]
     requireDim(v.numElements())
     val out = new Array[Int](SubSpaces)
-    val cb = flatCodebook
     var m = 0
     while (m < SubSpaces) {
       var best = Double.NegativeInfinity; var bestJ = 0; var j = 0
@@ -165,7 +179,7 @@ case class PqCodes(child: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val cb = ctx.addReferenceObj("pqCodebook", flatCodebook, "double[]")
+      val cbRef = ctx.addReferenceObj("pqCodebook", cb, "double[]")
       s"""
          |graft.plans.Pq.requireDim($v.numElements());
          |int[] out = new int[$SubSpaces];
@@ -175,7 +189,7 @@ case class PqCodes(child: Expression)
          |    double dot = 0.0;
          |    for (int d = 0; d < $SubDim; d++) {
          |      dot += (double) $v.getFloat(m * $SubDim + d)
-         |        * $cb[(m * $CodesPerSub + j) * $SubDim + d];
+         |        * $cbRef[(m * $CodesPerSub + j) * $SubDim + d];
          |    }
          |    if (dot > best) { best = dot; bestJ = j; }
          |  }
@@ -187,4 +201,11 @@ case class PqCodes(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): PqCodes =
     copy(child = newChild)
+
+  override def equals(o: Any): Boolean = o match {
+    case PqCodes(c, ocb) => c == child && java.util.Arrays.equals(cb, ocb)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(cb)
 }
