@@ -46,6 +46,12 @@ object SparkEntry {
     "c01_corpus_clean_capped" -> ((s, dir) =>
       operators.Corpus.clean(Tables.documents(s, dir))),
     "d02_ngram_jaccard_capped" -> ((s, dir) => operators.Dedup.d02(s, dir)),
+    // the BPE fit→pack lifecycle: learn the subword vocab from the
+    // corpus (bounded merge rounds), then pack on the LEARNED pieces
+    // — c03c's twin with a produced, not pinned, vocabulary (no
+    // static oracle can embed a data-derived vocab; spec-pinned)
+    "c03c_pack_subword_fit" -> ((s, dir) =>
+      operators.BpeLearn.c03cFit(s, dir)),
     "d07_winnow_pairs_capped" -> ((s, dir) =>
       operators.Dedup.winnowPairs(Tables.documents(s, dir))),
     "d10_run_overlap_capped" -> ((s, dir) =>

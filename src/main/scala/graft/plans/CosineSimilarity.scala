@@ -121,8 +121,16 @@ object GraftFunctions {
         else PqCodes(exprs.head)),
     (TextStatsName, classOf[TextStats].getName,
       exprs => TextStats(exprs.head)),
+    // optional 2nd arg: a literal array<string> piece list (a learned
+    // BpeLearn vocab); 1-arg form keeps the pinned vocab
     (SubwordCountName, classOf[SubwordCount].getName,
-      exprs => SubwordCount(exprs.head)),
+      exprs =>
+        if (exprs.lengthIs >= 2)
+          SubwordCount(exprs.head, new SubwordTokenizer(
+            exprs(1).eval().asInstanceOf[ArrayData]
+              .toObjectArray(org.apache.spark.sql.types.StringType)
+              .map(_.toString).toSeq))
+        else SubwordCount(exprs.head)),
     (NfcName, classOf[Nfc].getName,
       exprs => Nfc(exprs.head)),
     (BloomName, classOf[BloomMightContain].getName,
@@ -215,6 +223,15 @@ object GraftFunctions {
   def subwordCount(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function(SubwordCountName, text)
+  }
+
+  /** Subword count under an EXPLICIT piece list (a learned BpeLearn
+    * vocab) — same greedy matcher, fit pieces. */
+  def subwordCountWith(spark: SparkSession, text: Column,
+      vocab: Seq[String]): Column = {
+    register(spark)
+    call_function(SubwordCountName, text,
+      org.apache.spark.sql.functions.typedLit(vocab))
   }
 
   def nfc(spark: SparkSession, text: Column): Column = {

@@ -18,19 +18,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * [UNK]. No backtracking — greedy can UNK a word a different split
   * would cover; that is the published algorithm, pinned by spec.
   *
-  * The vocab is PINNED ([[SubwordCount.Vocab]]) so the tokenization is
-  * a pure function both engines can evaluate: the DuckDB oracle
-  * replays the greedy loop as a generated chain of bounded step CTEs
-  * ([[SubwordCount.oracleTokensCtes]]) whose longest-match CASE is
-  * built from the same constant — bit-exact, no rows-only face
-  * needed. A production deployment swaps the vocab for a real one
-  * (the match loop is vocab-size linear; a trie pays off past a few
-  * hundred pieces) — the plumbing, counting convention and packing
-  * math stay identical.
+  * The DEFAULT vocab is PINNED ([[SubwordCount.Vocab]]) so the
+  * tokenization is a pure function both engines can evaluate: the
+  * DuckDB oracle replays the greedy loop as a generated chain of
+  * bounded step CTEs ([[SubwordCount.oracleTokensCtes]]) whose
+  * longest-match CASE is built from the same constant — bit-exact, no
+  * rows-only face needed. A LEARNED vocab (operators.BpeLearn's
+  * pair-frequency merge fit) rides the expression as a per-instance
+  * [[SubwordTokenizer]] reference object — same greedy loop, fit
+  * pieces — closing the c17→c03c loop with a produced, not pinned,
+  * vocabulary.
   *
   * Tokenization mirrors Shingles: ICU lower, space trim, \s+ split.
   */
-case class SubwordCount(child: Expression)
+case class SubwordCount(child: Expression,
+    tok: SubwordTokenizer = SubwordCount.pinned)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[DataType] = Seq(StringType)
@@ -39,13 +41,80 @@ case class SubwordCount(child: Expression)
   override def prettyName: String = "graft_subword_count"
 
   protected override def nullSafeEval(input: Any): Any =
-    SubwordCount.compute(input.asInstanceOf[UTF8String])
+    tok.compute(input.asInstanceOf[UTF8String])
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.SubwordCount.compute($c)")
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("subwordTok", tok,
+      classOf[SubwordTokenizer].getName)
+    defineCodeGen(ctx, ev, c => s"$t.compute($c)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SubwordCount =
     copy(child = newChild)
+
+  // vocab-value equality (the PqCodes convention): two instances over
+  // the same piece list are the same expression to the planner
+  override def equals(o: Any): Boolean = o match {
+    case SubwordCount(c, otok) => c == child && tok.vocab == otok.vocab
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * child.hashCode() + tok.vocab.hashCode()
+}
+
+/** The greedy WordPiece matcher over an arbitrary piece list —
+  * word-start pieces plus "##" continuations. Serializable: instances
+  * ride generated code as reference objects. */
+class SubwordTokenizer(val vocab: Seq[String]) extends Serializable {
+  import SubwordCount.{MaxWordChars, Unk}
+
+  // longest-first match order; equal-length pieces can never both
+  // prefix the same suffix, so ties are unreachable
+  private val starts: Array[String] =
+    vocab.filterNot(_.startsWith("##")).sortBy(p => (-p.length, p)).toArray
+  private val conts: Array[String] =
+    vocab.filter(_.startsWith("##")).map(_.drop(2))
+      .sortBy(p => (-p.length, p)).toArray
+
+  private def longestMatch(table: Array[String], rest: String): String = {
+    var i = 0
+    while (i < table.length) {
+      if (rest.startsWith(table(i))) return table(i)
+      i += 1
+    }
+    null
+  }
+
+  /** Greedy piece list of one (already lowercased) word;
+    * Seq([[SubwordCount.Unk]]) when uncovered. */
+  def encode(word: String): Seq[String] = {
+    if (word.isEmpty || word.length > MaxWordChars) return Seq(Unk)
+    val out = Seq.newBuilder[String]
+    var pos = 0
+    while (pos < word.length) {
+      val m = longestMatch(if (pos == 0) starts else conts,
+        word.substring(pos))
+      if (m == null) return Seq(Unk)
+      out += (if (pos == 0) m else "##" + m)
+      pos += m.length
+    }
+    out.result()
+  }
+
+  /** Total subword pieces of the text (generated-code entry point). */
+  def compute(text: UTF8String): Long = {
+    val lowered = org.apache.spark.sql.catalyst.util
+      .CollationSupport.Lower.execBinaryICU(text)
+    val trimmed = lowered.trim.toString
+    if (trimmed.isEmpty) return 0L
+    val toks = SubwordCount.Spaces.split(trimmed, -1)
+    var total = 0L
+    var i = 0
+    while (i < toks.length) {
+      total += encode(toks(i)).length
+      i += 1
+    }
+    total
+  }
 }
 
 object SubwordCount {
@@ -73,57 +142,17 @@ object SubwordCount {
     "##ter", "##umn", "##tom", "##er", "##tor", "##ery", "##der",
     "##oup", "##ne", "##t", "##ll", "##w", "##st", "##g")
 
-  // longest-first match order; equal-length pieces can never both
-  // prefix the same suffix, so ties are unreachable
-  private val starts: Array[String] =
-    Vocab.filterNot(_.startsWith("##")).sortBy(p => (-p.length, p)).toArray
-  private val conts: Array[String] =
-    Vocab.filter(_.startsWith("##")).map(_.drop(2))
-      .sortBy(p => (-p.length, p)).toArray
+  /** The pinned-vocab matcher (the 1-arg SQL function's tokenizer). */
+  lazy val pinned: SubwordTokenizer = new SubwordTokenizer(Vocab)
 
-  private def longestMatch(table: Array[String], rest: String): String = {
-    var i = 0
-    while (i < table.length) {
-      if (rest.startsWith(table(i))) return table(i)
-      i += 1
-    }
-    null
-  }
+  /** Greedy piece list under the PINNED vocab (fidelity-spec entry). */
+  def encode(word: String): Seq[String] = pinned.encode(word)
 
-  /** Greedy piece list of one (already lowercased) word;
-    * Seq([[Unk]]) when uncovered. Exposed for the fidelity spec. */
-  def encode(word: String): Seq[String] = {
-    if (word.isEmpty || word.length > MaxWordChars) return Seq(Unk)
-    val out = Seq.newBuilder[String]
-    var pos = 0
-    while (pos < word.length) {
-      val m = longestMatch(if (pos == 0) starts else conts,
-        word.substring(pos))
-      if (m == null) return Seq(Unk)
-      out += (if (pos == 0) m else "##" + m)
-      pos += m.length
-    }
-    out.result()
-  }
-
-  /** Static entry point referenced by generated code: total subword
+  /** Static entry point kept for external callers: total subword
     * pieces of the text under the pinned vocab. */
-  def compute(text: UTF8String): Long = {
-    val lowered = org.apache.spark.sql.catalyst.util
-      .CollationSupport.Lower.execBinaryICU(text)
-    val trimmed = lowered.trim.toString
-    if (trimmed.isEmpty) return 0L
-    val toks = Spaces.split(trimmed, -1)
-    var total = 0L
-    var i = 0
-    while (i < toks.length) {
-      total += encode(toks(i)).length
-      i += 1
-    }
-    total
-  }
+  def compute(text: UTF8String): Long = pinned.compute(text)
 
-  private val Spaces = java.util.regex.Pattern.compile("\\s+")
+  private[plans] val Spaces = java.util.regex.Pattern.compile("\\s+")
 
   /** DuckDB replay of the greedy loop: `MaxWordChars` unrolled step
     * CTE pairs over a per-word state (rest, piece count, dead flag),
@@ -132,7 +161,11 @@ object SubwordCount {
     * `sub(doc_id, tokens)` — per-doc subword totals over `src`, a
     * prior CTE of (doc_id, text). Docs with blank text count 0. */
   def oracleTokensCtes: String = {
-    def matchCase(pieces: Array[String]): String =
+    val starts = Vocab.filterNot(_.startsWith("##"))
+      .sortBy(p => (-p.length, p))
+    val conts = Vocab.filter(_.startsWith("##")).map(_.drop(2))
+      .sortBy(p => (-p.length, p))
+    def matchCase(pieces: Seq[String]): String =
       pieces.map(p => s"WHEN starts_with(rest, '$p') THEN ${p.length}")
         .mkString("CASE ", " ", " ELSE 0 END")
     val sCase = matchCase(starts)

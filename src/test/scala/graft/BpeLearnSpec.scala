@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.BpeLearn
+import graft.plans.{SubwordCount, SubwordTokenizer}
+import org.apache.spark.sql.functions._
+
+/** BPE merge learning (r13 verdict item 5): hand-derived merges on
+  * the classic corpus, determinism, and the fit→pack loop. */
+class BpeLearnSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The canonical Sennrich-style corpus: low×5 lower×2 newest×6
+    * widest×3. */
+  private def handDocs = {
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text")
+  }
+
+  test("hand corpus: first five merges match the pencil derivation") {
+    // pair counts: (e,s)=9 (s,t)=9 (w,e)=8 (l,o)=7 (o,w)=7 ...
+    // round 1: 9-tie → (e,s) by (l,r) order;  round 2: (es,t)=9;
+    // round 3: 7-tie → (l,o);  round 4: (lo,w)=7;
+    // round 5: 6-tie (e,w)<(n,e)<(w,est) → (e,w)
+    val fit = BpeLearn.fit(handDocs, rounds = 5)
+    assert(fit.merges.map(m => (m.left, m.right, m.freq)) == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L),
+      ("lo", "w", 7L), ("e", "w", 6L)))
+  }
+
+  test("fit vocab: merged pieces + full base alphabet in both roles") {
+    val fit = BpeLearn.fit(handDocs, rounds = 5)
+    // final symbol states: low | low,e,r | n,ew,est | w,i,d,est
+    Seq("low", "n", "w", "##e", "##r", "##ew", "##est", "##i", "##d")
+      .foreach(p => assert(fit.vocab.contains(p), s"missing piece $p"))
+    // base alphabet present as start AND continuation → greedy can
+    // always fall back char-by-char: no in-bound word UNKs
+    "lowernstdi".foreach { c =>
+      assert(fit.vocab.contains(c.toString), s"missing base $c")
+      assert(fit.vocab.contains(s"##$c"), s"missing base ##$c")
+    }
+    val tok = new SubwordTokenizer(fit.vocab)
+    assert(tok.encode("lower") == Seq("low", "##e", "##r"))
+    assert(tok.encode("newest") == Seq("n", "##ew", "##est"))
+    assert(!tok.encode("wider").contains(SubwordCount.Unk)) // fallback
+  }
+
+  test("determinism: fit == refit on the real corpus") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val a = BpeLearn.fit(docs, rounds = 8)
+    val b = BpeLearn.fit(docs, rounds = 8)
+    assert(a.merges == b.merges)
+    assert(a.vocab == b.vocab)
+    assert(a.merges.size == 8) // a real corpus sustains 8 rounds
+    // ranks are consecutive and frequencies never increase with rank
+    assert(a.merges.map(_.rank) == (0 until 8))
+  }
+
+  test("fit→pack e2e: c03c packing on the learned vocab") {
+    val dir = sf("sf0.001")
+    val docs = Tables.documents(spark, dir)
+    val packed = BpeLearn.c03cFit(spark, dir)
+    assert(packed.count() == docs.count())
+    val fit = BpeLearn.fit(docs)
+    val tok = new SubwordTokenizer(fit.vocab)
+    // the packed token counts ARE the learned tokenizer's counts —
+    // cross-check a sample row against the driver-side matcher
+    val sample = docs.orderBy("doc_id").limit(3)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val got = packed.filter(col("doc_id") <= sample.map(_._1).max)
+      .select(col("doc_id"), col("tokens")).as[(Long, Long)]
+      .collect().toMap
+    sample.foreach { case (id, text) =>
+      assert(got(id) == tok.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text)))
+    }
+    // the learned basis really differs from the pinned toy vocab
+    val pinnedTokens = graft.operators.Split.c03c(spark, dir)
+      .agg(sum("tokens")).head.getLong(0)
+    val fitTokens = packed.agg(sum("tokens")).head.getLong(0)
+    assert(fitTokens != pinnedTokens)
+    assert(fitTokens > 0)
+  }
+}

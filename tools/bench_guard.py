@@ -113,6 +113,9 @@ CEILINGS = {
     "q28_top_paths": 2.8,          # ~1.9 s isolated (two-window sessions)
     "s13_mmr": 2.8,                # ~1.8 s isolated (cogroup greedy; the
                                    # relational unroll measured 8-18 s)
+    # r14 faces
+    "c03c_pack_subword_fit": 6.0,  # ~4.1 s isolated (24 merge rounds
+                                   # over the word-type frame + pack)
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
