@@ -34,6 +34,26 @@ object Alerts {
        FROM events GROUP BY 1, 2"""
 
   // ---------------------------------------------------------------
+  // Streaming st01 (row 41n): the same tumbling counts maintained on
+  // a live stream under a WATERMARK. Late-data contract (the exact
+  // Structured Streaming semantics, parity-spec-pinned against the
+  // batch aggregation): an event later than already-seen data is
+  // still counted as long as its WINDOW'S END is newer than the
+  // watermark; once the watermark passes a window's end the window is
+  // emitted (append mode, exactly once) and subsequent events for it
+  // are DROPPED — so the final stream output equals the batch
+  // aggregation over exactly the not-too-late events. Watermark
+  // bounds state: one (window, event_type) group per open window.
+  // ---------------------------------------------------------------
+  def windowedCounts(events: DataFrame, windowLen: String = "6 hours",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"))
+
+  // ---------------------------------------------------------------
   // The streaming alert rule itself: given any streaming DataFrame of
   // (ts, item_id, risk_score), emit per-10-minute-window alert counts
   // of high-risk items. Watermark bounds state; append mode emits each

@@ -58,6 +58,46 @@ class ZOrderSpec extends SparkSpec {
     assert(zSpans.forall(_._2 <= 25000L), s"z y-spans: $zSpans")
   }
 
+  test("2-D box predicate: z layout scans strictly fewer rows than x-sort") {
+    // The number that justifies the write cost (r13 verdict item 6):
+    // vanilla parquet prunes at ROW-GROUP granularity from footer
+    // min/max stats; each small file here holds exactly one row
+    // group, so rows surviving the scan IS the files-worth-of-bytes
+    // actually read. A 2-D box predicate on the x-sorted layout
+    // prunes x only (every surviving file spans all of y); the
+    // z-ordered layout bounds both dimensions per file, so the same
+    // predicate materializes strictly less.
+    val dir = java.nio.file.Files.createTempDirectory("zprune").toString
+    val n = 100000L
+    val pts = spark.range(n).select(
+      pmod(hash(col("id")), lit(16384)).cast("bigint").as("x"),
+      pmod(hash(col("id") * 31 + 7), lit(16384)).cast("bigint").as("y"))
+    ZOrder.writeZOrdered(pts, col("x"), col("y"), s"$dir/z", files = 64)
+    pts.repartitionByRange(64, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(s"$dir/x")
+    def boxed(path: String) = spark.read.parquet(path)
+      .filter(col("x") >= 1000 && col("x") < 2000 &&
+        col("y") >= 1000 && col("y") < 2000)
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // no exchange → non-adaptive plan; metrics land here
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+    }
+    val zDf = boxed(s"$dir/z"); val xDf = boxed(s"$dir/x")
+    // the box filters must actually be pushed to the readers
+    assert(zDf.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [IsNotNull"))
+    val zRows = scanRows(zDf); val xRows = scanRows(xDf)
+    assert(zRows > 0 && xRows > 0)
+    assert(zRows < xRows,
+      s"z layout scanned $zRows rows vs x-sorted $xRows — no win")
+    assert(xRows < n, "x-sort should at least prune the x dimension")
+    // same answer from both layouts
+    assert(zDf.count() == xDf.count())
+  }
+
   test("z01 face: blocks cover all rows, bbox areas are tile-bounded") {
     val rows = ZOrder.z01(spark, sf("sf0.001"))
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
