@@ -128,6 +128,26 @@ object BpeLearn {
       minFreq: Long = MinPairFreq): Fit =
     learn(wordCounts(docs), rounds, minFreq)
 
+  /** Persist a fit (the s06 lexicon / VectorIndex artifact posture —
+    * train once, ship, serve many): the ordered merge list and the
+    * piece list as two tiny parquet tables. */
+  def writeFit(s: SparkSession, f: Fit, path: String): Unit = {
+    import s.implicits._
+    f.merges.toDF("rank", "left", "right", "freq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    f.vocab.toDF("piece")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Load a fit artifact (bounded model-metadata collects). */
+  def readFit(s: SparkSession, path: String): Fit = Fit(
+    s.read.parquet(s"$path/merges")
+      .select(col("rank"), col("left"), col("right"), col("freq"))
+      .collect().map(r => Merge(r.getInt(0), r.getString(1),
+        r.getString(2), r.getLong(3))).sortBy(_.rank).toSeq,
+    s.read.parquet(s"$path/vocab").select(col("piece"))
+      .collect().map(_.getString(0)).toSeq.sorted)
+
   /** The fit→pack lifecycle (bench face `c03c_pack_subword_fit`):
     * learn the vocab from the corpus, then run c03c's packing on
     * counts under the LEARNED pieces. Spec-checked — with the base

@@ -320,7 +320,8 @@ object TextOps {
   // t07: TF-IDF keyword extraction — per-doc top-k characteristic
   // terms (tf·ln(N/df)), the document-tagging/labeling primitive (and
   // the classical relevance weighting BM25 refines). One (doc, term)
-  // count shuffle; the df table rides a broadcast; per-doc top-k is a
+  // count shuffle; the vocabulary-sized df table joins back unhinted
+  // (AQE broadcasts it while it fits); per-doc top-k is a
   // doc-partitioned rank window (WindowGroupLimit pushes the k-filter
   // below the shuffle, the s01 pattern — never a global sort).
   // ---------------------------------------------------------------
@@ -341,7 +342,11 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+    // no broadcast hint on dfreq: it is VOCABULARY-cardinality
+    // (Heaps-bounded but ~10^8 with noise tokens at 100 TB) — the
+    // strategy is left to Catalyst/AQE stats, which broadcast it only
+    // when it actually fits; the 1-row `n` stays hinted
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
         round(col("tf").cast("double") * idf, 6).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -376,8 +381,9 @@ object TextOps {
   //
   // Scale: the model tables (bigram/unigram counts) are bounded by
   // target vocabulary (Heaps' law; at open-vocab scale hash tokens
-  // into buckets exactly as c12 does) and broadcast; the corpus side
-  // is one bigram explode + a per-doc rollup.
+  // into buckets exactly as c12 does) and join back UNHINTED — AQE
+  // broadcasts them while they fit, shuffles when they don't; the
+  // corpus side is one bigram explode + a per-doc rollup.
   // ---------------------------------------------------------------
 
   val PplAlpha = 0.1
@@ -406,8 +412,14 @@ object TextOps {
     val lp = round(log(
       (coalesce(col("c2"), lit(0L)).cast("double") + lit(PplAlpha)) /
         (coalesce(col("c1"), lit(0L)).cast("double") + lit(PplAlpha) * col("v"))), 6)
-    bg.join(broadcast(tc2), Seq("prev", "cur"), "left")
-      .join(broadcast(tc1), Seq("prev"), "left")
+    // no broadcast hints on the LM tables: tc2 is bigram-TYPE
+    // cardinality and tc1 unigram-type — both Heaps-grow with the
+    // exemplar corpus, so forcing a broadcast contradicts the scale
+    // posture; AQE broadcasts them while they fit (they do at any
+    // test SF), shuffles when they don't. The 1-row vocab count
+    // stays hinted.
+    bg.join(tc2, Seq("prev", "cur"), "left")
+      .join(tc1, Seq("prev"), "left")
       .crossJoin(broadcast(vv))
       .select(col("doc_id"), lp.as("lp"))
       .groupBy(col("doc_id"))

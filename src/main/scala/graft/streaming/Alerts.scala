@@ -87,7 +87,10 @@ object Alerts {
       windowLen: String = "10 minutes", watermark: String = "30 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .join(broadcast(sellerTrust), Seq("seller_id"), "left")
+      // unhinted stream-static join: the trust table is
+      // SELLER-cardinality, so whether it broadcasts is left to
+      // Catalyst's stats rather than forced (the f23/41i posture)
+      .join(sellerTrust, Seq("seller_id"), "left")
       .withColumn("_trust", coalesce(col("trust_risk"), lit(50)))
       .filter(col("risk_score") >= threshold ||
         col("risk_score") + col("_trust") >= combinedThreshold)

@@ -56,6 +56,15 @@ class BpeLearnSpec extends SparkSpec {
     assert(a.merges.map(_.rank) == (0 until 8))
   }
 
+  test("fit artifact round-trip: write + read == in-memory fit") {
+    val f = BpeLearn.fit(handDocs, rounds = 5)
+    val dir = java.nio.file.Files.createTempDirectory("bpefit").toString
+    BpeLearn.writeFit(spark, f, dir)
+    val got = BpeLearn.readFit(spark, dir)
+    assert(got.merges == f.merges)
+    assert(got.vocab == f.vocab)
+  }
+
   test("fit→pack e2e: c03c packing on the learned vocab") {
     val dir = sf("sf0.001")
     val docs = Tables.documents(spark, dir)
