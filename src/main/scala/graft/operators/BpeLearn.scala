@@ -33,8 +33,15 @@ import org.apache.spark.sql.functions._
   */
 object BpeLearn {
 
-  /** Merge rounds — vocab grows by ≤ 1 symbol per round. */
+  /** Merge BUDGET — total merges learned (not loop iterations: with
+    * batching, one round can land up to [[DefaultBatch]] merges, so a
+    * 32k-merge production vocab costs ~32k/batch rounds of Spark
+    * jobs, not 32k). */
   val DefaultRounds = 24
+  /** Max merges landed per round. Each round still costs one
+    * type-frame pair-count shuffle + one bounded top-K pull, so the
+    * job count for a V-merge vocab is ~V/DefaultBatch. */
+  val DefaultBatch = 16
   /** Stop early when the best pair's corpus frequency drops below
     * this (merging hapax pairs memorizes noise). */
   val MinPairFreq = 2L
@@ -57,21 +64,80 @@ object BpeLearn {
         length(col("word")) <= graft.plans.SubwordCount.MaxWordChars)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
 
-  /** Run the merge loop over a (word, n) frame. Returns the fit;
-    * every intermediate cache is released before returning. */
+  /** Eager localCheckpoint that reports which RDD ids it pinned, so
+    * the caller can release the PREVIOUS round's blocks immediately
+    * instead of waiting on the (asynchronous) context cleaner.
+    * Single-threaded use only (learn's loop) — the before/after
+    * persistent-RDD diff would race a concurrent persist. */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Seq[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(eager = true)
+    (out, (sc.getPersistentRDDs.keySet -- before).toSeq)
+  }
+
+  private def unpersistIds(s: SparkSession, ids: Seq[Int]): Unit =
+    ids.foreach(id =>
+      s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
+  /** Run the merge loop over a (word, n) frame, landing up to `batch`
+    * merges per round. Returns the fit; every intermediate
+    * checkpoint's blocks are explicitly released before returning.
+    *
+    * BATCH EXACTNESS (the parallel-BPE trick, made exact): each round
+    * pulls the top-K candidate pairs in the total order (freq desc,
+    * l asc, r asc) and accepts a PREFIX of them such that, vs every
+    * earlier accepted pick, a candidate (l, r) with product p = l+r
+    *   1. shares no symbol ({l, r} disjoint from the pick's {l, r}) —
+    *      so applying the pick changes neither this candidate's count
+    *      nor its occurrences;
+    *   2. has p equal to none of the pick's symbols, and neither of
+    *      its symbols equal to the pick's product — so the one-pass
+    *      combined fold below cannot fuse across a just-fused symbol
+    *      in an order sequential per-merge passes would not;
+    *   3. has p not in the CURRENT alphabet (maintained driver-side:
+    *      base charset + all products so far) — a product that
+    *      string-collides with a live symbol would conflate two
+    *      symbol populations and corrupt later counts;
+    *   4. is not a self-pair (l == r) unless it is the round's first
+    *      pick, taken alone — a self-merge's leftovers (odd-run
+    *      tails) form new pairs bounded only by HALF its own
+    *      frequency, which batching cannot order against.
+    * The scan stops at the first rejection (or the minFreq floor /
+    * batch budget), then the batch is truncated to picks with freq
+    * STRICTLY above the stopper's: every pair sharing a symbol with
+    * any pick ranks after the whole batch (else the scan would have
+    * stopped sooner), and any pair a merge CREATES is count-bounded
+    * by such a pair, so with the strict truncation no created pair
+    * can out-rank — or tie with — a later batch member at its
+    * sequential argmax step. Counts of existing pairs never increase
+    * under a merge. Hence the batched merge list is IDENTICAL to the
+    * one-merge-per-round list, tie-breaks included (spec-pinned:
+    * batch=16 == batch=1 on the pencil corpus and on sf documents).
+    * If truncation empties the batch, the top candidate runs alone —
+    * literally the sequential step. */
   def learn(words: DataFrame, rounds: Int = DefaultRounds,
-      minFreq: Long = MinPairFreq): Fit = {
+      minFreq: Long = MinPairFreq, batch: Int = DefaultBatch): Fit = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    val s = words.sparkSession
     // each round's state is localCheckpoint'd (eager): the fold
     // expression otherwise NESTS per round in the logical plan, and
     // plan stringification alone goes exponential by ~20 rounds (the
     // d06 lineage-cut pattern; the frames are type-sized and tiny)
-    var cur = words
-      .select(col("n"), split(col("word"), "").as("sym"))
-      .localCheckpoint(true)
+    var (cur, curIds) = checkpointTracked(
+      words.select(col("n"), split(col("word"), "").as("sym")))
+    // driver-side alphabet for rule 3: base charset now, plus each
+    // accepted product as it lands. A charset-sized metadata collect
+    // (the g03 bounded-pull convention).
+    val alphabet = scala.collection.mutable.Set[String]()
+    alphabet ++= words.select(explode(split(col("word"), "")).as("ch"))
+      .distinct().collect().map(_.getString(0))
     val merges = Seq.newBuilder[Merge]
     var rank = 0
     var stopped = false
     while (rank < rounds && !stopped) {
+      val budget = math.min(batch, rounds - rank)
+      val pull = 2 * budget + 8
       val pairCounts = cur
         .select(col("n"), explode(zip_with(
           slice(col("sym"), lit(1), size(col("sym")) - 1),
@@ -79,29 +145,69 @@ object BpeLearn {
           (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("n")).as("freq"))
-      // the single-row argmax pull: total order (freq desc, l, r)
-      val best = pairCounts
+      // the bounded candidate pull: total order (freq desc, l, r)
+      val top = pairCounts
         .orderBy(col("freq").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (best.isEmpty || best(0).getLong(2) < minFreq) stopped = true
+        .limit(pull).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty || top(0)._3 < minFreq) stopped = true
       else {
-        val l = best(0).getString(0)
-        val r = best(0).getString(1)
-        merges += Merge(rank, l, r, best(0).getLong(2))
-        // left-to-right non-overlapping merge via a fold: append each
-        // symbol, fusing when the accumulated tail is `l` and the
-        // incoming symbol is `r` (a just-fused tail no longer equals
-        // `l`, so "aaa" under (a,a) becomes [aa, a] — the standard
-        // BPE convention)
-        val next = cur.select(col("n"),
+        var picks = Vector.empty[(String, String, Long)]
+        var used = Set.empty[String]     // picks' symbols
+        var products = Set.empty[String] // picks' fused results
+        // freq of the first rejected candidate (None = the candidate
+        // list was exhausted, i.e. no further pairs exist at all)
+        var stopFreq: Option[Long] = None
+        var soloSelf = false
+        var i = 0
+        while (i >= 0 && i < top.length) {
+          val (l, r, f) = top(i)
+          val p = l + r
+          val reject = picks.size >= budget || f < minFreq ||
+            used(l) || used(r) || used(p) ||
+            products(l) || products(r) || alphabet(p) ||
+            (l == r && picks.nonEmpty)
+          if (reject) { stopFreq = Some(f); i = -1 }
+          else {
+            picks :+= ((l, r, f)); used ++= Set(l, r); products += p
+            if (l == r) { soloSelf = true; i = -1 } // self-pair rides alone
+            else if (i == top.length - 1 && top.length == pull)
+              // pull horizon reached with every candidate accepted:
+              // unseen pairs may conflict, and rank at most at the
+              // last collected freq — use it as the strict bound
+              { stopFreq = Some(f); i = -1 }
+            else i += 1
+          }
+        }
+        if (!soloSelf) stopFreq.foreach { sf =>
+          picks = picks.filter(_._3 > sf)
+        }
+        if (picks.isEmpty) picks = Vector(top(0)) // sequential fallback
+        picks.foreach { case (l, r, f) =>
+          merges += Merge(rank, l, r, f)
+          alphabet += l + r
+          rank += 1
+        }
+        // one combined left-to-right non-overlapping fold applying
+        // every batch pick: append each symbol, fusing when the
+        // accumulated tail is some pick's `l` and the incoming symbol
+        // its `r` (at most one pick can match — symbol sets are
+        // disjoint). A just-fused tail string-equals no pick's `l`
+        // (rule 2), so "aaa" under (a,a) still becomes [aa, a] and no
+        // cross-pick cascade can fire — identical output to applying
+        // the picks as rank-ordered separate passes.
+        val (next, nextIds) = checkpointTracked(cur.select(col("n"),
           aggregate(col("sym"), array().cast("array<string>"),
-            (acc, x) => when(size(acc) > 0 &&
-                element_at(acc, -1) === l && x === r,
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-              .otherwise(concat(acc, array(x)))).as("sym"))
-          .localCheckpoint(true)
+            (acc, x) => picks.foldRight(concat(acc, array(x))) {
+              case ((l, r, _), els) =>
+                when(size(acc) > 0 &&
+                    element_at(acc, -1) === l && x === r,
+                  concat(slice(acc, lit(1), size(acc) - 1),
+                    array(lit(l + r)))).otherwise(els)
+            }).as("sym")))
+        unpersistIds(s, curIds)
         cur = next
-        rank += 1
+        curIds = nextIds
       }
     }
     // piece extraction: distinct (position-0 symbol | ## + later
@@ -120,6 +226,7 @@ object BpeLearn {
         .as("piece"))
     val pieces = merged.union(base)
       .distinct().collect().map(_.getString(0)).toSeq.sorted
+    unpersistIds(s, curIds) // final round's blocks (spec: none linger)
     Fit(merges.result(), pieces)
   }
 

@@ -1077,22 +1077,41 @@ object Dedup {
     // safe), so the capped path's adaptive probes and the three pair
     // materializations overlap instead of serializing — audit wall
     // time tracks max(detector), not the sum.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val defs: Seq[(String, () => DataFrame)] = Seq(
-      "d02_jaccard" -> (() => jaccardPairs(docs, maxDf = maxDf)),
-      "d07_winnow" -> (() => winnowPairs(docs, maxDf = maxDf)),
-      "d10_runs" -> (() => runOverlapPairs(docs, maxDf = maxDf)))
-    val sets = Await.result(
-      Future.traverse(defs) { case (n, f) =>
-        Future {
-          val p = f().select(col("a"), col("b"))
-            .transform(graft.CacheRegistry.register)
-          p.count() // force the cache now, overlapped with the others
-          n -> p
-        }
-      }, Duration.Inf)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    // A dedicated 3-thread pool, NOT the global fork-join pool: on a
+    // low-core host global's parallelism (= cores) could serialize
+    // the three blocking count()s and silently negate the
+    // max(detector) wall-time claim. Shut down in finally so repeated
+    // audits can't leak threads. The await is bounded: an
+    // executor-side hang should fail loudly naming the audit, not
+    // hold the driver thread forever (30 min is ~100x the sf0.1
+    // audit and generous for any healthy sf).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val sets = try {
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val defs: Seq[(String, () => DataFrame)] = Seq(
+        "d02_jaccard" -> (() => jaccardPairs(docs, maxDf = maxDf)),
+        "d07_winnow" -> (() => winnowPairs(docs, maxDf = maxDf)),
+        "d10_runs" -> (() => runOverlapPairs(docs, maxDf = maxDf)))
+      try Await.result(
+        Future.traverse(defs) { case (n, f) =>
+          Future {
+            val p = f().select(col("a"), col("b"))
+              .transform(graft.CacheRegistry.register)
+            p.count() // force the cache now, overlapped with the others
+            n -> p
+          }
+        }, 30.minutes)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          throw new IllegalStateException(
+            "d16 dedup-compare: a detector materialization " +
+              "(d02_jaccard/d07_winnow/d10_runs) did not finish within " +
+              "30 minutes — a detector job is likely hung")
+      }
+    } finally pool.shutdown()
     // fully declarative: per combo, three 1-row count aggregates
     // cross-joined into one output row — no driver-side actions
     val rows = for {

@@ -594,11 +594,26 @@ object Relational {
   // rows no matter how large the catalog — broadcasting the full
   // itemCnt would OOM at a 10^8-item catalog. Integer counts
   // end-to-end; lift is the one double, rounded.
+  //
+  // ADAPTIVE (r15): the prune costs one extra probe join, a fixed
+  // ~0.7 s at sf0.1 (isolated 3.3-3.8 s pruned vs ~2.8 s direct) —
+  // big-scale insurance a small catalog shouldn't pay. So the prune
+  // engages only above CatalogPruneThreshold items, decided from the
+  // part table's parquet row count (a metadata-cheap count: the scan
+  // materializes zero columns; catalog size upper-bounds |itemCnt|).
+  // 1M items ≈ 2×16 MB of broadcast state — comfortably inside a
+  // 100 TB driver's broadcast budget; beyond that the pruned frame
+  // (≤ 2·|pairs| rows at ANY catalog size) is the only safe
+  // broadcast. Both paths produce identical rows (spec-pinned).
   // ---------------------------------------------------------------
 
   val MinSupport = 3
+  val CatalogPruneThreshold = 1000000L
 
-  def q20(s: SparkSession, dir: String): DataFrame = {
+  def q20(s: SparkSession, dir: String): DataFrame =
+    q20Adaptive(s, dir, CatalogPruneThreshold)
+
+  def q20Adaptive(s: SparkSession, dir: String, pruneAbove: Long): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -611,11 +626,17 @@ object Relational {
       .filter(col("n_orders") >= MinSupport)
       .transform(graft.CacheRegistry.register) // consumed 3× below
     val itemCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    // catalog size from parquet metadata only (no columns read)
+    val catalogItems = Tables.part(s, dir).count()
     // semi-prune: distinct pair members (small) broadcast INTO the
-    // catalog-scale count frame; only the surviving counts broadcast
-    val pairParts = pairs.select(col("pa").as("pk"))
-      .union(pairs.select(col("pb").as("pk"))).distinct()
-    val prunedCnt = itemCnt.join(broadcast(pairParts), "pk")
+    // catalog-scale count frame; only the surviving counts broadcast.
+    // Below the threshold the full itemCnt is broadcast-safe as-is
+    // and the probe join would be pure overhead.
+    val prunedCnt = if (catalogItems > pruneAbove) {
+      val pairParts = pairs.select(col("pa").as("pk"))
+        .union(pairs.select(col("pb").as("pk"))).distinct()
+      itemCnt.join(broadcast(pairParts), "pk")
+    } else itemCnt
     val total = li.agg(count_distinct(col("ok")).as("n_tx"))
     pairs
       .join(broadcast(prunedCnt.select(col("pk").as("pa"), col("cnt").as("ca"))), "pa")

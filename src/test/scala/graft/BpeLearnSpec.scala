@@ -56,6 +56,44 @@ class BpeLearnSpec extends SparkSpec {
     assert(a.merges.map(_.rank) == (0 until 8))
   }
 
+  test("batched == sequential: identical merge list, ties included " +
+      "(pencil corpus, real corpus, adversarial tie corpus)") {
+    // batch=1 IS the one-merge-per-round loop; batch=16 must land the
+    // exact same merges in the exact same ranks (the admission rules'
+    // whole point — see learn()'s scaladoc)
+    for (docs <- Seq(handDocs, Tables.documents(spark, sf("sf0.001"))
+        .limit(50).select(col("doc_id"), col("text")))) {
+      val seq16 = BpeLearn.learn(BpeLearn.wordCounts(docs),
+        rounds = 12, batch = 16)
+      val seq1 = BpeLearn.learn(BpeLearn.wordCounts(docs),
+        rounds = 12, batch = 1)
+      assert(seq16.merges == seq1.merges)
+      assert(seq16.vocab == seq1.vocab)
+    }
+    // adversarial: ties across the truncation boundary, a self-pair
+    // ("oo"), and products that re-enter later rounds ("ab" then
+    // ("ab","c")) — the hazards the admission rules exist for
+    val tricky = (Seq.fill(10)("abc") ++ Seq.fill(10)("xyz") ++
+      Seq.fill(10)("pq") ++ Seq.fill(7)("foo") ++ Seq.fill(7)("zoo") ++
+      Seq.fill(4)("aba")).mkString(" ")
+    val tdocs = Seq((1L, tricky)).toDF("doc_id", "text")
+    for (b <- Seq(2, 4, 16)) {
+      val bt = BpeLearn.learn(BpeLearn.wordCounts(tdocs),
+        rounds = 10, batch = b)
+      val st = BpeLearn.learn(BpeLearn.wordCounts(tdocs),
+        rounds = 10, batch = 1)
+      assert(bt.merges == st.merges, s"batch=$b diverged from sequential")
+    }
+  }
+
+  test("learn releases every checkpoint block before returning") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    BpeLearn.fit(handDocs, rounds = 5)
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty,
+      s"learn left ${after.size} persistent RDD(s) pinned: $after")
+  }
+
   test("fit artifact round-trip: write + read == in-memory fit") {
     val f = BpeLearn.fit(handDocs, rounds = 5)
     val dir = java.nio.file.Files.createTempDirectory("bpefit").toString

@@ -389,19 +389,37 @@ class PlanSpec extends SparkSpec {
     floats.select(graft.plans.GraftFunctions.cosine(spark, col("a"), col("b")))
   }
 
-  test("q20: item-count broadcast is semi-pruned to pair members first") {
-    // the lift joins may broadcast ONLY the pruned count frame
-    // (≤ 2·|pairs| rows), never the catalog-sized itemCnt: each
-    // broadcast side must itself be built by a prune join of
-    // broadcast(pairParts) into itemCnt, so the plan carries the two
-    // lift BHJs PLUS at least one prune BHJ inside each broadcast
-    // subtree (4+ total), and nothing falls back to a shuffle join.
+  test("q20: item-count semi-prune engages ABOVE the catalog threshold " +
+      "and stays out of the way below it — identical rows either way") {
+    // Above CatalogPruneThreshold the lift joins may broadcast ONLY
+    // the pruned count frame (≤ 2·|pairs| rows), never the
+    // catalog-sized itemCnt: each broadcast side must itself be built
+    // by a prune join of broadcast(pairParts) into itemCnt, so the
+    // plan carries the two lift BHJs PLUS at least one prune BHJ
+    // inside each broadcast subtree (4+ total). Below the threshold
+    // (the default path at test scale) the prune joins must be ABSENT
+    // — small scale doesn't pay big-scale insurance. Neither path may
+    // fall back to a shuffle join, and both produce identical rows.
+    import graft.operators.Relational
     try {
-      val p = plan("q20_copurchase")
-      assert(!p.contains("SortMergeJoin"), "q20 fell back to shuffle join")
-      val bhj = "BroadcastHashJoin".r.findAllIn(p).size
-      assert(bhj >= 4,
-        s"q20 lost the itemCnt semi-prune joins ($bhj BHJs):\n${p.take(2000)}")
+      val direct = plan("q20_copurchase")
+      assert(!direct.contains("SortMergeJoin"), "q20 fell back to shuffle join")
+      val directBhj = "BroadcastHashJoin".r.findAllIn(direct).size
+      assert(directBhj <= 3,
+        s"q20 small-catalog path still pays the prune probe joins " +
+          s"($directBhj BHJs):\n${direct.take(2000)}")
+      CacheRegistry.unpersistAll()
+      val prunedDf = Relational.q20Adaptive(spark, sf("sf0.001"), 0L)
+      val pruned = prunedDf.queryExecution.executedPlan.toString
+      assert(!pruned.contains("SortMergeJoin"), "pruned q20 fell back to shuffle join")
+      val prunedBhj = "BroadcastHashJoin".r.findAllIn(pruned).size
+      assert(prunedBhj >= 4,
+        s"q20 lost the itemCnt semi-prune joins ($prunedBhj BHJs):\n${pruned.take(2000)}")
+      val a = prunedDf.collect().map(_.toSeq).toSet
+      CacheRegistry.unpersistAll()
+      val b = SparkEntry.queries("q20_copurchase")(spark, sf("sf0.001"))
+        .collect().map(_.toSeq).toSet
+      assert(a == b, "pruned and direct q20 paths disagree on rows")
     } finally CacheRegistry.unpersistAll()
   }
 
