@@ -47,13 +47,63 @@ object VectorIndex {
     * (layout [(m*CodesPerSub + j)*SubDim + d]). */
   case class IndexMeta(centers: Array[Array[Float]], codebook: Array[Double])
 
-  /** What fit trains today: the pinned deterministic quantizers (the
-    * s03b/s04 sign families — KMeans-trained meta would flow through
-    * the same artifact unchanged). */
+  /** The pinned deterministic quantizers (the s03b/s04 sign families)
+    * — the DuckDB-replayable meta the s05b oracle face ships. */
   def fitMeta(): IndexMeta = IndexMeta(
     Array.tabulate(CoreCells, Dim)((c, d) =>
       Similarity.centroidSign(c, d).toFloat),
     graft.plans.Pq.flatCodebook)
+
+  /** KMeans-TRAINED quantizers (r14 verdict item 4 — prove the "any
+    * meta flows through the artifact unchanged" claim instead of
+    * stating it): coarse centers from one Spark-ML KMeans over the
+    * full Dim space (the s03 trainer posture — bounded scatter-hash
+    * sample, capped iterations, random init), and per-subspace PQ
+    * codebooks from SubSpaces further KMeans fits over the SubDim
+    * slices (K = CodesPerSub each). Everything downstream — encode's
+    * argmax-dot assignment, the persisted layout, queryIndex's
+    * LUT/ADC arithmetic — is parametric in the meta, so the trained
+    * quantizers ride the exact same artifact and serving code as the
+    * pinned ones (spec: round-trip bit-identity, append == rebuild,
+    * recall vs s01 — all re-pinned on trained meta).
+    *
+    * Centroids are model metadata (CoreCells×Dim + SubSpaces×
+    * CodesPerSub×SubDim doubles), never a data collect. The sample
+    * frame is cached once and released — SubSpaces+1 fits over one
+    * materialization, not SubSpaces+1 corpus scans. */
+  def fitTrainedMeta(vectors: DataFrame,
+      seed: Long = Similarity.KmeansSeed): IndexMeta = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = vectors
+      .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+      .limit(Similarity.QuantizerSampleRows)
+      .select(col("embedding")).persist()
+    try {
+      val coarse = new KMeans().setK(CoreCells).setSeed(seed)
+        .setMaxIter(8).setInitMode("random")
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(train.withColumn("features", array_to_vector(col("embedding"))))
+      val centers = coarse.clusterCenters
+        .map(_.toArray.map(_.toFloat))
+      val cb = new Array[Double](SubSpaces * CodesPerSub * SubDim)
+      for (m <- 0 until SubSpaces) {
+        val sub = new KMeans().setK(CodesPerSub).setSeed(seed + 1 + m)
+          .setMaxIter(8).setInitMode("random")
+          .setFeaturesCol("features").setPredictionCol("code")
+          .fit(train.withColumn("features", array_to_vector(
+            slice(col("embedding"), m * SubDim + 1, SubDim))))
+        for (j <- 0 until CodesPerSub) {
+          val cv = sub.clusterCenters(j).toArray
+          var d = 0
+          while (d < SubDim) {
+            cb((m * CodesPerSub + j) * SubDim + d) = cv(d); d += 1
+          }
+        }
+      }
+      IndexMeta(centers, cb)
+    } finally train.unpersist(blocking = false)
+  }
 
   private def centerLit(meta: IndexMeta, c: Int): Column =
     typedLit(meta.centers(c)).cast("array<float>")
@@ -80,11 +130,14 @@ object VectorIndex {
           meta.codebook).as("codes"))
   }
 
-  /** Fit the quantizers, encode the corpus, persist all three tables. */
-  def writeIndex(vectors: DataFrame, path: String): Unit = {
+  /** Encode the corpus with `meta` (default: the pinned quantizers;
+    * pass [[fitTrainedMeta]]'s output to ship trained ones — the
+    * artifact layout and every reader are meta-agnostic) and persist
+    * all three tables. */
+  def writeIndex(vectors: DataFrame, path: String,
+      meta: IndexMeta = fitMeta()): Unit = {
     val s = vectors.sparkSession
     import s.implicits._
-    val meta = fitMeta()
     meta.centers.zipWithIndex.map { case (cv, c) => (c, cv.toSeq) }.toSeq
       .toDF("cell", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta/centers")
@@ -125,10 +178,25 @@ object VectorIndex {
   /** Incremental growth: encode `delta` with the PERSISTED quantizers
     * and append — the exact-merge posture (quantizers fixed at fit,
     * codes rows are independent), so index(a ∪ b) == append(index(a),
-    * b) with no rescan of a. */
-  def appendVectors(s: SparkSession, path: String, delta: DataFrame): Unit =
-    encode(delta, readMeta(s, path))
+    * b) with no rescan of a's EMBEDDINGS (the anti-join below reads
+    * only the existing codes table's pruned vec_id column).
+    *
+    * At-least-once safety: a retried ingest re-delivering vec_ids
+    * already in the index would otherwise append duplicate (vec_id,
+    * codes) rows — silently inflating ADC candidates and surfacing
+    * the same vec_id twice pre-rerank. The anti-join makes append
+    * idempotent (spec: append(a ∪ dup) == append(a)). Callers with a
+    * guaranteed-fresh delta can skip the read with dedup = false. */
+  def appendVectors(s: SparkSession, path: String, delta: DataFrame,
+      dedup: Boolean = true): Unit = {
+    val fresh =
+      if (dedup)
+        delta.join(readCodes(s, path).select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+      else delta
+    encode(fresh, readMeta(s, path))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
 
   /** s05's probe → ADC → exact-rerank dataflow, served from a loaded
     * artifact: `codes` replaces the in-query encode scan (the probed

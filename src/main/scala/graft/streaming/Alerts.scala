@@ -58,15 +58,55 @@ object Alerts {
   // (ts, item_id, risk_score), emit per-10-minute-window alert counts
   // of high-risk items. Watermark bounds state; append mode emits each
   // window once it's final — the frequency-rule semantics.
+  //
+  // The threshold is CONDITIONAL AGGREGATION, not a pre-agg filter
+  // (r15 fix, caught by the st05 stream-vs-batch parity spec):
+  // Catalyst pushes a deterministic filter BELOW the
+  // EventTimeWatermark operator, so with `.filter(risk >= t)` the
+  // watermark tracked only ALERT events — on a stream whose tail
+  // goes quiet (low-risk traffic only, the normal state of a fraud
+  // stream), the watermark stalled and open alert windows NEVER
+  // finalized. Folding the threshold into count(when)/max(when)
+  // keeps every event in the watermark stats; zero-alert windows
+  // are suppressed post-agg, so emitted rows are unchanged.
   // ---------------------------------------------------------------
   def highRiskAlerts(events: DataFrame, threshold: Int = 80,
-      windowLen: String = "10 minutes", watermark: String = "30 minutes"): DataFrame =
+      windowLen: String = "10 minutes", watermark: String = "30 minutes"): DataFrame = {
+    val hi = col("risk_score") >= threshold
     events
       .withWatermark("ts", watermark)
-      .filter(col("risk_score") >= threshold)
       .groupBy(window(col("ts"), windowLen).as("w"))
-      .agg(count(lit(1)).as("n_alerts"), max(col("risk_score")).as("max_risk"))
+      .agg(count(when(hi, 1)).as("n_alerts"),
+        max(when(hi, col("risk_score"))).as("max_risk"))
+      .filter(col("n_alerts") > 0)
       .select(col("w.start").as("wstart"), col("n_alerts"), col("max_risk"))
+  }
+
+  // ---------------------------------------------------------------
+  // st05: the alert RULE as a driver-checked face (r14 verdict item
+  // 8 — highRiskAlerts was spec-only). The scored stream is the
+  // events table with a deterministic per-event risk score; the face
+  // runs the EXACT streaming plan (same function, watermark and all
+  // — watermark is a no-op under batch execution, which is precisely
+  // Structured Streaming's unified-semantics contract: the batch
+  // result IS the stream's final output; StreamingAlertRuleSpec pins
+  // that parity row-for-row on a real stream). Oracle replays
+  // filter ≥ threshold → 10-minute tumbling count.
+  // ---------------------------------------------------------------
+  def scoredEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("ts"),
+      pmod(col("event_id"), lit(101)).cast("int").as("risk_score"))
+
+  def st05(s: SparkSession, dir: String): DataFrame =
+    highRiskAlerts(scoredEvents(s, dir))
+      .select(date_format(col("wstart"), "yyyy-MM-dd HH:mm").as("wstart"),
+        col("n_alerts"), col("max_risk"))
+
+  val st05Sql: String =
+    """SELECT strftime(make_timestamp((epoch_us(ts) // 600000000) * 600000000),
+         '%Y-%m-%d %H:%M') AS wstart,
+       count(*) AS n_alerts, CAST(max(event_id % 101) AS INT) AS max_risk
+       FROM events WHERE event_id % 101 >= 80 GROUP BY 1"""
 
   // ---------------------------------------------------------------
   // Stream-static enrichment: the poller enriches suspicious items
@@ -84,7 +124,9 @@ object Alerts {
     * risk_score). */
   def enrichedHighRiskAlerts(events: DataFrame, sellerTrust: DataFrame,
       threshold: Int = 80, combinedThreshold: Int = 120,
-      windowLen: String = "10 minutes", watermark: String = "30 minutes"): DataFrame =
+      windowLen: String = "10 minutes", watermark: String = "30 minutes"): DataFrame = {
+    val alertable = col("risk_score") >= threshold ||
+      col("risk_score") + col("_trust") >= combinedThreshold
     events
       .withWatermark("ts", watermark)
       // unhinted stream-static join: the trust table is
@@ -92,13 +134,17 @@ object Alerts {
       // Catalyst's stats rather than forced (the f23/41i posture)
       .join(sellerTrust, Seq("seller_id"), "left")
       .withColumn("_trust", coalesce(col("trust_risk"), lit(50)))
-      .filter(col("risk_score") >= threshold ||
-        col("risk_score") + col("_trust") >= combinedThreshold)
+      // conditional aggregation, not a pre-agg filter — see
+      // highRiskAlerts on the watermark-stall hazard
       .groupBy(window(col("ts"), windowLen).as("w"))
-      .agg(count(lit(1)).as("n_alerts"), max(col("risk_score")).as("max_risk"),
-        max(col("risk_score") + col("_trust")).as("max_combined"))
+      .agg(count(when(alertable, 1)).as("n_alerts"),
+        max(when(alertable, col("risk_score"))).as("max_risk"),
+        max(when(alertable, col("risk_score") + col("_trust")))
+          .as("max_combined"))
+      .filter(col("n_alerts") > 0)
       .select(col("w.start").as("wstart"), col("n_alerts"),
         col("max_risk"), col("max_combined"))
+  }
 
   // ---------------------------------------------------------------
   // Stateful sessionization: gap-based sessions per key via
@@ -391,8 +437,10 @@ object Alerts {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st01_windowed_counts" -> (st01 _))
+    "st01_windowed_counts" -> (st01 _),
+    "st05_alert_rule" -> (st05 _))
 
   val oracles: Map[String, String] = Map(
-    "st01_windowed_counts" -> st01Sql)
+    "st01_windowed_counts" -> st01Sql,
+    "st05_alert_rule" -> st05Sql)
 }

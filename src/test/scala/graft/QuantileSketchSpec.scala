@@ -98,6 +98,31 @@ class QuantileSketchSpec extends SparkSpec {
     assert(rows(replayed) == before)
   }
 
+  test("f30 oracle mapping == live Spark expressions, bit for bit") {
+    // the f30 oracle inlines a Scala-precomputed (value -> bucket,
+    // estimate) table; it is only sound if those twins track the
+    // arithmetic Spark actually executes (codegen'd Math.log /
+    // Math.pow + HALF_UP round) exactly, over the face's whole
+    // integer domain
+    import org.apache.spark.sql.functions.{round => sround}
+    val dom = spark.range(1, 51).select(col("id").cast("int").as("x"))
+    val got = dom.select(col("x"),
+        QuantileSketch.bucketOf(col("x").cast("double"),
+          QuantileSketch.DefaultAlpha).as("qb"))
+      .withColumn("est", sround(
+        when(col("qb") === QuantileSketch.ZeroBucket, lit(0.0))
+          .otherwise(lit(2.0) * pow(lit(QuantileSketch.gamma(
+            QuantileSketch.DefaultAlpha)), col("qb")) /
+            lit(QuantileSketch.gamma(QuantileSketch.DefaultAlpha) + 1)), 6))
+      .as[(Int, Int, Double)].collect()
+    got.foreach { case (x, qb, est) =>
+      assert(qb == QuantileSketch.bucketOfInt(x),
+        s"bucket twin diverges at x=$x: spark=$qb scala=${QuantileSketch.bucketOfInt(x)}")
+      assert(est == QuantileSketch.estimateOf(qb),
+        s"estimate twin diverges at qb=$qb: spark=$est scala=${QuantileSketch.estimateOf(qb)}")
+    }
+  }
+
   test("state stays bounded while distinct values grow (the reason it exists)") {
     // 50k distinct values over (0.01, 1e4): exact value-counts state
     // would hold 50k rows; the sketch holds <= maxBuckets

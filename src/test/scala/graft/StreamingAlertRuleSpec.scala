@@ -1,0 +1,89 @@
+package graft
+
+import graft.streaming.Alerts
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** st05's unified-semantics contract (r14 verdict item 8, the
+  * f23/f25 gate-parity pattern): the REAL scored event stream of the
+  * sf0.001 corpus, streamed through `highRiskAlerts` in two
+  * micro-batches, must emit — once every window is finalized —
+  * exactly the rows the batch face computes. A below-threshold
+  * far-future sentinel advances the watermark past every real window
+  * without contributing an alert row of its own. */
+class StreamingAlertRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming alert rule == batch st05 face, row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    val scored = Alerts.scoredEvents(spark, sf("sf0.001"))
+      .as[(Timestamp, Int)].collect().sortBy(_._1.getTime)
+    assert(scored.nonEmpty)
+    val (b1, b2) = scored.splitAt(scored.length / 2)
+    // sentinel: far past max(ts) + watermark, risk 0 (never alerts)
+    val sentinel = (new Timestamp(
+      scored.map(_._1.getTime).max + 24L * 3600 * 1000), 0)
+
+    val input = MemoryStream[(Timestamp, Int)]
+    val q = Alerts.highRiskAlerts(
+        input.toDF().toDF("ts", "risk_score"))
+      .writeStream.format("memory").queryName("st05_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      // watermark advances at END of the batch that saw the max
+      // event time, and state is evicted in the NEXT batch (a
+      // trailing no-data batch is not guaranteed under
+      // processAllAvailable) — so two sentinel batches: the first
+      // advances the watermark past every real window, the second
+      // triggers the eviction pass that emits them
+      input.addData(sentinel); q.processAllAvailable()
+      input.addData((new Timestamp(
+        sentinel._1.getTime + 3600 * 1000), 0)); q.processAllAvailable()
+      val got = spark.table("st05_stream")
+        .select(date_format(col("wstart"), "yyyy-MM-dd HH:mm").as("wstart"),
+          col("n_alerts"), col("max_risk"))
+        .as[(String, Long, Int)].collect().toSet
+      val batch = Alerts.st05(spark, sf("sf0.001"))
+        .as[(String, Long, Int)].collect().toSet
+      assert(got == batch,
+        s"stream-vs-batch drift: onlyStream=${(got -- batch).take(3)} " +
+          s"onlyBatch=${(batch -- got).take(3)}")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("quiet low-risk tail still finalizes open alert windows " +
+      "(the watermark-stall regression)") {
+    // the r15 bug: with the threshold as a pre-agg filter, Catalyst
+    // pushed it below EventTimeWatermark, so low-risk events never
+    // advanced the watermark and the last alert window hung open
+    // forever on a stream whose tail went quiet — the NORMAL state
+    // of a fraud stream. Two high-risk events, then nothing but
+    // low-risk traffic: the alert window MUST still emit.
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Timestamp, Int)]
+    val q = Alerts.highRiskAlerts(input.toDF().toDF("ts", "risk_score"))
+      .writeStream.format("memory").queryName("quiet_tail")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 10:01:00"), 90),
+        (ts("2024-01-01 10:04:00"), 85))
+      q.processAllAvailable()
+      // quiet tail: low-risk only, two batches (watermark advances at
+      // batch end, evicts next batch)
+      input.addData((ts("2024-01-01 12:00:00"), 10))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 12:30:00"), 5))
+      q.processAllAvailable()
+      val rows = spark.table("quiet_tail")
+        .select("n_alerts", "max_risk")
+        .as[(Long, Int)].collect().toSeq
+      assert(rows == Seq((2L, 90)),
+        s"alert window not finalized by low-risk traffic: $rows")
+    } finally q.stop()
+  }
+}

@@ -60,6 +60,69 @@ class VectorIndexSpec extends SparkSpec {
     assert(g == f)
   }
 
+  test("append is idempotent: a retried (duplicate) delta adds no rows") {
+    val a = corpus.filter(col("vec_id") % 2 === 0)
+    val b = corpus.filter(col("vec_id") % 2 =!= 0)
+    val path = tmp("dup")
+    VectorIndex.writeIndex(a, path)
+    VectorIndex.appendVectors(spark, path, b)
+    val once = VectorIndex.readCodes(spark, path)
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    // at-least-once retry: the same delta re-delivered, plus some
+    // already-indexed base rows mixed in
+    VectorIndex.appendVectors(spark, path, b.union(a.limit(5)))
+    val twice = VectorIndex.readCodes(spark, path)
+      .as[(Long, Int, Seq[Int])].collect()
+    assert(twice.length == once.size, "duplicate append inflated the index")
+    assert(twice.toSet == once)
+  }
+
+  test("TRAINED quantizers flow through the artifact unchanged: " +
+      "round-trip bit-identity, append == rebuild, recall vs s01") {
+    // sf0.01 like the s03/s04 recall specs: 16 trained cells need a
+    // corpus bigger than a few hundred vectors to be meaningful
+    val corpus = Tables.embeddings(spark, sf("sf0.01"))
+    val trained = VectorIndex.fitTrainedMeta(corpus)
+    // the trained meta really differs from the pinned sign family
+    val pinned = VectorIndex.fitMeta()
+    assert(!java.util.Arrays.equals(trained.codebook, pinned.codebook))
+    // 1. round-trip: persisted trained meta loads back bit-for-bit
+    val path = tmp("trained")
+    VectorIndex.writeIndex(corpus, path, trained)
+    val got = VectorIndex.readMeta(spark, path)
+    assert(got.centers.length == trained.centers.length)
+    got.centers.zip(trained.centers).foreach { case (x, y) =>
+      assert(java.util.Arrays.equals(x, y))
+    }
+    assert(java.util.Arrays.equals(got.codebook, trained.codebook))
+    // 2. append == rebuild re-pinned on trained meta (quantizers come
+    // from the ARTIFACT, so the grown index encodes with the same
+    // trained centers the full rebuild does)
+    val a = corpus.filter(col("vec_id") % 2 === 0)
+    val b = corpus.filter(col("vec_id") % 2 =!= 0)
+    val grown = tmp("trained-grown")
+    VectorIndex.writeIndex(a, grown, trained)
+    VectorIndex.appendVectors(spark, grown, b)
+    val g = VectorIndex.readCodes(spark, grown)
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val f = VectorIndex.readCodes(spark, path)
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(g == f)
+    // 3. served recall vs s01 brute force (the s02/s03 spec pattern):
+    // trained coarse probing + trained ADC + exact rerank must
+    // clearly beat the 4-of-16-cells random baseline
+    val exact = Similarity.s01(spark, sf("sf0.01"))
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val q = corpus.filter(col("vec_id") % Similarity.QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val served = VectorIndex.queryIndex(got,
+      VectorIndex.readCodes(spark, path), corpus, q)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(served.nonEmpty)
+    val recall = (exact & served).size.toDouble / exact.size
+    assert(recall >= 0.4, s"trained-quantizer recall $recall too low")
+  }
+
   test("probe read prunes to probed cells (partition pruning holds)") {
     val path = tmp("prune")
     VectorIndex.writeIndex(corpus, path)
