@@ -235,6 +235,24 @@ object BpeLearn {
       minFreq: Long = MinPairFreq): Fit =
     learn(wordCounts(docs), rounds, minFreq)
 
+  /** The 100 TB fit posture, stated in code instead of a doc aside:
+    * tokenizer vocabularies are in practice fit on a bounded sample,
+    * not the full corpus — subword statistics saturate long before
+    * corpus scale, and the merge loop's per-round latency shouldn't
+    * be paid against 10^11 rows. This fits on the c14 stratified
+    * audit sample (deterministic salted-hash top-`perStratum` per
+    * (source, lang) stratum — every stratum represented, so no
+    * language's alphabet is missed), making the whole fit's input
+    * O(strata × perStratum) regardless of corpus size. Spec pins the
+    * sampled fit's corpus compression within 15% of the full fit's
+    * (c17's coverage-metric idea applied to the learned vocab). */
+  def fitSampled(docs: DataFrame, perStratum: Int = 64,
+      rounds: Int = DefaultRounds, minFreq: Long = MinPairFreq): Fit = {
+    val ids = Sampling.stratifiedSample(docs, perStratum)
+      .select(col("doc_id"))
+    fit(docs.join(ids, "doc_id"), rounds, minFreq)
+  }
+
   /** Persist a fit (the s06 lexicon / VectorIndex artifact posture —
     * train once, ship, serve many): the ordered merge list and the
     * piece list as two tiny parquet tables. */

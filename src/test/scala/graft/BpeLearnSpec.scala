@@ -86,6 +86,28 @@ class BpeLearnSpec extends SparkSpec {
     }
   }
 
+  test("sampled fit compresses the FULL corpus within 15% of the full fit") {
+    // the 100 TB posture: fit on the c14 stratified sample, serve the
+    // whole corpus. Quality metric = total subword tokens over the
+    // full corpus under each vocab (the packer's budget unit — c17's
+    // coverage idea applied to the learned pieces).
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val full = BpeLearn.fit(docs, rounds = 16)
+    val sampled = BpeLearn.fitSampled(docs, perStratum = 8, rounds = 16)
+    def tokens(vocab: Seq[String]): Long =
+      docs.select(graft.plans.GraftFunctions.subwordCountWith(
+        spark, col("text"), vocab).as("n"))
+        .agg(sum(col("n"))).head.getLong(0)
+    val ft = tokens(full.vocab)
+    val st = tokens(sampled.vocab)
+    assert(ft > 0 && st > 0)
+    assert(st <= ft * 1.15,
+      s"sampled-fit vocab compresses much worse: $st vs full $ft")
+    // and the sample really was a strict subset of the corpus
+    assert(graft.operators.Sampling.stratifiedSample(docs, 8).count()
+      < docs.count())
+  }
+
   test("learn releases every checkpoint block before returning") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     BpeLearn.fit(handDocs, rounds = 5)

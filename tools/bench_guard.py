@@ -158,7 +158,13 @@ CEILINGS = {
                                    # relational unroll measured 8-18 s)
     # r14 faces
     "c03c_pack_subword_fit": 6.0,  # ~4.1 s isolated (24 merge rounds
-                                   # over the word-type frame + pack)
+                                   # over the word-type frame + pack;
+                                   # r15 batched merges: full-run 3.98)
+    # r15 faces — ~1.5-1.8x the first clean full-run reading
+    "f30_quantile_sketch": 1.2,    # 0.66 s full-run (two half fits +
+                                   # merge + 5-quantile estimate)
+    "st05_alert_rule": 1.0,        # 0.56 s full-run (10-min tumbling
+                                   # conditional-count rule)
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
