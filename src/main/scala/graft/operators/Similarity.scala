@@ -184,10 +184,14 @@ object Similarity {
   val NumProbes = 4
   val KmeansSeed = 42L
   val QuantizerSampleRows = 100000
-  /** Hard cap on the collected query set: the probe-list computation
-    * is driver-side (NumCells distances per query — metadata-sized),
-    * which is only safe while the query set is small. Exceeding the
-    * cap fails fast instead of silently OOMing the driver. */
+  /** Historical (r13–r14): the probe-list computation used to be a
+    * driver-side loop over a collected query set, capped here with a
+    * fail-fast. r15 removed the last bounded driver step from the
+    * retrieval stack — probes are now a distributed
+    * queries × broadcast(centers) cross (NumCells rows per query)
+    * ranked by a per-qid window, so the query set can be any size.
+    * The constant remains only for the s03 face's deterministic
+    * input bound (kept so bench numbers stay round-comparable). */
   val MaxQueryRows = 10000
 
   /** Production face: IVF ANN of `queriesIn` (qid, qe) against
@@ -221,25 +225,31 @@ object Similarity {
 
     val corpus = model.transform(e).select(col("vec_id"), col("embedding"), col("cell"))
 
-    // per-query probe list: NumProbes nearest centroids (computed on
-    // the driver from model metadata, broadcast back as a tiny DF)
-    val centers: Array[(Int, Array[Double])] =
-      model.clusterCenters.zipWithIndex.map { case (c: Vector, i) => (i, c.toArray) }
+    // per-query probe list, fully DISTRIBUTED (r15 — the last bounded
+    // driver step in the retrieval stack removed): centroids are model
+    // metadata (NumCells × Dim doubles) broadcast as a tiny frame;
+    // each query meets all NumCells centers in a broadcast cross
+    // (NumCells rows per query), squared-L2 folds component-ascending
+    // (bit-identical to the old driver loop), and a per-qid window
+    // keeps the NumProbes nearest (distance, then cell — the stable
+    // sort order the driver path used). No collect, no cap: the probe
+    // plan scales to any query-set size.
     val queries = queriesIn
     import s.implicits._
-    // collect at most cap+1 rows, then fail fast if over the cap —
-    // never an unbounded driver collect
-    val qLocal = queries.select(col("qid"), col("qe"))
-      .limit(MaxQueryRows + 1).as[(Long, Array[Float])].collect()
-    require(qLocal.length <= MaxQueryRows,
-      s"s03 query set exceeds MaxQueryRows=$MaxQueryRows; probe computation is driver-side")
-    val probes = qLocal.flatMap { case (qid, qe) =>
-      centers.map { case (cell, c) =>
-        var d = 0.0; var i = 0
-        while (i < c.length) { val diff = qe(i) - c(i); d += diff * diff; i += 1 }
-        (qid, cell, d)
-      }.sortBy(_._3).take(NumProbes).map { case (q, cell, _) => (q, cell) }
-    }.toSeq.toDF("qid", "cell")
+    val centersDf = model.clusterCenters.zipWithIndex
+      .map { case (c: Vector, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "cv")
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("_d2").asc, col("cell").asc)
+    val probes = queries.select(col("qid"), col("qe"))
+      .crossJoin(broadcast(centersDf))
+      .withColumn("_d2", aggregate(
+        zip_with(col("qe").cast("array<double>"), col("cv"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("_pr", row_number().over(wp))
+      .filter(col("_pr") <= NumProbes)
+      .select(col("qid"), col("cell"))
 
     val cand = corpus.join(broadcast(probes.join(queries, "qid")), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
@@ -253,8 +263,9 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
     // the stride-derived query set grows with the corpus; bound it
     // DETERMINISTICALLY (by id range, not limit — a limit would pick
-    // partition-order-dependent queries) so annIvf's driver-side cap
-    // never aborts the operator on its own default input
+    // partition-order-dependent queries). annIvf itself no longer
+    // needs a cap (probes are distributed, r15); the face keeps its
+    // historical input bound so bench numbers stay round-comparable
     annIvf(e, queriesDf(e)
       .filter(col("qid") < lit(QueryStride.toLong * MaxQueryRows)))
   }

@@ -582,7 +582,93 @@ object TextOps {
        FROM f"""
   }
 
+  // ---------------------------------------------------------------
+  // t11: the Gopher quality rules (Rae et al. 2021 §A1.1) — the
+  // published heuristic battery a pretraining pipeline actually
+  // gates on, as per-source rule-failure counts: word-count bounds,
+  // mean-word-length bounds, symbol-to-word ratio (# / ellipsis),
+  // bullet-start / ellipsis-end line shares, alphabetic-word share,
+  // and the ≥2-distinct-stopwords check. Every ratio threshold is
+  // CROSS-MULTIPLIED into integer arithmetic (10·sym > nw instead of
+  // sym/nw > 0.1), so both engines compare exact BIGINTs and the
+  // oracle needs no float-tolerance anywhere. One scan, one narrow
+  // codegen'd projection, one low-cardinality shuffle.
+  // ---------------------------------------------------------------
+
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-doc Gopher rule-failure flags of any (…, text) frame —
+    * the gate a cleaning pipeline composes; t11 aggregates them. */
+  def gopherFlags(docs: DataFrame): DataFrame = {
+    val nw = wsTokenCount(col("text")).cast("bigint")
+    val wchars = length(regexp_replace(col("text"), "\\s", "")).cast("bigint")
+    val sym = regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("bigint")
+    val lines = size(split(col("text"), "\n", -1)).cast("bigint")
+    val bullet = regexp_count(col("text"), lit("(?m)^[ \\t]*[-*•]")).cast("bigint")
+    val ell = regexp_count(col("text"), lit("(?m)\\.\\.\\.$")).cast("bigint")
+    val alphaw = regexp_count(col("text"),
+      lit("[^\\s]*[A-Za-z][^\\s]*")).cast("bigint")
+    val stops = stopwordHits(lower(col("text")), GopherStopwords)
+    docs.withColumns(Map(
+      "f_wc" -> (nw < 50 || nw > 100000),
+      "f_mwl" -> (wchars < nw * 3 || wchars > nw * 10),
+      "f_sym" -> (sym * 10 > nw),
+      "f_line" -> (bullet * 10 > lines * 9 || ell * 10 > lines * 3),
+      "f_alpha" -> (alphaw * 5 < nw * 4),
+      "f_stop" -> (stops < 2)))
+  }
+
+  def t11(s: SparkSession, dir: String): DataFrame = {
+    def n(c: Column): Column = sum(c.cast("long"))
+    gopherFlags(Tables.documents(s, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        n(col("f_wc")).as("n_fail_wordcount"),
+        n(col("f_mwl")).as("n_fail_meanwordlen"),
+        n(col("f_sym")).as("n_fail_symbolratio"),
+        n(col("f_line")).as("n_fail_lineshape"),
+        n(col("f_alpha")).as("n_fail_alphawords"),
+        n(col("f_stop")).as("n_fail_stopwords"),
+        n(!col("f_wc") && !col("f_mwl") && !col("f_sym") &&
+          !col("f_line") && !col("f_alpha") && !col("f_stop"))
+          .as("n_pass"))
+  }
+
+  val t11Sql: String =
+    s"""WITH c AS (SELECT source,
+         $sqlNw AS nw,
+         len(regexp_replace(text, '\\s', '', 'g')) AS wchars,
+         len(regexp_extract_all(text, '#|\\.\\.\\.')) AS sym,
+         len(string_split(text, chr(10))) AS lines,
+         len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]')) AS bullet,
+         len(regexp_extract_all(text, '(?m)\\.\\.\\.$$')) AS ell,
+         len(regexp_extract_all(text, '[^\\s]*[A-Za-z][^\\s]*')) AS alphaw,
+         len(list_distinct(regexp_extract_all(lower(text),
+           '${stopwordRegex(GopherStopwords)}', 1))) AS stops
+       FROM documents),
+       f AS (SELECT source,
+         (nw < 50 OR nw > 100000) AS f_wc,
+         (wchars < nw * 3 OR wchars > nw * 10) AS f_mwl,
+         (sym * 10 > nw) AS f_sym,
+         (bullet * 10 > lines * 9 OR ell * 10 > lines * 3) AS f_line,
+         (alphaw * 5 < nw * 4) AS f_alpha,
+         (stops < 2) AS f_stop
+       FROM c)
+       SELECT source, count(*) AS docs,
+         CAST(sum(CAST(f_wc AS INT)) AS BIGINT) AS n_fail_wordcount,
+         CAST(sum(CAST(f_mwl AS INT)) AS BIGINT) AS n_fail_meanwordlen,
+         CAST(sum(CAST(f_sym AS INT)) AS BIGINT) AS n_fail_symbolratio,
+         CAST(sum(CAST(f_line AS INT)) AS BIGINT) AS n_fail_lineshape,
+         CAST(sum(CAST(f_alpha AS INT)) AS BIGINT) AS n_fail_alphawords,
+         CAST(sum(CAST(f_stop AS INT)) AS BIGINT) AS n_fail_stopwords,
+         CAST(sum(CAST(NOT f_wc AND NOT f_mwl AND NOT f_sym
+           AND NOT f_line AND NOT f_alpha AND NOT f_stop AS INT)) AS BIGINT)
+           AS n_pass
+       FROM f GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_gopher_rules" -> (t11 _),
     "t10_readability" -> (t10 _),
     "t01_lang_id" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -604,5 +690,6 @@ object TextOps {
     "t07_tfidf_keywords" -> t07Sql,
     "t08_perplexity" -> t08Sql,
     "t09_entropy" -> t09Sql,
-    "t10_readability" -> t10Sql)
+    "t10_readability" -> t10Sql,
+    "t11_gopher_rules" -> t11Sql)
 }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+/** t11 — every Gopher rule fires on a planted violator and stays
+  * quiet on a clean doc (the rule battery is only useful if each
+  * flag is independently live). */
+class GopherRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 60 words, mean length in [3,10], stopword-rich, no symbols
+  private val clean = (Seq.fill(6)(
+    "the quick dogs have come with all of that barking") ).mkString(" ")
+
+  private def flagsOf(text: String): Map[String, Boolean] = {
+    val row = TextOps.gopherFlags(Seq((1L, text)).toDF("doc_id", "text"))
+      .select("f_wc", "f_mwl", "f_sym", "f_line", "f_alpha", "f_stop")
+      .collect().head
+    Seq("f_wc", "f_mwl", "f_sym", "f_line", "f_alpha", "f_stop")
+      .zipWithIndex.map { case (n, i) => n -> row.getBoolean(i) }.toMap
+  }
+
+  test("clean doc passes every rule") {
+    val f = flagsOf(clean)
+    assert(f.values.forall(_ == false), s"clean doc flagged: $f")
+  }
+
+  test("each planted violator fires exactly its rule") {
+    // short doc -> word-count only
+    val short = "the dog and that cat have fun with all of us"
+    assert(flagsOf(short) == Map("f_wc" -> true, "f_mwl" -> false,
+      "f_sym" -> false, "f_line" -> false, "f_alpha" -> false,
+      "f_stop" -> false))
+    // symbol-heavy: > 1 hash per 10 words
+    val symbolic = clean + " " + Seq.fill(10)("#tag").mkString(" ")
+    assert(flagsOf(symbolic)("f_sym"))
+    assert(!flagsOf(symbolic)("f_wc"))
+    // bullet-dominated lines
+    val bullets = (1 to 10).map(i => s"- the item $i of that list have")
+      .mkString("\n")
+    assert(flagsOf(bullets)("f_line"))
+    // ellipsis-ended lines (> 30%)
+    val ells = (Seq.fill(4)("the dogs have come with that...") ++
+      Seq.fill(6)("the dogs have come with that bone")).mkString("\n")
+    assert(flagsOf(ells)("f_line"))
+    // numeric doc -> alphabetic-word share
+    val numeric = (Seq.fill(12)("the 101 202 have 404 505 of 707 808 909"))
+      .mkString(" ")
+    val fn = flagsOf(numeric)
+    assert(fn("f_alpha") && !fn("f_wc"))
+    // no stopwords
+    val noStops = Seq.fill(60)("zebra").mkString(" ")
+    assert(flagsOf(noStops)("f_stop"))
+    // long words -> mean word length > 10
+    val longWords = Seq.fill(60)("incomprehensibilities").mkString(" ")
+    assert(flagsOf(longWords)("f_mwl"))
+  }
+
+  test("t11 aggregates: per-source totals are consistent") {
+    val df = TextOps.t11(spark, sf("sf0.001"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val docs = r.getLong(r.fieldIndex("docs"))
+      val pass = r.getLong(r.fieldIndex("n_pass"))
+      val fails = Seq("n_fail_wordcount", "n_fail_meanwordlen",
+        "n_fail_symbolratio", "n_fail_lineshape", "n_fail_alphawords",
+        "n_fail_stopwords").map(c => r.getLong(r.fieldIndex(c)))
+      assert(pass <= docs && fails.forall(_ <= docs))
+      // a doc passing all rules is counted in n_pass, so pass +
+      // max(single-rule failures) can never exceed docs
+      assert(pass + fails.max <= docs)
+    }
+  }
+}
