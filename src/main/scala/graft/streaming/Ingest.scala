@@ -682,7 +682,8 @@ object Ingest {
       fpDir: String, minShared: Int = graft.operators.Dedup.WinnowMinShared,
       maxDf: Option[Int] = Some(graft.operators.Dedup.DefaultMaxDf),
       evalFpDir: Option[String] = None,
-      repetitionGate: Boolean = false): Long = {
+      repetitionGate: Boolean = false,
+      gopherGate: Boolean = false): Long = {
     import graft.operators.Dedup
     // "batch" is this sink's partition-directory column; an input
     // column of the same name would silently shadow the corpus-view
@@ -705,12 +706,26 @@ object Ingest {
       // fingerprint state, or the census (the 41f pattern). Pure
       // per-batch aggregation over micro-batch-sized frames — no
       // state interaction, no broadcast, nothing to replay.
-      val docs =
+      val afterRep =
         if (!repetitionGate) raw
         else raw.join(
           graft.operators.TextOps.repetitionMetrics(
               raw.select(col("doc_id"), col("text")))
             .filter(col("repetitive") === 1L).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+          .transform(graft.CacheRegistry.register)
+      // 0b. OPTIONAL Gopher quality gate (t11's rule battery,
+      // enforced AT INGEST like the repetition gate): a doc failing
+      // ANY rule is rejected before its fingerprints exist. Pure
+      // per-batch projection+join over micro-batch-sized frames.
+      val docs =
+        if (!gopherGate) afterRep
+        else afterRep.join(
+          graft.operators.TextOps.gopherFlags(
+              afterRep.select(col("doc_id"), col("text")))
+            .filter(col("f_wc") || col("f_mwl") || col("f_sym") ||
+              col("f_line") || col("f_alpha") || col("f_stop"))
+            .select(col("doc_id")),
           Seq("doc_id"), "left_anti")
           .transform(graft.CacheRegistry.register)
       // ONE fingerprint derivation feeds everything in the trigger:
@@ -949,7 +964,8 @@ object Ingest {
       minShared: Int = graft.operators.Dedup.WinnowMinShared,
       maxDf: Option[Int] = Some(graft.operators.Dedup.DefaultMaxDf),
       evalFpDir: Option[String] = None,
-      repetitionGate: Boolean = false): StreamingQuery = {
+      repetitionGate: Boolean = false,
+      gopherGate: Boolean = false): StreamingQuery = {
     // start/resume-time fold recovery: if the last maintenance pass
     // crashed mid-fold, roll its swaps forward and drop covered
     // originals BEFORE any trigger runs — the gate's own stale
@@ -962,7 +978,7 @@ object Ingest {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         gateBatch(batch, batchId, docsDir, fpDir, minShared, maxDf,
-          evalFpDir, repetitionGate); ()
+          evalFpDir, repetitionGate, gopherGate); ()
       }
       .option("checkpointLocation", checkpointDir)
       .start()

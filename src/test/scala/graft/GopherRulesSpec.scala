@@ -57,6 +57,34 @@ class GopherRulesSpec extends SparkSpec {
     assert(flagsOf(longWords)("f_mwl"))
   }
 
+  test("streaming Gopher gate: violator rejected at ingest, " +
+      "fingerprints never created, batch parity with gopherFlags") {
+    // the 41f/41g pattern: quality enforced AT INGEST so a rejected
+    // doc never reaches the corpus, the fp state, or the census
+    val noStops = Seq.fill(60)("zebra").mkString(" ")
+    val batch = Seq(1L -> clean, 2L -> noStops).toDF("doc_id", "text")
+    // control: ungated ingest accepts both
+    val ctrl = java.nio.file.Files.createTempDirectory("graft-gq-ctrl").toString
+    streaming.Ingest.gateBatch(batch, 0L, s"$ctrl/docs", s"$ctrl/fp")
+    assert(spark.read.parquet(s"$ctrl/docs").select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    // gated: the violator is dropped, its fingerprints never written
+    val root = java.nio.file.Files.createTempDirectory("graft-gq").toString
+    val n = streaming.Ingest.gateBatch(batch, 0L, s"$root/docs",
+      s"$root/fp", gopherGate = true)
+    assert(n == 1L)
+    assert(spark.read.parquet(s"$root/fp").select("doc_id").as[Long]
+      .collect().toSet == Set(1L),
+      "rejected doc's fingerprints leaked into gate state")
+    // parity: the gate's keep-set == batch gopherFlags' pass-set
+    val batchPass = TextOps.gopherFlags(batch)
+      .filter(!col("f_wc") && !col("f_mwl") && !col("f_sym") &&
+        !col("f_line") && !col("f_alpha") && !col("f_stop"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(spark.read.parquet(s"$root/docs").select("doc_id").as[Long]
+      .collect().toSet == batchPass)
+  }
+
   test("t11 aggregates: per-source totals are consistent") {
     val df = TextOps.t11(spark, sf("sf0.001"))
     val rows = df.collect()
