@@ -178,17 +178,28 @@ object Corpus {
   def clean(docs: DataFrame,
       maxDf: Option[Int] = Some(Dedup.DefaultMaxDf),
       stripLineDf: Option[Int] = None,
-      repetitionGate: Boolean = false): DataFrame = {
+      repetitionGate: Boolean = false,
+      gopherGate: Boolean = false): DataFrame = {
     val stripped = stripLineDf match {
       case Some(k) => stripBoilerplate(docs, k)
         .select(col("doc_id"), col("clean_text").as("text"))
       case None => docs
     }
-    val input =
+    val afterRep =
       if (!repetitionGate) stripped
       else stripped.join(
         TextOps.repetitionMetrics(stripped)
           .filter(col("repetitive") === 1L).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    // optional Gopher rule battery (t11), the batch twin of the 41o
+    // ingest gate: any failed rule rejects the doc before the cascade
+    val input =
+      if (!gopherGate) afterRep
+      else afterRep.join(
+        TextOps.gopherFlags(afterRep.select(col("doc_id"), col("text")))
+          .filter(col("f_wc") || col("f_mwl") || col("f_sym") ||
+            col("f_line") || col("f_alpha") || col("f_stop"))
+          .select(col("doc_id")),
         Seq("doc_id"), "left_anti")
     // the cascade reads its input THREE times (scoring, gated text,
     // survivor text) — cheap re-scans when the input is a raw source,
@@ -201,7 +212,7 @@ object Corpus {
     // between stages (writeTrainingShards-style), which is what the
     // cache stands in for here.
     val prestaged =
-      if (stripLineDf.isEmpty && !repetitionGate) input
+      if (stripLineDf.isEmpty && !repetitionGate && !gopherGate) input
       else input.transform(graft.CacheRegistry.register)
     cleanImpl(prestaged, maxDf)
   }

@@ -85,6 +85,24 @@ class GopherRulesSpec extends SparkSpec {
       .collect().toSet == batchPass)
   }
 
+  test("clean(gopherGate): batch cascade drops the rule violator the " +
+      "default cascade keeps") {
+    // the violator must be one the EXISTING quality score tolerates,
+    // so the Gopher gate is the deciding layer: stopword-bearing,
+    // punctuation-free, 60 words — but mean word length ≈ 18 chars,
+    // which only Gopher's mean-word-length bound rejects
+    val longWords = ("the and of that have with be to " +
+      Seq.fill(52)("incomprehensibilities").mkString(" "))
+    val docs = Seq(1L -> clean, 2L -> longWords).toDF("doc_id", "text")
+    val kept = graft.operators.Corpus.clean(docs, maxDf = None)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L),
+      s"control: ungated cascade should keep the violator, kept $kept")
+    val gated = graft.operators.Corpus.clean(docs, maxDf = None,
+      gopherGate = true).select("doc_id").as[Long].collect().toSet
+    assert(gated == Set(1L), s"gopher gate did not decide: $gated")
+  }
+
   test("t11 aggregates: per-source totals are consistent") {
     val df = TextOps.t11(spark, sf("sf0.001"))
     val rows = df.collect()

@@ -165,6 +165,8 @@ CEILINGS = {
                                    # merge + 5-quantile estimate)
     "st05_alert_rule": 1.0,        # 0.56 s full-run (10-min tumbling
                                    # conditional-count rule)
+    "t11_gopher_rules": 0.8,       # 0.33 s isolated (one regex-count
+                                   # scan + source rollup)
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
