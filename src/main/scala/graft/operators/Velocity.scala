@@ -307,15 +307,81 @@ object Velocity {
          round(km / (CAST(secs AS DOUBLE) / 3600.0), 6) AS kmh
        FROM d WHERE secs > 0 AND km / (CAST(secs AS DOUBLE) / 3600.0) > $MaxSpeedKmh"""
 
+  // ---------------------------------------------------------------
+  // f31: day-of-week seasonal anomaly — f23's burst detection made
+  // seasonality-aware. A Monday spike is only anomalous against
+  // MONDAYS: the baseline is per (event_type, weekday) (sum of
+  // per-day counts + number of such weekdays seen), and each day is
+  // scored by its count relative to its own weekday's mean. A fixed
+  // threshold face goes vacuous as counts concentrate at scale (at
+  // sf0.1 no day deviates 10% from its weekday mean — the law of
+  // large numbers working as intended), so the face emits the TOP
+  // `DowTopK` most anomalous days per type instead: always
+  // non-empty, selective, and rank-deterministic (round-6 ratio
+  // desc, then day asc — the ratio is a correctly-rounded double of
+  // an exact integer fraction, identical in both engines).
+  //
+  // The weekday code is pure integer arithmetic (epoch-days mod 7,
+  // anchor 1970-01-01 = Thursday = 0), never an engine's locale-
+  // dependent dayofweek(). One (type, day) count shuffle; the
+  // 7-row-per-type baseline joins back broadcast-small.
+  // ---------------------------------------------------------------
+
+  val DowTopK = 3
+
+  def dowAnomalies(events: DataFrame, k: Int = DowTopK): DataFrame = {
+    val perDay = events
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow",
+        pmod(datediff(to_date(col("day")), to_date(lit("1970-01-01"))),
+          lit(7)).cast("int"))
+    val base = perDay.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("n")).as("dow_sum"), count(lit(1)).as("dow_days"))
+    val wr = Window.partitionBy(col("event_type"))
+      .orderBy(col("ratio").desc, col("day").asc)
+    perDay.join(base, Seq("event_type", "dow"))
+      .withColumn("ratio",
+        round((col("n") * col("dow_days")).cast("double") / col("dow_sum"), 6))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("event_type"), col("rank"), col("day"), col("dow"),
+        col("n"), col("dow_sum"), col("dow_days"), col("ratio"))
+  }
+
+  def f31(s: SparkSession, dir: String): DataFrame =
+    dowAnomalies(Tables.events(s, dir))
+
+  val f31Sql: String =
+    s"""WITH w AS (SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS BIGINT) % 7 AS dow,
+           count(*) AS n
+         FROM events GROUP BY 1, 2, 3),
+       b AS (SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS dow_sum,
+               count(*) AS dow_days
+             FROM w GROUP BY 1, 2),
+       r AS (SELECT w.event_type, day, w.dow, n, dow_sum, dow_days,
+               round(CAST(n * dow_days AS DOUBLE) / dow_sum, 6) AS ratio
+             FROM w JOIN b ON w.event_type = b.event_type AND w.dow = b.dow),
+       t AS (SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY ratio DESC, day ASC) AS rank FROM r)
+       SELECT event_type, rank, day, CAST(dow AS INT) AS dow, n,
+         dow_sum, dow_days, ratio
+       FROM t WHERE rank <= $DowTopK"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f23_user_burst" -> (f23 _),
     "f24_ks_drift" -> (f24 _),
     "f25_cusum" -> (f25 _),
-    "f26_impossible_travel" -> (f26 _))
+    "f26_impossible_travel" -> (f26 _),
+    "f31_dow_anomaly" -> (f31 _))
 
   val oracles: Map[String, String] = Map(
     "f23_user_burst" -> f23Sql,
     "f24_ks_drift" -> f24Sql,
     "f25_cusum" -> f25Sql,
-    "f26_impossible_travel" -> f26Sql)
+    "f26_impossible_travel" -> f26Sql,
+    "f31_dow_anomaly" -> f31Sql)
 }

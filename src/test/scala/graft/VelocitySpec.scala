@@ -27,6 +27,26 @@ class VelocitySpec extends SparkSpec {
     assert(got == Set((1L, "2024-01-25", 10L)))
   }
 
+  test("f31: a weekday-relative spike outranks a bigger absolute count " +
+      "on a busier weekday; weekday code anchors Thursday = 0") {
+    // Mondays (2024-01-01, -08, -15, -22) run 4/day except the 22nd
+    // at 12 (ratio 12·4/24 = 2.0); Fridays run 20/day flat (ratio
+    // 1.0) — so the SMALLER absolute count (12 < 20) must rank 1,
+    // which is exactly what a seasonality-blind burst rule inverts.
+    def evs(day: Int, n: Int): Seq[(String, Timestamp)] =
+      (0 until n).map(i => ("view", ts(day, i)))
+    val rows = (Seq(1, 8, 15).flatMap(d => evs(d, 4)) ++ evs(22, 12) ++
+      Seq(5, 12, 19, 26).flatMap(d => evs(d, 20))).toDF("event_type", "ts")
+    val got = Velocity.dowAnomalies(rows)
+      .select("rank", "day", "dow", "n", "ratio")
+      .as[(Long, String, Int, Long, Double)].collect().sortBy(_._1)
+    assert(got.head == ((1L, "2024-01-22", 4, 12L, 2.0)), s"got ${got.head}")
+    // 2024-01-01 was a Monday; epoch-days mod 7 with Thursday=0 → 4
+    assert(got.head._3 == 4)
+    // every Friday ties at ratio 1.0 → rank 2 is the EARLIEST Friday
+    assert(got(1)._2 == "2024-01-05" && got(1)._5 == 1.0)
+  }
+
   test("boundary: n exactly at factor × mean IS a burst; one below is not") {
     // user 1: days 1..3 with 4 events, day 4 with 12 → sum 24, nw 4,
     // mean 6; 12·4 = 48 == 2·24 → exactly at the boundary, flagged

@@ -167,6 +167,8 @@ CEILINGS = {
                                    # conditional-count rule)
     "t11_gopher_rules": 0.8,       # 0.33 s isolated (one regex-count
                                    # scan + source rollup)
+    "f31_dow_anomaly": 1.6,        # 0.99 s isolated ((type, day)
+                                   # rollup + weekday baseline join)
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
