@@ -329,11 +329,23 @@ object Velocity {
 
   val DowTopK = 3
 
-  def dowAnomalies(events: DataFrame, k: Int = DowTopK): DataFrame = {
-    val perDay = events
-      .groupBy(col("event_type"),
+  /** (event_type, day, _c) per-day counts of an event frame — f31's
+    * state, in the value-counts shape so it inherits the whole
+    * [[IncrementalStats]] maintenance algebra (merge / retract /
+    * generation-versioned fold) unchanged. */
+  def dayCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("_c"))
+
+  /** Derive the seasonal-anomaly frame from a (event_type, day, _c)
+    * counts state — shared by the batch face and the streaming
+    * maintenance path (fold == recompute by construction: the state
+    * IS the per-day counts). */
+  def dowAnomaliesFromCounts(perDayCounts: DataFrame,
+      k: Int = DowTopK): DataFrame = {
+    val perDay = perDayCounts.select(col("event_type"), col("day"),
+        col("_c").as("n"))
       .withColumn("dow",
         pmod(datediff(to_date(col("day")), to_date(lit("1970-01-01"))),
           lit(7)).cast("int"))
@@ -349,6 +361,29 @@ object Velocity {
       .select(col("event_type"), col("rank"), col("day"), col("dow"),
         col("n"), col("dow_sum"), col("dow_days"), col("ratio"))
   }
+
+  def dowAnomalies(events: DataFrame, k: Int = DowTopK): DataFrame =
+    dowAnomaliesFromCounts(dayCounts(events), k)
+
+  /** Streaming seasonal-baseline maintenance (row 41p): fold each
+    * micro-batch's (type, day) count delta into the generation-
+    * versioned state and republish the derived anomaly frame — the
+    * maintainStats/maintainQuantiles lifecycle applied to f31. A
+    * replayed batch id overwrites its own generation, so crash-replay
+    * re-converges to the identical state (spec-pinned alongside
+    * fold == batch-recompute parity). */
+  def maintainDowAnomalies(stream: DataFrame, stateDir: String,
+      outDir: String, checkpointDir: String,
+      k: Int = DowTopK): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val merged = IncrementalStats.foldBatch(stateDir,
+          dayCounts(batch), id)
+        dowAnomaliesFromCounts(merged, k)
+          .write.mode("overwrite").parquet(outDir)
+      }
+      .start()
 
   def f31(s: SparkSession, dir: String): DataFrame =
     dowAnomalies(Tables.events(s, dir))

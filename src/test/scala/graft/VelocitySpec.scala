@@ -47,6 +47,32 @@ class VelocitySpec extends SparkSpec {
     assert(got(1)._2 == "2024-01-05" && got(1)._5 == 1.0)
   }
 
+  test("f31 streaming maintenance: fold == batch recompute, replay " +
+      "rebuilds identically") {
+    import graft.operators.{IncrementalStats, Velocity}
+    val events = Tables.events(spark, sf("sf0.001"))
+      .select(col("event_type"), col("ts"))
+    val (b0, b1) = (events.filter(dayofmonth(col("ts")) <= 15),
+      events.filter(dayofmonth(col("ts")) > 15))
+    val root = java.nio.file.Files.createTempDirectory("graft-dow").toString
+    val stateDir = s"$root/state"
+    IncrementalStats.foldBatch(stateDir, Velocity.dayCounts(b0), 0L)
+    val merged = IncrementalStats.foldBatch(stateDir,
+      Velocity.dayCounts(b1), 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_type", "rank", "day", "n", "ratio")
+        .as[(String, Long, String, Long, Double)].collect().toSet
+    val folded = rows(Velocity.dowAnomaliesFromCounts(merged))
+    val batch = rows(Velocity.dowAnomalies(events))
+    assert(folded == batch, "folded state diverges from batch recompute")
+    assert(folded.nonEmpty)
+    // crash-replay: batch 1 re-delivered overwrites its own
+    // generation — identical state, identical derived output
+    val replayed = IncrementalStats.foldBatch(stateDir,
+      Velocity.dayCounts(b1), 1L)
+    assert(rows(Velocity.dowAnomaliesFromCounts(replayed)) == batch)
+  }
+
   test("boundary: n exactly at factor × mean IS a burst; one below is not") {
     // user 1: days 1..3 with 4 events, day 4 with 12 → sum 24, nw 4,
     // mean 6; 12·4 = 48 == 2·24 → exactly at the boundary, flagged
