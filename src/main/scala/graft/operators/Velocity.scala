@@ -363,7 +363,11 @@ object Velocity {
   }
 
   def dowAnomalies(events: DataFrame, k: Int = DowTopK): DataFrame =
-    dowAnomaliesFromCounts(dayCounts(events), k)
+    // the counts frame feeds BOTH the baseline aggregate and the join
+    // probe — cached (it is (types × days)-sized, never event-sized)
+    // so the event scan runs ONCE, not once per consumer
+    dowAnomaliesFromCounts(
+      dayCounts(events).transform(graft.CacheRegistry.register), k)
 
   /** Streaming seasonal-baseline maintenance (row 41p): fold each
     * micro-batch's (type, day) count delta into the generation-
