@@ -86,6 +86,34 @@ class BpeLearnSpec extends SparkSpec {
     }
   }
 
+  test("batched == sequential PROPERTY: random corpora over a tiny " +
+      "alphabet (maximum pair interaction), seeded") {
+    // fixed corpora can miss interaction patterns; a 2-letter-heavy
+    // alphabet with short words forces dense symbol sharing, product
+    // re-entry ("ab" then ("ab","a")) and constant ties — the regime
+    // where a wrong admission rule diverges fastest
+    import org.scalacheck.{Gen, rng}
+    val wordGen = Gen.chooseNum(1, 6).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpusGen = Gen.chooseNum(5, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(wordGen, Gen.chooseNum(1, 9))))
+    for (seed <- 1L to 6L) {
+      val words = corpusGen.pureApply(Gen.Parameters.default,
+        rng.Seed(seed))
+      val text = words.flatMap { case (w, c) => Seq.fill(c)(w) }
+        .mkString(" ")
+      val docs = Seq((seed, text)).toDF("doc_id", "text")
+      val batched = BpeLearn.learn(BpeLearn.wordCounts(docs),
+        rounds = 8, batch = 8)
+      val sequential = BpeLearn.learn(BpeLearn.wordCounts(docs),
+        rounds = 8, batch = 1)
+      assert(batched.merges == sequential.merges,
+        s"seed $seed diverged:\n  batched    ${batched.merges}\n" +
+          s"  sequential ${sequential.merges}\n  corpus: $text")
+      assert(batched.vocab == sequential.vocab, s"seed $seed vocab drift")
+    }
+  }
+
   test("sampled fit compresses the FULL corpus within 15% of the full fit") {
     // the 100 TB posture: fit on the c14 stratified sample, serve the
     // whole corpus. Quality metric = total subword tokens over the

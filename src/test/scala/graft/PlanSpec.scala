@@ -436,4 +436,48 @@ class PlanSpec extends SparkSpec {
     val nOrders = Tables.orders(spark, sf("sf0.001")).count()
     assert(total.toSeq == Seq(nOrders))
   }
+
+  test("t11: the ideal scan shape — one scan, one exchange, " +
+      "all six rule flags inside the projection") {
+    val p = plan("t11_gopher_rules")
+    assert("(?s)FileScan parquet".r.findAllIn(p).size == 1,
+      "documents scanned more than once")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"t11 grew extra shuffles:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "t11 should be pure scan→agg, no join")
+  }
+
+  test("f31: single event scan (cached counts reused) and " +
+      "WindowGroupLimit top-k — no global sort") {
+    try {
+      val p = plan("f31_dow_anomaly")
+      // BOTH consumers (baseline aggregate + join probe) must read
+      // the cached day-count frame, so the event scan executes once
+      // (the relation's stored plan prints per consumer — count the
+      // cache hits, not the textual FileScan occurrences)
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+        s"f31 lost the shared day-count cache:\n${p.take(1200)}")
+      assert(p.contains("WindowGroupLimit"),
+        "f31 top-k lost the WindowGroupLimit pushdown")
+      assert(!p.contains("SortMergeJoin"),
+        "the 7-per-type baseline join fell back to shuffle join")
+    } finally CacheRegistry.unpersistAll()
+  }
+
+  test("st05: conditional aggregation keeps the threshold out of the " +
+      "pre-agg filter (the watermark-stall shape)") {
+    val p = plan("st05_alert_rule")
+    assert("(?s)FileScan parquet".r.findAllIn(p).size == 1)
+    // the threshold must live INSIDE the aggregate expressions
+    // (count(CASE WHEN risk >= 80 ...)), never in a Filter node —
+    // that shape is what pushed below EventTimeWatermark and stalled
+    // the stream on a quiet tail (r15 fix). The scan-side IsNotNull
+    // filter is fine; a Filter carrying the threshold is the bug.
+    val thresholdFilter = p.linesIterator
+      .filter(l => l.contains("Filter") && l.contains(">= 80"))
+    assert(thresholdFilter.isEmpty,
+      "st05 threshold moved back into a pre-agg Filter")
+    assert(p.contains("CASE WHEN"), "st05 lost the conditional aggregation")
+  }
 }
