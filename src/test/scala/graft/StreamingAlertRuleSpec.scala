@@ -86,4 +86,32 @@ class StreamingAlertRuleSpec extends SparkSpec {
         s"alert window not finalized by low-risk traffic: $rows")
     } finally q.stop()
   }
+
+  test("enriched rule: quiet low-risk tail finalizes too (same fix, " +
+      "own pin — the join sits between watermark and aggregate)") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val trust = Seq((7L, 45)).toDF("seller_id", "trust_risk")
+    val input = MemoryStream[(Timestamp, Long, Int)]
+    val q = Alerts.enrichedHighRiskAlerts(
+        input.toDF().toDF("ts", "seller_id", "risk_score"), trust)
+      .writeStream.format("memory").queryName("quiet_tail_enriched")
+      .outputMode("append").start()
+    try {
+      // risk 85 alerts on its own; risk 76 alerts only via the
+      // suspicious seller 7 (76 + 45 = 121 >= 120)
+      input.addData((ts("2024-01-01 10:01:00"), 1L, 85),
+        (ts("2024-01-01 10:04:00"), 7L, 76))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 12:00:00"), 2L, 10))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 12:30:00"), 3L, 5))
+      q.processAllAvailable()
+      val rows = spark.table("quiet_tail_enriched")
+        .select("n_alerts", "max_risk", "max_combined")
+        .as[(Long, Int, Int)].collect().toSeq
+      assert(rows == Seq((2L, 85, 135)),
+        s"enriched alert window not finalized by low-risk traffic: $rows")
+    } finally q.stop()
+  }
 }
