@@ -197,8 +197,7 @@ object Corpus {
       if (!gopherGate) afterRep
       else afterRep.join(
         TextOps.gopherFlags(afterRep.select(col("doc_id"), col("text")))
-          .filter(col("f_wc") || col("f_mwl") || col("f_sym") ||
-            col("f_line") || col("f_alpha") || col("f_stop"))
+          .filter(TextOps.gopherFail)
           .select(col("doc_id")),
         Seq("doc_id"), "left_anti")
     // the cascade reads its input THREE times (scoring, gated text,

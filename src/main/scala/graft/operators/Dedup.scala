@@ -1082,11 +1082,15 @@ object Dedup {
     // A dedicated 3-thread pool, NOT the global fork-join pool: on a
     // low-core host global's parallelism (= cores) could serialize
     // the three blocking count()s and silently negate the
-    // max(detector) wall-time claim. Shut down in finally so repeated
-    // audits can't leak threads. The await is bounded: an
+    // max(detector) wall-time claim. The await is bounded: an
     // executor-side hang should fail loudly naming the audit, not
     // hold the driver thread forever (30 min is ~100x the sf0.1
-    // audit and generous for any healthy sf).
+    // audit and generous for any healthy sf). On timeout the
+    // detectors' Spark jobs are CANCELLED by job group and the pool
+    // threads interrupted (shutdownNow) — a plain shutdown() would
+    // leave three non-daemon threads blocked in count() and the hung
+    // jobs burning the cluster forever.
+    val jobGroup = s"graft-d16-${java.util.UUID.randomUUID()}"
     val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     val sets = try {
       implicit val ec: ExecutionContext =
@@ -1095,9 +1099,14 @@ object Dedup {
         "d02_jaccard" -> (() => jaccardPairs(docs, maxDf = maxDf)),
         "d07_winnow" -> (() => winnowPairs(docs, maxDf = maxDf)),
         "d10_runs" -> (() => runOverlapPairs(docs, maxDf = maxDf)))
+      val sc = docs.sparkSession.sparkContext
       try Await.result(
         Future.traverse(defs) { case (n, f) =>
           Future {
+            // job-group properties are thread-local — set in the
+            // worker so the timeout path can cancel exactly these jobs
+            sc.setJobGroup(jobGroup,
+              s"d16 dedup-compare detector $n", interruptOnCancel = true)
             val p = f().select(col("a"), col("b"))
               .transform(graft.CacheRegistry.register)
             p.count() // force the cache now, overlapped with the others
@@ -1106,10 +1115,13 @@ object Dedup {
         }, 30.minutes)
       catch {
         case _: java.util.concurrent.TimeoutException =>
+          docs.sparkSession.sparkContext.cancelJobGroup(jobGroup)
+          pool.shutdownNow()
           throw new IllegalStateException(
             "d16 dedup-compare: a detector materialization " +
               "(d02_jaccard/d07_winnow/d10_runs) did not finish within " +
-              "30 minutes — a detector job is likely hung")
+              "30 minutes — its jobs were cancelled (group " +
+              s"$jobGroup)")
       }
     } finally pool.shutdown()
     // fully declarative: per combo, three 1-row count aggregates

@@ -232,16 +232,23 @@ object Similarity {
     // (NumCells rows per query), squared-L2 folds component-ascending
     // (bit-identical to the old driver loop), and a per-qid window
     // keeps the NumProbes nearest (distance, then cell — the stable
-    // sort order the driver path used). No collect, no cap: the probe
-    // plan scales to any query-set size.
-    val queries = queriesIn
+    // sort order the driver path used). No collect, no cap — and the
+    // candidate join below is deliberately UNHINTED: AQE broadcasts
+    // the (probes × query) frame while the query set is serving-
+    // batch-sized and degrades to a shuffle join on `cell` for a
+    // corpus-scale query set, instead of the forced-broadcast driver
+    // OOM the old collect path's cap existed to prevent.
     import s.implicits._
+    // the query frame feeds BOTH the probe cross and the candidate
+    // join — cached so an expensive upstream query pipeline runs once
+    val queries = queriesIn.select(col("qid"), col("qe"))
+      .transform(graft.CacheRegistry.register)
     val centersDf = model.clusterCenters.zipWithIndex
       .map { case (c: Vector, i) => (i, c.toArray.toSeq) }.toSeq
       .toDF("cell", "cv")
     val wp = Window.partitionBy(col("qid"))
       .orderBy(col("_d2").asc, col("cell").asc)
-    val probes = queries.select(col("qid"), col("qe"))
+    val probes = queries
       .crossJoin(broadcast(centersDf))
       .withColumn("_d2", aggregate(
         zip_with(col("qe").cast("array<double>"), col("cv"),
@@ -251,7 +258,7 @@ object Similarity {
       .filter(col("_pr") <= NumProbes)
       .select(col("qid"), col("cell"))
 
-    val cand = corpus.join(broadcast(probes.join(queries, "qid")), Seq("cell"))
+    val cand = corpus.join(probes.join(queries, "qid"), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         graft.plans.GraftFunctions.cosine(s, col("qe"), col("embedding")).as("cos"))

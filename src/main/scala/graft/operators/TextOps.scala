@@ -619,6 +619,14 @@ object TextOps {
       "f_stop" -> (stops < 2)))
   }
 
+  /** "fails ANY Gopher rule" over a [[gopherFlags]] frame — the ONE
+    * definition every consumer (t11's pass count, the batch and
+    * ingest gates, specs) shares; adding a rule means extending
+    * gopherFlags and this disjunction, nowhere else. */
+  val gopherFail: Column =
+    col("f_wc") || col("f_mwl") || col("f_sym") ||
+      col("f_line") || col("f_alpha") || col("f_stop")
+
   def t11(s: SparkSession, dir: String): DataFrame = {
     def n(c: Column): Column = sum(c.cast("long"))
     gopherFlags(Tables.documents(s, dir))
@@ -630,9 +638,7 @@ object TextOps {
         n(col("f_line")).as("n_fail_lineshape"),
         n(col("f_alpha")).as("n_fail_alphawords"),
         n(col("f_stop")).as("n_fail_stopwords"),
-        n(!col("f_wc") && !col("f_mwl") && !col("f_sym") &&
-          !col("f_line") && !col("f_alpha") && !col("f_stop"))
-          .as("n_pass"))
+        n(!gopherFail).as("n_pass"))
   }
 
   val t11Sql: String =

@@ -75,8 +75,15 @@ object VectorIndex {
       seed: Long = Similarity.KmeansSeed): IndexMeta = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // DETERMINISTIC bounded sample — hash-rank TakeOrdered, not a
+    // bare limit: a limit is partition-order-dependent, so re-fitting
+    // the same corpus after a repartition could feed KMeans a
+    // different subset and ship a DIFFERENT artifact despite the
+    // fixed seed (the s03 queriesDf lesson applied to training). The
+    // hash order also decorrelates the sample from storage layout.
+    // Per-partition top-N then merge — never a global sort.
     val train = vectors
-      .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
       .limit(Similarity.QuantizerSampleRows)
       .select(col("embedding")).persist()
     try {

@@ -723,8 +723,7 @@ object Ingest {
         else afterRep.join(
           graft.operators.TextOps.gopherFlags(
               afterRep.select(col("doc_id"), col("text")))
-            .filter(col("f_wc") || col("f_mwl") || col("f_sym") ||
-              col("f_line") || col("f_alpha") || col("f_stop"))
+            .filter(graft.operators.TextOps.gopherFail)
             .select(col("doc_id")),
           Seq("doc_id"), "left_anti")
           .transform(graft.CacheRegistry.register)

@@ -78,8 +78,7 @@ class GopherRulesSpec extends SparkSpec {
       "rejected doc's fingerprints leaked into gate state")
     // parity: the gate's keep-set == batch gopherFlags' pass-set
     val batchPass = TextOps.gopherFlags(batch)
-      .filter(!col("f_wc") && !col("f_mwl") && !col("f_sym") &&
-        !col("f_line") && !col("f_alpha") && !col("f_stop"))
+      .filter(!TextOps.gopherFail)
       .select("doc_id").as[Long].collect().toSet
     assert(spark.read.parquet(s"$root/docs").select("doc_id").as[Long]
       .collect().toSet == batchPass)

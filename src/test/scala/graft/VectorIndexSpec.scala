@@ -123,6 +123,20 @@ class VectorIndexSpec extends SparkSpec {
     assert(recall >= 0.4, s"trained-quantizer recall $recall too low")
   }
 
+  test("trained fit is layout-independent: repartitioned corpus, " +
+      "identical artifact") {
+    // the training sample is a hash-rank TakeOrdered, not a bare
+    // limit — so the fitted (and shipped) quantizers cannot depend on
+    // partition order. A drifting sample would make two "identical"
+    // artifacts encode the same vectors differently.
+    val a = VectorIndex.fitTrainedMeta(corpus)
+    val b = VectorIndex.fitTrainedMeta(corpus.repartition(7))
+    a.centers.zip(b.centers).foreach { case (x, y) =>
+      assert(java.util.Arrays.equals(x, y), "coarse centers drifted")
+    }
+    assert(java.util.Arrays.equals(a.codebook, b.codebook))
+  }
+
   test("probe read prunes to probed cells (partition pruning holds)") {
     val path = tmp("prune")
     VectorIndex.writeIndex(corpus, path)

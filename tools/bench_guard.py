@@ -194,12 +194,25 @@ def isolated_main(argv) -> int:
     """Tight-band diff of a fresh-JVM per-face dump vs the committed
     quiet-host baseline. Faces absent from the baseline (new this
     round) are reported but never fail — they become the next
-    baseline."""
+    baseline. Baseline faces absent from a FULL sweep fail (a face
+    that crashed out of bench_isolated.sh would otherwise vanish and
+    read as green); a partial sweep (< half the baseline faces — the
+    documented single-face usage) only reports them as MISS."""
     path = argv[0] if argv else "target/bench_isolated.json"
     base_path = argv[1] if len(argv) > 1 else ISOLATED_BASELINE
-    got = json.load(open(path))["queries"]
-    base = json.load(open(base_path))["queries"]
+    got_dump = json.load(open(path))
+    base_dump = json.load(open(base_path))
+    got = got_dump["queries"]
+    base = base_dump["queries"]
     bad = []
+    # scale/parallelism must match the baseline's or every band
+    # comparison is meaningless (an sf0.01 sweep reads far under the
+    # sf0.1 baseline and would mask any regression)
+    for key in ("sf", "cpus"):
+        g, b = got_dump.get(key), base_dump.get(key)
+        if g is not None and b is not None and g != b:
+            print(f"FAIL {key} mismatch: dump={g!r} baseline={b!r}")
+            return 1
     for face, sec in sorted(got.items()):
         b = base.get(face)
         if b is None or b < 0:
@@ -210,6 +223,15 @@ def isolated_main(argv) -> int:
                   f"x{ISOLATED_RATIO} + {ISOLATED_SLACK}")
         else:
             print(f"ok   {face}: {sec:.2f} s vs baseline {b:.2f} s")
+    missing = sorted(set(base) - set(got))
+    full_sweep = len(got) * 2 >= len(base)
+    for face in missing:
+        if full_sweep:
+            bad.append(face)
+            print(f"FAIL {face}: in baseline but missing from the sweep "
+                  "(crashed out of bench_isolated.sh?)")
+        else:
+            print(f"MISS {face}: not in this (partial) sweep")
     return 1 if bad else 0
 
 
