@@ -104,9 +104,16 @@ object BpeLearn {
     *      combined fold below cannot fuse across a just-fused symbol
     *      in an order sequential per-merge passes would not;
     *   3. has p not in the CURRENT alphabet (maintained driver-side:
-    *      base charset + all products so far) — a product that
+    *      base charset + all products so far) and equal to no
+    *      earlier same-round pick's product — a product that
     *      string-collides with a live symbol would conflate two
-    *      symbol populations and corrupt later counts;
+    *      symbol populations and corrupt later counts. SCOPE: this
+    *      rule gates NON-ARGMAX candidates only. When the round's
+    *      argmax itself collides (every pick rejected, batch empty),
+    *      the fallback below replays the legacy one-merge-per-round
+    *      step verbatim — which merges it anyway, exactly as the
+    *      sequential loop always has (batch == sequential parity is
+    *      the invariant, not an absolute collision guarantee);
     *   4. is not a self-pair (l == r) unless it is the round's first
     *      pick, taken alone — a self-merge's leftovers (odd-run
     *      tails) form new pairs bounded only by HALF its own
@@ -173,7 +180,7 @@ object BpeLearn {
           val p = l + r
           val reject = picks.size >= budget || f < minFreq ||
             used(l) || used(r) || used(p) ||
-            products(l) || products(r) || alphabet(p) ||
+            products(l) || products(r) || products(p) || alphabet(p) ||
             (l == r && picks.nonEmpty)
           if (reject) { stopFreq = Some(f); i = -1 }
           else {

@@ -1114,14 +1114,24 @@ object Dedup {
           }
         }, 30.minutes)
       catch {
-        case _: java.util.concurrent.TimeoutException =>
+        // CATCH-ALL, not just timeout (r15 advice): if ONE detector
+        // future fails for any reason, Await rethrows immediately —
+        // without cancellation the other two detectors' Spark jobs
+        // and the non-daemon pool threads would run to completion
+        // against a result nobody will read. Every failure path
+        // releases the cluster.
+        case t: Throwable =>
           docs.sparkSession.sparkContext.cancelJobGroup(jobGroup)
           pool.shutdownNow()
-          throw new IllegalStateException(
-            "d16 dedup-compare: a detector materialization " +
-              "(d02_jaccard/d07_winnow/d10_runs) did not finish within " +
-              "30 minutes — its jobs were cancelled (group " +
-              s"$jobGroup)")
+          t match {
+            case _: java.util.concurrent.TimeoutException =>
+              throw new IllegalStateException(
+                "d16 dedup-compare: a detector materialization " +
+                  "(d02_jaccard/d07_winnow/d10_runs) did not finish within " +
+                  "30 minutes — its jobs were cancelled (group " +
+                  s"$jobGroup)")
+            case _ => throw t
+          }
       }
     } finally pool.shutdown()
     // fully declarative: per combo, three 1-row count aggregates

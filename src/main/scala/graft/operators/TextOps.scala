@@ -593,6 +593,19 @@ object TextOps {
   // sym/nw > 0.1), so both engines compare exact BIGINTs and the
   // oracle needs no float-tolerance anywhere. One scan, one narrow
   // codegen'd projection, one low-cardinality shuffle.
+  //
+  // DELIBERATE DEVIATIONS from Rae et al. A1.1 (r15 advice, noted
+  // rather than silently diverging): (a) the symbol rule POOLS '#'
+  // and '...' into one combined count against a single 0.1
+  // threshold, where the paper applies 0.1 per symbol ("either") —
+  // the pooled count dominates each part, so the pooled rule fails
+  // every doc the paper's rule fails and additionally mixed-symbol
+  // docs whose parts each sit under 0.1 (strictly >= as strict); (b)
+  // the ASCII '...' spelling only — the Unicode ellipsis '…' is
+  // counted by neither f_sym nor the ellipsis-line rule. Both sides
+  // of the oracle mirror these choices exactly, so engine parity is
+  // unaffected; extending to per-symbol ratios or '…' means touching
+  // gopherFlags AND t11Sql together.
   // ---------------------------------------------------------------
 
   val GopherStopwords: Seq[String] =

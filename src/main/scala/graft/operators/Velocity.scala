@@ -395,7 +395,7 @@ object Velocity {
   val f31Sql: String =
     s"""WITH w AS (SELECT event_type,
            strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-           CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS BIGINT) % 7 AS dow,
+           ((CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS BIGINT) % 7) + 7) % 7 AS dow,
            count(*) AS n
          FROM events GROUP BY 1, 2, 3),
        b AS (SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS dow_sum,
