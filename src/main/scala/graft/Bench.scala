@@ -130,8 +130,24 @@ object Bench {
       }
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE in the output (value -1), never
-      // reported as its time-to-throw — that reads as a perf win
-      val ok = setupOk && (try { fn(spark, sfDir).count(); true } catch {
+      // reported as its time-to-throw — that reads as a perf win.
+      //
+      // noop WRITE, not count() (r16 bench-fidelity fix): count()
+      // lets the optimizer column-prune every output expression and
+      // then ELIMINATE whole subtrees — a left join whose right side
+      // is a unique-key aggregate contributes no rows and no
+      // referenced columns to count(1), so Catalyst drops the join
+      // AND everything feeding it. Measured on g04_triangles at
+      // sf0.1: count() 0.58 s (the wedge enumeration never ran —
+      // three rounds of guard history pinned a number that measured
+      // only the degree rollup) vs 16.5 s with every column
+      // materialized. The noop sink runs the FULL query — every
+      // operator, every output column — and discards rows at the
+      // sink, which is exactly what a bench must time.
+      val ok = setupOk && (try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        true
+      } catch {
         case t: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
           false

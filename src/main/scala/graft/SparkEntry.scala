@@ -54,6 +54,22 @@ object SparkEntry {
       operators.BpeLearn.c03cFit(s, dir)),
     "d07_winnow_pairs_capped" -> ((s, dir) =>
       operators.Dedup.winnowPairs(Tables.documents(s, dir))),
+    // the degree-ordering binding demonstration pair (r15 verdict
+    // item 1, the d09 pattern): same triangles() both ways over the
+    // planted wheel graph whose hub sits mid-id-range — id-ordered
+    // pays the (deg/2)² hub wedge fan-out, degree-ordered orients
+    // every spoke INTO the hub and pays ~nothing. bench_guard
+    // enforces skew/ordered >= 2x; alphabetical order runs the
+    // expensive twin first so it absorbs the pair's one-time
+    // plan-codegen cost (the d09 convention).
+    "g04_hub_skew" -> ((s, dir) => operators.Graph.g04HubSkew(s, dir)),
+    "g04_hub_skew_ordered" -> ((s, dir) =>
+      operators.Graph.g04HubSkewOrdered(s, dir)),
+    // g05's operator on the FULL near-complete co-purchase graph
+    // (no 10% face sampling): the minimal-wedge compact plan at its
+    // worst documented input, under a guard ceiling
+    "g05_link_predict_full" -> ((s, dir) =>
+      operators.Graph.g05Full(s, dir)),
     "d10_run_overlap_capped" -> ((s, dir) =>
       operators.Dedup.d10(s, dir,
         maxDf = Some(operators.Dedup.DefaultMaxDf))),

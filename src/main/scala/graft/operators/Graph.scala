@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -140,23 +140,87 @@ object Graph {
   // g04: triangle counting + local clustering coefficient — the
   // cohesion metrics next to g03's centrality (fraud rings and
   // recommendation neighborhoods are dense triangles; bridges are
-  // not). Triangles enumerate via the ordered compact-forward join:
-  // edges are kept a < b, so each triangle x < y < z is produced
-  // EXACTLY once by (x,y) ⋈ (y,z) ⋈ (x,z) — no /6 dedup, no
-  // symmetric blowup. cc(v) = 2·T(v)/(deg·(deg−1)), 0 pinned for
-  // deg < 2; everything integer until that one rounded division.
+  // not). Triangles enumerate via the ordered compact-forward join
+  // over DEGREE-ORIENTED edges (r15 verdict item 1): every edge
+  // {u, v} points from the endpoint that is SMALLER in the total
+  // order (degree, id) to the larger, so each triangle x ≺ y ≺ z is
+  // produced EXACTLY once by (x,y) ⋈ (y,z) ⋈ (x,z) — no /6 dedup,
+  // no symmetric blowup — and, crucially, the wedge fan-out at the
+  // middle node y is bounded by y's FORWARD degree, which degree
+  // ordering caps at O(√m) (arboricity bound: a node can have at
+  // most √(2m) neighbors of degree ≥ its own). Under id ordering
+  // the same join's fan-out is Σ d⁻(y)·d⁺(y), which on a hub whose
+  // id sits mid-range goes quadratic in the hub degree — the
+  // documented scale-killer on the near-complete co-purchase graph
+  // (see g05's note below), demonstrated binding by the
+  // g04_hub_skew bench pair. cc(v) = 2·T(v)/(deg·(deg−1)), 0 pinned
+  // for deg < 2; everything integer until that one rounded division.
   //
-  // Scale: the edge frame is cached once and the two equi-joins are
-  // plain shuffles on edge endpoints; candidate width is bounded by
-  // the co-purchase structure (baskets ≤ 7 items), the same argument
-  // that keeps coEdges linear. At web scale the standard refinement
-  // is degree-ordering instead of id-ordering — same plan shape.
+  // Oracle parity: the per-node OUTPUT (node, degree, n_triangles,
+  // clustering) is orientation-invariant — both orientations
+  // enumerate the identical triangle set, each exactly once — so
+  // the DuckDB replay keeps the simpler id-orientation and the spec
+  // pins degree-ordered == id-ordered row-for-row besides.
   // ---------------------------------------------------------------
 
+  /** The (node, degree) frame of an undirected a<b edge set. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+
+  /** Re-orient a<b-by-id undirected edges by the total order
+    * (degree, id): output (a, b) has a ≺ b. Two node-keyed joins
+    * against the caller's degree frame — linear, shuffle on the
+    * endpoints. */
+  def orientByDegree(edges: DataFrame, deg: DataFrame): DataFrame = {
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    edges
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+      .select(when(fwd, col("a")).otherwise(col("b")).as("x"),
+        when(fwd, col("b")).otherwise(col("a")).as("y"))
+      .select(col("x").as("a"), col("y").as("b"))
+  }
+
+  def orientByDegree(edges: DataFrame): DataFrame =
+    orientByDegree(edges, degrees(edges))
+
+  /** Hub gate for the adaptive orientation (the q20 adaptive-prune
+    * pattern): re-orienting costs two linear node-keyed joins over
+    * the edge frame, and changes the wedge count only through degree
+    * VARIANCE — on a degree-uniform graph every total order pays the
+    * same Σ d⁻·d⁺, so orientation there is pure overhead (measured:
+    * +2 s on the sf0.1 co-purchase graph, degrees ~uniform at ~119).
+    * It pays exactly when a hub could go quadratic, i.e. when the
+    * largest single-node wedge potential max_deg² dwarfs the linear
+    * O(|E|) orientation cost. The gate reads ONE row off the (node-
+    * cardinality, cached) degree frame — the g03 bounded-pull
+    * convention, never a data collect. */
+  val SkewFactor = 16L
+
   /** Per-node triangle metrics over undirected (a, b) edges:
-    * (node, degree, n_triangles, clustering). */
-  def triangles(edges: DataFrame): DataFrame = {
-    val e = edges.transform(graft.CacheRegistry.register)
+    * (node, degree, n_triangles, clustering). `degreeOrdered`:
+    * None = adaptive (orient iff the hub gate fires — the
+    * production default), Some(true)/Some(false) pin the gear (the
+    * hub-skew bench pair and the equality spec). Both gears produce
+    * identical rows — the per-node output is orientation-invariant
+    * (spec-pinned). */
+  def triangles(edges: DataFrame,
+      degreeOrdered: Option[Boolean] = None): DataFrame = {
+    val e0 = edges.transform(graft.CacheRegistry.register)
+    // the per-node degree frame is needed for the OUTPUT regardless;
+    // caching it makes the gate read and the orientation joins free
+    // riders on work the operator already does
+    val deg = degrees(e0).transform(graft.CacheRegistry.register)
+    val orient = degreeOrdered.getOrElse {
+      val r = deg.agg(max(col("degree")).cast("long"),
+        (sum(col("degree")) / 2).cast("long")).head()
+      r.getLong(0) * r.getLong(0) > SkewFactor * r.getLong(1)
+    }
+    val e = (if (orient) orientByDegree(e0, deg) else e0)
+      .transform(graft.CacheRegistry.register)
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"),
@@ -165,9 +229,6 @@ object Graph {
     val perNode = tri
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
-    val deg = e.select(col("a").as("node"))
-      .union(e.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
     deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
@@ -180,6 +241,57 @@ object Graph {
 
   def g04(s: SparkSession, dir: String): DataFrame =
     triangles(coEdges(Tables.lineitem(s, dir)))
+
+  /** The hub-skew demonstration graph: a wheel over the first
+    * `maxNodes` part ids — one hub (the MEDIAN-rank id, so
+    * id-orientation splits its spokes half-in/half-out and the
+    * id-ordered wedge join fans out (deg/2)² at the hub) joined to
+    * every other node, plus the id-ordered path i—(i+1) through the
+    * non-hub nodes (so the result is non-trivial: every path edge
+    * closes a triangle with the hub). Degree ordering orients every
+    * spoke INTO the hub (it is the unique maximum-degree node), so
+    * its forward degree is 0 and the hub contributes zero wedges —
+    * the arboricity bound doing its job. The bench pair runs the
+    * same `triangles` both ways; bench_guard enforces id-ordered ≥
+    * 2× degree-ordered (the d09 cap-binding pattern). */
+  def wheelEdges(s: SparkSession, dir: String,
+      maxNodes: Int = WheelNodes): DataFrame = {
+    val w = Window.orderBy(col("id"))
+    // row_number over one partition: the node list is bounded by
+    // maxNodes (bench input construction, not a corpus-scale
+    // operator); orders is the id source because the part catalog
+    // (20k at sf0.1) is too small for the quadratic term to dwarf
+    // the pair's fixed costs
+    val ids = Tables.orders(s, dir).select(col("o_orderkey").as("id"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxNodes)
+      .transform(graft.CacheRegistry.register)
+    val n = math.max(ids.count(), 3L) // degenerate dirs still yield a graph
+    val hubRn = n / 2
+    val hub = ids.filter(col("rn") === hubRn).select(col("id").as("hub"))
+    val rest = ids.filter(col("rn") =!= hubRn)
+    val spokes = rest.crossJoin(broadcast(hub))
+      .select(least(col("id"), col("hub")).as("a"),
+        greatest(col("id"), col("hub")).as("b"))
+    val path = rest
+      .withColumn("nxt", lead(col("id"), 1).over(Window.orderBy(col("rn"))))
+      .filter(col("nxt").isNotNull)
+      .select(least(col("id"), col("nxt")).as("a"),
+        greatest(col("id"), col("nxt")).as("b"))
+    spokes.union(path).distinct()
+  }
+
+  /** Wheel size for the hub-skew pair: 12k order keys → the
+    * id-ordered plan pays ~(6k)² = 3.6×10⁷ hub wedges through the
+    * closure probe; the degree-ordered plan ~2 per path node.
+    * (The count()-era calibration chased this upward to 100k nodes
+    * because the eliminated-join bench read 2 s at ANY size; under
+    * the honest noop-sink measurement the per-wedge cost is real —
+    * ~10⁻⁷ s through the closure probe — and 3.6×10⁷ wedges already
+    * put the id-ordered gear several-fold past the 2× guard floor
+    * while keeping the pair a few seconds.) */
+  val WheelNodes = 12000
 
   val g04Sql: String =
     """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -216,10 +328,25 @@ object Graph {
   // once at the end; candidate set bounded by MinCommon and the
   // existing-edge anti-join.
   //
-  // Scale: one 2-hop self-join over the cached src-partitioned
-  // symmetric frame (the g04 argument bounds fan-out by basket
-  // size), one combiner-friendly (a, b) aggregation, then an
-  // anti-join against the edge set.
+  // Scale (r16, the honest version of "apply the g04 medicine"):
+  // unlike triangle counting, OPEN-wedge scoring admits no
+  // arboricity bound — every wedge x—m—y is a candidate that must
+  // reach the (x, y) aggregate, because its count IS the common-
+  // neighbor score, so Σ_m C(deg m, 2) join rows are the output's
+  // information content and no orientation makes them fewer. What
+  // CAN go: the legacy plan enumerated each wedge TWICE (symmetric
+  // frame self-joined on the middle, deg(m)² ordered pairs filtered
+  // to a<b post-join) and shuffled the 2|E| symmetric frame to get
+  // there. linkPredict now splits the wedge by the middle's id-
+  // position — m<x<y (forward×forward), x<m<y (in×out), x<y<m
+  // (backward×backward) — over the ONE a<b edge frame with degrees
+  // attached: three equi-joins whose union is each wedge EXACTLY
+  // once (the cases partition on where m sorts), i.e. the minimal
+  // C(deg,2) row count, with the a-side/b-side inequality pushed
+  // into the join condition. Spec pins compact == legacy row-for-
+  // row; the unsampled sf0.1 face (g05_link_predict_full, benched
+  // under a guard bar) runs the full near-complete co-purchase
+  // graph through it.
   // ---------------------------------------------------------------
 
   /** Predicted links need at least this many shared neighbors. */
@@ -230,9 +357,73 @@ object Graph {
     * candidate set reads 1.76M rows at sf0.01 alone. */
   val TopPredictions = 3
 
+  /** The Adamic–Adar contribution of a common neighbor of degree
+    * `d` — rounded then DECIMAL-cast so the sum is order-exact
+    * across engines and plans. */
+  private def aaTerm(d: Column): Column =
+    round(lit(1.0) / log(d.cast("double")), 6).cast("decimal(25,8)")
+
+  /** Shared scoring tail: (a, b, cn, aa) candidate pairs → ranked
+    * non-edge predictions with Jaccard + Adamic–Adar. */
+  private def scoreTail(hops: DataFrame, e: DataFrame,
+      deg: DataFrame): DataFrame = {
+    val wr = Window.partitionBy(col("a"))
+      .orderBy(col("cn").desc, col("b").asc)
+    hops
+      .join(e, Seq("a", "b"), "left_anti") // existing edges are not predictions
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= TopPredictions)
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+      .select(col("a"), col("rank"), col("b"), col("cn"),
+        round(col("cn").cast("double") /
+          (col("da") + col("db") - col("cn")), 6).as("jaccard"),
+        round(col("aa"), 6).as("adamic_adar"))
+  }
+
   /** Non-edge 2-hop pairs with neighborhood scores over undirected
-    * (a, b) edges: (a, b, cn, jaccard, adamic_adar). */
+    * (a, b) edges: (a, b, cn, jaccard, adamic_adar). Compact wedge
+    * enumeration — each wedge x—m—y (x < y) is generated EXACTLY
+    * once by the id-position of its middle (see the block comment):
+    * minimal Σ C(deg, 2) join output, no symmetric-frame blowup. */
   def linkPredict(edges: DataFrame, minCommon: Int = MinCommon): DataFrame = {
+    val e0 = edges.transform(graft.CacheRegistry.register)
+    // node-cardinality, consumed 4× (ed build ×2, scoreTail ×2) —
+    // cached so the edge scan + degree shuffle runs once
+    val deg = degrees(e0).transform(graft.CacheRegistry.register)
+    // the one frame all three wedge cases self-join: a<b edges with
+    // both endpoint degrees attached (the middle's degree feeds the
+    // Adamic–Adar term without a third join)
+    val ed = e0
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+      .transform(graft.CacheRegistry.register)
+    // m < x < y: two forward edges (m,x), (m,y) — join on the shared
+    // lower endpoint, strict b-inequality inside the join condition
+    val c1 = ed.as("p").join(ed.as("q"),
+        col("p.a") === col("q.a") && col("p.b") < col("q.b"))
+      .select(col("p.b").as("x"), col("q.b").as("y"), col("p.da").as("dm"))
+    // x < m < y: edges (x,m), (m,y) — the in×out case
+    val c2 = ed.as("p").join(ed.as("q"), col("p.b") === col("q.a"))
+      .select(col("p.a").as("x"), col("q.b").as("y"), col("p.db").as("dm"))
+    // x < y < m: two backward edges (x,m), (y,m)
+    val c3 = ed.as("p").join(ed.as("q"),
+        col("p.b") === col("q.b") && col("p.a") < col("q.a"))
+      .select(col("p.a").as("x"), col("q.a").as("y"), col("p.db").as("dm"))
+    val hops = c1.union(c2).union(c3)
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cn"),
+        sum(aaTerm(col("dm"))).cast("double").as("aa"))
+      .filter(col("cn") >= minCommon)
+      .select(col("x").as("a"), col("y").as("b"), col("cn"), col("aa"))
+    scoreTail(hops, e0, deg)
+  }
+
+  /** The legacy symmetric-frame 2-hop plan (each wedge enumerated
+    * twice, a<b filtered post-join) — identical output, kept as the
+    * spec's equality anchor for the compact rewrite. */
+  def linkPredictLegacy(edges: DataFrame,
+      minCommon: Int = MinCommon): DataFrame = {
     val e = edges.transform(graft.CacheRegistry.register)
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
@@ -240,30 +431,17 @@ object Graph {
       .withColumn("deg",
         count(lit(1)).over(Window.partitionBy(col("src"))))
       .transform(graft.CacheRegistry.register)
-    val deg = sym.select(col("src"), col("deg")).distinct()
-    // 2-hop paths a −m− b with a < b; m carries its degree for the
-    // Adamic–Adar term
+    val deg = sym.select(col("src").as("node"), col("deg").as("degree"))
+      .distinct()
     val hops = sym.select(col("dst").as("a"), col("src").as("m"), col("deg"))
       .join(sym.select(col("src").as("m2"), col("dst").as("b")),
         col("m") === col("m2"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("cn"),
-        sum(round(lit(1.0) / log(col("deg").cast("double")), 6)
-          .cast("decimal(25,8)")).cast("double").as("aa"))
+        sum(aaTerm(col("deg"))).cast("double").as("aa"))
       .filter(col("cn") >= minCommon)
-    val wr = Window.partitionBy(col("a"))
-      .orderBy(col("cn").desc, col("b").asc)
-    hops
-      .join(e, Seq("a", "b"), "left_anti") // existing edges are not predictions
-      .withColumn("rank", row_number().over(wr).cast("long"))
-      .filter(col("rank") <= TopPredictions)
-      .join(deg.select(col("src").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("src").as("b"), col("deg").as("db")), "b")
-      .select(col("a"), col("rank"), col("b"), col("cn"),
-        round(col("cn").cast("double") /
-          (col("da") + col("db") - col("cn")), 6).as("jaccard"),
-        round(col("aa"), 6).as("adamic_adar"))
+    scoreTail(hops, e, deg)
   }
 
   /** Face input: the deterministic 10% part-id subgraph. The FULL
@@ -276,6 +454,24 @@ object Graph {
   def g05(s: SparkSession, dir: String): DataFrame =
     linkPredict(coEdges(
       Tables.lineitem(s, dir).filter(col("l_partkey") % 10 === 0)))
+
+  /** The UNSAMPLED operator on the full near-complete co-purchase
+    * graph (r15 verdict item 1's "done" bar) — benched under a
+    * guard ceiling so the minimal-wedge plan's scale posture is a
+    * measured number, not a claim. Stays benchOnly: its DuckDB
+    * replay at sf0.01 is the g05 oracle face's job. */
+  def g05Full(s: SparkSession, dir: String): DataFrame =
+    linkPredict(coEdges(Tables.lineitem(s, dir)))
+
+  /** Hub-skew bench pair (id-ordered baseline, gear pinned). */
+  def g04HubSkew(s: SparkSession, dir: String): DataFrame =
+    triangles(wheelEdges(s, dir), degreeOrdered = Some(false))
+
+  /** Hub-skew bench pair (degree-ordered production gear, pinned —
+    * the adaptive gate picks this same gear on this input; pinning
+    * keeps the pair a clean A/B with no gate job in the timing). */
+  def g04HubSkewOrdered(s: SparkSession, dir: String): DataFrame =
+    triangles(wheelEdges(s, dir), degreeOrdered = Some(true))
 
   val g05Sql: String =
     s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

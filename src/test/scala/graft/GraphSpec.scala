@@ -79,6 +79,58 @@ class GraphSpec extends SparkSpec {
     // and no (1, m) / (2, m) real edge is ever "predicted"
   }
 
+  test("orientByDegree: lower-degree endpoint first, edge set preserved") {
+    // path 1-2-3-4-5 plus hub 9 joined to 1..5: hub degree 5 beats
+    // everything, interior path nodes degree 3, ends degree 2
+    val edges = (Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L)) ++
+      (1L to 5L).map(n => (n, 9L))).toDF("a", "b")
+    val deg = Seq(1L->2L,2L->3L,3L->3L,4L->3L,5L->2L,9L->5L).toMap
+    val got = Graph.orientByDegree(edges).as[(Long, Long)].collect()
+    got.foreach { case (x, y) =>
+      assert(deg(x) < deg(y) || (deg(x) == deg(y) && x < y),
+        s"edge $x->$y violates (degree, id) order")
+    }
+    val undirected = got.map { case (x, y) =>
+      (math.min(x, y), math.max(x, y)) }.toSet
+    assert(undirected ==
+      edges.as[(Long, Long)].collect().toSet, "edge set drifted")
+  }
+
+  test("degree-ordered triangles == id-ordered, on sf data and the wheel") {
+    val co = Graph.coEdges(Tables.lineitem(spark, sf("sf0.001")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().toSet
+    val ordered = rows(Graph.triangles(co, degreeOrdered = Some(true)))
+    assert(ordered == rows(Graph.triangles(co, degreeOrdered = Some(false))))
+    assert(ordered == rows(Graph.triangles(co)), "adaptive gear diverged")
+    assert(ordered.nonEmpty)
+    // and on the hub-skew wheel (the bench pair's own input): every
+    // path edge closes a triangle with the hub, so n_triangles > 0
+    val wheel = Graph.wheelEdges(spark, sf("sf0.001"), maxNodes = 120)
+    val w1 = rows(Graph.triangles(wheel)) // adaptive: the gate fires here
+    assert(w1 == rows(Graph.triangles(wheel, degreeOrdered = Some(false))))
+    // wheel structure is exact: n nodes → n-1 spokes + n-2 path
+    // edges, and every triangle is (i, i+1, hub) — one per path edge
+    val n = w1.size
+    assert(n >= 20, s"sf0.001 part table too small for the wheel ($n)")
+    assert(w1.toSeq.map(_._3).sum / 3 == n - 2,
+      "wheel should carry exactly one triangle per path edge")
+    // the hub is the unique max-degree node and sits in EVERY triangle
+    val hub = w1.maxBy(_._2)
+    assert(hub._2 == n - 1 && hub._3 == n - 2)
+  }
+
+  test("compact linkPredict == legacy symmetric-frame plan, row-for-row") {
+    val co = Graph.coEdges(
+      Tables.lineitem(spark, sf("sf0.001"))
+        .filter(col("l_partkey") % 10 === 0))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Double, Double)].collect().toSet
+    val compact = rows(Graph.linkPredict(co))
+    assert(compact == rows(Graph.linkPredictLegacy(co)))
+    assert(compact.nonEmpty)
+  }
+
   test("partition-independence: same ranks from a shuffled edge frame") {
     val docs = Tables.lineitem(spark, sf("sf0.001"))
     val edges = Graph.coEdges(docs)
