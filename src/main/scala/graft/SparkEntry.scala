@@ -52,6 +52,12 @@ object SparkEntry {
     // static oracle can embed a data-derived vocab; spec-pinned)
     "c03c_pack_subword_fit" -> ((s, dir) =>
       operators.BpeLearn.c03cFit(s, dir)),
+    // the 32k-merge-budget fit→persist→load→pack lifecycle (r15
+    // verdict item 3): the sampled fit at its production operating
+    // point, through the shipped artifact
+    "c03c_pack_subword_fit32k" -> ((s, dir) =>
+      operators.BpeLearn.c03cFit32k(s, dir,
+        s"${GateScratch.fresh(s, "bpe32k")}/fit")),
     "d07_winnow_pairs_capped" -> ((s, dir) =>
       operators.Dedup.winnowPairs(Tables.documents(s, dir))),
     // the degree-ordering binding demonstration pair (r15 verdict
@@ -70,6 +76,12 @@ object SparkEntry {
     // worst documented input, under a guard ceiling
     "g05_link_predict_full" -> ((s, dir) =>
       operators.Graph.g05Full(s, dir)),
+    // c10's composition in the 100 TB posture: the pre-stage output
+    // materialized to storage (no text-bearing cache) — sorts right
+    // after c10_clean_full so the pair reads as a twin comparison
+    "c10_clean_staged" -> ((s, dir) =>
+      operators.Corpus.c10Staged(s, dir,
+        s"${GateScratch.fresh(s, "c10stage")}/stage")),
     "d10_run_overlap_capped" -> ((s, dir) =>
       operators.Dedup.d10(s, dir,
         maxDf = Some(operators.Dedup.DefaultMaxDf))),
@@ -137,6 +149,23 @@ object SparkEntry {
       streaming.UpsertStream.upsertBatch(
         operators.Upsert.updatesFor(docs), 1L, delta)
       streaming.UpsertStream.snapshotView(s, base, delta)
+    }),
+    // st06_alert_sink: the ElastAlert → index → ILM path at corpus
+    // scale — the full st05 alert frame written through the
+    // rolled-segment sink in two generations (tiny maxBytes forces a
+    // real seal between them, so the timed face pays append + roll +
+    // retention + the merged read-back, the whole lifecycle)
+    "st06_alert_sink" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+      val root = GateScratch.fresh(s, "alertsink")
+      val alerts = streaming.Alerts.st05(s, dir)
+        .transform(graft.CacheRegistry.register)
+      (0L to 1L).foreach { b =>
+        streaming.Alerts.alertSinkBatch(
+          alerts.filter(pmod(xxhash64(col("wstart")), lit(2)) === b),
+          root, maxBytes = 1L, keep = 8)
+      }
+      s.read.parquet(root)
     }),
     // st03_maintain: the maintenance pass alone (recoverSwaps +
     // compactCensus + foldBatches×2 + sealed-dir compacts) over gate

@@ -305,4 +305,32 @@ object BpeLearn {
       .select(col("doc_id"), col("shard"), col("seq"),
         col("tokens"), col("offset"))
   }
+
+  /** The real-operating-point merge budget (r15 verdict item 3): a
+    * production tokenizer is a 32k-piece vocabulary, not the
+    * 24-merge demonstration budget. The loop still stops early when
+    * the candidate stream dries (no pair ≥ minFreq) — on a bounded
+    * stratified sample that exhaustion point, not the budget, is
+    * what ends the fit, which is exactly the 100 TB posture: the
+    * sample bounds the fit's cost, the budget bounds its size. */
+  val Rounds32k = 32768
+
+  /** The full 32k-budget lifecycle, end-to-end (bench face
+    * `c03c_pack_subword_fit32k`): stratified-sample fit at the 32k
+    * merge budget → fit PERSISTED as the shippable artifact →
+    * re-LOADED → the corpus packed on the loaded pieces. Every stage
+    * a production pipeline runs, in its order — the pack consumes
+    * the artifact, never the in-memory fit, so the face also proves
+    * the artifact is sufficient. */
+  def c03cFit32k(s: SparkSession, dir: String,
+      artifactDir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    writeFit(s, fitSampled(docs, rounds = Rounds32k), artifactDir)
+    val vocab = readFit(s, artifactDir).vocab
+    Split.packSequences(docs,
+      tokenCount = graft.plans.GraftFunctions.subwordCountWith(
+        s, col("text"), vocab))
+      .select(col("doc_id"), col("shard"), col("seq"),
+        col("tokens"), col("offset"))
+  }
 }

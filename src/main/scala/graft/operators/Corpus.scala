@@ -175,11 +175,13 @@ object Corpus {
     * repetitionMetrics flags as repetitive BEFORE the cascade — the
     * phrase-repeat degenerates t02's score cannot see (they read as
     * long, punctuation-free, stopword-bearing = HIGH). */
-  def clean(docs: DataFrame,
-      maxDf: Option[Int] = Some(Dedup.DefaultMaxDf),
-      stripLineDf: Option[Int] = None,
-      repetitionGate: Boolean = false,
-      gopherGate: Boolean = false): DataFrame = {
+  /** The pre-cascade gate pipeline (strip → repetition → Gopher) —
+    * shared verbatim by [[clean]] (in-plan) and [[cleanStaged]]
+    * (materialized), so the two postures can never drift. */
+  private def preStages(docs: DataFrame,
+      stripLineDf: Option[Int],
+      repetitionGate: Boolean,
+      gopherGate: Boolean): DataFrame = {
     val stripped = stripLineDf match {
       case Some(k) => stripBoilerplate(docs, k)
         .select(col("doc_id"), col("clean_text").as("text"))
@@ -193,27 +195,58 @@ object Corpus {
         Seq("doc_id"), "left_anti")
     // optional Gopher rule battery (t11), the batch twin of the 41o
     // ingest gate: any failed rule rejects the doc before the cascade
-    val input =
-      if (!gopherGate) afterRep
-      else afterRep.join(
-        TextOps.gopherFlags(afterRep.select(col("doc_id"), col("text")))
-          .filter(TextOps.gopherFail)
-          .select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
+    if (!gopherGate) afterRep
+    else afterRep.join(
+      TextOps.gopherFlags(afterRep.select(col("doc_id"), col("text")))
+        .filter(TextOps.gopherFail)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+  }
+
+  def clean(docs: DataFrame,
+      maxDf: Option[Int] = Some(Dedup.DefaultMaxDf),
+      stripLineDf: Option[Int] = None,
+      repetitionGate: Boolean = false,
+      gopherGate: Boolean = false): DataFrame = {
+    val input = preStages(docs, stripLineDf, repetitionGate, gopherGate)
     // the cascade reads its input THREE times (scoring, gated text,
     // survivor text) — cheap re-scans when the input is a raw source,
     // but with strip/repetition stages ahead each consumer would
     // re-execute the whole pre-pipeline (measured: c10 isolated at
     // sf0.1 21.2 s uncached vs 13.5 s cached — the remainder is the
-    // sum of the constituent faces). A text-bearing cache is the documented 100 TB
-    // hazard, so this is the in-plan composition convenience only —
-    // at corpus scale the strip output is materialized to storage
-    // between stages (writeTrainingShards-style), which is what the
-    // cache stands in for here.
+    // sum of the constituent faces). A text-bearing cache is the
+    // documented 100 TB hazard, so this is the in-plan composition
+    // convenience only — at corpus scale run [[cleanStaged]], which
+    // materializes the pre-stage output to storage instead (parity
+    // spec-pinned, benched as c10_clean_staged).
     val prestaged =
       if (stripLineDf.isEmpty && !repetitionGate && !gopherGate) input
       else input.transform(graft.CacheRegistry.register)
     cleanImpl(prestaged, maxDf)
+  }
+
+  /** [[clean]] in the 100 TB posture (r15 verdict item 2, now code
+    * instead of a comment): the pre-stage output (doc_id, text after
+    * strip + gates) is MATERIALIZED to `stageDir` as parquet and the
+    * cascade re-reads it from storage — the writeTrainingShards
+    * pattern — so no text-bearing cache exists anywhere and each of
+    * the cascade's three text consumers is a plain columnar scan
+    * with doc_id semi-join pruning. Identical rows to [[clean]]
+    * (spec-pinned): the stage boundary changes WHERE the
+    * intermediate lives, not what flows through it. */
+  def cleanStaged(docs: DataFrame, stageDir: String,
+      maxDf: Option[Int] = Some(Dedup.DefaultMaxDf),
+      stripLineDf: Option[Int] = None,
+      repetitionGate: Boolean = false,
+      gopherGate: Boolean = false): DataFrame = {
+    val input = preStages(docs, stripLineDf, repetitionGate, gopherGate)
+    if (stripLineDf.isEmpty && !repetitionGate && !gopherGate)
+      cleanImpl(input, maxDf) // no pre-stage → nothing to materialize
+    else {
+      input.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(stageDir)
+      cleanImpl(docs.sparkSession.read.parquet(stageDir), maxDf)
+    }
   }
 
   private def cleanImpl(docs: DataFrame, maxDf: Option[Int]): DataFrame = {
@@ -282,6 +315,14 @@ object Corpus {
 
   def c10(s: SparkSession, dir: String): DataFrame =
     clean(plantedLineCorpus(degenerateCorpus(Tables.documents(s, dir))),
+      maxDf = None, stripLineDf = Some(MaxLineDf), repetitionGate = true)
+
+  /** c10's exact composition through [[cleanStaged]] — the benched
+    * 100 TB posture twin (same planted input, same gates, the stage
+    * boundary on storage instead of cache). */
+  def c10Staged(s: SparkSession, dir: String, stageDir: String): DataFrame =
+    cleanStaged(plantedLineCorpus(degenerateCorpus(Tables.documents(s, dir))),
+      stageDir,
       maxDf = None, stripLineDf = Some(MaxLineDf), repetitionGate = true)
 
   val c10Sql: String =

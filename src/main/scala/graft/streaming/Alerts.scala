@@ -109,6 +109,58 @@ object Alerts {
        FROM events WHERE event_id % 101 >= 80 GROUP BY 1"""
 
   // ---------------------------------------------------------------
+  // The alert SINK lifecycle (r15 verdict item 6 — the last unwired
+  // reference edge): finalized alert windows written through the
+  // rolled-segment table layout, i.e. the full ElastAlert → index →
+  // ILM path as one composition. The reference fires the frequency
+  // rule (elastalert/high_risk.yaml), indexes through the write
+  // alias (ingestion/index_alias.json `is_write_index`) and lets ILM
+  // roll + expire (ingestion/ilm_policy.json); here each finalized
+  // micro-batch appends to the alert table's ACTIVE segment, a
+  // size-triggered rollPartition seals it, and expireSegments keeps
+  // the newest `keep` sealed segments — all metadata-only FS ops on
+  // top of plain parquet (sources.Ingest), so the alert mart scales
+  // like any other rolled table and old alerts age out without a
+  // data rewrite.
+  // ---------------------------------------------------------------
+
+  /** Default hot-segment size — the ilm_policy.json `max_size: 1gb`
+    * analog, scaled to the alert mart's tiny row width. */
+  val AlertSegmentBytes: Long = 64L * 1024 * 1024
+  /** Sealed segments retained — the ILM delete-phase analog. */
+  val AlertKeepSegments = 8
+
+  /** One sink generation: append finalized alerts to the active
+    * segment, seal it if it outgrew `maxBytes`, and — only when a
+    * seal actually happened — run retention (expiry can only become
+    * due when a new sealed segment arrives). */
+  def alertSinkBatch(alerts: DataFrame, path: String,
+      maxBytes: Long = AlertSegmentBytes,
+      keep: Int = AlertKeepSegments): Unit = {
+    val s = alerts.sparkSession
+    graft.sources.Ingest.appendActive(alerts, path)
+    if (graft.sources.Ingest.rollPartition(s, path, maxBytes).isDefined)
+      graft.sources.Ingest.expireSegments(s, path, keep)
+  }
+
+  /** The streaming composition: the alert rule in append mode (only
+    * watermark-finalized windows reach the sink — an alert is
+    * immutable once indexed, the ES document semantics) feeding
+    * [[alertSinkBatch]] per micro-batch. */
+  def maintainAlertSink(scored: DataFrame, path: String,
+      checkpointDir: String, threshold: Int = 80,
+      maxBytes: Long = AlertSegmentBytes,
+      keep: Int = AlertKeepSegments): org.apache.spark.sql.streaming.StreamingQuery =
+    highRiskAlerts(scored, threshold)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        alertSinkBatch(batch, path, maxBytes, keep)
+      }
+      .start()
+
+  // ---------------------------------------------------------------
   // Stream-static enrichment: the poller enriches suspicious items
   // with seller reputation before alerting (poller.py:652-661). In
   // Structured Streaming that is a stream-static broadcast join —

@@ -136,6 +136,46 @@ class BpeLearnSpec extends SparkSpec {
       < docs.count())
   }
 
+  test("32k-budget lifecycle: high-budget fit terminates by exhaustion, " +
+      "artifact round-trips, loaded vocab packs identically, drift <15%") {
+    // the r15-verdict operating point: the budget is 32768 merges but
+    // a bounded corpus EXHAUSTS (no pair >= minFreq) long before it —
+    // proving the loop's stop condition, not the budget, bounds the
+    // fit. minFreq is raised so the spec's full-corpus twin also
+    // exhausts in spec time; the budget stays the real 32k.
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val minFreq = 16L
+    val sampled = BpeLearn.fitSampled(docs, rounds = BpeLearn.Rounds32k,
+      minFreq = minFreq)
+    assert(sampled.merges.size > 24 &&
+      sampled.merges.size < BpeLearn.Rounds32k,
+      s"expected exhaustion between the demo budget and 32k, " +
+        s"got ${sampled.merges.size}")
+    // artifact round-trip: persisted fit loads back exactly
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bpe32k").toString
+    try {
+      BpeLearn.writeFit(spark, sampled, path)
+      val loaded = BpeLearn.readFit(spark, path)
+      assert(loaded.merges == sampled.merges)
+      assert(loaded.vocab == sampled.vocab.sorted)
+      // the loaded vocab round-trips through graft_subword_count:
+      // identical total token counts to the in-memory fit
+      def tokens(vocab: Seq[String]): Long =
+        docs.select(graft.plans.GraftFunctions.subwordCountWith(
+          spark, col("text"), vocab).as("n"))
+          .agg(sum(col("n"))).head.getLong(0)
+      val st = tokens(sampled.vocab)
+      assert(tokens(loaded.vocab) == st, "artifact changed the tokenizer")
+      // and the sampled 32k-budget fit compresses the FULL corpus
+      // within 15% of the full-corpus fit at the same budget
+      val ft = tokens(BpeLearn.fit(docs, rounds = BpeLearn.Rounds32k,
+        minFreq = minFreq).vocab)
+      assert(ft > 0 && st <= ft * 1.15,
+        s"sampled 32k fit compresses much worse: $st vs full $ft")
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("batching actually pays: the 24-merge fit runs far fewer Spark " +
       "jobs batched than sequential (the 32k-vocab posture, measured)") {
     // the scale claim is round COUNT, and each round is a fixed set

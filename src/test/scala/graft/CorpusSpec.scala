@@ -148,6 +148,24 @@ class CorpusSpec extends SparkSpec {
     } finally CacheRegistry.unpersistAll()
   }
 
+  test("cleanStaged == clean row-for-row (the 100 TB stage boundary " +
+      "changes where the intermediate lives, not the result)") {
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-c10stage").toString + "/stage"
+    try {
+      val inPlan = Corpus.c10(spark, sf())
+        .as[(Long, String, Double)].collect().toSet
+      val staged = Corpus.c10Staged(spark, sf(), stage)
+        .as[(Long, String, Double)].collect().toSet
+      assert(staged == inPlan && staged.nonEmpty)
+      // the stage really landed on storage (the posture is real, not
+      // a cache in disguise)
+      val fs = new java.io.File(stage)
+      assert(fs.exists && fs.listFiles.exists(_.getName.endsWith(".parquet")),
+        "stage dir missing materialized parquet")
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("c08 -> clean integration: strip-first equals clean on template-free text") {
     // one-line bodies + a universal template line: stripping removes
     // exactly the template, so the cascade must see the ORIGINAL text

@@ -114,4 +114,64 @@ class StreamingAlertRuleSpec extends SparkSpec {
         s"enriched alert window not finalized by low-risk traffic: $rows")
     } finally q.stop()
   }
+
+  test("alert sink lifecycle: stream -> rolled-segment table == batch " +
+      "st05; a seal really happened; retention drops only the oldest") {
+    // the ElastAlert -> index -> ILM path end-to-end (r15 verdict
+    // item 6): the real sf0.001 scored stream through
+    // maintainAlertSink with byte-1 rollover (every non-empty batch
+    // seals), then the read-back must equal the batch face and the
+    // layout must show sealed segments + a monotonic counter.
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-alertsink").toString
+    val table = s"$root/alerts"
+    val scored = Alerts.scoredEvents(spark, sf("sf0.001"))
+      .as[(Timestamp, Int)].collect().sortBy(_._1.getTime)
+    val (b1, b2) = scored.splitAt(scored.length / 2)
+    val sentinel = (new Timestamp(
+      scored.map(_._1.getTime).max + 24L * 3600 * 1000), 0)
+    val input = MemoryStream[(Timestamp, Int)]
+    val q = Alerts.maintainAlertSink(
+      input.toDF().toDF("ts", "risk_score"), table,
+      s"$root/ckpt", maxBytes = 1L, keep = 100)
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      input.addData(sentinel); q.processAllAvailable()
+      input.addData((new Timestamp(
+        sentinel._1.getTime + 3600 * 1000), 0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(table)
+      .select(date_format(col("wstart"), "yyyy-MM-dd HH:mm").as("wstart"),
+        col("n_alerts"), col("max_risk"))
+      .as[(String, Long, Int)].collect().toSet
+    val batch = Alerts.st05(spark, sf("sf0.001"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(got == batch && got.nonEmpty,
+      s"sinked alerts drifted from the batch face: " +
+        s"onlySink=${(got -- batch).take(3)} onlyBatch=${(batch -- got).take(3)}")
+    // layout: at least one sealed segment (byte-1 rollover fired)
+    def sealedSegs(): Seq[String] = new java.io.File(table).listFiles()
+      .map(_.getName).filter(_.startsWith("seg=s")).sorted.toSeq
+    val before = sealedSegs()
+    assert(before.nonEmpty, "no sealed segment despite byte-1 rollover")
+    // retention: keep the newest sealed segment only; the read stays
+    // consistent (a subset of the batch rows) and the counter stays
+    // monotonic — the next seal must use a HIGHER number
+    graft.sources.Ingest.expireSegments(spark, table, keep = 1)
+    val after = sealedSegs()
+    assert(after == Seq(before.last),
+      s"retention should keep only the newest sealed segment: $after")
+    val remaining = spark.read.parquet(table)
+      .select(date_format(col("wstart"), "yyyy-MM-dd HH:mm").as("wstart"),
+        col("n_alerts"), col("max_risk"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(remaining.subsetOf(batch))
+    Alerts.alertSinkBatch(Alerts.st05(spark, sf("sf0.001")),
+      table, maxBytes = 1L, keep = 100)
+    val next = sealedSegs().map(_.stripPrefix("seg=s").toInt).max
+    assert(next > before.last.stripPrefix("seg=s").toInt,
+      "rollover counter reissued an expired segment number")
+  }
 }
