@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-up evidence run (r15 verdict item 4): the capped dedup
+  * family, IVF-PQ serving and the streaming gate at ~sf1, i.e. 10×
+  * the bench corpus. The driver generates no sf1 tables, so this
+  * main derives one from the sf0.1 corpus — 10 replicas, each doc of
+  * replica k pairing its own first word-half with the second half of
+  * a DETERMINISTIC partner doc (rank-shifted by k·2999): word/shingle
+  * frequency statistics scale ~10× like a real corpus growth would,
+  * while cross-replica Jaccard sits near 1/3 — far under the near-dup
+  * threshold — so replication does not plant a 10-member near-dup
+  * cluster on every doc (the failure a verbatim copy would cause).
+  * Embeddings replicate with a k-step coordinate rotation
+  * (norm-preserving, decorrelated). The derived tables land under
+  * /tmp and are rebuilt only when absent.
+  *
+  * Faces are timed exactly like graft.Bench (noop sink, cache
+  * registry drained between faces) and the one JSON line mirrors its
+  * shape, written to BENCH_SF1.json for the round artifact.
+  */
+object BenchSf1 {
+
+  val Replicas = 10
+  val Off = 1000000000L
+
+  private def buildDocs(s: SparkSession, srcDir: String, out: String): Unit = {
+    val docs = Tables.documents(s, srcDir)
+    val n = docs.count()
+    val w = Window.orderBy(col("doc_id"))
+    val base = docs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("h", (size(col("ws")) / 2).cast("int"))
+      .select(col("doc_id"), col("lang"), col("source"), col("rn"),
+        concat_ws(" ", slice(col("ws"), lit(1), col("h"))).as("h1"),
+        concat_ws(" ",
+          slice(col("ws"), col("h") + 1, size(col("ws")) - col("h"))).as("h2"))
+      .cache()
+    val replicas = (1 until Replicas).map { k =>
+      val partner = ((col("rn") - 1 + lit(k * 2999L)) % n) + 1
+      base.withColumn("p", partner).as("a")
+        .join(base.select(col("rn").as("prn"), col("h2").as("ph2")).as("b"),
+          col("a.p") === col("b.prn"))
+        .select((col("a.doc_id") + k * Off).as("doc_id"),
+          concat(col("a.h1"), lit(" "), col("ph2")).as("text"),
+          col("a.lang"), col("a.source"))
+    }
+    val all = replicas.foldLeft(
+      docs.select(col("doc_id"), col("text"), col("lang"), col("source")))(
+      _ union _)
+    all.withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    base.unpersist()
+  }
+
+  private def buildEmbeddings(s: SparkSession, srcDir: String,
+      out: String): Unit = {
+    val emb = Tables.embeddings(s, srcDir)
+    val all = (0 until Replicas).map { k =>
+      if (k == 0) emb
+      else emb.select((col("vec_id") + k * Off).as("vec_id"),
+        concat(slice(col("embedding"), k + 1, 10000),
+          slice(col("embedding"), 1, k)).as("embedding"),
+        col("label"))
+    }.reduce(_ union _)
+    all.repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.icu.caseMappings.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet")))
+      buildDocs(spark, srcDir, out)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/embeddings.parquet")))
+      buildEmbeddings(spark, srcDir, out)
+    CacheRegistry.unpersistAll()
+
+    // generic warmup (the Bench convention, shortened): JIT +
+    // codegen + columnar cache infra on synthetic rows
+    spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    Seq("documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$out/$t.parquet").foreach(_ => ())
+    }
+
+    val faces = Seq(
+      "d02_ngram_jaccard_capped", "d07_winnow_pairs_capped",
+      "d10_run_overlap_capped", "d06_dedup_clusters_capped",
+      "c01_corpus_clean_capped", "s05b_ivfpq_artifact",
+      "st02_gate_trigger")
+    val benched = SparkEntry.queries ++ SparkEntry.benchOnly
+    val results = faces.map { name =>
+      val fn = benched(name)
+      val t0 = System.nanoTime()
+      val ok = try {
+        fn(spark, out).write.format("noop").mode("overwrite").save()
+        true
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"[sf1] $name FAILED: ${t.getMessage}")
+          false
+      }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      CacheRegistry.unpersistAll()
+      System.gc()
+      name -> dt
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failures = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""failures":$failures,"queries":$qs,"sf":"sf1-replica(10x $srcDir)"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SF1.json"),
+      json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

@@ -296,14 +296,19 @@ object BpeLearn {
     * oracle SQL is static text and cannot embed a data-derived
     * vocabulary, while the pinned-vocab twin c03c stays the
     * driver-checked row for the identical packing math. */
-  def c03cFit(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val vocab = fit(docs).vocab
+  /** c03c's packing under an arbitrary learned vocab — the one pack
+    * tail both fit faces share (a projection change lands once). */
+  private def packOnVocab(s: SparkSession, docs: DataFrame,
+      vocab: Seq[String]): DataFrame =
     Split.packSequences(docs,
       tokenCount = graft.plans.GraftFunctions.subwordCountWith(
         s, col("text"), vocab))
       .select(col("doc_id"), col("shard"), col("seq"),
         col("tokens"), col("offset"))
+
+  def c03cFit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    packOnVocab(s, docs, fit(docs).vocab)
   }
 
   /** The real-operating-point merge budget (r15 verdict item 3): a
@@ -326,11 +331,6 @@ object BpeLearn {
       artifactDir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     writeFit(s, fitSampled(docs, rounds = Rounds32k), artifactDir)
-    val vocab = readFit(s, artifactDir).vocab
-    Split.packSequences(docs,
-      tokenCount = graft.plans.GraftFunctions.subwordCountWith(
-        s, col("text"), vocab))
-      .select(col("doc_id"), col("shard"), col("seq"),
-        col("tokens"), col("offset"))
+    packOnVocab(s, docs, readFit(s, artifactDir).vocab)
   }
 }

@@ -217,10 +217,15 @@ object Graph {
     val orient = degreeOrdered.getOrElse {
       val r = deg.agg(max(col("degree")).cast("long"),
         (sum(col("degree")) / 2).cast("long")).head()
-      r.getLong(0) * r.getLong(0) > SkewFactor * r.getLong(1)
+      // an empty edge frame aggregates to nulls — nothing to orient
+      !r.isNullAt(0) &&
+        r.getLong(0) * r.getLong(0) > SkewFactor * r.getLong(1)
     }
-    val e = (if (orient) orientByDegree(e0, deg) else e0)
-      .transform(graft.CacheRegistry.register)
+    // only a genuinely NEW frame gets a cache pin — re-registering e0
+    // on the unoriented gear would hold a duplicate registry entry
+    val e = if (orient)
+      orientByDegree(e0, deg).transform(graft.CacheRegistry.register)
+    else e0
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"),
@@ -267,7 +272,10 @@ object Graph {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxNodes)
       .transform(graft.CacheRegistry.register)
-    val n = math.max(ids.count(), 3L) // degenerate dirs still yield a graph
+    // clamp only steadies hubRn's arithmetic; a dir with < 3 ids
+    // yields a degenerate (possibly empty) edge set, which the
+    // consumers handle (triangles' gate null-checks the empty agg)
+    val n = math.max(ids.count(), 3L)
     val hubRn = n / 2
     val hub = ids.filter(col("rn") === hubRn).select(col("id").as("hub"))
     val rest = ids.filter(col("rn") =!= hubRn)
@@ -282,16 +290,17 @@ object Graph {
     spokes.union(path).distinct()
   }
 
-  /** Wheel size for the hub-skew pair: 12k order keys → the
-    * id-ordered plan pays ~(6k)² = 3.6×10⁷ hub wedges through the
+  /** Wheel size for the hub-skew pair: 16k order keys → the
+    * id-ordered plan pays ~(8k)² = 6.4×10⁷ hub wedges through the
     * closure probe; the degree-ordered plan ~2 per path node.
     * (The count()-era calibration chased this upward to 100k nodes
     * because the eliminated-join bench read 2 s at ANY size; under
     * the honest noop-sink measurement the per-wedge cost is real —
-    * ~10⁻⁷ s through the closure probe — and 3.6×10⁷ wedges already
-    * put the id-ordered gear several-fold past the 2× guard floor
-    * while keeping the pair a few seconds.) */
-  val WheelNodes = 12000
+    * ~10⁻⁷ s through the closure probe. 12k nodes measured 3.3 vs
+    * 1.5 s full-run — ratio 2.1, too thin over the 2.0 guard floor
+    * for ordinary churn; 16k buys ~80% more quadratic term for
+    * ~1.5 s of bench.) */
+  val WheelNodes = 16000
 
   val g04Sql: String =
     """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -108,19 +108,32 @@ class VectorIndexSpec extends SparkSpec {
     val f = VectorIndex.readCodes(spark, path)
       .as[(Long, Int, Seq[Int])].collect().toSet
     assert(g == f)
-    // 3. served recall vs s01 brute force (the s02/s03 spec pattern):
-    // trained coarse probing + trained ADC + exact rerank must
-    // clearly beat the 4-of-16-cells random baseline
+    // 3. served recall vs s01 brute force (the s02/s03 spec pattern),
+    // AND vs the pinned sign-family quantizers at the SAME probe
+    // budget (r15 verdict item 8): a trained quantizer that serves
+    // worse than the pinned ±1 family would mean the training is
+    // decorative — measured r16: trained 0.60 vs pinned 0.48 at
+    // 4/16 probes on sf0.01.
     val exact = Similarity.s01(spark, sf("sf0.01"))
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
     val q = corpus.filter(col("vec_id") % Similarity.QueryStride === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val served = VectorIndex.queryIndex(got,
-      VectorIndex.readCodes(spark, path), corpus, q)
-      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
-    assert(served.nonEmpty)
-    val recall = (exact & served).size.toDouble / exact.size
-    assert(recall >= 0.4, s"trained-quantizer recall $recall too low")
+    def recallOf(meta: VectorIndex.IndexMeta, tag: String): Double = {
+      val p = tmp(s"recall-$tag")
+      VectorIndex.writeIndex(corpus, p, meta)
+      val served = VectorIndex.queryIndex(VectorIndex.readMeta(spark, p),
+        VectorIndex.readCodes(spark, p), corpus, q)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+      assert(served.nonEmpty, s"$tag served nothing")
+      (exact & served).size.toDouble / exact.size
+    }
+    val trainedRecall = recallOf(got, "trained")
+    val pinnedRecall = recallOf(pinned, "pinned")
+    assert(trainedRecall >= 0.5,
+      s"trained-quantizer recall $trainedRecall too low")
+    assert(trainedRecall >= pinnedRecall,
+      s"trained recall $trainedRecall below pinned $pinnedRecall " +
+        "at the same probe budget — training is not earning its keep")
   }
 
   test("trained fit is layout-independent: repartitioned corpus, " +
