@@ -15,9 +15,10 @@ object Explain {
       case Nil => Seq("q02_filter_project", "q03_join_agg", "f03_zscore", "s01_ann_bruteforce")
       case xs => xs
     }
+    val faces = SparkEntry.queries ++ SparkEntry.benchOnly
     names.foreach { n =>
       println(s"===== $n =====")
-      println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
+      println(faces(n)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()

@@ -189,6 +189,41 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"q15 shuffles grew to $exchanges")
   }
 
+  test("g04/g05: every wedge generation is an equi join — no cross " +
+      "product, and the compact g05 keeps all three case branches") {
+    Seq("g04_triangles", "g05_link_predict").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: wedge generation fell off the equi-join path")
+    }
+    // the compact plan's three wedge cases must all survive
+    // optimization — a collapsed branch would silently halve counts
+    // on inputs whose wedges concentrate in one id-position case
+    // (the oracle would catch it at sf0.01; this catches it at
+    // plan-build time with a readable failure)
+    val g5 = plan("g05_link_predict")
+    val unions = "\\bUnion\\b".r.findAllIn(g5).length
+    assert(unions >= 1, "compact wedge union missing")
+  }
+
+  test("c10 staged: the cascade reads the STAGE parquet, and no text " +
+      "column rides an in-memory cache") {
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-planstage").toString + "/stage"
+    val p = graft.operators.Corpus.c10Staged(spark, sf("sf0.001"), stage)
+      .queryExecution.executedPlan.toString
+    // the staged posture: pre-stage output consumed as a columnar
+    // file scan of the stage dir
+    assert(p.contains("planstage"), "cascade is not reading the stage dir")
+    // the only caches in the staged plan are the slim scored frame
+    // (doc_id, pred_lang, quality) — assert no InMemory scan carries
+    // the text column
+    val cached = p.split("\n").filter(_.contains("InMemoryTableScan"))
+    assert(cached.forall(!_.contains("text")),
+      "a text-bearing cache survived in the staged plan")
+  }
+
   test("all native functions are SQL-callable after registration") {
     graft.plans.GraftFunctions.register(spark)
     val r = spark.sql(
