@@ -214,6 +214,99 @@ CEILINGS = {
                                    # rollup + weekday baseline join)
 }
 
+# BLANKET bars (r16): every face not hand-calibrated above gets a
+# generous ceiling cut from the committed honest-epoch dump
+# (BENCH_FULL_r16.json, the worse of two back-to-back runs) at
+# 1.7x + 0.8 s — wide enough that the observed 2x sub-second churn
+# band cannot cry wolf, tight enough that a structural regression
+# (a lost broadcast, a cache that stopped binding, an accidental
+# cross join) still trips. Faces previously had NO bar at all, so a
+# silent 5x regression in, say, q01 was invisible to the guard.
+CEILINGS.update({
+    "c01_corpus_clean_capped": 7.3,  # honest 3.84 s
+    "c02_train_split": 1.1,  # honest 0.17 s
+    "c03_pack_sequences": 1.8,  # honest 0.56 s
+    "c03b_pack_chunks": 1.6,  # honest 0.45 s
+    "c03c_pack_subword": 1.6,  # honest 0.47 s
+    "c04_mixture_epochs": 1.3,  # honest 0.31 s
+    "c05_redact_pii": 2.2,  # honest 0.82 s
+    "c06_assemble": 2.5,  # honest 1.03 s
+    "c07_assemble_decontaminated": 6.4,  # honest 3.31 s
+    "c08_strip_boilerplate": 5.2,  # honest 2.57 s
+    "c09_seq_shuffle": 2.5,  # honest 1.00 s
+    "c09b_shard_manifest": 2.2,  # honest 0.81 s
+    "c10_clean_full": 23.5,  # honest 13.34 s
+    "d01_dedup_exact": 1.4,  # honest 0.33 s
+    "d02_ngram_jaccard": 4.5,  # honest 2.16 s
+    "d02_ngram_jaccard_capped": 4.2,  # honest 2.01 s
+    "d03_minhash_lsh": 4.2,  # honest 2.01 s
+    "d04_simhash": 2.2,  # honest 0.80 s
+    "d04b_simhash_core": 3.0,  # honest 1.27 s
+    "d05_embedding_neardup": 1.9,  # honest 0.63 s
+    "d06_dedup_clusters_capped": 7.4,  # honest 3.87 s
+    "d07_winnow_pairs": 6.0,  # honest 3.06 s
+    "d07_winnow_pairs_capped": 4.7,  # honest 2.32 s
+    "d09_boilerplate": 12.3,  # honest 6.74 s
+    "d09_boilerplate_capped": 5.9,  # honest 2.99 s
+    "d10_run_overlap": 3.2,  # honest 1.41 s
+    "d10_run_overlap_capped": 3.4,  # honest 1.55 s
+    "d17_threshold_curve": 4.7,  # honest 2.31 s
+    "f01_market_stats": 2.9,  # honest 1.21 s
+    "f02_component_stats": 1.6,  # honest 0.49 s
+    "f03_zscore": 2.9,  # honest 1.23 s
+    "f04_risk_score": 2.4,  # honest 0.92 s
+    "f05_high_risk_alerts": 2.5,  # honest 1.00 s
+    "f06_hidden_price": 1.3,  # honest 0.27 s
+    "f07_categorize": 1.5,  # honest 0.39 s
+    "f08_seller_trust": 2.0,  # honest 0.69 s
+    "f08b_trust_from_reviews": 1.7,  # honest 0.55 s
+    "f09_recent_window": 2.0,  # honest 0.71 s
+    "f10_top_risk_factors": 2.9,  # honest 1.25 s
+    "f11_extract_specs": 5.2,  # honest 2.59 s
+    "f12_score_items": 10.9,  # honest 5.94 s
+    "f12b_score_core": 1.9,  # honest 0.65 s
+    "f13_generate_stats": 11.1,  # honest 6.08 s
+    "f13b_stats_core": 3.2,  # honest 1.39 s
+    "f14_factor_normalized": 1.9,  # honest 0.65 s
+    "f15_modified_after_1d": 1.6,  # honest 0.48 s
+    "f16_review_stats": 1.5,  # honest 0.39 s
+    "f18_price_histogram": 1.5,  # honest 0.42 s
+    "f26_impossible_travel": 1.8,  # honest 0.56 s
+    "g01_geo_buckets": 1.6,  # honest 0.48 s
+    "m01_binary_meta": 1.2,  # honest 0.25 s
+    "q01_pricing_summary": 3.6,  # honest 1.62 s
+    "q02_filter_project": 1.3,  # honest 0.30 s
+    "q03_join_agg": 2.0,  # honest 0.72 s
+    "q04_top_n": 2.0,  # honest 0.73 s
+    "q05_window_rank": 1.3,  # honest 0.29 s
+    "q06_semi_anti": 1.5,  # honest 0.40 s
+    "q07_distinct_union": 2.5,  # honest 0.97 s
+    "q08_date_histogram": 2.1,  # honest 0.78 s
+    "q09_running_window": 1.7,  # honest 0.54 s
+    "q10_sessionize": 1.9,  # honest 0.68 s
+    "q11_percentiles": 5.5,  # honest 2.75 s
+    "q12_pivot": 1.3,  # honest 0.29 s
+    "q13_json_extract": 2.2,  # honest 0.84 s
+    "q14_cube_rollup": 4.0,  # honest 1.91 s
+    "q15_asof_join": 2.4,  # honest 0.96 s
+    "q16_interval_join": 3.0,  # honest 1.31 s
+    "q17_skew_salted_join": 3.0,  # honest 1.27 s
+    "s01_ann_bruteforce": 1.7,  # honest 0.56 s
+    "s02_ann_lsh": 2.5,  # honest 1.00 s
+    "s03_ann_ivf": 5.4,  # honest 2.69 s
+    "s03b_ivf_core": 2.3,  # honest 0.89 s
+    "s04_pq_adc": 3.1,  # honest 1.35 s
+    "s05_ivfpq": 2.9,  # honest 1.23 s
+    "s05b_ivfpq_artifact": 5.2,  # honest 2.61 s
+    "st01_windowed_counts": 1.8,  # honest 0.61 s
+    "st02_gate_trigger": 20.8,  # honest 11.78 s
+    "st03_maintain": 4.4,  # honest 2.10 s
+    "t01_lang_id": 1.4,  # honest 0.37 s
+    "t02_quality_score": 1.7,  # honest 0.55 s
+    "t03_token_count": 1.9,  # honest 0.67 s
+    "t04_fingerprint": 1.2,  # honest 0.23 s
+})
+
 # (numerator face, denominator face) -> required min ratio. The d09
 # pair is the df-cap-binding demonstration: exhaustive must pay >= 2x
 # the capped cost or the cap has stopped binding (r12 driver 3.05x,
