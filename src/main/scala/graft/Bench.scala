@@ -1,6 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** The ONE face-timing methodology, shared by every bench main
+    * (Bench, BenchSf1): run the face to the noop sink (full query,
+    * every output column materialized, rows discarded — see the
+    * epoch comment at the call site below), report seconds or -1 on
+    * failure, and leave the session cache-clean so the next face
+    * starts cold. A second copy of this loop is how the r16
+    * count()-elimination bug would sneak back into one artifact but
+    * not the other. */
+  private[graft] def timeFace(spark: SparkSession, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      sfDir: String, tag: String = "bench"): Double = {
+    val t0 = System.nanoTime()
+    val ok = try {
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      true
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[$tag] $name FAILED: ${t.getMessage}")
+        false
+    }
+    val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    CacheRegistry.unpersistAll()
+    System.gc()
+    dt
+  }
   def main(args: Array[String]): Unit = {
     // face-name listing for tools/bench_isolated.sh (no session spin-up);
     // value-gated like SPARK_GRAFT_ONLY — empty or "0" means off, so an
@@ -128,7 +154,6 @@ object Bench {
         System.gc()
         ok
       }
-      val t0 = System.nanoTime()
       // a failed query must be VISIBLE in the output (value -1), never
       // reported as its time-to-throw — that reads as a perf win.
       //
@@ -143,24 +168,12 @@ object Bench {
       // only the degree rollup) vs 16.5 s with every column
       // materialized. The noop sink runs the FULL query — every
       // operator, every output column — and discards rows at the
-      // sink, which is exactly what a bench must time.
-      val ok = setupOk && (try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        true
-      } catch {
-        case t: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
-          false
-      })
-      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // Per-query boundary hygiene: drop every library-registered cache
-      // pin (blocking) and nudge the ContextCleaner (localCheckpoint
-      // blocks are freed when their RDDs become unreachable), so each
-      // query is timed against the same cold-cache state an isolated
-      // fresh-JVM run sees instead of inheriting earlier queries'
-      // memory pressure.
-      CacheRegistry.unpersistAll()
-      System.gc()
+      // sink, which is exactly what a bench must time. timeFace also
+      // handles the per-query boundary hygiene: every registered
+      // cache pin dropped (blocking) + a GC nudge, so each query is
+      // timed against the cold-cache state an isolated fresh-JVM run
+      // sees instead of inheriting earlier queries' memory pressure.
+      val dt = if (setupOk) timeFace(spark, name, fn, sfDir) else -1.0
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -122,21 +122,12 @@ object BenchSf1 {
     val custom: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "d02_ngram_jaccard_cap64" -> ((s: SparkSession, dir: String) =>
         operators.Dedup.d02(s, dir, maxDf = Some(64))))
+    // ONE timing methodology for every bench artifact: Bench.timeFace
+    // (noop sink + boundary hygiene) — so a measurement change can
+    // never land in the sf0.1 dumps but not here (or vice versa)
     val results = (faces.map(n => n -> benched(n)) ++ custom).map {
       case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try {
-        fn(spark, out).write.format("noop").mode("overwrite").save()
-        true
-      } catch {
-        case t: Throwable =>
-          System.err.println(s"[sf1] $name FAILED: ${t.getMessage}")
-          false
-      }
-      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      CacheRegistry.unpersistAll()
-      System.gc()
-      name -> dt
+        name -> Bench.timeFace(spark, name, fn, out, tag = "sf1")
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

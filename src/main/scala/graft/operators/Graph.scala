@@ -90,12 +90,24 @@ object Graph {
       col("r0").as("rank_e12"))
     (1 to iters).foreach { _ =>
       val contrib = sym
-        .join(ranks.select(col("node").as("src"), col("rank_e12")), "src")
+        // shuffle-HASH, not sort-merge: the static plan puts an SMJ
+        // here (the rank subtree's size estimate blows past the
+        // broadcast threshold), which would re-sort the cached edge
+        // frame every iteration. Pinning SHJ streams the cached
+        // frame with no sort on either side — measured neutral at
+        // sf0.1 (AQE was already converting at runtime: 9.8 vs
+        // 9.9 s isolated) but it makes the no-sort plan the PINNED
+        // shape instead of an AQE favor. A broadcast hint would be
+        // the wrong 100 TB posture: the rank side is
+        // node-cardinality — small per partition, huge in total.
+        .join(ranks.select(col("node").as("src"), col("rank_e12"))
+          .hint("shuffle_hash"), "src")
         .select(col("dst"), expr("rank_e12 div outdeg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("sumc"))
       ranks = nodes
-        .join(contrib, col("node") === col("dst"), "left")
+        .join(contrib.hint("shuffle_hash"),
+          col("node") === col("dst"), "left")
         .select(col("node"), col("outdeg"),
           (col("jump") +
             expr(s"(coalesce(sumc, 0L) * ${DampingNum}L) div ${DampingDen}L"))

@@ -173,7 +173,11 @@ class BpeLearnSpec extends SparkSpec {
         minFreq = minFreq).vocab)
       assert(ft > 0 && st <= ft * 1.15,
         s"sampled 32k fit compresses much worse: $st vs full $ft")
-    } finally CacheRegistry.unpersistAll()
+    } finally {
+      CacheRegistry.unpersistAll()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(path))
+    }
   }
 
   test("batching actually pays: the 24-merge fit runs far fewer Spark " +

@@ -209,19 +209,22 @@ class PlanSpec extends SparkSpec {
 
   test("c10 staged: the cascade reads the STAGE parquet, and no text " +
       "column rides an in-memory cache") {
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft-planstage").toString + "/stage"
-    val p = graft.operators.Corpus.c10Staged(spark, sf("sf0.001"), stage)
-      .queryExecution.executedPlan.toString
-    // the staged posture: pre-stage output consumed as a columnar
-    // file scan of the stage dir
-    assert(p.contains("planstage"), "cascade is not reading the stage dir")
-    // the only caches in the staged plan are the slim scored frame
-    // (doc_id, pred_lang, quality) — assert no InMemory scan carries
-    // the text column
-    val cached = p.split("\n").filter(_.contains("InMemoryTableScan"))
-    assert(cached.forall(!_.contains("text")),
-      "a text-bearing cache survived in the staged plan")
+    val root = java.nio.file.Files.createTempDirectory("graft-planstage")
+    try {
+      val p = graft.operators.Corpus
+        .c10Staged(spark, sf("sf0.001"), s"$root/stage")
+        .queryExecution.executedPlan.toString
+      // the staged posture: pre-stage output consumed as a columnar
+      // file scan of the stage dir
+      assert(p.contains("planstage"), "cascade is not reading the stage dir")
+      // the only caches in the staged plan are the slim scored frame
+      // (doc_id, pred_lang, quality) — assert no InMemory scan carries
+      // the text column
+      val cached = p.split("\n").filter(_.contains("InMemoryTableScan"))
+      assert(cached.forall(!_.contains("text")),
+        "a text-bearing cache survived in the staged plan")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
 
   test("all native functions are SQL-callable after registration") {

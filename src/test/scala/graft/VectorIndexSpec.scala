@@ -118,17 +118,20 @@ class VectorIndexSpec extends SparkSpec {
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
     val q = corpus.filter(col("vec_id") % Similarity.QueryStride === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    def recallOf(meta: VectorIndex.IndexMeta, tag: String): Double = {
-      val p = tmp(s"recall-$tag")
-      VectorIndex.writeIndex(corpus, p, meta)
+    def recallAt(p: String, tag: String): Double = {
       val served = VectorIndex.queryIndex(VectorIndex.readMeta(spark, p),
         VectorIndex.readCodes(spark, p), corpus, q)
         .select("qid", "vec_id").as[(Long, Long)].collect().toSet
       assert(served.nonEmpty, s"$tag served nothing")
       (exact & served).size.toDouble / exact.size
     }
-    val trainedRecall = recallOf(got, "trained")
-    val pinnedRecall = recallOf(pinned, "pinned")
+    // trained index already exists at `path` (step 1 wrote and
+    // round-trip-verified it) — only the pinned comparison index
+    // needs a build
+    val trainedRecall = recallAt(path, "trained")
+    val pinnedPath = tmp("recall-pinned")
+    VectorIndex.writeIndex(corpus, pinnedPath, pinned)
+    val pinnedRecall = recallAt(pinnedPath, "pinned")
     assert(trainedRecall >= 0.5,
       s"trained-quantizer recall $trainedRecall too low")
     assert(trainedRecall >= pinnedRecall,

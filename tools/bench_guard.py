@@ -27,9 +27,13 @@ is BENCH_ISOLATED_r16.json — the first honest-epoch fresh-JVM sweep
 (155 faces, 0 failures); r15's isolated file stays committed as the
 count()-era record but must not be compared against. Two back-to-back
 honest full runs on the build host read 310.5 vs 359.1 s total with
-sub-second faces swinging up to 2x (q21 0.59/1.26 s) — so full-run
-ceilings are cut from the WORSE of the two runs x ~1.35 (loose,
-can't-cry-wolf), and the isolated diff stays the sensitive signal.
+sub-second faces swinging up to 2x (q21 0.59/1.26 s) — so EVERY
+full-run ceiling (hand-annotated and blanket alike) satisfies the
+churn-safe floor against the committed WORSE run's reading v:
+ceiling >= 1.7*v + 0.8 for v < 10 s, >= 1.5*v + 1.0 for bigger faces
+(mechanically enforced across the table in r16). Loose and
+can't-cry-wolf by construction; the isolated diff stays the
+sensitive signal. Per-bar comments keep their historical readings.
 
 Two modes (r15, closing r13 item 8 / r14 item 2):
 - FULL-RUN mode (default): the hand-calibrated CEILINGS below, padded
@@ -58,36 +62,36 @@ ISOLATED_SLACK = 0.3   # + seconds (fresh-JVM JIT jitter on sub-second faces)
 # (2.4-2.5 s) and any doc-family structural regression while leaving
 # room for ordinary run-to-run variance.
 CEILINGS = {
-    "f19_risk_heatmap": 2.2,       # steady ~1.7 s (r9 1.34, r12 1.70)
-    "f20_risk_distribution": 1.5,  # steady ~0.9-1.1 s
-    "c01_corpus_clean": 6.0,       # steady ~4.4-4.8 s (r12 full-run 4.44)
-    "f17_stats_merge": 3.0,        # steady ~2.2 s (r12 full-run 2.20)
-    "d06_dedup_clusters": 6.5,     # steady ~4.7 s (r12 full-run 4.70)
-    "d08_decontaminate": 2.5,      # steady ~1.8 s (r12 full-run 1.77)
-    "t05_repetition": 5.3,         # honest 3.8 s full-run r16 (metric
+    "f19_risk_heatmap": 3.1,       # steady ~1.7 s (r9 1.34, r12 1.70)
+    "f20_risk_distribution": 2.4,  # steady ~0.9-1.1 s
+    "c01_corpus_clean": 7.8,       # steady ~4.4-4.8 s (r12 full-run 4.44)
+    "f17_stats_merge": 3.4,        # steady ~2.2 s (r12 full-run 2.20)
+    "d06_dedup_clusters": 8.5,     # steady ~4.7 s (r12 full-run 4.70)
+    "d08_decontaminate": 4.5,      # steady ~1.8 s (r12 full-run 1.77)
+    "t05_repetition": 7.3,         # honest 3.8 s full-run r16 (metric
                                    # columns now materialized). The bar
                                    # exists to catch the unstaged-HOF
                                    # formulation (28.8 s, r13) — 5.3
                                    # still catches it by 5x.
     # r13 faces — ceilings ~1.5x the first two clean full-run readings
-    "s06_bm25": 2.2,               # steady ~1.4-1.5 s
-    "s07_fuzzy_match": 2.6,        # isolated 1.70 s quiet-host r15;
+    "s06_bm25": 3.5,               # steady ~1.4-1.5 s
+    "s07_fuzzy_match": 3.8,        # isolated 1.70 s quiet-host r15;
                                    # r13-r14 driver swung 1.13-1.63 s
                                    # (1.44x churn) — 2.6 ≈ 1.5x the
                                    # isolated reading
-    "s08_match_phrase": 1.5,       # steady ~0.9 s
-    "t06_normalize": 0.8,          # steady ~0.25-0.3 s (narrow scan)
-    "c11_corpus_upsert": 1.8,      # steady ~0.75-1.1 s
-    "c12_dsir": 6.5,               # steady ~3.3-4.8 s (gram explode)
-    "c13_corpus_census": 6.0,      # honest runs read 2.9/4.5 s
-    "d11_contamination_report": 1.7,  # steady ~1.0 s
+    "s08_match_phrase": 2.4,       # steady ~0.9 s
+    "t06_normalize": 1.5,          # steady ~0.25-0.3 s (narrow scan)
+    "c11_corpus_upsert": 2.5,      # steady ~0.75-1.1 s
+    "c12_dsir": 7.0,               # steady ~3.3-4.8 s (gram explode)
+    "c13_corpus_census": 8.4,      # honest runs read 2.9/4.5 s
+    "d11_contamination_report": 3.1,  # steady ~1.0 s
     "st04_upsert_cdc": 4.5,        # steady ~2.7 s (full CDC lifecycle)
     "f21_price_anomaly": 3.5,      # steady ~2.1 s (two median passes)
     "s09_hybrid_rrf": 5.5,         # steady ~3.7 s (BM25 + HOF-cosine pass)
     "q18_funnel": 3.5,             # steady ~2.2 s (three step aggs)
     "q19_retention": 2.2,          # steady ~1.3 s
-    "g02_geo_radius": 1.0,         # steady ~0.4 s (bbox-pruned scan)
-    "q20_copurchase": 5.0,         # r15 adjudication of the r14 red
+    "g02_geo_radius": 1.2,         # steady ~0.4 s (bbox-pruned scan)
+    "q20_copurchase": 6.9,         # r15 adjudication of the r14 red
                                    # bar: isolated quiet-host reads
                                    # 3.34/3.84/3.50 s with the semi-
                                    # prune and 3.60/3.60 s without it
@@ -105,22 +109,22 @@ CEILINGS = {
                                    # still blows through it, and
                                    # PlanSpec pins the plan shape.
     "t07_tfidf_keywords": 5.2,     # steady ~3.6 s (doc-partitioned rank)
-    "t08_perplexity": 4.0,         # honest runs read 2.8/2.9 s
-    "c14_stratified_sample": 1.0,  # steady ~0.5 s (WindowGroupLimit top-n)
-    "f22_benford": 1.2,            # steady ~0.65 s (45-cell digit rollup)
-    "c15_scd2_history": 1.2,       # steady ~0.6 s (log-only lead window)
+    "t08_perplexity": 5.7,         # honest runs read 2.8/2.9 s
+    "c14_stratified_sample": 1.4,  # steady ~0.5 s (WindowGroupLimit top-n)
+    "f22_benford": 2.2,            # steady ~0.65 s (45-cell digit rollup)
+    "c15_scd2_history": 2.1,       # steady ~0.6 s (log-only lead window)
     "s10_rank_eval": 3.6,          # steady ~2.4 s (s06 + graded rescan)
-    "d12_bloom_decontaminate": 3.6,  # honest runs read 1.7/2.7 s
+    "d12_bloom_decontaminate": 5.4,  # honest runs read 1.7/2.7 s
     # r13 second batch — ceilings ~1.5x the first clean full-run reading
-    "g03_pagerank": 13.0,          # honest 9.1 s full-run r16 (count()
+    "g03_pagerank": 16.6,          # honest 9.1 s full-run r16 (count()
                                    # eliminated the final rank left
                                    # join + the whole fixpoint)
-    "c16_source_quota": 2.1,       # steady ~1.4 s (two-phase selection)
-    "t09_entropy": 2.3,            # honest 1.6 s full-run r16
-    "s11_knn_classify": 1.2,       # steady ~0.8 s (s01 + |Q|-sized vote)
-    "q21_grouping_sets": 1.7,      # honest runs read 0.6/1.3 s
-    "f23_user_burst": 1.2,         # steady ~0.8 s ((user, day) rollup)
-    "m02_image_dhash": 2.6,        # r16 re-derivation (r15 verdict
+    "c16_source_quota": 4.0,       # steady ~1.4 s (two-phase selection)
+    "t09_entropy": 3.1,            # honest 1.6 s full-run r16
+    "s11_knn_classify": 2.1,       # steady ~0.8 s (s01 + |Q|-sized vote)
+    "q21_grouping_sets": 2.9,      # honest runs read 0.6/1.3 s
+    "f23_user_burst": 2.2,         # steady ~0.8 s ((user, day) rollup)
+    "m02_image_dhash": 3.7,        # r16 re-derivation (r15 verdict
                                    # item 7): 1.5x + 0.3 s of the
                                    # isolated quiet-host reading
                                    # (1.53 s) replacing the r13-churn-
@@ -131,34 +135,34 @@ CEILINGS = {
                                    # so the epochs agree here). Churn
                                    # adjudication goes through the
                                    # --isolated diff, not a padded bar.
-    "d13_semantic_dedup": 1.6,     # r16 re-derivation, same rule
+    "d13_semantic_dedup": 2.3,     # r16 re-derivation, same rule
                                    # (isolated 0.86 s -> 1.6) —
                                    # honest noop full-run reads
                                    # 0.87 s, comfortably inside.
-    "c17_vocab_fit": 1.2,          # honest runs read 0.6/0.8 s
-    "q22_sliding_window": 2.0,     # honest runs read 0.9/1.5 s
-    "t10_readability": 0.6,        # steady ~0.35 s (3 regex-count scans)
-    "s12_ann_recall": 1.5,         # honest runs read 0.9/1.1 s
-    "c18_dp_census": 0.6,          # steady ~0.4 s (count + noise projection)
-    "q23_set_ops": 1.6,            # honest runs read 0.8/1.1 s
-    "m03_audio_energy": 2.0,       # steady ~1.2 s (WAV encode+decode scan)
-    "g04_triangles": 18.0,          # honest 13.1 s full-run r16 (the noop
+    "c17_vocab_fit": 2.2,          # honest runs read 0.6/0.8 s
+    "q22_sliding_window": 3.3,     # honest runs read 0.9/1.5 s
+    "t10_readability": 1.8,        # steady ~0.35 s (3 regex-count scans)
+    "s12_ann_recall": 2.6,         # honest runs read 0.9/1.1 s
+    "c18_dp_census": 1.3,          # steady ~0.4 s (count + noise projection)
+    "q23_set_ops": 2.7,            # honest runs read 0.8/1.1 s
+    "m03_audio_energy": 2.9,       # steady ~1.2 s (WAV encode+decode scan)
+    "g04_triangles": 19.3,          # honest 13.1 s full-run r16 (the noop
                                    # methodology runs the wedge
                                    # enumeration count() had been
                                    # eliminating - see Bench.scala)
-    "f24_ks_drift": 1.9,           # steady ~1.2 s (value-census CDF windows)
-    "c21_mixture_weights": 1.3,    # honest runs read 0.5/0.9 s
-    "f25_cusum": 2.0,              # steady ~1.3 s (lattice + two windows)
-    "c22_drop_audit": 4.8,         # honest 3.5 s full-run r16
-    "g05_link_predict": 4.0,       # ~2.6 s isolated on the sampled
+    "f24_ks_drift": 3.0,           # steady ~1.2 s (value-census CDF windows)
+    "c21_mixture_weights": 2.3,    # honest runs read 0.5/0.9 s
+    "f25_cusum": 2.9,              # steady ~1.3 s (lattice + two windows)
+    "c22_drop_audit": 5.8,         # honest 3.5 s full-run r16
+    "g05_link_predict": 5.2,       # ~2.6 s isolated on the sampled
                                    # subgraph (133 s on the full
                                    # near-complete graph — the face
                                    # input guard matters here)
-    "q24_ntile_deciles": 1.4,      # steady ~0.9 s (one ntile window)
-    "d15_para_dedup": 2.0,         # honest runs read 1.1/1.5 s
-    "q25_unpivot": 2.7,            # honest 1.9 s full-run r16
-    "q26_reconcile": 1.6,          # honest 1.1 s full-run r16
-    "d16_dedup_compare": 6.5,      # composition face: three CAPPED
+    "q24_ntile_deciles": 2.9,      # steady ~0.9 s (one ntile window)
+    "d15_para_dedup": 3.3,         # honest runs read 1.1/1.5 s
+    "q25_unpivot": 4.9,            # honest 1.9 s full-run r16
+    "q26_reconcile": 2.2,          # honest 1.1 s full-run r16
+    "d16_dedup_compare": 8.3,      # composition face: three CAPPED
                                    # dedup pipelines (shared docs
                                    # cache, concurrently materialized)
                                    # + pair intersections. History:
@@ -168,49 +172,49 @@ CEILINGS = {
                                    # 5.0 isolated (expect ~3.5-4.5
                                    # full-run).
     # r13 seventh batch
-    "f27_hll_users": 1.4,          # ~0.86 s isolated (one register shuffle)
-    "q27_dq_audit": 2.1,           # ~1.3 s isolated (2 scans + FK join)
-    "z01_zorder": 1.0,             # ~0.6 s isolated (interleave + rollup)
-    "f28_last_touch": 2.0,         # ~1.2 s isolated (user join + rank-1)
-    "f29_cms_counts": 1.6,         # ~1.0 s isolated (d*stream shuffle)
-    "q28_top_paths": 2.8,          # ~1.9 s isolated (two-window sessions)
-    "s13_mmr": 2.8,                # ~1.8 s isolated (cogroup greedy; the
+    "f27_hll_users": 2.9,          # ~0.86 s isolated (one register shuffle)
+    "q27_dq_audit": 3.6,           # ~1.3 s isolated (2 scans + FK join)
+    "z01_zorder": 1.8,             # ~0.6 s isolated (interleave + rollup)
+    "f28_last_touch": 2.6,         # ~1.2 s isolated (user join + rank-1)
+    "f29_cms_counts": 3.5,         # ~1.0 s isolated (d*stream shuffle)
+    "q28_top_paths": 3.8,          # ~1.9 s isolated (two-window sessions)
+    "s13_mmr": 3.0,                # ~1.8 s isolated (cogroup greedy; the
                                    # relational unroll measured 8-18 s)
     # r14 faces
-    "c03c_pack_subword_fit": 6.0,  # ~4.1 s isolated (24 merge rounds
+    "c03c_pack_subword_fit": 10.0,  # ~4.1 s isolated (24 merge rounds
                                    # over the word-type frame + pack;
                                    # r15 batched merges: full-run 3.98)
     # r15 faces — ~1.5-1.8x the first clean full-run reading
-    "f30_quantile_sketch": 1.2,    # 0.66 s full-run (two half fits +
+    "f30_quantile_sketch": 2.1,    # 0.66 s full-run (two half fits +
                                    # merge + 5-quantile estimate)
-    "st05_alert_rule": 1.0,        # 0.56 s full-run (10-min tumbling
+    "st05_alert_rule": 1.8,        # 0.56 s full-run (10-min tumbling
                                    # conditional-count rule)
-    "t11_gopher_rules": 1.6,       # honest 1.1 s full-run r16
+    "t11_gopher_rules": 2.5,       # honest 1.1 s full-run r16
     # r16 faces - ceilings ~1.4x the first honest full-run reading
-    "g04_hub_skew": 8.5,           # honest 3.3 s full-run at 12k
+    "g04_hub_skew": 11.0,           # honest 3.3 s full-run at 12k
                                    # wheel nodes, 8.6 s isolated at
                                    # the shipped 16k (~6 s full-run
                                    # expected — the id-ordered demo
                                    # gear pays the planted quadratic
                                    # by design; ratio floor below is
                                    # the real guard for this pair)
-    "g04_hub_skew_ordered": 3.0,   # honest 1.5 s full-run (12k),
+    "g04_hub_skew_ordered": 3.8,   # honest 1.5 s full-run (12k),
                                    # 2.5 s isolated (16k)
-    "g05_link_predict_full": 70.0, # honest 51.3 s full-run: the
+    "g05_link_predict_full": 98.2, # honest 51.3 s full-run: the
                                    # UNSAMPLED near-complete sf0.1
                                    # co-purchase graph through the
                                    # minimal-wedge plan - Sum C(deg,2)
                                    # ~ 1.5e8 wedges + a ~1e8-group
                                    # aggregate; exists so the scale
                                    # posture is a measured number
-    "c10_clean_staged": 9.0,       # honest 6.3 s full-run (beats the
+    "c10_clean_staged": 14.6,       # honest 6.3 s full-run (beats the
                                    # in-plan cached twin's 8.8 s)
-    "c03c_pack_subword_fit32k": 17.0,  # honest 12.0 s full-run (fit
+    "c03c_pack_subword_fit32k": 20.1,  # honest 12.0 s full-run (fit
                                    # to exhaustion under the 32k
                                    # budget + artifact + pack)
-    "st06_alert_sink": 1.6,        # honest 1.0 s full-run (append +
+    "st06_alert_sink": 2.9,        # honest 1.0 s full-run (append +
                                    # seal + retention + read-back)
-    "f31_dow_anomaly": 1.6,        # 0.99 s isolated ((type, day)
+    "f31_dow_anomaly": 2.0,        # 0.99 s isolated ((type, day)
                                    # rollup + weekday baseline join)
 }
 
@@ -382,11 +386,16 @@ def main() -> int:
         return isolated_main(args)
     path = args[0] if args else "target/bench.json"
     dump = json.load(open(path))
-    if "sf0.1" not in dump.get("sf", ""):
+    # the gate must be EXACT on the dir suffix, not a substring:
+    # BENCH_SF1.json's sf reads "sf1-replica(10x /root/testdata/sf0.1)",
+    # which CONTAINS "sf0.1" — a substring check would apply sf0.1
+    # bars to 10x-scale timings and print a wall of spurious FAILs
+    sf = dump.get("sf", "")
+    if not sf.rstrip("/").endswith("/sf0.1"):
         # ceilings AND the d09 ratio are calibrated at sf0.1 (at sf0.01
         # the boilerplate corpus is too small for the quadratic join to
         # bind, so the ratio reads <1 and would false-alarm)
-        print(f"SKIP all: {path} is sf={dump.get('sf')!r}, guard bands "
+        print(f"SKIP all: {path} is sf={sf!r}, guard bands "
               "are calibrated for a full sf0.1 run")
         return 0
     queries = dump["queries"]
