@@ -132,7 +132,8 @@ object Bench {
     // numbers inflated 2-2.6x from its heap/JIT wake. Run the pair LAST
     // (still adjacent, exhaustive before capped, so the twin comparison
     // stays like-for-like) so its churn can't contaminate anything.
-    val runLast = Set("d09_boilerplate", "d09_boilerplate_capped")
+    val runLast = Set("d09_boilerplate", "d09_boilerplate_capped",
+      "d09_boilerplate_prefix")
     val results = selected.toSeq.sortBy { case (n, _) => (runLast(n), n) }
       .map { case (name, fn) =>
       // untimed state construction (e.g. st03's gate state — its

@@ -121,7 +121,35 @@ object BenchSf1 {
     // pairs out of scope).
     val custom: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "d02_ngram_jaccard_cap64" -> ((s: SparkSession, dir: String) =>
-        operators.Dedup.d02(s, dir, maxDf = Some(64))))
+        operators.Dedup.d02(s, dir, maxDf = Some(64))),
+      // The zero-loss prefix gear (d02p) measured on the same
+      // df-stress corpus — and it LOSES here (227 vs 54 s capped),
+      // for a structural reason worth recording next to the cap64
+      // probe: the replica construction gives every doc ~19
+      // "half-sibling" docs (Jaccard ≈ 1/3, below threshold) that
+      // GENUINELY share ~half their RARE shingles. A prefix filter
+      // can only prune pairs without rare-prefix overlap, so all
+      // ~5M half-sibling pairs become candidates, and exact
+      // verification pays ~|A| rows per candidate (~1e9) where the
+      // direct co-occurrence count join pays only the shared-shingle
+      // rows (~1e8 — it IS the optimal evaluator when collision mass
+      // sits on sub-threshold pairs with rare overlap). Prefix wins
+      // the opposite profile — co-occurrence mass concentrated on
+      // HOT shingles (the d09 boilerplate shape: ties the cap with
+      // zero loss while exhaustive pays 2x). Three measured knobs,
+      // each optimal on a different co-occurrence-mass profile; none
+      // dominates, which is why all three ship.
+      "d02p_prefix_jaccard" -> ((s: SparkSession, dir: String) =>
+        operators.Dedup.d02p(s, dir)),
+      // the full production composition on the prefix generator: the
+      // d06_dedup_clusters_capped twin (~71 s at sf1 on the cap)
+      "d06_dedup_clusters_prefix" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        operators.Dedup.connectedComponents(
+          operators.Dedup.jaccardPairsPrefix(docs)
+            .select(col("a"), col("b")),
+          docs.select(col("doc_id").as("id")))
+      }))
     // ONE timing methodology for every bench artifact: Bench.timeFace
     // (noop sink + boundary hygiene) — so a measurement change can
     // never land in the sf0.1 dumps but not here (or vice versa)

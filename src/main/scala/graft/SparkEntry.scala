@@ -92,6 +92,15 @@ object SparkEntry {
       operators.Dedup.d09(s, dir, maxDf = None)),
     "d09_boilerplate_capped" -> ((s, dir) =>
       operators.Dedup.d09(s, dir, maxDf = Some(operators.Dedup.DefaultMaxDf))),
+    // the third gear of the same demonstration: prefix-filtered
+    // candidate generation on the identical boilerplate corpus —
+    // template shingles (df == corpus size) sort LAST in the rarity
+    // order and never enter a prefix, so the quadratic the exhaustive
+    // face pays (and the cap prunes lossily) is avoided with ZERO
+    // semantic loss (spec-pinned equal to exhaustive on this corpus)
+    "d09_boilerplate_prefix" -> ((s, dir) =>
+      operators.Dedup.jaccardPairsPrefix(
+        operators.Dedup.boilerplateCorpus(Tables.documents(s, dir), 1500))),
     // the production dedup COMPOSITION at its production settings:
     // capped candidate pairs feeding connected-components clustering
     // (the oracle face d06 pins maxDf = None for the DuckDB replay)

@@ -99,23 +99,28 @@ object Dedup {
       maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame =
     jaccardPairs(Tables.documents(s, dir), maxDf)
 
+  /** The (doc_id, shingle) inverted-index frame, cached
+    * PRE-PARTITIONED on the join key: pair self-joins (and the capped
+    * path's df aggregation) then consume the cache's
+    * hashpartitioning(shingle) directly instead of re-exchanging the
+    * full shingle frame once per join side — one shuffle at cache
+    * build replaces two post-cache shuffles. Shared by the exhaustive,
+    * capped and prefix-filtered candidate generators so the three can
+    * never drift on tokenization. */
+  private[graft] def shingleFrame(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(graft.plans.GraftFunctions.shingles(docs.sparkSession,
+          col("text"), ShingleN)).as("shingle"))
+      .repartition(col("shingle"))
+      .transform(graft.CacheRegistry.register)
+
   /** Shingle-Jaccard near-dup pairs over any (doc_id, text) frame —
     * shared by the d02 query and the corpus-cleaning cascade. */
   def jaccardPairs(docs: DataFrame,
       maxDf: Option[Int] = Some(DefaultMaxDf),
       threshold: Double = JaccardThreshold): DataFrame = {
-    val s = docs.sparkSession
-    // Cache the shingle frame PRE-PARTITIONED on the join key: the
-    // pair self-join (and the capped path's df window) then consume
-    // the cache's hashpartitioning(shingle) directly instead of
-    // re-exchanging the full shingle frame once per join side — one
-    // shuffle at cache build replaces two post-cache shuffles.
-    val sh = docs
-      .select(col("doc_id"),
-        explode(graft.plans.GraftFunctions.shingles(s, col("text"), ShingleN))
-          .as("shingle"))
-      .repartition(col("shingle"))
-      .transform(graft.CacheRegistry.register)
+    val sh = shingleFrame(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = maxDf match {
       case None =>
@@ -148,6 +153,108 @@ object Dedup {
               CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jacc
        FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
        WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= $JaccardThreshold"""
+
+  // ---------------------------------------------------------------
+  // d02p: prefix-filtered exact Jaccard — the ZERO-LOSS scale path.
+  // The df cap (d02's default) bounds candidate generation by
+  // DROPPING ultra-common shingles, with a documented (sub-threshold)
+  // loss mode. Prefix filtering bounds it with NO loss at all: under
+  // any global total order on shingles, two sets A, B with
+  // |A∩B| >= α must share an element among the first |A|-α+1 /
+  // |B|-α+1 elements of their sorted orders (if all common elements
+  // sat outside A's prefix, at most α-1 of A's elements remain to
+  // hold them). J(A,B) >= t implies |A∩B| >= t·max(|A|,|B|), so
+  // indexing only each doc's first n - ceil(t·n) + 1 shingles is a
+  // complete candidate generator (the AllPairs / PPJoin prefix
+  // principle — Bayardo et al. WWW'07, Xiao et al. WWW'08; public
+  // algorithmics, reimplemented here as three Spark equi-joins).
+  // Ordering the shingle universe by ASCENDING document frequency
+  // puts every doc's RAREST shingles in its prefix — boilerplate
+  // shingles (df ≈ corpus size) sort last and never generate a
+  // candidate, which is exactly the population the df cap prunes,
+  // except nothing is lost: a pair similar only through hot shingles
+  // still collides via its prefix (J >= t forces rare overlap too).
+  // Surviving candidates are verified against the FULL shingle sets,
+  // so reported Jaccard is exact — same contract as jaccardPairs.
+  // ---------------------------------------------------------------
+
+  /** Conservative slack for double-arithmetic threshold math: t·n
+    * computed in doubles can land one ulp ABOVE the real product,
+    * which would shorten a prefix (or tighten the size-ratio filter)
+    * and break completeness. Subtracting this before every ceil /
+    * ratio comparison only ever LENGTHENS prefixes and LOOSENS
+    * filters — candidates can only grow, and the exact verify step
+    * discards any extras. */
+  private val PrefixEps = 1e-9
+
+  /** Complete candidate pairs (a, b, na, nb) for Jaccard >= t via
+    * prefix filtering over the cached shingle frame. Exposed to the
+    * spec so the binding claim ("boilerplate shingles generate no
+    * candidates") is a counted assertion, not prose. */
+  private[graft] def prefixCandidates(sh: DataFrame,
+      threshold: Double): DataFrame = {
+    // global rarity order: (df asc, shingle asc) — total and
+    // deterministic (shingles are distinct per doc). The df
+    // aggregation consumes the cache's shingle partitioning.
+    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = sh.join(dfs, Seq("shingle"))
+      .select(col("doc_id"), col("shingle"),
+        row_number().over(byDoc.orderBy(col("df"), col("shingle"))).as("rk"),
+        count(lit(1)).over(byDoc).as("n"))
+    // prefix length n - ceil(t·n) + 1 >= 1 for every non-empty doc.
+    // Cached PRE-PARTITIONED on the join key (the shingleFrame
+    // convention): without the cache the whole prefix build — df
+    // join, doc_id exchange, rank sort, two windows — re-runs once
+    // PER SELF-JOIN SIDE (plan-audited: two identical Window/Sort
+    // subtrees), and with it both sides consume the one
+    // hashpartitioning(shingle) exchange.
+    val pre = ranked
+      .filter(col("rk") <=
+        col("n") - ceil(lit(threshold) * col("n") - lit(PrefixEps)) + lit(1))
+      .select(col("doc_id"), col("shingle"), col("n"))
+      .repartition(col("shingle"))
+      .transform(graft.CacheRegistry.register)
+    // J >= t also forces t·na <= nb <= na/t — pushed into the join so
+    // size-incompatible prefix collisions never reach the verify step
+    pre.as("pa").join(pre.as("pb"),
+        col("pa.shingle") === col("pb.shingle") &&
+          col("pa.doc_id") < col("pb.doc_id") &&
+          col("pa.n") >= lit(threshold) * col("pb.n") - lit(PrefixEps) &&
+          col("pb.n") >= lit(threshold) * col("pa.n") - lit(PrefixEps))
+      .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"),
+        col("pa.n").as("na"), col("pb.n").as("nb"))
+      .distinct()
+  }
+
+  /** Prefix-filtered near-dup pairs: bit-identical output contract to
+    * [[jaccardPairs]] (a, b, inter, jacc at `threshold`), candidate
+    * generation bounded by the prefix principle instead of the df
+    * cap. Shares [[shingleFrame]] with the other generators — the
+    * cache feeds the df aggregation, the prefix build and both sides
+    * of the verify join. */
+  def jaccardPairsPrefix(docs: DataFrame,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val sh = shingleFrame(docs)
+    val cand = prefixCandidates(sh, threshold)
+    // exact verification: expand each candidate by a's full shingle
+    // set, keep the rows b also holds — |cand|·avg(|A|) intermediate,
+    // never a quadratic blowup (candidates are prefix-bounded)
+    cand
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("b") === col("sb.doc_id") &&
+          col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("a"), col("b"), col("inter"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
+
+  def d02p(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsPrefix(Tables.documents(s, dir))
 
   // ---------------------------------------------------------------
   // d17: threshold-sensitivity curve — how many near-dup pairs each
@@ -1182,6 +1289,9 @@ object Dedup {
     "d16_dedup_compare" -> ((s: SparkSession, dir: String) => d16(s, dir)),
     "d17_threshold_curve" -> (d17 _),
     "d02_ngram_jaccard" -> ((s: SparkSession, dir: String) => d02(s, dir, maxDf = None)),
+    // the prefix-filtered generator against the SAME exhaustive SQL —
+    // "prefix filtering loses nothing" is a driver-checked guarantee
+    "d02p_prefix_jaccard" -> (d02p _),
     "d03_minhash_lsh" -> (d03 _),
     "d04_simhash" -> (d04 _),
     "d04b_simhash_core" -> (d04b _),
@@ -1198,6 +1308,10 @@ object Dedup {
     "d16_dedup_compare" -> d16Sql,
     "d17_threshold_curve" -> d17Sql,
     "d02_ngram_jaccard" -> d02Sql,
+    // d02p is d02's exhaustive semantics through prefix-filtered
+    // candidate generation — the oracle is therefore d02's own SQL
+    // (the d12/d08 convention: equal-by-construction, driver-checked)
+    "d02p_prefix_jaccard" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,
     "d04b_simhash_core" -> d04bSql,
     "d05_embedding_neardup" -> d05Sql,

@@ -322,6 +322,26 @@ class PlanSpec extends SparkSpec {
     } finally CacheRegistry.unpersistAll()
   }
 
+  test("d02p: prefix frame cached once pre-partitioned, equi-join only") {
+    // the prefix gear's fixed cost is the df join + rank sort; without
+    // the pre cache that whole pipeline re-ran once PER SELF-JOIN SIDE
+    // (plan-audited at landing: two identical Window/Sort subtrees,
+    // 7.6 -> 6.5 s at sf0.1 when collapsed to one cached build)
+    try {
+      val p = plan("d02p_prefix_jaccard")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        "prefix candidate generation fell off the equi-join path")
+      // two pre-partitioned caches — the shingle frame and the prefix
+      // frame — so both self-join sides consume the cached
+      // hashpartitioning(shingle) instead of re-exchanging/re-ranking
+      val reparts = "REPARTITION_BY_COL".r.findAllIn(p).length
+      assert(reparts >= 2,
+        s"pre-partitioned shingle/prefix caches missing ($reparts)")
+      assert(p.contains("row_number"), "rarity rank window missing")
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("f05/f10/f19/f20 consume ONE shared scored cache, not four") {
     // All four consume Fraud.f04Cached. What makes that one cache
     // instead of four look-alikes is the sameResult dedup in

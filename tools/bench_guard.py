@@ -216,6 +216,19 @@ CEILINGS = {
                                    # seal + retention + read-back)
     "f31_dow_anomaly": 2.0,        # 0.99 s isolated ((type, day)
                                    # rollup + weekday baseline join)
+    "d02p_prefix_jaccard": 13.8,   # honest 7.6 s full-run r16: the
+                                   # zero-loss prefix-filtered gear
+                                   # pays a fixed df-join + rank-window
+                                   # + verify-join cost that the cheap
+                                   # sf0.1 exhaustive join undercuts —
+                                   # its payoff regime is measured in
+                                   # BENCH_SF1.json, not here
+    "d09_boilerplate_prefix": 6.0, # honest 3.06 s full-run r16 —
+                                   # matches the capped gear on the
+                                   # boilerplate corpus with ZERO loss
+                                   # (template shingles never enter a
+                                   # prefix); ratio floor below is the
+                                   # real guard
 }
 
 # BLANKET bars (r16): every face not hand-calibrated above gets a
@@ -328,6 +341,12 @@ RATIO_FLOORS = {
     # not a cap regression: the capped candidate count is unchanged).
     # 1.4 still fails instantly if the cap stops pruning.
     ("d09_boilerplate", "d09_boilerplate_capped"): 1.4,
+    # same demonstration for the prefix gear (r16): boilerplate
+    # shingles must never enter a prefix, so the exhaustive face must
+    # keep paying >= the capped-face margin over it (measured 2.07x
+    # full-run at landing; same host-speed compression caveat as the
+    # capped floor).
+    ("d09_boilerplate", "d09_boilerplate_prefix"): 1.4,
     # the degree-ordering binding demo (r15 verdict item 1): the
     # id-ordered gear must pay >= 2x the degree-ordered gear on the
     # planted hub-skew wheel, or the orientation has stopped mattering
