@@ -24,8 +24,10 @@ computation count() had been discarding. Every ceiling marked
 "honest ... r16" is calibrated on the new epoch; pre-r16 dumps and
 BENCH_ISOLATED_r15 readings are count()-era. The --isolated baseline
 is BENCH_ISOLATED_r16.json — the first honest-epoch fresh-JVM sweep
-(155 faces, 0 failures); r15's isolated file stays committed as the
-count()-era record but must not be compared against. Two back-to-back
+(155 faces, 0 failures; the two r16-late prefix-Jaccard faces were
+appended from their landing runs, so the file now carries 157); r15's
+isolated file stays committed as the count()-era record but must not
+be compared against. Two back-to-back
 honest full runs on the build host read 310.5 vs 359.1 s total with
 sub-second faces swinging up to 2x (q21 0.59/1.26 s) — so EVERY
 full-run ceiling (hand-annotated and blanket alike) satisfies the
