@@ -184,8 +184,11 @@ object Dedup {
     * and break completeness. Subtracting this before every ceil /
     * ratio comparison only ever LENGTHENS prefixes and LOOSENS
     * filters — candidates can only grow, and the exact verify step
-    * discards any extras. */
-  private val PrefixEps = 1e-9
+    * discards any extras. Sized for the domain: the rounding error of
+    * t·n is ~t·n·2⁻⁵², so an absolute slack of 1e-6 stays conservative
+    * for docs up to ~4×10¹² shingles (any conceivable document) at the
+    * cost of at most one extra prefix element. */
+  private val PrefixEps = 1e-6
 
   /** Complete candidate pairs (a, b, na, nb) for Jaccard >= t via
     * prefix filtering over the cached shingle frame. Exposed to the
