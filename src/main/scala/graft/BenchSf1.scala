@@ -103,7 +103,7 @@ object BenchSf1 {
       "d02_ngram_jaccard_capped", "d07_winnow_pairs_capped",
       "d10_run_overlap_capped", "d06_dedup_clusters_capped",
       "c01_corpus_clean_capped", "s05b_ivfpq_artifact",
-      "st02_gate_trigger")
+      "st02_gate_trigger", "d02p_prefix_jaccard")
     val benched = SparkEntry.queries ++ SparkEntry.benchOnly
     // Cap-sizing probe for the d02 super-linear reading. The naive
     // remedy — tighten the cap so the grown posting lists fall to
@@ -138,9 +138,9 @@ object BenchSf1 {
       // HOT shingles (the d09 boilerplate shape: ties the cap with
       // zero loss while exhaustive pays 2x). Three measured knobs,
       // each optimal on a different co-occurrence-mass profile; none
-      // dominates, which is why all three ship.
-      "d02p_prefix_jaccard" -> ((s: SparkSession, dir: String) =>
-        operators.Dedup.d02p(s, dir)),
+      // dominates, which is why all three ship. (The d02p face itself
+      // resolves from SparkEntry.queries via the `faces` list — one
+      // definition, no drift.)
       // the full production composition on the prefix generator: the
       // d06_dedup_clusters_capped twin (~71 s at sf1 on the cap)
       "d06_dedup_clusters_prefix" -> ((s: SparkSession, dir: String) => {

@@ -185,9 +185,10 @@ object Dedup {
     * ratio comparison only ever LENGTHENS prefixes and LOOSENS
     * filters — candidates can only grow, and the exact verify step
     * discards any extras. Sized for the domain: the rounding error of
-    * t·n is ~t·n·2⁻⁵², so an absolute slack of 1e-6 stays conservative
-    * for docs up to ~4×10¹² shingles (any conceivable document) at the
-    * cost of at most one extra prefix element. */
+    * t·n is ~t·n·2⁻⁵² ≈ t·n·2.2×10⁻¹⁶, so an absolute slack of 1e-6
+    * out-margins it while t·n < ~4.5×10⁹ — docs up to ~10¹⁰ shingles
+    * at t ≥ 0.5, far beyond any real document — at the cost of at
+    * most one extra prefix element. */
   private val PrefixEps = 1e-6
 
   /** Complete candidate pairs (a, b, na, nb) for Jaccard >= t via

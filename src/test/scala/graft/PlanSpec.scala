@@ -328,16 +328,26 @@ class PlanSpec extends SparkSpec {
     // (plan-audited at landing: two identical Window/Sort subtrees,
     // 7.6 -> 6.5 s at sf0.1 when collapsed to one cached build)
     try {
-      val p = plan("d02p_prefix_jaccard")
+      val qe = SparkEntry.queries("d02p_prefix_jaccard")(spark, sf("sf0.001"))
+        .queryExecution
+      val p = qe.executedPlan.toString
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
         "prefix candidate generation fell off the equi-join path")
-      // two pre-partitioned caches — the shingle frame and the prefix
-      // frame — so both self-join sides consume the cached
-      // hashpartitioning(shingle) instead of re-exchanging/re-ranking
-      val reparts = "REPARTITION_BY_COL".r.findAllIn(p).length
-      assert(reparts >= 2,
-        s"pre-partitioned shingle/prefix caches missing ($reparts)")
+      // TWO DISTINCT caches — the shingle frame and the prefix frame.
+      // Counted as distinct InMemoryRelation cache builders in the
+      // optimized plan, NOT as text matches: the shingle cache's
+      // REPARTITION_BY_COL exchange prints once per scan site, so a
+      // text count stays >= 2 even with the prefix cache removed —
+      // exactly the regression this pin exists for (prefix build
+      // re-running once per self-join side).
+      val builders = qe.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          System.identityHashCode(r.cacheBuilder)
+      }
+      assert(builders.toSet.size == 2,
+        s"expected the shingle + prefix caches, got ${builders.toSet.size} " +
+          s"distinct cached relations (${builders.size} scan sites)")
       assert(p.contains("row_number"), "rarity rank window missing")
     } finally CacheRegistry.unpersistAll()
   }

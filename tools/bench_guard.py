@@ -27,7 +27,15 @@ is BENCH_ISOLATED_r16.json — the first honest-epoch fresh-JVM sweep
 (155 faces, 0 failures; the two r16-late prefix-Jaccard faces were
 appended from their landing runs, so the file now carries 157); r15's
 isolated file stays committed as the count()-era record but must not
-be compared against. Two back-to-back
+be compared against. The SAME appendix applies to BENCH_FULL_r16.json:
+its 155 original faces are the pinned worse back-to-back run and the
+two d02p/d09_prefix readings come from the 157-face landing sweep
+(345.7 s total, 0 failures), so the file's headline total (366.5) and
+any CROSS-face ratio touching the new faces are cross-run composites —
+within-run numbers for all three d09 gears live in the landing sweep
+and BENCH_SF1's sibling artifacts; the per-face ceilings (the thing
+this guard reads) each compare a face only against its own committed
+reading, which stays well-defined under the splice. Two back-to-back
 honest full runs on the build host read 310.5 vs 359.1 s total with
 sub-second faces swinging up to 2x (q21 0.59/1.26 s) — so EVERY
 full-run ceiling (hand-annotated and blanket alike) satisfies the
@@ -218,19 +226,26 @@ CEILINGS = {
                                    # seal + retention + read-back)
     "f31_dow_anomaly": 2.0,        # 0.99 s isolated ((type, day)
                                    # rollup + weekday baseline join)
-    "d02p_prefix_jaccard": 13.8,   # honest 7.6 s full-run r16: the
-                                   # zero-loss prefix-filtered gear
-                                   # pays a fixed df-join + rank-window
-                                   # + verify-join cost that the cheap
-                                   # sf0.1 exhaustive join undercuts —
-                                   # its payoff regime is measured in
+    "d02p_prefix_jaccard": 13.8,   # committed 4.91 s full-run / 5.88
+                                   # isolated (BENCH_FULL/ISOLATED_r16
+                                   # appendix). The 13.8 bar was cut
+                                   # from a 7.6 s pre-cache-fix
+                                   # reading (the prefix frame now
+                                   # caches once instead of building
+                                   # per self-join side), so it
+                                   # carries extra slack vs the
+                                   # committed value — kept as-is:
+                                   # the zero-loss gear's fixed cost
+                                   # is churn-prone (df join + rank
+                                   # window + verify joins), and its
+                                   # payoff regime is measured in
                                    # BENCH_SF1.json, not here
-    "d09_boilerplate_prefix": 6.0, # honest 3.06 s full-run r16 —
-                                   # matches the capped gear on the
-                                   # boilerplate corpus with ZERO loss
-                                   # (template shingles never enter a
-                                   # prefix); ratio floor below is the
-                                   # real guard
+    "d09_boilerplate_prefix": 6.0, # committed 2.50 s full-run / 3.76
+                                   # isolated — BEATS the capped gear
+                                   # on the boilerplate corpus with
+                                   # ZERO loss (template shingles
+                                   # never enter a prefix); ratio
+                                   # floor below is the real guard
 }
 
 # BLANKET bars (r16): every face not hand-calibrated above gets a
