@@ -50,19 +50,26 @@ object Split {
     * shards and sequence ids only need to be unique per (shard, seq). */
   val PackShards = 8
 
+  /** The ONE definition of bucket→split cutoffs, shared by the
+    * per-doc (c02) and per-cluster (c23) assignments so the two can
+    * never drift on fractions. */
+  private def splitOf(bucket: Column): Column =
+    when(bucket < TrainPct, "train")
+      .when(bucket < TrainPct + ValPct, "val")
+      .otherwise("test")
+
+  /** The ONE split-hash definition: 60-bit md5 prefix of the key's
+    * decimal string, mod 100. */
+  private def splitBucket(s: SparkSession, key: Column): Column =
+    pmod(graft.plans.GraftFunctions.md5Prefix60(s, key.cast("string")),
+      lit(100))
+
   /** Deterministic split assignment for any (doc_id, ...) frame:
     * (doc_id, bucket, split). */
-  def assignSplits(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    val bucket = pmod(
-      graft.plans.GraftFunctions.md5Prefix60(s, col("doc_id").cast("string")),
-      lit(100))
-    docs.select(col("doc_id"), bucket.as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < TrainPct, "train")
-          .when(col("bucket") < TrainPct + ValPct, "val")
-          .otherwise("test"))
-  }
+  def assignSplits(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        splitBucket(docs.sparkSession, col("doc_id")).as("bucket"))
+      .withColumn("split", splitOf(col("bucket")))
 
   /** c02 face: the full assignment over the documents table. */
   def c02(s: SparkSession, dir: String): DataFrame =
@@ -78,6 +85,56 @@ object Split {
             WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < ${TrainPct + ValPct} THEN 'val'
             ELSE 'test' END AS split
        FROM documents"""
+
+  // ---------------------------------------------------------------
+  // c23: LEAKAGE-SAFE split — the eval-integrity hole in per-doc
+  // splitting, closed. c02 hashes each doc_id independently, so the
+  // two sides of a near-dup pair land in different splits with
+  // probability 2·0.8·0.2 + … ≈ 34% — near-verbatim training copies
+  // of eval documents, the contamination d08/d11 exist to DETECT,
+  // manufactured by the split itself. The fix assigns whole near-dup
+  // CLUSTERS (d06 connected components over the pair graph): the
+  // split key is the cluster's component label (its min doc_id)
+  // pushed through the SAME md5 bucket and cutoffs as c02, so
+  // singleton docs — almost all of any corpus — get exactly their
+  // c02 assignment, and no near-dup pair (nor transitive chain) can
+  // ever straddle splits. Scale shape: the pair join is d02's
+  // (capped in production), the CC loop is d06's (diameter-bounded,
+  // localCheckpoint lineage cuts), the assignment a narrow map.
+  // ---------------------------------------------------------------
+
+  /** Leakage-safe assignment for any (doc_id, …) frame given its
+    * near-dup pair frame (a, b): (doc_id, component, bucket, split) —
+    * one split per connected component. */
+  def clusterSplit(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = Dedup.connectedComponents(
+      pairs.select(col("a"), col("b")),
+      docs.select(col("doc_id").as("id")))
+    comps.select(col("id").as("doc_id"), col("component"),
+        splitBucket(docs.sparkSession, col("component")).as("bucket"))
+      .withColumn("split", splitOf(col("bucket")))
+  }
+
+  /** c23 face: exhaustive pair generation (the d06 oracle convention —
+    * DuckDB replays the pair set; production callers pass capped or
+    * prefix-filtered pairs into [[clusterSplit]] directly). */
+  def c23(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    clusterSplit(docs, Dedup.jaccardPairs(docs, maxDf = None))
+  }
+
+  /** The oracle wraps d06's recursive-CTE component query as a
+    * subquery and applies c02's exact hash/cutoff expressions to the
+    * component label (BIGINT → VARCHAR renders identically in both
+    * engines). */
+  val c23Sql: String = {
+    val h = "CAST(('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+    s"""SELECT doc_id, component, $h AS bucket,
+       CASE WHEN $h < $TrainPct THEN 'train'
+            WHEN $h < ${TrainPct + ValPct} THEN 'val'
+            ELSE 'test' END AS split
+       FROM (${Dedup.d06Sql}) comp"""
+  }
 
   /** Sequence packing of any (doc_id, text) frame:
     * (doc_id, shard, seq, tokens, offset) — `seq` is the packed
@@ -433,10 +490,6 @@ object Split {
   // shuffle. Oracle replays every stage bit-for-bit.
   // ---------------------------------------------------------------
 
-  private def splitBucket(s: SparkSession, docId: Column): Column =
-    pmod(graft.plans.GraftFunctions.md5Prefix60(s, docId.cast("string")),
-      lit(100))
-
   def c06(s: SparkSession, dir: String): DataFrame = {
     val (_, _, _, red) = Redact.redactions(col("text"))
     val scrubbed = Redact.plantedDocs(s, dir)
@@ -600,6 +653,7 @@ object Split {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c02_train_split" -> (c02 _),
+    "c23_cluster_split" -> (c23 _),
     "c03_pack_sequences" -> (c03 _),
     "c03b_pack_chunks" -> (c03b _),
     "c03c_pack_subword" -> (c03c _),
@@ -611,6 +665,7 @@ object Split {
 
   val oracles: Map[String, String] = Map(
     "c02_train_split" -> c02Sql,
+    "c23_cluster_split" -> c23Sql,
     "c03_pack_sequences" -> c03Sql,
     "c03b_pack_chunks" -> c03bSql,
     "c03c_pack_subword" -> c03cSql,

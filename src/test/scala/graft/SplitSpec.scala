@@ -86,6 +86,69 @@ class SplitSpec extends SparkSpec {
     }
   }
 
+  test("c23: no near-dup pair straddles splits; singletons match c02 exactly") {
+    try {
+      val docs = Tables.documents(spark, sf("sf0.001"))
+      val pairs = operators.Dedup.jaccardPairs(docs, maxDf = None)
+        .select(col("a"), col("b"))
+        .transform(CacheRegistry.register)
+      val assigned = Split.c23(spark, sf("sf0.001"))
+        .transform(CacheRegistry.register)
+      // the leak c02 manufactures and c23 closes: every near-dup edge
+      // (and transitively, every cluster) lands in ONE split
+      val straddling = pairs
+        .join(assigned.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+        .join(assigned.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+        .filter(col("sa") =!= col("sb"))
+      assert(straddling.isEmpty, "a near-dup pair straddles splits")
+      assert(pairs.count() > 0, "corpus must contain planted near-dups")
+      // singleton docs (no near-dup edge → component == own id) get
+      // their exact c02 assignment — the cluster split only ever
+      // moves docs that NEEDED moving
+      val members = pairs.select(col("a").as("doc_id"))
+        .union(pairs.select(col("b").as("doc_id"))).distinct()
+      val singles = assigned.join(members, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .as[(Long, Long, String)].collect().toSet
+      val c02For = Split.c02(spark, sf("sf0.001"))
+        .as[(Long, Long, String)].collect().toSet
+      assert(singles.nonEmpty && singles.subsetOf(c02For))
+    } finally CacheRegistry.unpersistAll()
+  }
+
+  test("c23: a transitive near-dup chain lands whole in the min-id's split") {
+    // A~B and B~C near-dup, A vs C below threshold (the d06 chain
+    // shape): all three must carry component = min id and ONE split,
+    // even though no direct A-C pair exists
+    try {
+      // sliding 18-token windows over one 26-token stream: adjacent
+      // docs share 12 of 20 distinct trigrams (jacc 0.6 >= 0.5), the
+      // chain ends share 8 of 24 (0.33 < 0.5) — a genuine A~B~C chain
+      // with no direct A-C edge
+      def win(from: Int): String =
+        (from until from + 18).map(i => s"w$i").mkString(" ")
+      val docs = Seq(
+        (10L, win(1)), (20L, win(5)), (30L, win(9)),
+        (40L, "totally unrelated text about completely different things " +
+          "carrying not a single shared trigram with the chain docs at all"))
+        .toDF("doc_id", "text")
+      val pairs = operators.Dedup.jaccardPairs(docs, maxDf = None)
+        .select(col("a"), col("b"))
+      val got = pairs.as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 20L), (20L, 30L)),
+        s"chain shape not as planted: $got")
+      val assigned = Split.clusterSplit(docs, pairs)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._4)).toMap
+      assert(Seq(10L, 20L, 30L).map(assigned(_)._1).toSet == Set(10L),
+        "chain not labeled by its min id")
+      assert(Seq(10L, 20L, 30L).map(assigned(_)._2).toSet.size == 1,
+        "chain straddles splits")
+      // the singleton keeps its own component (and thus its c02 split)
+      assert(assigned(40L)._1 == 40L)
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("c04: mixture weights give exact integer epochs and deterministic fractional copies") {
     val rows = Split.c04(spark, sf("sf0.001"))
       .as[(Long, String, Int)].collect()

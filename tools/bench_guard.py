@@ -24,13 +24,15 @@ computation count() had been discarding. Every ceiling marked
 "honest ... r16" is calibrated on the new epoch; pre-r16 dumps and
 BENCH_ISOLATED_r15 readings are count()-era. The --isolated baseline
 is BENCH_ISOLATED_r16.json — the first honest-epoch fresh-JVM sweep
-(155 faces, 0 failures; the two r16-late prefix-Jaccard faces were
-appended from their landing runs, so the file now carries 157); r15's
+(155 faces, 0 failures; the two r16-late prefix-Jaccard faces and the
+c23 cluster-split face were appended from their landing runs, so the
+file now carries 158); r15's
 isolated file stays committed as the count()-era record but must not
 be compared against. The SAME appendix applies to BENCH_FULL_r16.json:
-its 155 original faces are the pinned worse back-to-back run and the
+its 155 original faces are the pinned worse back-to-back run, the
 two d02p/d09_prefix readings come from the 157-face landing sweep
-(345.7 s total, 0 failures), so the file's headline total (366.5) and
+(345.7 s total, 0 failures) and c23's from its single-face landing
+run, so the file's headline total and
 any CROSS-face ratio touching the new faces are cross-run composites —
 within-run numbers for all three d09 gears live in the landing sweep
 and BENCH_SF1's sibling artifacts; the per-face ceilings (the thing
@@ -246,6 +248,12 @@ CEILINGS = {
                                    # ZERO loss (template shingles
                                    # never enter a prefix); ratio
                                    # floor below is the real guard
+    "c23_cluster_split": 10.1,     # committed 5.47 s single-face run
+                                   # / 4.97 isolated (leakage-safe
+                                   # split: d06's exhaustive pairs +
+                                   # CC loop + the c02 hash on the
+                                   # component label) — 1.7x + 0.8 of
+                                   # the committed reading
 }
 
 # BLANKET bars (r16): every face not hand-calibrated above gets a
