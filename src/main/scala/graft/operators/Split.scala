@@ -76,13 +76,20 @@ object Split {
     assignSplits(Tables.documents(s, dir))
       .select(col("doc_id"), col("bucket"), col("split"))
 
+  /** The md5-bucket expression in oracle SQL — the ONE replay of
+    * [[splitBucket]], shared by every oracle that routes on the split
+    * hash (c02/c23 full assignment, c06/c07 train filters) so the two
+    * engines' hash definitions cannot drift per-oracle. */
+  private def bucketSqlOf(key: String): String =
+    s"CAST(('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+
   /** The oracle replays the 60-bit md5 prefix exactly as d04b/d07 do:
     * hex-prefix → BIGINT → mod 100 → CASE cutoffs. */
   val c02Sql: String =
     s"""SELECT doc_id,
-       CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
-       CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < $TrainPct THEN 'train'
-            WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < ${TrainPct + ValPct} THEN 'val'
+       ${bucketSqlOf("doc_id")} AS bucket,
+       CASE WHEN ${bucketSqlOf("doc_id")} < $TrainPct THEN 'train'
+            WHEN ${bucketSqlOf("doc_id")} < ${TrainPct + ValPct} THEN 'val'
             ELSE 'test' END AS split
        FROM documents"""
 
@@ -128,7 +135,7 @@ object Split {
     * component label (BIGINT → VARCHAR renders identically in both
     * engines). */
   val c23Sql: String = {
-    val h = "CAST(('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+    val h = bucketSqlOf("component")
     s"""SELECT doc_id, component, $h AS bucket,
        CASE WHEN $h < $TrainPct THEN 'train'
             WHEN $h < ${TrainPct + ValPct} THEN 'val'
@@ -526,7 +533,7 @@ object Split {
          FROM scrub),
        train AS (
          SELECT * FROM tok
-         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < $TrainPct),
+         WHERE ${bucketSqlOf("doc_id")} < $TrainPct),
        m AS (
          SELECT doc_id, source, tokens,
                 COALESCE(((TRY_CAST(regexp_extract(source, '([0-9]{1,9})', 1) AS INT) % 4) + 1) * 75, 100) AS w100,
@@ -627,7 +634,7 @@ object Split {
            AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
        train AS (
          SELECT * FROM tok
-         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < $TrainPct),
+         WHERE ${bucketSqlOf("doc_id")} < $TrainPct),
        m AS (
          SELECT doc_id, source, tokens,
                 COALESCE(((TRY_CAST(regexp_extract(source, '([0-9]{1,9})', 1) AS INT) % 4) + 1) * 75, 100) AS w100,

@@ -335,20 +335,32 @@ class PlanSpec extends SparkSpec {
         !p.contains("BroadcastNestedLoopJoin"),
         "prefix candidate generation fell off the equi-join path")
       // TWO DISTINCT caches — the shingle frame and the prefix frame.
-      // Counted as distinct InMemoryRelation cache builders in the
-      // optimized plan, NOT as text matches: the shingle cache's
+      // Counted as distinct InMemoryRelation cache builders (reference
+      // equality — scans of one cache share the builder instance) in
+      // the optimized plan, NOT as text matches: the shingle cache's
       // REPARTITION_BY_COL exchange prints once per scan site, so a
       // text count stays >= 2 even with the prefix cache removed —
       // exactly the regression this pin exists for (prefix build
       // re-running once per self-join side).
       val builders = qe.optimizedPlan.collect {
         case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-          System.identityHashCode(r.cacheBuilder)
-      }
-      assert(builders.toSet.size == 2,
-        s"expected the shingle + prefix caches, got ${builders.toSet.size} " +
-          s"distinct cached relations (${builders.size} scan sites)")
-      assert(p.contains("row_number"), "rarity rank window missing")
+          r.cacheBuilder
+      }.toSet
+      assert(builders.size == 2,
+        s"expected the shingle + prefix caches, got ${builders.size} " +
+          "distinct cached relations")
+      // and the PREFIX cache (the one whose build plan carries the
+      // rarity rank window) must itself be pre-partitioned on the
+      // join key — the r9 contract the d02 test pins for the shingle
+      // cache, asserted here on the cache's own build plan so losing
+      // the repartition can't hide behind the shingle cache's exchange
+      val preBuild = builders.map(_.cachedPlan.toString)
+        .find(_.contains("row_number"))
+      assert(preBuild.isDefined,
+        "prefix cache (rarity rank window) not found among the caches")
+      assert(raw"Exchange hashpartitioning\(shingle[^\n]*REPARTITION_BY_COL".r
+        .findFirstIn(preBuild.get).isDefined,
+        "prefix cache lost its pre-partitioning on the join key")
     } finally CacheRegistry.unpersistAll()
   }
 

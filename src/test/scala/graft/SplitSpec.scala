@@ -92,7 +92,11 @@ class SplitSpec extends SparkSpec {
       val pairs = operators.Dedup.jaccardPairs(docs, maxDf = None)
         .select(col("a"), col("b"))
         .transform(CacheRegistry.register)
-      val assigned = Split.c23(spark, sf("sf0.001"))
+      // clusterSplit over the SAME cached pair frame (not the c23
+      // face, which would rebuild the exhaustive pair join a second
+      // time): the straddle check then uses the identical pair set by
+      // construction, and the test pays the heavy join once
+      val assigned = Split.clusterSplit(docs, pairs)
         .transform(CacheRegistry.register)
       // the leak c02 manufactures and c23 closes: every near-dup edge
       // (and transitively, every cluster) lands in ONE split
