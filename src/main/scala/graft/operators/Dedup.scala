@@ -524,11 +524,14 @@ object Dedup {
   // near-dup pair graph. Pairwise "drop the higher id of each pair"
   // under-merges chains (A~B, B~C, A≁C leaves two survivors of one
   // cluster); production dedup wants ONE representative per connected
-  // component. Distributed min-label propagation: each round is one
-  // neighbor-min equi-join + aggregate, labels only decrease, rounds
-  // bounded by component diameter (near-dup clusters are shallow).
-  // The driver loop's convergence probe is `isEmpty` on a changed-set
-  // — a metadata action, never a label collect.
+  // component. Distributed min-label propagation WITH POINTER
+  // DOUBLING (r16): each round is one neighbor-min equi-join +
+  // aggregate followed by a label[label[v]] jump, labels only
+  // decrease, rounds bounded by log2(component diameter) — maxIter
+  // 20 covers ~10^6-hop chains, so long templated near-dup chains
+  // can't trip the fail-fast. The driver loop's convergence probe is
+  // `isEmpty` on a changed-set — a metadata action, never a label
+  // collect.
   // ---------------------------------------------------------------
 
   /** Connected components of an undirected edge list. `vertices` is
@@ -563,14 +566,39 @@ object Dedup {
       // probe is a filter over the already-materialized rows instead
       // of a second labels-vs-next join (one fewer join + job per
       // round — the probe dominated round cost at small diameters)
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"),
           (coalesce(col("nmin"), col("component")) < col("component"))
             .as("_changed"))
         .localCheckpoint(true)
+      // POINTER DOUBLING (r16): re-point every label at its parent's
+      // label — label'[v] = label[label[v]]. Neighbor-min alone moves
+      // a component's min ONE hop per round, so rounds grow with the
+      // component DIAMETER and maxIter hard-fails on any chain longer
+      // than maxIter hops (real near-dup graphs grow such chains:
+      // templated pages near-dup their neighbors but not the chain
+      // ends). The jump halves every vertex's distance-to-root each
+      // round instead — rounds grow with log2(diameter), so maxIter
+      // 20 now covers ~10^6-hop chains. Monotone-safe: every label
+      // value is a vertex id with label ≤ id, so the jump only ever
+      // lowers labels within the component; the fixpoint (labels
+      // constant per component = the component min, since the min
+      // vertex can never be lowered) is unchanged — d06/c23 oracle
+      // rows stay bit-exact. The jump joins the ALREADY-MATERIALIZED
+      // stepped frame to itself (two |V|-row checkpoints per round
+      // instead of one; the alternative — jumping a lazy `stepped` —
+      // would re-run the neighbor-min join twice per round).
+      val parents = stepped
+        .select(col("id").as("pid"), col("component").as("pcomp"))
+      val next = stepped.join(parents, col("component") === col("pid"))
+        .select(col("id"), col("pcomp").as("component"),
+          (col("_changed") || col("pcomp") < col("component"))
+            .as("_changed"))
+        .localCheckpoint(true)
       converged = next.filter(col("_changed")).isEmpty
+      stepped.unpersist()
       labels.unpersist()
       labels = next.drop("_changed")
       i += 1

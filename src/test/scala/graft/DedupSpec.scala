@@ -377,6 +377,22 @@ class DedupSpec extends SparkSpec {
     assert(ccp.forall(_._2 == 1L))
   }
 
+  test("connected components: a 300-hop chain converges inside the default round budget") {
+    import spark.implicits._
+    // the pointer-doubling pin: neighbor-min alone moves the min ONE
+    // hop per round, so a 300-node path needs 299 rounds and the
+    // default maxIter = 20 fail-fast would throw; with the
+    // label[label[v]] jump rounds grow with log2(diameter) and the
+    // same budget converges with room to spare. Descending ids make
+    // the min sit at the FAR end of the chain (the worst case — the
+    // label must traverse the whole diameter).
+    val n = 300L
+    val path = (1L until n).map(i => (n - i + 1, n - i)).toDF("a", "b")
+    val pv = (1L to n).toDF("id")
+    val cc = Dedup.connectedComponents(path, pv).as[(Long, Long)].collect()
+    assert(cc.length == n && cc.forall(_._2 == 1L))
+  }
+
   test("s02 LSH ANN recall vs s01 brute force") {
     val exact = Similarity.s01(spark, sf("sf0.001"))
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
