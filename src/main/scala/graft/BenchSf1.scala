@@ -123,7 +123,8 @@ object BenchSf1 {
       "d02_ngram_jaccard_cap64" -> ((s: SparkSession, dir: String) =>
         operators.Dedup.d02(s, dir, maxDf = Some(64))),
       // The zero-loss prefix gear (d02p) measured on the same
-      // df-stress corpus — and it LOSES here (227 vs 54 s capped),
+      // df-stress corpus — and it LOSES here (~230-270 vs ~39-54 s capped
+      // across the committed runs),
       // for a structural reason worth recording next to the cap64
       // probe: the replica construction gives every doc ~19
       // "half-sibling" docs (Jaccard ≈ 1/3, below threshold) that
