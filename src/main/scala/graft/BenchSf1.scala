@@ -143,7 +143,8 @@ object BenchSf1 {
       // resolves from SparkEntry.queries via the `faces` list — one
       // definition, no drift.)
       // the full production composition on the prefix generator: the
-      // d06_dedup_clusters_capped twin (~71 s at sf1 on the cap)
+      // d06_dedup_clusters_capped twin (61.3 s at sf1 on the cap in
+      // the committed artifact)
       "d06_dedup_clusters_prefix" -> ((s: SparkSession, dir: String) => {
         val docs = Tables.documents(s, dir)
         operators.Dedup.connectedComponents(

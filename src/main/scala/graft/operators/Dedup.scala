@@ -586,20 +586,34 @@ object Dedup {
       // lowers labels within the component; the fixpoint (labels
       // constant per component = the component min, since the min
       // vertex can never be lowered) is unchanged — d06/c23 oracle
-      // rows stay bit-exact. The jump joins the ALREADY-MATERIALIZED
-      // stepped frame to itself (two |V|-row checkpoints per round
-      // instead of one; the alternative — jumping a lazy `stepped` —
-      // would re-run the neighbor-min join twice per round).
-      val parents = stepped
-        .select(col("id").as("pid"), col("component").as("pcomp"))
-      val next = stepped.join(parents, col("component") === col("pid"))
+      // rows stay bit-exact. The jump reads the ALREADY-MATERIALIZED
+      // stepped frame (two |V|-row checkpoints per round instead of
+      // one; the alternative — jumping a lazy `stepped` — would
+      // re-run the neighbor-min join twice per round).
+      //
+      // Skew posture: as labels converge, `component` concentrates
+      // onto few values — joining the full stepped frame on it would
+      // funnel a giant component's |C| rows through one shuffle
+      // partition. So the lookup table is built from DISTINCT
+      // component values first: the distinct's partial aggregation
+      // dedupes map-side (each mapper emits a key once — no skewed
+      // shuffle), and the resulting table SHRINKS with convergence,
+      // so AQE broadcasts it and the big side is never exchanged on
+      // the concentrated key. Round 1 (labels still ~all distinct)
+      // has no concentration to skew on either way.
+      val jump = stepped.select(col("component")).distinct()
+        .join(stepped.select(col("id").as("component"),
+          col("component").as("pcomp")), Seq("component"))
+      val next = stepped.join(jump, Seq("component"))
         .select(col("id"), col("pcomp").as("component"),
           (col("_changed") || col("pcomp") < col("component"))
             .as("_changed"))
         .localCheckpoint(true)
       converged = next.filter(col("_changed")).isEmpty
-      stepped.unpersist()
-      labels.unpersist()
+      // NO unpersist for stepped / the old labels: Dataset.unpersist
+      // only uncaches CacheManager entries and a localCheckpoint's
+      // blocks are not one — they are reclaimed by the ContextCleaner
+      // once the round's references drop (which they do right here).
       labels = next.drop("_changed")
       i += 1
     }

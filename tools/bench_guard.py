@@ -31,8 +31,10 @@ isolated file stays committed as the count()-era record but must not
 be compared against. The SAME appendix applies to BENCH_FULL_r16.json:
 its 155 original faces are the pinned worse back-to-back run, the
 two d02p/d09_prefix readings come from the 157-face landing sweep
-(345.7 s total, 0 failures) and c23's from its single-face landing
-run, so the file's headline total and
+(345.7 s total, 0 failures), and the three CC-riding faces
+(d06/d06_capped/c23) were RE-SPLICED from the post-pointer-doubling
+158-face sweep (325.6 s total, 0 failures) so the committed readings
+reflect the shipped CC loop, so the file's headline total and
 any CROSS-face ratio touching the new faces are cross-run composites —
 within-run numbers for all three d09 gears live in the landing sweep
 and BENCH_SF1's sibling artifacts; the per-face ceilings (the thing
@@ -78,7 +80,12 @@ CEILINGS = {
     "f20_risk_distribution": 2.4,  # steady ~0.9-1.1 s
     "c01_corpus_clean": 7.8,       # steady ~4.4-4.8 s (r12 full-run 4.44)
     "f17_stats_merge": 3.4,        # steady ~2.2 s (r12 full-run 2.20)
-    "d06_dedup_clusters": 8.5,     # steady ~4.7 s (r12 full-run 4.70)
+    "d06_dedup_clusters": 10.1,    # committed 5.42 s (post pointer-
+                                   # doubling + skew-safe jump lookup:
+                                   # +1 distinct+join per CC round;
+                                   # r12-r16 pre-change band 4.5-4.7)
+                                   # — 1.7x + 0.8 of the committed
+                                   # reading
     "d08_decontaminate": 4.5,      # steady ~1.8 s (r12 full-run 1.77)
     "t05_repetition": 7.3,         # honest 3.8 s full-run r16 (metric
                                    # columns now materialized). The bar
@@ -285,7 +292,8 @@ CEILINGS.update({
     "d04_simhash": 2.2,  # honest 0.80 s
     "d04b_simhash_core": 3.0,  # honest 1.27 s
     "d05_embedding_neardup": 1.9,  # honest 0.63 s
-    "d06_dedup_clusters_capped": 7.4,  # honest 3.87 s
+    "d06_dedup_clusters_capped": 8.3,  # committed 4.37 s (post
+                                   # pointer-doubling; was 3.87)
     "d07_winnow_pairs": 6.0,  # honest 3.06 s
     "d07_winnow_pairs_capped": 4.7,  # honest 2.32 s
     "d09_boilerplate": 12.3,  # honest 6.74 s
