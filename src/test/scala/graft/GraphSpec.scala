@@ -131,6 +131,47 @@ class GraphSpec extends SparkSpec {
     assert(compact.nonEmpty)
   }
 
+  test("g06: hand-peeled k-core on planted graphs") {
+    // K4 {1..4} + pendant 5-1 + a 2-chain 5-6: k=3 keeps exactly the
+    // K4; node 1 shows full degree 4 (3 in-K4 + the pendant edge) vs
+    // core degree 3
+    val g = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+        (1L,5L),(5L,6L)).toDF("a","b")
+    val got = Graph.kcore(g, k = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((4L, 3L)))
+    (2L to 4L).foreach(n => assert(got(n) == ((3L, 3L)), s"node $n"))
+    // cascade: a triangle has no 3-core once any k=3 threshold hits
+    // (every node sits at degree 2) — whole graph peels, empty result
+    val tri = Seq((1L,2L),(2L,3L),(1L,3L)).toDF("a","b")
+    assert(Graph.kcore(tri, k = 3).isEmpty)
+    // k at-or-below min degree: zero peel rounds, graph == its core
+    val whole = Graph.kcore(tri, k = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(whole == Set((1L,2L,2L),(2L,2L,2L),(3L,2L,2L)))
+  }
+
+  test("g06: slow-peel path trips the fail-fast; enough rounds converge") {
+    // a path peels only its 2 endpoints per round at k=2 — the
+    // documented pathological depth; 12 nodes need 6 rounds to empty
+    val path = (1L to 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val err = intercept[IllegalArgumentException] {
+      Graph.kcore(path, k = 2, maxIter = 3)
+    }
+    assert(err.getMessage.contains("no fixpoint"))
+    assert(Graph.kcore(path, k = 2, maxIter = 8).isEmpty)
+  }
+
+  test("g06 face: sf0.001 core empties without tripping the fail-fast") {
+    // the sf0.001 co-purchase graph peels to nothing at k=80 (max
+    // degree ~100 but the cascade runs away) — the face must return
+    // the honest empty core, converged, inside the oracle's unroll
+    // budget (the sf0.01/sf0.1 convergence is driver-checked)
+    val out = Graph.g06(spark, sf("sf0.001"))
+    assert(out.isEmpty)
+  }
+
   test("partition-independence: same ranks from a shuffled edge frame") {
     val docs = Tables.lineitem(spark, sf("sf0.001"))
     val edges = Graph.coEdges(docs)
