@@ -410,17 +410,164 @@ object Velocity {
          dow_sum, dow_days, ratio
        FROM t WHERE rank <= $DowTopK"""
 
+  // ---------------------------------------------------------------
+  // f32: EWMA control chart — the small-persistent-shift alarm
+  // between f23 (single-day spike vs mean) and f25 (CUSUM run
+  // accumulation): Roberts (1959) exponentially weighted moving
+  // average with the standard time-varying control limits
+  // μ ± L·σ·sqrt(λ/(2−λ)·(1−(1−λ)^{2t})) (Hunter 1986; Lucas &
+  // Saccucci 1990), λ = 1/4, L = 3, chart seeded at the user's own
+  // mean. A seller whose daily activity drifts 30-50% reads as noise
+  // to the spike rule and walks the EWMA across the limit in a few
+  // days; conversely a one-day outlier the spike rule flags barely
+  // moves the smoothed statistic — the two rules are complementary
+  // by design.
+  //
+  // Oracle parity: the EWMA recurrence s_t = λ·x_t + (1−λ)·s_{t−1}
+  // has no integer closed form at useful λ ((1−λ)^t denominators
+  // overflow any fixed scale past ~20 steps), so this face uses the
+  // s13 discipline instead: BOTH engines run the IDENTICAL IEEE
+  // double recursion — DuckDB as a recursive CTE stepping rn → rn+1,
+  // Spark as a per-user sequential fold inside one grouped map (the
+  // sessionize/s13 precedent: per-key sequential logic in a grouped
+  // map, not an N-step relational unroll). Every operation appears
+  // in the same order with the same literals (λ = 0.25 and
+  // (1−λ)² = 0.5625 are exact binary doubles), the limit factor
+  // (1−λ)^{2t} is carried THROUGH the recursion as q_t = q_{t−1} ×
+  // 0.5625 rather than recomputed via pow() (libm pow is not
+  // correctly rounded and may differ across engines; iterated
+  // multiplication is IEEE-identical), and μ/σ derive from integer
+  // sums in one division each. Rounding is display-only.
+  //
+  // Scale: the lattice is f25's (bounded by the time span), μ/σ are
+  // combiner-friendly integer aggregates, and the grouped map
+  // shuffles each user ONCE with per-group state of one (s, q) pair
+  // over a time-bounded series — at 100 TB the per-user day lattice
+  // is a retention window, not data-sized. Everything outside the
+  // fold (limits, alarm filter, rounding) stays declarative and
+  // codegen'd.
+  // ---------------------------------------------------------------
+
+  /** Chart width: alarm at ±3 asymptotic-σ units (the Shewhart
+    * convention carried to EWMA). */
+  val EwmaL = 3.0
+
+  /** EWMA alarm rows (user_id, day, x, ewma, ucl, lcl, side) over
+    * any (user_id, ts) frame — day lattice filled like f25 (missing
+    * days are x = 0: inactivity must pull the average down). */
+  def ewmaChart(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val e = events
+      .groupBy(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val span = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val lat = span.select(col("user_id"),
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+        .as("day"))
+    val f = lat.join(e, Seq("user_id", "day"), "left")
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    // per-user moments, integer-exact until one division each:
+    // μ = Σx/nd, σ = sqrt((nd·Σx² − (Σx)²)/nd²)
+    val m = f.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("nd"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("user_id"),
+        (col("sx").cast("double") / col("nd")).as("mu"),
+        sqrt((col("nd") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (col("nd").cast("double") * col("nd"))).as("sd"))
+      .transform(graft.CacheRegistry.register)
+    // the sequential fold: s ← 0.25·x + 0.75·s (seeded at μ),
+    // q ← q·0.5625 — the exact ops the oracle's recursive CTE runs
+    val folded = f.join(m.select(col("user_id"), col("mu")), "user_id")
+      .select(col("user_id"), col("day"), col("x"), col("mu"))
+      .as[(Long, String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        var sAcc = rows.head._4 // mu
+        var qAcc = 1.0
+        rows.iterator.map { case (_, day, x, _) =>
+          qAcc *= 0.5625
+          sAcc = 0.25 * x + 0.75 * sAcc
+          (uid, day, x, sAcc, qAcc)
+        }
+      }
+      .toDF("user_id", "day", "x", "s", "q")
+    val hw = lit(EwmaL) * col("sd") *
+      sqrt(lit(0.25) / lit(1.75) * (lit(1.0) - col("q")))
+    folded.join(m, "user_id")
+      .filter(col("s") > col("mu") + hw || col("s") < col("mu") - hw)
+      .select(col("user_id"), col("day"), col("x"),
+        round(col("s"), 6).as("ewma"),
+        round(col("mu") + hw, 6).as("ucl"),
+        round(col("mu") - hw, 6).as("lcl"),
+        when(col("s") > col("mu") + hw, lit("high")).otherwise(lit("low"))
+          .as("side"))
+  }
+
+  def f32(s: SparkSession, dir: String): DataFrame =
+    ewmaChart(Tables.events(s, dir))
+
+  val f32Sql: String =
+    s"""WITH RECURSIVE e AS (SELECT user_id,
+           CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS x
+         FROM events GROUP BY 1, 2),
+       span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY 1),
+       lat AS (SELECT user_id,
+                 CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+               FROM span),
+       f0 AS (SELECT l.user_id, l.day, CAST(coalesce(e.x, 0) AS BIGINT) AS x
+              FROM lat l LEFT JOIN e ON l.user_id = e.user_id AND l.day = e.day),
+       f AS (SELECT user_id, day, x,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+             FROM f0),
+       t AS (SELECT user_id, count(*) AS nd, CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x*x) AS BIGINT) AS sxx
+             FROM f GROUP BY 1),
+       m AS (SELECT user_id, CAST(sx AS DOUBLE) / nd AS mu,
+               sqrt(CAST(nd * sxx - sx * sx AS DOUBLE)
+                 / (CAST(nd AS DOUBLE) * nd)) AS sd
+             FROM t),
+       r AS (SELECT f.user_id, f.rn, f.day, f.x,
+               0.25 * f.x + 0.75 * m.mu AS s,
+               -- q must be DOUBLE here: the recursion's column type is
+               -- pinned by this base row, and a bare 0.5625 is
+               -- DECIMAL(5,4) — every round's q·0.5625 would be
+               -- rounded back to 4 decimals (found as a 6e-6 ucl skew)
+               CAST(0.5625 AS DOUBLE) AS q
+             FROM f JOIN m ON f.user_id = m.user_id WHERE f.rn = 1
+             UNION ALL
+             SELECT f.user_id, f.rn, f.day, f.x,
+               0.25 * f.x + 0.75 * r.s, r.q * 0.5625
+             FROM r JOIN f ON f.user_id = r.user_id AND f.rn = r.rn + 1)
+       SELECT r.user_id, strftime(r.day, '%Y-%m-%d') AS day, r.x,
+         round(r.s, 6) AS ewma,
+         round(m.mu + $EwmaL * m.sd * sqrt(0.25 / 1.75 * (1.0 - r.q)), 6) AS ucl,
+         round(m.mu - $EwmaL * m.sd * sqrt(0.25 / 1.75 * (1.0 - r.q)), 6) AS lcl,
+         CASE WHEN r.s > m.mu + $EwmaL * m.sd * sqrt(0.25 / 1.75 * (1.0 - r.q))
+              THEN 'high' ELSE 'low' END AS side
+       FROM r JOIN m ON r.user_id = m.user_id
+       WHERE r.s > m.mu + $EwmaL * m.sd * sqrt(0.25 / 1.75 * (1.0 - r.q))
+          OR r.s < m.mu - $EwmaL * m.sd * sqrt(0.25 / 1.75 * (1.0 - r.q))"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f23_user_burst" -> (f23 _),
     "f24_ks_drift" -> (f24 _),
     "f25_cusum" -> (f25 _),
     "f26_impossible_travel" -> (f26 _),
-    "f31_dow_anomaly" -> (f31 _))
+    "f31_dow_anomaly" -> (f31 _),
+    "f32_ewma" -> (f32 _))
 
   val oracles: Map[String, String] = Map(
     "f23_user_burst" -> f23Sql,
     "f24_ks_drift" -> f24Sql,
     "f25_cusum" -> f25Sql,
     "f26_impossible_travel" -> f26Sql,
-    "f31_dow_anomaly" -> f31Sql)
+    "f31_dow_anomaly" -> f31Sql,
+    "f32_ewma" -> f32Sql)
 }

@@ -190,4 +190,69 @@ class VelocitySpec extends SparkSpec {
       assert(kmh > Velocity.MaxSpeedKmh && secs > 0)
     }
   }
+
+  private def ewmaOf(rows: Seq[(Long, Timestamp)]) =
+    Velocity.ewmaChart(rows.toDF("user_id", "ts"))
+      .select(col("user_id"), col("day"), col("side"))
+      .as[(Long, String, String)].collect().toSeq
+
+  test("f32: persistent modest shifts alarm on the drift side; " +
+      "constant and one-day-spike series stay quiet") {
+    def series(uid: Long, counts: Seq[Int]): Seq[(Long, Timestamp)] =
+      counts.zipWithIndex.flatMap { case (n, d) =>
+        (0 until n).map(i => (uid, ts(d + 1, i)))
+      }
+    // user 1: 25 steady days at 4, then a +75% persistent shift to 7
+    // — invisible to the f23 spike rule (7 < 2× mean), walks the EWMA
+    // over the upper limit within the shifted tail
+    val drifter = series(1L, Seq.fill(25)(4) ++ Seq.fill(5)(7))
+    // user 2: the mirrored persistent DROP (4 → 1) crosses the lower
+    // limit — the side f23/f25 (one-sided) cannot see at all
+    val dipper = series(2L, Seq.fill(25)(4) ++ Seq.fill(5)(1))
+    // user 3: constant series — s_t == mu exactly (the division is
+    // exact), strict inequalities never fire even at sd = 0
+    val steady = series(3L, Seq.fill(30)(4))
+    val got = ewmaOf(drifter ++ dipper ++ steady)
+    val bySide = got.groupBy(_._1)
+    assert(bySide(1L).forall(_._3 == "high") && bySide(1L).nonEmpty)
+    // drift alarms land in the shifted tail, never the steady head
+    assert(bySide(1L).forall(_._2 >= "2024-01-26"))
+    assert(bySide(2L).forall(_._3 == "low") && bySide(2L).nonEmpty)
+    assert(bySide(2L).forall(_._2 >= "2024-01-26"))
+    assert(!bySide.contains(3L))
+  }
+
+  test("f32: lattice gaps count as zero-activity days in the fold") {
+    // 20 days at 4/day, a 3-day SILENT gap (no rows at all), then 5
+    // days at 9/day: the filled lattice must feed the gap through the
+    // recursion as x = 0 — pulling the chart into a LOW alarm on a
+    // day with no events (day 23), before the tail walks it HIGH (day
+    // 28). Recompute the full recursion locally with the identical
+    // IEEE ops and require the alarm rows to match exactly.
+    val rows = (1 to 20).flatMap(d => (0 until 4).map(i => (1L, ts(d, i)))) ++
+      (24 to 28).flatMap(d => (0 until 9).map(i => (1L, ts(d, i))))
+    val xs = Seq.fill(20)(4L) ++ Seq.fill(3)(0L) ++ Seq.fill(5)(9L)
+    val nd = xs.size.toDouble
+    val mu = xs.sum / nd
+    val sd = math.sqrt((nd * xs.map(x => x * x).sum - math.pow(xs.sum, 2)) /
+      (nd * nd))
+    var s = mu; var q = 1.0
+    val expect = xs.zipWithIndex.flatMap { case (x, i) =>
+      q *= 0.5625
+      s = 0.25 * x + 0.75 * s
+      val hw = 3.0 * sd * math.sqrt(0.25 / 1.75 * (1.0 - q))
+      if (s > mu + hw || s < mu - hw)
+        Some((f"2024-01-${i + 1}%02d",
+          BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          if (s > mu + hw) "high" else "low"))
+      else None
+    }
+    val got = Velocity.ewmaChart(rows.toDF("user_id", "ts"))
+      .select(col("day"), col("ewma"), col("side"))
+      .as[(String, Double, String)].collect().toSeq.sortBy(_._1)
+    assert(got == expect.sortBy(_._1))
+    // non-vacuous, and the gap day itself is the low alarm
+    assert(got.map(r => (r._1, r._3)) ==
+      Seq(("2024-01-23", "low"), ("2024-01-28", "high")))
+  }
 }
