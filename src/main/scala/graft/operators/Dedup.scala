@@ -1328,7 +1328,57 @@ object Dedup {
          round(CAST(bc.n AS DOUBLE)/(cb.n + cc.n - bc.n), 6)
        FROM cb, cc, bc"""
 
+  // ---------------------------------------------------------------
+  // d14: duplication-aware SOFT dedup — training weights instead of
+  // drops. Hard dedup (d06: keep the component min) erases the
+  // popularity signal entirely and bets the kept copy is the best
+  // one; the soft alternative keeps every document and weights it
+  // 1/|near-dup cluster|, so each unique content item contributes
+  // ONE document's worth of mass to the training mixture no matter
+  // how many times it was crawled — the standard duplication-aware
+  // sampling posture when the sampler consumes weights (c04/c12/c14
+  // all take per-doc weights downstream). Output carries the cluster
+  // label, its size, the weight, and the canonical flag (the member
+  // hard dedup would keep), so one frame serves both postures.
+  //
+  // Scale: everything past the d06 component frame is one
+  // component-keyed count + a node-keyed join — the same shapes d06
+  // already pays. The face pins maxDf = None so DuckDB replays the
+  // exhaustive pair set (the d06 convention); production callers
+  // pass capped or prefix-filtered pairs into [[softDedupWeights]].
+  // ---------------------------------------------------------------
+
+  /** Per-doc soft-dedup weights from a near-dup pair frame:
+    * (doc_id, component, csize, weight = 1/csize, canonical). */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(
+      pairs.select(col("a"), col("b")),
+      docs.select(col("doc_id").as("id")))
+    val sizes = comps.groupBy(col("component"))
+      .agg(count(lit(1)).as("csize"))
+    comps.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component"), col("csize"),
+        round(lit(1.0) / col("csize"), 6).as("weight"),
+        (col("id") === col("component")).as("canonical"))
+  }
+
+  def d14(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    softDedupWeights(docs, jaccardPairs(docs, maxDf = None))
+  }
+
+  /** The oracle wraps d06's recursive-CTE components (the c23
+    * convention) with the size rollup and weight arithmetic. */
+  val d14Sql: String =
+    s"""WITH comp AS ($d06Sql),
+       sz AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1)
+       SELECT c.doc_id, c.component, sz.csize,
+         round(1.0 / sz.csize, 6) AS weight,
+         c.doc_id = c.component AS canonical
+       FROM comp c JOIN sz ON c.component = sz.component"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_soft_dedup" -> (d14 _),
     "d01_dedup_exact" -> (d01 _),
     // shipped plan is the CAPPED audit; the oracle replays the
     // exhaustive CTEs, equal by the under-cap corpus property
@@ -1350,6 +1400,7 @@ object Dedup {
     "d11_contamination_report" -> ((s: SparkSession, dir: String) => d11(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "d14_soft_dedup" -> d14Sql,
     "d01_dedup_exact" -> d01Sql,
     "d16_dedup_compare" -> d16Sql,
     "d17_threshold_curve" -> d17Sql,

@@ -377,6 +377,30 @@ class DedupSpec extends SparkSpec {
     assert(ccp.forall(_._2 == 1L))
   }
 
+  test("d14 soft dedup: cluster mass is 1 per component, canonical is the kept min") {
+    import spark.implicits._
+    // chain 1~2~3 (no direct 1-3 edge), pair 10~11, singletons 20, 21
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.softDedupWeights(docs, pairs)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // the whole transitive chain shares one cluster and 1/3 weight
+    Seq(1L, 2L, 3L).foreach { d =>
+      assert(got(d) == ((1L, 3L, 0.333333, d == 1L)), s"doc $d")
+    }
+    assert(got(10L) == ((10L, 2L, 0.5, true)))
+    assert(got(11L) == ((10L, 2L, 0.5, false)))
+    // singletons keep full weight and are their own canonical
+    Seq(20L, 21L).foreach(d => assert(got(d) == ((d, 1L, 1.0, true))))
+    // mass conservation up to the per-doc rounding: Σ weight ==
+    // #components (each cluster contributes csize · 1/csize)
+    val totalW = got.values.map(_._3).sum
+    assert(math.abs(totalW - 4.0) < 1e-4)
+    // exactly one canonical per component
+    assert(got.values.count(_._4) == 4)
+  }
+
   test("connected components: a 300-hop chain converges inside the default round budget") {
     import spark.implicits._
     // the pointer-doubling pin: neighbor-min alone moves the min ONE
