@@ -933,7 +933,102 @@ object Similarity {
        FROM sel$MmrK"""
   }
 
+  // ---------------------------------------------------------------
+  // s14: centroid-prototypicality pruning — the data-pruning member
+  // of the embedding family (d05/d13 drop near-DUPLICATES; s14 ranks
+  // every member of a cluster by closeness to the cluster CENTROID
+  // and flags the most prototypical slice). This is the
+  // self-supervised prototype metric of Sorscher et al. 2022
+  // ("Beyond neural scaling laws"): against an abundant corpus the
+  // most prototypical (easiest) examples are the ones worth
+  // dropping, and SemDeDup-style pipelines apply the same
+  // centroid-distance ranking inside k-means cells. The cluster key
+  // here is the embeddings table's `label` column — the operator
+  // takes any (vec_id, embedding, label) frame, so IVF cell ids
+  // (s03) or semantic-dedup cells (d13) slot in unchanged.
+  //
+  // Oracle parity: the centroid is a cross-ROW mean per dimension,
+  // so unlike the per-pair list-fold cosines (s01's fixed in-list
+  // order) its sum order is plan-dependent — every cross-row sum
+  // here (centroid accumulation, dot products, both norms) therefore
+  // rounds its terms to 6 and sums in DECIMAL(25,8) (the t09/s10
+  // discipline: order-invariant, engine-exact), with one double
+  // division / sqrt at the end and display rounding only. The prune
+  // boundary is integer arithmetic (rank ≤ n·20 DIV 100) — no float
+  // ties.
+  //
+  // Scale: two narrow shuffles over the exploded (row, dim) frame —
+  // one (label, dim)-keyed centroid aggregate (combiner-friendly,
+  // output is #labels × dims — tiny), one (vec_id)-keyed rollup for
+  // the dots; the ranking window partitions by label, whose width is
+  // a CELL, not the corpus (IVF cells and semantic-dedup buckets are
+  // capacity-bounded by construction; a degenerate one-label corpus
+  // would need the q04 TakeOrdered shaping instead, documented
+  // here). No pair joins anywhere — cost is O(rows × dims).
+  // ---------------------------------------------------------------
+
+  /** Prototype slice size: flag the top 20% most-central members of
+    * each cluster. */
+  val PrunePct = 20
+
+  /** Per-cluster prototypicality ranking of (vec_id, embedding,
+    * label): (label, vec_id, cos_centroid, rank, n_label, pruned). */
+  def centroidPrune(e: DataFrame, prunePct: Int = PrunePct): DataFrame = {
+    val dec = (c: Column) => round(c, 6).cast("decimal(25,8)")
+    val ex = e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d", "v0")))
+      .select(col("vec_id"), col("label"), col("d"),
+        col("v0").cast("double").as("v"))
+      .transform(graft.CacheRegistry.register) // feeds centroid AND dots
+    val cent = ex.groupBy(col("label"), col("d"))
+      .agg((sum(dec(col("v"))).cast("double") / count(lit(1))).as("c"))
+      .transform(graft.CacheRegistry.register) // feeds dots AND its norm
+    val dots = ex.join(cent, Seq("label", "d"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(dec(col("v") * col("c"))).cast("double").as("num"),
+        sum(dec(col("v") * col("v"))).cast("double").as("nd"))
+    val cn = cent.groupBy(col("label"))
+      .agg(sum(dec(col("c") * col("c"))).cast("double").as("nc"))
+    val wr = Window.partitionBy(col("label"))
+      .orderBy(col("cos_centroid").desc, col("vec_id").asc)
+    dots.join(cn, "label")
+      .select(col("label"), col("vec_id"),
+        round(col("num") / (sqrt(col("nd")) * sqrt(col("nc"))), 6)
+          .as("cos_centroid"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .withColumn("n_label",
+        count(lit(1)).over(Window.partitionBy(col("label"))).cast("long"))
+      .withColumn("pruned", col("rank") <= expr(s"(n_label * $prunePct) DIV 100"))
+  }
+
+  def s14(s: SparkSession, dir: String): DataFrame =
+    centroidPrune(Tables.embeddings(s, dir))
+
+  val s14Sql: String =
+    s"""WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS d,
+           CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+       cent AS (SELECT label, d,
+                  CAST(sum(CAST(round(v, 6) AS DECIMAL(25,8))) AS DOUBLE) / count(*) AS c
+                FROM ex GROUP BY 1, 2),
+       dots AS (SELECT ex.vec_id, ex.label,
+                  CAST(sum(CAST(round(ex.v * cent.c, 6) AS DECIMAL(25,8))) AS DOUBLE) AS num,
+                  CAST(sum(CAST(round(ex.v * ex.v, 6) AS DECIMAL(25,8))) AS DOUBLE) AS nd
+                FROM ex JOIN cent ON ex.label = cent.label AND ex.d = cent.d
+                GROUP BY 1, 2),
+       cn AS (SELECT label, CAST(sum(CAST(round(c * c, 6) AS DECIMAL(25,8))) AS DOUBLE) AS nc
+              FROM cent GROUP BY 1),
+       cs AS (SELECT d.vec_id, d.label,
+                round(d.num / (sqrt(d.nd) * sqrt(cn.nc)), 6) AS cos_centroid
+              FROM dots d JOIN cn ON d.label = cn.label),
+       rk AS (SELECT *, row_number() OVER (PARTITION BY label
+                ORDER BY cos_centroid DESC, vec_id) AS rank,
+                count(*) OVER (PARTITION BY label) AS n_label FROM cs)
+       SELECT label, vec_id, cos_centroid, rank, n_label,
+         rank <= (n_label * $PrunePct) // 100 AS pruned
+       FROM rk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_centroid_prune" -> (s14 _),
     "s13_mmr" -> (s13 _),
     "s12_ann_recall" -> (s12 _),
     "s11_knn_classify" -> (s11 _),
@@ -946,6 +1041,7 @@ object Similarity {
     "s05_ivfpq" -> (s05 _))
 
   val oracles: Map[String, String] = Map(
+    "s14_centroid_prune" -> s14Sql,
     "s13_mmr" -> s13Sql,
     "s12_ann_recall" -> s12Sql,
     "s11_knn_classify" -> s11Sql,

@@ -54,4 +54,40 @@ class SemDedupSpec extends SparkSpec {
     assert(a == b)
     assert(a.forall { case (v, _, d, _) => d < v })
   }
+
+  test("s14: the cluster's most central member is pruned, the outlier never") {
+    // label 0: four tight x-axis vectors + one y-axis outlier (n=5 →
+    // prune floor(5·20/100) = exactly 1); label 1: four vectors (n=4
+    // → prune floor(0.8) = 0, the boundary case)
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(1.0f, 0.1f), 0), (4L, Array(0.95f, 0.05f), 0),
+      (5L, Array(0.0f, 1.0f), 0), // the outlier
+      (11L, Array(1.0f, 0.0f), 1), (12L, Array(0.9f, 0.1f), 1),
+      (13L, Array(1.0f, 0.1f), 1), (14L, Array(0.95f, 0.05f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidPrune(rows)
+      .select(col("label"), col("vec_id"), col("rank"), col("n_label"),
+        col("pruned"))
+      .as[(Int, Long, Long, Long, Boolean)].collect()
+    val l0 = got.filter(_._1 == 0)
+    assert(l0.map(_._4).toSet == Set(5L))
+    // exactly one pruned in label 0, and it is the rank-1 prototype
+    assert(l0.filter(_._5).map(_._3).toSeq == Seq(1L))
+    // the orthogonal outlier ranks dead last and is never pruned
+    val outlier = l0.find(_._2 == 5L).get
+    assert(outlier._3 == 5L && !outlier._5)
+    // n=4 cluster: the 20% floor rounds to zero — nothing pruned
+    assert(got.filter(_._1 == 1).forall(!_._5))
+  }
+
+  test("s14: partition-independence (decimal-summed centroid accumulation)") {
+    val e = graft.Tables.embeddings(spark, sf("sf0.001"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Long, Double, Long, Long, Boolean)].collect().toSet
+    val a = rows(Similarity.centroidPrune(e))
+    val b = rows(Similarity.centroidPrune(e.repartition(13, col("vec_id"))))
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
 }
