@@ -25,8 +25,9 @@ computation count() had been discarding. Every ceiling marked
 BENCH_ISOLATED_r15 readings are count()-era. The --isolated baseline
 is BENCH_ISOLATED_r16.json — the first honest-epoch fresh-JVM sweep
 (155 faces, 0 failures; the two r16-late prefix-Jaccard faces and the
-c23 cluster-split face were appended from their landing runs, so the
-file now carries 158); r15's
+c23 cluster-split face were appended from their landing runs, and the
+batch-2 faces g06/f32/d14/s14 from theirs, so the
+file now carries 162); r15's
 isolated file stays committed as the count()-era record but must not
 be compared against. The SAME appendix applies to BENCH_FULL_r16.json:
 its 155 original faces are the pinned worse back-to-back run, the
@@ -261,6 +262,25 @@ CEILINGS = {
                                    # CC loop + the c02 hash on the
                                    # component label) — 1.7x + 0.8 of
                                    # the committed reading
+    # r16-late batch 2 (g06/f32/d14/s14): committed readings appended
+    # from the 162-face landing sweep (304.1 s total, 0 failures) and
+    # its 4-face isolated sibling; bars are 1.7x + 0.8 of the
+    # committed full-run reading
+    "g06_kcore": 11.4,             # committed 6.23 s full-run / 8.82
+                                   # isolated (5 peel rounds x degree
+                                   # agg + two semi-joins over the
+                                   # shrinking 1.2M-edge frame)
+    "f32_ewma": 3.0,               # committed 1.29 s / 2.29 isolated
+                                   # (lattice + moments + the grouped
+                                   # EWMA fold)
+    "d14_soft_dedup": 6.9,         # committed 3.54 s / 5.22 isolated
+                                   # (d06's exhaustive pairs + CC +
+                                   # the size rollup; tracks d06's
+                                   # own bar family)
+    "s14_centroid_prune": 4.4,     # committed 2.08 s / 3.12 isolated
+                                   # (two narrow (label,dim)/(vec_id)
+                                   # shuffles over the exploded frame
+                                   # + the per-label rank window)
 }
 
 # BLANKET bars (r16): every face not hand-calibrated above gets a
