@@ -381,6 +381,100 @@ object Alerts {
   }
 
   // ---------------------------------------------------------------
+  // Streaming EWMA gate (row 41q): f32's control chart maintained
+  // INCREMENTALLY — the recursion is its own O(1) state: (s, q) per
+  // user, folded once per completed day with the IDENTICAL IEEE ops
+  // the batch face (and its DuckDB oracle) run — s ← 0.25·x +
+  // 0.75·s, q ← q·0.5625, alarm outside μ ± 3σ·sqrt((1/7)·(1−q)) —
+  // so batch and stream agree row-for-row on the shared lattice
+  // (parity spec), rounding included. Per-user (μ, σ) baselines
+  // arrive as flatMapGroupsWithState INITIAL STATE (the 41j
+  // posture: a distributed keyed frame, no driver collect). Unlike
+  // CUSUM there is NO cold-start chart: a control chart's limits
+  // are Phase I estimates by definition (Montgomery's convention —
+  // estimate μ/σ on a clean window, monitor Phase II against them),
+  // so users without a baseline accumulate nothing and never alarm
+  // — the honest posture, not a silent absolute-rate guess. Gap
+  // days fold as x = 0 (inactivity pulls the chart down, mirroring
+  // the batch lattice fill); late events behind the fold drop
+  // (watermark).
+  // ---------------------------------------------------------------
+
+  case class EwmaState(mu: Double, sd: Double, lastDay: Long, x: Long,
+      s: Double, q: Double, started: Boolean)
+  case class EwmaAlarm(user_id: Long, day: String, x: Long,
+      ewma: Double, ucl: Double, lcl: Double, side: String)
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Fold one completed day; emit an alarm row when the chart exits
+    * the limits. The arithmetic is character-for-character the batch
+    * fold's (Velocity.ewmaChart) — parity is by construction. */
+  private def foldEwmaDay(uid: Long, st: EwmaState, day: Long,
+      x: Long): (EwmaState, Option[EwmaAlarm]) = {
+    val q = st.q * 0.5625
+    val s = 0.25 * x + 0.75 * st.s
+    val hw = 3.0 * st.sd * math.sqrt(0.25 / 1.75 * (1.0 - q))
+    val alarm =
+      if (s > st.mu + hw || s < st.mu - hw)
+        Some(EwmaAlarm(uid, dayStr(day), x, round6(s),
+          round6(st.mu + hw), round6(st.mu - hw),
+          if (s > st.mu + hw) "high" else "low"))
+      else None
+    (st.copy(s = s, q = q), alarm)
+  }
+
+  def ewmaGateFunc(userId: Long, events: Iterator[(Timestamp, Long)],
+      state: GroupState[EwmaState]): Iterator[EwmaAlarm] = {
+    // no baseline → no Phase I estimates → nothing to monitor; drain
+    // the group without creating state
+    if (!state.exists) return Iterator.empty
+    var st = state.get
+    val out = scala.collection.mutable.ListBuffer.empty[EwmaAlarm]
+    events.toSeq.sortBy(_._1.getTime).foreach { case (ts, _) =>
+      val d = epochDay(ts)
+      if (!st.started) st = st.copy(lastDay = d, x = 1L, started = true)
+      else if (d == st.lastDay) st = st.copy(x = st.x + 1)
+      else if (d > st.lastDay) {
+        val (s1, a1) = foldEwmaDay(userId, st, st.lastDay, st.x)
+        a1.foreach(out += _)
+        var cur = s1
+        var g = st.lastDay + 1
+        while (g < d) {
+          val (s2, a2) = foldEwmaDay(userId, cur, g, 0L)
+          a2.foreach(out += _)
+          cur = s2
+          g += 1
+        }
+        st = cur.copy(lastDay = d, x = 1L)
+      } // d < lastDay: late event behind the fold — dropped (watermark)
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Streaming EWMA chart over (ts, user_id) with per-user Phase I
+    * baselines (user_id, mu, sd) as distributed initial state. */
+  def ewmaGate(events: DataFrame, baseline: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val init = baseline.select(col("user_id"), col("mu"), col("sd"))
+      .as[(Long, Double, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, mu, sd) =>
+        // chart seeded at mu, q at 1.0 — the batch fold's seeds
+        EwmaState(mu, sd, -1L, 0L, mu, 1.0, started = false)
+      }
+    events.withWatermark("ts", "2 days")
+      .select(col("ts"), col("user_id")).as[(Timestamp, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout(), init)(ewmaGateFunc)
+      .toDF()
+  }
+
+  // ---------------------------------------------------------------
   // Streaming quota gate (row 41k): per-source admission control at
   // ingest — the streaming counterpart of c16's per-domain cap. The
   // batch face selects the K smallest salted hashes (content-
