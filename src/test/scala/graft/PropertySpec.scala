@@ -388,4 +388,85 @@ class PropertySpec extends SparkSpec {
           assert(est >= exact(k), s"trial $trial: $k one-sidedness") }
     }
   }
+
+  test("g06 k-core on random graphs: sound, degree-consistent, and maximal") {
+    val rnd = new Random(41)
+    (1 to 4).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val p = 0.05 + rnd.nextDouble() * 0.2
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n if rnd.nextDouble() < p
+      } yield (a, b)).toSeq
+      val k = 2 + rnd.nextInt(4)
+      val got = graft.operators.Graph.kcore(edges.toDF("a", "b"), k = k,
+          maxIter = n)
+        .as[(Long, Long, Long)].collect()
+      val core = got.map(_._1).toSet
+      val full = edges.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+      // soundness + degree consistency: core_degree is the true
+      // induced degree, >= k; reported full degree is the true one
+      got.foreach { case (v, deg, cdeg) =>
+        assert(deg == full(v).size, s"trial $trial node $v full degree")
+        assert(cdeg == (full(v) & core).size, s"trial $trial node $v cdeg")
+        assert(cdeg >= k, s"trial $trial node $v below k")
+      }
+      // maximality: the simultaneous peel reaches the UNIQUE maximal
+      // k-core — replay it on local sets and require the same node set
+      var cur = full.keySet
+      var changed = true
+      while (changed) {
+        val next = cur.filter(v => (full(v) & cur).size >= k)
+        changed = next != cur
+        cur = next
+      }
+      assert(core == cur, s"trial $trial: operator core != peel fixpoint")
+    }
+  }
+
+  test("f32 EWMA on random series: alarms equal a local replay of the recursion") {
+    val rnd = new Random(43)
+    (1 to 3).foreach { trial =>
+      // 2 users × 22-28 days of Poisson-ish counts with planted
+      // drift tails and random silent gaps (≤ 28 keeps the literal
+      // dates inside January)
+      val rows = (1 to 2).flatMap { uid =>
+        val days = 22 + rnd.nextInt(7)
+        (1 to days).flatMap { d =>
+          val base = if (d > days - 6) 4 + rnd.nextInt(6) else rnd.nextInt(5)
+          val x = if (rnd.nextDouble() < 0.15) 0 else base
+          (0 until x).map(i => (uid.toLong,
+            java.sql.Timestamp.valueOf(f"2024-01-$d%02d ${i % 24}%02d:00:00")))
+        }
+      }
+      val got = graft.operators.Velocity.ewmaChart(rows.toDF("user_id", "ts"))
+        .as[(Long, String, Long, Double, Double, Double, String)]
+        .collect().toSet
+      // local replay over the same zero-filled lattice
+      val expect = rows.groupBy(_._1).flatMap { case (uid, evs) =>
+        val perDay = evs.groupBy(_._2.toLocalDateTime.getDayOfMonth)
+          .map { case (d, es) => d -> es.size.toLong }
+        val (d0, d1) = (perDay.keys.min, perDay.keys.max)
+        val xs = (d0 to d1).map(d => d -> perDay.getOrElse(d, 0L))
+        val nd = xs.size
+        val sx = xs.map(_._2).sum
+        val sxx = xs.map(t => t._2 * t._2).sum
+        val mu = sx.toDouble / nd
+        val sd = math.sqrt((nd * sxx - sx * sx).toDouble / (nd.toDouble * nd))
+        var s = mu; var q = 1.0
+        xs.flatMap { case (d, x) =>
+          q *= 0.5625
+          s = 0.25 * x + 0.75 * s
+          val hw = 3.0 * sd * math.sqrt(0.25 / 1.75 * (1.0 - q))
+          def r6(v: Double) =
+            BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (s > mu + hw || s < mu - hw)
+            Some((uid, f"2024-01-$d%02d", x, r6(s), r6(mu + hw), r6(mu - hw),
+              if (s > mu + hw) "high" else "low"))
+          else None
+        }
+      }.toSet
+      assert(got == expect, s"trial $trial")
+    }
+  }
 }
