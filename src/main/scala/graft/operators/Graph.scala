@@ -574,30 +574,36 @@ object Graph {
       .transform(graft.CacheRegistry.register)
     val fullDeg = degrees(e0).transform(graft.CacheRegistry.register)
     var cur = e0.localCheckpoint(true)
-    var converged = false
+    // node-cardinality, consumed three times (probe + both semi-joins,
+    // and the CONVERGED round's frame IS the output's core degrees) —
+    // checkpointed so the degree shuffle runs once per round
+    var deg = degrees(cur).localCheckpoint(true)
+    var converged = deg.filter(col("degree") < k).isEmpty
     var i = 0
     while (!converged && i < maxIter) {
-      // node-cardinality, consumed twice (probe + both semi-joins) —
-      // checkpointed so the degree shuffle runs once per round
-      val deg = degrees(cur).localCheckpoint(true)
+      val keep = deg.filter(col("degree") >= k).select(col("node"))
+      cur = cur
+        .join(keep, cur("a") === keep("node"), "left_semi")
+        .join(keep, cur("b") === keep("node"), "left_semi")
+        .localCheckpoint(true)
+      deg = degrees(cur).localCheckpoint(true)
       converged = deg.filter(col("degree") < k).isEmpty
-      if (!converged) {
-        val keep = deg.filter(col("degree") >= k).select(col("node"))
-        cur = cur
-          .join(keep, cur("a") === keep("node"), "left_semi")
-          .join(keep, cur("b") === keep("node"), "left_semi")
-          .localCheckpoint(true)
-        i += 1
-      }
+      i += 1
     }
     require(converged, s"kcore: no fixpoint after $maxIter rounds")
-    degrees(cur).withColumnRenamed("degree", "core_degree")
+    deg.withColumnRenamed("degree", "core_degree")
       .join(fullDeg, "node")
       .select(col("node"), col("degree"), col("core_degree"))
   }
 
+  /** The face pins maxIter to the ORACLE's unroll budget: a peel
+    * needing 13-30 rounds would converge on the Spark side but leave
+    * the 12-round DuckDB replay mid-peel — a silent hash mismatch.
+    * Capping at KcoreUnroll turns that (data-growth) scenario into an
+    * explicit fail-fast naming the bound to raise. Observed rounds: 5
+    * at both sf0.01 and sf0.1. */
   def g06(s: SparkSession, dir: String): DataFrame =
-    kcore(coEdges(Tables.lineitem(s, dir)))
+    kcore(coEdges(Tables.lineitem(s, dir)), maxIter = KcoreUnroll)
 
   /** DuckDB replay: KcoreUnroll unrolled peel rounds, MATERIALIZED
     * (see the block comment — inline expansion is 3^rounds). */

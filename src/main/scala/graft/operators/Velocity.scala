@@ -176,10 +176,13 @@ object Velocity {
   val CusumSlack = 1L // k: per-day allowance above the mean
   val CusumThreshold = 4L // h: alarm at S ≥ h·nd (≥ h events of excess)
 
-  /** Alarm rows (user_id, day, x, cusum_num, nd, cusum) over any
-    * (user_id, ts) frame. */
-  def cusum(events: DataFrame, slack: Long = CusumSlack,
-      threshold: Long = CusumThreshold): DataFrame = {
+  /** The ONE zero-filled per-user day lattice both sequential charts
+    * (f25 CUSUM, f32 EWMA) run on: (user_id, day: DATE, x) with every
+    * day in each user's [min, max] span present and inactive days at
+    * x = 0 — two private copies of this recipe could silently drift
+    * (the span or zero-fill rule fixed in one chart but not the
+    * other). */
+  private def dayLattice(events: DataFrame): DataFrame = {
     val e = events
       .groupBy(col("user_id"),
         date_trunc("day", col("ts")).cast("date").as("day"))
@@ -189,8 +192,15 @@ object Velocity {
     val lat = span.select(col("user_id"),
       explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
         .as("day"))
-    val f = lat.join(e, Seq("user_id", "day"), "left")
+    lat.join(e, Seq("user_id", "day"), "left")
       .select(col("user_id"), col("day"), coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  /** Alarm rows (user_id, day, x, cusum_num, nd, cusum) over any
+    * (user_id, ts) frame. */
+  def cusum(events: DataFrame, slack: Long = CusumSlack,
+      threshold: Long = CusumThreshold): DataFrame = {
+    val f = dayLattice(events)
     val t = f.groupBy(col("user_id"))
       .agg(count(lit(1)).as("nd"), sum(col("x")).as("sx"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
@@ -458,27 +468,28 @@ object Velocity {
   def ewmaChart(events: DataFrame): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
-    val e = events
-      .groupBy(col("user_id"),
-        date_trunc("day", col("ts")).cast("date").as("day"))
-      .agg(count(lit(1)).as("x"))
-    val span = e.groupBy(col("user_id"))
-      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-    val lat = span.select(col("user_id"),
-      explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
-        .as("day"))
-    val f = lat.join(e, Seq("user_id", "day"), "left")
+    // the shared f25 lattice, cached: it feeds BOTH the moments
+    // aggregate and the grouped fold (the s14 convention — one event
+    // scan + lattice build, not two)
+    val f = dayLattice(events)
       .select(col("user_id"),
-        date_format(col("day"), "yyyy-MM-dd").as("day"),
-        coalesce(col("x"), lit(0L)).as("x"))
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("x"))
+      .transform(graft.CacheRegistry.register)
     // per-user moments, integer-exact until one division each:
-    // μ = Σx/nd, σ = sqrt((nd·Σx² − (Σx)²)/nd²)
+    // μ = Σx/nd, σ = sqrt((nd·Σx² − (Σx)²)/nd²). The variance
+    // numerator runs in DECIMAL(38,0): sx² overflows a silent Long
+    // wrap at sx ≥ ~3.04e9 — a bot-scale account would read sd = NaN
+    // and be excluded from the very chart that should watch it —
+    // while DuckDB's HUGEINT sums are exact, so the decimal path
+    // keeps the two engines on the same exact integer → double
+    // conversion
     val m = f.groupBy(col("user_id"))
       .agg(count(lit(1)).as("nd"), sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sxx"))
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
       .select(col("user_id"),
         (col("sx").cast("double") / col("nd")).as("mu"),
-        sqrt((col("nd") * col("sxx") - col("sx") * col("sx")).cast("double") /
+        sqrt((col("nd").cast("decimal(38,0)") * col("sxx") -
+          col("sx").cast("decimal(38,0)") * col("sx")).cast("double") /
           (col("nd").cast("double") * col("nd"))).as("sd"))
       .transform(graft.CacheRegistry.register)
     // the sequential fold: s ← 0.25·x + 0.75·s (seeded at μ),
@@ -527,10 +538,14 @@ object Velocity {
                row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
              FROM f0),
        t AS (SELECT user_id, count(*) AS nd, CAST(sum(x) AS BIGINT) AS sx,
-               CAST(sum(x*x) AS BIGINT) AS sxx
+               sum(x*x) AS sxx
              FROM f GROUP BY 1),
+       -- variance numerator in HUGEINT (sxx stays DuckDB's exact
+       -- 128-bit sum) mirroring the Spark side's DECIMAL(38,0): both
+       -- engines convert the same exact integer to DOUBLE, and a
+       -- bot-scale sx can't silently wrap either side
        m AS (SELECT user_id, CAST(sx AS DOUBLE) / nd AS mu,
-               sqrt(CAST(nd * sxx - sx * sx AS DOUBLE)
+               sqrt(CAST(CAST(nd AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
                  / (CAST(nd AS DOUBLE) * nd)) AS sd
              FROM t),
        r AS (SELECT f.user_id, f.rn, f.day, f.x,

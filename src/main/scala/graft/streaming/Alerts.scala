@@ -448,7 +448,15 @@ object Alerts {
           g += 1
         }
         st = cur.copy(lastDay = d, x = 1L)
-      } // d < lastDay: late event behind the fold — dropped (watermark)
+      }
+      // d < lastDay: dropped. A day folds the moment a NEWER day's
+      // first event arrives, so the effective lateness bound is the
+      // fold, not the 2-day watermark — an event for an already-
+      // folded day cannot be replayed into the recursion (EWMA has
+      // no retract). Within-day and gap-day ordering is exact; the
+      // batch==stream parity claim therefore holds for delivery
+      // that is day-ordered per user ACROSS micro-batches (the
+      // 41j CUSUM gate shares this posture).
     }
     state.update(st)
     out.iterator
