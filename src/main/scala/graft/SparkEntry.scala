@@ -101,6 +101,15 @@ object SparkEntry {
     "d09_boilerplate_prefix" -> ((s, dir) =>
       operators.Dedup.jaccardPairsPrefix(
         operators.Dedup.boilerplateCorpus(Tables.documents(s, dir), 1500))),
+    // d14's production gear: capped pairs → CC → the soft-dedup
+    // weight rollup (the oracle face pins maxDf = None, the d06
+    // convention); sorts right after the exhaustive twin
+    "d14_soft_dedup_capped" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Dedup.softDedupWeights(docs,
+        operators.Dedup.jaccardPairs(docs,
+          maxDf = Some(operators.Dedup.DefaultMaxDf)))
+    }),
     // the production dedup COMPOSITION at its production settings:
     // capped candidate pairs feeding connected-components clustering
     // (the oracle face d06 pins maxDf = None for the DuckDB replay)

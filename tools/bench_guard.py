@@ -281,6 +281,16 @@ CEILINGS = {
                                    # (two narrow (label,dim)/(vec_id)
                                    # shuffles over the exploded frame
                                    # + the per-label rank window)
+    "d14_soft_dedup_capped": 9.0,  # committed 4.80 s from its 4-face
+                                   # landing run (the c23 single-face
+                                   # convention) / 5.53 isolated —
+                                   # d14's production gear (capped
+                                   # pairs -> CC -> weight rollup);
+                                   # the cap doesn't bind on the
+                                   # sf0.1 corpus (tracks the
+                                   # d02/d02_capped pattern), the
+                                   # face exists so the production
+                                   # path is a measured number
 }
 
 # BLANKET bars (r16): every face not hand-calibrated above gets a
