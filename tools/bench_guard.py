@@ -281,6 +281,12 @@ CEILINGS = {
                                    # (two narrow (label,dim)/(vec_id)
                                    # shuffles over the exploded frame
                                    # + the per-label rank window)
+    "c24_soft_sample": 10.8,       # committed 5.85 s from its 2-face
+                                   # landing run / 5.50 isolated —
+                                   # the full soft-dedup-realized
+                                   # composition (exhaustive pairs ->
+                                   # CC -> weights -> salted coin);
+                                   # d14's cost + a codegen'd filter
     "d14_soft_dedup_capped": 9.0,  # committed 4.80 s from its 4-face
                                    # landing run (the c23 single-face
                                    # convention) / 5.53 isolated —
