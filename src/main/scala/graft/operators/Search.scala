@@ -563,17 +563,142 @@ object Search {
        FROM head CROSS JOIN nr CROSS JOIN ideal"""
   }
 
+  // ---------------------------------------------------------------
+  // s15: the shippable POSTINGS index — the lexical serving artifact
+  // beside s05b's IVF-PQ (r16-late). The lexicon above ships the
+  // STATS (df/N/sum_dl) but scoring still scans the corpus per query
+  // for tf; a serving index stores the postings themselves —
+  // (term, doc_id, tf, dl) — partitioned by a term-hash bucket, so a
+  // query reads ONLY its terms' buckets (Spark partition pruning on
+  // the directory layout — the s05b inverted-list trick applied to
+  // text) and the corpus text is never touched at query time. At
+  // 100 TB this is the difference between a match query costing a
+  // corpus scan and costing |query terms| bucket reads of
+  // tf-compressed rows. Deltas append: postings rows are per-doc
+  // facts (union-exact) and the lexicon merges exactly, so
+  // append == rebuild row-for-row (spec-pinned).
+  //
+  // The bucket function is the assembly stack's salted-free 60-bit
+  // md5 (the c02/c09 family) — replayed driver-side for the query's
+  // bucket list (|terms| hashes of literal strings, not a data
+  // collect).
+  // ---------------------------------------------------------------
+
+  val IndexBuckets = 64
+
+  /** Driver-side replay of md5Prefix60 for a literal term — MUST
+    * track graft_md5_prefix60's semantics (first 15 hex chars of the
+    * md5, parsed as a 60-bit BIGINT). */
+  private[graft] def termBucket(term: String, buckets: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(term.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+  }
+
+  /** Full postings of (doc_id, text): (doc_id, dl, term, tf, bucket). */
+  private def postingsOf(docs: DataFrame, buckets: Int): DataFrame = {
+    val s = docs.sparkSession
+    tokenized(docs)
+      .select(col("doc_id"), size(col("w")).as("dl"),
+        explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket",
+        pmod(graft.plans.GraftFunctions.md5Prefix60(s, col("term")),
+          lit(buckets)))
+  }
+
+  /** Write the serving index: bucket-partitioned postings + the exact
+    * lexicon (df/N/sum_dl) beside them. */
+  def writeBm25Index(docs: DataFrame, path: String,
+      buckets: Int = IndexBuckets): Unit = {
+    postingsOf(docs, buckets)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    writeLexicon(fitLexicon(docs), s"$path/lex")
+  }
+
+  /** Exact delta append: postings rows are per-doc facts (plain
+    * append), the lexicon merges by sums. The merged lexicon frames
+    * are materialized (localCheckpoint) BEFORE the overwrite so the
+    * write never reads the path it replaces. */
+  def appendBm25Index(delta: DataFrame, s: SparkSession, path: String,
+      buckets: Int = IndexBuckets): Unit = {
+    postingsOf(delta, buckets)
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    val merged = mergeLexicons(readLexicon(s, s"$path/lex"),
+      fitLexicon(delta))
+    val v = merged.vocab.localCheckpoint(true)
+    val st = merged.stats.localCheckpoint(true)
+    writeLexicon(Lexicon(v, st), s"$path/lex")
+  }
+
+  /** Serve a match query from the artifact alone: only the query
+    * terms' bucket directories are read (partition pruning), the
+    * corpus text is never touched. Bit-identical to [[bm25]] on the
+    * indexed corpus — the s15 face's oracle IS s06's SQL. */
+  def queryBm25Index(s: SparkSession, path: String, terms: Seq[String],
+      k: Int = TopK, buckets: Int = IndexBuckets): DataFrame = {
+    val bks = terms.map(termBucket(_, buckets)).distinct
+    val tf = s.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(bks: _*) && col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val lex = readLexicon(s, s"$path/lex")
+    val dfreq = lex.vocab.filter(col("tok").isin(terms: _*))
+      .select(col("tok").as("term"), col("df"))
+    val g = lex.stats.select(col("n_docs").as("n"),
+      (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(g))
+      .select(col("doc_id"), bm25ScoreExpr.as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c").cast("decimal(25,8)")).cast("double").as("score"),
+        count(lit(1)).as("terms_matched"))
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score"), col("terms_matched"))
+  }
+
+  /** pid-scoped scratch (the GateScratch/VectorIndex convention). */
+  private def scratch(s: SparkSession): String = {
+    val base = new org.apache.hadoop.fs.Path(
+      s"${System.getProperty("java.io.tmpdir")}/graft-bm25index")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base))
+      fs.listStatus(base).foreach { st =>
+        val alive = scala.util.Try(st.getPath.getName.toLong).toOption
+          .exists(p => ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+        if (!alive) fs.delete(st.getPath, true)
+      }
+    val root = s"$base/${ProcessHandle.current().pid()}"
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    root
+  }
+
+  /** s15: full artifact lifecycle — build the postings index, load it
+    * back, serve the s06 query from it; the oracle is s06's own SQL
+    * ("the index changes nothing", the d12/s05b pattern). */
+  def s15(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s)
+    writeBm25Index(Tables.documents(s, dir), path)
+    queryBm25Index(s, path, QueryTerms)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s06_bm25" -> (s06 _),
     "s07_fuzzy_match" -> (s07 _),
     "s08_match_phrase" -> (s08 _),
     "s09_hybrid_rrf" -> (s09 _),
-    "s10_rank_eval" -> (s10 _))
+    "s10_rank_eval" -> (s10 _),
+    "s15_bm25_index" -> (s15 _))
 
   val oracles: Map[String, String] = Map(
     "s06_bm25" -> s06Sql,
     "s07_fuzzy_match" -> s07Sql,
     "s08_match_phrase" -> s08Sql,
     "s09_hybrid_rrf" -> s09Sql,
-    "s10_rank_eval" -> s10Sql)
+    "s10_rank_eval" -> s10Sql,
+    "s15_bm25_index" -> s06Sql)
 }

@@ -153,6 +153,58 @@ class SearchSpec extends SparkSpec {
     } finally CacheRegistry.unpersistAll()
   }
 
+
+  test("s15: the postings artifact serves s06's exact rows; pruned read") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Search.writeBm25Index(docs, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Long)].collect().toSeq
+    val face = rows(Search.bm25(docs, Search.QueryTerms))
+    val served = rows(Search.queryBm25Index(spark, dir, Search.QueryTerms))
+    assert(served == face && served.nonEmpty)
+    // partition pruning: the query's bucket filter reads strictly
+    // fewer files than a full postings scan (the s05b proof shape)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.selectedPartitions.totalNumberOfFiles
+      }.sum
+    val bks = Search.QueryTerms
+      .map(Search.termBucket(_, Search.IndexBuckets)).distinct
+    val all = spark.read.parquet(s"$dir/postings")
+    val pruned = all.filter(col("bucket").isin(bks: _*))
+    assert(filesRead(pruned) > 0 && filesRead(pruned) < filesRead(all),
+      s"pruned read ${filesRead(pruned)} of ${filesRead(all)} files")
+    // the driver-side bucket replay tracks the engine's hash: every
+    // query-term posting row lives in a replayed bucket
+    val engineBuckets = all.filter(col("term").isin(Search.QueryTerms: _*))
+      .select("bucket").distinct().as[Int].collect().toSet
+    assert(engineBuckets.subsetOf(bks.toSet))
+  }
+
+  test("s15: delta append == full rebuild, postings and lexicon both") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .transform(graft.CacheRegistry.register)
+    val half0 = docs.filter(col("doc_id") % 2 === 0)
+    val half1 = docs.filter(col("doc_id") % 2 === 1)
+    val inc = java.nio.file.Files.createTempDirectory("bm25inc").toString
+    val full = java.nio.file.Files.createTempDirectory("bm25full").toString
+    Search.writeBm25Index(half0, inc)
+    Search.appendBm25Index(half1, spark, inc)
+    Search.writeBm25Index(docs, full)
+    def rows(p: String) =
+      Search.queryBm25Index(spark, p, Search.QueryTerms)
+        .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(rows(inc) == rows(full) && rows(inc).nonEmpty)
+    // and the merged lexicon is the full fit exactly
+    val li = Search.readLexicon(spark, s"$inc/lex")
+    val lf = Search.readLexicon(spark, s"$full/lex")
+    assert(li.vocab.orderBy("tok").collect().toSeq ==
+      lf.vocab.orderBy("tok").collect().toSeq)
+    assert(li.stats.collect().toSeq == lf.stats.collect().toSeq)
+  }
+
   test("s10: hand-computed metrics on a pinned ranking and qrels") {
     import spark.implicits._
     // ranking: docs 10,20,30 at ranks 1..3; qrels: 10 rel=3, 30 rel=2,

@@ -281,6 +281,14 @@ CEILINGS = {
                                    # (two narrow (label,dim)/(vec_id)
                                    # shuffles over the exploded frame
                                    # + the per-label rank window)
+    "s15_bm25_index": 9.0,         # committed 4.81 s from its 2-face
+                                   # landing run / 4.29 isolated —
+                                   # the FULL lifecycle: build the
+                                   # bucket-partitioned postings +
+                                   # lexicon, write, read back, serve
+                                   # the s06 query from the artifact
+                                   # alone (the query side reads only
+                                   # the terms' bucket dirs)
     "c24_soft_sample": 10.8,       # committed 5.85 s from its 2-face
                                    # landing run / 5.50 isolated —
                                    # the full soft-dedup-realized
