@@ -103,7 +103,10 @@ object BenchSf1 {
       "d02_ngram_jaccard_capped", "d07_winnow_pairs_capped",
       "d10_run_overlap_capped", "d06_dedup_clusters_capped",
       "c01_corpus_clean_capped", "s05b_ivfpq_artifact",
-      "st02_gate_trigger", "d02p_prefix_jaccard")
+      "st02_gate_trigger", "d02p_prefix_jaccard",
+      // r16-late: the postings serving artifact's full lifecycle at
+      // 10x docs — build + write + pruned serve (the s05b sibling)
+      "s15_bm25_index")
     val benched = SparkEntry.queries ++ SparkEntry.benchOnly
     // Cap-sizing probe for the d02 super-linear reading. The naive
     // remedy — tighten the cap so the grown posting lists fall to
@@ -154,8 +157,21 @@ object BenchSf1 {
       }))
     // ONE timing methodology for every bench artifact: Bench.timeFace
     // (noop sink + boundary hygiene) — so a measurement change can
-    // never land in the sf0.1 dumps but not here (or vice versa)
-    val results = (faces.map(n => n -> benched(n)) ++ custom).map {
+    // never land in the sf0.1 dumps but not here (or vice versa).
+    // SPARK_GRAFT_ONLY narrows the sweep (the Bench semantics) for
+    // single-face landing runs; a partial run prints its line but
+    // does NOT overwrite BENCH_SF1.json (the committed artifact stays
+    // the full-sweep record — splice partial readings by hand, the
+    // appendix convention).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val all = faces.map(n => n -> benched(n)) ++ custom
+    val selected = only match {
+      case Some(names) => all.filter { case (n, _) => names(n) }
+      case None => all
+    }
+    val results = selected.map {
       case (name, fn) =>
         name -> Bench.timeFace(spark, name, fn, out, tag = "sf1")
     }
@@ -165,8 +181,9 @@ object BenchSf1 {
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""failures":$failures,"queries":$qs,"sf":"sf1-replica(10x $srcDir)"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SF1.json"),
-      json.getBytes("UTF-8"))
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SF1.json"),
+        json.getBytes("UTF-8"))
     println(json)
     spark.stop()
   }
