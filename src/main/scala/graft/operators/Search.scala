@@ -596,24 +596,36 @@ object Search {
     (java.lang.Long.parseLong(hex, 16) % buckets).toInt
   }
 
-  /** Full postings of (doc_id, text): (doc_id, dl, term, tf, bucket). */
-  private def postingsOf(docs: DataFrame, buckets: Int): DataFrame = {
+  /** Full postings of (doc_id, text): (doc_id, dl, term, tf, bucket)
+    * plus, when `positions` is set, the sorted in-doc token positions
+    * per (term, doc) — the Lucene DOCS_AND_FREQS vs
+    * DOCS_AND_FREQS_AND_POSITIONS distinction: match queries (s15)
+    * never pay for positions; phrase serving (s16) requires them. */
+  private def postingsOf(docs: DataFrame, buckets: Int,
+      positions: Boolean): DataFrame = {
     val s = docs.sparkSession
-    tokenized(docs)
+    val exploded = tokenized(docs)
       .select(col("doc_id"), size(col("w")).as("dl"),
-        explode(col("w")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("bucket",
-        pmod(graft.plans.GraftFunctions.md5Prefix60(s, col("term")),
-          lit(buckets)))
+        posexplode(col("w")).as(Seq("pos", "term")))
+    val grouped =
+      if (positions)
+        exploded.groupBy(col("doc_id"), col("dl"), col("term"))
+          .agg(count(lit(1)).as("tf"),
+            sort_array(collect_list(col("pos"))).as("positions"))
+      else
+        exploded.groupBy(col("doc_id"), col("dl"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+    grouped.withColumn("bucket",
+      pmod(graft.plans.GraftFunctions.md5Prefix60(s, col("term")),
+        lit(buckets)))
   }
 
   /** Write the serving index: bucket-partitioned postings + the exact
-    * lexicon (df/N/sum_dl) beside them. */
+    * lexicon (df/N/sum_dl) beside them. `positions = true` ships the
+    * positional variant phrase queries serve from. */
   def writeBm25Index(docs: DataFrame, path: String,
-      buckets: Int = IndexBuckets): Unit = {
-    postingsOf(docs, buckets)
+      buckets: Int = IndexBuckets, positions: Boolean = false): Unit = {
+    postingsOf(docs, buckets, positions)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
     writeLexicon(fitLexicon(docs), s"$path/lex")
@@ -624,8 +636,8 @@ object Search {
     * are materialized (localCheckpoint) BEFORE the overwrite so the
     * write never reads the path it replaces. */
   def appendBm25Index(delta: DataFrame, s: SparkSession, path: String,
-      buckets: Int = IndexBuckets): Unit = {
-    postingsOf(delta, buckets)
+      buckets: Int = IndexBuckets, positions: Boolean = false): Unit = {
+    postingsOf(delta, buckets, positions)
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$path/postings")
     val merged = mergeLexicons(readLexicon(s, s"$path/lex"),
@@ -681,9 +693,71 @@ object Search {
     * back, serve the s06 query from it; the oracle is s06's own SQL
     * ("the index changes nothing", the d12/s05b pattern). */
   def s15(s: SparkSession, dir: String): DataFrame = {
-    val path = scratch(s)
+    val path = scratch(s) + "/match"
     writeBm25Index(Tables.documents(s, dir), path)
     queryBm25Index(s, path, QueryTerms)
+  }
+
+  // ---------------------------------------------------------------
+  // s16: phrase serving from the POSITIONAL index — s08 evaluated
+  // without touching the corpus. Phrase tf falls out of the postings
+  // alone: for phrase t_0 … t_{n-1}, fold the per-term position
+  // arrays with acc' = (acc + 1) ∩ positions(t_j) — after the last
+  // term, |acc| is the exact adjacent-occurrence count (zero slop),
+  // because positions within one (term, doc) posting are distinct
+  // and sorted. n-1 doc-keyed joins over |phrase-term postings|
+  // rows; everything else (df of the phrase, corpus stats, BM25) is
+  // the s08 arithmetic fed from the artifact. Reads only the phrase
+  // terms' bucket directories, like s15.
+  // ---------------------------------------------------------------
+
+  /** Serve a zero-slop phrase query from a POSITIONAL index: output
+    * shape and arithmetic are s08's (rank, doc_id, tf, score) — the
+    * s16 face's oracle IS s08's SQL. */
+  def queryPhraseIndex(s: SparkSession, path: String, phrase: Seq[String],
+      k: Int = TopK, buckets: Int = IndexBuckets): DataFrame = {
+    require(phrase.length >= 2, "a phrase needs at least two tokens")
+    val bks = phrase.map(termBucket(_, buckets)).distinct
+    val post = s.read.parquet(s"$path/postings")
+    require(post.columns.contains("positions"),
+      s"$path is not a positional index (write with positions = true)")
+    val pruned = post
+      .filter(col("bucket").isin(bks: _*) && col("term").isin(phrase.distinct: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("positions"))
+      .transform(graft.CacheRegistry.register) // one pruned read, n aliases
+    def termFrame(t: String, i: Int): DataFrame =
+      pruned.filter(col("term") === t)
+        .select(col("doc_id"), col("dl"), col("positions").as(s"p$i"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft {
+      termFrame(phrase.head, 0).select(col("doc_id"), col("dl"),
+        col("p0").as("acc"))
+    } { case (acc, (t, i)) =>
+      acc.join(termFrame(t, i).drop("dl"), "doc_id")
+        .select(col("doc_id"), col("dl"),
+          array_intersect(transform(col("acc"), p => p + 1), col(s"p$i"))
+            .as("acc"))
+    }
+      .select(col("doc_id"), col("dl"), size(col("acc")).cast("long").as("tf"))
+      .filter(col("tf") > 0)
+      .transform(graft.CacheRegistry.register) // feeds dfreq AND scoring
+    val dfreq = matched.agg(count(lit(1)).as("df"))
+    val lex = readLexicon(s, s"$path/lex")
+    val g = lex.stats.select(col("n_docs").as("n"),
+      (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val scored = matched.crossJoin(broadcast(dfreq)).crossJoin(broadcast(g))
+      .select(col("doc_id"), col("tf"), bm25ScoreExpr.as("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rank"), col("doc_id"), col("tf"), col("score"))
+  }
+
+  /** s16: positional-index lifecycle — build WITH positions, serve
+    * the s08 phrase from the artifact; oracle = s08's SQL. */
+  def s16(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s) + "/phrase"
+    writeBm25Index(Tables.documents(s, dir), path, positions = true)
+    queryPhraseIndex(s, path, PhraseTerms)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -692,7 +766,8 @@ object Search {
     "s08_match_phrase" -> (s08 _),
     "s09_hybrid_rrf" -> (s09 _),
     "s10_rank_eval" -> (s10 _),
-    "s15_bm25_index" -> (s15 _))
+    "s15_bm25_index" -> (s15 _),
+    "s16_phrase_index" -> (s16 _))
 
   val oracles: Map[String, String] = Map(
     "s06_bm25" -> s06Sql,
@@ -700,5 +775,6 @@ object Search {
     "s08_match_phrase" -> s08Sql,
     "s09_hybrid_rrf" -> s09Sql,
     "s10_rank_eval" -> s10Sql,
-    "s15_bm25_index" -> s06Sql)
+    "s15_bm25_index" -> s06Sql,
+    "s16_phrase_index" -> s08Sql)
 }

@@ -205,6 +205,43 @@ class SearchSpec extends SparkSpec {
     assert(li.stats.collect().toSeq == lf.stats.collect().toSeq)
   }
 
+
+  test("s16: phrase-from-positions == the corpus-scan s08, and overlapping " +
+      "occurrences count") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val dir = java.nio.file.Files.createTempDirectory("phraseidx").toString
+    Search.writeBm25Index(docs, dir, positions = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().toSeq
+    val face = rows(Search.phraseSearch(docs, Search.PhraseTerms))
+    val served = rows(Search.queryPhraseIndex(spark, dir, Search.PhraseTerms))
+    assert(served == face && served.nonEmpty)
+    // positional fold semantics on planted docs: overlapping and
+    // repeated occurrences, phrase-reversal misses, duplicate-term
+    // phrases ("a a a" carries TWO overlapping "a a" occurrences)
+    val planted = Seq(
+      (1L, "x hash join y hash join z"), // tf 2
+      (2L, "join hash"),                 // reversed -> no match
+      (3L, "a a a"),                     // dup-term probe corpus
+      (4L, "hash join"))                 // tf 1, shortest doc
+      .toDF("doc_id", "text")
+    val pdir = java.nio.file.Files.createTempDirectory("phraseidx2").toString
+    Search.writeBm25Index(planted, pdir, positions = true)
+    val hj = Search.queryPhraseIndex(spark, pdir, Seq("hash", "join"))
+      .select("doc_id", "tf").as[(Long, Long)].collect().toMap
+    assert(hj == Map(1L -> 2L, 4L -> 1L))
+    val aa = Search.queryPhraseIndex(spark, pdir, Seq("a", "a"))
+      .select("doc_id", "tf").as[(Long, Long)].collect().toMap
+    assert(aa == Map(3L -> 2L))
+    // a match-only (no-positions) index refuses phrase service loudly
+    val mdir = java.nio.file.Files.createTempDirectory("matchonly").toString
+    Search.writeBm25Index(planted, mdir)
+    val err = intercept[IllegalArgumentException] {
+      Search.queryPhraseIndex(spark, mdir, Seq("hash", "join"))
+    }
+    assert(err.getMessage.contains("positional"))
+  }
+
   test("s10: hand-computed metrics on a pinned ranking and qrels") {
     import spark.implicits._
     // ranking: docs 10,20,30 at ranks 1..3; qrels: 10 rel=3, 30 rel=2,

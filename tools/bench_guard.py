@@ -25,9 +25,10 @@ computation count() had been discarding. Every ceiling marked
 BENCH_ISOLATED_r15 readings are count()-era. The --isolated baseline
 is BENCH_ISOLATED_r16.json — the first honest-epoch fresh-JVM sweep
 (155 faces, 0 failures; the two r16-late prefix-Jaccard faces and the
-c23 cluster-split face were appended from their landing runs, and the
-batch-2 faces g06/f32/d14/s14 from theirs, so the
-file now carries 162); r15's
+c23 cluster-split face were appended from their landing runs, the
+batch-2 faces g06/f32/d14/s14 from theirs, and the late serving/
+sampling faces d14_capped/c24/s15/s16 from their single- or few-face
+landing runs, so the file now carries 166); r15's
 isolated file stays committed as the count()-era record but must not
 be compared against. The SAME appendix applies to BENCH_FULL_r16.json:
 its 155 original faces are the pinned worse back-to-back run, the
@@ -281,6 +282,12 @@ CEILINGS = {
                                    # (two narrow (label,dim)/(vec_id)
                                    # shuffles over the exploded frame
                                    # + the per-label rank window)
+    "s16_phrase_index": 7.4,       # committed 3.86 s landing run /
+                                   # 5.29 isolated — positional-index
+                                   # lifecycle: build WITH positions,
+                                   # serve the s08 phrase by folding
+                                   # position arrays ((acc+1) ∩ next)
+                                   # from the pruned bucket reads
     "s15_bm25_index": 9.0,         # committed 4.81 s from its 2-face
                                    # landing run / 4.29 isolated —
                                    # the FULL lifecycle: build the
