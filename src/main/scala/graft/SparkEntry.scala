@@ -185,6 +185,22 @@ object SparkEntry {
       }
       s.read.parquet(root)
     }),
+    // st07_index_maintain: the streaming serving-index lifecycle at
+    // corpus scale — the documents table lands as two postings
+    // micro-batches (positional), the lexicon folds through its
+    // generations, and the timed read serves the s06 match query
+    // from the maintained artifact
+    "st07_index_maintain" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val root = GateScratch.fresh(s, "idxmaint")
+      val docs = Tables.documents(s, dir)
+      (0L to 1L).foreach { b =>
+        operators.Search.indexBatch(
+          docs.filter(pmod(col("doc_id"), lit(2)) === b), b, root,
+          positions = true)
+      }
+      operators.Search.queryBm25Index(s, root, operators.Search.QueryTerms)
+    }),
     // st03_maintain: the maintenance pass alone (recoverSwaps +
     // compactCensus + foldBatches×2 + sealed-dir compacts) over gate
     // state built UNTIMED by the benchSetup hook of the same name —

@@ -673,6 +673,52 @@ object Search {
       .select(col("rank"), col("doc_id"), col("score"), col("terms_matched"))
   }
 
+  // ---------------------------------------------------------------
+  // Streaming index maintenance (row 41r): the ES-ingest edge for
+  // the serving artifact — every micro-batch of documents lands in
+  // the postings index exactly once, crash-replay included. Postings
+  // are per-doc FACTS, so the batch's rows go to their own
+  // batch=<id> partition level (a replayed batch OVERWRITES its own
+  // directory instead of appending twice — the UpsertStream
+  // idempotence posture, and bucket pruning still works: bucket is
+  // the next directory level down). The lexicon is mergeable state,
+  // so it rides the generation-versioned foldBatchWith machinery
+  // (vocab folds by per-token df sum, stats by sums; a replayed id
+  // rebuilds its own generation from the same parent) and the
+  // latest generation is republished as the index's lex/ the query
+  // side already reads. A maintained index therefore serves through
+  // the SAME queryBm25Index/queryPhraseIndex paths as a static one.
+  // ---------------------------------------------------------------
+
+  /** Fold one document micro-batch into a maintained index —
+    * idempotent under replay of the same `id` (spec-pinned). */
+  def indexBatch(batch: DataFrame, id: Long, path: String,
+      buckets: Int = IndexBuckets, positions: Boolean = false): Unit = {
+    val s = batch.sparkSession
+    postingsOf(batch, buckets, positions)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings/batch=$id")
+    val lex = fitLexicon(batch)
+    val vocab = IncrementalStats.foldBatchWith(s"$path/vocabstate",
+      lex.vocab, id)(fs => fs.reduce(_ unionByName _)
+        .groupBy(col("tok")).agg(sum(col("df")).as("df")))
+    val stats = IncrementalStats.foldBatchWith(s"$path/statsstate",
+      lex.stats, id)(fs => fs.reduce(_ unionByName _)
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
+    writeLexicon(Lexicon(vocab, stats), s"$path/lex")
+  }
+
+  /** Maintain the serving index over a document stream. */
+  def maintainBm25Index(stream: DataFrame, path: String,
+      checkpointDir: String, buckets: Int = IndexBuckets,
+      positions: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        indexBatch(batch, id, path, buckets, positions)
+      }
+      .start()
+
   /** pid-scoped scratch (the GateScratch/VectorIndex convention). */
   private def scratch(s: SparkSession): String = {
     val base = new org.apache.hadoop.fs.Path(

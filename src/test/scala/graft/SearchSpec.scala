@@ -242,6 +242,46 @@ class SearchSpec extends SparkSpec {
     assert(err.getMessage.contains("positional"))
   }
 
+
+  test("41r: streamed index maintenance == static rebuild; replay adds nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .transform(graft.CacheRegistry.register)
+    val half0 = docs.filter(col("doc_id") % 2 === 0)
+    val half1 = docs.filter(col("doc_id") % 2 === 1)
+    val m = java.nio.file.Files.createTempDirectory("bm25maint").toString
+    val full = java.nio.file.Files.createTempDirectory("bm25stat").toString
+    Search.writeBm25Index(docs, full, positions = true)
+    def served(p: String) =
+      (Search.queryBm25Index(spark, p, Search.QueryTerms)
+         .as[(Long, Long, Double, Long)].collect().toSeq,
+       Search.queryPhraseIndex(spark, p, Search.PhraseTerms)
+         .as[(Long, Long, Long, Double)].collect().toSeq)
+    Search.indexBatch(half0, 0L, m, positions = true)
+    Search.indexBatch(half1, 1L, m, positions = true)
+    assert(served(m) == served(full))
+    // crash-replay: the same batch id lands again — postings overwrite
+    // their own batch dir, the lexicon rebuilds its own generation
+    Search.indexBatch(half1, 1L, m, positions = true)
+    assert(served(m) == served(full))
+    // and the real stream drives the same path
+    val s2 = java.nio.file.Files.createTempDirectory("bm25maint2").toString
+    val ckp = java.nio.file.Files.createTempDirectory("bm25ckp").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = Search.maintainBm25Index(
+      input.toDF().toDF("doc_id", "text"), s2, ckp, positions = true)
+    try {
+      val rows = docs.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      input.addData(rows.filter(_._1 % 2 == 0).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.filter(_._1 % 2 == 1).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(served(s2) == served(full))
+  }
+
   test("s10: hand-computed metrics on a pinned ranking and qrels") {
     import spark.implicits._
     // ranking: docs 10,20,30 at ranks 1..3; qrels: 10 rel=3, 30 rel=2,
