@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Linkage
+import org.apache.spark.sql.functions._
+
+/** f33 record linkage: planted sibling-account geometry the oracle's
+  * hash compare can't explain on its own. */
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("f33: planted siblings link, block boundaries and budget hold") {
+    val recs = Seq(
+      // block 1: an exact-sibling pair (1 edit), a 2-edit cousin, and
+      // a far name
+      (1L, "mallory-shop", 1L), (2L, "mallory-shoq", 1L),
+      (3L, "mallory-chop", 1L), (4L, "completely-other", 1L),
+      // block 2: same name as key 1 but ANOTHER block — must not link
+      (5L, "mallory-shop", 2L),
+      // block 2: a lone typo pair
+      (6L, "acme-store", 2L), (7L, "acme-stores", 2L))
+      .toDF("key", "name", "block")
+    val got = Linkage.bestMatches(recs)
+      .as[(Long, Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._4, r._5))).toMap
+    // best match is the NEAREST, ties broken by partner key: shoq and
+    // chop both sit at dist 1 from shop (one substitution each), and
+    // shoq↔chop at dist 2
+    assert(got(1L) == ((2L, 1L, 2L))) // tie at dist 1 -> min key 2
+    assert(got(2L) == ((1L, 1L, 2L)))
+    assert(got(3L) == ((1L, 1L, 2L))) // chop -> shop at dist 1
+    // the far name and the cross-block twin have no verdict row
+    assert(!got.contains(4L) && !got.contains(5L))
+    // cross-block twin never linked: 5's name equals 1's exactly
+    assert(got(6L) == ((7L, 1L, 1L)))
+    assert(got(7L) == ((6L, 1L, 1L)))
+  }
+
+  test("f33 face: verdicts are symmetric-consistent and within budget") {
+    val rows = Linkage.f33(spark, sf("sf0.001"))
+      .as[(Long, Long, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byKey = rows.map(r => r._1 -> r).toMap
+    rows.foreach { case (k, m, _, d, n) =>
+      assert(d <= Linkage.MaxEdits && n >= 1)
+      assert(k != m)
+      // linkage candidacy is symmetric: my best match must itself
+      // have a verdict (its own best may be a different, closer key)
+      assert(byKey.contains(m), s"$k -> $m asymmetric")
+    }
+  }
+}

@@ -27,8 +27,8 @@ is BENCH_ISOLATED_r16.json — the first honest-epoch fresh-JVM sweep
 (155 faces, 0 failures; the two r16-late prefix-Jaccard faces and the
 c23 cluster-split face were appended from their landing runs, the
 batch-2 faces g06/f32/d14/s14 from theirs, and the late serving/
-sampling faces d14_capped/c24/s15/s16/st07/c25 from their single- or
-few-face landing runs, so the file now carries 168); r15's
+sampling faces d14_capped/c24/s15/s16/st07/c25/f33 from their single-
+or few-face landing runs, so the file now carries 169); r15's
 isolated file stays committed as the count()-era record but must not
 be compared against. The SAME appendix applies to BENCH_FULL_r16.json:
 its 155 original faces are the pinned worse back-to-back run, the
@@ -282,6 +282,14 @@ CEILINGS = {
                                    # (two narrow (label,dim)/(vec_id)
                                    # shuffles over the exploded frame
                                    # + the per-label rank window)
+    "f33_dup_accounts": 19.2,      # committed 10.80 s landing run /
+                                   # 11.29 isolated — exhaustive
+                                   # within-block ER audit: 9M
+                                   # nation-block pairs through the
+                                   # once-per-unordered-pair banded
+                                   # thresholded levenshtein (the
+                                   # full-DP two-sided first cut read
+                                   # 28.8 s)
     "c25_k_anonymity": 2.9,        # committed 1.18 s landing run /
                                    # 1.17 isolated — three shrinking
                                    # census aggregates
