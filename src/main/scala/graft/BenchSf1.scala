@@ -168,7 +168,15 @@ object BenchSf1 {
       .filter(_.nonEmpty)
     val all = faces.map(n => n -> benched(n)) ++ custom
     val selected = only match {
-      case Some(names) => all.filter { case (n, _) => names(n) }
+      case Some(names) =>
+        // fail fast like Bench.main: a typo'd or non-sf1 face name
+        // must not produce a green-looking 0-second empty sweep
+        val known = all.map(_._1).toSet
+        val unknown = names -- known
+        require(unknown.isEmpty,
+          s"unknown sf1 face(s): ${unknown.mkString(", ")} — " +
+            s"valid: ${known.toSeq.sorted.mkString(", ")}")
+        all.filter { case (n, _) => names(n) }
       case None => all
     }
     val results = selected.map {

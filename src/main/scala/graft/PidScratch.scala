@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** pid-scoped bench/artifact scratch under a fixed base dir: a fresh
+  * random temp dir per run would leave an sf-scale artifact copy
+  * behind every invocation until /tmp fills, while one shared fixed
+  * dir would let two concurrent processes wipe each other's state
+  * mid-run. Layout is `<tmpdir>/<base>/<pid>/<tag>`; dead siblings
+  * (pids no longer alive) are swept on `fresh`, so leftovers are
+  * bounded by live runs. `fresh` wipes ONLY this pid's `tag` subdir —
+  * two faces of the same process (e.g. s15's match index and s16's
+  * phrase index) never destroy each other's artifact.
+  */
+private[graft] object PidScratch {
+  def path(base: String, tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/$base/" +
+      s"${ProcessHandle.current().pid()}/$tag"
+
+  /** Sweep dead siblings, wipe this pid's `tag` dir, return it. */
+  def fresh(s: SparkSession, base: String, tag: String): String = {
+    val root = new org.apache.hadoop.fs.Path(
+      s"${System.getProperty("java.io.tmpdir")}/$base")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        val alive = scala.util.Try(st.getPath.getName.toLong).toOption
+          .exists(p => ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+        if (!alive) fs.delete(st.getPath, true)
+      }
+    val mine = path(base, tag)
+    fs.delete(new org.apache.hadoop.fs.Path(mine), true)
+    mine
+  }
+}

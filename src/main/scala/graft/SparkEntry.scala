@@ -227,31 +227,12 @@ object SparkEntry {
         s"$root/docs", s"$root/fp")
     }))
 
-  /** pid-scoped bench scratch under a fixed base: a fresh random temp
-    * dir per run would leave an sf-scale corpus copy behind every
-    * bench invocation until /tmp fills, while one shared fixed dir
-    * would let two concurrent bench processes wipe each other's state
-    * mid-run. Dead siblings (pids no longer alive) are swept on
-    * `fresh`, so leftovers are bounded by live runs. */
+  /** Bench scratch — see [[PidScratch]] for the lifecycle contract. */
   private object GateScratch {
     def path(s: SparkSession, tag: String): String =
-      s"${System.getProperty("java.io.tmpdir")}/graft-gatebench/" +
-        s"${ProcessHandle.current().pid()}/$tag"
-    /** sweep dead siblings, wipe this pid's `tag` dir, return it */
-    def fresh(s: SparkSession, tag: String): String = {
-      val base = new org.apache.hadoop.fs.Path(
-        s"${System.getProperty("java.io.tmpdir")}/graft-gatebench")
-      val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(base))
-        fs.listStatus(base).foreach { st =>
-          val alive = scala.util.Try(st.getPath.getName.toLong).toOption
-            .exists(p => ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
-          if (!alive) fs.delete(st.getPath, true)
-        }
-      val root = path(s, tag)
-      fs.delete(new org.apache.hadoop.fs.Path(root), true)
-      root
-    }
+      PidScratch.path("graft-gatebench", tag)
+    def fresh(s: SparkSession, tag: String): String =
+      PidScratch.fresh(s, "graft-gatebench", tag)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -250,16 +250,14 @@ object Search {
     Lexicon(vocab, stats)
   }
 
-  /** s06 scoring with df/N/avgdl from a prebuilt lexicon instead of an
-    * in-query census — bit-identical to [[bm25]] on the same corpus
-    * (the fit-once production path). */
-  def bm25WithLexicon(docs: DataFrame, terms: Seq[String], lex: Lexicon,
-      k: Int = TopK): DataFrame = {
-    val tf = tokenized(docs)
-      .select(col("doc_id"), size(col("w")).as("dl"),
-        explode(filter(col("w"), t => t.isin(terms: _*))).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+  /** The spec-pinned scoring/top-k block shared by [[bm25WithLexicon]]
+    * and [[queryBm25Index]]: df/N/avgdl broadcast off the lexicon, the
+    * decimal(25,8)-summed per-doc score, TakeOrdered top-k, then the
+    * rank window over the k survivors. Lives in ONE place so a parity
+    * fix (the s06 double rule, the tie-break order) cannot miss a
+    * copy. `tf` must carry (doc_id, dl, term, tf). */
+  private def scoreTfWithLexicon(tf: DataFrame, lex: Lexicon,
+      terms: Seq[String], k: Int): DataFrame = {
     val dfreq = lex.vocab.filter(col("tok").isin(terms: _*))
       .select(col("tok").as("term"), col("df"))
     val g = lex.stats.select(col("n_docs").as("n"),
@@ -273,6 +271,19 @@ object Search {
     top.withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
       .select(col("rank"), col("doc_id"), col("score"), col("terms_matched"))
+  }
+
+  /** s06 scoring with df/N/avgdl from a prebuilt lexicon instead of an
+    * in-query census — bit-identical to [[bm25]] on the same corpus
+    * (the fit-once production path). */
+  def bm25WithLexicon(docs: DataFrame, terms: Seq[String], lex: Lexicon,
+      k: Int = TopK): DataFrame = {
+    val tf = tokenized(docs)
+      .select(col("doc_id"), size(col("w")).as("dl"),
+        explode(filter(col("w"), t => t.isin(terms: _*))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    scoreTfWithLexicon(tf, lex, terms, k)
   }
 
   // ---------------------------------------------------------------
@@ -586,15 +597,15 @@ object Search {
 
   val IndexBuckets = 64
 
-  /** Driver-side replay of md5Prefix60 for a literal term — MUST
-    * track graft_md5_prefix60's semantics (first 15 hex chars of the
-    * md5, parsed as a 60-bit BIGINT). */
-  private[graft] def termBucket(term: String, buckets: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(term.getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString.take(15)
-    (java.lang.Long.parseLong(hex, 16) % buckets).toInt
-  }
+  /** Driver-side replay of md5Prefix60 for a literal term — calls the
+    * SAME static the codegen'd expression calls, so the engine and the
+    * query-side bucket list cannot drift (a divergence here would make
+    * queries read the wrong bucket directories and silently return
+    * partial results). */
+  private[graft] def termBucket(term: String, buckets: Int): Int =
+    java.lang.Math.floorMod(graft.plans.Md5Prefix60.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(term)),
+      buckets.toLong).toInt
 
   /** Full postings of (doc_id, text): (doc_id, dl, term, tf, bucket)
     * plus, when `positions` is set, the sorted in-doc token positions
@@ -629,6 +640,39 @@ object Search {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
     writeLexicon(fitLexicon(docs), s"$path/lex")
+    writeIndexMeta(docs.sparkSession, path, buckets, positions)
+  }
+
+  /** The index's layout contract, persisted beside the postings. A
+    * delta written with a different bucket count scatters terms into
+    * directories the query-side bucket replay never reads, and a
+    * positions-less delta appended to a positional index reads
+    * positions = null → empty phrase intersection — BOTH silently
+    * drop documents from results with no error, so every append and
+    * every query validates against the meta recorded at build time. */
+  private def writeIndexMeta(s: SparkSession, path: String,
+      buckets: Int, positions: Boolean): Unit =
+    s.range(1).select(lit(buckets).as("buckets"),
+        lit(positions).as("positions"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+
+  private def indexMetaExists(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Require the caller's layout args to match the persisted meta;
+    * `positions = None` checks the bucket count only. */
+  private def checkIndexMeta(s: SparkSession, path: String,
+      buckets: Int, positions: Option[Boolean]): Unit = {
+    val row = s.read.parquet(s"$path/meta").head()
+    val mb = row.getAs[Int]("buckets")
+    val mp = row.getAs[Boolean]("positions")
+    require(mb == buckets,
+      s"index at $path was built with buckets=$mb; caller passed $buckets")
+    positions.foreach(p => require(mp == p,
+      s"index at $path was built with positions=$mp; caller passed $p " +
+        "(positional and match-only layouts cannot mix)"))
   }
 
   /** Exact delta append: postings rows are per-doc facts (plain
@@ -637,6 +681,7 @@ object Search {
     * write never reads the path it replaces. */
   def appendBm25Index(delta: DataFrame, s: SparkSession, path: String,
       buckets: Int = IndexBuckets, positions: Boolean = false): Unit = {
+    checkIndexMeta(s, path, buckets, Some(positions))
     postingsOf(delta, buckets, positions)
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$path/postings")
@@ -653,24 +698,12 @@ object Search {
     * indexed corpus — the s15 face's oracle IS s06's SQL. */
   def queryBm25Index(s: SparkSession, path: String, terms: Seq[String],
       k: Int = TopK, buckets: Int = IndexBuckets): DataFrame = {
+    checkIndexMeta(s, path, buckets, positions = None)
     val bks = terms.map(termBucket(_, buckets)).distinct
     val tf = s.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(bks: _*) && col("term").isin(terms: _*))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
-    val lex = readLexicon(s, s"$path/lex")
-    val dfreq = lex.vocab.filter(col("tok").isin(terms: _*))
-      .select(col("tok").as("term"), col("df"))
-    val g = lex.stats.select(col("n_docs").as("n"),
-      (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
-    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(g))
-      .select(col("doc_id"), bm25ScoreExpr.as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c").cast("decimal(25,8)")).cast("double").as("score"),
-        count(lit(1)).as("terms_matched"))
-    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
-    top.withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
-      .select(col("rank"), col("doc_id"), col("score"), col("terms_matched"))
+    scoreTfWithLexicon(tf, readLexicon(s, s"$path/lex"), terms, k)
   }
 
   // ---------------------------------------------------------------
@@ -695,6 +728,8 @@ object Search {
   def indexBatch(batch: DataFrame, id: Long, path: String,
       buckets: Int = IndexBuckets, positions: Boolean = false): Unit = {
     val s = batch.sparkSession
+    if (indexMetaExists(s, path)) checkIndexMeta(s, path, buckets, Some(positions))
+    else writeIndexMeta(s, path, buckets, positions)
     postingsOf(batch, buckets, positions)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings/batch=$id")
@@ -719,27 +754,17 @@ object Search {
       }
       .start()
 
-  /** pid-scoped scratch (the GateScratch/VectorIndex convention). */
-  private def scratch(s: SparkSession): String = {
-    val base = new org.apache.hadoop.fs.Path(
-      s"${System.getProperty("java.io.tmpdir")}/graft-bm25index")
-    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(base))
-      fs.listStatus(base).foreach { st =>
-        val alive = scala.util.Try(st.getPath.getName.toLong).toOption
-          .exists(p => ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
-        if (!alive) fs.delete(st.getPath, true)
-      }
-    val root = s"$base/${ProcessHandle.current().pid()}"
-    fs.delete(new org.apache.hadoop.fs.Path(root), true)
-    root
-  }
+  /** pid- AND tag-scoped scratch (see [[graft.PidScratch]]): wipes
+    * only this face's subdir, so s15 and s16 never destroy each
+    * other's artifact. */
+  private def scratch(s: SparkSession, tag: String): String =
+    graft.PidScratch.fresh(s, "graft-bm25index", tag)
 
   /** s15: full artifact lifecycle — build the postings index, load it
     * back, serve the s06 query from it; the oracle is s06's own SQL
     * ("the index changes nothing", the d12/s05b pattern). */
   def s15(s: SparkSession, dir: String): DataFrame = {
-    val path = scratch(s) + "/match"
+    val path = scratch(s, "match")
     writeBm25Index(Tables.documents(s, dir), path)
     queryBm25Index(s, path, QueryTerms)
   }
@@ -763,10 +788,12 @@ object Search {
   def queryPhraseIndex(s: SparkSession, path: String, phrase: Seq[String],
       k: Int = TopK, buckets: Int = IndexBuckets): DataFrame = {
     require(phrase.length >= 2, "a phrase needs at least two tokens")
+    // the meta check (not a sampled-footer schema probe, which can
+    // miss a positions-less delta) is what guarantees every indexed
+    // doc actually carries positions
+    checkIndexMeta(s, path, buckets, Some(true))
     val bks = phrase.map(termBucket(_, buckets)).distinct
     val post = s.read.parquet(s"$path/postings")
-    require(post.columns.contains("positions"),
-      s"$path is not a positional index (write with positions = true)")
     val pruned = post
       .filter(col("bucket").isin(bks: _*) && col("term").isin(phrase.distinct: _*))
       .select(col("doc_id"), col("dl"), col("term"), col("positions"))
@@ -801,7 +828,7 @@ object Search {
   /** s16: positional-index lifecycle — build WITH positions, serve
     * the s08 phrase from the artifact; oracle = s08's SQL. */
   def s16(s: SparkSession, dir: String): DataFrame = {
-    val path = scratch(s) + "/phrase"
+    val path = scratch(s, "phrase")
     writeBm25Index(Tables.documents(s, dir), path, positions = true)
     queryPhraseIndex(s, path, PhraseTerms)
   }

@@ -5,7 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** f33 record linkage: planted sibling-account geometry the oracle's
   * hash compare can't explain on its own. */
-class LinkageSpec extends SparkSpec {
+class LinkageSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterEach {
+
+  // suite convention: every cache-registering operator call is
+  // released between tests so frames never accumulate in the shared
+  // suite JVM (idempotent with the per-test try/finally blocks)
+  override def afterEach(): Unit =
+    try CacheRegistry.unpersistAll() finally super.afterEach()
+
   import spark.implicits._
 
   test("f33: planted siblings link, block boundaries and budget hold") {

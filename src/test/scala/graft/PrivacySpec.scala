@@ -6,7 +6,15 @@ import org.apache.spark.sql.functions._
 /** c18 Laplace-mechanism semantics: the transform is the real
   * inverse CDF (hand-replayed), noise is nonzero, bounded by the
   * mechanism's worst case, and keyed only on the salted source. */
-class PrivacySpec extends SparkSpec {
+class PrivacySpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterEach {
+
+  // suite convention: every cache-registering operator call is
+  // released between tests so frames never accumulate in the shared
+  // suite JVM (idempotent with the per-test try/finally blocks)
+  override def afterEach(): Unit =
+    try CacheRegistry.unpersistAll() finally super.afterEach()
+
   import spark.implicits._
 
   /** Scala replay of the derandomized mechanism for one key. */

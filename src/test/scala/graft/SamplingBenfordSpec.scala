@@ -5,7 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** c14 deterministic stratified sampling + f22 Benford first-digit
   * analysis. */
-class SamplingBenfordSpec extends SparkSpec {
+class SamplingBenfordSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterEach {
+
+  // suite convention: every cache-registering operator call is
+  // released between tests so frames never accumulate in the shared
+  // suite JVM (idempotent with the per-test try/finally blocks)
+  override def afterEach(): Unit =
+    try CacheRegistry.unpersistAll() finally super.afterEach()
+
   import spark.implicits._
 
   // -------------------------------------------------------------

@@ -5,7 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** s06 BM25 + s07 fuzzy matching: hand-computed score pinning, ranking
   * semantics on the real corpus, and the AUTO edit-budget cutoff. */
-class SearchSpec extends SparkSpec {
+class SearchSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterEach {
+
+  // suite convention: every cache-registering operator call is
+  // released between tests so frames never accumulate in the shared
+  // suite JVM (idempotent with the per-test try/finally blocks)
+  override def afterEach(): Unit =
+    try CacheRegistry.unpersistAll() finally super.afterEach()
+
   import spark.implicits._
 
   test("s06: BM25 scores pinned against hand computation") {
