@@ -453,10 +453,17 @@ object Similarity {
     val top = cand.withColumn("_r", row_number().over(wa))
       .filter(col("_r") <= ReRank)
       .select(col("qid"), col("vec_id"))
-    // exact re-rank: fetch the candidate embeddings. The candidate
-    // list is provably ≤ |queries|×ReRank rows → broadcast IT against
-    // the corpus scan (size-based planning would broadcast the corpus
-    // at test SF, which inverts at 100 TB)
+    exactReRank(corpus, queries, top, k)
+  }
+
+  /** Exact-cosine re-rank of an approximate candidate list — the tail
+    * every compressed-scan face (s04/s05/s17) shares. The candidate
+    * list is provably ≤ |queries|×ReRank rows → broadcast IT against
+    * the corpus fetch (size-based planning would broadcast the corpus
+    * at test SF, which inverts at 100 TB). */
+  private def exactReRank(corpus: DataFrame, queries: DataFrame,
+      top: DataFrame, k: Int): DataFrame = {
+    val s = corpus.sparkSession
     val exact = corpus.join(broadcast(top), Seq("vec_id"))
       .join(broadcast(queries.select(col("qid"), col("qe"))), Seq("qid"))
       .select(col("qid"), col("vec_id"),
@@ -559,11 +566,7 @@ object Similarity {
     val top = cand.withColumn("_r", row_number().over(wa))
       .filter(col("_r") <= ReRank)
       .select(col("qid"), col("vec_id"))
-    val exact = corpus.join(broadcast(top), Seq("vec_id"))
-      .join(broadcast(queries.select(col("qid"), col("qe"))), Seq("qid"))
-      .select(col("qid"), col("vec_id"),
-        graft.plans.GraftFunctions.cosine(s, col("qe"), col("embedding")).as("cos"))
-    rankTopK(exact, k)
+    exactReRank(corpus, queries, top, k)
   }
 
   def s05(s: SparkSession, dir: String): DataFrame = {
@@ -624,6 +627,156 @@ object Similarity {
                (SELECT qid, vec_id,
                   row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS r
                 FROM adc) WHERE r <= $ReRank),
+       ex AS (SELECT qid, t.vec_id,
+                list_sum(list_transform(list_zip(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), x -> x[1]*x[2]))
+                / (sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)))
+                 * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))) AS cos
+              FROM top t
+              JOIN embeddings e ON e.vec_id = t.vec_id
+              JOIN embeddings q ON q.vec_id = t.qid),
+       r AS (SELECT qid, vec_id, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+             FROM ex)
+       SELECT qid, rank, vec_id, cos FROM r WHERE rank <= $TopK"""
+  }
+
+  // ---------------------------------------------------------------
+  // s17: scalar quantization (SQ8) — the int8-per-dimension member of
+  // the compression family, between brute force (s01: 4 B/dim floats)
+  // and PQ (s04: 0.5 B/dim codes). Each dimension is affinely mapped
+  // to 0..255 against the CORPUS-WIDE per-dim min/max (one 1-row
+  // aggregate, broadcast): 4× byte reduction with far lower
+  // reconstruction error than PQ — FAISS's SQ8 default and the common
+  // first step when embeddings stop fitting memory but PQ recall is
+  // not acceptable. The approximate scan reconstructs each dimension
+  // at its quantization-bin MIDPOINT (deq = mn + (code + 0.5)·step),
+  // factored per query so the per-pair loop is one native int×double
+  // dot (see annSq8); top `ReRank` per query re-rank exact, s04's
+  // tail.
+  //
+  // Determinism: quantization is floor((v − mn)·256/(mx − mn))
+  // clamped to 255 — floor, not round, so no rounding-mode edge
+  // exists to diverge on; min/max of floats are exact; both engines
+  // run the identical IEEE double expression and fold in index order
+  // (the s01 precedent). Zero-range dims (mx == mn) encode 0 and
+  // reconstruct mn exactly.
+  //
+  // Scale: the stats row is a combiner-friendly 128-aggregate pass;
+  // encode is one narrow projection (the compressed corpus a
+  // production pipeline persists); the ADC-style scan carries only
+  // (qid, vec_id, approx); re-rank fetches ≤ |Q|×ReRank embeddings
+  // by id. Same plan skeleton as s04 with 4× the code bytes and no
+  // codebook training at all.
+  // ---------------------------------------------------------------
+
+  /** Corpus-wide per-dimension min/max — the SQ8 "codebook" (1 row,
+    * two Dim-length arrays; broadcast everywhere it's used). */
+  private[operators] def sq8Stats(corpus: DataFrame): DataFrame =
+    corpus.agg(
+      array((1 to Dim).map(d =>
+        min(element_at(col("embedding"), d).cast("double"))): _*).as("mn"),
+      array((1 to Dim).map(d =>
+        max(element_at(col("embedding"), d).cast("double"))): _*).as("mx"))
+
+  /** floor-quantize one embedding against the broadcast stats row:
+    * array<int> of 0..255 (the persisted compressed form). */
+  private def sq8Codes: Column =
+    transform(col("embedding"), (v, i) => {
+      val mn = element_at(col("mn"), i + 1)
+      val mx = element_at(col("mx"), i + 1)
+      when(mx === mn, lit(0L)).otherwise(
+        least(lit(255L), floor((v.cast("double") - mn) * lit(256.0) / (mx - mn))))
+        .cast("int")
+    })
+
+  /** The persisted compressed form: (vec_id, codes array<int> of
+    * 0..255) against the corpus's own stats row. */
+  private[graft] def sq8Encoded(corpus: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(sq8Stats(corpus)))
+      .select(col("vec_id"), sq8Codes.as("codes"))
+
+  /** Production face: SQ8 approximate scan + exact re-rank of
+    * `queries` (qid, qe) against `corpus` (vec_id, embedding).
+    *
+    * The approximate dot Σ_d q_d·(mn_d + (c_d + 0.5)·step_d) is
+    * FACTORED per query into qoff + Σ_d qs_d·c_d with
+    * qs_d = q_d·step_d and qoff = Σ_d (q_d·mn_d + 0.5·qs_d) — the
+    * per-pair hot loop is then the native codegen'd graft_sq8dot over
+    * the code ints, and the HOF transforms run only on the |Q|-sized
+    * broadcast side. Both engines compute the SAME factored
+    * expression (not the algebraically-equal unfactored one — IEEE
+    * rounding differs between the two forms). */
+  def annSq8(corpus: DataFrame, queries: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val s = corpus.sparkSession
+    val stats = sq8Stats(corpus)
+    val coded = sq8Encoded(corpus)
+    val qPrep = queries.crossJoin(broadcast(stats))
+      .withColumn("qs", transform(col("qe"), (q, i) =>
+        q.cast("double") *
+          (element_at(col("mx"), i + 1) - element_at(col("mn"), i + 1)) /
+          lit(256.0)))
+      .withColumn("qoff", aggregate(
+        transform(col("qe"), (q, i) =>
+          q.cast("double") * element_at(col("mn"), i + 1) +
+            lit(0.5) * element_at(col("qs"), i + 1)),
+        lit(0.0), _ + _))
+      .select(col("qid"), col("qe"), col("qs"), col("qoff"))
+    val cand = coded.join(broadcast(qPrep), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (col("qoff") +
+          graft.plans.GraftFunctions.sq8Dot(s, col("codes"), col("qs")))
+          .as("approx"))
+    val wa = Window.partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val top = cand.withColumn("_r", row_number().over(wa))
+      .filter(col("_r") <= ReRank)
+      .select(col("qid"), col("vec_id"))
+    exactReRank(corpus, queries, top, k)
+  }
+
+  def s17(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    annSq8(e, queriesDf(e))
+  }
+
+  /** DuckDB replay of s17: per-dim min/max as ordered lists, the same
+    * floor-quantize and midpoint-reconstruct expressions over an
+    * inlined 1..Dim index list (the s04 list_transform pattern), then
+    * s04's re-rank tail. */
+  lazy val s17Sql: String = {
+    val idx = (1 to Dim).mkString("[", ",", "]")
+    s"""WITH st AS (
+         SELECT list(mn ORDER BY d) AS mn, list(mx ORDER BY d) AS mx
+         FROM (SELECT d, min(embedding[d]::DOUBLE) AS mn,
+                      max(embedding[d]::DOUBLE) AS mx
+               FROM embeddings
+               CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS d)
+               GROUP BY d)),
+       codes AS (
+         SELECT vec_id,
+           list_transform($idx, d -> CASE WHEN mx[d] = mn[d] THEN 0
+             ELSE least(255, floor((embedding[d]::DOUBLE - mn[d]) * 256.0
+                                   / (mx[d] - mn[d])))::INT END) AS cl
+         FROM embeddings CROSS JOIN st),
+       q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+             WHERE vec_id % $QueryStride = 0),
+       qp AS (SELECT qid, qe,
+                list_transform($idx,
+                  d -> qe[d]::DOUBLE * (mx[d] - mn[d]) / 256.0) AS qs
+              FROM q CROSS JOIN st),
+       qp2 AS (SELECT qid, qs,
+                 list_sum(list_transform($idx,
+                   d -> qe[d]::DOUBLE * mn[d] + 0.5 * qs[d])) AS qoff
+               FROM qp CROSS JOIN st),
+       cand AS (
+         SELECT qid, c.vec_id,
+           qoff + list_sum(list_transform(list_zip(qs, cl), x -> x[1]*x[2])) AS approx
+         FROM codes c CROSS JOIN qp2 WHERE c.vec_id <> qp2.qid),
+       top AS (SELECT qid, vec_id FROM
+               (SELECT qid, vec_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS r
+                FROM cand) WHERE r <= $ReRank),
        ex AS (SELECT qid, t.vec_id,
                 list_sum(list_transform(list_zip(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), x -> x[1]*x[2]))
                 / (sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)))
@@ -1038,7 +1191,8 @@ object Similarity {
     "s03_ann_ivf" -> (s03 _),
     "s03b_ivf_core" -> (s03b _),
     "s04_pq_adc" -> (s04 _),
-    "s05_ivfpq" -> (s05 _))
+    "s05_ivfpq" -> (s05 _),
+    "s17_ann_sq8" -> (s17 _))
 
   val oracles: Map[String, String] = Map(
     "s14_centroid_prune" -> s14Sql,
@@ -1050,5 +1204,6 @@ object Similarity {
     "s02_ann_lsh" -> s02Sql,
     "s03b_ivf_core" -> s03bSql,
     "s04_pq_adc" -> s04Sql,
-    "s05_ivfpq" -> s05Sql)
+    "s05_ivfpq" -> s05Sql,
+    "s17_ann_sq8" -> s17Sql)
 }

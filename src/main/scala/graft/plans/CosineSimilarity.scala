@@ -86,6 +86,7 @@ object GraftFunctions {
   val SubwordCountName = "graft_subword_count"
   val NfcName = "graft_nfc"
   val BloomName = "graft_bloom_contains"
+  val Sq8DotName = "graft_sq8dot"
 
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     (CosineName, classOf[CosineSimilarity].getName,
@@ -135,7 +136,9 @@ object GraftFunctions {
       exprs => Nfc(exprs.head)),
     (BloomName, classOf[BloomMightContain].getName,
       exprs => BloomMightContain(exprs.head,
-        exprs(1).eval().asInstanceOf[Array[Byte]])))
+        exprs(1).eval().asInstanceOf[Array[Byte]])),
+    (Sq8DotName, classOf[Sq8Dot].getName,
+      exprs => Sq8Dot(exprs.head, exprs(1))))
 
   def register(spark: SparkSession): Unit =
     registry.foreach { case (name, clazz, builder) =>
@@ -161,6 +164,11 @@ object GraftFunctions {
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function(DotName, a, b)
+  }
+
+  def sq8Dot(spark: SparkSession, codes: Column, qs: Column): Column = {
+    register(spark)
+    call_function(Sq8DotName, codes, qs)
   }
 
   def simhash64(spark: SparkSession, text: Column): Column = {

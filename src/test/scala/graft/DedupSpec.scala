@@ -493,6 +493,39 @@ class DedupSpec extends SparkSpec {
     assert(rows.toSet.subsetOf(pool))
   }
 
+  test("s17 SQ8: codes in 0..255, constant dims encode 0, recall beats PQ") {
+    val exact = Similarity.s01(spark, sf("sf0.01"))
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val rows = Similarity.s17(spark, sf("sf0.01"))
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    assert(rows.length == rows.toSet.size)
+    // 8 bits per dim + re-rank-20 is a far finer approximation than
+    // PQ's 4 bits per 8-dim subspace: near-exact recall expected
+    val recall = (exact & rows.toSet).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 recall $recall too low")
+    val pqRecall = (exact & Similarity.s04(spark, sf("sf0.01"))
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet).size.toDouble / exact.size
+    assert(recall >= pqRecall,
+      s"SQ8 recall $recall below PQ's $pqRecall at the same re-rank budget")
+    // every code is a valid 0..255 bin of the right arity
+    val codes = Similarity.sq8Encoded(Tables.embeddings(spark, sf("sf0.001")))
+      .select("codes").as[Array[Int]].collect()
+    assert(codes.forall(c => c.length == Similarity.Dim &&
+      c.forall(v => v >= 0 && v <= 255)))
+    // planted zero-range dimension (every vector equal there) → code 0;
+    // the max vector of a varying dim clamps into bin 255
+    val planted = Seq(
+      (0L, Array.tabulate(Similarity.Dim)(d => if (d == 0) 5f else 0f)),
+      (1L, Array.tabulate(Similarity.Dim)(d => if (d == 0) 5f else 1f)),
+      (2L, Array.tabulate(Similarity.Dim)(d => if (d == 0) 5f else 2f)))
+      .toDF("vec_id", "embedding")
+    val pc = Similarity.sq8Encoded(planted).orderBy("vec_id")
+      .select("codes").as[Array[Int]].collect()
+    assert(pc.forall(_(0) == 0))            // constant dim → 0
+    assert(pc(0)(1) == 0 && pc(2)(1) == 255) // min → 0, max clamps to 255
+    assert(pc(1)(1) == 128)                  // midpoint → floor(0.5·256)
+  }
+
   test("ANN faces accept an explicit external query set") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
     // exact copies of 3 corpus vectors, re-keyed as external queries

@@ -328,6 +328,14 @@ CEILINGS = {
                                    # d02/d02_capped pattern), the
                                    # face exists so the production
                                    # path is a measured number
+    "s17_ann_sq8": 4.8,            # committed 2.32 s single-face
+                                   # landing run / 2.30 isolated —
+                                   # SQ8 stats pass + encode + the
+                                   # native sq8dot approximate scan
+                                   # + exact re-rank (the HOF-fold
+                                   # first cut read 4.5 s; the
+                                   # codegen'd factored form halved
+                                   # it)
 }
 
 # BLANKET bars (r16): every face not hand-calibrated above gets a
