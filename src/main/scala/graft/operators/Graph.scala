@@ -81,13 +81,24 @@ object Graph {
           .as("jump"),
         expr(s"(${Scale}L div n)").as("r0"))
       .transform(graft.CacheRegistry.register)
+    iterate(sym, nodes, iters).select(col("node"), col("outdeg"),
+      col("rank_e12"))
+  }
+
+  /** The damped fixpoint shared by [[pagerank]] and
+    * [[personalizedPagerank]]: `nodes` carries (node, outdeg, jump,
+    * r0, …) — the jump/start columns are what distinguish uniform from
+    * seeded teleport; extra columns pass through. */
+  private def iterate(sym: DataFrame, nodes: DataFrame,
+      iters: Int): DataFrame = {
+    val carry = nodes.columns.filterNot(Seq("jump", "r0").contains)
+      .map(col).toSeq
     // fixed iteration count, each round referencing the previous ONCE
     // → lineage grows linearly, so the whole fixpoint stays ONE lazy
     // plan with no per-round materialization (d06 needs per-round
     // localCheckpoint cuts only because its convergence probe makes
     // the reference count 2 per round — exponential growth)
-    var ranks = nodes.select(col("node"), col("outdeg"),
-      col("r0").as("rank_e12"))
+    var ranks = nodes.select(carry :+ col("r0").as("rank_e12"): _*)
     (1 to iters).foreach { _ =>
       val contrib = sym
         // shuffle-HASH, not sort-merge: the static plan puts an SMJ
@@ -108,12 +119,12 @@ object Graph {
       ranks = nodes
         .join(contrib.hint("shuffle_hash"),
           col("node") === col("dst"), "left")
-        .select(col("node"), col("outdeg"),
+        .select(carry :+
           (col("jump") +
             expr(s"(coalesce(sumc, 0L) * ${DampingNum}L) div ${DampingDen}L"))
-            .as("rank_e12"))
+            .as("rank_e12"): _*)
     }
-    ranks.select(col("node"), col("outdeg"), col("rank_e12"))
+    ranks
   }
 
   def g03(s: SparkSession, dir: String): DataFrame =
@@ -146,6 +157,104 @@ object Graph {
        SELECT deg.node, deg.outdeg, CAST(r.rank_e12 AS BIGINT) AS rank_e12
        FROM (SELECT DISTINCT src AS node, outdeg FROM sym) deg
        JOIN r$Iters r ON deg.node = r.node"""
+  }
+
+  // ---------------------------------------------------------------
+  // f34: personalized-PageRank risk propagation — guilt-by-
+  // association over the co-purchase graph. The reference scores
+  // each listing INDIVIDUALLY (f04/f21); fraud rings don't act
+  // individually: scam listings are bundled into the same orders as
+  // other scam listings, so a listing co-purchased with known-
+  // anomalous ones deserves elevated scrutiny even when its own
+  // price is clean. PPR from the seed set of f21's price anomalies
+  // is the standard propagation: identical damped fixpoint to g03,
+  // but ALL teleport mass returns to the seeds (r0 and the jump term
+  // are Scale div |S| and 0.15·Scale div |S| on seeds, 0 elsewhere),
+  // so rank measures proximity-to-fraud rather than global
+  // centrality — nodes unreachable from every seed read exactly 0.
+  //
+  // Oracle parity: g03's rules verbatim — exact integer arithmetic
+  // end to end (no float ties exist), the fixpoint unrolled in the
+  // oracle, and the seed set composes f21's own SQL as a subquery
+  // (the s11/s12 precedent), so seed semantics can't drift.
+  //
+  // Scale: identical plan economy to g03 (one cached src-partitioned
+  // edge frame, node-cardinality rank frames, shuffle-hash joins);
+  // the seed frame joins in as one broadcast-sized semi join at
+  // setup. |S| counts seeds PRESENT IN THE GRAPH — an isolated
+  // anomaly can't silently dilute the teleport mass.
+  // ---------------------------------------------------------------
+
+  /** PPR of `seeds` (a `node` column) over undirected (a, b) edges:
+    * (node, is_seed, outdeg, rank_e12) after `iters` damped rounds,
+    * teleport restricted to the in-graph seed set. */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = Iters): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .withColumn("outdeg",
+        count(lit(1)).over(Window.partitionBy(col("src"))))
+      .transform(graft.CacheRegistry.register)
+    val graphSeeds = sym.select(col("src").as("node")).distinct()
+      .join(seeds.select(col("node")).distinct(), Seq("node"), "left_semi")
+      .withColumn("is_seed", lit(true))
+    val nS = graphSeeds.agg(count(lit(1)).as("ns"))
+    val jumpNum = Scale * (DampingDen - DampingNum) / DampingDen
+    val nodes = sym.select(col("src").as("node"), col("outdeg")).distinct()
+      .join(broadcast(graphSeeds), Seq("node"), "left")
+      .crossJoin(broadcast(nS))
+      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"),
+        col("outdeg"),
+        when(col("is_seed"), expr(s"(${jumpNum}L div ns)"))
+          .otherwise(lit(0L)).as("jump"),
+        when(col("is_seed"), expr(s"(${Scale}L div ns)"))
+          .otherwise(lit(0L)).as("r0"))
+      .transform(graft.CacheRegistry.register)
+    iterate(sym, nodes, iters)
+      .select(col("node"), col("is_seed"), col("outdeg"), col("rank_e12"))
+  }
+
+  /** Face: propagate from f21's price-anomaly seeds over the
+    * co-purchase graph. */
+  def f34(s: SparkSession, dir: String): DataFrame =
+    personalizedPagerank(coEdges(Tables.lineitem(s, dir)),
+      Fraud.f21(s, dir).select(col("item_id").as("node")))
+
+  val f34Sql: String = {
+    val jumpNum = Scale * (DampingDen - DampingNum) / DampingDen
+    val iterCtes = (1 to Iters).map { k =>
+      s"""c$k AS (SELECT s.dst, CAST(sum(r.rank_e12 // s.outdeg) AS BIGINT) AS sumc
+             FROM sym s JOIN r${k - 1} r ON s.src = r.node GROUP BY 1),
+       r$k AS (SELECT b.node, b.jump + (coalesce(c$k.sumc, 0) * $DampingNum) // $DampingDen AS rank_e12
+             FROM nodes b LEFT JOIN c$k ON b.node = c$k.dst)"""
+    }.mkString(",\n       ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       sym0 AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       sym AS (SELECT src, dst,
+                 count(*) OVER (PARTITION BY src) AS outdeg
+               FROM sym0),
+       anom AS (SELECT item_id AS node FROM (${Fraud.f21Sql})),
+       gseeds AS (SELECT DISTINCT src AS node FROM sym0
+                  WHERE src IN (SELECT node FROM anom)),
+       ns AS (SELECT count(*) AS ns FROM gseeds),
+       nodes AS (SELECT g.node,
+                   g.node IN (SELECT node FROM gseeds) AS is_seed,
+                   CASE WHEN g.node IN (SELECT node FROM gseeds)
+                        THEN $jumpNum // ns ELSE 0 END AS jump,
+                   CASE WHEN g.node IN (SELECT node FROM gseeds)
+                        THEN $Scale // ns ELSE 0 END AS r0
+                 FROM (SELECT DISTINCT src AS node FROM sym0) g, ns),
+       r0 AS (SELECT node, r0 AS rank_e12 FROM nodes),
+       $iterCtes
+       SELECT deg.node, n.is_seed, deg.outdeg,
+         CAST(r.rank_e12 AS BIGINT) AS rank_e12
+       FROM (SELECT DISTINCT src AS node, outdeg FROM sym) deg
+       JOIN r$Iters r ON deg.node = r.node
+       JOIN nodes n ON n.node = deg.node"""
   }
 
   // ---------------------------------------------------------------
@@ -634,11 +743,13 @@ object Graph {
     "g03_pagerank" -> (g03 _),
     "g04_triangles" -> (g04 _),
     "g05_link_predict" -> (g05 _),
-    "g06_kcore" -> (g06 _))
+    "g06_kcore" -> (g06 _),
+    "f34_risk_propagation" -> (f34 _))
 
   val oracles: Map[String, String] = Map(
     "g03_pagerank" -> g03Sql,
     "g04_triangles" -> g04Sql,
     "g05_link_predict" -> g05Sql,
-    "g06_kcore" -> g06Sql)
+    "g06_kcore" -> g06Sql,
+    "f34_risk_propagation" -> f34Sql)
 }

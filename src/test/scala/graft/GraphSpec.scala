@@ -172,6 +172,38 @@ class GraphSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("f34: teleport confinement — unreachable component reads exactly 0") {
+    // two disjoint triangles; seed in the first only. Integer
+    // arithmetic makes "no mass leaks" provable as == 0, not ≈ 0.
+    val edges = Seq((1L,2L),(2L,3L),(1L,3L), (10L,11L),(11L,12L),(10L,12L))
+      .toDF("a", "b")
+    val seeds = Seq(1L).toDF("node")
+    val pr = Graph.personalizedPagerank(edges, seeds)
+      .select(col("node"), col("is_seed"), col("rank_e12"))
+      .as[(Long, Boolean, Long)].collect()
+    val byNode = pr.map(r => r._1 -> r._3).toMap
+    Seq(10L, 11L, 12L).foreach(n =>
+      assert(byNode(n) == 0L, s"unreachable node $n holds mass"))
+    // the seed keeps the largest rank (all teleport returns to it);
+    // its symmetric non-seed neighbors tie
+    assert(byNode(1L) > byNode(2L) && byNode(2L) == byNode(3L))
+    assert(pr.count(_._2) == 1)
+    // mass conservation: Scale in, ≤ Scale out (integer truncation)
+    val total = pr.map(_._3).sum
+    assert(total <= Graph.Scale && total > Graph.Scale - 100L)
+  }
+
+  test("f34: out-of-graph seeds don't dilute the teleport mass") {
+    val edges = Seq((1L,2L),(2L,3L),(1L,3L)).toDF("a", "b")
+    def ranks(seedIds: Seq[Long]) =
+      Graph.personalizedPagerank(edges, seedIds.toDF("node"))
+        .select(col("node"), col("rank_e12"))
+        .as[(Long, Long)].collect().toMap
+    // node 99 is isolated — |S| must count in-graph seeds only, so
+    // the distribution is identical with or without it
+    assert(ranks(Seq(1L)) == ranks(Seq(1L, 99L)))
+  }
+
   test("partition-independence: same ranks from a shuffled edge frame") {
     val docs = Tables.lineitem(spark, sf("sf0.001"))
     val edges = Graph.coEdges(docs)

@@ -336,6 +336,11 @@ CEILINGS = {
                                    # first cut read 4.5 s; the
                                    # codegen'd factored form halved
                                    # it)
+    "f34_risk_propagation": 25.2,  # committed 14.32 s single-face
+                                   # landing run — g03's damped
+                                   # 5-round fixpoint (10.4 s in the
+                                   # same epoch) + the f21 seed set
+                                   # + the seeded-teleport node frame
 }
 
 # BLANKET bars (r16): every face not hand-calibrated above gets a
