@@ -686,7 +686,98 @@ object TextOps {
            AS n_pass
        FROM f GROUP BY 1"""
 
+  // ---------------------------------------------------------------
+  // t12: PMI collocation mining — multi-word-expression detection
+  // (Church & Hanks 1990), the vocabulary-construction companion to
+  // c17/t07: a tokenizer or phrase table wants the "new york"-style
+  // bigrams whose co-occurrence beats chance, and PMI is the classic
+  // score — ln of the observed bigram probability over the unigram
+  // independence product (word2phrase scores the same ratio). The
+  // min-count floor kills the low-count PMI pathology: hapax pairs
+  // otherwise rank highest by construction.
+  //
+  // Float parity: the PMI arithmetic is the IDENTICAL IEEE expression
+  // in both engines — double divisions in the same order, one ln,
+  // one round(,6) (the t07 idf precedent); every input is an exact
+  // integer count. The totals are computed as doubles (never an n_u²
+  // integer product, which overflows int64 near 10¹² tokens).
+  //
+  // Scale: scan → codegen'd bigram transform/explode → ONE
+  // combiner-friendly (x,y) aggregate; unigram counts are a second
+  // vocab-cardinality aggregate joined twice (no broadcast hint —
+  // t07's rule: Catalyst/AQE broadcasts it only when it fits); the
+  // two 1-row totals broadcast; global top-K is TakeOrderedAndProject
+  // over the count-floored candidate set, never a full sort. The doc
+  // scan is deliberately read twice (unigrams, bigrams) instead of
+  // caching the token arrays — a token-array cache IS a text-bearing
+  // cache, the documented 100 TB hazard.
+  // ---------------------------------------------------------------
+  val CollocMinCount = 5
+  val CollocTopK = 100
+
+  def t12(s: SparkSession, dir: String): DataFrame =
+    pmiCollocations(Tables.documents(s, dir), CollocMinCount, CollocTopK)
+
+  /** (rank, x, y, c_xy, pmi) of the `topK` highest-PMI adjacent
+    * bigrams with count ≥ `minCount` over `docs`' text column. */
+  def pmiCollocations(docs: DataFrame, minCount: Int,
+      topK: Int): DataFrame = {
+    def toks = docs.filter(trim(col("text")) =!= "")
+      .select(split(lower(trim(col("text"))), "\\s+").as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .transform(graft.CacheRegistry.register) // vocab-cardinality, used 3×
+    val nu = uni.agg(sum(col("c")).as("n_u"))
+    val big = toks.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS x, w[i + 1] AS y))"))
+        .as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+      .transform(graft.CacheRegistry.register) // bigram-vocab, used 2×
+    val nb = big.agg(sum(col("c_xy")).as("n_b"))
+    val pmi = round(log(
+      (col("c_xy").cast("double") / col("n_b").cast("double")) /
+        ((col("c_x").cast("double") / col("n_u").cast("double")) *
+          (col("c_y").cast("double") / col("n_u").cast("double")))), 6)
+    big.filter(col("c_xy") >= minCount)
+      .join(uni.select(col("t").as("x"), col("c").as("c_x")), "x")
+      .join(uni.select(col("t").as("y"), col("c").as("c_y")), "y")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("x"), col("y"), col("c_xy"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("x"), col("y"))
+      .limit(topK)
+      // rank window runs over the ≤TopK-row TakeOrdered output only
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pmi").desc, col("x"), col("y"))).cast("long"))
+      .select(col("rank"), col("x"), col("y"), col("c_xy"), col("pmi"))
+  }
+
+  val t12Sql: String =
+    raw"""WITH toks AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+                  FROM documents WHERE trim(text) <> ''),
+       uc AS (SELECT t, count(*) AS c
+              FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1),
+       nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_u FROM uc),
+       idx AS (SELECT w, unnest(range(1, len(w))) AS i FROM toks),
+       bc AS (SELECT w[i] AS x, w[i + 1] AS y, count(*) AS c_xy
+              FROM idx GROUP BY 1, 2),
+       nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_b FROM bc),
+       sc AS (SELECT x, y, c_xy,
+                round(ln((CAST(c_xy AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+                  ((CAST(cx.c AS DOUBLE) / CAST(n_u AS DOUBLE)) *
+                   (CAST(cy.c AS DOUBLE) / CAST(n_u AS DOUBLE)))), 6) AS pmi
+              FROM bc JOIN uc cx ON bc.x = cx.t JOIN uc cy ON bc.y = cy.t
+              CROSS JOIN nu CROSS JOIN nb
+              WHERE c_xy >= $CollocMinCount),
+       r AS (SELECT x, y, c_xy, pmi,
+               row_number() OVER (ORDER BY pmi DESC, x, y) AS rank FROM sc)
+       SELECT CAST(rank AS BIGINT) AS rank, x, y, c_xy, pmi
+       FROM r WHERE rank <= $CollocTopK"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_pmi_collocations" -> (t12 _),
     "t11_gopher_rules" -> (t11 _),
     "t10_readability" -> (t10 _),
     "t01_lang_id" -> (t01 _),
@@ -710,5 +801,6 @@ object TextOps {
     "t08_perplexity" -> t08Sql,
     "t09_entropy" -> t09Sql,
     "t10_readability" -> t10Sql,
-    "t11_gopher_rules" -> t11Sql)
+    "t11_gopher_rules" -> t11Sql,
+    "t12_pmi_collocations" -> t12Sql)
 }

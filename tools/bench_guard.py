@@ -341,6 +341,11 @@ CEILINGS = {
                                    # 5-round fixpoint (10.4 s in the
                                    # same epoch) + the f21 seed set
                                    # + the seeded-teleport node frame
+    "t12_pmi_collocations": 3.9,   # committed 1.82 s single-face
+                                   # landing run — two token scans
+                                   # (unigram + bigram aggregates; no
+                                   # text-bearing cache) + the
+                                   # count-floored TakeOrdered top-K
 }
 
 # BLANKET bars (r16): every face not hand-calibrated above gets a
