@@ -35,25 +35,24 @@ object Linkage {
     * sibling-account typo band (s07's AUTO budget for long tokens). */
   val MaxEdits = 2
 
-  /** Best-match linkage verdicts over any
-    * (key, name, block) frame: (key, match_key, match_name, dist,
-    * n_candidates) — one row per record that HAS a candidate within
-    * the budget; clean records are absent (no verdict, not a null). */
-  def bestMatches(records: DataFrame, maxEdits: Int = MaxEdits): DataFrame = {
+  /** The budget-surviving unordered link pairs of a (key, name,
+    * block) frame: (key, name, match_key, match_name, dist) with
+    * key < match_key — the shared comparison stage of [[bestMatches]]
+    * and [[goldenRecords]]. The comparison is budget-aware and runs
+    * ONCE per unordered pair: a length gap > the budget can't be
+    * within it (free row pruning before any DP), the THRESHOLDED
+    * levenshtein runs the banded early-exit DP instead of the full
+    * len² table, and the key < match_key half-join computes each
+    * pair's distance once. Together 28.8 → 12.9 s at sf0.1 (9M block
+    * pairs, budget 2). The reported dist equals the unthresholded
+    * distance on every kept row, so the 2-arg DuckDB replay stays
+    * bit-exact. Candidate-sized output (the post-budget survivors),
+    * cached so the block-pair DP scan runs once per consumer plan. */
+  def linkPairs(records: DataFrame, maxEdits: Int = MaxEdits): DataFrame = {
     val a = records.select(col("key"), col("name"), col("block"))
     val b = records.select(col("key").as("match_key"),
       col("name").as("match_name"), col("block"))
-    // the comparison is budget-aware and runs ONCE per unordered
-    // pair: a length gap > the budget can't be within it (free row
-    // pruning before any DP), the THRESHOLDED levenshtein runs the
-    // banded early-exit DP instead of the full len² table, and the
-    // key < match_key half-join computes each pair's distance once —
-    // the symmetric candidate set is the union with its mirror
-    // (distance is symmetric). Together 28.8 → 12.9 s at sf0.1 (9M
-    // block pairs, budget 2). The reported dist equals the
-    // unthresholded distance on every kept row, so the 2-arg DuckDB
-    // replay stays bit-exact.
-    val half = a.join(b, Seq("block"))
+    a.join(b, Seq("block"))
       .filter(col("key") < col("match_key") &&
         abs(length(col("name")) - length(col("match_name"))) <= maxEdits)
       .withColumn("dist",
@@ -61,10 +60,17 @@ object Linkage {
       .filter(col("dist") >= 0 && col("dist") <= maxEdits)
       .select(col("key"), col("name"), col("match_key"), col("match_name"),
         col("dist"))
-      // candidate-sized (the post-budget survivors), consumed twice
-      // (itself + its mirror) — cached so the 9M-pair DP scan above
-      // runs once, not once per union branch
       .transform(graft.CacheRegistry.register)
+  }
+
+  /** Best-match linkage verdicts over any
+    * (key, name, block) frame: (key, match_key, match_name, dist,
+    * n_candidates) — one row per record that HAS a candidate within
+    * the budget; clean records are absent (no verdict, not a null).
+    * The symmetric candidate set is the cached half-pair frame
+    * unioned with its mirror (distance is symmetric). */
+  def bestMatches(records: DataFrame, maxEdits: Int = MaxEdits): DataFrame = {
+    val half = linkPairs(records, maxEdits)
     val cand = half.unionByName(
       half.select(col("match_key").as("key"), col("match_name").as("name"),
         col("key").as("match_key"), col("name").as("match_name"),
@@ -103,9 +109,109 @@ object Linkage {
          CAST(n_candidates AS BIGINT) AS n_candidates
        FROM rk WHERE rank = 1"""
 
+  // ---------------------------------------------------------------
+  // f35: golden-record survivorship — the merge step completing the
+  // ER family (f33 LINKS records that are the same actor; f35
+  // PRODUCES the one consolidated record per actor): transitive
+  // closure of the budget-surviving link pairs → same-actor
+  // clusters, then deterministic survivorship rules over each
+  // cluster's members. Rules are the classic MDM trio, each exactly
+  // replayable: identity = the cluster's min key (its canonical
+  // master), golden name = the master's name (earliest-registration
+  // precedence), exposure = the DECIMAL-summed balance of ALL
+  // members (a ban-evasion ring's consolidated liability), segment =
+  // the members' mode with lexicographic tie-break. Only multi-
+  // member clusters appear — a singleton needs no merge.
+  //
+  // Scale: the pair stage is f33's blocked equi-join (shared
+  // linkPairs cache); the closure is Dedup.connectedComponents
+  // (pointer-doubled, log-diameter rounds); everything after is
+  // cluster-member-sized — three combiner-friendly aggregates and
+  // one row_number window over (cluster, segment) counts. Blocking
+  // confines every cluster to one nation, so `nation` is a min only
+  // in form.
+  // ---------------------------------------------------------------
+
+  /** One golden record per multi-member linked cluster: (cluster_key,
+    * n_members, golden_name, nation, total_acctbal, segment). */
+  def goldenRecords(records: DataFrame,
+      maxEdits: Int = MaxEdits): DataFrame = {
+    val pairs = linkPairs(records, maxEdits)
+      .select(col("key").as("a"), col("match_key").as("b"))
+    val linked = pairs.select(col("a").as("id"))
+      .union(pairs.select(col("b").as("id"))).distinct()
+    val members = Dedup.connectedComponents(pairs, linked)
+      .join(records, col("id") === col("key"))
+      // cluster-member-sized (linked records only), consumed 3×
+      .transform(graft.CacheRegistry.register)
+    val agg = members.groupBy(col("component").as("cluster_key"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("block")).as("nation"),
+        Relational.dsum(col("bal")).as("total_acctbal"))
+    val golden = members.filter(col("id") === col("component"))
+      .select(col("component").as("cluster_key"),
+        col("name").as("golden_name"))
+    val wseg = Window.partitionBy(col("cluster_key"))
+      .orderBy(col("c").desc, col("segment").asc)
+    val topseg = members
+      .groupBy(col("component").as("cluster_key"), col("segment"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(wseg))
+      .filter(col("rk") === 1)
+      .select(col("cluster_key"), col("segment"))
+    agg.join(golden, "cluster_key").join(topseg, "cluster_key")
+      .select(col("cluster_key"), col("n_members"), col("golden_name"),
+        col("nation"), col("total_acctbal"), col("segment"))
+  }
+
+  def f35(s: SparkSession, dir: String): DataFrame =
+    goldenRecords(Tables.customer(s, dir)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_nationkey").as("block"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("segment")))
+
+  val f35Sql: String =
+    s"""WITH RECURSIVE cand AS (
+         SELECT a.c_custkey AS a, b.c_custkey AS b
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= $MaxEdits),
+       sym AS (SELECT a AS src, b AS dst FROM cand
+               UNION ALL SELECT b, a FROM cand),
+       linked AS (SELECT DISTINCT src AS id FROM sym),
+       reach(v, l) AS (
+         SELECT id, id FROM linked
+         UNION
+         SELECT s.dst, r.l FROM reach r JOIN sym s ON s.src = r.v),
+       comp AS (SELECT v AS id, min(l) AS component FROM reach GROUP BY v),
+       m AS (SELECT component, c_custkey, c_name, c_nationkey, c_acctbal,
+               c_mktsegment
+             FROM comp JOIN customer ON id = c_custkey),
+       agg AS (SELECT component AS cluster_key, count(*) AS n_members,
+                 min(c_nationkey) AS nation,
+                 CAST(sum(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE)
+                   AS total_acctbal
+               FROM m GROUP BY 1),
+       golden AS (SELECT component AS cluster_key, c_name AS golden_name
+                  FROM m WHERE c_custkey = component),
+       segs AS (SELECT component AS cluster_key, c_mktsegment AS segment,
+                  count(*) AS c
+                FROM m GROUP BY 1, 2),
+       topseg AS (SELECT cluster_key, segment FROM (
+           SELECT cluster_key, segment,
+             row_number() OVER (PARTITION BY cluster_key
+               ORDER BY c DESC, segment) AS rk
+           FROM segs) WHERE rk = 1)
+       SELECT cluster_key, n_members, golden_name, nation, total_acctbal,
+         segment
+       FROM agg JOIN golden USING (cluster_key)
+       JOIN topseg USING (cluster_key)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "f33_dup_accounts" -> (f33 _))
+    "f33_dup_accounts" -> (f33 _),
+    "f35_golden_record" -> (f35 _))
 
   val oracles: Map[String, String] = Map(
-    "f33_dup_accounts" -> f33Sql)
+    "f33_dup_accounts" -> f33Sql,
+    "f35_golden_record" -> f35Sql)
 }

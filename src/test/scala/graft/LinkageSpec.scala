@@ -56,4 +56,32 @@ class LinkageSpec extends SparkSpec
       assert(byKey.contains(m), s"$k -> $m asymmetric")
     }
   }
+
+  test("f35: survivorship merges transitive clusters under the rules") {
+    val recs = Seq(
+      // block 1, a TRANSITIVE chain: 1-2 dist 2, 2-3 dist 1, but
+      // 1-3 dist 3 (outside the budget) — only closure links them
+      (1L, "aaaaa", 1L, 10.5, "X"),
+      (2L, "aaabb", 1L, 20.25, "Y"),
+      (3L, "aabbb", 1L, 30.25, "Y"),
+      // block 2: a pair with a SEGMENT TIE -> lexicographic min wins
+      (10L, "acme-store", 2L, 1.0, "Q"),
+      (11L, "acme-stores", 2L, 2.0, "P"),
+      // block 2: exact twin of key 1's name — blocking must keep it
+      // out of cluster 1; alone in its block, it's a singleton
+      (20L, "aaaaa", 2L, 99.0, "Z"),
+      // block 1 singleton: far from everything
+      (30L, "completely-other", 1L, 5.0, "W"))
+      .toDF("key", "name", "block", "bal", "segment")
+    val got = Linkage.goldenRecords(recs)
+      .as[(Long, Long, String, Long, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // exactly the two multi-member clusters; singletons are absent
+    assert(got.keySet == Set(1L, 10L))
+    // chain cluster: master key 1's name survives, balances
+    // decimal-sum exactly, segment mode Y beats X
+    assert(got(1L) == ((3L, "aaaaa", 1L, 61.0, "Y")))
+    // tie cluster: one Q + one P -> lexicographic min P
+    assert(got(10L) == ((2L, "acme-store", 2L, 3.0, "P")))
+  }
 }

@@ -346,6 +346,11 @@ CEILINGS = {
                                    # (unigram + bigram aggregates; no
                                    # text-bearing cache) + the
                                    # count-floored TakeOrdered top-K
+    "f35_golden_record": 25.7,     # committed 14.65 s single-face
+                                   # landing run — f33's 9M-pair
+                                   # banded levenshtein stage (10.8 s
+                                   # alone) + the CC closure + three
+                                   # cluster-member-sized aggregates
 }
 
 # BLANKET bars (r16): every face not hand-calibrated above gets a
