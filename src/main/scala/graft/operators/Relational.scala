@@ -857,7 +857,65 @@ object Relational {
               ELSE 'orders_only' END AS status
        FROM c FULL OUTER JOIN o ON c_custkey = o_custkey"""
 
+  // ---------------------------------------------------------------
+  // q29: audience-overlap matrix — pairwise set intersections between
+  // event-type audiences. The sketch family counts audiences (f27
+  // HLL) but nothing INTERSECTS them; overlap is the standard
+  // segmentation/attribution question ("how much of `purchase` is
+  // inside `click`?") and HLLs famously can't intersect — inclusion-
+  // exclusion on merged sketches explodes the relative error, so the
+  // exact set algebra is its own operator.
+  //
+  // Scale: one distinct over (type, user) — a single combiner-
+  // friendly shuffle; the user-keyed self-join fans out at most T²
+  // rows per user for T event types (T is small and fixed — the fan
+  // is bounded by the TYPE cardinality squared, not the data), and
+  // the (type_a, type_b) aggregate collapses it map-side to ≤ T²
+  // groups. The T-row size frame broadcasts twice. Pairs sharing no
+  // user are absent by inner-join semantics (no zero rows).
+  // ---------------------------------------------------------------
+  def q29(s: SparkSession, dir: String): DataFrame =
+    audienceOverlap(Tables.events(s, dir))
+
+  /** Pairwise (type_a < type_b) audience overlaps of an (event_type,
+    * user_id) frame: (type_a, type_b, n_a, n_b, n_common, jaccard). */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val aud = events
+      .select(col("event_type"), col("user_id")).distinct()
+      .transform(graft.CacheRegistry.register) // (type, user), used 3×
+    val sizes = aud.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    aud.select(col("event_type").as("type_a"), col("user_id"))
+      .join(aud.select(col("event_type").as("type_b"), col("user_id")),
+        "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+  }
+
+  val q29Sql: String =
+    """WITH aud AS (SELECT DISTINCT event_type, user_id FROM events),
+       sizes AS (SELECT event_type, count(*) AS n FROM aud GROUP BY 1),
+       inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_common
+                 FROM aud a JOIN aud b
+                   ON a.user_id = b.user_id AND a.event_type < b.event_type
+                 GROUP BY 1, 2)
+       SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_common,
+         round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+           AS jaccard
+       FROM inter JOIN sizes sa ON type_a = sa.event_type
+       JOIN sizes sb ON type_b = sb.event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_audience_overlap" -> (q29 _),
     "q25_unpivot" -> (q25 _),
     "q26_reconcile" -> (q26 _),
     "q24_ntile_deciles" -> (q24 _),
@@ -886,6 +944,7 @@ object Relational {
     "q14_cube_rollup" -> (q14 _))
 
   val oracles: Map[String, String] = Map(
+    "q29_audience_overlap" -> q29Sql,
     "q25_unpivot" -> q25Sql,
     "q26_reconcile" -> q26Sql,
     "q24_ntile_deciles" -> q24Sql,

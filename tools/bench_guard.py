@@ -351,6 +351,10 @@ CEILINGS = {
                                    # banded levenshtein stage (10.8 s
                                    # alone) + the CC closure + three
                                    # cluster-member-sized aggregates
+    "q29_audience_overlap": 2.6,   # committed 1.06 s single-face
+                                   # landing run — one (type, user)
+                                   # distinct + the T²-bounded
+                                   # user-keyed self-join fan
 }
 
 # BLANKET bars (r16): every face not hand-calibrated above gets a
