@@ -535,9 +535,7 @@ object Similarity {
   def annIvfPq(corpus: DataFrame, queries: DataFrame,
       k: Int = TopK): DataFrame = {
     val s = corpus.sparkSession
-    def cellDots(v: Column): Column =
-      array((0 until CoreCells).map(c =>
-        graft.plans.GraftFunctions.dot(s, v, centroidLit(c))): _*)
+    def cellDots(v: Column): Column = Similarity.cellDots(s, v)
     // one narrow pass stores the compressed corpus: coarse cell +
     // PQ codes (non-nullable cell — see s03b on constraint inference)
     val assigned = corpus
@@ -773,6 +771,148 @@ object Similarity {
          SELECT qid, c.vec_id,
            qoff + list_sum(list_transform(list_zip(qs, cl), x -> x[1]*x[2])) AS approx
          FROM codes c CROSS JOIN qp2 WHERE c.vec_id <> qp2.qid),
+       top AS (SELECT qid, vec_id FROM
+               (SELECT qid, vec_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS r
+                FROM cand) WHERE r <= $ReRank),
+       ex AS (SELECT qid, t.vec_id,
+                list_sum(list_transform(list_zip(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), x -> x[1]*x[2]))
+                / (sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)))
+                 * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))) AS cos
+              FROM top t
+              JOIN embeddings e ON e.vec_id = t.vec_id
+              JOIN embeddings q ON q.vec_id = t.qid),
+       r AS (SELECT qid, vec_id, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+             FROM ex)
+       SELECT qid, rank, vec_id, cos FROM r WHERE rank <= $TopK"""
+  }
+
+  // ---------------------------------------------------------------
+  // s18: IVF-SQ8 — the remaining cell of the IVF × compression
+  // matrix (s03: IVF over raw floats; s04: flat SQ-less PQ; s05:
+  // IVF-PQ; s17: flat SQ8): prune FIRST with the s03b coarse
+  // quantizer (probe CoreProbes of CoreCells cells), then run s17's
+  // factored SQ8 scan only within probed cells, then s04's exact
+  // re-rank tail. FAISS's IVF,SQ8 — the index a pipeline picks when
+  // PQ recall is not acceptable but raw floats don't fit: 4× byte
+  // reduction AND cells/probes candidate pruning. Fully
+  // deterministic (pinned centroids + floor quantization), so the
+  // composed DuckDB replay is bit-exact.
+  //
+  // Scale: the compressed corpus is ONE narrow pass storing (cell,
+  // 64 code bytes); a query touches probes/cells of it; the stats
+  // row and the |Q|·probes prep frame broadcast; the hot loop is the
+  // same native graft_sq8dot as s17 over a CoreProbes/CoreCells
+  // slice of the pairs.
+  // ---------------------------------------------------------------
+  def annIvfSq8(corpus: DataFrame, queries: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val s = corpus.sparkSession
+    val stats = sq8Stats(corpus)
+    // one narrow pass: coarse cell + SQ8 codes (the persisted form)
+    val assigned = corpus
+      .withColumn("_d", cellDots(s, col("embedding")))
+      .withColumn("cell", coalesce(
+        (array_position(col("_d"), array_max(col("_d"))) - 1).cast("int"),
+        lit(-1)))
+      .crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("cell"), sq8Codes.as("codes"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos").desc, col("cell").asc)
+    val probes = queries
+      .select(col("qid"), posexplode(cellDots(s, col("qe"))))
+      .withColumnsRenamed(Map("pos" -> "cell", "col" -> "qcos"))
+      .withColumn("_pr", row_number().over(wq))
+      .filter(col("_pr") <= CoreProbes)
+      .select(col("qid"), col("cell"))
+    // s17's factored query prep, computed ONCE per query, then fanned
+    // to its probe cells by a |Q|-sized join (both frames broadcast)
+    val qPrep = queries.crossJoin(broadcast(stats))
+      .withColumn("qs", transform(col("qe"), (q, i) =>
+        q.cast("double") *
+          (element_at(col("mx"), i + 1) - element_at(col("mn"), i + 1)) /
+          lit(256.0)))
+      .withColumn("qoff", aggregate(
+        transform(col("qe"), (q, i) =>
+          q.cast("double") * element_at(col("mn"), i + 1) +
+            lit(0.5) * element_at(col("qs"), i + 1)),
+        lit(0.0), _ + _))
+      .select(col("qid"), col("qs"), col("qoff"))
+    val probeQ = probes.join(qPrep, "qid")
+    val cand = assigned.join(broadcast(probeQ), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (col("qoff") +
+          graft.plans.GraftFunctions.sq8Dot(s, col("codes"), col("qs")))
+          .as("approx"))
+    val wa = Window.partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val top = cand.withColumn("_r", row_number().over(wa))
+      .filter(col("_r") <= ReRank)
+      .select(col("qid"), col("vec_id"))
+    exactReRank(corpus, queries, top, k)
+  }
+
+  def s18(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    annIvfSq8(e, queriesDf(e))
+  }
+
+  /** DuckDB replay of s18 — s05's cent/ec/asg/probe CTEs composed
+    * with s17's st/codes/qp CTEs, candidates restricted to probed
+    * cells. */
+  lazy val s18Sql: String = {
+    def centLit(c: Int): String =
+      (0 until Dim).map(d => centroidSign(c, d).toString)
+        .mkString("[", ",", "]") + "::DOUBLE[]"
+    val centRows = (0 until CoreCells).map(c => s"($c, ${centLit(c)})")
+      .mkString(",\n         ")
+    val idx = (1 to Dim).mkString("[", ",", "]")
+    s"""WITH cent(cell, cv) AS (VALUES
+         $centRows),
+       ec AS (SELECT e.vec_id, c.cell,
+                list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv), x -> x[1]*x[2])) AS cdot
+              FROM embeddings e CROSS JOIN cent c),
+       asg AS (SELECT vec_id, cell FROM
+               (SELECT vec_id, cell,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cell) AS rn
+                FROM ec) WHERE rn = 1),
+       st AS (
+         SELECT list(mn ORDER BY d) AS mn, list(mx ORDER BY d) AS mx
+         FROM (SELECT d, min(embedding[d]::DOUBLE) AS mn,
+                      max(embedding[d]::DOUBLE) AS mx
+               FROM embeddings
+               CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS d)
+               GROUP BY d)),
+       codes AS (
+         SELECT vec_id,
+           list_transform($idx, d -> CASE WHEN mx[d] = mn[d] THEN 0
+             ELSE least(255, floor((embedding[d]::DOUBLE - mn[d]) * 256.0
+                                   / (mx[d] - mn[d])))::INT END) AS cl
+         FROM embeddings CROSS JOIN st),
+       pr AS (SELECT qid, cell FROM
+              (SELECT vec_id AS qid, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cell) AS pr
+               FROM ec WHERE vec_id % $QueryStride = 0) WHERE pr <= $CoreProbes),
+       q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+             WHERE vec_id % $QueryStride = 0),
+       qp AS (SELECT qid, qe,
+                list_transform($idx,
+                  d -> qe[d]::DOUBLE * (mx[d] - mn[d]) / 256.0) AS qs
+              FROM q CROSS JOIN st),
+       qp2 AS (SELECT qid, qs,
+                 list_sum(list_transform($idx,
+                   d -> qe[d]::DOUBLE * mn[d] + 0.5 * qs[d])) AS qoff
+               FROM qp CROSS JOIN st),
+       cand AS (
+         SELECT qp2.qid, a.vec_id,
+           qoff + list_sum(list_transform(list_zip(qs, cl), x -> x[1]*x[2])) AS approx
+         FROM asg a
+         JOIN pr ON a.cell = pr.cell
+         JOIN codes c ON c.vec_id = a.vec_id
+         JOIN qp2 ON qp2.qid = pr.qid
+         WHERE a.vec_id <> qp2.qid),
        top AS (SELECT qid, vec_id FROM
                (SELECT qid, vec_id,
                   row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS r
@@ -1192,7 +1332,8 @@ object Similarity {
     "s03b_ivf_core" -> (s03b _),
     "s04_pq_adc" -> (s04 _),
     "s05_ivfpq" -> (s05 _),
-    "s17_ann_sq8" -> (s17 _))
+    "s17_ann_sq8" -> (s17 _),
+    "s18_ivf_sq8" -> (s18 _))
 
   val oracles: Map[String, String] = Map(
     "s14_centroid_prune" -> s14Sql,
@@ -1205,5 +1346,6 @@ object Similarity {
     "s03b_ivf_core" -> s03bSql,
     "s04_pq_adc" -> s04Sql,
     "s05_ivfpq" -> s05Sql,
-    "s17_ann_sq8" -> s17Sql)
+    "s17_ann_sq8" -> s17Sql,
+    "s18_ivf_sq8" -> s18Sql)
 }

@@ -526,6 +526,34 @@ class DedupSpec extends SparkSpec {
     assert(pc(1)(1) == 128)                  // midpoint → floor(0.5·256)
   }
 
+  test("s18 IVF-SQ8: recall beats IVF-PQ at the same probe budget; " +
+      "hits stay in probed cells") {
+    val exact = Similarity.s01(spark, sf("sf0.01"))
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val rows = Similarity.s18(spark, sf("sf0.01"))
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    assert(rows.length == rows.toSet.size)
+    // same 4/16 cell pruning as s05 but an 8-bit-per-dim in-cell
+    // scan: whatever the cells admit, SQ8 ranks near-exactly, so
+    // recall must dominate IVF-PQ's at the identical probe/re-rank
+    // budget (measured 0.58 vs 0.48 at landing)
+    val recall = (exact & rows.toSet).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF-SQ8 recall $recall too low")
+    val pqRecall = (exact & Similarity.s05(spark, sf("sf0.01"))
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet)
+      .size.toDouble / exact.size
+    assert(recall >= pqRecall,
+      s"IVF-SQ8 recall $recall below IVF-PQ's $pqRecall")
+    // and hits must come from the probed cells: a subset of the FULL
+    // candidate pool of the same coarse quantizer (the s05 invariant)
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    val q = e.filter(col("vec_id") % Similarity.QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pool = Similarity.annIvfCore(e, q, k = Int.MaxValue)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(rows.toSet.subsetOf(pool))
+  }
+
   test("ANN faces accept an explicit external query set") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
     // exact copies of 3 corpus vectors, re-keyed as external queries

@@ -355,6 +355,11 @@ CEILINGS = {
                                    # landing run — one (type, user)
                                    # distinct + the T²-bounded
                                    # user-keyed self-join fan
+    "s18_ivf_sq8": 5.5,            # committed 2.78 s single-face
+                                   # landing run — coarse assignment
+                                   # + SQ8 encode in one pass, then
+                                   # the native sq8dot scan over the
+                                   # 4/16 probed cells + exact rerank
 }
 
 # BLANKET bars (r16): every face not hand-calibrated above gets a
