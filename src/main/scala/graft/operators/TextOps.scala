@@ -776,7 +776,103 @@ object TextOps {
        SELECT CAST(rank AS BIGINT) AS rank, x, y, c_xy, pmi
        FROM r WHERE rank <= $CollocTopK"""
 
+  // ---------------------------------------------------------------
+  // t13: Zipf rank-frequency fit — the corpus-health diagnostic next
+  // to c13's census: natural text follows count ∝ rank^(−s) with
+  // s ≈ 1 (Zipf 1949; Piantadosi 2014 for the modern treatment), and
+  // a per-source OLS fit of ln(count) on ln(rank) flags the sources
+  // that AREN'T natural text — template/boilerplate farms flatten
+  // the curve (|slope| ≪ 1, few terms dominate uniformly), keyword-
+  // stuffed spam steepens it, and a low r² says the source isn't
+  // power-law-shaped at all. The count floor trims the heavy tied
+  // tail where rank is tie-break noise.
+  //
+  // Float parity: per-term contributions x=round(ln rank), y=
+  // round(ln count) and their rounded products are DECIMAL-summed
+  // (t08's discipline — aggregation-order-independent); the OLS
+  // closed form runs on the exact sums as the IDENTICAL double
+  // expression in both engines. vy ≤ 0 (a degenerate all-equal-count
+  // source, possible only through rounding) pins r² to 0 rather than
+  // dividing by zero.
+  //
+  // Scale: one token scan → a (source, term) combiner-friendly
+  // aggregate; the rank window partitions by source over the
+  // count-floored vocab (vocab-cardinality, not corpus); the OLS
+  // sums are a second combiner-friendly aggregate down to one row
+  // per source. Nothing touches text twice.
+  // ---------------------------------------------------------------
+  val ZipfMinCount = 5
+
+  def t13(s: SparkSession, dir: String): DataFrame =
+    zipfFit(Tables.documents(s, dir), ZipfMinCount)
+
+  /** Per-source OLS fit of ln(count) on ln(rank) over terms with
+    * count ≥ `minCount`: (source, n_terms, slope, intercept, r2). */
+  def zipfFit(docs: DataFrame, minCount: Int): DataFrame = {
+    val toks = docs.filter(trim(col("text")) =!= "")
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+    val counts = toks.groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("c").desc, col("t").asc)
+    val xy = counts.withColumn("rank", row_number().over(wr))
+      .select(col("source"),
+        round(log(col("rank").cast("double")), 6).as("x"),
+        round(log(col("c").cast("double")), 6).as("y"))
+    def zsum(c: Column) = sum(round(c, 6).cast("decimal(25,8)")).cast("double")
+    val sums = xy.groupBy(col("source")).agg(
+      count(lit(1)).as("n_terms"),
+      zsum(col("x")).as("sx"), zsum(col("y")).as("sy"),
+      zsum(col("x") * col("y")).as("sxy"),
+      zsum(col("x") * col("x")).as("sxx"),
+      zsum(col("y") * col("y")).as("syy"))
+    val n = col("n_terms").cast("double")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val vx = n * col("sxx") - col("sx") * col("sx")
+    val vy = n * col("syy") - col("sy") * col("sy")
+    sums.filter(col("n_terms") >= 2)
+      .select(col("source"), col("n_terms"),
+        round(cov / vx, 6).as("slope"),
+        round((col("sy") - (cov / vx) * col("sx")) / n, 6).as("intercept"),
+        when(vy <= 0d, lit(0.0))
+          .otherwise(round((cov * cov) / (vx * vy), 6)).as("r2"))
+  }
+
+  val t13Sql: String =
+    raw"""WITH toks AS (SELECT source,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+         FROM documents WHERE trim(text) <> ''),
+       counts AS (SELECT source, t, count(*) AS c FROM toks
+                  GROUP BY 1, 2 HAVING count(*) >= $ZipfMinCount),
+       xy AS (SELECT source,
+                round(ln(CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY c DESC, t) AS DOUBLE)), 6) AS x,
+                round(ln(CAST(c AS DOUBLE)), 6) AS y
+              FROM counts),
+       sums AS (SELECT source, count(*) AS n_terms,
+           CAST(sum(CAST(round(x, 6) AS DECIMAL(25,8))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(round(y, 6) AS DECIMAL(25,8))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(round(x*y, 6) AS DECIMAL(25,8))) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(round(x*x, 6) AS DECIMAL(25,8))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(round(y*y, 6) AS DECIMAL(25,8))) AS DOUBLE) AS syy
+         FROM xy GROUP BY 1)
+       SELECT source, n_terms,
+         round((CAST(n_terms AS DOUBLE)*sxy - sx*sy)
+               / (CAST(n_terms AS DOUBLE)*sxx - sx*sx), 6) AS slope,
+         round((sy - ((CAST(n_terms AS DOUBLE)*sxy - sx*sy)
+               / (CAST(n_terms AS DOUBLE)*sxx - sx*sx)) * sx)
+               / CAST(n_terms AS DOUBLE), 6) AS intercept,
+         CASE WHEN CAST(n_terms AS DOUBLE)*syy - sy*sy <= 0 THEN 0.0
+           ELSE round(((CAST(n_terms AS DOUBLE)*sxy - sx*sy)
+                 * (CAST(n_terms AS DOUBLE)*sxy - sx*sy))
+               / ((CAST(n_terms AS DOUBLE)*sxx - sx*sx)
+                 * (CAST(n_terms AS DOUBLE)*syy - sy*sy)), 6) END AS r2
+       FROM sums WHERE n_terms >= 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_zipf_fit" -> (t13 _),
     "t12_pmi_collocations" -> (t12 _),
     "t11_gopher_rules" -> (t11 _),
     "t10_readability" -> (t10 _),
@@ -802,5 +898,6 @@ object TextOps {
     "t09_entropy" -> t09Sql,
     "t10_readability" -> t10Sql,
     "t11_gopher_rules" -> t11Sql,
-    "t12_pmi_collocations" -> t12Sql)
+    "t12_pmi_collocations" -> t12Sql,
+    "t13_zipf_fit" -> t13Sql)
 }

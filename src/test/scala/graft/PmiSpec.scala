@@ -48,4 +48,28 @@ class PmiSpec extends SparkSpec {
     assert(top2.map(r => (r._1, r._2, r._3)) ==
       Seq((1L, "p", "q"), (2L, "r", "s")))
   }
+
+  test("t13 core: perfect power law fits slope -1; flat source pins 0") {
+    // source zipf: counts 6/3/2 over ranks 1/2/3 — exactly c = 6/r,
+    // so ln c = ln 6 - 1·ln r: slope -1, r² 1 (up to the 1e-6
+    // contribution rounding). source flat: three equal counts — zero
+    // covariance and the vy≤0 guard must pin r² to 0, not divide.
+    val docs = Seq(
+      ("zipf", (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+        .mkString(" ")),
+      ("flat", "p q r p q r p q r"))
+      .toDF("source", "text")
+    val got = TextOps.zipfFit(docs, minCount = 1)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val (nz, slope, intercept, r2) = got("zipf")
+    assert(nz == 3L)
+    assert(math.abs(slope + 1.0) < 1e-4, s"slope $slope")
+    assert(math.abs(intercept - math.log(6.0)) < 1e-4, s"intercept $intercept")
+    assert(r2 > 0.9999, s"r2 $r2")
+    val (nf, fSlope, fIntercept, fR2) = got("flat")
+    assert(nf == 3L && fSlope == 0.0 && fR2 == 0.0, s"flat $fSlope $fR2")
+    // zero slope -> intercept is the mean of y = ln 3
+    assert(math.abs(fIntercept - math.log(3.0)) < 1e-4)
+  }
 }

@@ -360,6 +360,10 @@ CEILINGS = {
                                    # + SQ8 encode in one pass, then
                                    # the native sq8dot scan over the
                                    # 4/16 probed cells + exact rerank
+    "t13_zipf_fit": 2.1,           # committed 0.77 s single-face
+                                   # landing run — one token scan,
+                                   # two combiner-friendly aggregates
+                                   # + the vocab-sized rank window
 }
 
 # BLANKET bars (r16): every face not hand-calibrated above gets a
