@@ -59,16 +59,21 @@ object Graph {
     * rank_e12 = rank scaled by 10^12 in exact integer arithmetic.
     * The graph has no dangling nodes by construction (symmetrized
     * edges give every node out-degree ≥ 1). */
-  def pagerank(edges: DataFrame, iters: Int = Iters): DataFrame = {
-    // symmetrize + out-degree in one cached, src-partitioned frame:
-    // the window consumes the repartition's hash distribution, and
-    // every iteration's rank join consumes the cache's partitioning
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+  /** Symmetrize + out-degree in one cached, src-partitioned frame:
+    * the window consumes the repartition's hash distribution, and
+    * every iteration's rank join consumes the cache's partitioning —
+    * the shared edge posture of [[pagerank]] and
+    * [[personalizedPagerank]]. */
+  private def symWithOutdeg(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src"))
       .withColumn("outdeg",
         count(lit(1)).over(Window.partitionBy(col("src"))))
       .transform(graft.CacheRegistry.register)
+
+  def pagerank(edges: DataFrame, iters: Int = Iters): DataFrame = {
+    val sym = symWithOutdeg(edges)
     val nDf = sym.select(col("src")).distinct()
       .agg(count(lit(1)).as("n"))
     // (node, outdeg, per-node jump term) — the static left side of
@@ -130,24 +135,36 @@ object Graph {
   def g03(s: SparkSession, dir: String): DataFrame =
     pagerank(coEdges(Tables.lineitem(s, dir)))
 
-  val g03Sql: String = {
-    val jumpNum = Scale * (DampingDen - DampingNum) / DampingDen
-    // unrolled fixed-point: rK computed from r(K-1), Iters times; all
-    // arithmetic BIGINT (DuckDB's sum() widens to HUGEINT — cast back)
-    val iterCtes = (1 to Iters).map { k =>
-      s"""c$k AS (SELECT s.dst, CAST(sum(r.rank_e12 // s.outdeg) AS BIGINT) AS sumc
+  /** The teleport numerator (0.15 × Scale) shared by both oracles. */
+  private val JumpNum = Scale * (DampingDen - DampingNum) / DampingDen
+
+  /** Unrolled fixed-point CTEs shared VERBATIM by g03Sql and f34Sql
+    * (the Spark sides share `iterate` the same way): rK computed
+    * from r(K-1), Iters times; all arithmetic BIGINT (DuckDB's sum()
+    * widens to HUGEINT — cast back). Expects `sym` (src, dst,
+    * outdeg), `nodes` (node, jump, …), `r0` (node, rank_e12). */
+  private val iterCtes: String = (1 to Iters).map { k =>
+    s"""c$k AS (SELECT s.dst, CAST(sum(r.rank_e12 // s.outdeg) AS BIGINT) AS sumc
              FROM sym s JOIN r${k - 1} r ON s.src = r.node GROUP BY 1),
        r$k AS (SELECT b.node, b.jump + (coalesce(c$k.sumc, 0) * $DampingNum) // $DampingDen AS rank_e12
              FROM nodes b LEFT JOIN c$k ON b.node = c$k.dst)"""
-    }.mkString(",\n       ")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+  }.mkString(",\n       ")
+
+  /** co-purchase graph CTEs (li → e → sym0 → sym) shared verbatim by
+    * g03Sql and f34Sql — the SQL twin of coEdges + symWithOutdeg. */
+  private val coGraphCtes: String =
+    """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
              FROM li a JOIN li b
              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
        sym0 AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
        sym AS (SELECT src, dst,
                  count(*) OVER (PARTITION BY src) AS outdeg
-               FROM sym0),
+               FROM sym0)"""
+
+  val g03Sql: String = {
+    val jumpNum = JumpNum
+    s"""WITH $coGraphCtes,
        nn AS (SELECT count(DISTINCT src) AS n FROM sym0),
        nodes AS (SELECT DISTINCT src AS node,
                    $jumpNum // n AS jump, $Scale // n AS r0
@@ -190,15 +207,14 @@ object Graph {
     * teleport restricted to the in-graph seed set. */
   def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
       iters: Int = Iters): DataFrame = {
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src"))
-      .withColumn("outdeg",
-        count(lit(1)).over(Window.partitionBy(col("src"))))
-      .transform(graft.CacheRegistry.register)
+    val sym = symWithOutdeg(edges)
+    // node-cardinality, consumed twice (the |S| aggregate + the
+    // is_seed join) — cached so the node-distinct + semi-join
+    // subtree runs once
     val graphSeeds = sym.select(col("src").as("node")).distinct()
       .join(seeds.select(col("node")).distinct(), Seq("node"), "left_semi")
       .withColumn("is_seed", lit(true))
+      .transform(graft.CacheRegistry.register)
     val nS = graphSeeds.agg(count(lit(1)).as("ns"))
     val jumpNum = Scale * (DampingDen - DampingNum) / DampingDen
     val nodes = sym.select(col("src").as("node"), col("outdeg")).distinct()
@@ -222,21 +238,8 @@ object Graph {
       Fraud.f21(s, dir).select(col("item_id").as("node")))
 
   val f34Sql: String = {
-    val jumpNum = Scale * (DampingDen - DampingNum) / DampingDen
-    val iterCtes = (1 to Iters).map { k =>
-      s"""c$k AS (SELECT s.dst, CAST(sum(r.rank_e12 // s.outdeg) AS BIGINT) AS sumc
-             FROM sym s JOIN r${k - 1} r ON s.src = r.node GROUP BY 1),
-       r$k AS (SELECT b.node, b.jump + (coalesce(c$k.sumc, 0) * $DampingNum) // $DampingDen AS rank_e12
-             FROM nodes b LEFT JOIN c$k ON b.node = c$k.dst)"""
-    }.mkString(",\n       ")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-             FROM li a JOIN li b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-       sym0 AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
-       sym AS (SELECT src, dst,
-                 count(*) OVER (PARTITION BY src) AS outdeg
-               FROM sym0),
+    val jumpNum = JumpNum
+    s"""WITH $coGraphCtes,
        anom AS (SELECT item_id AS node FROM (${Fraud.f21Sql})),
        gseeds AS (SELECT DISTINCT src AS node FROM sym0
                   WHERE src IN (SELECT node FROM anom)),

@@ -704,12 +704,14 @@ object Similarity {
     * broadcast side. Both engines compute the SAME factored
     * expression (not the algebraically-equal unfactored one — IEEE
     * rounding differs between the two forms). */
-  def annSq8(corpus: DataFrame, queries: DataFrame,
-      k: Int = TopK): DataFrame = {
-    val s = corpus.sparkSession
-    val stats = sq8Stats(corpus)
-    val coded = sq8Encoded(corpus)
-    val qPrep = queries.crossJoin(broadcast(stats))
+  /** The factored SQ8 query prep against the broadcast stats row:
+    * (qid, qe, qs, qoff) with qs_d = q_d·step_d and
+    * qoff = Σ_d (q_d·mn_d + 0.5·qs_d) — the SAME factored expression
+    * s17 and s18 (and both engines' oracles) must compute; a single
+    * definition so the two faces can never drift apart. */
+  private def sq8QueryPrep(queries: DataFrame,
+      stats: DataFrame): DataFrame =
+    queries.crossJoin(broadcast(stats))
       .withColumn("qs", transform(col("qe"), (q, i) =>
         q.cast("double") *
           (element_at(col("mx"), i + 1) - element_at(col("mn"), i + 1)) /
@@ -720,6 +722,13 @@ object Similarity {
             lit(0.5) * element_at(col("qs"), i + 1)),
         lit(0.0), _ + _))
       .select(col("qid"), col("qe"), col("qs"), col("qoff"))
+
+  def annSq8(corpus: DataFrame, queries: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val s = corpus.sparkSession
+    val stats = sq8Stats(corpus)
+    val coded = sq8Encoded(corpus)
+    val qPrep = sq8QueryPrep(queries, stats)
     val cand = coded.join(broadcast(qPrep), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         (col("qoff") +
@@ -810,12 +819,9 @@ object Similarity {
       k: Int = TopK): DataFrame = {
     val s = corpus.sparkSession
     val stats = sq8Stats(corpus)
-    // one narrow pass: coarse cell + SQ8 codes (the persisted form)
-    val assigned = corpus
-      .withColumn("_d", cellDots(s, col("embedding")))
-      .withColumn("cell", coalesce(
-        (array_position(col("_d"), array_max(col("_d"))) - 1).cast("int"),
-        lit(-1)))
+    // one narrow pass: coarse cell (the shared s03b assignment) +
+    // SQ8 codes — the persisted form
+    val assigned = assignCells(corpus)
       .crossJoin(broadcast(stats))
       .select(col("vec_id"), col("cell"), sq8Codes.as("codes"))
     val wq = Window.partitionBy(col("qid"))
@@ -828,16 +834,7 @@ object Similarity {
       .select(col("qid"), col("cell"))
     // s17's factored query prep, computed ONCE per query, then fanned
     // to its probe cells by a |Q|-sized join (both frames broadcast)
-    val qPrep = queries.crossJoin(broadcast(stats))
-      .withColumn("qs", transform(col("qe"), (q, i) =>
-        q.cast("double") *
-          (element_at(col("mx"), i + 1) - element_at(col("mn"), i + 1)) /
-          lit(256.0)))
-      .withColumn("qoff", aggregate(
-        transform(col("qe"), (q, i) =>
-          q.cast("double") * element_at(col("mn"), i + 1) +
-            lit(0.5) * element_at(col("qs"), i + 1)),
-        lit(0.0), _ + _))
+    val qPrep = sq8QueryPrep(queries, stats)
       .select(col("qid"), col("qs"), col("qoff"))
     val probeQ = probes.join(qPrep, "qid")
     val cand = assigned.join(broadcast(probeQ), Seq("cell"))

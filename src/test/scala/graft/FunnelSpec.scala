@@ -64,4 +64,18 @@ class FunnelSpec extends SparkSpec {
         ("2026-01-05", 2L) -> ((1L, 2L))), s"got $m")
     } finally CacheRegistry.unpersistAll()
   }
+
+  test("q29 core: hand-computed audience overlaps on planted events") {
+    try {
+      // X={1,2,3}, Y={2,3,4} (overlap 2, union 4), Z={9} disjoint;
+      // duplicate (X,1) rows must not inflate the sets
+      val ev = Seq(("X", 1L), ("X", 1L), ("X", 2L), ("X", 3L),
+        ("Y", 2L), ("Y", 3L), ("Y", 4L), ("Z", 9L))
+        .toDF("event_type", "user_id")
+      val got = Relational.audienceOverlap(ev)
+        .as[(String, String, Long, Long, Long, Double)].collect()
+      assert(got.toSeq == Seq(("X", "Y", 3L, 3L, 2L, 0.5)),
+        "only the overlapping pair appears; jaccard = 2/4")
+    } finally CacheRegistry.unpersistAll()
+  }
 }

@@ -45,17 +45,4 @@ class PathsSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().map(r => r._1 -> r._2).toMap
     assert(got == Map("view->click->purchase" -> 1L, "view->error" -> 1L))
   }
-
-  test("q29 core: hand-computed audience overlaps on planted events") {
-    import graft.operators.Relational
-    // X={1,2,3}, Y={2,3,4} (overlap 2, union 4), Z={9} disjoint;
-    // duplicate (X,1) rows must not inflate the sets
-    val ev = Seq(("X", 1L), ("X", 1L), ("X", 2L), ("X", 3L),
-      ("Y", 2L), ("Y", 3L), ("Y", 4L), ("Z", 9L))
-      .toDF("event_type", "user_id")
-    val got = Relational.audienceOverlap(ev)
-      .as[(String, String, Long, Long, Long, Double)].collect()
-    assert(got.toSeq == Seq(("X", "Y", 3L, 3L, 2L, 0.5)),
-      "only the overlapping pair appears; jaccard = 2/4")
-  }
 }
