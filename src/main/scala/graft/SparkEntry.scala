@@ -202,6 +202,22 @@ object SparkEntry {
       }
       operators.Search.queryBm25Index(s, root, operators.Search.QueryTerms)
     }),
+    // st08_linkage_gate: f33's record linkage enforced at
+    // registration — the customer table lands as two micro-batches
+    // through the maintained gate (within-batch pairs + the blocked
+    // probe against the accumulated state), alerts read back
+    "st08_linkage_gate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val root = GateScratch.fresh(s, "linkgate")
+      val recs = Tables.customer(s, dir)
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          col("c_nationkey").cast("long").as("block"))
+      (0L to 1L).foreach { b =>
+        operators.Linkage.linkageBatch(
+          recs.filter(pmod(col("key"), lit(2)) === b), b, root)
+      }
+      operators.Linkage.readLinkageAlerts(s, root)
+    }),
     // st03_maintain: the maintenance pass alone (recoverSwaps +
     // compactCensus + foldBatches×2 + sealed-dir compacts) over gate
     // state built UNTIMED by the benchSetup hook of the same name —

@@ -207,6 +207,93 @@ object Linkage {
        FROM agg JOIN golden USING (cluster_key)
        JOIN topseg USING (cluster_key)"""
 
+  // ---------------------------------------------------------------
+  // 41s: streaming duplicate-account gate — f33's linkage enforced AT
+  // REGISTRATION (the 41f ingest-gate posture applied to ER): every
+  // micro-batch of new accounts is linked against its own members AND
+  // the accumulated account state, so the ban-evasion follow-up is
+  // flagged the trigger it registers, not at the next batch sweep.
+  //
+  // State is the indexBatch posture (41r): each batch writes its own
+  // `state/batch=<id>` level partitioned by block — a replayed id
+  // OVERWRITES its own directory, and the gate reads batches < id
+  // only, so crash-replay sees the same corpus as the first run and
+  // emits the same alerts (idempotence spec-pinned). The cross probe
+  // is the same blocked equi-join + length-gap prune + banded
+  // thresholded levenshtein as linkPairs — per trigger it touches the
+  // batch's blocks of the state only (block partition pruning).
+  //
+  // Keys must be GLOBALLY UNIQUE for the stream's lifetime (the
+  // gateBatch contract): state is keyed by `key` alone.
+  // ---------------------------------------------------------------
+
+  /** Fold one (key, name, block) registration micro-batch into the
+    * maintained account state and write its best-match alerts to
+    * `path/alerts/batch=<id>` — idempotent under replay of the same
+    * `id`. Alert rows: (key, match_key, match_name, dist,
+    * n_candidates), the f33 verdict shape, one per batch member with
+    * a within-budget neighbor in the batch or the earlier state. */
+  def linkageBatch(batch: DataFrame, id: Long, path: String,
+      maxEdits: Int = MaxEdits): Unit = {
+    require(!batch.columns.contains("batch"),
+      "linkage gate input must not carry a 'batch' column (reserved for the state layout)")
+    val s = batch.sparkSession
+    graft.CacheRegistry.scoped {
+      val recs = batch.select(col("key"), col("name"), col("block"))
+        .transform(graft.CacheRegistry.register)
+      // within-batch: the shared half-pair stage, mirrored so BOTH
+      // members of a sibling pair alert (the bestMatches rule)
+      val half = linkPairs(recs, maxEdits)
+      val within = half
+        .select(col("key"), col("match_key"), col("match_name"), col("dist"))
+        .unionByName(half.select(col("match_key").as("key"),
+          col("key").as("match_key"), col("name").as("match_name"),
+          col("dist")))
+      // cross-batch: probe the sealed state levels below this id
+      val stateRoot = new org.apache.hadoop.fs.Path(s"$path/state")
+      val fs = stateRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val cross =
+        if (!fs.exists(stateRoot)) within.limit(0)
+        else s.read.parquet(s"$path/state").filter(col("batch") < id)
+          .select(col("key").as("match_key"),
+            col("name").as("match_name"), col("block"))
+          .join(recs, Seq("block"))
+          .filter(abs(length(col("name")) - length(col("match_name"))) <= maxEdits)
+          .withColumn("dist",
+            levenshtein(col("name"), col("match_name"), maxEdits).cast("long"))
+          .filter(col("dist") >= 0 && col("dist") <= maxEdits)
+          .select(col("key"), col("match_key"), col("match_name"), col("dist"))
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("dist").asc, col("match_key").asc)
+      val alerts = within.unionByName(cross)
+        .withColumn("rank", row_number().over(w))
+        .withColumn("n_candidates",
+          count(lit(1)).over(Window.partitionBy(col("key"))))
+        .filter(col("rank") === 1)
+        .select(col("key"), col("match_key"), col("match_name"),
+          col("dist"), col("n_candidates"))
+      alerts.write.mode("overwrite").parquet(s"$path/alerts/batch=$id")
+      recs.write.mode("overwrite").partitionBy("block")
+        .parquet(s"$path/state/batch=$id")
+    }
+  }
+
+  /** Maintain the registration gate over a (key, name, block)
+    * stream. */
+  def maintainLinkage(stream: DataFrame, path: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        linkageBatch(batch, id, path)
+      }
+      .start()
+
+  /** All alerts the maintained gate has emitted (batch is the
+    * partition column of the alert layout). */
+  def readLinkageAlerts(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"$path/alerts")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f33_dup_accounts" -> (f33 _),
     "f35_golden_record" -> (f35 _))

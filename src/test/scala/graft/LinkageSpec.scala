@@ -84,4 +84,52 @@ class LinkageSpec extends SparkSpec
     // tie cluster: one Q + one P -> lexicographic min P
     assert(got(10L) == ((2L, "acme-store", 2L, 3.0, "P")))
   }
+
+  test("41s gate: batch-2 alerts == bestMatches over the union; " +
+      "replay changes nothing; a real stream drives the same path") {
+    val b1 = Seq((1L, "mallory-shop", 1L), (2L, "mallory-shoq", 1L),
+      (10L, "acme-store", 2L)).toDF("key", "name", "block")
+    val b2 = Seq((3L, "mallory-chop", 1L), (11L, "acme-stores", 2L),
+      (20L, "unrelated-name", 1L)).toDF("key", "name", "block")
+    implicit val sqlCtx = spark.sqlContext
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String, Long, Long)] =
+      df.select("key", "match_key", "match_name", "dist", "n_candidates")
+        .as[(Long, Long, String, Long, Long)].collect().toSet
+    val root = java.nio.file.Files.createTempDirectory("linkgate").toString
+    Linkage.linkageBatch(b1, 0L, root)
+    Linkage.linkageBatch(b2, 1L, root)
+    val alerts = Linkage.readLinkageAlerts(spark, root)
+    // batch 0 sees only itself: the sibling pair alerts both ways,
+    // the lone acme is clean
+    assert(rows(alerts.filter(col("batch") === 0)) ==
+      Set((1L, 2L, "mallory-shoq", 1L, 1L), (2L, 1L, "mallory-shop", 1L, 1L)))
+    // batch 1's candidate set (own members + state) is EXACTLY what
+    // batch bestMatches sees over the union — verdicts must agree
+    val expect = rows(Linkage.bestMatches(b1.unionByName(b2))
+      .filter(col("key").isin(3L, 11L, 20L)))
+    assert(rows(alerts.filter(col("batch") === 1)) == expect)
+    assert(expect.map(_._1) == Set(3L, 11L)) // 20 is clean everywhere
+    // crash-replay of batch 1: same alerts, same state row count
+    val before = (rows(alerts), Linkage.readLinkageAlerts(spark, root).count(),
+      spark.read.parquet(s"$root/state").count())
+    Linkage.linkageBatch(b2, 1L, root)
+    val after = Linkage.readLinkageAlerts(spark, root)
+    assert((rows(after), after.count(),
+      spark.read.parquet(s"$root/state").count()) == before)
+    // and a REAL writeStream over MemoryStream lands the same alerts
+    val root2 = java.nio.file.Files.createTempDirectory("linkgate2").toString
+    val ckp = java.nio.file.Files.createTempDirectory("linkckp").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val q = Linkage.maintainLinkage(
+      input.toDF().toDF("key", "name", "block"), root2, ckp)
+    try {
+      input.addData(b1.as[(Long, String, Long)].collect().toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.as[(Long, String, Long)].collect().toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(Linkage.readLinkageAlerts(spark, root2)) ==
+      rows(Linkage.readLinkageAlerts(spark, root)))
+  }
 }

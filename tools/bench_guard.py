@@ -364,6 +364,12 @@ CEILINGS = {
                                    # landing run — one token scan,
                                    # two combiner-friendly aggregates
                                    # + the vocab-sized rank window
+    "st08_linkage_gate": 23.9,     # committed 13.59 s single-face
+                                   # landing run — two registration
+                                   # micro-batches through the gate:
+                                   # within-batch banded levenshtein
+                                   # pairs + the blocked state probe
+                                   # + alert/state writes per trigger
 }
 
 # BLANKET bars (r16): every face not hand-calibrated above gets a
