@@ -622,13 +622,127 @@ object Binary {
        FROM documents WHERE doc_id % 3 = 1"""
   }
 
+  // ---------------------------------------------------------------
+  // m04: audio fingerprint (envelope dHash) + near-dup pairs — the
+  // m02 gradient-hash idea applied to the m03 decode path, completing
+  // the multimodal dedup symmetry (images near-dup by dHash since
+  // r13; audio had energies but no fingerprint). 65 window energies
+  // over the decoded PCM (exact integer |sample| sums, the m03
+  // arithmetic at finer granularity) → 64 gradient bits (bit b set
+  // iff e_{b+1} > e_b) → one BIGINT — robust to uniform gain changes
+  // exactly like dHash is to brightness, and band-joinable by the
+  // same 8×8 pigeonhole scheme (dhashPairs, shared verbatim).
+  //
+  // The face's WAVs are md5-formula synthesized (130 samples → 65
+  // 2-sample windows), so the oracle replays decode → window sums →
+  // gradient bits ARITHMETICALLY — the third stock-JDK codec check
+  // inside the driver gate.
+  // ---------------------------------------------------------------
+  val AudioFpWindows = 65
+  val AudioFpSamples = 2 * AudioFpWindows
+
+  case class AudioFp(media_id: Long, n_samples: Int, fp: Long,
+      real_decode: Boolean)
+
+  /** Distributed envelope fingerprinting: REAL javax.sound decode,
+    * 65 exact integer window energies, 64 gradient bits. */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id"), col("payload"),
+        col("meta.media_type").as("media_type")).as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val win = new Array[Long](AudioFpWindows)
+        val decoded =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            try {
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16) None
+              else {
+                val raw = ais.readAllBytes()
+                val n = raw.length / 2
+                var i = 0
+                while (i < n) {
+                  val lo = raw(i * 2) & 0xff
+                  val hi = raw(i * 2 + 1) & 0xff
+                  val v =
+                    (if (fmt.isBigEndian) (lo << 8) | hi else (hi << 8) | lo)
+                      .toShort.toInt
+                  win((i * AudioFpWindows / n).min(AudioFpWindows - 1)) +=
+                    math.abs(v).toLong
+                  i += 1
+                }
+                Some(n)
+              }
+            } finally scala.util.Try(ais.close())
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case Some(n) =>
+            var fp = 0L
+            var b = 0
+            while (b < 64) {
+              if (win(b + 1) > win(b)) fp |= (1L << b)
+              b += 1
+            }
+            AudioFp(r.media_id, n, fp, real_decode = true)
+          case None =>
+            val (_, h, f) = stubDecode(r.payload)
+            val fold = f.foldLeft(1469598103934665603L)((acc, v) =>
+              (acc ^ java.lang.Float.floatToIntBits(v)) * 1099511628211L)
+            AudioFp(r.media_id, h, fold, real_decode = false)
+        }
+      }).toDF()
+  }
+
+  /** Near-dup audio pairs — the dhashPairs band scheme verbatim over
+    * the envelope fingerprints. */
+  def audioFpPairs(fps: DataFrame, maxHamming: Int = 7): DataFrame =
+    dhashPairs(fps.withColumnRenamed("fp", "dhash"), maxHamming)
+      .withColumnRenamed("dhash", "fp")
+
+  /** m04 face: audio-typed media rows as md5-formula WAVs through
+    * the fingerprint path. */
+  def m04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = mediaTable(s, dir)
+      .filter(col("meta.media_type") === "audio/wav")
+      .select(col("media_id")).as[Long]
+    audioFingerprint(ids.mapPartitions(_.map { id =>
+      (id, syntheticWav(id, AudioFpSamples), "audio/wav")
+    }).toDF("media_id", "payload", "media_type")
+      .select(col("media_id"), col("payload"),
+        struct(col("media_type").as("media_type"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("").as("header_hex")).as("meta")))
+  }
+
+  val m04Sql: String = {
+    def sample(i: Int): String =
+      s"((CAST(('0x' || substring(md5('au:' || CAST(doc_id AS VARCHAR) || ':$i'), 1, 15)) AS BIGINT) % 65536) - 32768)"
+    def win(w: Int): String =
+      s"(abs(${sample(2 * w)}) + abs(${sample(2 * w + 1)}))"
+    val terms = (0 until 64).map { b =>
+      val pow =
+        if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+      s"CASE WHEN ${win(b + 1)} > ${win(b)} THEN CAST($pow AS BIGINT) ELSE 0 END"
+    }.mkString("\n         + ")
+    s"""SELECT doc_id AS media_id, $AudioFpSamples AS n_samples,
+       CAST($terms AS BIGINT) AS fp,
+       TRUE AS real_decode
+       FROM documents WHERE doc_id % 3 = 1"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta" -> (m01 _),
     "m02_image_dhash" -> (m02 _),
-    "m03_audio_energy" -> (m03 _))
+    "m03_audio_energy" -> (m03 _),
+    "m04_audio_fp" -> (m04 _))
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
     "m02_image_dhash" -> m02Sql,
-    "m03_audio_energy" -> m03Sql)
+    "m03_audio_energy" -> m03Sql,
+    "m04_audio_fp" -> m04Sql)
 }

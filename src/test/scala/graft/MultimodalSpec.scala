@@ -159,6 +159,60 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(1)._6, "undecodable audio payload must take the stub path")
   }
 
+  test("m04: envelope fp is gain-invariant; pairs find the near-dup, " +
+      "skip the stranger; fallback flagged") {
+    import javax.sound.sampled._
+    import graft.multimodal.Binary
+    def wavOf(samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(i * 2) = (s & 0xff).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val n = Binary.AudioFpSamples
+    // a rising-envelope signal; its half-gain copy has every window
+    // energy halved, so EVERY gradient comparison — and the fp — is
+    // identical (the dHash brightness-invariance analog)
+    val base = Array.tabulate(n)(i => (i * 37 % 251 + 4 * i).toShort)
+    val halfGain = base.map(v => (v / 2).toShort)
+    // alternating spikes give a different gradient pattern entirely
+    val other = Array.tabulate(n)(i =>
+      (if (i / 2 % 2 == 0) 30000 else 10) .toShort)
+    val media = Seq(
+      (1L, wavOf(base), "audio/wav"),
+      (2L, wavOf(halfGain), "audio/wav"),
+      (3L, wavOf(other), "audio/wav"),
+      (4L, "not audio".getBytes("UTF-8"), "audio/wav"))
+      .toDF("media_id", "payload", "media_type")
+      .select(col("media_id"), col("payload"),
+        struct(col("media_type").as("media_type"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("").as("header_hex")).as("meta"))
+    val fps = Binary.audioFingerprint(media)
+      .transform(df => { df.cache(); df })
+    try {
+      val byId = fps.select("media_id", "fp", "real_decode")
+        .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3)))
+        .toMap
+      assert(byId(1L)._2 && byId(2L)._2 && byId(3L)._2)
+      assert(!byId(4L)._2, "garbage payload must flag the stub path")
+      assert(byId(1L)._1 == byId(2L)._1, "gain change moved the fp")
+      assert(byId(1L)._1 != byId(3L)._1)
+      // the banded pair join surfaces exactly the planted near-dup
+      val pairs = Binary.audioFpPairs(fps)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)))
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    } finally fps.unpersist()
+  }
+
   test("decodeImage: corrupt-but-recognized payloads fall back, never kill the task") {
     // a valid PNG header with a truncated body is the NORMAL failure
     // in a scraped corpus; the JDK codec throws unchecked exceptions

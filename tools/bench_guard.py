@@ -370,6 +370,10 @@ CEILINGS = {
                                    # within-batch banded levenshtein
                                    # pairs + the blocked state probe
                                    # + alert/state writes per trigger
+    "m04_audio_fp": 4.0,           # committed 1.67 s single-face /
+                                   # 2.33 isolated — WAV synth +
+                                   # JDK decode + 65-window envelope
+                                   # gradient fp per audio row
 }
 
 # BLANKET bars (r16): every face not hand-calibrated above gets a
