@@ -98,4 +98,37 @@ class AttributionSpec extends SparkSpec {
     assert(df.map(_._2).sum == purchases)
     assert(byType.keySet == Set("click", "view", "direct"))
   }
+
+  test("f36: hand-computed decay credits; lookback edge at exactly 3 days") {
+    def dec6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Seq(
+      // user 7: purchase 100 at day 10; touches at ages 0/1/2 days
+      // (w8 = 8/4/2, sw = 14) and one outside the lookback
+      ev(1, 7, "click", 0, 10 * Day),        // k=0 -> 8
+      ev(2, 7, "view", 0, 9 * Day),          // k=1 -> 4
+      ev(3, 7, "click", 0, 8 * Day),         // k=2 -> 2
+      ev(4, 7, "view", 0, 6 * Day),          // 4 days old -> excluded
+      ev(5, 7, "purchase", 100.0, 10 * Day),
+      // user 8: touch at EXACTLY the lookback bound (3 days, k=3 ->
+      // w8 = 1, its only touch) — must be included at weight 1
+      ev(6, 8, "view", 0, 7 * Day),
+      ev(7, 8, "purchase", 40.0, 10 * Day),
+      // user 9: no touches -> direct, full credit
+      ev(8, 9, "purchase", 50.0, 10 * Day))
+    val got = Attribution.timeDecay(
+      rows.toDF("event_id", "user_id", "event_type", "value", "ts"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // user 7 credits: clicks 100·8/14 + 100·2/14, view 100·4/14;
+    // user 8: view 40 (sole touch); user 9: direct 50
+    assert(got("click") ==
+      ((2L, dec6(100.0 * 8 / 14) + dec6(100.0 * 2 / 14))))
+    assert(got("view") == ((2L, dec6(100.0 * 4 / 14) + 40.0)))
+    assert(got("direct") == ((1L, 50.0)))
+    // and conservation: total credited revenue == total purchase value
+    // up to the per-touch rounding (≤ 0.5e-6 each)
+    val total = got.values.map(_._2).sum
+    assert(math.abs(total - 190.0) < 1e-5, s"total $total")
+  }
 }

@@ -374,6 +374,10 @@ CEILINGS = {
                                    # 2.33 isolated — WAV synth +
                                    # JDK decode + 65-window envelope
                                    # gradient fp per audio row
+    "f36_time_decay": 3.8,         # committed 1.79 s single-face /
+                                   # 1.67 isolated — f28's join shape
+                                   # + the per-purchase weight-total
+                                   # window + type rollup
 }
 
 # BLANKET bars (r16): every face not hand-calibrated above gets a
