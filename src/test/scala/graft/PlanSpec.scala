@@ -560,4 +560,44 @@ class PlanSpec extends SparkSpec {
       "st05 threshold moved back into a pre-agg Filter")
     assert(p.contains("CASE WHEN"), "st05 lost the conditional aggregation")
   }
+
+  test("runtime bloom filter prunes the fact side of a selective " +
+      "shuffle join (the 100 TB dim-join posture)") {
+    import org.apache.spark.sql.functions._
+    // at real scale a selective dim filter should reach the fact scan
+    // as a runtime bloom filter; the size thresholds that gate it are
+    // tuned for TBs, so the test pins them open to prove the session
+    // CONFIG PATH (and our plans) don't break the injection
+    val keys = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force shuffle join
+    val saved = keys.keys.map(k =>
+      k -> spark.conf.getOption(k)).toMap
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      def q = Tables.lineitem(spark, sf())
+        .select(col("l_partkey"), col("l_quantity"))
+        .join(Tables.part(spark, sf()).filter(col("p_size") === 1)
+          .select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+      val opt = q.queryExecution.optimizedPlan.toString
+      // creation side aggregates the dim keys into the filter; the
+      // application side probes it ON THE FACT SCAN branch
+      assert(opt.contains("bloom_filter_agg"), "no bloom creation side")
+      assert(opt.contains("might_contain"), "no fact-side bloom probe")
+      val expected = q.count()
+      // correctness is untouched by the runtime filter
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(q.count() == expected)
+      assert(!q.queryExecution.optimizedPlan.toString
+        .contains("might_contain"), "negative control: bloom off")
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }
