@@ -80,8 +80,11 @@ object Upsert {
         md5(col("text").cast("binary")).as("fp"))
   }
 
-  val c11Sql: String =
-    """WITH base AS (SELECT doc_id, text, CAST(0 AS BIGINT) AS version FROM documents),
+  /** base/upd/latest/merged CTEs shared VERBATIM by c11Sql and
+    * c26Sql (the Spark sides share `upsert` + `updatesFor` the same
+    * way). */
+  private val mergeCtes: String =
+    """base AS (SELECT doc_id, text, CAST(0 AS BIGINT) AS version FROM documents),
        upd AS (
          SELECT doc_id, CAST(NULL AS VARCHAR) AS text,
                 CAST(1 AS BIGINT) AS version, 'delete' AS op
@@ -102,10 +105,69 @@ object Upsert {
          SELECT doc_id, text, version FROM base
          WHERE doc_id NOT IN (SELECT doc_id FROM latest)
          UNION ALL
-         SELECT doc_id, text, version FROM latest WHERE op <> 'delete')
+         SELECT doc_id, text, version FROM latest WHERE op <> 'delete')"""
+
+  val c11Sql: String =
+    s"""WITH $mergeCtes
        SELECT doc_id, version, CAST(len(text) AS BIGINT) AS n_chars,
          md5(text) AS fp
        FROM merged"""
+
+  // ---------------------------------------------------------------
+  // c26: corpus release diff — the governance report next to the
+  // merge itself (c11 PRODUCES the next snapshot; c26 answers "what
+  // did this release actually change?", the audit a dataset card or
+  // a rollback decision needs): full-outer join of two snapshots on
+  // doc_id, status from presence + text-hash equality (added /
+  // removed / modified / unchanged), rolled up with the exact
+  // integer character delta per status. At 100 TB both sides are
+  // (doc_id, md5, len) projections — the text never shuffles, only
+  // 48-byte rows through one doc_id-keyed join and a 4-group
+  // aggregate.
+  // ---------------------------------------------------------------
+
+  /** Release diff between two (doc_id, text) snapshots: (status,
+    * n_docs, chars_delta). */
+  def corpusDiff(old: DataFrame, newer: DataFrame): DataFrame = {
+    def slim(df: DataFrame, tag: String) = df.select(col("doc_id"),
+      md5(col("text").cast("binary")).as(s"h_$tag"),
+      length(col("text")).cast("long").as(s"len_$tag"))
+    slim(old, "old").join(slim(newer, "new"), Seq("doc_id"), "full_outer")
+      .select(
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("modified").as("status"),
+        (coalesce(col("len_new"), lit(0L)) -
+          coalesce(col("len_old"), lit(0L))).as("delta"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("delta")).as("chars_delta"))
+  }
+
+  def c26(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.select(col("doc_id"), col("text"))
+    val merged = upsert(base.withColumn("version", lit(0L)),
+      updatesFor(docs)).select(col("doc_id"), col("text"))
+    corpusDiff(base, merged)
+  }
+
+  val c26Sql: String =
+    s"""WITH $mergeCtes,
+       a AS (SELECT doc_id, md5(text) AS h_old,
+               CAST(len(text) AS BIGINT) AS len_old FROM base),
+       b AS (SELECT doc_id, md5(text) AS h_new,
+               CAST(len(text) AS BIGINT) AS len_new FROM merged),
+       d AS (SELECT CASE WHEN h_old IS NULL THEN 'added'
+               WHEN h_new IS NULL THEN 'removed'
+               WHEN h_old = h_new THEN 'unchanged'
+               ELSE 'modified' END AS status,
+               coalesce(len_new, 0) - coalesce(len_old, 0) AS delta
+             FROM a FULL OUTER JOIN b USING (doc_id))
+       SELECT status, count(*) AS n_docs,
+         CAST(sum(delta) AS BIGINT) AS chars_delta
+       FROM d GROUP BY 1"""
 
   // ---------------------------------------------------------------
   // c15: SCD Type-2 history — the other consumer of the same CDC log.
@@ -184,9 +246,11 @@ object Upsert {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c11_corpus_upsert" -> (c11 _),
-    "c15_scd2_history" -> (c15 _))
+    "c15_scd2_history" -> (c15 _),
+    "c26_corpus_diff" -> (c26 _))
 
   val oracles: Map[String, String] = Map(
     "c11_corpus_upsert" -> c11Sql,
-    "c15_scd2_history" -> c15Sql)
+    "c15_scd2_history" -> c15Sql,
+    "c26_corpus_diff" -> c26Sql)
 }

@@ -88,4 +88,20 @@ class UpsertSpec extends SparkSpec {
         "open SCD2 intervals diverge from the c11 snapshot")
     } finally CacheRegistry.unpersistAll()
   }
+
+  test("c26: every diff status classified and counted on a planted pair") {
+    import graft.operators.Upsert
+    val old = Seq((1L, "same"), (2L, "was-short"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val newer = Seq((1L, "same"), (2L, "is-longer-now"), (4L, "brand-new"))
+      .toDF("doc_id", "text")
+    val got = Upsert.corpusDiff(old, newer)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "unchanged" -> ((1L, 0L)),
+      "modified" -> ((1L, "is-longer-now".length.toLong - "was-short".length)),
+      "removed" -> ((1L, -"gone".length.toLong)),
+      "added" -> ((1L, "brand-new".length.toLong))))
+  }
 }

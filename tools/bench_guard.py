@@ -378,6 +378,10 @@ CEILINGS = {
                                    # 1.67 isolated — f28's join shape
                                    # + the per-purchase weight-total
                                    # window + type rollup
+    "c26_corpus_diff": 6.2,        # committed 3.15 s single-face —
+                                   # the c11 merge recomputed + the
+                                   # (doc_id, md5, len) full-outer
+                                   # diff and 4-group rollup
 }
 
 # BLANKET bars (r16): every face not hand-calibrated above gets a
