@@ -570,7 +570,75 @@ object Velocity {
        WHERE r.s > m.mu + $EwmaL * m.sd * sqrt(0.25 / 1.75 * (1.0 - r.q))
           OR r.s < m.mu - $EwmaL * m.sd * sqrt(0.25 / 1.75 * (1.0 - r.q))"""
 
+  // ---------------------------------------------------------------
+  // f37: realert cooldown suppression — the alert-fatigue semantics
+  // the reference's ElastAlert rule runs with IMPLICITLY: high_risk
+  // .yaml sets no `realert`, so ElastAlert's default (silence
+  // duplicate alerts for the same key after a fire until the
+  // cooldown passes) governs its email stream. st05 models the
+  // frequency threshold; f37 models the suppression: per key, emit
+  // an alert iff it is the key's first, or its timestamp is ≥ the
+  // LAST EMITTED alert's + cooldown — an anchored chain, not a
+  // lag-window (the next anchor depends on which earlier rows were
+  // emitted, so no per-row window expresses it).
+  //
+  // Scale: the f32 grouped-fold posture — one user-keyed exchange,
+  // per-key rows sorted and folded in a single pass (per-key alert
+  // counts are human-scale by construction — they're ALERTS); the
+  // boundary is pinned inclusive (an event exactly cooldown later
+  // fires). The oracle advances the same chain as a recursive CTE
+  // (one next-anchor join per step, aggregate-in-recursive-term is
+  // DuckDB-supported).
+  // ---------------------------------------------------------------
+
+  /** ElastAlert's default silence window, scaled to the synthetic
+    * stream: 6 h in exact micros. */
+  val RealertCooldownUs: Long = 6L * 3600L * 1000000L
+
+  /** Cooldown-suppressed alerts of a (user_id, event_id, ts) stream:
+    * (user_id, event_id, us) — the rows that actually fire. */
+  def realertFilter(alerts: DataFrame, cooldownUs: Long): DataFrame = {
+    val s = alerts.sparkSession
+    import s.implicits._
+    alerts.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(r => (r._3, r._2))
+        val out = Array.newBuilder[(Long, Long, Long)]
+        var nextOk = Long.MinValue
+        rows.foreach { case r @ (_, _, us) =>
+          if (us >= nextOk) { out += r; nextOk = us + cooldownUs }
+        }
+        out.result().iterator
+      }.toDF("user_id", "event_id", "us")
+  }
+
+  def f37(s: SparkSession, dir: String): DataFrame =
+    realertFilter(
+      Tables.events(s, dir).filter(col("event_type") === "error"),
+      RealertCooldownUs)
+
+  val f37Sql: String =
+    s"""WITH RECURSIVE e AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS rn
+         FROM events WHERE event_type = 'error'),
+       emit AS (
+         SELECT user_id, event_id, us, rn FROM e WHERE rn = 1
+         UNION ALL
+         SELECT n.user_id, n.event_id, n.us, n.rn
+         FROM (SELECT m.user_id AS u, min(x.rn) AS nrn
+               FROM emit m JOIN e x ON x.user_id = m.user_id
+                 AND x.us >= m.us + $RealertCooldownUs
+               GROUP BY m.user_id, m.rn) nx
+         JOIN e n ON n.user_id = nx.u AND n.rn = nx.nrn)
+       SELECT user_id, event_id, us FROM emit"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f37_realert" -> (f37 _),
     "f23_user_burst" -> (f23 _),
     "f24_ks_drift" -> (f24 _),
     "f25_cusum" -> (f25 _),
@@ -579,6 +647,7 @@ object Velocity {
     "f32_ewma" -> (f32 _))
 
   val oracles: Map[String, String] = Map(
+    "f37_realert" -> f37Sql,
     "f23_user_burst" -> f23Sql,
     "f24_ks_drift" -> f24Sql,
     "f25_cusum" -> f25Sql,

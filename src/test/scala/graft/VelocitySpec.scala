@@ -255,4 +255,26 @@ class VelocitySpec extends SparkSpec {
     assert(got.map(r => (r._1, r._3)) ==
       Seq(("2024-01-23", "low"), ("2024-01-28", "high")))
   }
+
+  test("f37: the anchor CHAINS — suppression measures from the last " +
+      "EMITTED alert, boundary inclusive, keys independent") {
+    import graft.operators.Velocity
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val h = 3600L * 1000000L
+    val rows = Seq(
+      // user 1 at hours 0, 5, 7, 12.5 with cooldown 6h: 0 fires,
+      // 5 suppressed (< 6), 7 fires (≥ 0+6 — and RESETS the anchor),
+      // 12.5 suppressed (< 7+6) even though it is ≥ 0+6: a lag-based
+      // rule would emit it, the chained anchor must not
+      (1L, 101L, ts(0)), (1L, 102L, ts(5 * h)),
+      (1L, 103L, ts(7 * h)), (1L, 104L, ts(12 * h + h / 2)),
+      // user 2: exactly the cooldown later — the inclusive boundary
+      (2L, 201L, ts(h)), (2L, 202L, ts(7 * h)),
+      // user 3's lone event is untouched by user 1's chain
+      (3L, 301L, ts(5 * h)))
+      .toDF("user_id", "event_id", "ts")
+    val got = Velocity.realertFilter(rows, 6L * h)
+      .select("event_id").as[Long].collect().toSet
+    assert(got == Set(101L, 103L, 201L, 202L, 301L))
+  }
 }

@@ -382,6 +382,9 @@ CEILINGS = {
                                    # the c11 merge recomputed + the
                                    # (doc_id, md5, len) full-outer
                                    # diff and 4-group rollup
+    "f37_realert": 1.7,            # committed 0.49 s single-face —
+                                   # one user-keyed exchange + the
+                                   # per-key cooldown fold
 }
 
 # BLANKET bars (r16): every face not hand-calibrated above gets a
