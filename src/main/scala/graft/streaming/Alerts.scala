@@ -590,6 +590,66 @@ object Alerts {
       .toDF()
   }
 
+  // ---------------------------------------------------------------
+  // Streaming realert gate (row 41t): f37's cooldown chain enforced
+  // LIVE — the posture the reference's ElastAlert actually runs in
+  // (its realert silencing is stream-side state, not a batch sweep).
+  // State per key is ONE long: the next allowed fire time; in-batch
+  // rows sort by (us, event_id) and fold with the batch operator's
+  // exact rule, cross-batch the anchor rides GroupState — so batch
+  // and stream agree row-for-row on a ts-ordered feed (parity
+  // spec). EventTimeTimeout expires anchors once their cooldown has
+  // lapsed (an expired anchor suppresses nothing), bounding state by
+  // keys ACTIVE within a cooldown, not all keys ever seen.
+  // ---------------------------------------------------------------
+  case class AlertEvent(user_id: Long, event_id: Long, ts: Timestamp)
+  case class RealertEmit(user_id: Long, event_id: Long, us: Long)
+
+  /** unix_micros of a java.sql.Timestamp — the batch operator's time
+    * axis, exactly. */
+  private def tsMicros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+
+  def realertGateFunc(cooldownUs: Long)(userId: Long,
+      events: Iterator[AlertEvent],
+      state: GroupState[Long]): Iterator[RealertEmit] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val sorted = events.toSeq
+        .sortBy(e => (tsMicros(e.ts), e.event_id))
+      var nextOk = state.getOption.getOrElse(Long.MinValue)
+      val out = scala.collection.mutable.ListBuffer.empty[RealertEmit]
+      sorted.foreach { e =>
+        val us = tsMicros(e.ts)
+        if (us >= nextOk) {
+          out += RealertEmit(userId, e.event_id, us)
+          nextOk = us + cooldownUs
+        }
+      }
+      if (nextOk != Long.MinValue) {
+        state.update(nextOk)
+        // the anchor is inert once nextOk has passed — let it expire
+        // (clamped above the watermark, the sessionize rule)
+        state.setTimeoutTimestamp(math.max(nextOk / 1000L,
+          state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming cooldown suppression over a (user_id, event_id, ts)
+    * alert stream. */
+  def realertGate(alerts: DataFrame,
+      cooldownUs: Long = graft.operators.Velocity.RealertCooldownUs): DataFrame = {
+    val s = alerts.sparkSession
+    import s.implicits._
+    alerts.withWatermark("ts", "1 hour").as[AlertEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(realertGateFunc(cooldownUs))
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_windowed_counts" -> (st01 _),
     "st05_alert_rule" -> (st05 _))

@@ -174,4 +174,38 @@ class StreamingAlertRuleSpec extends SparkSpec {
     assert(next > before.last.stripPrefix("seg=s").toInt,
       "rollover counter reissued an expired segment number")
   }
+
+  test("streaming realert gate == batch f37, anchor persists across " +
+      "the trigger boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Velocity
+    val errors = graft.Tables.events(spark, sf("sf0.001"))
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, Timestamp)].collect()
+      .sortBy(r => (r._3.getTime, r._2))
+    assert(errors.nonEmpty)
+    // ts-ordered split: batch 2 continues every user's chain mid-
+    // cooldown, so parity FAILS unless the anchor rides GroupState
+    val (b1, b2) = errors.splitAt(errors.length / 2)
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val q = Alerts.realertGate(
+        input.toDF().toDF("user_id", "event_id", "ts"))
+      .writeStream.format("memory").queryName("realert_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.table("realert_stream")
+        .select("user_id", "event_id", "us")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = Velocity.f37(spark, sf("sf0.001"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == batch,
+        s"stream-vs-batch drift: onlyStream=${(got -- batch).take(3)} " +
+          s"onlyBatch=${(batch -- got).take(3)}")
+      assert(got.nonEmpty && got.size < errors.length,
+        "suppression should bite on the real stream")
+    } finally q.stop()
+  }
 }
