@@ -833,7 +833,111 @@ object Search {
     queryPhraseIndex(s, path, PhraseTerms)
   }
 
+  // ---------------------------------------------------------------
+  // s19: more-like-this — ES's `more_like_this` query, the "similar
+  // listings" feature an ES-backed marketplace serves from the same
+  // index the reference writes to: per SOURCE document, select its
+  // most characteristic terms (top tf·idf — t07's arithmetic,
+  // exactly), then run them as a BM25 match (s06's scoring,
+  // exactly) over the corpus, excluding the source. Unlike s06 the
+  // query side is DATA-DRIVEN — each source doc gets its own term
+  // set — which is precisely what MLT adds over match.
+  //
+  // Scale: the full-vocab (doc, term, tf) frame is ONE combiner-
+  // friendly aggregate (t07's cost); the per-source term choice is a
+  // WindowGroupLimit over the |Q|-sized slice; candidate generation
+  // is an inverted-index equi-join of the broadcast (qdoc, term)
+  // pairs against the tf frame — candidates = the chosen terms'
+  // postings, never |Q|×|corpus|; per-(qdoc, doc) scores decimal-sum
+  // and the top-k is a per-qdoc window.
+  // ---------------------------------------------------------------
+  val MltStride = 100
+  val MltTerms = 3
+  val MltK = 5
+
+  /** More-like-this over (doc_id, text): (qdoc, rank, doc_id, score,
+    * terms_matched) — top `k` BM25 neighbors of every stride-picked
+    * source doc on its own top `nTerms` tf·idf terms. */
+  def moreLikeThis(docs: DataFrame, stride: Int = MltStride,
+      nTerms: Int = MltTerms, k: Int = MltK): DataFrame = {
+    val toks = tokenized(docs)
+      .select(col("doc_id"), size(col("w")).as("dl"), col("w"))
+    val tf = toks.select(col("doc_id"), col("dl"),
+        explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .transform(graft.CacheRegistry.register) // full-vocab, used 3×
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .transform(graft.CacheRegistry.register) // vocab-sized, used 2×
+    val g = tf.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // t07's selection arithmetic verbatim: tf · round(ln(n/df), 6)
+    val wq = Window.partitionBy(col("qdoc"))
+      .orderBy(col("tsc").desc, col("term").asc)
+    val qterms = tf.filter(col("doc_id") % stride === 0)
+      .join(dfreq, "term").crossJoin(broadcast(g))
+      .select(col("doc_id").as("qdoc"), col("term"),
+        round(col("tf").cast("double") *
+          round(log(col("n").cast("double") / col("df").cast("double")), 6),
+          6).as("tsc"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nTerms)
+      .select(col("qdoc"), col("term"))
+    val wk = Window.partitionBy(col("qdoc"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("qdoc"))
+      .join(broadcast(dfreq), "term").crossJoin(broadcast(g))
+      .select(col("qdoc"), col("doc_id"), bm25ScoreExpr.as("c"))
+      .groupBy(col("qdoc"), col("doc_id"))
+      .agg(sum(col("c").cast("decimal(25,8)")).cast("double").as("score"),
+        count(lit(1)).as("terms_matched"))
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qdoc"), col("rank"), col("doc_id"), col("score"),
+        col("terms_matched"))
+  }
+
+  def s19(s: SparkSession, dir: String): DataFrame =
+    moreLikeThis(Tables.documents(s, dir))
+
+  val s19Sql: String =
+    raw"""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                  FROM documents WHERE trim(text) <> ''),
+       tf AS (SELECT doc_id, dl, tk AS term, count(*) AS tf
+              FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS tk FROM toks)
+              GROUP BY 1, 2, 3),
+       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       g AS (SELECT count(*) AS n,
+               CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl
+             FROM (SELECT DISTINCT doc_id, dl FROM tf)),
+       qt AS (SELECT qdoc, term FROM
+              (SELECT tf.doc_id AS qdoc, term,
+                 row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+                   round(CAST(tf AS DOUBLE) *
+                     round(ln(CAST(n AS DOUBLE)/CAST(df AS DOUBLE)), 6), 6)
+                   DESC, term) AS rk
+               FROM tf JOIN dfreq USING (term) CROSS JOIN g
+               WHERE tf.doc_id % $MltStride = 0)
+              WHERE rk <= $MltTerms),
+       sc AS (SELECT qt.qdoc, tf.doc_id, $bm25ScoreSql AS c
+              FROM tf JOIN qt USING (term)
+              JOIN dfreq USING (term) CROSS JOIN g
+              WHERE tf.doc_id <> qt.qdoc),
+       agg AS (SELECT qdoc, doc_id,
+                 CAST(sum(CAST(c AS DECIMAL(25,8))) AS DOUBLE) AS score,
+                 count(*) AS terms_matched
+               FROM sc GROUP BY 1, 2),
+       r AS (SELECT qdoc, doc_id, score, terms_matched,
+               row_number() OVER (PARTITION BY qdoc
+                 ORDER BY score DESC, doc_id) AS rank FROM agg)
+       SELECT qdoc, CAST(rank AS BIGINT) AS rank, doc_id, score,
+         CAST(terms_matched AS BIGINT) AS terms_matched
+       FROM r WHERE rank <= $MltK"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_more_like_this" -> (s19 _),
     "s06_bm25" -> (s06 _),
     "s07_fuzzy_match" -> (s07 _),
     "s08_match_phrase" -> (s08 _),
@@ -843,6 +947,7 @@ object Search {
     "s16_phrase_index" -> (s16 _))
 
   val oracles: Map[String, String] = Map(
+    "s19_more_like_this" -> s19Sql,
     "s06_bm25" -> s06Sql,
     "s07_fuzzy_match" -> s07Sql,
     "s08_match_phrase" -> s08Sql,

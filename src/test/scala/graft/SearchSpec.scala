@@ -333,4 +333,31 @@ class SearchSpec extends SparkSpec
     assert(m.getAs[Long]("hits") == 0 && m.getAs[Double]("mrr") == 0.0)
     assert(m.getAs[Double]("dcg_k") == 0.0)
   }
+
+  test("s19: MLT picks the source's distinctive terms, excludes the " +
+      "source, skips non-overlapping docs") {
+    // qdoc 0: 'zebra quagga okapi' are its rarest (and only) terms →
+    // all three get chosen; doc 1 shares all three (best neighbor),
+    // doc 2 shares one, doc 3 shares none and must be absent.
+    // Common filler in docs 1-3 keeps df(filler) high so tf·idf
+    // never prefers it for qdoc 0 (it doesn't contain filler anyway).
+    val docs = Seq(
+      (0L, "zebra quagga okapi"),
+      (1L, "zebra quagga okapi filler filler"),
+      (2L, "zebra filler filler filler"),
+      (3L, "filler filler filler filler"))
+      .toDF("doc_id", "text")
+    try {
+      val got = Search.moreLikeThis(docs, stride = 4, nTerms = 3, k = 5)
+        .as[(Long, Long, Long, Double, Long)].collect()
+      // only doc 0 is a stride-0 source (4 divides only 0 here)
+      assert(got.forall(_._1 == 0L))
+      assert(!got.exists(_._3 == 0L), "source leaked into its own results")
+      val byRank = got.sortBy(_._2).map(r => (r._3, r._5))
+      // doc 1 matches 3 terms and outranks doc 2's single match;
+      // doc 3 never appears
+      assert(byRank.map(_._1).toSeq == Seq(1L, 2L))
+      assert(byRank.map(_._2).toSeq == Seq(3L, 1L))
+    } finally CacheRegistry.unpersistAll()
+  }
 }

@@ -385,6 +385,12 @@ CEILINGS = {
     "f37_realert": 1.7,            # committed 0.49 s single-face —
                                    # one user-keyed exchange + the
                                    # per-key cooldown fold
+    "s19_more_like_this": 10.5,    # committed 4.88 s single-face /
+                                   # 6.82 isolated (bar = 1.5x+0.3 of
+                                   # the worse, isolated reading) —
+                                   # the full-vocab (doc, term, tf)
+                                   # aggregate + per-source term pick
+                                   # + inverted-index candidate join
 }
 
 # BLANKET bars (r16): every face not hand-calibrated above gets a
