@@ -471,20 +471,40 @@ object Relational {
   def q18(s: SparkSession, dir: String): DataFrame =
     funnel(Tables.events(s, dir))
 
-  /** The funnel over any (user_id, event_type, ts) frame. */
-  def funnel(events: DataFrame): DataFrame = {
+  // q30: the conversion-window variant — each step must land within
+  // `maxGapUs` of the PREVIOUS step's anchor (the product-analytics
+  // "conversion window": a purchase a month after the click isn't
+  // attributable to it). Anchoring stays q18's greedy first-touch —
+  // t1 is the user's first view, t2 the first in-window click, t3
+  // the first in-window purchase — the standard trade (a later view
+  // could open a window an earlier one misses; greedy is what every
+  // funnel product ships and what the oracle can replay exactly).
+  val FunnelMaxGapUs: Long = 7L * 86400L * 1000000L
+
+  def q30(s: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(s, dir), Some(FunnelMaxGapUs))
+
+  /** The funnel over any (user_id, event_type, ts) frame; with
+    * `maxGapUs` each step must follow the previous within the gap. */
+  def funnel(events: DataFrame,
+      maxGapUs: Option[Long] = None): DataFrame = {
+    def inWindow(prev: Column): Column = maxGapUs match {
+      case None => col("ts") > prev
+      case Some(g) => col("ts") > prev &&
+        unix_micros(col("ts")) - unix_micros(prev) <= g
+    }
     val e = events.select(col("user_id"), col("event_type"), col("ts"))
     val v = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
       .transform(graft.CacheRegistry.register)
     val c = e.filter(col("event_type") === "click")
-      .join(broadcast(v), "user_id").filter(col("ts") > col("t1"))
+      .join(broadcast(v), "user_id").filter(inWindow(col("t1")))
       .groupBy(col("user_id"))
       .agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
       .transform(graft.CacheRegistry.register)
     val p = e.filter(col("event_type") === "purchase")
       .join(broadcast(c.select(col("user_id"), col("t2"))), "user_id")
-      .filter(col("ts") > col("t2"))
+      .filter(inWindow(col("t2")))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
       .join(broadcast(c), "user_id")
       .transform(graft.CacheRegistry.register)
@@ -511,6 +531,32 @@ object Relational {
        p AS (SELECT e.user_id, min(e.ts) AS t3, min(c.t2) AS t2, min(c.t1) AS t1
              FROM events e JOIN c ON e.user_id = c.user_id
              WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+       nv AS (SELECT count(*) AS users_view FROM v),
+       nc AS (SELECT count(*) AS users_click FROM c),
+       np AS (SELECT count(*) AS users_purchase,
+                CAST(sum(epoch_us(t3) - epoch_us(t1)) AS BIGINT) AS total_convert_us
+              FROM p)
+       SELECT users_view, users_click, users_purchase,
+         round(CAST(users_click AS DOUBLE)/users_view, 6) AS view_to_click,
+         round(CAST(users_purchase AS DOUBLE)/users_click, 6) AS click_to_purchase,
+         total_convert_us
+       FROM nv CROSS JOIN nc CROSS JOIN np"""
+
+  /** q18's CTEs with the conversion-window predicate on both step
+    * joins — otherwise token-for-token identical. */
+  val q30Sql: String =
+    s"""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+       c AS (SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+             FROM events e JOIN v ON e.user_id = v.user_id
+             WHERE e.event_type = 'click' AND e.ts > v.t1
+               AND epoch_us(e.ts) - epoch_us(v.t1) <= $FunnelMaxGapUs
+             GROUP BY 1),
+       p AS (SELECT e.user_id, min(e.ts) AS t3, min(c.t2) AS t2, min(c.t1) AS t1
+             FROM events e JOIN c ON e.user_id = c.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > c.t2
+               AND epoch_us(e.ts) - epoch_us(c.t2) <= $FunnelMaxGapUs
+             GROUP BY 1),
        nv AS (SELECT count(*) AS users_view FROM v),
        nc AS (SELECT count(*) AS users_click FROM c),
        np AS (SELECT count(*) AS users_purchase,
@@ -915,6 +961,7 @@ object Relational {
        JOIN sizes sb ON type_b = sb.event_type"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_funnel_window" -> (q30 _),
     "q29_audience_overlap" -> (q29 _),
     "q25_unpivot" -> (q25 _),
     "q26_reconcile" -> (q26 _),
@@ -944,6 +991,7 @@ object Relational {
     "q14_cube_rollup" -> (q14 _))
 
   val oracles: Map[String, String] = Map(
+    "q30_funnel_window" -> q30Sql,
     "q29_audience_overlap" -> q29Sql,
     "q25_unpivot" -> q25Sql,
     "q26_reconcile" -> q26Sql,

@@ -65,6 +65,30 @@ class FunnelSpec extends SparkSpec {
     } finally CacheRegistry.unpersistAll()
   }
 
+  test("q30: the conversion window binds on each step, boundary inclusive") {
+    val gapUs = 2L * 60 * 1000000 // 2 minutes
+    val events = Seq(
+      // user 1: click 2 min after the view — EXACTLY the gap, fires
+      // (inclusive); purchase 1 min later, inside its window
+      (1L, "view", ts(1)), (1L, "click", ts(3)), (1L, "purchase", ts(4)),
+      // user 2: click 3 min after the view — outside, whole funnel dies
+      (2L, "view", ts(1)), (2L, "click", ts(4)), (2L, "purchase", ts(5)),
+      // user 3: click in window, purchase 3 min after the click — the
+      // SECOND window binds independently
+      (3L, "view", ts(1)), (3L, "click", ts(2)), (3L, "purchase", ts(5)))
+      .toDF("user_id", "event_type", "ts")
+    try {
+      val r = Relational.funnel(events, Some(gapUs)).collect().head
+      assert(r.getLong(0) == 3L)
+      assert(r.getLong(1) == 2L, s"users_click: ${r.getLong(1)}") // 1, 3
+      assert(r.getLong(2) == 1L, s"users_purchase: ${r.getLong(2)}") // 1
+      // and the unbounded funnel converts all three — the window is
+      // what drops users 2 and 3
+      val u = Relational.funnel(events).collect().head
+      assert(u.getLong(2) == 3L)
+    } finally CacheRegistry.unpersistAll()
+  }
+
   test("q29 core: hand-computed audience overlaps on planted events") {
     try {
       // X={1,2,3}, Y={2,3,4} (overlap 2, union 4), Z={9} disjoint;

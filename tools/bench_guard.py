@@ -391,6 +391,9 @@ CEILINGS = {
                                    # the full-vocab (doc, term, tf)
                                    # aggregate + per-source term pick
                                    # + inverted-index candidate join
+    "q30_funnel_window": 3.9,      # committed 1.83 s single-face —
+                                   # q18's broadcast step chain with
+                                   # the window predicate added
 }
 
 # BLANKET bars (r16): every face not hand-calibrated above gets a
