@@ -543,40 +543,50 @@ object Binary {
 
   /** Distributed integer energy extraction: REAL javax.sound decode,
     * |sample| summed per eighth — exact BIGINTs, fallback flagged. */
+  /** Decode a 16-bit PCM payload through javax.sound and sum
+    * |sample| into `nWindows` proportional windows — the shared
+    * decode stage of [[audioEnergy]] (8 windows) and
+    * [[audioFingerprint]] (65). Returns (sampleRate, nSamples,
+    * windows) or None for anything unreadable/non-16-bit. The window
+    * index multiplies in LONG: `i * nWindows` wraps Int negative at
+    * ~33M samples (~12 min at 44.1 kHz) and the resulting AIOOBE
+    * would be swallowed as a fake decode failure. */
+  private def decodePcm16Windows(payload: Array[Byte],
+      nWindows: Int): Option[(Int, Int, Array[Long])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val win = new Array[Long](nWindows)
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          var i = 0
+          while (i < n) {
+            val lo = raw(i * 2) & 0xff
+            val hi = raw(i * 2 + 1) & 0xff
+            val v =
+              (if (fmt.isBigEndian) (lo << 8) | hi else (hi << 8) | lo)
+                .toShort.toInt
+            win((i.toLong * nWindows / n).toInt.min(nWindows - 1)) +=
+              math.abs(v).toLong
+            i += 1
+          }
+          Some((fmt.getSampleRate.toInt, n, win))
+        }
+      } finally scala.util.Try(ais.close())
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def audioEnergy(media: DataFrame): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
     media.select(col("media_id"), col("payload"),
         col("meta.media_type").as("media_type")).as[MediaRow]
       .mapPartitions(_.map { r =>
-        val segs = new Array[Long](EnergySegments)
-        val decoded =
-          try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(r.payload))
-            try {
-              val fmt = ais.getFormat
-              if (fmt.getSampleSizeInBits != 16) None
-              else {
-                val raw = ais.readAllBytes()
-                val n = raw.length / 2
-                var i = 0
-                while (i < n) {
-                  val lo = raw(i * 2) & 0xff
-                  val hi = raw(i * 2 + 1) & 0xff
-                  val v =
-                    (if (fmt.isBigEndian) (lo << 8) | hi else (hi << 8) | lo)
-                      .toShort.toInt
-                  segs((i * EnergySegments / n).min(EnergySegments - 1)) +=
-                    math.abs(v).toLong
-                  i += 1
-                }
-                Some((fmt.getSampleRate.toInt, n))
-              }
-            } finally scala.util.Try(ais.close())
-          } catch { case scala.util.control.NonFatal(_) => None }
-        decoded match {
-          case Some((rate, n)) =>
+        decodePcm16Windows(r.payload, EnergySegments) match {
+          case Some((rate, n, segs)) =>
             AudioEnergy(r.media_id, rate, n, segs(0), segs(1), segs(2),
               segs(3), segs(4), segs(5), segs(6), segs(7),
               real_decode = true)
@@ -606,9 +616,13 @@ object Binary {
           lit("").as("header_hex")).as("meta")))
   }
 
+  /** The [[md5Sample]] formula as SQL — shared by m03Sql and
+    * m04Sql so the two oracles can't drift. */
+  private def sampleSql(i: Int): String =
+    s"((CAST(('0x' || substring(md5('au:' || CAST(doc_id AS VARCHAR) || ':$i'), 1, 15)) AS BIGINT) % 65536) - 32768)"
+
   val m03Sql: String = {
-    def sample(i: Int): String =
-      s"((CAST(('0x' || substring(md5('au:' || CAST(doc_id AS VARCHAR) || ':$i'), 1, 15)) AS BIGINT) % 65536) - 32768)"
+    def sample(i: Int): String = sampleSql(i)
     val perSeg = WavSamples / EnergySegments
     val segCols = (0 until EnergySegments).map { k =>
       val terms = (0 until perSeg)
@@ -652,34 +666,8 @@ object Binary {
     media.select(col("media_id"), col("payload"),
         col("meta.media_type").as("media_type")).as[MediaRow]
       .mapPartitions(_.map { r =>
-        val win = new Array[Long](AudioFpWindows)
-        val decoded =
-          try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(r.payload))
-            try {
-              val fmt = ais.getFormat
-              if (fmt.getSampleSizeInBits != 16) None
-              else {
-                val raw = ais.readAllBytes()
-                val n = raw.length / 2
-                var i = 0
-                while (i < n) {
-                  val lo = raw(i * 2) & 0xff
-                  val hi = raw(i * 2 + 1) & 0xff
-                  val v =
-                    (if (fmt.isBigEndian) (lo << 8) | hi else (hi << 8) | lo)
-                      .toShort.toInt
-                  win((i * AudioFpWindows / n).min(AudioFpWindows - 1)) +=
-                    math.abs(v).toLong
-                  i += 1
-                }
-                Some(n)
-              }
-            } finally scala.util.Try(ais.close())
-          } catch { case scala.util.control.NonFatal(_) => None }
-        decoded match {
-          case Some(n) =>
+        decodePcm16Windows(r.payload, AudioFpWindows) match {
+          case Some((_, n, win)) =>
             var fp = 0L
             var b = 0
             while (b < 64) {
@@ -697,10 +685,9 @@ object Binary {
   }
 
   /** Near-dup audio pairs — the dhashPairs band scheme verbatim over
-    * the envelope fingerprints. */
+    * the envelope fingerprints (output: a, b, hamming). */
   def audioFpPairs(fps: DataFrame, maxHamming: Int = 7): DataFrame =
     dhashPairs(fps.withColumnRenamed("fp", "dhash"), maxHamming)
-      .withColumnRenamed("dhash", "fp")
 
   /** m04 face: audio-typed media rows as md5-formula WAVs through
     * the fingerprint path. */
@@ -719,10 +706,8 @@ object Binary {
   }
 
   val m04Sql: String = {
-    def sample(i: Int): String =
-      s"((CAST(('0x' || substring(md5('au:' || CAST(doc_id AS VARCHAR) || ':$i'), 1, 15)) AS BIGINT) % 65536) - 32768)"
     def win(w: Int): String =
-      s"(abs(${sample(2 * w)}) + abs(${sample(2 * w + 1)}))"
+      s"(abs(${sampleSql(2 * w)}) + abs(${sampleSql(2 * w + 1)}))"
     val terms = (0 until 64).map { b =>
       val pow =
         if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString

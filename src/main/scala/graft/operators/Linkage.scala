@@ -227,6 +227,17 @@ object Linkage {
   // gateBatch contract): state is keyed by `key` alone.
   // ---------------------------------------------------------------
 
+  /** The gate's state/alert layouts, pinned so reads never run
+    * schema inference (which throws over empty levels). `batch` and
+    * `block` are partition-directory columns. */
+  private val StateSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "key LONG, name STRING, batch LONG, block LONG")
+  private val AlertSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "key LONG, match_key LONG, match_name STRING, dist LONG, " +
+        "n_candidates LONG, batch LONG")
+
   /** Fold one (key, name, block) registration micro-batch into the
     * maintained account state and write its best-match alerts to
     * `path/alerts/batch=<id>` — idempotent under replay of the same
@@ -249,12 +260,18 @@ object Linkage {
         .unionByName(half.select(col("match_key").as("key"),
           col("key").as("match_key"), col("name").as("match_name"),
           col("dist")))
-      // cross-batch: probe the sealed state levels below this id
+      // cross-batch: probe the sealed state levels below this id.
+      // The read is SCHEMA'D (the gate's key/name/block contract):
+      // schema inference over a state tree whose only levels so far
+      // are EMPTY batches (zero data files under batch=<id>/block=*)
+      // would throw and kill the stream — an empty trigger is a
+      // normal event, not an error.
       val stateRoot = new org.apache.hadoop.fs.Path(s"$path/state")
       val fs = stateRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
       val cross =
         if (!fs.exists(stateRoot)) within.limit(0)
-        else s.read.parquet(s"$path/state").filter(col("batch") < id)
+        else s.read.schema(StateSchema).parquet(s"$path/state")
+          .filter(col("batch") < id)
           .select(col("key").as("match_key"),
             col("name").as("match_name"), col("block"))
           .join(recs, Seq("block"))
@@ -290,9 +307,10 @@ object Linkage {
       .start()
 
   /** All alerts the maintained gate has emitted (batch is the
-    * partition column of the alert layout). */
+    * partition column of the alert layout; schema'd read — an
+    * all-clean stream leaves only empty alert levels). */
   def readLinkageAlerts(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(s"$path/alerts")
+    s.read.schema(AlertSchema).parquet(s"$path/alerts")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f33_dup_accounts" -> (f33 _),

@@ -129,14 +129,18 @@ object Upsert {
   /** Release diff between two (doc_id, text) snapshots: (status,
     * n_docs, chars_delta). */
   def corpusDiff(old: DataFrame, newer: DataFrame): DataFrame = {
+    // presence rides its own non-null marker, NOT the hash: a doc
+    // present with NULL text would otherwise read as absent and
+    // misclassify; hash equality is null-safe for the same reason
     def slim(df: DataFrame, tag: String) = df.select(col("doc_id"),
+      lit(true).as(s"in_$tag"),
       md5(col("text").cast("binary")).as(s"h_$tag"),
       length(col("text")).cast("long").as(s"len_$tag"))
     slim(old, "old").join(slim(newer, "new"), Seq("doc_id"), "full_outer")
       .select(
-        when(col("h_old").isNull, "added")
-          .when(col("h_new").isNull, "removed")
-          .when(col("h_old") === col("h_new"), "unchanged")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(col("h_old") <=> col("h_new"), "unchanged")
           .otherwise("modified").as("status"),
         (coalesce(col("len_new"), lit(0L)) -
           coalesce(col("len_old"), lit(0L))).as("delta"))
@@ -155,13 +159,13 @@ object Upsert {
 
   val c26Sql: String =
     s"""WITH $mergeCtes,
-       a AS (SELECT doc_id, md5(text) AS h_old,
+       a AS (SELECT doc_id, TRUE AS in_old, md5(text) AS h_old,
                CAST(len(text) AS BIGINT) AS len_old FROM base),
-       b AS (SELECT doc_id, md5(text) AS h_new,
+       b AS (SELECT doc_id, TRUE AS in_new, md5(text) AS h_new,
                CAST(len(text) AS BIGINT) AS len_new FROM merged),
-       d AS (SELECT CASE WHEN h_old IS NULL THEN 'added'
-               WHEN h_new IS NULL THEN 'removed'
-               WHEN h_old = h_new THEN 'unchanged'
+       d AS (SELECT CASE WHEN in_old IS NULL THEN 'added'
+               WHEN in_new IS NULL THEN 'removed'
+               WHEN h_old IS NOT DISTINCT FROM h_new THEN 'unchanged'
                ELSE 'modified' END AS status,
                coalesce(len_new, 0) - coalesce(len_old, 0) AS delta
              FROM a FULL OUTER JOIN b USING (doc_id))

@@ -132,4 +132,19 @@ class LinkageSpec extends SparkSpec
     assert(rows(Linkage.readLinkageAlerts(spark, root2)) ==
       rows(Linkage.readLinkageAlerts(spark, root)))
   }
+
+  test("41s gate: an empty first trigger doesn't poison the state read") {
+    // regression: an empty batch writes a file-less state level; the
+    // next trigger's state read must not die on schema inference
+    val root = java.nio.file.Files.createTempDirectory("linkgate-e").toString
+    val empty = Seq.empty[(Long, String, Long)]
+      .toDF("key", "name", "block")
+    Linkage.linkageBatch(empty, 0L, root)
+    val b1 = Seq((1L, "acme-store", 1L), (2L, "acme-stores", 1L))
+      .toDF("key", "name", "block")
+    Linkage.linkageBatch(b1, 1L, root)
+    val alerts = Linkage.readLinkageAlerts(spark, root)
+      .select("key").as[Long].collect().toSet
+    assert(alerts == Set(1L, 2L))
+  }
 }

@@ -571,8 +571,9 @@ class PlanSpec extends SparkSpec {
     val keys = Map(
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force shuffle join
-    val saved = keys.keys.map(k =>
-      k -> spark.conf.getOption(k)).toMap
+    val saved = (keys.keys.toSeq :+
+      "spark.sql.optimizer.runtime.bloomFilter.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
     try {
       keys.foreach { case (k, v) => spark.conf.set(k, v) }
       def q = Tables.lineitem(spark, sf())
@@ -593,7 +594,8 @@ class PlanSpec extends SparkSpec {
       assert(!q.queryExecution.optimizedPlan.toString
         .contains("might_contain"), "negative control: bloom off")
     } finally {
-      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      // bloomFilter.enabled rides the saved map too: a blind unset
+      // would clear any pre-existing session override for later tests
       saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)

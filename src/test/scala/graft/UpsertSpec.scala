@@ -103,5 +103,12 @@ class UpsertSpec extends SparkSpec {
       "modified" -> ((1L, "is-longer-now".length.toLong - "was-short".length)),
       "removed" -> ((1L, -"gone".length.toLong)),
       "added" -> ((1L, "brand-new".length.toLong))))
+    // NULL text is presence, not absence: (5, NULL) -> (5, "x") is a
+    // modification, and NULL -> NULL is unchanged — never added
+    val o2 = Seq((5L, null: String), (6L, null: String)).toDF("doc_id", "text")
+    val n2 = Seq((5L, "x"), (6L, null: String)).toDF("doc_id", "text")
+    val g2 = Upsert.corpusDiff(o2, n2)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(g2 == Map("modified" -> 1L, "unchanged" -> 1L))
   }
 }
