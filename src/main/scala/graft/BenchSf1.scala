@@ -72,6 +72,27 @@ object BenchSf1 {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
+  /** 10 customer replicas with per-replica SMALL key offsets (k ×
+    * 20000 keeps every key inside the 9-digit name field), names
+    * re-derived from the offset key by the generator's own format —
+    * so replica names are genuine levenshtein neighbors of their
+    * base-block siblings, not trivial duplicates, and the nation
+    * blocks grow 10× (pair count 100×: the honest quadratic stress
+    * the f33 scaladoc documents). */
+  private def buildCustomer(s: SparkSession, srcDir: String,
+      out: String): Unit = {
+    val cust = Tables.customer(s, srcDir)
+    val all = (0 until Replicas).map { k =>
+      if (k == 0) cust
+      else cust.select((col("c_custkey") + k * 20000L).as("c_custkey"),
+        format_string("Customer#%09d", col("c_custkey") + k * 20000L)
+          .as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    }.reduce(_ unionByName _)
+    all.repartition(32)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -90,6 +111,8 @@ object BenchSf1 {
       buildDocs(spark, srcDir, out)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/embeddings.parquet")))
       buildEmbeddings(spark, srcDir, out)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/customer.parquet")))
+      buildCustomer(spark, srcDir, out)
     CacheRegistry.unpersistAll()
 
     // generic warmup (the Bench convention, shortened): JIT +
@@ -106,7 +129,12 @@ object BenchSf1 {
       "st02_gate_trigger", "d02p_prefix_jaccard",
       // r16-late: the postings serving artifact's full lifecycle at
       // 10x docs — build + write + pruned serve (the s05b sibling)
-      "s15_bm25_index")
+      "s15_bm25_index",
+      // r16-late: the ER family's honest quadratic stress — nation
+      // blocks grow 10x, block pairs 100x; this face exists to put a
+      // MEASURED number on the f33 scaladoc's posture note (at real
+      // scale the blocker composes finer attributes)
+      "f33_dup_accounts")
     val benched = SparkEntry.queries ++ SparkEntry.benchOnly
     // Cap-sizing probe for the d02 super-linear reading. The naive
     // remedy — tighten the cap so the grown posting lists fall to
