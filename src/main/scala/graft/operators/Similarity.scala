@@ -319,7 +319,7 @@ object Similarity {
     * (vec_id, embedding, cell) with cell = argmax-dot (smallest cell
     * id on exact ties — matching the oracle's ORDER BY dot DESC,
     * cell ASC). Narrow codegen'd map, no shuffle. */
-  def assignCells(corpus: DataFrame): DataFrame =
+  def assignCells(corpus: DataFrame, extra: Seq[String] = Nil): DataFrame =
     corpus
       .withColumn("_d", cellDots(corpus.sparkSession, col("embedding")))
       // coalesce makes the column NON-NULLABLE: otherwise a
@@ -329,7 +329,7 @@ object Similarity {
       .withColumn("cell", coalesce(
         (array_position(col("_d"), array_max(col("_d"))) - 1).cast("int"),
         lit(-1)))
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      .select((Seq("vec_id", "embedding", "cell") ++ extra).map(col): _*)
 
   def annIvfCore(corpus: DataFrame, queries: DataFrame,
       k: Int = TopK): DataFrame = {
@@ -359,34 +359,92 @@ object Similarity {
     * table; assignment and probe ranking are row_number argmax/top-N
     * over the corpus × codebook cross (16 rows per vector — the same
     * work the Spark fold does). Numeric-only interpolation. */
-  lazy val s03bSql: String = {
+  /** The s03b replay, optionally label-filtered — ONE builder so
+    * the plain core (s03b) and the filtered core (s21) can never
+    * drift: `filtered` threads label/qlabel through the CTEs and
+    * adds the tenant predicate to the candidate join. */
+  private def ivfCoreSql(filtered: Boolean): String = {
     def cvLit(c: Int): String =
       (0 until Dim).map(d => centroidSign(c, d).toString)
         .mkString("[", ",", "]") + "::DOUBLE[]"
     val centRows = (0 until CoreCells).map(c => s"($c, ${cvLit(c)})").mkString(",\n         ")
+    val lab = if (filtered) ", e.label" else ""
+    val labCol = if (filtered) ", label" else ""
+    val qlab = if (filtered) ", label AS qlabel" else ""
+    val qlabCol = if (filtered) ", qlabel" else ""
+    val labPred = if (filtered) " AND a.label = qp.qlabel" else ""
     s"""WITH cent(cell, cv) AS (VALUES
          $centRows),
-       ec AS (SELECT e.vec_id, e.embedding, c.cell,
+       ec AS (SELECT e.vec_id, e.embedding$lab, c.cell,
                 list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv), x -> x[1]*x[2])) AS ccos
               FROM embeddings e CROSS JOIN cent c),
-       asg AS (SELECT vec_id, embedding, cell FROM
-               (SELECT vec_id, embedding, cell,
+       asg AS (SELECT vec_id, embedding$labCol, cell FROM
+               (SELECT vec_id, embedding$labCol, cell,
                   row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
                 FROM ec) WHERE rn = 1),
-       qp AS (SELECT qid, qe, cell FROM
-              (SELECT vec_id AS qid, embedding AS qe, cell,
+       qp AS (SELECT qid, qe$qlabCol, cell FROM
+              (SELECT vec_id AS qid, embedding AS qe$qlab, cell,
                  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS pr
                FROM ec WHERE vec_id % $QueryStride = 0) WHERE pr <= $CoreProbes),
        cand AS (SELECT qid, a.vec_id,
                   list_sum(list_transform(list_zip(qe::DOUBLE[], a.embedding::DOUBLE[]), x -> x[1]*x[2]))
                   / (sqrt(list_sum(list_transform(qe::DOUBLE[], x -> x*x)))
                    * sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))) AS cos
-                FROM asg a JOIN qp USING (cell) WHERE a.vec_id <> qp.qid),
+                FROM asg a JOIN qp USING (cell) WHERE a.vec_id <> qp.qid$labPred),
        r AS (SELECT qid, vec_id, cos,
                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
              FROM cand)
        SELECT qid, rank, vec_id, cos FROM r WHERE rank <= $TopK"""
   }
+
+  lazy val s03bSql: String = ivfCoreSql(filtered = false)
+
+  // ---------------------------------------------------------------
+  // s21: filtered vector search — the tenant-isolation query every
+  // current vector store leads with (search only MY label's vectors):
+  // s03b's cell-probe ANN with the label predicate composed INTO the
+  // candidate join, so pruning composes — a candidate must share the
+  // query's probed cell AND its label. The predicate provably
+  // commutes with the index: cell assignment is per-vector
+  // independent, so filtering the corpus first and indexing the
+  // filtered slice yields the identical candidate set (spec-pinned
+  // equality — the guarantee a serving layer needs before it pushes
+  // filters into a shared index instead of maintaining one index per
+  // tenant). At 100 TB the same predicate lands on the s05b
+  // artifact's partition columns.
+  // ---------------------------------------------------------------
+
+  /** s03b's probe ANN restricted per query to corpus rows sharing
+    * the query's label: queries carry (qid, qe, qlabel). */
+  def annIvfFiltered(corpus: DataFrame, queries: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val s = corpus.sparkSession
+    val assigned = assignCells(corpus, Seq("label"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos").desc, col("cell").asc)
+    val probes = queries
+      .select(col("qid"), col("qe"), col("qlabel"),
+        posexplode(cellDots(s, col("qe"))))
+      .withColumnsRenamed(Map("pos" -> "cell", "col" -> "qcos"))
+      .withColumn("_pr", row_number().over(wq))
+      .filter(col("_pr") <= CoreProbes)
+      .select(col("qid"), col("qe"), col("qlabel"), col("cell"))
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid") &&
+        col("label") === col("qlabel"))
+      .select(col("qid"), col("vec_id"),
+        graft.plans.GraftFunctions.cosine(s, col("qe"), col("embedding")).as("cos"))
+    rankTopK(cand, k)
+  }
+
+  def s21(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    annIvfFiltered(e, e.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel")))
+  }
+
+  lazy val s21Sql: String = ivfCoreSql(filtered = true)
 
   // ---------------------------------------------------------------
   // s04: product-quantization ANN (PQ + ADC) — the embedding-
@@ -1330,7 +1388,8 @@ object Similarity {
     "s04_pq_adc" -> (s04 _),
     "s05_ivfpq" -> (s05 _),
     "s17_ann_sq8" -> (s17 _),
-    "s18_ivf_sq8" -> (s18 _))
+    "s18_ivf_sq8" -> (s18 _),
+    "s21_filtered_ann" -> (s21 _))
 
   val oracles: Map[String, String] = Map(
     "s14_centroid_prune" -> s14Sql,
@@ -1344,5 +1403,6 @@ object Similarity {
     "s04_pq_adc" -> s04Sql,
     "s05_ivfpq" -> s05Sql,
     "s17_ann_sq8" -> s17Sql,
-    "s18_ivf_sq8" -> s18Sql)
+    "s18_ivf_sq8" -> s18Sql,
+    "s21_filtered_ann" -> s21Sql)
 }

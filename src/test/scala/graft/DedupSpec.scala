@@ -554,6 +554,36 @@ class DedupSpec extends SparkSpec {
     assert(rows.toSet.subsetOf(pool))
   }
 
+  test("s21 filtered ANN: the label predicate commutes with the index; " +
+      "every hit shares the query's label") {
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    val hits = Similarity.s21(spark, sf("sf0.01"))
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .join(e.select(col("vec_id").as("qid"), col("label").as("qlabel")),
+        "qid")
+      .select("label", "qlabel").as[(Int, Int)].collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(h => h._1 == h._2), "a hit crossed the tenant wall")
+    // commute: cell assignment is per-vector independent, so pushing
+    // the filter into a SHARED index must equal filtering the corpus
+    // first and indexing the slice — the guarantee that justifies one
+    // index for all tenants instead of one per tenant
+    val lab = 3
+    val qs = e.filter(col("vec_id") % Similarity.QueryStride === 0 &&
+        col("label") === lab)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "vec_id").as[(Long, Long, Long)]
+        .collect().toSet
+    val pushed = rows(Similarity.annIvfFiltered(e, qs))
+    val sliced = rows(Similarity.annIvfCore(
+      e.filter(col("label") === lab),
+      qs.select(col("qid"), col("qe"))))
+    assert(pushed == sliced, "filter pushdown diverged from pre-filtering")
+    assert(pushed.nonEmpty)
+  }
+
   test("ANN faces accept an explicit external query set") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
     // exact copies of 3 corpus vectors, re-keyed as external queries

@@ -394,6 +394,10 @@ CEILINGS = {
     "q30_funnel_window": 3.9,      # committed 1.83 s single-face —
                                    # q18's broadcast step chain with
                                    # the window predicate added
+    "s21_filtered_ann": 3.1,       # committed 1.34 s single-face /
+                                   # 1.35 isolated — s03b's probe ANN
+                                   # with the tenant predicate in the
+                                   # candidate join
 }
 
 # BLANKET bars (r16): every face not hand-calibrated above gets a
