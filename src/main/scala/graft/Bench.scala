@@ -18,7 +18,13 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       true
     } catch {
-      case t: Throwable =>
+      // NonFatal only: a VirtualMachineError (OOM, stack overflow,
+      // internal JVM error) leaves the JVM degraded — every face
+      // timed after it would be measured in that wreckage and its
+      // reading could be committed as an honest-epoch number the
+      // guard then calibrates on. Fatal errors propagate and abort
+      // the sweep instead (r16 advice item 4).
+      case scala.util.control.NonFatal(t) =>
         System.err.println(s"[$tag] $name FAILED: ${t.getMessage}")
         false
     }

@@ -18,8 +18,15 @@ object Explain {
     val faces = SparkEntry.queries ++ SparkEntry.benchOnly
     names.foreach { n =>
       println(s"===== $n =====")
-      println(faces(n)(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      if (SparkEntry.effectfulBench(n))
+        // constructing these faces executes the full multi-stage
+        // lifecycle (writes + jobs) — there is no plan to print
+        // without running the workload; use Bench/SPARK_GRAFT_ONLY
+        println(s"SKIP: $n builds scratch state eagerly (side-effecting " +
+          "bench face) — run it via Bench, not Explain")
+      else
+        println(faces(n)(spark, dir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }

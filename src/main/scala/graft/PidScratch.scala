@@ -17,16 +17,23 @@ private[graft] object PidScratch {
     s"${System.getProperty("java.io.tmpdir")}/$base/" +
       s"${ProcessHandle.current().pid()}/$tag"
 
-  /** Sweep dead siblings, wipe this pid's `tag` dir, return it. */
+  /** Sweep dead siblings, wipe this pid's `tag` dir, return it.
+    * The sweep deletes ONLY directories whose name parses as a pid
+    * AND whose pid is dead: a non-numeric entry under the base was
+    * not created by PidScratch (a foreign dir on a shared tmpdir
+    * host), and deleting unowned data on a name collision is worse
+    * than leaking it — so foreign entries are ignored, spec-pinned
+    * (r16 verdict item 8). */
   def fresh(s: SparkSession, base: String, tag: String): String = {
     val root = new org.apache.hadoop.fs.Path(
       s"${System.getProperty("java.io.tmpdir")}/$base")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(root))
       fs.listStatus(root).foreach { st =>
-        val alive = scala.util.Try(st.getPath.getName.toLong).toOption
-          .exists(p => ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
-        if (!alive) fs.delete(st.getPath, true)
+        scala.util.Try(st.getPath.getName.toLong).toOption.foreach { p =>
+          val alive = ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false)
+          if (!alive) fs.delete(st.getPath, true)
+        }
       }
     val mine = path(base, tag)
     fs.delete(new org.apache.hadoop.fs.Path(mine), true)

@@ -243,6 +243,18 @@ object SparkEntry {
         s"$root/docs", s"$root/fp")
     }))
 
+  /** Bench faces whose CONSTRUCTION runs real jobs and/or writes
+    * scratch artifacts (multi-stage lifecycles built eagerly inside
+    * the face lambda). Plan-only tooling (Explain) must skip these —
+    * "explaining" one would execute the whole workload and mutate
+    * /tmp state instead of printing a plan (r16 advice item 3). */
+  val effectfulBench: Set[String] = Set(
+    "st02_gate_trigger", "st03_maintain", "st04_upsert_cdc",
+    "st06_alert_sink", "st07_index_maintain", "st08_linkage_gate",
+    "st09_vector_maintain",
+    "c03c_pack_subword_fit", "c03c_pack_subword_fit32k",
+    "c10_clean_staged")
+
   /** Bench scratch — see [[PidScratch]] for the lifecycle contract. */
   private object GateScratch {
     def path(s: SparkSession, tag: String): String =

@@ -324,6 +324,18 @@ object Graph {
     * convention, never a data collect. */
   val SkewFactor = 16L
 
+  /** Per-input memo of the hub-gate decision (the q20 catalogSize
+    * rationale, r16 advice item 2): the gate is one bounded-pull
+    * aggregate but still a Spark ACTION, so plan-only uses of
+    * triangles() (Explain, spec plan asserts) would launch real jobs
+    * on every call — and within one session the same edge frame's
+    * skew class never flips. Keyed by the CANONICALIZED analyzed
+    * plan (structural equality, alias-invariant); bounded by a
+    * clear-at-64 cap so held plan trees can't accumulate across a
+    * long bench sweep. */
+  private val hubGateMemo = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Boolean]
+
   /** Per-node triangle metrics over undirected (a, b) edges:
     * (node, degree, n_triangles, clustering). `degreeOrdered`:
     * None = adaptive (orient iff the hub gate fires — the
@@ -339,11 +351,15 @@ object Graph {
     // riders on work the operator already does
     val deg = degrees(e0).transform(graft.CacheRegistry.register)
     val orient = degreeOrdered.getOrElse {
-      val r = deg.agg(max(col("degree")).cast("long"),
-        (sum(col("degree")) / 2).cast("long")).head()
-      // an empty edge frame aggregates to nulls — nothing to orient
-      !r.isNullAt(0) &&
-        r.getLong(0) * r.getLong(0) > SkewFactor * r.getLong(1)
+      if (hubGateMemo.size > 64) hubGateMemo.clear()
+      hubGateMemo.getOrElseUpdate(
+        edges.queryExecution.analyzed.canonicalized, {
+          val r = deg.agg(max(col("degree")).cast("long"),
+            (sum(col("degree")) / 2).cast("long")).head()
+          // an empty edge frame aggregates to nulls — nothing to orient
+          !r.isNullAt(0) &&
+            r.getLong(0) * r.getLong(0) > SkewFactor * r.getLong(1)
+        })
     }
     // only a genuinely NEW frame gets a cache pin — re-registering e0
     // on the unoriented gear would hold a duplicate registry entry

@@ -640,7 +640,7 @@ object Search {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
     writeLexicon(fitLexicon(docs), s"$path/lex")
-    writeIndexMeta(docs.sparkSession, path, buckets, positions)
+    writeIndexMeta(docs.sparkSession, path, buckets, positions, LayoutStatic)
   }
 
   /** The index's layout contract, persisted beside the postings. A
@@ -649,11 +649,25 @@ object Search {
     * positions-less delta appended to a positional index reads
     * positions = null → empty phrase intersection — BOTH silently
     * drop documents from results with no error, so every append and
-    * every query validates against the meta recorded at build time. */
+    * every query validates against the meta recorded at build time.
+    *
+    * `layout` records the postings DIRECTORY SHAPE (r16 advice item
+    * 1): "static" = flat postings/bucket=N (writeBm25Index /
+    * appendBm25Index), "batched" = nested postings/batch=id/bucket=N
+    * (indexBatch / maintainBm25Index). The two shapes cannot mix
+    * under one postings root — Spark's partition discovery throws
+    * "conflicting directory structures" on every subsequent read, so
+    * a static append onto a maintained index (or a batch fold onto a
+    * static one) would strand a corrupted artifact. Writers validate
+    * layout alongside buckets/positions; readers accept either shape
+    * (partition discovery handles each uniformly on its own). */
+  private[operators] val LayoutStatic = "static"
+  private[operators] val LayoutBatched = "batched"
+
   private def writeIndexMeta(s: SparkSession, path: String,
-      buckets: Int, positions: Boolean): Unit =
+      buckets: Int, positions: Boolean, layout: String): Unit =
     s.range(1).select(lit(buckets).as("buckets"),
-        lit(positions).as("positions"))
+        lit(positions).as("positions"), lit(layout).as("layout"))
       .write.mode("overwrite").parquet(s"$path/meta")
 
   private def indexMetaExists(s: SparkSession, path: String): Boolean = {
@@ -662,9 +676,12 @@ object Search {
   }
 
   /** Require the caller's layout args to match the persisted meta;
-    * `positions = None` checks the bucket count only. */
+    * `positions = None` checks the bucket count only, `layout = None`
+    * accepts either directory shape (the query paths — partition
+    * discovery reads each shape fine on its own). */
   private def checkIndexMeta(s: SparkSession, path: String,
-      buckets: Int, positions: Option[Boolean]): Unit = {
+      buckets: Int, positions: Option[Boolean],
+      layout: Option[String] = None): Unit = {
     val row = s.read.parquet(s"$path/meta").head()
     val mb = row.getAs[Int]("buckets")
     val mp = row.getAs[Boolean]("positions")
@@ -673,6 +690,18 @@ object Search {
     positions.foreach(p => require(mp == p,
       s"index at $path was built with positions=$mp; caller passed $p " +
         "(positional and match-only layouts cannot mix)"))
+    layout.foreach { l =>
+      val ml =
+        if (row.schema.fieldNames.contains("layout"))
+          row.getAs[String]("layout")
+        else "unknown(pre-layout meta)"
+      require(ml == l,
+        s"index at $path has postings layout '$ml'; this writer " +
+          s"produces '$l' — static (flat bucket=N) and batched " +
+          "(batch=id/bucket=N) partition depths cannot mix under one " +
+          "postings root (every later read would throw on conflicting " +
+          "directory structures)")
+    }
   }
 
   /** Exact delta append: postings rows are per-doc facts (plain
@@ -681,7 +710,7 @@ object Search {
     * write never reads the path it replaces. */
   def appendBm25Index(delta: DataFrame, s: SparkSession, path: String,
       buckets: Int = IndexBuckets, positions: Boolean = false): Unit = {
-    checkIndexMeta(s, path, buckets, Some(positions))
+    checkIndexMeta(s, path, buckets, Some(positions), Some(LayoutStatic))
     postingsOf(delta, buckets, positions)
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$path/postings")
@@ -728,8 +757,9 @@ object Search {
   def indexBatch(batch: DataFrame, id: Long, path: String,
       buckets: Int = IndexBuckets, positions: Boolean = false): Unit = {
     val s = batch.sparkSession
-    if (indexMetaExists(s, path)) checkIndexMeta(s, path, buckets, Some(positions))
-    else writeIndexMeta(s, path, buckets, positions)
+    if (indexMetaExists(s, path))
+      checkIndexMeta(s, path, buckets, Some(positions), Some(LayoutBatched))
+    else writeIndexMeta(s, path, buckets, positions, LayoutBatched)
     postingsOf(batch, buckets, positions)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings/batch=$id")

@@ -245,28 +245,18 @@ object VectorIndex {
 
   // -- the driver face: full artifact lifecycle, oracle'd by s05Sql --
 
-  /** pid-scoped scratch (the GateScratch convention): fixed base so
-    * dead runs' leftovers are sweepable, per-pid so concurrent runs
-    * don't clobber each other. */
-  private def scratch(s: SparkSession): String = {
-    val base = new org.apache.hadoop.fs.Path(
-      s"${System.getProperty("java.io.tmpdir")}/graft-vecindex")
-    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(base))
-      fs.listStatus(base).foreach { st =>
-        val alive = scala.util.Try(st.getPath.getName.toLong).toOption
-          .exists(p => ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
-        if (!alive) fs.delete(st.getPath, true)
-      }
-    s"$base/${ProcessHandle.current().pid()}"
-  }
+  /** pid- and tag-scoped scratch — the shared [[graft.PidScratch]]
+    * lifecycle (dead-sibling sweep ignores foreign non-pid dirs;
+    * `fresh` wipes only this pid's tag subdir). */
+  private def scratch(s: SparkSession, tag: String): String =
+    graft.PidScratch.fresh(s, "graft-vecindex", tag)
 
   /** s05b: write the index artifact, load it back, serve the s05
     * query set from it. The oracle is s05's own SQL — "the artifact
     * changes nothing" as a driver-checked row, the d12 pattern. */
   def s05b(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val path = scratch(s)
+    val path = scratch(s, "s05b")
     writeIndex(e, path)
     queryIndex(readMeta(s, path), readCodes(s, path), e,
       Similarity.queriesDf(e))

@@ -214,6 +214,36 @@ class SearchSpec extends SparkSpec
   }
 
 
+  test("index meta records the postings layout: static and batched " +
+      "writers refuse each other's artifact") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .transform(graft.CacheRegistry.register)
+    // a maintained (batched) index: postings live at batch=id/bucket=N
+    val maintained = java.nio.file.Files.createTempDirectory("bm25b").toString
+    Search.indexBatch(docs, 0L, maintained)
+    // a static index: flat bucket=N
+    val static0 = java.nio.file.Files.createTempDirectory("bm25s").toString
+    Search.writeBm25Index(docs, static0)
+    // static append onto the maintained artifact: would nest bucket=N
+    // beside batch=id/ under one root → every later read throws on
+    // conflicting directory structures; the meta check refuses first
+    val e1 = intercept[IllegalArgumentException] {
+      Search.appendBm25Index(docs, spark, maintained)
+    }
+    assert(e1.getMessage.contains("layout"))
+    // batch fold onto the static artifact: same corruption, other way
+    val e2 = intercept[IllegalArgumentException] {
+      Search.indexBatch(docs, 1L, static0)
+    }
+    assert(e2.getMessage.contains("layout"))
+    // both artifacts still serve after the refused writes (nothing
+    // landed), through the same layout-agnostic query path
+    assert(Search.queryBm25Index(spark, maintained, Search.QueryTerms)
+      .collect().toSeq ==
+      Search.queryBm25Index(spark, static0, Search.QueryTerms)
+        .collect().toSeq)
+  }
+
   test("s16: phrase-from-positions == the corpus-scan s08, and overlapping " +
       "occurrences count") {
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
