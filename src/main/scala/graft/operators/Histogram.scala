@@ -197,13 +197,75 @@ object Histogram {
        b AS (SELECT ${rangeCaseSql("risk_score", RiskPieRanges)} AS bucket FROM scored)
        SELECT bucket, count(*) AS n FROM b WHERE bucket IS NOT NULL GROUP BY 1"""
 
+  // ---------------------------------------------------------------
+  // f38: "Top Users" — the one dashboard panel that had no named
+  // face (r16 verdict item 4): an lnsXY bar chart of the top-15
+  // user_id terms ordered by record count, split by the risk-score
+  // range dimension (dashboard_export.ndjson, layer
+  // 73f2708d-…: terms on user_id, size 15, orderAgg count desc;
+  // splitAccessor = range on enrichment.risk_score with the five
+  // [0,20)…[80,100) buckets). ES nests the aggs: the top-15 terms
+  // are chosen by each user's TOTAL record count (all their events,
+  // whatever the risk value), then the range sub-agg buckets each
+  // user's records and drops out-of-range docs — so n_events (the
+  // ordering metric) rides along in the output and Σn ≤ n_events
+  // per user.
+  //
+  // Scale: one combiner-friendly groupBy(user_id) + a global top-15
+  // (TakeOrderedAndProject, never a full sort), the 15-row verdict
+  // broadcast back as a semi-filter, then a bounded (user × bucket)
+  // aggregation — no shuffle carries more than users × map-tasks.
+  // ---------------------------------------------------------------
+
+  /** The panel's risk split ranges (five uniform [from, to) buckets). */
+  val TopUsersRiskRanges: Seq[RangeBucket] = Seq(
+    bucket(0, 20, "0-20"), bucket(20, 40, "20-40"),
+    bucket(40, 60, "40-60"), bucket(60, 80, "60-80"),
+    bucket(80, 100, "80-100"))
+
+  val TopUsersN = 15
+
+  /** Top-`n` entities of an event frame by record count (ties broken
+    * by id asc — the deterministic total order both engines replay),
+    * with per-(entity, range-bucket) record counts. */
+  def topUsersByRisk(events: DataFrame, user: Column, riskValue: Column,
+      n: Int = TopUsersN): DataFrame = {
+    val top = events.groupBy(user.as("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+      .limit(n)
+    events.select(user.as("user_id"),
+        rangeLabel(riskValue, TopUsersRiskRanges).as("risk_bucket"))
+      .join(broadcast(top), Seq("user_id"))
+      .filter(col("risk_bucket").isNotNull)
+      .groupBy(col("user_id"), col("n_events"), col("risk_bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def f38(s: SparkSession, dir: String): DataFrame =
+    topUsersByRisk(graft.Tables.events(s, dir), col("user_id"), col("value"))
+
+  val f38Sql: String =
+    s"""WITH top AS (
+         SELECT user_id, count(*) AS n_events FROM events
+         GROUP BY 1 ORDER BY n_events DESC, user_id ASC LIMIT $TopUsersN),
+       b AS (
+         SELECT e.user_id, t.n_events,
+           ${rangeCaseSql("e.value", TopUsersRiskRanges)} AS risk_bucket
+         FROM events e JOIN top t ON e.user_id = t.user_id)
+       SELECT user_id, CAST(n_events AS BIGINT) AS n_events, risk_bucket,
+         count(*) AS n
+       FROM b WHERE risk_bucket IS NOT NULL GROUP BY 1, 2, 3"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f18_price_histogram" -> (f18 _),
     "f19_risk_heatmap" -> (f19 _),
-    "f20_risk_distribution" -> (f20 _))
+    "f20_risk_distribution" -> (f20 _),
+    "f38_top_users" -> (f38 _))
 
   val oracles: Map[String, String] = Map(
     "f18_price_histogram" -> f18Sql,
     "f19_risk_heatmap" -> f19Sql,
-    "f20_risk_distribution" -> f20Sql)
+    "f20_risk_distribution" -> f20Sql,
+    "f38_top_users" -> f38Sql)
 }

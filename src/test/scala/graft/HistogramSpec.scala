@@ -69,4 +69,23 @@ class HistogramSpec extends SparkSpec {
     assert(math.abs(cells.map(_._4).sum - 1.0) < 1e-12)
     assert(cells.forall(c => math.abs(c._4 - c._3 / 3.0) < 1e-12))
   }
+
+  test("f38 top users: selection counts ALL records, sub-buckets drop " +
+      "out-of-range, ties break by id") {
+    // user 1: 3 events (one out-of-range) — top by total count even
+    // though only 2 land in buckets; users 2 and 3 tie at 2 events
+    // (id asc keeps 2 when n=2); user 4 has 1 event
+    val ev = Seq(
+      (1L, 10.0), (1L, 30.0), (1L, 150.0), // 150 drops from sub-buckets
+      (2L, 10.0), (2L, 10.0),
+      (3L, 85.0), (3L, 99.9),
+      (4L, 50.0)).toDF("user_id", "value")
+    val got = Histogram.topUsersByRisk(ev, col("user_id"), col("value"), n = 2)
+      .orderBy("user_id", "risk_bucket")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, "0-20", 1L),   // n_events counts the dropped 150 too
+      (1L, 3L, "20-40", 1L),
+      (2L, 2L, "0-20", 2L)))  // tie 2-vs-3 broken by user_id asc
+  }
 }
