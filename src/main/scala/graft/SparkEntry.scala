@@ -86,6 +86,17 @@ object SparkEntry {
     "d10_run_overlap_capped" -> ((s, dir) =>
       operators.Dedup.d10(s, dir,
         maxDf = Some(operators.Dedup.DefaultMaxDf))),
+    // the composite-blocking binding demonstration pair (r16 verdict
+    // item 1, the d09 pattern): same linkPairs over the degenerate
+    // single-block corpus — coarse pays the block quadratic, the
+    // segment-composite gear must beat it big with zero loss
+    // (spec-pinned identical pairs). bench_guard enforces >= 2x;
+    // alphabetical order runs the expensive coarse twin first (the
+    // d09 plan-codegen convention).
+    "f33_block_coarse" -> ((s, dir) =>
+      operators.Linkage.f33BlockCoarse(s, dir)),
+    "f33_block_fine" -> ((s, dir) =>
+      operators.Linkage.f33BlockFine(s, dir)),
     // the cap-binding demonstration pair: same query, boilerplate-heavy
     // corpus where template-shingle df >> DefaultMaxDf — exhaustive
     // pays the quadratic candidate join, capped must beat it big

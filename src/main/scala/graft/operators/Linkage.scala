@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,15 +15,18 @@ import org.apache.spark.sql.functions._
   * character or two; the ban-evasion follow-up account is a
   * levenshtein neighbor of the banned one.
   *
-  * Scale: nation is the BLOCKING key — the pair join is an equi-join
-  * on it, never a cross join, and the edit distance runs only inside
-  * blocks (the house bucket-join rule applied to ER). At 100 TB the
-  * block key would compose finer attributes (region + name prefix
-  * class + signup cohort — the d02p lesson: the blocker is a measured
-  * knob); the comparison stays a codegen'd binary expression either
-  * way. The verdict aggregate (best match per record) is one window
-  * over the filtered candidate frame — candidate-sized, not
-  * block-squared, after the edit filter.
+  * Scale: blocking is COMPOSITE (r17) — the caller's exact block key
+  * (nation) refined by the loss-free deletion-neighborhood keys
+  * (FastSS), so the pair join is an equi-join on (block, variant),
+  * never a cross join and never block-quadratic: candidates are only
+  * records whose ≤ budget deletion neighborhoods genuinely intersect,
+  * which at 100 TB bounds the comparison stage by the true near-match
+  * mass instead of the SQUARE of the coarsest attribute's block size
+  * (the r16 verdict's one remaining scale-killer, now a measured gear
+  * — the f33_block_* bench pair + guard ratio floor); the comparison
+  * stays a codegen'd binary expression either way. The verdict
+  * aggregate (best match per record) is one window over the filtered
+  * candidate frame — candidate-sized, after the edit filter.
   *
   * Oracle parity: levenshtein is the classic integer DP in both
   * engines (the s07 precedent); ranking is total-ordered (dist asc,
@@ -35,6 +38,56 @@ object Linkage {
     * sibling-account typo band (s07's AUTO budget for long tokens). */
   val MaxEdits = 2
 
+  // ---------------------------------------------------------------
+  // Composite blocking (r16 verdict item 1). The coarse gear blocks
+  // on the caller's `block` column alone (nation) and pays |B|²/2
+  // comparisons per block — at 100 TB a 25-value blocker is
+  // 10¹² pairs/block, the one scale-killer the r16 verdict named.
+  // The production gear COMPOSES a second, content-derived blocking
+  // key with ZERO recall loss: the DELETION NEIGHBORHOOD (the
+  // FastSS / Mor-Fraenkel index — Bocek et al. 2007, public
+  // algorithmics, re-expressed as a Spark explode + equi-join).
+  // Every record emits each string reachable by deleting ≤ maxEdits
+  // characters from its name (≤ 1 + l + l(l−1)/2 variants — 172 at
+  // l = 18); ed(s,t) ≤ e guarantees the neighborhoods INTERSECT:
+  // walk an optimal edit script and delete, on each side, the
+  // characters the script substitutes or inserts/deletes — each op
+  // costs at most one deletion per side, and what remains is the
+  // same aligned common subsequence. So a symmetric self-join on
+  // (block, variant) is a COMPLETE candidate generator;
+  // overgeneration is harmless (candidates are verified by the same
+  // exact thresholded DP — the d02p "verify against the full sets"
+  // contract) and undergeneration is impossible, so the f33/f35
+  // oracles stay the exhaustive within-nation SQL, driver-checked
+  // (the d02p pattern: "the composite blocker loses nothing" is a
+  // fact the gate replays, not a prose claim).
+  //
+  // Why deletion variants and not positional segmenting (PassJoin):
+  // a variant key carries the name's FULL surviving content, so a
+  // constant prefix shared by every record ("Customer#…") cannot
+  // create a hot bucket — the bucket key still contains the
+  // discriminative tail. A segment scheme keys on (position, slice)
+  // and the boilerplate slices collapse into df ≈ block-size hot
+  // keys (measured: worse than the coarse quadratic on this very
+  // corpus — the d02 boilerplate lesson replayed in ER). The cost is
+  // a bigger but LINEAR explode (~172 short keys/record vs the
+  // blocker-squared pair stream, which is unbounded); exact-dup name
+  // clusters should be collapsed by d01-style exact dedup first
+  // (identical names share all 172 variants — the one multiplicity
+  // the verify-side distinct pays for).
+  // ---------------------------------------------------------------
+
+  /** The ≤ maxEdits deletion neighborhood of `name` (maxEdits ≤ 2):
+    * the name itself, every canonical delete-1 and (budget
+    * permitting) delete-2 variant — the native codegen'd
+    * [[graft.plans.DeleteVariants]] loop (the HOF lambda formulation
+    * measured 73 µs/row — the dominant cost of the whole pair stage
+    * at sf1; the fused loop is ~array-building cost, spec-pinned
+    * set-equal to the full enumeration). */
+  def deletionVariants(s: SparkSession, name: Column,
+      maxEdits: Int = MaxEdits): Column =
+    graft.plans.GraftFunctions.deleteVariants(s, name, maxEdits)
+
   /** The budget-surviving unordered link pairs of a (key, name,
     * block) frame: (key, name, match_key, match_name, dist) with
     * key < match_key — the shared comparison stage of [[bestMatches]]
@@ -43,18 +96,71 @@ object Linkage {
     * within it (free row pruning before any DP), the THRESHOLDED
     * levenshtein runs the banded early-exit DP instead of the full
     * len² table, and the key < match_key half-join computes each
-    * pair's distance once. Together 28.8 → 12.9 s at sf0.1 (9M block
-    * pairs, budget 2). The reported dist equals the unthresholded
+    * pair's distance once. The reported dist equals the unthresholded
     * distance on every kept row, so the 2-arg DuckDB replay stays
     * bit-exact. Candidate-sized output (the post-budget survivors),
-    * cached so the block-pair DP scan runs once per consumer plan. */
-  def linkPairs(records: DataFrame, maxEdits: Int = MaxEdits): DataFrame = {
-    val a = records.select(col("key"), col("name"), col("block"))
-    val b = records.select(col("key").as("match_key"),
-      col("name").as("match_name"), col("block"))
-    a.join(b, Seq("block"))
-      .filter(col("key") < col("match_key") &&
-        abs(length(col("name")) - length(col("match_name"))) <= maxEdits)
+    * cached so the block-pair DP scan runs once per consumer plan.
+    *
+    * `segmentBlocked = true` (the production default) composes the
+    * caller's block with the deletion-neighborhood keys (see the
+    * blocking comment above): the join runs on (block, variant),
+    * shared variants are deduped per pair BEFORE any DP, and the
+    * output is provably identical to the coarse gear's — only the
+    * candidate generation changes (the block-quadratic pair stream →
+    * the neighborhood-collision survivors). `false` pins the coarse
+    * block-only equi-join (28.8 → 12.9 s at sf0.1 via the length +
+    * threshold pruning alone) — the conservative twin the
+    * `f33_block_*` bench pair measures against. */
+  def linkPairs(records: DataFrame, maxEdits: Int = MaxEdits,
+      segmentBlocked: Boolean = true): DataFrame = {
+    val pairs = if (segmentBlocked) {
+      val s = records.sparkSession
+      // balance BEFORE the generator: the source scan of a small
+      // blocked corpus is often one file = one task, and the explode
+      // amplifies ×~120 — spread the rows first so variant
+      // generation parallelizes. The frame is SLIM — (key, len,
+      // hashed variant), never the name or the raw variant string:
+      // the block folds into the 8-byte xxhash join key (a hash
+      // collision only ADDS a candidate the DP then rejects), so the
+      // exploded shuffle and the collision stream carry three fixed-
+      // width columns; a true pair collides once per shared variant
+      // (multiplicity ~5-8 on dense names — measured sf1: 33M
+      // collision rows), and names re-attach AFTER the pair distinct,
+      // candidate-sized. Deliberately NOT cached: materializing the
+      // ~120×-exploded frame through the columnar cache costs more
+      // than generating it twice (measured sf1: 26 s cache build vs
+      // ~3 s per native-loop generation pass).
+      val slim = records
+        .repartition(col("key"))
+        .select(col("key"), col("block"), length(col("name")).as("len"),
+          explode(deletionVariants(s, col("name"), maxEdits)).as("v"))
+        .select(col("key"), col("len"),
+          xxhash64(col("block"), col("v")).as("skey"))
+        .repartition(col("skey"))
+      val cand = slim.join(
+          slim.select(col("key").as("match_key"), col("len").as("mlen"),
+            col("skey")),
+          Seq("skey"))
+        .filter(col("key") < col("match_key") &&
+          abs(col("len") - col("mlen")) <= maxEdits)
+        .select(col("key"), col("match_key"))
+        .distinct()
+      val names = records.select(col("key"), col("name"))
+      cand
+        .join(names, "key")
+        .join(names.select(col("key").as("match_key"),
+          col("name").as("match_name")), "match_key")
+        .select(col("key"), col("name"), col("match_key"), col("match_name"))
+    } else {
+      val a = records.select(col("key"), col("name"), col("block"))
+      val b = records.select(col("key").as("match_key"),
+        col("name").as("match_name"), col("block"))
+      a.join(b, Seq("block"))
+        .filter(col("key") < col("match_key") &&
+          abs(length(col("name")) - length(col("match_name"))) <= maxEdits)
+        .select(col("key"), col("name"), col("match_key"), col("match_name"))
+    }
+    pairs
       .withColumn("dist",
         levenshtein(col("name"), col("match_name"), maxEdits).cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= maxEdits)
@@ -266,20 +372,50 @@ object Linkage {
       // are EMPTY batches (zero data files under batch=<id>/block=*)
       // would throw and kill the stream — an empty trigger is a
       // normal event, not an error.
+      //
+      // The probe is the composite-blocking join (r17): both sides
+      // explode their ≤ maxEdits deletion neighborhoods (computed at
+      // read — the persisted state layout is unchanged) and the join
+      // runs on (block, variant). Per trigger that is LINEAR in the
+      // pruned state (one bounded explode) instead of
+      // block-quadratic in it — the composite gear's guarantee
+      // applied at the serving edge; completeness per the deletion-
+      // neighborhood intersection theorem (see the blocking comment
+      // above).
       val stateRoot = new org.apache.hadoop.fs.Path(s"$path/state")
       val fs = stateRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
       val cross =
         if (!fs.exists(stateRoot)) within.limit(0)
-        else s.read.schema(StateSchema).parquet(s"$path/state")
-          .filter(col("batch") < id)
-          .select(col("key").as("match_key"),
-            col("name").as("match_name"), col("block"))
-          .join(recs, Seq("block"))
-          .filter(abs(length(col("name")) - length(col("match_name"))) <= maxEdits)
-          .withColumn("dist",
-            levenshtein(col("name"), col("match_name"), maxEdits).cast("long"))
-          .filter(col("dist") >= 0 && col("dist") <= maxEdits)
-          .select(col("key"), col("match_key"), col("match_name"), col("dist"))
+        else {
+          // balance-before-generator + the linkPairs slim-frame
+          // shape on both sides: (key, len, hashed block+variant),
+          // names re-attached after the pair distinct
+          def slimOf(df: DataFrame): DataFrame = df
+            .repartition(col("key"))
+            .select(col("key"), col("block"), length(col("name")).as("len"),
+              explode(deletionVariants(s, col("name"), maxEdits)).as("v"))
+            .select(col("key"), col("len"),
+              xxhash64(col("block"), col("v")).as("skey"))
+          val stateRecs = s.read.schema(StateSchema).parquet(s"$path/state")
+            .filter(col("batch") < id)
+            .select(col("key"), col("name"), col("block"))
+            .transform(graft.CacheRegistry.register) // slim pass + name attach
+          val cand = slimOf(stateRecs)
+            .select(col("key").as("match_key"), col("len").as("mlen"),
+              col("skey"))
+            .join(slimOf(recs), Seq("skey"))
+            .filter(abs(col("len") - col("mlen")) <= maxEdits)
+            .select(col("key"), col("match_key"))
+            .distinct() // a pair collides once per shared variant
+          cand
+            .join(recs.select(col("key"), col("name")), "key")
+            .join(stateRecs.select(col("key").as("match_key"),
+              col("name").as("match_name")), "match_key")
+            .withColumn("dist",
+              levenshtein(col("name"), col("match_name"), maxEdits).cast("long"))
+            .filter(col("dist") >= 0 && col("dist") <= maxEdits)
+            .select(col("key"), col("match_key"), col("match_name"), col("dist"))
+        }
       val w = Window.partitionBy(col("key"))
         .orderBy(col("dist").asc, col("match_key").asc)
       val alerts = within.unionByName(cross)
@@ -311,6 +447,72 @@ object Linkage {
     * all-clean stream leaves only empty alert levels). */
   def readLinkageAlerts(s: SparkSession, path: String): DataFrame =
     s.read.schema(AlertSchema).parquet(s"$path/alerts")
+
+  // ---------------------------------------------------------------
+  // f33_block_*: the composite-blocking BINDING demonstration (the
+  // d09/g04 pattern — the claim "the segment keys are what makes ER
+  // finish at all when the coarse blocker degenerates" needs a
+  // corpus where it degenerates). blockDemoCorpus collapses the
+  // coarse key to ONE fat block — the 100 TB hazard shape (a 25-value
+  // blocker at corpus scale) reproduced at bench scale: the coarse
+  // gear pays the full |B|²/2 pair stream, the composite gear pays
+  // the linear explode + the true near-match candidates. Both gears
+  // produce the IDENTICAL pair set on this corpus (spec-pinned — the
+  // segment keys are loss-free by the pigeonhole, and the planted
+  // siblings are the recall assertion); bench_guard enforces
+  // coarse ≥ 2× fine (ratio floor, the d09 convention).
+  // ---------------------------------------------------------------
+
+  /** Planted sibling ids: source key + k·offset (disjoint from real
+    * keys; two plant families under 1× and 2× the offset). */
+  val DemoSiblingOffset = 1000000L
+
+  /** Demo corpus size: big enough that the coarse single-block pair
+    * stream (n²/2 ≈ 8M) dwarfs both gears' fixed costs with margin
+    * over the ≥2× floor, small enough to stay clear of the d09 r10
+    * spill cliff. */
+  val DemoRecs = 4000
+
+  /** Single-block derivation of the customer table: the first `nRecs`
+    * customers, ONE shared block (the degenerate coarse blocker),
+    * plus deterministic planted siblings — every 40th record
+    * re-registered under key+offset with TWO digit substitutions
+    * (the classic sibling-account typo), and every 160th under
+    * key+2·offset with a leading-digit DELETE + trailing APPEND
+    * (same length, every segment after the deletion SHIFTED — the
+    * pair only the probe window's d ≠ 0 branches can catch). */
+  def blockDemoCorpus(customer: DataFrame, nRecs: Int = DemoRecs): DataFrame = {
+    val base = customer
+      .select(col("c_custkey").as("key"), col("c_name").as("name"))
+      .orderBy(col("key")).limit(nRecs)
+      .withColumn("block", lit(0L))
+    // "Customer#%09d" is 18 chars: positions 10-18 are the digits
+    val subs = base.filter(pmod(col("key"), lit(40)) === 0)
+      .select((col("key") + DemoSiblingOffset).as("key"),
+        concat(substring(col("name"), 1, 16),
+          translate(substring(col("name"), 17, 2),
+            "0123456789", "1234567890")).as("name"),
+        col("block"))
+    val shifts = base.filter(pmod(col("key"), lit(160)) === 1)
+      .select((col("key") + 2 * DemoSiblingOffset).as("key"),
+        concat(substring(col("name"), 1, 9),
+          substring(col("name"), 11, 8), lit("7")).as("name"),
+        col("block"))
+    base.unionByName(subs).unionByName(shifts)
+  }
+
+  /** Bench pair: the coarse block-only gear on the degenerate corpus
+    * (pays the single-block quadratic)… */
+  def f33BlockCoarse(s: SparkSession, dir: String): DataFrame =
+    linkPairs(blockDemoCorpus(Tables.customer(s, dir)),
+      segmentBlocked = false)
+
+  /** …vs the composite segment-blocked gear on the identical corpus
+    * (identical output, candidate generation bounded by aligned-
+    * segment collisions). */
+  def f33BlockFine(s: SparkSession, dir: String): DataFrame =
+    linkPairs(blockDemoCorpus(Tables.customer(s, dir)),
+      segmentBlocked = true)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f33_dup_accounts" -> (f33 _),

@@ -87,6 +87,7 @@ object GraftFunctions {
   val NfcName = "graft_nfc"
   val BloomName = "graft_bloom_contains"
   val Sq8DotName = "graft_sq8dot"
+  val DeleteVariantsName = "graft_delete_variants"
 
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     (CosineName, classOf[CosineSimilarity].getName,
@@ -138,7 +139,10 @@ object GraftFunctions {
       exprs => BloomMightContain(exprs.head,
         exprs(1).eval().asInstanceOf[Array[Byte]])),
     (Sq8DotName, classOf[Sq8Dot].getName,
-      exprs => Sq8Dot(exprs.head, exprs(1))))
+      exprs => Sq8Dot(exprs.head, exprs(1))),
+    (DeleteVariantsName, classOf[DeleteVariants].getName,
+      exprs => DeleteVariants(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
 
   def register(spark: SparkSession): Unit =
     registry.foreach { case (name, clazz, builder) =>
@@ -184,6 +188,12 @@ object GraftFunctions {
   def shingles(spark: SparkSession, text: Column, n: Int): Column = {
     register(spark)
     call_function(ShinglesName, text, org.apache.spark.sql.functions.lit(n))
+  }
+
+  def deleteVariants(spark: SparkSession, name: Column, maxEdits: Int): Column = {
+    register(spark)
+    call_function(DeleteVariantsName, name,
+      org.apache.spark.sql.functions.lit(maxEdits))
   }
 
   def fingerprint(spark: SparkSession, text: Column): Column = {

@@ -85,6 +85,120 @@ class LinkageSpec extends SparkSpec
     assert(got(10L) == ((2L, "acme-store", 2L, 3.0, "P")))
   }
 
+  test("composite blocking is loss-free: segmented == coarse pairs " +
+      "row-for-row on real names and on the demo corpus") {
+    def pairs(df: org.apache.spark.sql.DataFrame, seg: Boolean) =
+      Linkage.linkPairs(df, segmentBlocked = seg)
+        .as[(Long, String, Long, String, Long)].collect().toSet
+    val cust = graft.Tables.customer(spark, sf("sf0.001"))
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_nationkey").as("block"))
+    assert(pairs(cust, seg = true) == pairs(cust, seg = false))
+    assert(pairs(cust, seg = true).nonEmpty)
+    val demo = Linkage.blockDemoCorpus(
+      graft.Tables.customer(spark, sf("sf0.001")), 600)
+    assert(pairs(demo, seg = true) == pairs(demo, seg = false))
+  }
+
+  test("composite blocking recall: every planted sibling (substitution " +
+      "AND shift family) links under the segment gear") {
+    val demo = Linkage.blockDemoCorpus(
+      graft.Tables.customer(spark, sf("sf0.001")), 600)
+      .transform(CacheRegistry.register)
+    val planted = demo
+      .filter(col("key") >= Linkage.DemoSiblingOffset)
+      .select(col("key")).as[Long].collect().toSet
+    assert(planted.exists(_ >= 2 * Linkage.DemoSiblingOffset),
+      "demo corpus must contain shift-family plants")
+    val got = Linkage.linkPairs(demo, segmentBlocked = true)
+      .select(col("key"), col("match_key"), col("dist"))
+      .as[(Long, Long, Long)].collect()
+    val linkedPlants = got.map(_._2).toSet // plants carry the big keys
+    planted.foreach { p =>
+      val src = p % Linkage.DemoSiblingOffset
+      assert(got.exists(r => r._1 == src && r._2 == p && r._3 <= 2),
+        s"planted sibling ($src, $p) not recalled")
+    }
+    assert(planted.subsetOf(linkedPlants))
+  }
+
+  test("native deletion variants == the full <=2-deletion enumeration " +
+      "as string sets (canonicalization loses nothing), incl. unicode runs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def native(s: String): Set[String] =
+      graft.plans.DeleteVariants.compute(UTF8String.fromString(s), 2)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSet
+    def reference(s: String): Set[String] = {
+      val cps = s.codePoints().toArray
+      def drop(ix: Set[Int]): String = new String(
+        cps.zipWithIndex.filterNot(c => ix(c._2)).flatMap(c =>
+          Character.toChars(c._1)))
+      val d1 = cps.indices.map(i => drop(Set(i)))
+      val d2 = for (i <- cps.indices; j <- cps.indices if i < j)
+        yield drop(Set(i, j))
+      (Seq(s) ++ d1 ++ d2).toSet
+    }
+    val rng = new scala.util.Random(42)
+    val alphaCps = "aabbcccdxyzéα😀".codePoints().toArray // runs + 2-byte + astral
+    val cases = Seq("", "a", "aa", "aaa", "aba", "Customer#000012345",
+      "😀😀a") ++
+      (0 until 100).map(_ => (0 until rng.nextInt(12)).map(_ =>
+        new String(Character.toChars(alphaCps(rng.nextInt(alphaCps.length)))))
+        .mkString)
+    cases.foreach { sIn =>
+      assert(native(sIn) == reference(sIn), s"variant set mismatch on '$sIn'")
+    }
+  }
+
+  test("segment probe enumeration is complete for random <=2-edit " +
+      "pairs including shifting indels") {
+    val rng = new scala.util.Random(20260815L)
+    val alpha = "abcdefg"
+    def randStr(n: Int) =
+      (0 until n).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+    def mutate(s: String): String = {
+      val edits = 1 + rng.nextInt(2)
+      (0 until edits).foldLeft(s) { (cur, _) =>
+        if (cur.isEmpty) cur + alpha(rng.nextInt(alpha.length))
+        else rng.nextInt(3) match {
+          case 0 => // substitution
+            val i = rng.nextInt(cur.length)
+            cur.updated(i, alpha(rng.nextInt(alpha.length)))
+          case 1 => // deletion (shifts everything after it)
+            val i = rng.nextInt(cur.length)
+            cur.take(i) + cur.drop(i + 1)
+          case _ => // insertion
+            val i = rng.nextInt(cur.length + 1)
+            cur.take(i) + alpha(rng.nextInt(alpha.length)) + cur.drop(i)
+        }
+      }
+    }
+    val cases = (0 until 200).map { i =>
+      val base = randStr(8 + rng.nextInt(13))
+      (2L * i, base, 2L * i + 1, mutate(base))
+    }
+    val recs = cases.flatMap { case (ka, a, kb, b) =>
+      // one isolated block per case so each pair is judged alone
+      Seq((ka, a, ka / 2), (kb, b, ka / 2))
+    }.toDF("key", "name", "block")
+    val found = Linkage.linkPairs(recs, segmentBlocked = true)
+      .select(col("key"), col("match_key"))
+      .as[(Long, Long)].collect().toSet
+    cases.foreach { case (ka, a, kb, b) =>
+      // only pairs genuinely within the budget must be found (an edit
+      // can undo another, and two random edits occasionally leave the
+      // string unchanged — dist 0 pairs still link)
+      val d = org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance.apply(a, b)
+      if (d <= Linkage.MaxEdits)
+        assert(found.contains((ka, kb)),
+          s"missed within-budget pair d=$d: '$a' vs '$b'")
+      else assert(!found.contains((ka, kb)),
+        s"budget violation: '$a' vs '$b' d=$d linked")
+    }
+  }
+
   test("41s gate: batch-2 alerts == bestMatches over the union; " +
       "replay changes nothing; a real stream drives the same path") {
     val b1 = Seq((1L, "mallory-shop", 1L), (2L, "mallory-shoq", 1L),
