@@ -27,8 +27,12 @@ object BenchSf1 {
   val Replicas = 10
   val Off = 1000000000L
 
-  private def buildDocs(s: SparkSession, srcDir: String, out: String): Unit = {
-    val docs = Tables.documents(s, srcDir)
+  /** The replica-profile derivation alone (shared with the autoPairs
+    * gear-routing spec, which pins the profile's census at sf0.01
+    * scale): each doc of replica k pairs its own first word-half with
+    * a rank-shifted partner's second half — df scales ~×replicas like
+    * real corpus growth, cross-replica Jaccard sits near 1/3. */
+  def deriveDocs(docs: DataFrame, replicas: Int = Replicas): DataFrame = {
     val n = docs.count()
     val w = Window.orderBy(col("doc_id"))
     val base = docs
@@ -39,8 +43,8 @@ object BenchSf1 {
         concat_ws(" ", slice(col("ws"), lit(1), col("h"))).as("h1"),
         concat_ws(" ",
           slice(col("ws"), col("h") + 1, size(col("ws")) - col("h"))).as("h2"))
-      .cache()
-    val replicas = (1 until Replicas).map { k =>
+      .transform(CacheRegistry.register)
+    val reps = (1 until replicas).map { k =>
       val partner = ((col("rn") - 1 + lit(k * 2999L)) % n) + 1
       base.withColumn("p", partner).as("a")
         .join(base.select(col("rn").as("prn"), col("h2").as("ph2")).as("b"),
@@ -49,13 +53,17 @@ object BenchSf1 {
           concat(col("a.h1"), lit(" "), col("ph2")).as("text"),
           col("a.lang"), col("a.source"))
     }
-    val all = replicas.foldLeft(
+    reps.foldLeft(
       docs.select(col("doc_id"), col("text"), col("lang"), col("source")))(
       _ union _)
-    all.withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  private def buildDocs(s: SparkSession, srcDir: String, out: String): Unit = {
+    deriveDocs(Tables.documents(s, srcDir))
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    base.unpersist()
+    CacheRegistry.unpersistAll()
   }
 
   private def buildEmbeddings(s: SparkSession, srcDir: String,

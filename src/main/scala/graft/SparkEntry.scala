@@ -47,6 +47,12 @@ object SparkEntry {
     "c01_corpus_clean_capped" -> ((s, dir) =>
       operators.Corpus.clean(Tables.documents(s, dir))),
     "d02_ngram_jaccard_capped" -> ((s, dir) => operators.Dedup.d02(s, dir)),
+    // the census-routed adaptive gear (r16 verdict item 2): one
+    // bounded df-census aggregate picks plain/capped/prefix per
+    // corpus — on the sf bench corpus it routes PLAIN (mass 1.27e6
+    // under the budget), so this face times census + the plain join
+    "d02_ngram_jaccard_auto" -> ((s, dir) =>
+      operators.Dedup.autoPairs(Tables.documents(s, dir))),
     // the BPE fit→pack lifecycle: learn the subword vocab from the
     // corpus (bounded merge rounds), then pack on the LEARNED pieces
     // — c03c's twin with a produced, not pinned, vocabulary (no

@@ -261,6 +261,102 @@ object Dedup {
     jaccardPairsPrefix(Tables.documents(s, dir))
 
   // ---------------------------------------------------------------
+  // autoPairs: ADAPTIVE gear selection (r16 verdict item 2 — the g04
+  // hub-gate pattern applied to the near-dup family). The three
+  // candidate generators are each optimal on a different
+  // co-occurrence-mass profile (the §2 row-31b regime table, all
+  // three measured and committed): sparse overlap → the plain join's
+  // fixed costs win; mass concentrated on HOT shingles (boilerplate)
+  // → prefix filtering, zero loss at half the exhaustive cost; big
+  // mass on sub-threshold RARE overlap (the sf1 replica profile) →
+  // the capped direct count join, which pays only shared-shingle
+  // rows where prefix verification pays ~|A| per candidate. Until
+  // now gear choice was the operator author's job; autoPairs reads
+  // ONE bounded df-census aggregate off the shared shingle frame and
+  // routes:
+  //
+  //   totalPairMass = Σ df(df−1)/2   (exhaustive candidate rows)
+  //   hotPairMass   = Σ_{df>cap} df(df−1)/2
+  //
+  //   mass ≤ plainBudget            → PLAIN (exhaustive)
+  //   hotPairMass ≥ ½ · mass        → PREFIX (zero-loss hot pruning)
+  //   otherwise                     → CAPPED (bounded generation)
+  //
+  // Committed censuses behind the thresholds: sf0.1 docs 1.27e6 mass
+  // / hot 0 → plain; d09 boilerplate 9.83e7 / hotShare 1.0 → prefix;
+  // sf1 replica 1.38e8 / hotShare 0 (max df 253 < cap) → capped.
+  // The census is a Spark ACTION, memoized per canonicalized input
+  // plan (the g04 hubGateMemo rationale: plan-only uses must not
+  // launch jobs twice, and a corpus's regime never flips within a
+  // session). Masses sum as doubles — at 100 TB df² overflows int64
+  // and the census is a routing signal, not an exact count.
+  // ---------------------------------------------------------------
+
+  sealed trait PairGear
+  case object PlainGear extends PairGear
+  case object CappedGear extends PairGear
+  case object PrefixGear extends PairGear
+
+  /** Census of the exhaustive candidate-pair mass and its hot share. */
+  case class GearCensus(totalPairMass: Double, hotPairMass: Double) {
+    def hotShare: Double =
+      if (totalPairMass > 0) hotPairMass / totalPairMass else 0.0
+  }
+
+  /** The exhaustive-join budget: candidate rows the plain gear may
+    * generate before bounded-generation insurance is worth its fixed
+    * costs. Sited between the committed regimes (sf0.1's 1.27e6 —
+    * where plain measured 2.16 s vs prefix's 7.6 — and the
+    * boilerplate/replica corpora at ~1e8, where unbounded generation
+    * is the documented hazard). */
+  val PlainPairBudget: Double = 1.6e7
+  val HotShareThreshold = 0.5
+
+  private val gearCensusMemo = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, GearCensus]
+
+  /** One bounded-pull census aggregate over the corpus's shingle
+    * frame, memoized per canonicalized input plan. */
+  def gearCensus(docs: DataFrame, cap: Int = DefaultMaxDf): GearCensus = {
+    if (gearCensusMemo.size > 64) gearCensusMemo.clear()
+    gearCensusMemo.getOrElseUpdate(
+      docs.queryExecution.analyzed.canonicalized, {
+        val mass = col("df").cast("double") * (col("df") - 1) / 2
+        val r = graft.CacheRegistry.scoped {
+          shingleFrame(docs)
+            .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+            .agg(sum(mass), sum(when(col("df") > cap, mass).otherwise(0.0)))
+            .head()
+        }
+        GearCensus(
+          if (r.isNullAt(0)) 0.0 else r.getDouble(0),
+          if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+      })
+  }
+
+  /** The routing rule alone — spec-pinned on the committed corpora's
+    * censuses and on the mechanism's boundaries. */
+  def chooseGear(census: GearCensus,
+      plainBudget: Double = PlainPairBudget): PairGear =
+    if (census.totalPairMass <= plainBudget) PlainGear
+    else if (census.hotPairMass >= HotShareThreshold * census.totalPairMass)
+      PrefixGear
+    else CappedGear
+
+  /** Near-dup pairs through the census-chosen gear. Output contract
+    * is jaccardPairs' (a, b, inter, jacc); the capped route keeps the
+    * documented cap-loss exception, the other two are exact. */
+  def autoPairs(docs: DataFrame,
+      threshold: Double = JaccardThreshold,
+      cap: Int = DefaultMaxDf,
+      plainBudget: Double = PlainPairBudget): DataFrame =
+    chooseGear(gearCensus(docs, cap), plainBudget) match {
+      case PlainGear => jaccardPairs(docs, maxDf = None, threshold)
+      case CappedGear => jaccardPairs(docs, maxDf = Some(cap), threshold)
+      case PrefixGear => jaccardPairsPrefix(docs, threshold)
+    }
+
+  // ---------------------------------------------------------------
   // d17: threshold-sensitivity curve — how many near-dup pairs each
   // Jaccard cut would flag (0.3 … 0.9): the calibration table a
   // dedup rollout reads before picking its threshold (too low →

@@ -688,4 +688,49 @@ class DedupSpec extends SparkSpec {
       assert(got.forall(_._2 == 0L))
     } finally CacheRegistry.unpersistAll()
   }
+
+  test("autoPairs census routes the three committed regimes: sparse -> " +
+      "plain, hot-concentrated -> prefix, rare-overlap mass -> capped") {
+    import graft.operators.Dedup
+    try {
+      // sf0.1 corpus: sparse overlap (committed census 1.27e6 mass,
+      // hot 0) — the plain gear at the default budget
+      val sfDocs = graft.Tables.documents(spark, sf("sf0.1"))
+      val c1 = Dedup.gearCensus(sfDocs)
+      assert(c1.hotPairMass == 0.0 && c1.totalPairMass > 1e6 &&
+        c1.totalPairMass < Dedup.PlainPairBudget)
+      assert(Dedup.chooseGear(c1) == Dedup.PlainGear)
+      // d09 boilerplate corpus: co-occurrence mass ~entirely on hot
+      // template shingles (committed census 9.83e7, hotShare 1.0)
+      val c2 = Dedup.gearCensus(Dedup.boilerplateCorpus(sfDocs, 1500))
+      assert(c2.totalPairMass > Dedup.PlainPairBudget && c2.hotShare > 0.95)
+      assert(Dedup.chooseGear(c2) == Dedup.PrefixGear)
+      // the sf1 replica PROFILE (big mass, ZERO hot share — every df
+      // grows ~x10 but stays under the cap), derived at sf0.01 scale
+      // by the same BenchSf1 derivation; the routing is pinned at a
+      // proportionally scaled budget (the absolute default is sized
+      // for bench scale — committed sf1 census 1.38e8, hotShare 0)
+      val mini = graft.BenchSf1.deriveDocs(
+        graft.Tables.documents(spark, sf("sf0.01")))
+      val c3 = Dedup.gearCensus(mini)
+      assert(c3.totalPairMass > 50 * 1.4e4, // ~base-corpus mass x100
+        s"replica derivation did not scale the mass: $c3")
+      assert(c3.hotShare < 0.05, s"replica profile grew hot keys: $c3")
+      assert(Dedup.chooseGear(c3, plainBudget = c3.totalPairMass / 10) ==
+        Dedup.CappedGear)
+      // mechanism boundaries, pinned exactly
+      assert(Dedup.chooseGear(Dedup.GearCensus(100, 0), 100) == Dedup.PlainGear)
+      assert(Dedup.chooseGear(Dedup.GearCensus(101, 51), 100) == Dedup.PrefixGear)
+      assert(Dedup.chooseGear(Dedup.GearCensus(101, 50), 100) == Dedup.CappedGear)
+      assert(Dedup.chooseGear(Dedup.GearCensus(0, 0)) == Dedup.PlainGear)
+      // and the routed result IS the pinned gear's result (plain at
+      // test scale)
+      val auto = Dedup.autoPairs(graft.Tables.documents(spark, sf()))
+        .select("a", "b", "inter").as[(Long, Long, Long)].collect().toSet
+      val plain = Dedup.jaccardPairs(graft.Tables.documents(spark, sf()),
+        maxDf = None).select("a", "b", "inter")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(auto == plain)
+    } finally CacheRegistry.unpersistAll()
+  }
 }
