@@ -235,6 +235,27 @@ object SparkEntry {
       }
       operators.Linkage.readLinkageAlerts(s, root)
     }),
+    // st09_vector_maintain: the streaming ANN-index lifecycle at
+    // corpus scale (41u — the 41r posture on the vector artifact):
+    // the embeddings table lands as two codes micro-batches through
+    // the maintained index, and the timed read serves the s05 query
+    // set from the maintained artifact
+    "st09_vector_maintain" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val root = GateScratch.fresh(s, "vecmaint")
+      val e = Tables.embeddings(s, dir)
+      (0L to 1L).foreach { b =>
+        operators.VectorIndex.vectorBatch(
+          e.filter(pmod(col("vec_id"), lit(2)) === b), b, root)
+      }
+      operators.VectorIndex.queryIndex(
+        operators.VectorIndex.readMeta(s, root),
+        operators.VectorIndex.readCodes(s, root), e,
+        e.filter(org.apache.spark.sql.functions.col("vec_id")
+            % operators.Similarity.QueryStride === 0)
+          .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+            org.apache.spark.sql.functions.col("embedding").as("qe")))
+    }),
     // st03_maintain: the maintenance pass alone (recoverSwaps +
     // compactCensus + foldBatches×2 + sealed-dir compacts) over gate
     // state built UNTIMED by the benchSetup hook of the same name —

@@ -141,9 +141,9 @@ object VectorIndex {
     * pass [[fitTrainedMeta]]'s output to ship trained ones — the
     * artifact layout and every reader are meta-agnostic) and persist
     * all three tables. */
-  def writeIndex(vectors: DataFrame, path: String,
-      meta: IndexMeta = fitMeta()): Unit = {
-    val s = vectors.sparkSession
+  /** Persist the quantizer tables (16 + 128 bounded rows). */
+  private def writeMeta(s: SparkSession, path: String,
+      meta: IndexMeta): Unit = {
     import s.implicits._
     meta.centers.zipWithIndex.map { case (cv, c) => (c, cv.toSeq) }.toSeq
       .toDF("cell", "cv")
@@ -153,8 +153,45 @@ object VectorIndex {
         meta.codebook((m * CodesPerSub + j) * SubDim + d))))
       .toDF("m", "j", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta/codebook")
+  }
+
+  def writeIndex(vectors: DataFrame, path: String,
+      meta: IndexMeta = fitMeta()): Unit = {
+    val s = vectors.sparkSession
+    writeMeta(s, path, meta)
+    writeLayout(s, path, LayoutStatic)
     encode(vectors, meta)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** The codes layout marker (the Search.writeIndexMeta lesson,
+    * r16 advice item 1 applied here preemptively): "static" = flat
+    * codes/cell=N (writeIndex / appendVectors), "batched" = nested
+    * codes/batch=id/cell=N (vectorBatch / maintainVectorIndex). The
+    * two partition depths cannot mix under one codes root — Spark's
+    * partition discovery throws on every later read — so writers
+    * validate the marker; readers accept either shape. */
+  private[operators] val LayoutStatic = "static"
+  private[operators] val LayoutBatched = "batched"
+
+  private def writeLayout(s: SparkSession, path: String, layout: String): Unit =
+    s.range(1).select(lit(layout).as("layout"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta/layout")
+
+  private def layoutExists(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta/layout")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def checkLayout(s: SparkSession, path: String, expect: String): Unit = {
+    val got = s.read.parquet(s"$path/meta/layout")
+      .head().getAs[String]("layout")
+    require(got == expect,
+      s"vector index at $path has codes layout '$got'; this writer " +
+        s"produces '$expect' — static (flat cell=N) and batched " +
+        "(batch=id/cell=N) partition depths cannot mix under one codes " +
+        "root (every later read would throw on conflicting directory " +
+        "structures)")
   }
 
   /** Load the quantizer metadata (bounded 16 + 128-row collects). */
@@ -177,7 +214,9 @@ object VectorIndex {
     IndexMeta(centers, cb)
   }
 
-  /** The loaded (distributed) codes table. */
+  /** The loaded (distributed) codes table — either layout (partition
+    * discovery handles flat cell=N and nested batch=id/cell=N alike;
+    * the batch column, when present, is simply not selected). */
   def readCodes(s: SparkSession, path: String): DataFrame =
     s.read.parquet(s"$path/codes")
       .select(col("vec_id"), col("cell").cast("int").as("cell"), col("codes"))
@@ -196,6 +235,7 @@ object VectorIndex {
     * guaranteed-fresh delta can skip the read with dedup = false. */
   def appendVectors(s: SparkSession, path: String, delta: DataFrame,
       dedup: Boolean = true): Unit = {
+    checkLayout(s, path, LayoutStatic)
     val fresh =
       if (dedup)
         delta.join(readCodes(s, path).select(col("vec_id")),
@@ -204,6 +244,67 @@ object VectorIndex {
     encode(fresh, readMeta(s, path))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
+
+  // ---------------------------------------------------------------
+  // Streaming index maintenance (r16 verdict item 5 — the 41r
+  // posture applied to the ANN serving artifact): every micro-batch
+  // of a crawl's embedding delta lands in the index EXACTLY ONCE,
+  // crash-replay included. Codes rows are per-vector FACTS, so each
+  // batch writes its own codes/batch=<id> level partitioned by cell
+  // (a replayed id OVERWRITES its own directory instead of appending
+  // twice — the UpsertStream idempotence posture; cell pruning still
+  // works, cell is the next directory level down). The quantizers
+  // are FIXED AT FIT (the IVF-PQ merge contract), persisted once at
+  // the first batch and read back every trigger, so a maintained
+  // index serves through the SAME readMeta/readCodes/queryIndex
+  // paths as a static one, bit-identically (spec-pinned).
+  // ---------------------------------------------------------------
+
+  /** Schema'd read of the batched codes tree (the linkage-gate
+    * lesson: an all-empty-batch tree has zero data files and schema
+    * inference over it throws — an empty trigger is normal). */
+  private val BatchedCodesSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id LONG, codes ARRAY<INT>, batch LONG, cell INT")
+
+  /** Fold one (vec_id, embedding) micro-batch into a maintained
+    * index — idempotent under replay of the same `id`, and
+    * at-least-once-safe across batches (vec_ids already landed by
+    * EARLIER batches are anti-joined away; a replayed id must NOT
+    * anti-join against its own previous attempt, hence batch < id).
+    * `meta` is evaluated only on the FIRST batch (the fit step); all
+    * later triggers read the persisted quantizers. */
+  def vectorBatch(batch: DataFrame, id: Long, path: String,
+      meta: => IndexMeta = fitMeta()): Unit = {
+    val s = batch.sparkSession
+    if (!layoutExists(s, path)) {
+      writeMeta(s, path, meta)
+      writeLayout(s, path, LayoutBatched)
+    } else checkLayout(s, path, LayoutBatched)
+    val codesRoot = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = codesRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (!fs.exists(codesRoot)) batch
+      else batch.join(
+        s.read.schema(BatchedCodesSchema).parquet(s"$path/codes")
+          .filter(col("batch") < id).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+    encode(fresh, readMeta(s, path))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes/batch=$id")
+  }
+
+  /** Maintain the ANN serving index over a (vec_id, embedding)
+    * stream. */
+  def maintainVectorIndex(stream: DataFrame, path: String,
+      checkpointDir: String, meta: => IndexMeta = fitMeta())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        vectorBatch(batch, id, path, meta)
+      }
+      .start()
 
   /** s05's probe → ADC → exact-rerank dataflow, served from a loaded
     * artifact: `codes` replaces the in-query encode scan (the probed

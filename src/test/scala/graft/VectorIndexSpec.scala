@@ -173,4 +173,78 @@ class VectorIndexSpec extends SparkSpec {
     assert(one.count() ==
       all.filter(col("cell") === 3).count())
   }
+
+  test("41u: streamed vector-index maintenance == static rebuild, " +
+      "served bit-identically; replay and duplicates add nothing") {
+    val maintained = tmp("maint")
+    val static0 = tmp("static")
+    val half0 = corpus.filter(col("vec_id") % 2 === 0)
+    val half1 = corpus.filter(col("vec_id") % 2 === 1)
+    VectorIndex.vectorBatch(half0, 0L, maintained)
+    VectorIndex.vectorBatch(half1, 1L, maintained)
+    VectorIndex.writeIndex(corpus, static0)
+    val q = corpus.filter(col("vec_id") % Similarity.QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def serve(path: String) = VectorIndex.queryIndex(
+      VectorIndex.readMeta(spark, path),
+      VectorIndex.readCodes(spark, path), corpus, q)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val base = serve(maintained)
+    assert(base == serve(static0) && base.nonEmpty)
+    // crash-replay of batch 1: same codes count, same served rows
+    VectorIndex.vectorBatch(half1, 1L, maintained)
+    assert(VectorIndex.readCodes(spark, maintained).count() == corpus.count())
+    assert(serve(maintained) == base)
+    // at-least-once across batches: batch 2 redelivers half1 vec_ids —
+    // the anti-join drops them all
+    VectorIndex.vectorBatch(half1, 2L, maintained)
+    assert(VectorIndex.readCodes(spark, maintained).count() == corpus.count())
+    assert(serve(maintained) == base)
+  }
+
+  test("41u: layout marker — static and batched writers refuse each " +
+      "other's artifact; an empty first trigger doesn't poison the fold") {
+    val maintained = tmp("mixm")
+    // empty first trigger: meta lands, codes level is file-less
+    VectorIndex.vectorBatch(corpus.limit(0), 0L, maintained)
+    VectorIndex.vectorBatch(corpus, 1L, maintained)
+    assert(VectorIndex.readCodes(spark, maintained).count() == corpus.count())
+    val e1 = intercept[IllegalArgumentException] {
+      VectorIndex.appendVectors(spark, maintained, corpus)
+    }
+    assert(e1.getMessage.contains("layout"))
+    val static0 = tmp("mixs")
+    VectorIndex.writeIndex(corpus, static0)
+    val e2 = intercept[IllegalArgumentException] {
+      VectorIndex.vectorBatch(corpus, 1L, static0)
+    }
+    assert(e2.getMessage.contains("layout"))
+  }
+
+  test("41u: a real writeStream drives the same maintenance path") {
+    val root = tmp("stream")
+    val ckp = tmp("ckp")
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = VectorIndex.maintainVectorIndex(
+      input.toDF().toDF("vec_id", "embedding"), root, ckp)
+    val rows = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    try {
+      input.addData(rows.filter(_._1 % 2 == 0): _*)
+      q.processAllAvailable()
+      input.addData(rows.filter(_._1 % 2 == 1): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val static0 = tmp("streamstatic")
+    VectorIndex.writeIndex(corpus, static0)
+    val qs = corpus.filter(col("vec_id") % Similarity.QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def serve(path: String) = VectorIndex.queryIndex(
+      VectorIndex.readMeta(spark, path),
+      VectorIndex.readCodes(spark, path), corpus, qs)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(serve(root) == serve(static0) && serve(root).nonEmpty)
+  }
 }
