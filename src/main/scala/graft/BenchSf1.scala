@@ -101,6 +101,31 @@ object BenchSf1 {
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
   }
 
+  /** 10 lineitem replicas with BOTH keys offset (k·Off on l_orderkey,
+    * k·PartOff on l_partkey): the co-purchase graph becomes 10
+    * structure-preserving disjoint copies — 10× nodes, 10× edges,
+    * identical degree distribution — so the graph faces (g03 fixpoint,
+    * g04 wedge join, g06 peel loop) measure how the ITERATIVE plans
+    * scale with data volume (lineage length, shuffle bytes, cached
+    * frame size) with the per-copy answer pinned to the sf0.1 one.
+    * Disjoint replication is deliberate and documented: a denser
+    * single graph would change the PROBLEM (wedge counts grow
+    * super-linearly); copies isolate the engine-scaling question. */
+  private val PartOff = 10000000L
+
+  private def buildLineitem(s: SparkSession, srcDir: String,
+      out: String): Unit = {
+    val li = Tables.lineitem(s, srcDir)
+    val all = (0 until Replicas).map { k =>
+      if (k == 0) li
+      else li
+        .withColumn("l_orderkey", col("l_orderkey") + k * Off)
+        .withColumn("l_partkey", col("l_partkey") + k * PartOff)
+    }.reduce(_ unionByName _)
+    all.repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -121,6 +146,8 @@ object BenchSf1 {
       buildEmbeddings(spark, srcDir, out)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/customer.parquet")))
       buildCustomer(spark, srcDir, out)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/lineitem.parquet")))
+      buildLineitem(spark, srcDir, out)
     CacheRegistry.unpersistAll()
 
     // generic warmup (the Bench convention, shortened): JIT +
@@ -139,10 +166,16 @@ object BenchSf1 {
       // 10x docs — build + write + pruned serve (the s05b sibling)
       "s15_bm25_index",
       // r16-late: the ER family's honest quadratic stress — nation
-      // blocks grow 10x, block pairs 100x; this face exists to put a
-      // MEASURED number on the f33 scaladoc's posture note (at real
-      // scale the blocker composes finer attributes)
-      "f33_dup_accounts")
+      // blocks grow 10x (block pairs 100x would be the coarse gear's
+      // bill; r17's composite deletion-neighborhood blocker pays the
+      // linear explode + true-candidate mass instead: 39.8 -> 27.8 s)
+      "f33_dup_accounts",
+      // r17 (r16 verdict item 6): the graph family's iterative plans
+      // at 10x data — fixpoint (g03), wedge join behind the adaptive
+      // hub gate (g04), materialized peel rounds (g06) — over the
+      // structure-preserving 10-copy co-purchase graph (see
+      // buildLineitem: engine scaling isolated from problem growth)
+      "g03_pagerank", "g04_triangles", "g06_kcore")
     val benched = SparkEntry.queries ++ SparkEntry.benchOnly
     // Cap-sizing probe for the d02 super-linear reading. The naive
     // remedy — tighten the cap so the grown posting lists fall to
