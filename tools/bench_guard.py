@@ -23,7 +23,12 @@ readings sit 1x-5x above count()-era ones depending on how much output
 computation count() had been discarding. Every ceiling marked
 "honest ... r16" is calibrated on the new epoch; pre-r16 dumps and
 BENCH_ISOLATED_r15 readings are count()-era. The --isolated baseline
-is BENCH_ISOLATED_r16.json — the first honest-epoch fresh-JVM sweep
+is BENCH_ISOLATED_r17.json — BENCH_ISOLATED_r16 (the first
+honest-epoch fresh-JVM sweep) plus the r17 splice: the five new faces
+(f33_block_coarse/fine, d02_ngram_jaccard_auto, st09_vector_maintain,
+f38_top_users) and the three composite-ER-reblocked faces
+(f33 11.29→4.89, f35 14.15→10.62, st08 13.45→12.20) re-measured
+fresh-JVM on the landing host; r16's notes on ITS splices follow
 (155 faces, 0 failures; the two r16-late prefix-Jaccard faces and the
 c23 cluster-split face were appended from their landing runs, the
 batch-2 faces g06/f32/d14/s14 from theirs, and the late serving/
@@ -69,7 +74,7 @@ import os
 import sys
 
 ISOLATED_BASELINE = os.path.join(os.path.dirname(__file__), "..",
-                                 "BENCH_ISOLATED_r16.json")
+                                 "BENCH_ISOLATED_r17.json")
 ISOLATED_RATIO = 1.5   # x baseline
 ISOLATED_SLACK = 0.3   # + seconds (fresh-JVM JIT jitter on sub-second faces)
 
@@ -282,14 +287,16 @@ CEILINGS = {
                                    # (two narrow (label,dim)/(vec_id)
                                    # shuffles over the exploded frame
                                    # + the per-label rank window)
-    "f33_dup_accounts": 19.2,      # committed 10.80 s landing run /
-                                   # 11.29 isolated — exhaustive
-                                   # within-block ER audit: 9M
-                                   # nation-block pairs through the
-                                   # once-per-unordered-pair banded
-                                   # thresholded levenshtein (the
-                                   # full-DP two-sided first cut read
-                                   # 28.8 s)
+    "f33_dup_accounts": 13.6,      # committed 7.49 s (BENCH_FULL_r17
+                                   # worse run; 8.68 isolated) — the
+                                   # r17 composite deletion-
+                                   # neighborhood blocker replaced
+                                   # the 9M-pair coarse stream (r16
+                                   # 12.3; first full-DP cut 28.8);
+                                   # 1.7v+0.8. A regression to the
+                                   # coarse gear trips the
+                                   # f33_block_* ratio floor, not
+                                   # (only) this ceiling
     "c25_k_anonymity": 2.9,        # committed 1.18 s landing run /
                                    # 1.17 isolated — three shrinking
                                    # census aggregates
@@ -346,11 +353,12 @@ CEILINGS = {
                                    # (unigram + bigram aggregates; no
                                    # text-bearing cache) + the
                                    # count-floored TakeOrdered top-K
-    "f35_golden_record": 25.7,     # committed 14.65 s single-face
-                                   # landing run — f33's 9M-pair
-                                   # banded levenshtein stage (10.8 s
-                                   # alone) + the CC closure + three
-                                   # cluster-member-sized aggregates
+    "f35_golden_record": 16.7,     # committed 9.33 s (BENCH_FULL_r17
+                                   # worse run) — the r17 composite-
+                                   # blocked pair stage (was 14.65 on
+                                   # the coarse gear) + the CC
+                                   # closure + three cluster-member-
+                                   # sized aggregates; 1.7v+0.8
     "q29_audience_overlap": 2.6,   # committed 1.06 s single-face
                                    # landing run — one (type, user)
                                    # distinct + the T²-bounded
@@ -364,12 +372,14 @@ CEILINGS = {
                                    # landing run — one token scan,
                                    # two combiner-friendly aggregates
                                    # + the vocab-sized rank window
-    "st08_linkage_gate": 23.9,     # committed 13.59 s single-face
-                                   # landing run — two registration
-                                   # micro-batches through the gate:
-                                   # within-batch banded levenshtein
-                                   # pairs + the blocked state probe
-                                   # + alert/state writes per trigger
+    "st08_linkage_gate": 16.5,     # committed 9.21 s (BENCH_FULL_r17
+                                   # worse run; was 13.59 on the
+                                   # coarse gear) — two registration
+                                   # micro-batches: within-batch
+                                   # composite pairs + the variant-
+                                   # keyed state probe (linear in
+                                   # pruned state) + alert/state
+                                   # writes per trigger; 1.7v+0.8
     "m04_audio_fp": 4.0,           # committed 1.67 s single-face /
                                    # 2.33 isolated — WAV synth +
                                    # JDK decode + 65-window envelope
@@ -492,6 +502,23 @@ CEILINGS.update({
     "t02_quality_score": 1.7,  # honest 0.55 s
     "t03_token_count": 1.9,  # honest 0.67 s
     "t04_fingerprint": 1.2,  # honest 0.23 s
+    # r17 faces — ceilings cut from BENCH_FULL_r17.json (the worse of
+    # two back-to-back honest sweeps; 189 faces, 0 failures) at the
+    # churn-safe floor 1.7v+0.8 (v < 10 s) / 1.5v+1.0
+    "f33_block_coarse": 40.9,  # committed 26.56 s — the DEGENERATE
+                               # single-block coarse gear (the demo
+                               # pair's expensive twin, quadratic BY
+                               # DESIGN like d09_boilerplate)
+    "f33_block_fine": 9.1,  # committed 4.86 s — composite gear on the
+                            # identical corpus, identical output
+    "d02_ngram_jaccard_auto": 5.2,  # committed 2.59 s — census + the
+                                    # routed (plain, on this corpus)
+                                    # gear
+    "st09_vector_maintain": 6.9,  # committed 3.59 s — two codes
+                                  # micro-batches + meta fit + the
+                                  # served s05 query set
+    "f38_top_users": 2.1,  # committed 0.73 s — top-15 terms + range
+                           # split over events
 })
 
 # (numerator face, denominator face) -> required min ratio. The d09
@@ -517,6 +544,13 @@ RATIO_FLOORS = {
     # full-run at landing; same host-speed compression caveat as the
     # capped floor).
     ("d09_boilerplate", "d09_boilerplate_prefix"): 1.4,
+    # the composite-blocking binding demo (r17, r16 verdict item 1):
+    # the degenerate single-block coarse gear must pay >= 2x the
+    # deletion-neighborhood composite gear on the identical corpus,
+    # or the blocker has stopped binding (measured landing: 5.3x
+    # in-run, 23.56/3.42 = 6.9x in the committed run-1; compresses
+    # with host speed like the d09 floor).
+    ("f33_block_coarse", "f33_block_fine"): 2.0,
     # the degree-ordering binding demo (r15 verdict item 1): the
     # id-ordered gear must pay >= 2x the degree-ordered gear on the
     # planted hub-skew wheel, or the orientation has stopped mattering
