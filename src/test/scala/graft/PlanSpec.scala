@@ -432,6 +432,23 @@ class PlanSpec extends SparkSpec {
     } finally CacheRegistry.unpersistAll()
   }
 
+  test("f33: composite ER blocking plan shape — native variant generator " +
+      "in the plan, slim hashed-key join, no cross join") {
+    val p = plan("f33_dup_accounts")
+    assert(p.contains("graft_delete_variants"),
+      "native deletion-variant generator not in the plan (HOF fallback?)")
+    assert(p.contains("xxhash64"), "variant join key is not hashed")
+    assert(!p.contains("CartesianProduct"), "ER fell to cross join")
+    // the collision stream must be slim: the name column stays out of
+    // the variant self-join and re-attaches candidate-sized — if a
+    // Sort for the pair join carries `name`, the slim contract broke
+    val sortsWithName = p.linesIterator
+      .filter(l => l.contains("Sort [") && l.contains("skey"))
+      .filter(_.contains("name"))
+    assert(sortsWithName.isEmpty,
+      "variant-join sort carries the name column — slim frame regressed")
+  }
+
   test("driver contract: oracle keys ⊆ queries, benchOnly disjoint, rows-only pinned") {
     // the driver verifies every `queries` entry and hash-compares the
     // oracle rows; a stray oracle key or a benchOnly name colliding
