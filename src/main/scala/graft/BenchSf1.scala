@@ -175,7 +175,14 @@ object BenchSf1 {
       // hub gate (g04), materialized peel rounds (g06) — over the
       // structure-preserving 10-copy co-purchase graph (see
       // buildLineitem: engine scaling isolated from problem growth)
-      "g03_pagerank", "g04_triangles", "g06_kcore")
+      "g03_pagerank", "g04_triangles", "g06_kcore",
+      // r17: the ER family's full surface at 10x — survivorship over
+      // the composite-blocked pairs, and the registration gate whose
+      // per-trigger state probe is LINEAR in pruned state (the
+      // composite gear's serving-edge guarantee, measured here);
+      // plus the streaming ANN-index maintenance lifecycle at 10x
+      // embeddings
+      "f35_golden_record", "st08_linkage_gate", "st09_vector_maintain")
     val benched = SparkEntry.queries ++ SparkEntry.benchOnly
     // Cap-sizing probe for the d02 super-linear reading. The naive
     // remedy — tighten the cap so the grown posting lists fall to

@@ -118,12 +118,15 @@ object Linkage {
       // balance BEFORE the generator: the source scan of a small
       // blocked corpus is often one file = one task, and the explode
       // amplifies ×~120 — spread the rows first so variant
-      // generation parallelizes. The frame is SLIM — (key, len,
-      // hashed variant), never the name or the raw variant string:
-      // the block folds into the 8-byte xxhash join key (a hash
-      // collision only ADDS a candidate the DP then rejects), so the
-      // exploded shuffle and the collision stream carry three fixed-
-      // width columns; a true pair collides once per shared variant
+      // generation parallelizes. The frame is SLIM — (key, block,
+      // len, hashed variant), never the name or the raw variant
+      // string: the variant hashes to 8 bytes while block rides as
+      // its own join column, so a hash COLLISION can only merge
+      // variants WITHIN a block — pure overgeneration the DP then
+      // rejects, never a cross-block pair (blocking semantics stay
+      // provably exact, not probabilistically so). The exploded
+      // shuffle and the collision stream carry four fixed-width
+      // columns; a true pair collides once per shared variant
       // (multiplicity ~5-8 on dense names — measured sf1: 33M
       // collision rows), and names re-attach AFTER the pair distinct,
       // candidate-sized. Deliberately NOT cached: materializing the
@@ -134,13 +137,13 @@ object Linkage {
         .repartition(col("key"))
         .select(col("key"), col("block"), length(col("name")).as("len"),
           explode(deletionVariants(s, col("name"), maxEdits)).as("v"))
-        .select(col("key"), col("len"),
-          xxhash64(col("block"), col("v")).as("skey"))
-        .repartition(col("skey"))
+        .select(col("key"), col("block"), col("len"),
+          xxhash64(col("v")).as("skey"))
+        .repartition(col("block"), col("skey"))
       val cand = slim.join(
-          slim.select(col("key").as("match_key"), col("len").as("mlen"),
-            col("skey")),
-          Seq("skey"))
+          slim.select(col("key").as("match_key"), col("block"),
+            col("len").as("mlen"), col("skey")),
+          Seq("block", "skey"))
         .filter(col("key") < col("match_key") &&
           abs(col("len") - col("mlen")) <= maxEdits)
         .select(col("key"), col("match_key"))
@@ -388,22 +391,24 @@ object Linkage {
         if (!fs.exists(stateRoot)) within.limit(0)
         else {
           // balance-before-generator + the linkPairs slim-frame
-          // shape on both sides: (key, len, hashed block+variant),
-          // names re-attached after the pair distinct
+          // shape on both sides: (key, block, len, hashed variant) —
+          // block rides as its own join column so hash collisions
+          // stay within-block overgeneration; names re-attach after
+          // the pair distinct
           def slimOf(df: DataFrame): DataFrame = df
             .repartition(col("key"))
             .select(col("key"), col("block"), length(col("name")).as("len"),
               explode(deletionVariants(s, col("name"), maxEdits)).as("v"))
-            .select(col("key"), col("len"),
-              xxhash64(col("block"), col("v")).as("skey"))
+            .select(col("key"), col("block"), col("len"),
+              xxhash64(col("v")).as("skey"))
           val stateRecs = s.read.schema(StateSchema).parquet(s"$path/state")
             .filter(col("batch") < id)
             .select(col("key"), col("name"), col("block"))
             .transform(graft.CacheRegistry.register) // slim pass + name attach
           val cand = slimOf(stateRecs)
-            .select(col("key").as("match_key"), col("len").as("mlen"),
-              col("skey"))
-            .join(slimOf(recs), Seq("skey"))
+            .select(col("key").as("match_key"), col("block"),
+              col("len").as("mlen"), col("skey"))
+            .join(slimOf(recs), Seq("block", "skey"))
             .filter(abs(col("len") - col("mlen")) <= maxEdits)
             .select(col("key"), col("match_key"))
             .distinct() // a pair collides once per shared variant
