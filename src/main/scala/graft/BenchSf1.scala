@@ -187,7 +187,7 @@ object BenchSf1 {
     // Cap-sizing probe for the d02 super-linear reading. The naive
     // remedy — tighten the cap so the grown posting lists fall to
     // the rare+hot decomposition — is MEASURED here, and it loses:
-    // cap 64 reads 52.2 s vs the default 256's 37.5 s at sf1,
+    // a tighter cap LOSES at sf1 (readings above),
     // because every key pushed into the hot set feeds the
     // hot-correction join (candidate pairs × hot postings), which
     // grows faster than the rare self-join shrinks on this df
@@ -202,8 +202,8 @@ object BenchSf1 {
       "d02_ngram_jaccard_cap64" -> ((s: SparkSession, dir: String) =>
         operators.Dedup.d02(s, dir, maxDf = Some(64))),
       // The zero-loss prefix gear (d02p) measured on the same
-      // df-stress corpus — and it LOSES here (~230-270 vs ~39-54 s capped
-      // across the committed runs),
+      // df-stress corpus — and it LOSES here (192.3 vs 38.5 s capped
+      // in the committed r17 sweep; 170-270 vs 37-55 historically),
       // for a structural reason worth recording next to the cap64
       // probe: the replica construction gives every doc ~19
       // "half-sibling" docs (Jaccard ≈ 1/3, below threshold) that
@@ -222,8 +222,8 @@ object BenchSf1 {
       // resolves from SparkEntry.queries via the `faces` list — one
       // definition, no drift.)
       // the full production composition on the prefix generator: the
-      // d06_dedup_clusters_capped twin (61.3 s at sf1 on the cap in
-      // the committed artifact)
+      // d06_dedup_clusters_capped twin (67.2 s capped vs 218.4 prefix
+      // in the committed r17 sweep)
       "d06_dedup_clusters_prefix" -> ((s: SparkSession, dir: String) => {
         val docs = Tables.documents(s, dir)
         operators.Dedup.connectedComponents(
