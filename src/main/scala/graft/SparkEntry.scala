@@ -291,7 +291,11 @@ object SparkEntry {
     "st06_alert_sink", "st07_index_maintain", "st08_linkage_gate",
     "st09_vector_maintain",
     "c03c_pack_subword_fit", "c03c_pack_subword_fit32k",
-    "c10_clean_staged")
+    "c10_clean_staged",
+    // artifact-lifecycle QUERY faces (from `queries`, not benchOnly):
+    // each wipes pid scratch and writes a full index artifact during
+    // face construction
+    "s05b_ivfpq_artifact", "s15_bm25_index", "s16_phrase_index")
 
   /** Bench scratch — see [[PidScratch]] for the lifecycle contract. */
   private object GateScratch {

@@ -313,14 +313,16 @@ object Dedup {
   val HotShareThreshold = 0.5
 
   private val gearCensusMemo = scala.collection.concurrent.TrieMap
-    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, GearCensus]
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+      GearCensus]
 
   /** One bounded-pull census aggregate over the corpus's shingle
-    * frame, memoized per canonicalized input plan. */
+    * frame, memoized per (canonicalized input plan, cap) — hotPairMass
+    * depends on the cap, so a different cap must recount. */
   def gearCensus(docs: DataFrame, cap: Int = DefaultMaxDf): GearCensus = {
     if (gearCensusMemo.size > 64) gearCensusMemo.clear()
     gearCensusMemo.getOrElseUpdate(
-      docs.queryExecution.analyzed.canonicalized, {
+      (docs.queryExecution.analyzed.canonicalized, cap), {
         val mass = col("df").cast("double") * (col("df") - 1) / 2
         val r = graft.CacheRegistry.scoped {
           shingleFrame(docs)

@@ -88,6 +88,24 @@ object Linkage {
       maxEdits: Int = MaxEdits): Column =
     graft.plans.GraftFunctions.deleteVariants(s, name, maxEdits)
 
+  /** The slim composite-blocking candidate frame of a (key, name,
+    * block) records frame: (key, block, len, skey) with one row per
+    * deletion variant, balanced BEFORE the generator and hashed to a
+    * fixed-width join key. ONE definition shared by linkPairs'
+    * segmented branch and the streaming gate's cross probe, so the
+    * two can never drift on the blocking recipe (a drift would
+    * silently break the gate's "same candidates as batch f33"
+    * contract). */
+  private def slimFrame(records: DataFrame, maxEdits: Int): DataFrame = {
+    val s = records.sparkSession
+    records
+      .repartition(col("key"))
+      .select(col("key"), col("block"), length(col("name")).as("len"),
+        explode(deletionVariants(s, col("name"), maxEdits)).as("v"))
+      .select(col("key"), col("block"), col("len"),
+        xxhash64(col("v")).as("skey"))
+  }
+
   /** The budget-surviving unordered link pairs of a (key, name,
     * block) frame: (key, name, match_key, match_name, dist) with
     * key < match_key — the shared comparison stage of [[bestMatches]]
@@ -113,8 +131,14 @@ object Linkage {
     * `f33_block_*` bench pair measures against. */
   def linkPairs(records: DataFrame, maxEdits: Int = MaxEdits,
       segmentBlocked: Boolean = true): DataFrame = {
+    // fail at CONSTRUCTION, not inside executor tasks: the deletion
+    // neighborhood covers budgets 1-2 (the engine's sibling-typo
+    // band); other budgets keep the coarse gear explicitly
+    require(!segmentBlocked || (maxEdits >= 1 && maxEdits <= 2),
+      s"the composite deletion-neighborhood gear covers edit budgets " +
+        s"1 and 2 (got $maxEdits) — pass segmentBlocked = false for " +
+        "other budgets")
     val pairs = if (segmentBlocked) {
-      val s = records.sparkSession
       // balance BEFORE the generator: the source scan of a small
       // blocked corpus is often one file = one task, and the explode
       // amplifies ×~120 — spread the rows first so variant
@@ -133,12 +157,7 @@ object Linkage {
       // ~120×-exploded frame through the columnar cache costs more
       // than generating it twice (measured sf1: 26 s cache build vs
       // ~3 s per native-loop generation pass).
-      val slim = records
-        .repartition(col("key"))
-        .select(col("key"), col("block"), length(col("name")).as("len"),
-          explode(deletionVariants(s, col("name"), maxEdits)).as("v"))
-        .select(col("key"), col("block"), col("len"),
-          xxhash64(col("v")).as("skey"))
+      val slim = slimFrame(records, maxEdits)
         .repartition(col("block"), col("skey"))
       val cand = slim.join(
           slim.select(col("key").as("match_key"), col("block"),
@@ -328,9 +347,12 @@ object Linkage {
   // OVERWRITES its own directory, and the gate reads batches < id
   // only, so crash-replay sees the same corpus as the first run and
   // emits the same alerts (idempotence spec-pinned). The cross probe
-  // is the same blocked equi-join + length-gap prune + banded
-  // thresholded levenshtein as linkPairs — per trigger it touches the
-  // batch's blocks of the state only (block partition pruning).
+  // is the same composite (block, variant) equi-join + length-gap
+  // prune + banded thresholded levenshtein as linkPairs — per
+  // trigger it reads and explodes the FULL accumulated state once
+  // (LINEAR in state size, never block-quadratic in it; at 10× state
+  // the committed sf1 sweep reads 84 s for two 75k-record triggers
+  // where a block-quadratic probe would pay ~100× per trigger).
   //
   // Keys must be GLOBALLY UNIQUE for the stream's lifetime (the
   // gateBatch contract): state is keyed by `key` alone.
@@ -395,12 +417,7 @@ object Linkage {
           // block rides as its own join column so hash collisions
           // stay within-block overgeneration; names re-attach after
           // the pair distinct
-          def slimOf(df: DataFrame): DataFrame = df
-            .repartition(col("key"))
-            .select(col("key"), col("block"), length(col("name")).as("len"),
-              explode(deletionVariants(s, col("name"), maxEdits)).as("v"))
-            .select(col("key"), col("block"), col("len"),
-              xxhash64(col("v")).as("skey"))
+          def slimOf(df: DataFrame): DataFrame = slimFrame(df, maxEdits)
           val stateRecs = s.read.schema(StateSchema).parquet(s"$path/state")
             .filter(col("batch") < id)
             .select(col("key"), col("name"), col("block"))

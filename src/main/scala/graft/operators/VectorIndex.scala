@@ -184,8 +184,13 @@ object VectorIndex {
   }
 
   private def checkLayout(s: SparkSession, path: String, expect: String): Unit = {
-    val got = s.read.parquet(s"$path/meta/layout")
-      .head().getAs[String]("layout")
+    // a PRE-LAYOUT artifact (meta/centers exist but no marker — built
+    // by a writer older than the marker) must fail with the guarded
+    // message, not a raw path-not-found (the Search meta precedent)
+    val got =
+      if (layoutExists(s, path))
+        s.read.parquet(s"$path/meta/layout").head().getAs[String]("layout")
+      else "unknown(pre-layout artifact)"
     require(got == expect,
       s"vector index at $path has codes layout '$got'; this writer " +
         s"produces '$expect' — static (flat cell=N) and batched " +
@@ -278,6 +283,16 @@ object VectorIndex {
       meta: => IndexMeta = fitMeta()): Unit = {
     val s = batch.sparkSession
     if (!layoutExists(s, path)) {
+      // "no layout marker" must mean a genuinely FRESH path: a
+      // pre-marker artifact (codes or quantizers already present)
+      // would otherwise be silently re-fit and partition-depth-mixed
+      val centersP = new org.apache.hadoop.fs.Path(s"$path/meta/centers")
+      val codesP = new org.apache.hadoop.fs.Path(s"$path/codes")
+      val pfs = centersP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(!pfs.exists(centersP) && !pfs.exists(codesP),
+        s"vector index at $path predates the layout marker (codes or " +
+          "quantizer meta present without meta/layout) — refusing to " +
+          "re-fit over it; rebuild the artifact with a current writer")
       writeMeta(s, path, meta)
       writeLayout(s, path, LayoutBatched)
     } else checkLayout(s, path, LayoutBatched)

@@ -718,6 +718,13 @@ class DedupSpec extends SparkSpec {
       assert(c3.hotShare < 0.05, s"replica profile grew hot keys: $c3")
       assert(Dedup.chooseGear(c3, plainBudget = c3.totalPairMass / 10) ==
         Dedup.CappedGear)
+      // the census memo keys on (plan, cap): a tighter cap over the
+      // SAME corpus must recount hot mass, not replay the default
+      // cap's census (committed r17 review finding)
+      val tight = Dedup.gearCensus(graft.Tables.documents(spark, sf()), cap = 2)
+      val loose = Dedup.gearCensus(graft.Tables.documents(spark, sf()))
+      assert(tight.hotPairMass > loose.hotPairMass,
+        s"cap=2 census replayed the default-cap memo: $tight vs $loose")
       // mechanism boundaries, pinned exactly
       assert(Dedup.chooseGear(Dedup.GearCensus(100, 0), 100) == Dedup.PlainGear)
       assert(Dedup.chooseGear(Dedup.GearCensus(101, 51), 100) == Dedup.PrefixGear)

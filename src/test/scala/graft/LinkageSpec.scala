@@ -122,6 +122,18 @@ class LinkageSpec extends SparkSpec
     assert(planted.subsetOf(linkedPlants))
   }
 
+  test("composite gear rejects out-of-range budgets at construction; " +
+      "the coarse gear still takes them") {
+    val recs = Seq((1L, "abc", 1L)).toDF("key", "name", "block")
+    val e = intercept[IllegalArgumentException] {
+      Linkage.linkPairs(recs, maxEdits = 3)
+    }
+    assert(e.getMessage.contains("segmentBlocked = false"))
+    // budget 0 and 3 remain expressible on the explicit coarse gear
+    assert(Linkage.linkPairs(recs, maxEdits = 0,
+      segmentBlocked = false).count() == 0)
+  }
+
   test("native deletion variants == the full <=2-deletion enumeration " +
       "as string sets (canonicalization loses nothing), incl. unicode runs") {
     import org.apache.spark.unsafe.types.UTF8String

@@ -221,6 +221,26 @@ class VectorIndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("layout"))
   }
 
+  test("41u: a pre-layout artifact is refused, never silently re-fit " +
+      "or partition-depth-mixed") {
+    val path = tmp("prelayout")
+    VectorIndex.writeIndex(corpus, path)
+    // simulate an artifact from a writer older than the layout marker
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta/layout"), true)
+    val e1 = intercept[IllegalArgumentException] {
+      VectorIndex.vectorBatch(corpus, 0L, path)
+    }
+    assert(e1.getMessage.contains("predates the layout marker"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorIndex.appendVectors(spark, path, corpus)
+    }
+    assert(e2.getMessage.contains("pre-layout"))
+    // the quantizers were NOT overwritten and no batch level landed
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes/batch=0")))
+  }
+
   test("41u: a real writeStream drives the same maintenance path") {
     val root = tmp("stream")
     val ckp = tmp("ckp")
