@@ -719,15 +719,173 @@ object Binary {
        FROM documents WHERE doc_id % 3 = 1"""
   }
 
+  // ---------------------------------------------------------------
+  // m05: video frame sampling + per-frame features — the face that
+  // moves video from "declared stub" to driver-checked PLUMBING.
+  // There is no stock-JDK video codec (the honest limit m01-m04's
+  // scaladoc declares), so the container is graft's own deterministic
+  // GFV1 format: a fixed 8-byte header (magic + frame size + frame
+  // count) over fixed-size frames — a stand-in for the keyframe index
+  // a real demuxer exposes. What the face actually verifies is the
+  // Spark side a production video pass depends on and the brief asks
+  // to make real: media-type filter pushed to the scan, typed
+  // per-partition decode (one container parse per row, streaming
+  // iterator, no collect), every-Nth frame sampling off the container
+  // index WITHOUT touching skipped frames' bytes, and fixed-width
+  // per-frame features (exact integer energy + the m02/m04 gradient
+  // fingerprint at frame level — the scene-dedup key `dhashPairs`
+  // can band-join). Frame bytes are md5-formula synthesized (the
+  // m03/m04 pattern), so the oracle replays parse → sample → energy
+  // → gradient bits arithmetically in DuckDB.
+  // ---------------------------------------------------------------
+  val VideoFrameBytes = 16
+  val VideoFrames = 8
+  val VideoEveryNth = 2
+  private val VideoMagic = "GFV1".getBytes("US-ASCII")
+
+  /** Deterministic frame byte shared with the oracle: the 60-bit md5
+    * prefix of "vid:id:i" mod 256 (i = body byte position). */
+  def md5VideoByte(id: Long, i: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"vid:$id:$i".getBytes("UTF-8"))
+    val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % 256L).toInt
+  }
+
+  /** A GFV1 container: magic "GFV1", u16 frameBytes, u16 nFrames
+    * (big-endian), then nFrames fixed-size frames of [[md5VideoByte]]
+    * bytes. */
+  def syntheticVideo(id: Long, nFrames: Int = VideoFrames,
+      frameBytes: Int = VideoFrameBytes): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(8 + nFrames * frameBytes)
+    out.put(VideoMagic).putShort(frameBytes.toShort).putShort(nFrames.toShort)
+    var i = 0
+    while (i < nFrames * frameBytes) { out.put(md5VideoByte(id, i).toByte); i += 1 }
+    out.array()
+  }
+
+  /** Parse a GFV1 container: (frameBytes, body) — None unless the
+    * magic matches and the body length is exactly frameBytes·nFrames
+    * (a truncated payload is a decode failure, not a short video). */
+  def parseVideo(payload: Array[Byte]): Option[(Int, Array[Byte])] = {
+    if (payload.length < 8 || !payload.take(4).sameElements(VideoMagic)) None
+    else {
+      val buf = java.nio.ByteBuffer.wrap(payload, 4, 4)
+      val frameBytes = buf.getShort & 0xffff
+      val nFrames = buf.getShort & 0xffff
+      if (frameBytes <= 0 || payload.length != 8 + nFrames * frameBytes) None
+      else Some((frameBytes, java.util.Arrays.copyOfRange(payload, 8, payload.length)))
+    }
+  }
+
+  case class VideoFrameRow(media_id: Long, frame_index: Long,
+      offset_bytes: Long, n_bytes: Long, energy: Long, fp: Long,
+      parsed: Boolean)
+
+  /** Distributed frame sampling + per-frame features over video rows
+    * only (the filter pushes to the scan; other media never reach the
+    * parser). Keeps every `everyNth` frame counting from 0 — the
+    * sampler indexes the container directly, so a skipped frame's
+    * bytes are never read. Per kept frame: exact integer energy
+    * (unsigned-byte sum — the blank/black-frame filter primitive) and
+    * the gradient fingerprint (bit b set iff byte b+1 > byte b — the
+    * m02/m04 dHash idea at frame level, band-joinable for scene
+    * dedup). Payloads that don't parse as GFV1 take the
+    * [[stubFrameSample]] fallback at the default frame size, flagged
+    * `parsed = false` (the decodeFeatures convention). */
+  def videoFrameFeatures(media: DataFrame,
+      everyNth: Int = VideoEveryNth): DataFrame = {
+    require(everyNth > 0)
+    val s = media.sparkSession
+    import s.implicits._
+    def features(mediaId: Long, idx: Int, offset: Long, data: Array[Byte],
+        parsed: Boolean): VideoFrameRow = {
+      var energy = 0L
+      var fp = 0L
+      var j = 0
+      while (j < data.length) {
+        energy += (data(j) & 0xff)
+        if (j + 1 < data.length && (data(j + 1) & 0xff) > (data(j) & 0xff))
+          fp |= (1L << j)
+        j += 1
+      }
+      VideoFrameRow(mediaId, idx.toLong, offset, data.length.toLong, energy, fp, parsed)
+    }
+    media.filter(col("meta.media_type") === "video/mp4")
+      .select(col("media_id"), col("payload"),
+        col("meta.media_type").as("media_type")).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        parseVideo(r.payload) match {
+          case Some((frameBytes, body)) =>
+            val nFrames = body.length / frameBytes
+            (0 until nFrames by everyNth).iterator.map { i =>
+              val off = i.toLong * frameBytes
+              features(r.media_id, i, off, java.util.Arrays.copyOfRange(
+                body, i * frameBytes, (i + 1) * frameBytes), parsed = true)
+            }
+          case None =>
+            stubFrameSample(r.payload, VideoFrameBytes, everyNth).iterator
+              .map(f => features(r.media_id, f.index, f.offset, f.data,
+                parsed = false))
+        }
+      }).toDF()
+  }
+
+  /** m05 face: video-typed media rows as md5-formula GFV1 containers
+    * through the frame-sampling path. */
+  def m05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = mediaTable(s, dir)
+      .filter(col("meta.media_type") === "video/mp4")
+      .select(col("media_id")).as[Long]
+    videoFrameFeatures(ids.mapPartitions(_.map { id =>
+      (id, syntheticVideo(id), "video/mp4")
+    }).toDF("media_id", "payload", "media_type")
+      .select(col("media_id"), col("payload"),
+        struct(col("media_type").as("media_type"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("").as("header_hex")).as("meta")))
+  }
+
+  val m05Sql: String = {
+    def byteSql(j: Int): String =
+      s"(CAST(('0x' || substring(md5('vid:' || CAST(doc_id AS VARCHAR) || " +
+        s"':' || CAST(idx*$VideoFrameBytes+$j AS VARCHAR)), 1, 15)) AS BIGINT) % 256)"
+    val byteCols = (0 until VideoFrameBytes)
+      .map(j => s"${byteSql(j)} AS b$j").mkString(",\n         ")
+    val energy = (0 until VideoFrameBytes).map(j => s"b$j").mkString(" + ")
+    val fp = (0 until VideoFrameBytes - 1).map { b =>
+      s"CASE WHEN b${b + 1} > b$b THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    }.mkString("\n         + ")
+    val idxRows = (0 until VideoFrames by VideoEveryNth)
+      .map(i => s"($i)").mkString(", ")
+    s"""WITH fr AS (
+         SELECT doc_id, idx FROM documents
+         CROSS JOIN (VALUES $idxRows) AS f(idx)
+         WHERE doc_id % 3 = 2),
+       b AS (SELECT doc_id, idx,
+         $byteCols
+         FROM fr)
+       SELECT doc_id AS media_id, CAST(idx AS BIGINT) AS frame_index,
+         CAST(idx * $VideoFrameBytes AS BIGINT) AS offset_bytes,
+         CAST($VideoFrameBytes AS BIGINT) AS n_bytes,
+         CAST($energy AS BIGINT) AS energy,
+         CAST($fp AS BIGINT) AS fp,
+         TRUE AS parsed
+       FROM b"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta" -> (m01 _),
     "m02_image_dhash" -> (m02 _),
     "m03_audio_energy" -> (m03 _),
-    "m04_audio_fp" -> (m04 _))
+    "m04_audio_fp" -> (m04 _),
+    "m05_video_frames" -> (m05 _))
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta" -> m01Sql,
     "m02_image_dhash" -> m02Sql,
     "m03_audio_energy" -> m03Sql,
-    "m04_audio_fp" -> m04Sql)
+    "m04_audio_fp" -> m04Sql,
+    "m05_video_frames" -> m05Sql)
 }

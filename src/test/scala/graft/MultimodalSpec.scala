@@ -259,4 +259,73 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Int, Int)].collect()
     joined.foreach { case (_, w, nb) => assert(w == 16 + (nb % 64)) }
   }
+
+  // --- m05: GFV1 container parse + frame sampling + features ------
+
+  /** A GFV1 container with caller-chosen frame bytes (frames laid out
+    * in order, frame f = frames(f)). */
+  private def gfv(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val fb = frames.head.length
+    val out = java.nio.ByteBuffer.allocate(8 + frames.size * fb)
+    out.put("GFV1".getBytes("US-ASCII"))
+      .putShort(fb.toShort).putShort(frames.size.toShort)
+    frames.foreach(out.put)
+    out.array()
+  }
+
+  private def videoMedia(rows: Seq[(Long, Array[Byte])]) =
+    rows.toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        struct(lit("video/mp4").as("media_type"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("").as("header_hex")).as("meta"))
+
+  test("m05: GFV1 parse, every-Nth sampling, exact energy + gradient fp") {
+    // 4 frames of 4 bytes: hand-computable energies and gradients
+    val frames = Seq(
+      Array[Byte](0, 10, 5, 5),                    // e=20, fp: b0 (10>0)
+      Array[Byte](100, 100, 100, 100),             // e=400, fp=0
+      Array[Byte](1, 2, 3, 4),                     // e=10, fp: b0|b1|b2 = 7
+      Array[Byte](-1, -1, 0, 0))                   // 255s: e=510, fp=0
+    val got = Binary.videoFrameFeatures(
+        videoMedia(Seq((7L, gfv(frames)))), everyNth = 2)
+      .orderBy("frame_index")
+      .select("frame_index", "offset_bytes", "n_bytes", "energy", "fp", "parsed")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    // every 2nd frame from 0: indices 0 and 2; frames 1 and 3 skipped
+    assert(got == Seq(
+      (0L, 0L, 4L, 20L, 1L, true),
+      (2L, 8L, 4L, 10L, 7L, true)))
+  }
+
+  test("m05: non-GFV1 payload takes the stub fallback, flagged; " +
+      "non-video rows never reach the parser") {
+    val junk = Array.tabulate[Byte](40)(i => i.toByte) // no magic
+    val rows = Binary.videoFrameFeatures(videoMedia(Seq((1L, junk))))
+      .select("parsed").as[Boolean].collect()
+    assert(rows.nonEmpty && rows.forall(_ == false))
+    // truncated container (magic ok, body short) is a decode failure
+    val trunc = Binary.syntheticVideo(3L).dropRight(1)
+    assert(Binary.parseVideo(trunc).isEmpty)
+    // an audio-typed row with a valid GFV1 payload is filtered out
+    val audio = videoMedia(Seq((2L, Binary.syntheticVideo(2L))))
+      .withColumn("meta", struct(lit("audio/wav").as("media_type"),
+        col("meta.n_bytes").as("n_bytes"), col("meta.header_hex").as("header_hex")))
+    assert(Binary.videoFrameFeatures(audio).isEmpty)
+  }
+
+  test("m05: identical frames fingerprint identically — the scene-dedup " +
+      "band join finds the repeated frame across videos") {
+    val shared = Array.tabulate[Byte](16)(i => (i * 7 % 251).toByte)
+    val noiseA = Array.tabulate[Byte](16)(i => (200 - i).toByte)
+    val noiseB = Array.tabulate[Byte](16)(i => (i * i % 13).toByte)
+    val fps = Binary.videoFrameFeatures(videoMedia(Seq(
+        (1L, gfv(Seq(shared, noiseA, noiseA, noiseA))),
+        (2L, gfv(Seq(noiseB, noiseB, shared, noiseB))))), everyNth = 2)
+      .select(concat(col("media_id"), lit(":"), col("frame_index")).as("media_id"),
+        col("fp").as("dhash"))
+    val pairs = Binary.dhashPairs(fps, maxHamming = 0)
+      .as[(String, String, Long)].collect().toSeq
+    assert(pairs == Seq(("1:0", "2:2", 0L)))
+  }
 }
