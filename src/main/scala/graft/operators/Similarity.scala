@@ -1375,7 +1375,86 @@ object Similarity {
          rank <= (n_label * $PrunePct) // 100 AS pruned
        FROM rk"""
 
+  // ---------------------------------------------------------------
+  // s20: hard-negative mining — the retrieval-TRAINING-data face (the
+  // DPR/contrastive-learning data prep step beside the serving faces):
+  // for each query, the top-k most-similar corpus vectors whose label
+  // DIFFERS from the query's (label = the positive/topic grouping),
+  // plus the query's best positive cosine and the margin. A negative
+  // that outranks or crowds the positive is exactly the "hard"
+  // example a contrastive trainer wants; margin ≤ 0 flags the queries
+  // whose positives are currently beaten.
+  //
+  // Scale: the exclusion predicate (label ≠ qlabel) is composed into
+  // the broadcast candidate join — never a post-filter over a wider
+  // top-k (a post-filter would under-fill k when positives crowd the
+  // head, the s21 commute lesson). Two independent corpus passes
+  // (negatives ranked via the WindowGroupLimit pushdown; positives
+  // reduced map-side to one max per query), each a broadcast join +
+  // partial agg — the corpus is never shuffled or cached. At index
+  // scale the same predicate composes into s21's cell-probe join
+  // (filtered ANN) verbatim; this face pins the EXACT baseline the
+  // indexed variant is measured against (the s01/s12 convention).
+  // ---------------------------------------------------------------
+
+  private[operators] def queriesLabeled(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+
+  /** Top-k cross-label hard negatives per query with the positive
+    * margin: (qid, rank, vec_id, label, cos, pos_cos, margin). A
+    * query whose label has no other member gets null pos_cos/margin
+    * (no positive to compare — the left-join contract). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val s = corpus.sparkSession
+    val cos = graft.plans.GraftFunctions.cosine(s, col("qe"), col("embedding"))
+    val negs = corpus
+      .join(broadcast(queries),
+        col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"), col("label"), cos.as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val ranked = negs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val pos = corpus
+      .join(broadcast(queries),
+        col("vec_id") =!= col("qid") && col("label") === col("qlabel"))
+      .groupBy(col("qid")).agg(max(cos).as("pos_cos"))
+    ranked.join(pos, Seq("qid"), "left")
+      .select(col("qid"), col("rank"), col("vec_id"), col("label"),
+        col("cos"), col("pos_cos"),
+        (col("pos_cos") - col("cos")).as("margin"))
+  }
+
+  def s20(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    hardNegatives(e, queriesLabeled(e))
+  }
+
+  val s20Sql: String = {
+    val cosOf = (v: String) =>
+      s"""list_sum(list_transform(list_zip(qe::DOUBLE[], $v::DOUBLE[]), x -> x[1]*x[2]))
+               / (sqrt(list_sum(list_transform(qe::DOUBLE[], x -> x*x)))
+                * sqrt(list_sum(list_transform($v::DOUBLE[], x -> x*x))))"""
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+                  FROM embeddings WHERE vec_id % $QueryStride = 0),
+       negs AS (SELECT qid, vec_id, label, ${cosOf("embedding")} AS cos
+                FROM q, embeddings WHERE vec_id <> qid AND label <> qlabel),
+       r AS (SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, vec_id) AS rank
+             FROM negs),
+       pos AS (SELECT qid, max(${cosOf("embedding")}) AS pos_cos
+               FROM q, embeddings WHERE vec_id <> qid AND label = qlabel
+               GROUP BY qid)
+       SELECT r.qid, rank, vec_id, label, cos, pos_cos,
+         pos_cos - cos AS margin
+       FROM r LEFT JOIN pos ON r.qid = pos.qid WHERE rank <= $TopK"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_hard_negatives" -> (s20 _),
     "s14_centroid_prune" -> (s14 _),
     "s13_mmr" -> (s13 _),
     "s12_ann_recall" -> (s12 _),
@@ -1392,6 +1471,7 @@ object Similarity {
     "s21_filtered_ann" -> (s21 _))
 
   val oracles: Map[String, String] = Map(
+    "s20_hard_negatives" -> s20Sql,
     "s14_centroid_prune" -> s14Sql,
     "s13_mmr" -> s13Sql,
     "s12_ann_recall" -> s12Sql,

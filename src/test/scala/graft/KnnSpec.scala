@@ -60,4 +60,47 @@ class KnnSpec extends SparkSpec {
     val got = s11.select("qid").as[Long].collect().toSeq
     assert(got.toSet == qids && got.size == qids.size) // one row per query
   }
+
+  // --- s20: hard-negative mining ----------------------------------
+
+  test("s20: negatives are cross-label only, the planted near-miss " +
+      "ranks first, margin = pos_cos - cos, self excluded") {
+    val rows = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f), 0),       // the query
+      (1L, Array(0.9f, 0.05f, 0f, 0f), 0),    // its positive
+      (2L, Array(0.99f, 0.01f, 0f, 0f), 1),   // HARD negative (closest of all)
+      (3L, Array(0.5f, 0.5f, 0f, 0f), 1),     // softer negative
+      (4L, Array(0f, 0f, 1.0f, 0f), 2))       // far negative
+    val e = rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val got = Similarity.hardNegatives(e, q, k = 3)
+      .orderBy("rank")
+      .select("rank", "vec_id", "label").as[(Int, Long, Int)].collect().toSeq
+    // same-label vec 1 and the query itself never appear
+    assert(got == Seq((1, 2L, 1), (2, 3L, 1), (3, 4L, 2)))
+    val m = Similarity.hardNegatives(e, q, k = 3)
+      .filter(col("rank") === 1)
+      .select("cos", "pos_cos", "margin").as[(Double, Double, Double)].head()
+    assert(m._3 == m._2 - m._1)
+    // the hard negative genuinely beats the positive: margin < 0
+    assert(m._3 < 0)
+  }
+
+  test("s20: a query with no same-label partner gets null pos_cos/margin") {
+    val rows = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f), 9),       // singleton label
+      (2L, Array(0.9f, 0.1f, 0f, 0f), 1))
+    val e = rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val r = Similarity.hardNegatives(e, q, k = 2)
+      .select("vec_id", "pos_cos", "margin").collect()
+    assert(r.length == 1 && r(0).getLong(0) == 2L)
+    assert(r(0).isNullAt(1) && r(0).isNullAt(2))
+  }
 }
