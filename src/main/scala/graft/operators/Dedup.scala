@@ -1475,7 +1475,80 @@ object Dedup {
          c.doc_id = c.component AS canonical
        FROM comp c JOIN sz ON c.component = sz.component"""
 
+  // ---------------------------------------------------------------
+  // d18: source-priority survivorship dedup — WHICH copy to keep.
+  // d06's hard dedup keeps the component-min doc_id (an arbitrary
+  // tie-break) and d14 keeps everything at fractional weight; real
+  // corpus assembly ranks SOURCES (curated > licensed > web crawl)
+  // and keeps each near-dup cluster's copy from the best one — the
+  // survivorship idea f35 applies to ER records, applied to
+  // documents. Output is the per-doc AUDIT frame (every member with
+  // its cluster, size, priority and the keep verdict), so the drop
+  // set, the survivor set, and the provenance report (c22) all read
+  // off one result.
+  //
+  // Scale: past the d06 component frame this is one broadcast join
+  // against the source-cardinality priority table plus one
+  // (component)-keyed window — the shapes d06 already pays. The
+  // priority table is a first-class input (the production case is a
+  // curated ranking, not a derivable rule); the face derives it from
+  // the source id so the oracle replays it exactly.
+  // ---------------------------------------------------------------
+
+  /** Per-doc survivorship verdicts from a near-dup pair frame and a
+    * (source, priority) ranking (lower = better, broadcast-sized):
+    * (doc_id, component, csize, source, priority, keep) — exactly one
+    * keep per cluster: best priority, tie → doc_id asc. */
+  def priorityDedup(docs: DataFrame, pairs: DataFrame,
+      priority: DataFrame): DataFrame = {
+    val comps = connectedComponents(
+      pairs.select(col("a"), col("b")),
+      docs.select(col("doc_id").as("id")))
+    val members = comps
+      .join(docs.select(col("doc_id"), col("source")),
+        col("id") === col("doc_id"))
+      .join(broadcast(priority), "source")
+    val byComp = Window.partitionBy(col("component"))
+    val w = byComp.orderBy(col("priority").asc, col("doc_id").asc)
+    members
+      .withColumn("rk", row_number().over(w))
+      .withColumn("csize", count(lit(1)).over(byComp))
+      .select(col("doc_id"), col("component"), col("csize"), col("source"),
+        col("priority"), (col("rk") === 1).as("keep"))
+  }
+
+  /** The face's ranking: the source id's numeric suffix (src3 → 3) —
+    * a stand-in for the curated source-tier list a real assembly
+    * pins; derived from data so both engines replay it. */
+  private def sourceSuffixPriority(docs: DataFrame): DataFrame =
+    docs.select(col("source")).distinct()
+      .withColumn("priority",
+        substring(col("source"), 4, 10).cast("long"))
+
+  def d18(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    priorityDedup(docs, jaccardPairs(docs, maxDf = None),
+      sourceSuffixPriority(docs))
+  }
+
+  /** Wraps d06's recursive-CTE components with the priority join and
+    * the survivorship window (the d14 convention). */
+  val d18Sql: String =
+    s"""WITH comp AS ($d06Sql),
+       m AS (SELECT c.doc_id, c.component, d.source,
+               CAST(substring(d.source, 4) AS BIGINT) AS priority
+             FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+       rk AS (SELECT *,
+                row_number() OVER (PARTITION BY component
+                  ORDER BY priority, doc_id) AS rk,
+                count(*) OVER (PARTITION BY component) AS csize
+              FROM m)
+       SELECT doc_id, component, CAST(csize AS BIGINT) AS csize, source,
+         priority, rk = 1 AS keep
+       FROM rk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_priority_dedup" -> (d18 _),
     "d14_soft_dedup" -> (d14 _),
     "d01_dedup_exact" -> (d01 _),
     // shipped plan is the CAPPED audit; the oracle replays the
@@ -1498,6 +1571,7 @@ object Dedup {
     "d11_contamination_report" -> ((s: SparkSession, dir: String) => d11(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "d18_priority_dedup" -> d18Sql,
     "d14_soft_dedup" -> d14Sql,
     "d01_dedup_exact" -> d01Sql,
     "d16_dedup_compare" -> d16Sql,

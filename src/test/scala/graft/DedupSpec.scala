@@ -401,6 +401,32 @@ class DedupSpec extends SparkSpec {
     assert(got.values.count(_._4) == 4)
   }
 
+  test("d18 priority dedup: best-priority source survives, not the min id; " +
+      "one keep per cluster; source tie breaks by doc_id") {
+    import spark.implicits._
+    // chain 1~2~3 across sources where the MIN id is the WORST
+    // source: survivorship must pick doc 2 (src2), proving the keep
+    // verdict is the priority rule, not d06's min-id canonical
+    val docs = Seq(
+      (1L, "src5"), (2L, "src2"), (3L, "src9"),
+      (10L, "src7"), (11L, "src7"),  // same source: tie → min id
+      (20L, "src3")).toDF("doc_id", "source")
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val priority = docs.select(col("source")).distinct()
+      .withColumn("priority", substring(col("source"), 4, 10).cast("long"))
+    val got = Dedup.priorityDedup(docs, pairs, priority)
+      .as[(Long, Long, Long, String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._5, r._6))).toMap
+    assert(got(1L) == ((1L, 3L, 5L, false)))
+    assert(got(2L) == ((1L, 3L, 2L, true)))   // best source wins
+    assert(got(3L) == ((1L, 3L, 9L, false)))
+    assert(got(10L) == ((10L, 2L, 7L, true))) // tie → doc_id asc
+    assert(got(11L) == ((10L, 2L, 7L, false)))
+    assert(got(20L) == ((20L, 1L, 3L, true))) // singleton keeps itself
+    // exactly one keep per component
+    assert(got.values.count(_._4) == 3)
+  }
+
   test("connected components: a 300-hop chain converges inside the default round budget") {
     import spark.implicits._
     // the pointer-doubling pin: neighbor-min alone moves the min ONE
