@@ -235,6 +235,25 @@ object SparkEntry {
       }
       operators.Linkage.readLinkageAlerts(s, root)
     }),
+    // st08b trickle pair: the SERVING-CADENCE binding demonstration
+    // for the gate's adaptive probe (the d09/g04 pattern). A live
+    // registration gate sees hundreds of records per trigger against
+    // a large accumulated state; per trigger the broadcast probe
+    // scans+explodes the state ONCE with no exchange, where the
+    // symmetric shuffle join re-exchanges+sorts the ~1.8M-row state
+    // variant frame every time. The 29/30-backfill seed trigger is
+    // UNTIMED benchSetup (its cost is st08_linkage_gate's
+    // measurement); the timed face is ten ~50-record trickle
+    // triggers + the alert read. The `_bcast` twin takes the
+    // adaptive gate's broadcast path, the unsuffixed twin pins the
+    // shuffle path (probeBroadcastRows = 0); alphabetical order runs
+    // the expensive shuffle twin first so it absorbs the pair's
+    // one-time plan-codegen cost.
+    "st08b_trickle_probe" -> ((s, dir) =>
+      trickleGate(s, dir, "trickleshuf", probeBroadcastRows = 0L)),
+    "st08b_trickle_probe_bcast" -> ((s, dir) =>
+      trickleGate(s, dir, "tricklebc",
+        probeBroadcastRows = operators.Linkage.BroadcastProbeRows)),
     // st09_vector_maintain: the streaming ANN-index lifecycle at
     // corpus scale (41u — the 41r posture on the vector artifact):
     // the embeddings table lands as two codes micro-batches through
@@ -279,7 +298,43 @@ object SparkEntry {
       streaming.Ingest.gateBatch(
         docs.filter(pmod(col("doc_id"), lit(2)) === 0L), 0L,
         s"$root/docs", s"$root/fp")
-    }))
+    }),
+    "st08b_trickle_probe" -> ((s, dir) => trickleSeed(s, dir, "trickleshuf")),
+    "st08b_trickle_probe_bcast" -> ((s, dir) =>
+      trickleSeed(s, dir, "tricklebc")))
+
+  /** (key, name, block) registration records for the trickle pair. */
+  private def trickleRecs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Tables.customer(s, dir)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_nationkey").cast("long").as("block"))
+  }
+
+  /** Untimed seed: 29/30 of the customer table lands as the gate's
+    * batch 0 — the accumulated state the timed trickles probe. */
+  private def trickleSeed(s: SparkSession, dir: String, tag: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val root = GateScratch.fresh(s, tag)
+    operators.Linkage.linkageBatch(
+      trickleRecs(s, dir).filter(pmod(col("key"), lit(30)) =!= 0L), 0L, root)
+  }
+
+  /** Timed trickle cadence: ten ~50-record triggers against the
+    * seeded state, then the alert read. */
+  private def trickleGate(s: SparkSession, dir: String, tag: String,
+      probeBroadcastRows: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val root = GateScratch.path(s, tag)
+    val recs = trickleRecs(s, dir)
+    (1L to 10L).foreach { b =>
+      operators.Linkage.linkageBatch(
+        recs.filter(pmod(col("key"), lit(30)) === 0L &&
+          pmod(col("key") / 30, lit(10)) === (b - 1)),
+        b, root, probeBroadcastRows = probeBroadcastRows)
+    }
+    operators.Linkage.readLinkageAlerts(s, root)
+  }
 
   /** Bench faces whose CONSTRUCTION runs real jobs and/or writes
     * scratch artifacts (multi-stage lifecycles built eagerly inside
@@ -289,6 +344,7 @@ object SparkEntry {
   val effectfulBench: Set[String] = Set(
     "st02_gate_trigger", "st03_maintain", "st04_upsert_cdc",
     "st06_alert_sink", "st07_index_maintain", "st08_linkage_gate",
+    "st08b_trickle_probe", "st08b_trickle_probe_bcast",
     "st09_vector_maintain",
     "c03c_pack_subword_fit", "c03c_pack_subword_fit32k",
     "c10_clean_staged",

@@ -343,16 +343,20 @@ object Linkage {
   // flagged the trigger it registers, not at the next batch sweep.
   //
   // State is the indexBatch posture (41r): each batch writes its own
-  // `state/batch=<id>` level partitioned by block — a replayed id
-  // OVERWRITES its own directory, and the gate reads batches < id
-  // only, so crash-replay sees the same corpus as the first run and
-  // emits the same alerts (idempotence spec-pinned). The cross probe
-  // is the same composite (block, variant) equi-join + length-gap
-  // prune + banded thresholded levenshtein as linkPairs — per
-  // trigger it reads and explodes the FULL accumulated state once
-  // (LINEAR in state size, never block-quadratic in it; at 10× state
-  // the committed sf1 sweep reads 84 s for two 75k-record triggers
-  // where a block-quadratic probe would pay ~100× per trigger).
+  // `state/batch=<id>` level partitioned by block PLUS its slim
+  // deletion-variant frame under `varstate/batch=<id>` (r17: the
+  // maintained FastSS index — a record's neighborhood is generated
+  // once, at registration) — a replayed id OVERWRITES its own
+  // directories, and the gate reads batches < id only, so
+  // crash-replay sees the same corpus as the first run and emits the
+  // same alerts (idempotence spec-pinned). The cross probe is the
+  // same composite (block, variant) equi-join + length-gap prune +
+  // banded thresholded levenshtein as linkPairs, fed from the variant
+  // index — per trigger one columnar scan of the accumulated index
+  // (LINEAR in state size, never block-quadratic in it, and no
+  // per-trigger re-explosion of state names), with a trickle batch
+  // broadcasting its frame so the state side takes no exchange at
+  // all (the adaptive probe below).
   //
   // Keys must be GLOBALLY UNIQUE for the stream's lifetime (the
   // gateBatch contract): state is keyed by `key` alone.
@@ -368,6 +372,15 @@ object Linkage {
     org.apache.spark.sql.types.StructType.fromDDL(
       "key LONG, match_key LONG, match_name STRING, dist LONG, " +
         "n_candidates LONG, batch LONG")
+  /** The maintained variant-index layout (r17): each batch's slim
+    * deletion-variant frame, persisted at registration so every later
+    * trigger READS four fixed-width columns instead of re-exploding
+    * the full state's names — the 41r "maintain the serving artifact"
+    * posture applied to the ER gate's FastSS index. A record's
+    * variants are generated ONCE in its lifetime. */
+  private val VarStateSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "key LONG, block LONG, len INT, skey LONG, batch LONG")
 
   /** Fold one (key, name, block) registration micro-batch into the
     * maintained account state and write its best-match alerts to
@@ -375,8 +388,15 @@ object Linkage {
     * `id`. Alert rows: (key, match_key, match_name, dist,
     * n_candidates), the f33 verdict shape, one per batch member with
     * a within-budget neighbor in the batch or the earlier state. */
+  /** Probe gate: a trigger of at most this many records broadcasts
+    * its variant frame into the state probe instead of shuffling both
+    * sides. ≤ 2000 records × ~120 variants × 4 fixed-width columns
+    * ≈ 7 MB — comfortably under Spark's broadcast comfort zone. */
+  val BroadcastProbeRows = 2000L
+
   def linkageBatch(batch: DataFrame, id: Long, path: String,
-      maxEdits: Int = MaxEdits): Unit = {
+      maxEdits: Int = MaxEdits,
+      probeBroadcastRows: Long = BroadcastProbeRows): Unit = {
     require(!batch.columns.contains("batch"),
       "linkage gate input must not carry a 'batch' column (reserved for the state layout)")
     val s = batch.sparkSession
@@ -391,41 +411,70 @@ object Linkage {
         .unionByName(half.select(col("match_key").as("key"),
           col("key").as("match_key"), col("name").as("match_name"),
           col("dist")))
+      // This batch's slim variant frame lands in the maintained
+      // variant INDEX before anything else — varstate/batch=<id>,
+      // four fixed-width columns, the same slimFrame recipe linkPairs
+      // uses. Every record's deletion neighborhood is generated ONCE,
+      // at registration; every later trigger (and this one's probe)
+      // READS the index instead of re-exploding state names — the 41r
+      // "maintain the serving artifact" posture applied to the ER
+      // gate (measured sf0.1: ~1.8M slim rows regenerated per trigger
+      // before; a ~15 MB columnar read after). Write order makes the
+      // records write below the commit point: a crash after varstate
+      // but before state is healed by the replay's overwrite of BOTH
+      // levels, and no reader consults varstate levels without a
+      // committed state sibling (the probe filters batch < id, and
+      // batch ids are issued sequentially).
+      slimFrame(recs, maxEdits)
+        .write.mode("overwrite").parquet(s"$path/varstate/batch=$id")
       // cross-batch: probe the sealed state levels below this id.
-      // The read is SCHEMA'D (the gate's key/name/block contract):
-      // schema inference over a state tree whose only levels so far
-      // are EMPTY batches (zero data files under batch=<id>/block=*)
+      // Reads are SCHEMA'D (the gate's layout contract): schema
+      // inference over a state tree whose only levels so far are
+      // EMPTY batches (zero data files under batch=<id>/block=*)
       // would throw and kill the stream — an empty trigger is a
       // normal event, not an error.
       //
-      // The probe is the composite-blocking join (r17): both sides
-      // explode their ≤ maxEdits deletion neighborhoods (computed at
-      // read — the persisted state layout is unchanged) and the join
-      // runs on (block, variant). Per trigger that is LINEAR in the
-      // pruned state (one bounded explode) instead of
-      // block-quadratic in it — the composite gear's guarantee
-      // applied at the serving edge; completeness per the deletion-
-      // neighborhood intersection theorem (see the blocking comment
-      // above).
+      // The probe is the composite-blocking join (r17): both sides'
+      // ≤ maxEdits deletion neighborhoods come from the variant
+      // index and the join runs on (block, variant) — per trigger
+      // LINEAR in the pruned index (one columnar scan), never
+      // block-quadratic; completeness per the deletion-neighborhood
+      // intersection theorem (see the blocking comment above).
       val stateRoot = new org.apache.hadoop.fs.Path(s"$path/state")
       val fs = stateRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
       val cross =
         if (!fs.exists(stateRoot)) within.limit(0)
         else {
-          // balance-before-generator + the linkPairs slim-frame
-          // shape on both sides: (key, block, len, hashed variant) —
-          // block rides as its own join column so hash collisions
-          // stay within-block overgeneration; names re-attach after
-          // the pair distinct
-          def slimOf(df: DataFrame): DataFrame = slimFrame(df, maxEdits)
+          // the linkPairs slim-frame shape on both sides: (key,
+          // block, len, hashed variant) — block rides as its own
+          // join column so hash collisions stay within-block
+          // overgeneration; names re-attach after the pair distinct
           val stateRecs = s.read.schema(StateSchema).parquet(s"$path/state")
             .filter(col("batch") < id)
             .select(col("key"), col("name"), col("block"))
-            .transform(graft.CacheRegistry.register) // slim pass + name attach
-          val cand = slimOf(stateRecs)
+          val varstate = s.read.schema(VarStateSchema)
+            .parquet(s"$path/varstate")
+          val slimState = varstate.filter(col("batch") < id)
             .select(col("key").as("match_key"), col("block"),
               col("len").as("mlen"), col("skey"))
-            .join(slimOf(recs), Seq("block", "skey"))
+          // the batch's own frame reads back from the level written
+          // above — one generation pass per batch, total
+          val slimBatch = varstate.filter(col("batch") === id)
+            .select(col("key"), col("block"), col("len"), col("skey"))
+          // adaptive probe shape (the hub-gate/autoPairs pattern): a
+          // TRICKLE trigger (the streaming serving case — hundreds
+          // of registrations, not a backfill) broadcasts its variant
+          // frame, so the state side is scanned ONCE with NO
+          // exchange and no sort — per-trigger cost drops to the
+          // index scan + a hash probe. A big backfill batch keeps
+          // the symmetric shuffle join (its variant frame is too
+          // wide to broadcast). The batch count is one action over
+          // the already-registered batch cache.
+          val joined =
+            if (recs.count() <= probeBroadcastRows)
+              slimState.join(broadcast(slimBatch), Seq("block", "skey"))
+            else slimState.join(slimBatch, Seq("block", "skey"))
+          val cand = joined
             .filter(abs(col("len") - col("mlen")) <= maxEdits)
             .select(col("key"), col("match_key"))
             .distinct() // a pair collides once per shared variant

@@ -259,6 +259,47 @@ class LinkageSpec extends SparkSpec
       rows(Linkage.readLinkageAlerts(spark, root)))
   }
 
+  test("41s gate: probe shapes agree (broadcast == shuffle), the variant " +
+      "index carries exactly the slim frame, and a crash between the " +
+      "varstate and state writes heals on replay") {
+    val b1 = Seq((1L, "mallory-shop", 1L), (2L, "mallory-shoq", 1L),
+      (10L, "acme-store", 2L)).toDF("key", "name", "block")
+    val b2 = Seq((3L, "mallory-chop", 1L), (11L, "acme-stores", 2L))
+      .toDF("key", "name", "block")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, String, Long)] =
+      df.select(col("batch"), col("key"), col("match_key"),
+        col("match_name"), col("dist"))
+        .as[(Long, Long, Long, String, Long)].collect().toSet
+    // broadcast (default: tiny batches) vs pinned shuffle path
+    val rootB = java.nio.file.Files.createTempDirectory("linkgate-b").toString
+    val rootS = java.nio.file.Files.createTempDirectory("linkgate-s").toString
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      Linkage.linkageBatch(b, i.toLong, rootB)
+      Linkage.linkageBatch(b, i.toLong, rootS, probeBroadcastRows = 0L)
+    }
+    val expect = rows(Linkage.readLinkageAlerts(spark, rootB))
+    assert(expect == rows(Linkage.readLinkageAlerts(spark, rootS)))
+    assert(expect.nonEmpty)
+    // the maintained variant index is exactly the records' deletion
+    // neighborhoods (one generation per record lifetime)
+    val varRows = spark.read.parquet(s"$rootB/varstate").count()
+    val wanted = b1.unionByName(b2)
+      .select(explode(Linkage.deletionVariants(spark, col("name")))).count()
+    assert(varRows == wanted)
+    // crash window: varstate/batch=1 landed but state/batch=1 did not
+    // — the stream replays id 1 and must converge to the same result
+    def rm(p: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+    }
+    rm(s"$rootB/state/batch=1")
+    rm(s"$rootB/alerts/batch=1")
+    Linkage.linkageBatch(b2, 1L, rootB)
+    assert(rows(Linkage.readLinkageAlerts(spark, rootB)) == expect)
+    assert(spark.read.parquet(s"$rootB/varstate").count() == wanted)
+  }
+
   test("41s gate: an empty first trigger doesn't poison the state read") {
     // regression: an empty batch writes a file-less state level; the
     // next trigger's state read must not die on schema inference
