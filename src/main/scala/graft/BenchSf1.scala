@@ -182,7 +182,13 @@ object BenchSf1 {
       // composite gear's serving-edge guarantee, measured here);
       // plus the streaming ANN-index maintenance lifecycle at 10x
       // embeddings
-      "f35_golden_record", "st08_linkage_gate", "st09_vector_maintain")
+      "f35_golden_record", "st08_linkage_gate", "st09_vector_maintain",
+      // r17 (41v): the trickle serving cadence at 10x state — ten
+      // ~500-record triggers probing a ~145k-record maintained
+      // variant index; the pair separates the probe JOIN SHAPE
+      // (shuffle vs broadcast) at a state size where the exchange
+      // saving is structural, not fixed-overhead noise
+      "st08b_trickle_probe", "st08b_trickle_probe_bcast")
     val benched = SparkEntry.queries ++ SparkEntry.benchOnly
     // Cap-sizing probe for the d02 super-linear reading. The naive
     // remedy — tighten the cap so the grown posting lists fall to
@@ -257,7 +263,21 @@ object BenchSf1 {
     }
     val results = selected.map {
       case (name, fn) =>
-        name -> Bench.timeFace(spark, name, fn, out, tag = "sf1")
+        // untimed state construction + boundary hygiene (the Bench
+        // contract — e.g. the st08b trickle pair's seeded gate state)
+        val setupOk = SparkEntry.benchSetup.get(name).forall { setup =>
+          val ok = try { setup(spark, out); true } catch {
+            case t: Throwable =>
+              System.err.println(
+                s"[sf1] $name setup FAILED (face skipped): ${t.getMessage}")
+              false
+          }
+          CacheRegistry.unpersistAll()
+          System.gc()
+          ok
+        }
+        name -> (if (setupOk) Bench.timeFace(spark, name, fn, out, tag = "sf1")
+                 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1422,7 +1422,9 @@ object Similarity {
       .join(broadcast(queries),
         col("vec_id") =!= col("qid") && col("label") === col("qlabel"))
       .groupBy(col("qid")).agg(max(cos).as("pos_cos"))
-    ranked.join(pos, Seq("qid"), "left")
+    // pos is one row per query (queries-sized by construction) —
+    // broadcast it so the final enrich never plans a shuffle
+    ranked.join(broadcast(pos), Seq("qid"), "left")
       .select(col("qid"), col("rank"), col("vec_id"), col("label"),
         col("cos"), col("pos_cos"),
         (col("pos_cos") - col("cos")).as("margin"))

@@ -36,6 +36,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_cosine"), "native expression not in plan")
   }
 
+  test("s20: exclusion predicate rides the broadcast join, rank pushed " +
+      "down, corpus never exchanged") {
+    val p = plan("s20_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query set not broadcast into the candidate join")
+    assert(p.contains("WindowGroupLimit"), "negatives top-k not pushed down")
+    assert(p.contains("graft_cosine"), "native expression not in plan")
+    // the label exclusion must sit IN the join condition, not in a
+    // post-filter above the rank window (a post-filter would
+    // under-fill k when positives crowd the head)
+    assert(!p.contains("SortMergeJoin"), "corpus fell to a shuffle join")
+  }
+
   test("f28: rank-1 touch pick rides WindowGroupLimit, no cross join") {
     val p = plan("f28_last_touch")
     assert(p.contains("WindowGroupLimit"), "argmax touch not pushed down")
