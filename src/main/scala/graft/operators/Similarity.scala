@@ -332,7 +332,7 @@ object Similarity {
       .select((Seq("vec_id", "embedding", "cell") ++ extra).map(col): _*)
 
   def annIvfCore(corpus: DataFrame, queries: DataFrame,
-      k: Int = TopK): DataFrame = {
+      k: Int = TopK, numProbes: Int = CoreProbes): DataFrame = {
     val s = corpus.sparkSession
     val assigned = assignCells(corpus)
     val wq = Window.partitionBy(col("qid"))
@@ -341,7 +341,7 @@ object Similarity {
       .select(col("qid"), col("qe"), posexplode(cellDots(s, col("qe"))))
       .withColumnsRenamed(Map("pos" -> "cell", "col" -> "qcos"))
       .withColumn("_pr", row_number().over(wq))
-      .filter(col("_pr") <= CoreProbes)
+      .filter(col("_pr") <= numProbes)
       .select(col("qid"), col("qe"), col("cell"))
     val cand = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
@@ -363,7 +363,8 @@ object Similarity {
     * the plain core (s03b) and the filtered core (s21) can never
     * drift: `filtered` threads label/qlabel through the CTEs and
     * adds the tenant predicate to the candidate join. */
-  private def ivfCoreSql(filtered: Boolean): String = {
+  private def ivfCoreSql(filtered: Boolean,
+      numProbes: Int = CoreProbes): String = {
     def cvLit(c: Int): String =
       (0 until Dim).map(d => centroidSign(c, d).toString)
         .mkString("[", ",", "]") + "::DOUBLE[]"
@@ -385,7 +386,7 @@ object Similarity {
        qp AS (SELECT qid, qe$qlabCol, cell FROM
               (SELECT vec_id AS qid, embedding AS qe$qlab, cell,
                  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS pr
-               FROM ec WHERE vec_id % $QueryStride = 0) WHERE pr <= $CoreProbes),
+               FROM ec WHERE vec_id % $QueryStride = 0) WHERE pr <= $numProbes),
        cand AS (SELECT qid, a.vec_id,
                   list_sum(list_transform(list_zip(qe::DOUBLE[], a.embedding::DOUBLE[]), x -> x[1]*x[2]))
                   / (sqrt(list_sum(list_transform(qe::DOUBLE[], x -> x*x)))
@@ -1143,6 +1144,53 @@ object Similarity {
        GROUP BY 1"""
 
   // ---------------------------------------------------------------
+  // s22: probe-budget recall curve — the d17 threshold-curve
+  // methodology applied to ANN serving (s12 measures ONE operating
+  // point; the curve is what a serving team actually tunes against):
+  // corpus-wide recall@k of the IVF index at each probe budget,
+  // against the s01 exact ground truth. One exact pass (cached —
+  // ground truth is probe-independent) + one cell-probe pass per
+  // budget; counts are exact integers and the only division is the
+  // final rounded recall, so the whole curve is driver-checked.
+  // ---------------------------------------------------------------
+  val CurveProbes: Seq[Int] = Seq(1, 2, 4)
+
+  /** (probes, expected, hits, recall) — micro recall@k over all
+    * queries, one row per probe budget. */
+  def recallCurve(corpus: DataFrame, queries: DataFrame,
+      probesList: Seq[Int] = CurveProbes, k: Int = TopK): DataFrame = {
+    val exact = annBruteForce(corpus, queries, k)
+      .select(col("qid"), col("vec_id"))
+      .transform(graft.CacheRegistry.register) // one ground-truth pass, |Q|·k rows
+    probesList.map { p =>
+      val approx = annIvfCore(corpus, queries, k, numProbes = p)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("qid", "vec_id"), "left")
+        .agg(count(lit(1)).as("expected"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(lit(p.toLong).as("probes"), col("expected"), col("hits"),
+          round(col("hits").cast("double") / col("expected"), 6).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  def s22(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    recallCurve(e, queriesDf(e))
+  }
+
+  lazy val s22Sql: String = {
+    val rows = CurveProbes.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS probes, count(*) AS expected,
+           CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 6) AS recall
+         FROM e LEFT JOIN (${ivfCoreSql(filtered = false, numProbes = p)}) a
+           ON e.qid = a.qid AND e.vec_id = a.vec_id"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS ($s01Sql)
+       $rows"""
+  }
+
+  // ---------------------------------------------------------------
   // s13: MMR diversified re-rank (Carbonell & Goldstein 1998) — the
   // result-diversification pass a retrieval stack runs over its
   // top-k: greedily pick argmax of λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s)
@@ -1470,7 +1518,8 @@ object Similarity {
     "s05_ivfpq" -> (s05 _),
     "s17_ann_sq8" -> (s17 _),
     "s18_ivf_sq8" -> (s18 _),
-    "s21_filtered_ann" -> (s21 _))
+    "s21_filtered_ann" -> (s21 _),
+    "s22_recall_curve" -> (s22 _))
 
   val oracles: Map[String, String] = Map(
     "s20_hard_negatives" -> s20Sql,
@@ -1486,5 +1535,6 @@ object Similarity {
     "s05_ivfpq" -> s05Sql,
     "s17_ann_sq8" -> s17Sql,
     "s18_ivf_sq8" -> s18Sql,
-    "s21_filtered_ann" -> s21Sql)
+    "s21_filtered_ann" -> s21Sql,
+    "s22_recall_curve" -> s22Sql)
 }

@@ -89,6 +89,23 @@ class KnnSpec extends SparkSpec {
     assert(m._3 < 0)
   }
 
+  test("s22: recall is monotone in the probe budget and hits are " +
+      "bounded by expected") {
+    val curve = Similarity.s22(spark, sf("sf0.001"))
+      .orderBy("probes")
+      .select("probes", "expected", "hits", "recall")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(curve.map(_._1) == Seq(1L, 2L, 4L))
+    // widening the probe set can only ADD candidates → recall is
+    // non-decreasing, and each budget's hits stay within bounds
+    curve.sliding(2).foreach { case Seq(a, b) => assert(a._4 <= b._4) }
+    curve.foreach { case (_, exp, hits, r) =>
+      assert(hits >= 0 && hits <= exp)
+      assert(r == math.rint(hits.toDouble / exp * 1e6) / 1e6 ||
+        math.abs(r - hits.toDouble / exp) < 1e-6)
+    }
+  }
+
   test("s20: a query with no same-label partner gets null pos_cos/margin") {
     val rows = Seq(
       (0L, Array(1.0f, 0f, 0f, 0f), 9),       // singleton label
