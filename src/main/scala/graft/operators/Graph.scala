@@ -758,11 +758,63 @@ object Graph {
        FROM cdeg c JOIN fdeg f ON c.node = f.node"""
   }
 
+  // ---------------------------------------------------------------
+  // g07: one-row graph census — the health summary a graph pipeline
+  // publishes before anyone runs the expensive analytics (the c13
+  // corpus-census idea applied to the graph family): node/edge
+  // counts, max degree (the hub-gate signal), triangle and wedge
+  // totals, and the GLOBAL clustering coefficient 3·tri/wedges (the
+  // transitivity ratio — how much of the co-purchase structure is
+  // genuinely clustered vs star-shaped). Everything derives from ONE
+  // aggregate over g04's per-node triangle frame: n_edges = Σdeg/2,
+  // wedges = ΣC(deg,2), triangles = Σ per-node counts / 3 — integer
+  // identities, so the census is exact and the only division is the
+  // final rounded coefficient.
+  // ---------------------------------------------------------------
+
+  /** One census row over any undirected edge frame: (n_nodes,
+    * n_edges, max_degree, n_wedges, n_triangles, gcc). Nodes are the
+    * edge-incident ones (an isolated vertex has no edge row — the
+    * g04 convention). */
+  def graphCensus(edges: DataFrame): DataFrame =
+    triangles(edges)
+      // integral DIV, not `/` (the packSequences lesson): Column `/`
+      // routes long sums through a double, which loses exactness past
+      // ~2^52 — reachable for Σ deg·(deg−1) on a hub-skewed TB graph
+      .agg(count(lit(1)).as("n_nodes"),
+        expr("sum(degree) DIV 2").as("n_edges"),
+        max(col("degree")).as("max_degree"),
+        expr("sum(degree * (degree - 1)) DIV 2").as("n_wedges"),
+        expr("sum(n_triangles) DIV 3").as("n_triangles"))
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(round((lit(3L) * col("n_triangles")).cast("double") /
+            col("n_wedges"), 6)).as("gcc"))
+
+  def g07(s: SparkSession, dir: String): DataFrame =
+    graphCensus(coEdges(Tables.lineitem(s, dir)))
+
+  /** Wraps g04's per-node replay with the census aggregate (the d14
+    * composition convention). */
+  val g07Sql: String =
+    s"""WITH t AS ($g04Sql)
+       SELECT * , CASE WHEN n_wedges = 0 THEN 0.0
+         ELSE round(CAST(3 * n_triangles AS DOUBLE) / n_wedges, 6) END AS gcc
+       FROM (
+         SELECT count(*) AS n_nodes,
+           CAST(sum(degree) // 2 AS BIGINT) AS n_edges,
+           max(degree) AS max_degree,
+           CAST(sum(degree * (degree - 1)) // 2 AS BIGINT) AS n_wedges,
+           CAST(sum(n_triangles) // 3 AS BIGINT) AS n_triangles
+         FROM t)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g03_pagerank" -> (g03 _),
     "g04_triangles" -> (g04 _),
     "g05_link_predict" -> (g05 _),
     "g06_kcore" -> (g06 _),
+    "g07_graph_census" -> (g07 _),
     "f34_risk_propagation" -> (f34 _))
 
   val oracles: Map[String, String] = Map(
@@ -770,5 +822,6 @@ object Graph {
     "g04_triangles" -> g04Sql,
     "g05_link_predict" -> g05Sql,
     "g06_kcore" -> g06Sql,
+    "g07_graph_census" -> g07Sql,
     "f34_risk_propagation" -> f34Sql)
 }

@@ -214,4 +214,22 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("g07 census: hand-computable on a triangle+tail; identities hold " +
+      "on the real graph") {
+    // K3 on {1,2,3} plus tail 3-4: 4 nodes, 4 edges, degrees 2,2,3,1
+    // → wedges C(2,2)+C(2,2)+C(3,2)+0 = 1+1+3 = 5, one triangle,
+    // gcc = 3·1/5 = 0.6
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.graphCensus(edges)
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(got == ((4L, 4L, 3L, 5L, 1L, 0.6)))
+    // identities on the sf0.001 co-purchase graph: Σdeg/2 == |E|,
+    // and gcc stays in [0, 1]
+    val e = Graph.coEdges(Tables.lineitem(spark, sf("sf0.001")))
+    val census = Graph.graphCensus(e)
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(census._2 == e.count())
+    assert(census._6 >= 0.0 && census._6 <= 1.0)
+  }
 }
