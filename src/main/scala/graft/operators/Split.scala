@@ -195,6 +195,54 @@ object Split {
               CAST((running - tokens) % $PackBudget AS BIGINT) AS offset
        FROM r"""
 
+  // ---------------------------------------------------------------
+  // c19: packing-efficiency audit — the numbers a training team
+  // checks before a run burns compute on padding (c03 records each
+  // doc's ASSIGNMENT; c19 publishes the per-shard report card): doc
+  // and token totals, sequence count, boundary-crossing docs (each
+  // one pays a truncation-or-continuation cost downstream), and the
+  // FILL rate tokens/(n_seqs·budget) — the fraction of the training
+  // batch that is content rather than padding. Integer identities
+  // off c03's running sums (n_seqs = ⌈total/budget⌉ via integral
+  // DIV; a doc crosses a boundary iff offset + tokens > budget), so
+  // the only division is the final rounded fill.
+  // ---------------------------------------------------------------
+
+  /** Per-shard packing report over a packSequences frame:
+    * (shard, n_docs, total_tokens, n_seqs, split_docs, fill). */
+  def packEfficiency(packed: DataFrame,
+      budget: Int = PackBudget): DataFrame =
+    packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("total_tokens"),
+        // greatest(...,1) keeps the all-empty-docs shard at 1
+        // sequence in BOTH engines (Spark DIV truncates toward zero,
+        // DuckDB // floors — they disagree exactly at total = 0)
+        expr(s"(greatest(sum(tokens), 1) - 1) DIV $budget + 1")
+          .as("n_seqs"),
+        sum(when(col("offset") + col("tokens") > budget, 1L)
+          .otherwise(0L)).as("split_docs"))
+      .select(col("shard"), col("n_docs"), col("total_tokens"),
+        col("n_seqs"), col("split_docs"),
+        round(col("total_tokens").cast("double") /
+          (col("n_seqs") * budget), 6).as("fill"))
+
+  def c19(s: SparkSession, dir: String): DataFrame =
+    packEfficiency(packSequences(Tables.documents(s, dir)))
+
+  /** Wraps c03's replay with the report aggregate (the d14
+    * composition convention). */
+  val c19Sql: String = {
+    val nSeqs = s"((greatest(sum(tokens), 1) - 1) // $PackBudget + 1)"
+    s"""WITH p AS ($c03Sql)
+       SELECT shard, count(*) AS n_docs,
+         CAST(sum(tokens) AS BIGINT) AS total_tokens,
+         CAST($nSeqs AS BIGINT) AS n_seqs,
+         CAST(sum(CASE WHEN "offset" + tokens > $PackBudget THEN 1 ELSE 0 END) AS BIGINT) AS split_docs,
+         round(CAST(sum(tokens) AS DOUBLE) / ($nSeqs * $PackBudget), 6) AS fill
+       FROM p GROUP BY 1"""
+  }
+
   /** c03c face: packing on SUBWORD counts under the pinned WordPiece
     * vocab (plans.SubwordCount) instead of whitespace counts — the
     * tokenizer-realistic budget basis an actual training run packs
@@ -662,6 +710,7 @@ object Split {
     "c02_train_split" -> (c02 _),
     "c23_cluster_split" -> (c23 _),
     "c03_pack_sequences" -> (c03 _),
+    "c19_pack_efficiency" -> (c19 _),
     "c03b_pack_chunks" -> (c03b _),
     "c03c_pack_subword" -> (c03c _),
     "c09_seq_shuffle" -> (c09 _),
@@ -674,6 +723,7 @@ object Split {
     "c02_train_split" -> c02Sql,
     "c23_cluster_split" -> c23Sql,
     "c03_pack_sequences" -> c03Sql,
+    "c19_pack_efficiency" -> c19Sql,
     "c03b_pack_chunks" -> c03bSql,
     "c03c_pack_subword" -> c03cSql,
     "c09_seq_shuffle" -> c09Sql,

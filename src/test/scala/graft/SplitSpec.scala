@@ -253,6 +253,34 @@ class SplitSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length == rows.length)
   }
 
+  test("c19: the report card matches a hand-audit of the packing") {
+    val packed = Split.c03(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long, Long)].collect() // doc_id, shard, seq, tokens, offset
+    val report = Split.c19(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(report.nonEmpty)
+    packed.groupBy(_._2).foreach { case (shard, docs) =>
+      val (nd, tt, ns, sd, fill) = {
+        val r = report(shard); (r._2, r._3, r._4, r._5, r._6)
+      }
+      assert(nd == docs.length)
+      val total = docs.map(_._4).sum
+      assert(tt == total)
+      assert(ns == (total - 1) / Split.PackBudget + 1)
+      // a doc crosses a boundary iff its offset + tokens overflow
+      assert(sd == docs.count(d => d._5 + d._4 > Split.PackBudget))
+      assert(math.abs(fill -
+        math.rint(total.toDouble / (ns * Split.PackBudget) * 1e6) / 1e6) < 1e-9)
+      assert(fill > 0.0 && fill <= 1.0)
+    }
+    // fill must price the padding honestly: Σ tokens over all shards
+    // equals Σ n_seqs·budget·fill within rounding
+    val lhs = packed.map(_._4).sum.toDouble
+    val rhs = report.values.map(r => r._4 * Split.PackBudget * r._6).sum
+    assert(math.abs(lhs - rhs) / lhs < 1e-4)
+  }
+
   test("c07: decontaminated assembly — eval split carved out, contaminated train docs dropped") {
     import graft.operators.{Dedup, Redact}
     try {
