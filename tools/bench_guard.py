@@ -23,6 +23,18 @@ on a validation run (13.92 s vs an under-floored 11.4, isolated
 10.42 vs 8.82 baseline = ok) was exactly the false alarm the floor
 rule exists to prevent.
 
+R17-LATE REGENERATION: after the late-session faces landed (m05, s20,
+d18, s22, g07, c19, the st08b trickle pair, and the 41v variant-index
+rework of the linkage gate), BENCH_FULL_r17.json was REGENERATED as a
+fully coherent worse-of-two 197-face sweep (503.4 / 471.3 s totals,
+0 failures, guard exit 0 on BOTH runs) — no splices. The same pass
+re-floored 34 ceilings that had drifted within churn and cut the 8
+new faces' bars from the committed worse-of-pair readings.
+BENCH_ISOLATED_r17.json gained the 8 new faces fresh-JVM plus
+st08_linkage_gate re-measured under the variant index (12.20 → 13.26:
+the gate now WRITES varstate per batch — the fresh-JVM cost moved to
+registration so every later trigger reads instead of re-exploding).
+
 MEASUREMENT EPOCH (r16): Bench now materializes every face through the
 noop sink instead of count() — count() let the optimizer prune every
 output expression and eliminate left-join subtrees outright (g04's
@@ -109,15 +121,15 @@ CEILINGS = {
                                    # formulation (28.8 s, r13) — 5.3
                                    # still catches it by 5x.
     # r13 faces — ceilings ~1.5x the first two clean full-run readings
-    "s06_bm25": 3.5,               # steady ~1.4-1.5 s
-    "s07_fuzzy_match": 3.8,        # isolated 1.70 s quiet-host r15;
+    "s06_bm25": 3.6,               # steady ~1.4-1.5 s
+    "s07_fuzzy_match": 3.9,        # isolated 1.70 s quiet-host r15;
                                    # r13-r14 driver swung 1.13-1.63 s
                                    # (1.44x churn) — 2.6 ≈ 1.5x the
                                    # isolated reading
-    "s08_match_phrase": 2.4,       # steady ~0.9 s
+    "s08_match_phrase": 2.6,       # steady ~0.9 s
     "t06_normalize": 1.7,          # steady ~0.25-0.3 s (narrow scan)
-    "c11_corpus_upsert": 2.5,      # steady ~0.75-1.1 s
-    "c12_dsir": 7.0,               # steady ~3.3-4.8 s (gram explode)
+    "c11_corpus_upsert": 2.7,      # steady ~0.75-1.1 s
+    "c12_dsir": 8.8,               # steady ~3.3-4.8 s (gram explode)
     "c13_corpus_census": 8.4,      # honest runs read 2.9/4.5 s
     "d11_contamination_report": 3.1,  # steady ~1.0 s
     "st04_upsert_cdc": 4.5,        # steady ~2.7 s (full CDC lifecycle)
@@ -126,7 +138,7 @@ CEILINGS = {
     "q18_funnel": 3.5,             # steady ~2.2 s (three step aggs)
     "q19_retention": 2.2,          # steady ~1.3 s
     "g02_geo_radius": 1.7,         # steady ~0.4 s (bbox-pruned scan)
-    "q20_copurchase": 6.9,         # r15 adjudication of the r14 red
+    "q20_copurchase": 7.1,         # r15 adjudication of the r14 red
                                    # bar: isolated quiet-host reads
                                    # 3.34/3.84/3.50 s with the semi-
                                    # prune and 3.60/3.60 s without it
@@ -145,7 +157,7 @@ CEILINGS = {
                                    # PlanSpec pins the plan shape.
     "t07_tfidf_keywords": 5.2,     # steady ~3.6 s (doc-partitioned rank)
     "t08_perplexity": 6.9,         # honest runs read 2.8/2.9 s
-    "c14_stratified_sample": 1.4,  # steady ~0.5 s (WindowGroupLimit top-n)
+    "c14_stratified_sample": 1.6,  # steady ~0.5 s (WindowGroupLimit top-n)
     "f22_benford": 2.2,            # steady ~0.65 s (45-cell digit rollup)
     "c15_scd2_history": 2.1,       # steady ~0.6 s (log-only lead window)
     "s10_rank_eval": 3.6,          # steady ~2.4 s (s06 + graded rescan)
@@ -176,7 +188,7 @@ CEILINGS = {
                                    # 0.87 s, comfortably inside.
     "c17_vocab_fit": 2.2,          # honest runs read 0.6/0.8 s
     "q22_sliding_window": 3.3,     # honest runs read 0.9/1.5 s
-    "t10_readability": 1.8,        # steady ~0.35 s (3 regex-count scans)
+    "t10_readability": 2.1,        # steady ~0.35 s (3 regex-count scans)
     "s12_ann_recall": 2.6,         # honest runs read 0.9/1.1 s
     "c18_dp_census": 1.3,          # steady ~0.4 s (count + noise projection)
     "q23_set_ops": 2.7,            # honest runs read 0.8/1.1 s
@@ -187,8 +199,8 @@ CEILINGS = {
                                    # eliminating - see Bench.scala)
     "f24_ks_drift": 3.0,           # steady ~1.2 s (value-census CDF windows)
     "c21_mixture_weights": 2.3,    # honest runs read 0.5/0.9 s
-    "f25_cusum": 2.9,              # steady ~1.3 s (lattice + two windows)
-    "c22_drop_audit": 5.9,         # honest 3.5 s full-run r16
+    "f25_cusum": 3.4,              # steady ~1.3 s (lattice + two windows)
+    "c22_drop_audit": 6.2,         # honest 3.5 s full-run r16
     "g05_link_predict": 9.6,       # ~2.6 s isolated on the sampled
                                    # subgraph (133 s on the full
                                    # near-complete graph — the face
@@ -226,14 +238,14 @@ CEILINGS = {
                                    # conditional-count rule)
     "t11_gopher_rules": 3.3,       # honest 1.1 s full-run r16
     # r16 faces - ceilings ~1.4x the first honest full-run reading
-    "g04_hub_skew": 11.0,           # honest 3.3 s full-run at 12k
+    "g04_hub_skew": 11.2,           # honest 3.3 s full-run at 12k
                                    # wheel nodes, 8.6 s isolated at
                                    # the shipped 16k (~6 s full-run
                                    # expected — the id-ordered demo
                                    # gear pays the planted quadratic
                                    # by design; ratio floor below is
                                    # the real guard for this pair)
-    "g04_hub_skew_ordered": 3.9,   # honest 1.5 s full-run (12k),
+    "g04_hub_skew_ordered": 4.0,   # honest 1.5 s full-run (12k),
                                    # 2.5 s isolated (16k)
     "g05_link_predict_full": 98.2, # honest 51.3 s full-run: the
                                    # UNSAMPLED near-complete sf0.1
@@ -242,9 +254,9 @@ CEILINGS = {
                                    # ~ 1.5e8 wedges + a ~1e8-group
                                    # aggregate; exists so the scale
                                    # posture is a measured number
-    "c10_clean_staged": 14.6,       # honest 6.3 s full-run (beats the
+    "c10_clean_staged": 16.3,       # honest 6.3 s full-run (beats the
                                    # in-plan cached twin's 8.8 s)
-    "c03c_pack_subword_fit32k": 20.1,  # honest 12.0 s full-run (fit
+    "c03c_pack_subword_fit32k": 25.8,  # honest 12.0 s full-run (fit
                                    # to exhaustion under the 32k
                                    # budget + artifact + pack)
     "st06_alert_sink": 2.9,        # honest 1.0 s full-run (append +
@@ -281,7 +293,7 @@ CEILINGS = {
     # from the 162-face landing sweep (304.1 s total, 0 failures) and
     # its 4-face isolated sibling; bars are 1.7x + 0.8 of the
     # committed full-run reading
-    "g06_kcore": 16.0,             # committed 7.45 s full-run / 10.42
+    "g06_kcore": 16.1,             # committed 7.45 s full-run / 10.42
                                    # isolated (12 materialized peel
                                    # rounds over the shrinking edge
                                    # frame). Hand-annotated ABOVE the
@@ -295,7 +307,7 @@ CEILINGS = {
     "f32_ewma": 3.5,               # committed 1.29 s / 2.29 isolated
                                    # (lattice + moments + the grouped
                                    # EWMA fold)
-    "d14_soft_dedup": 7.2,         # committed 3.54 s / 5.22 isolated
+    "d14_soft_dedup": 8.3,         # committed 3.54 s / 5.22 isolated
                                    # (d06's exhaustive pairs + CC +
                                    # the size rollup; tracks d06's
                                    # own bar family)
@@ -443,7 +455,7 @@ CEILINGS.update({
     "c04_mixture_epochs": 1.3,  # honest 0.31 s
     "c05_redact_pii": 2.2,  # honest 0.82 s
     "c06_assemble": 2.5,  # honest 1.03 s
-    "c07_assemble_decontaminated": 6.5,  # honest 3.31 s
+    "c07_assemble_decontaminated": 7.4,  # honest 3.31 s
     "c08_strip_boilerplate": 5.2,  # honest 2.57 s
     "c09_seq_shuffle": 2.5,  # honest 1.00 s
     "c09b_shard_manifest": 2.2,  # honest 0.81 s
@@ -471,38 +483,38 @@ CEILINGS.update({
     "f05_high_risk_alerts": 2.5,  # honest 1.00 s
     "f06_hidden_price": 1.3,  # honest 0.27 s
     "f07_categorize": 1.5,  # honest 0.39 s
-    "f08_seller_trust": 2.1,  # honest 0.69 s
+    "f08_seller_trust": 2.2,  # honest 0.69 s
     "f08b_trust_from_reviews": 1.9,  # honest 0.55 s
     "f09_recent_window": 2.0,  # honest 0.71 s
     "f10_top_risk_factors": 2.9,  # honest 1.25 s
-    "f11_extract_specs": 5.3,  # honest 2.59 s
+    "f11_extract_specs": 5.6,  # honest 2.59 s
     "f12_score_items": 12.0,  # honest 5.94 s
     "f12b_score_core": 1.9,  # honest 0.65 s
     "f13_generate_stats": 11.1,  # honest 6.08 s
     "f13b_stats_core": 3.6,  # honest 1.39 s
     "f14_factor_normalized": 2.1,  # honest 0.65 s
     "f15_modified_after_1d": 1.6,  # honest 0.48 s
-    "f16_review_stats": 1.5,  # honest 0.39 s
+    "f16_review_stats": 1.6,  # honest 0.39 s
     "f18_price_histogram": 1.9,  # honest 0.42 s
     "f26_impossible_travel": 1.9,  # honest 0.56 s
     "g01_geo_buckets": 2.3,  # honest 0.48 s
     "m01_binary_meta": 1.6,  # honest 0.25 s
-    "q01_pricing_summary": 3.7,  # honest 1.62 s
+    "q01_pricing_summary": 3.9,  # honest 1.62 s
     "q02_filter_project": 1.4,  # honest 0.30 s
     "q03_join_agg": 2.0,  # honest 0.72 s
-    "q04_top_n": 2.0,  # honest 0.73 s
-    "q05_window_rank": 1.5,  # honest 0.29 s
-    "q06_semi_anti": 1.5,  # honest 0.40 s
+    "q04_top_n": 2.8,  # honest 0.73 s
+    "q05_window_rank": 2.0,  # honest 0.29 s
+    "q06_semi_anti": 2.0,  # honest 0.40 s
     "q07_distinct_union": 2.5,  # honest 0.97 s
     "q08_date_histogram": 2.1,  # honest 0.78 s
-    "q09_running_window": 1.8,  # honest 0.54 s
-    "q10_sessionize": 1.9,  # honest 0.68 s
-    "q11_percentiles": 5.5,  # honest 2.75 s
-    "q12_pivot": 1.3,  # honest 0.29 s
-    "q13_json_extract": 2.2,  # honest 0.84 s
-    "q14_cube_rollup": 4.0,  # honest 1.91 s
-    "q15_asof_join": 2.5,  # honest 0.96 s
-    "q16_interval_join": 3.0,  # honest 1.31 s
+    "q09_running_window": 2.0,  # honest 0.54 s
+    "q10_sessionize": 2.1,  # honest 0.68 s
+    "q11_percentiles": 6.0,  # honest 2.75 s
+    "q12_pivot": 1.5,  # honest 0.29 s
+    "q13_json_extract": 2.5,  # honest 0.84 s
+    "q14_cube_rollup": 4.1,  # honest 1.91 s
+    "q15_asof_join": 2.7,  # honest 0.96 s
+    "q16_interval_join": 3.1,  # honest 1.31 s
     "q17_skew_salted_join": 3.2,  # honest 1.27 s
     "s01_ann_bruteforce": 1.7,  # honest 0.56 s
     "s02_ann_lsh": 2.5,  # honest 1.00 s
@@ -521,13 +533,13 @@ CEILINGS.update({
     # r17 faces — ceilings cut from BENCH_FULL_r17.json (the worse of
     # two back-to-back honest sweeps; 189 faces, 0 failures) at the
     # churn-safe floor 1.7v+0.8 (v < 10 s) / 1.5v+1.0
-    "f33_block_coarse": 40.9,  # committed 26.56 s — the DEGENERATE
+    "f33_block_coarse": 42.6,  # committed 26.56 s — the DEGENERATE
                                # single-block coarse gear (the demo
                                # pair's expensive twin, quadratic BY
                                # DESIGN like d09_boilerplate)
     "f33_block_fine": 9.1,  # committed 4.86 s — composite gear on the
                             # identical corpus, identical output
-    "d02_ngram_jaccard_auto": 5.2,  # committed 2.59 s — census + the
+    "d02_ngram_jaccard_auto": 5.4,  # committed 2.59 s — census + the
                                     # routed (plain, on this corpus)
                                     # gear
     "st09_vector_maintain": 6.9,  # committed 3.59 s — two codes
@@ -535,6 +547,34 @@ CEILINGS.update({
                                   # served s05 query set
     "f38_top_users": 2.1,  # committed 0.73 s — top-15 terms + range
                            # split over events
+    # --- r17 late-session faces: ceilings cut from the worse of the
+    # two back-to-back 197-face sweeps that produced the committed
+    # BENCH_FULL_r17.json (503.4 / 471.3 s totals, 0 failures), at
+    # the standard churn-safe formula unless annotated ---
+    "m05_video_frames": 3.8,       # committed 1.75 s — GFV1 parse +
+                                   # frame sample + features
+    "s20_hard_negatives": 1.6,     # committed 0.46 s — two broadcast
+                                   # corpus passes
+    "d18_priority_dedup": 9.1,     # committed 3.90 s / 4.85 other run
+                                   # — rides d06's CC loop (its churn)
+    "s22_recall_curve": 3.1,       # committed 1.34 s — 1 exact + 3
+                                   # probe passes
+    "g07_graph_census": 24.0,      # committed 11.11 s — HAND-RAISED
+                                   # above the formula (18.3): the
+                                   # census runs g04's triangle join,
+                                   # whose documented same-code swing
+                                   # band is 2.4x (the g06 refloor
+                                   # lesson)
+    "c19_pack_efficiency": 2.2,    # committed 0.44 s / 0.78 other run
+                                   # — one shard aggregate past c03
+    "st08b_trickle_probe": 25.3,   # committed 16.18 s — ten trickle
+                                   # triggers, shuffle-path probe twin
+    "st08b_trickle_probe_bcast": 21.0,  # committed 12.69 s / 13.29
+                                   # other run — the adaptive gate's
+                                   # broadcast path; NO ratio floor on
+                                   # this pair (measured 1.24-1.29x,
+                                   # below the 1.7x churn band — the
+                                   # 41v SURVEY row documents why)
 })
 
 # (numerator face, denominator face) -> required min ratio. The d09
