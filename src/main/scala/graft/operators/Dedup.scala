@@ -1547,7 +1547,66 @@ object Dedup {
          priority, rk = 1 AS keep
        FROM rk"""
 
+  // ---------------------------------------------------------------
+  // d19: cross-source overlap matrix — WHO copies from WHOM: the
+  // corpus-forensics measurement dataset papers publish (how much of
+  // source X is near-duplicated in source Y — the CommonCrawl/C4/
+  // Pile-style overlap studies), and the input to a deduplication
+  // ORDER decision (dedup the most-overlapping source pair first).
+  // For each unordered source pair (within-source included): the
+  // near-dup pair count and the number of distinct documents
+  // involved. Rides the shared pair frame — the matrix is one
+  // source-attach + two source-pair-keyed aggregates past whatever
+  // gear produced the pairs (face pins maxDf = None, the d06 oracle
+  // convention; production passes capped/prefix pairs).
+  // ---------------------------------------------------------------
+
+  /** (source_a, source_b, n_pairs, n_docs) per unordered source pair
+    * with at least one near-dup pair; source_a ≤ source_b. */
+  def sourceOverlap(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val m = pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("a"), col("b"))
+      .transform(graft.CacheRegistry.register) // pair-sized, consumed 2×
+    val nPairs = m.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = m
+      .select(col("source_a"), col("source_b"),
+        explode(array(col("a"), col("b"))).as("d"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count_distinct(col("d")).as("n_docs"))
+    nPairs.join(nDocs, Seq("source_a", "source_b"))
+  }
+
+  def d19(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    sourceOverlap(docs, jaccardPairs(docs, maxDf = None))
+  }
+
+  /** Wraps d02's exhaustive pair replay with the source-pair rollup
+    * (the d14 composition convention). */
+  val d19Sql: String =
+    s"""WITH p AS ($d02Sql),
+       s AS (SELECT doc_id, source FROM documents),
+       m AS (SELECT least(sa.source, sb.source) AS source_a,
+               greatest(sa.source, sb.source) AS source_b, a, b
+             FROM p JOIN s sa ON a = sa.doc_id JOIN s sb ON b = sb.doc_id),
+       np AS (SELECT source_a, source_b, count(*) AS n_pairs
+              FROM m GROUP BY 1, 2),
+       nd AS (SELECT source_a, source_b,
+                CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+              FROM (SELECT source_a, source_b, a AS d FROM m
+                    UNION ALL SELECT source_a, source_b, b FROM m)
+              GROUP BY 1, 2)
+       SELECT source_a, source_b, n_pairs, n_docs
+       FROM np JOIN nd USING (source_a, source_b)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_source_overlap" -> (d19 _),
     "d18_priority_dedup" -> (d18 _),
     "d14_soft_dedup" -> (d14 _),
     "d01_dedup_exact" -> (d01 _),
@@ -1571,6 +1630,7 @@ object Dedup {
     "d11_contamination_report" -> ((s: SparkSession, dir: String) => d11(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "d19_source_overlap" -> d19Sql,
     "d18_priority_dedup" -> d18Sql,
     "d14_soft_dedup" -> d14Sql,
     "d01_dedup_exact" -> d01Sql,

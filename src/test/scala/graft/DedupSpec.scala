@@ -427,6 +427,25 @@ class DedupSpec extends SparkSpec {
     assert(got.values.count(_._4) == 3)
   }
 
+  test("d19 source overlap: planted cross- and within-source pairs land " +
+      "in the right matrix cells; sources normalize to unordered") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "web"), (2L, "curated"),     // cross pair web~curated
+      (3L, "web"), (4L, "web"),         // within-source pair web~web
+      (5L, "curated"), (6L, "web"),     // second cross pair (shares doc 6's source)
+      (9L, "books")).toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.sourceOverlap(docs, pairs)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // least/greatest normalization: (web, curated) and (curated, web)
+    // land in ONE cell regardless of pair orientation
+    assert(got == Map(
+      ("curated", "web") -> ((2L, 4L)),
+      ("web", "web") -> ((1L, 2L))))
+  }
+
   test("connected components: a 300-hop chain converges inside the default round budget") {
     import spark.implicits._
     // the pointer-doubling pin: neighbor-min alone moves the min ONE
