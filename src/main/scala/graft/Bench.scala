@@ -33,6 +33,27 @@ object Bench {
     System.gc()
     dt
   }
+  /** The ONE untimed-setup contract, shared by Bench and BenchSf1
+    * (the timeFace rationale applied to state seeding): run the
+    * face's benchSetup entry if any, tag a failure as
+    * setup-originated and report false so the caller SKIPS timing (a
+    * face timed against missing/partial state would read as a query
+    * failure — or worse, a bogus fast number), and leave the session
+    * cache-clean either way. */
+  private[graft] def runSetup(spark: SparkSession, name: String,
+      sfDir: String, tag: String = "bench"): Boolean =
+    SparkEntry.benchSetup.get(name).forall { setup =>
+      val ok = try { setup(spark, sfDir); true } catch {
+        case t: Throwable =>
+          System.err.println(
+            s"[$tag] $name setup FAILED (face skipped): ${t.getMessage}")
+          false
+      }
+      CacheRegistry.unpersistAll()
+      System.gc()
+      ok
+    }
+
   def main(args: Array[String]): Unit = {
     // face-name listing for tools/bench_isolated.sh (no session spin-up);
     // value-gated like SPARK_GRAFT_ONLY — empty or "0" means off, so an
@@ -146,21 +167,7 @@ object Bench {
       // trigger cost is st02's measurement, not st03's); boundary
       // hygiene after so the timed face starts from the same clean
       // state a setup-less face does
-      val setupOk = SparkEntry.benchSetup.get(name).forall { setup =>
-        val ok = try { setup(spark, sfDir); true } catch {
-          case t: Throwable =>
-            // tag the failure as setup-originated and SKIP timing: a
-            // face timed against missing/partial state would report a
-            // -1 indistinguishable from a query failure (or worse, a
-            // bogus fast number)
-            System.err.println(
-              s"[bench] $name setup FAILED (face skipped): ${t.getMessage}")
-            false
-        }
-        CacheRegistry.unpersistAll()
-        System.gc()
-        ok
-      }
+      val setupOk = runSetup(spark, name, sfDir)
       // a failed query must be VISIBLE in the output (value -1), never
       // reported as its time-to-throw — that reads as a perf win.
       //

@@ -263,19 +263,10 @@ object BenchSf1 {
     }
     val results = selected.map {
       case (name, fn) =>
-        // untimed state construction + boundary hygiene (the Bench
-        // contract — e.g. the st08b trickle pair's seeded gate state)
-        val setupOk = SparkEntry.benchSetup.get(name).forall { setup =>
-          val ok = try { setup(spark, out); true } catch {
-            case t: Throwable =>
-              System.err.println(
-                s"[sf1] $name setup FAILED (face skipped): ${t.getMessage}")
-              false
-          }
-          CacheRegistry.unpersistAll()
-          System.gc()
-          ok
-        }
+        // untimed state construction + boundary hygiene — the ONE
+        // shared Bench.runSetup contract (e.g. the st08b trickle
+        // pair's seeded gate state)
+        val setupOk = Bench.runSetup(spark, name, out, tag = "sf1")
         name -> (if (setupOk) Bench.timeFace(spark, name, fn, out, tag = "sf1")
                  else -1.0)
     }

@@ -805,7 +805,13 @@ object Binary {
       var j = 0
       while (j < data.length) {
         energy += (data(j) & 0xff)
-        if (j + 1 < data.length && (data(j + 1) & 0xff) > (data(j) & 0xff))
+        // gradient bits are capped at 63: a frame wider than 64 bytes
+        // TRUNCATES its fingerprint to the first 64 positions rather
+        // than letting `1L << j` wrap (Scala masks the shift to
+        // j & 63, which would alias high-byte gradients onto low bits
+        // and produce false scene-dedup merges)
+        if (j < 63 && j + 1 < data.length &&
+            (data(j + 1) & 0xff) > (data(j) & 0xff))
           fp |= (1L << j)
         j += 1
       }

@@ -1498,7 +1498,12 @@ object Dedup {
   /** Per-doc survivorship verdicts from a near-dup pair frame and a
     * (source, priority) ranking (lower = better, broadcast-sized):
     * (doc_id, component, csize, source, priority, keep) — exactly one
-    * keep per cluster: best priority, tie → doc_id asc. */
+    * keep per cluster: best priority, tie → doc_id asc. The join to
+    * the ranking is LEFT (the audit-frame contract: EVERY member
+    * appears) — a source the caller's ranking omits gets a null
+    * priority that sorts LAST, so unranked copies never beat ranked
+    * ones and still receive an explicit keep/drop verdict instead of
+    * silently vanishing from the audit. */
   def priorityDedup(docs: DataFrame, pairs: DataFrame,
       priority: DataFrame): DataFrame = {
     val comps = connectedComponents(
@@ -1507,9 +1512,9 @@ object Dedup {
     val members = comps
       .join(docs.select(col("doc_id"), col("source")),
         col("id") === col("doc_id"))
-      .join(broadcast(priority), "source")
+      .join(broadcast(priority), Seq("source"), "left")
     val byComp = Window.partitionBy(col("component"))
-    val w = byComp.orderBy(col("priority").asc, col("doc_id").asc)
+    val w = byComp.orderBy(col("priority").asc_nulls_last, col("doc_id").asc)
     members
       .withColumn("rk", row_number().over(w))
       .withColumn("csize", count(lit(1)).over(byComp))

@@ -414,9 +414,11 @@ object Linkage {
       // This batch's slim variant frame lands in the maintained
       // variant INDEX before anything else — varstate/batch=<id>,
       // four fixed-width columns, the same slimFrame recipe linkPairs
-      // uses. Every record's deletion neighborhood is generated ONCE,
-      // at registration; every later trigger (and this one's probe)
-      // READS the index instead of re-exploding state names — the 41r
+      // uses. A record's deletion neighborhood is generated only at
+      // its own registration trigger (the index write here, plus the
+      // within-batch linkPairs stage's internal passes — all
+      // batch-sized); every LATER trigger's probe READS the index
+      // instead of re-exploding state names — the 41r
       // "maintain the serving artifact" posture applied to the ER
       // gate (measured sf0.1: ~1.8M slim rows regenerated per trigger
       // before; a ~15 MB columnar read after). Write order makes the
@@ -442,6 +444,29 @@ object Linkage {
       // intersection theorem (see the blocking comment above).
       val stateRoot = new org.apache.hadoop.fs.Path(s"$path/state")
       val fs = stateRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // SELF-HEALING MIGRATION: a state tree written before the
+      // variant index existed has state/batch=<b> levels with no
+      // varstate sibling — reading varstate blindly would either
+      // throw (no such path) or, worse, silently probe NOTHING for
+      // the legacy batches and miss their alerts. Heal once: any
+      // committed state batch below this id missing its varstate
+      // level gets the level regenerated from its names and written
+      // (idempotent — the same writer, the same recipe), after which
+      // the uniform index read below is complete. Directory listing
+      // is driver-side and bounded by the batch count.
+      def batchLevels(root: org.apache.hadoop.fs.Path): Set[Long] =
+        if (!fs.exists(root)) Set.empty
+        else fs.listStatus(root).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("batch="))
+          .map(_.stripPrefix("batch=").toLong).toSet
+      val missingVar = (batchLevels(stateRoot) -- batchLevels(
+        new org.apache.hadoop.fs.Path(s"$path/varstate"))).filter(_ < id)
+      missingVar.foreach { b =>
+        slimFrame(s.read.schema(StateSchema).parquet(s"$path/state")
+            .filter(col("batch") === b)
+            .select(col("key"), col("name"), col("block")), maxEdits)
+          .write.mode("overwrite").parquet(s"$path/varstate/batch=$b")
+      }
       val cross =
         if (!fs.exists(stateRoot)) within.limit(0)
         else {
@@ -458,7 +483,10 @@ object Linkage {
             .select(col("key").as("match_key"), col("block"),
               col("len").as("mlen"), col("skey"))
           // the batch's own frame reads back from the level written
-          // above — one generation pass per batch, total
+          // above — the state side's neighborhoods are read, never
+          // re-exploded (the within-batch linkPairs stage still
+          // generates the BATCH's own frame for its pairing — a
+          // bounded, batch-sized cost, not a per-trigger state scan)
           val slimBatch = varstate.filter(col("batch") === id)
             .select(col("key"), col("block"), col("len"), col("skey"))
           // adaptive probe shape (the hub-gate/autoPairs pattern): a

@@ -440,9 +440,10 @@ object Similarity {
 
   def s21(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    annIvfFiltered(e, e.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("label").as("qlabel")))
+    // the ONE labeled-query-set definition, shared with s20 — the
+    // exact baseline and the filtered index can never drift to
+    // different query populations
+    annIvfFiltered(e, queriesLabeled(e))
   }
 
   lazy val s21Sql: String = ivfCoreSql(filtered = true)

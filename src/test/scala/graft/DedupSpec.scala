@@ -427,6 +427,24 @@ class DedupSpec extends SparkSpec {
     assert(got.values.count(_._4) == 3)
   }
 
+  test("d18: a source the ranking omits stays in the audit with null " +
+      "priority, sorts last, and never beats a ranked copy") {
+    import spark.implicits._
+    val docs = Seq(
+      (5L, "unranked"), (6L, "src9"),   // pair: ranked src9 must win
+      (30L, "unranked")).toDF("doc_id", "source")
+    val pairs = Seq((5L, 6L)).toDF("a", "b")
+    val priority = Seq(("src9", 9L)).toDF("source", "priority")
+    val rows = Dedup.priorityDedup(docs, pairs, priority).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(5L, 30L, 6L)) // audit frame is total
+    // the worst RANKED source still beats the unranked copy
+    assert(!rows(5L).getBoolean(5) && rows(5L).isNullAt(4))
+    assert(rows(6L).getBoolean(5) && rows(6L).getLong(4) == 9L)
+    // an all-unranked singleton still keeps itself
+    assert(rows(30L).getBoolean(5) && rows(30L).isNullAt(4))
+  }
+
   test("d19 source overlap: planted cross- and within-source pairs land " +
       "in the right matrix cells; sources normalize to unordered") {
     import spark.implicits._

@@ -300,6 +300,48 @@ class LinkageSpec extends SparkSpec
     assert(spark.read.parquet(s"$rootB/varstate").count() == wanted)
   }
 
+  test("41s gate: a pre-index state tree (state levels, no varstate) " +
+      "heals itself — legacy batches still alert, index rebuilt") {
+    val b1 = Seq((1L, "mallory-shop", 1L), (10L, "acme-store", 2L))
+      .toDF("key", "name", "block")
+    val b2 = Seq((2L, "mallory-shoq", 1L)).toDF("key", "name", "block")
+    val b3 = Seq((11L, "acme-stores", 2L)).toDF("key", "name", "block")
+    def alerts(root: String) =
+      Linkage.readLinkageAlerts(spark, root)
+        .select("batch", "key", "match_key", "dist")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    def rm(p: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+    }
+    // reference: the uninterrupted gate
+    val ref = java.nio.file.Files.createTempDirectory("linkgate-ref").toString
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      Linkage.linkageBatch(b, i.toLong, ref)
+    }
+    // legacy: run 0 and 1, then simulate a pre-r17 artifact by
+    // deleting the WHOLE varstate tree; batch 2 must still see the
+    // accumulated state (key 11 links to state key 10) and the index
+    // must be rebuilt for the missing levels
+    val leg = java.nio.file.Files.createTempDirectory("linkgate-leg").toString
+    Linkage.linkageBatch(b1, 0L, leg)
+    Linkage.linkageBatch(b2, 1L, leg)
+    rm(s"$leg/varstate")
+    Linkage.linkageBatch(b3, 2L, leg)
+    assert(alerts(leg) == alerts(ref))
+    assert(alerts(leg).exists { case (batch, key, mk, _) =>
+      batch == 2L && key == 11L && mk == 10L })
+    // healed: every committed state level has its varstate sibling
+    val fs = new org.apache.hadoop.fs.Path(leg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def levels(sub: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$leg/$sub"))
+        .map(_.getPath.getName).filter(_.startsWith("batch=")).toSet
+    assert(levels("varstate").intersect(levels("state")) ==
+      Set("batch=0", "batch=1", "batch=2"))
+  }
+
   test("41s gate: an empty first trigger doesn't poison the state read") {
     // regression: an empty batch writes a file-less state level; the
     // next trigger's state read must not die on schema inference

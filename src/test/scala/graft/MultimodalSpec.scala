@@ -314,6 +314,23 @@ class MultimodalSpec extends SparkSpec {
     assert(Binary.videoFrameFeatures(audio).isEmpty)
   }
 
+  test("m05: frames wider than 64 bytes truncate the fingerprint at bit " +
+      "62 instead of wrapping high-byte gradients onto low bits") {
+    // two 80-byte frames identical in bytes 0..63, differing only in
+    // the tail: a wrapped `1L << j` would alias the tail's gradients
+    // onto bits 0.. and diverge the fps; truncation keeps them equal
+    val base = Array.tabulate[Byte](80)(i => ((i * 13) % 251).toByte)
+    val tailDiff = base.clone(); (64 until 80).foreach(i => tailDiff(i) = (255 - (i % 7)).toByte)
+    val byId = Binary.videoFrameFeatures(videoMedia(Seq(
+        (1L, gfv(Seq(base))), (2L, gfv(Seq(tailDiff))))), everyNth = 1)
+      .select("media_id", "fp", "energy").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L)._1 == byId(2L)._1, "tail gradients leaked into the fp")
+    assert(byId(1L)._2 != byId(2L)._2) // energy still sees the tail
+    // and no bit at or above 63 is ever set
+    assert((byId(1L)._1 & (1L << 63)) == 0L)
+  }
+
   test("m05: identical frames fingerprint identically — the scene-dedup " +
       "band join finds the repeated frame across videos") {
     val shared = Array.tabulate[Byte](16)(i => (i * 7 % 251).toByte)
