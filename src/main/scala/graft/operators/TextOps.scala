@@ -871,7 +871,53 @@ object TextOps {
                  * (CAST(n_terms AS DOUBLE)*syy - sy*sy)), 6) END AS r2
        FROM sums WHERE n_terms >= 2"""
 
+  // ---------------------------------------------------------------
+  // t14: tokenizer fertility per language — THE tokenizer-choice
+  // metric of the multilingual-corpus literature (subwords per word:
+  // a vocab that fragments one language 2× worse than another eats
+  // that language's effective context and compute budget). Words are
+  // the whitespace count (the c03 budget basis), subwords the pinned
+  // WordPiece vocab's count (plans.SubwordCount — the c03c basis), so
+  // the face measures exactly the expansion factor between the two
+  // packing bases the engine already ships. One narrow codegen'd
+  // pass + one combiner-friendly lang aggregate; the only division
+  // is the final rounded ratio.
+  // ---------------------------------------------------------------
+
+  /** Per-language fertility over any (lang, text) frame:
+    * (lang, n_docs, words, subwords, fertility = subwords/words). */
+  def fertility(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.select(col("lang"),
+        graft.functions.TextAnalysis.wsTokenCount(col("text"))
+          .cast("long").as("w"),
+        graft.plans.GraftFunctions.subwordCount(s, col("text"))
+          .cast("long").as("sw"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+        sum(col("sw")).as("subwords"))
+      .select(col("lang"), col("n_docs"), col("words"), col("subwords"),
+        round(col("subwords").cast("double") / col("words"), 6)
+          .as("fertility"))
+  }
+
+  def t14(s: SparkSession, dir: String): DataFrame =
+    fertility(Tables.documents(s, dir))
+
+  val t14Sql: String =
+    s"""WITH src AS (SELECT doc_id, text FROM documents),
+       ${graft.plans.SubwordCount.oracleTokensCtes},
+       w AS (SELECT doc_id, lang, CAST($sqlNw AS BIGINT) AS words
+             FROM documents)
+       SELECT lang, count(*) AS n_docs,
+         CAST(sum(words) AS BIGINT) AS words,
+         CAST(sum(tokens) AS BIGINT) AS subwords,
+         round(CAST(sum(tokens) AS DOUBLE) / sum(words), 6) AS fertility
+       FROM w JOIN sub USING (doc_id)
+       GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_fertility" -> (t14 _),
     "t13_zipf_fit" -> (t13 _),
     "t12_pmi_collocations" -> (t12 _),
     "t11_gopher_rules" -> (t11 _),
@@ -899,5 +945,6 @@ object TextOps {
     "t10_readability" -> t10Sql,
     "t11_gopher_rules" -> t11Sql,
     "t12_pmi_collocations" -> t12Sql,
-    "t13_zipf_fit" -> t13Sql)
+    "t13_zipf_fit" -> t13Sql,
+    "t14_fertility" -> t14Sql)
 }

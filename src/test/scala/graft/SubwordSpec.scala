@@ -93,4 +93,21 @@ class SubwordSpec extends SparkSpec {
     // offset is its shard-running total mod budget
     assert(df.filter(col("offset") >= operators.Split.PackBudget).isEmpty)
   }
+
+  test("t14 fertility: >= 1 everywhere (a word is at least one piece), " +
+      "per-lang ratio matches a hand rollup") {
+    import spark.implicits._
+    val f = operators.TextOps.t14(spark, sf())
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(f.nonEmpty)
+    f.foreach { case (lang, n, w, sw, fert) =>
+      assert(n > 0 && w > 0 && sw >= w, s"lang $lang")
+      assert(fert >= 1.0)
+      assert(math.abs(fert - math.rint(sw.toDouble / w * 1e6) / 1e6) < 1e-9)
+    }
+    // totals reconcile with the corpus-wide counts (no doc dropped by
+    // the lang grouping)
+    val docs = Tables.documents(spark, sf())
+    assert(f.map(_._2).sum == docs.count())
+  }
 }
