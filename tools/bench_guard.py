@@ -23,20 +23,21 @@ on a validation run (13.92 s vs an under-floored 11.4, isolated
 10.42 vs 8.82 baseline = ok) was exactly the false alarm the floor
 rule exists to prevent.
 
-R17-LATE REGENERATION: after the late-session faces landed (m05, s20,
-d18, d19, s22, g07, c19, the st08b trickle pair, and the 41v
+R17-LATE REGENERATION: each time late-session faces landed (m05, s20,
+d18, d19, s22, g07, c19, t14, the st08b trickle pair, and the 41v
 variant-index rework of the linkage gate), BENCH_FULL_r17.json was
-REGENERATED as a fully coherent worse-of-two sweep — no splices. Two
-regenerations happened: first at 197 faces (503.4/471.3 s) when the
-batch-1 late faces landed (that pass re-floored 34 drifted ceilings
-and cut the 8 new faces' bars), then the FINAL one at 198 faces
-(463.1 s committed worse / 446.5 s, 0 failures, guard exit 0 on BOTH)
-after d19 and the self-review fixes (varstate self-healing, m05 fp
-truncation, d18 left-join audit totality) — that pass re-floored 7
-more drifted bars, added d19's, and LOWERED the g04 hub-skew ratio
-floor 2.0 → 1.5 on an isolated adjudication (see the floor's
-comment). BENCH_ISOLATED_r17.json gained the 9 new faces fresh-JVM
-plus st08_linkage_gate re-measured under the variant index
+REGENERATED as a fully coherent worse-of-two sweep — never spliced.
+Three regenerations: 197 faces (503.4/471.3 s; re-floored 34 drifted
+ceilings, cut the first 8 new faces' bars), 198 faces (463.1/446.5 s
+after d19 + the self-review fixes — varstate self-healing, m05 fp
+truncation, d18 left-join audit totality; re-floored 7 more, added
+d19's bar, and LOWERED the g04 hub-skew ratio floor 2.0 → 1.5 on an
+isolated adjudication — see the floor's comment; that run's pair read
+1.80x, the next two 3.2x/3.19x — churn, as adjudicated), and the
+FINAL one at 199 faces with t14 (476.9 s committed worse / 450.7,
+0 failures, guard exit 0 on BOTH runs, zero SKIPs; re-floored 14 more
+within-churn drifts). BENCH_ISOLATED_r17.json gained the 10 new faces
+fresh-JVM plus st08_linkage_gate re-measured under the variant index
 (12.20 → 13.26: the gate now WRITES varstate per batch — the
 fresh-JVM cost moved to registration so every later trigger reads
 instead of re-exploding).
@@ -111,7 +112,7 @@ ISOLATED_SLACK = 0.3   # + seconds (fresh-JVM JIT jitter on sub-second faces)
 # room for ordinary run-to-run variance.
 CEILINGS = {
     "f19_risk_heatmap": 4.5,       # steady ~1.7 s (r9 1.34, r12 1.70)
-    "f20_risk_distribution": 2.4,  # steady ~0.9-1.1 s
+    "f20_risk_distribution": 2.7,  # steady ~0.9-1.1 s
     "c01_corpus_clean": 7.8,       # steady ~4.4-4.8 s (r12 full-run 4.44)
     "f17_stats_merge": 5.0,        # steady ~2.2 s (r12 full-run 2.20)
     "d06_dedup_clusters": 10.1,    # committed 5.42 s (post pointer-
@@ -133,14 +134,14 @@ CEILINGS = {
                                    # (1.44x churn) — 2.6 ≈ 1.5x the
                                    # isolated reading
     "s08_match_phrase": 2.6,       # steady ~0.9 s
-    "t06_normalize": 1.7,          # steady ~0.25-0.3 s (narrow scan)
+    "t06_normalize": 1.8,          # steady ~0.25-0.3 s (narrow scan)
     "c11_corpus_upsert": 2.7,      # steady ~0.75-1.1 s
     "c12_dsir": 8.8,               # steady ~3.3-4.8 s (gram explode)
     "c13_corpus_census": 8.4,      # honest runs read 2.9/4.5 s
     "d11_contamination_report": 3.1,  # steady ~1.0 s
     "st04_upsert_cdc": 4.5,        # steady ~2.7 s (full CDC lifecycle)
     "f21_price_anomaly": 3.5,      # steady ~2.1 s (two median passes)
-    "s09_hybrid_rrf": 5.5,         # steady ~3.7 s (BM25 + HOF-cosine pass)
+    "s09_hybrid_rrf": 6.2,         # steady ~3.7 s (BM25 + HOF-cosine pass)
     "q18_funnel": 3.5,             # steady ~2.2 s (three step aggs)
     "q19_retention": 2.2,          # steady ~1.3 s
     "g02_geo_radius": 1.7,         # steady ~0.4 s (bbox-pruned scan)
@@ -166,7 +167,7 @@ CEILINGS = {
     "c14_stratified_sample": 1.6,  # steady ~0.5 s (WindowGroupLimit top-n)
     "f22_benford": 2.2,            # steady ~0.65 s (45-cell digit rollup)
     "c15_scd2_history": 2.1,       # steady ~0.6 s (log-only lead window)
-    "s10_rank_eval": 3.6,          # steady ~2.4 s (s06 + graded rescan)
+    "s10_rank_eval": 3.9,          # steady ~2.4 s (s06 + graded rescan)
     "d12_bloom_decontaminate": 5.4,  # honest runs read 1.7/2.7 s
     # r13 second batch — ceilings ~1.5x the first clean full-run reading
     "g03_pagerank": 17.9,          # honest 9.1 s full-run r16 (count()
@@ -196,7 +197,7 @@ CEILINGS = {
     "q22_sliding_window": 3.3,     # honest runs read 0.9/1.5 s
     "t10_readability": 2.1,        # steady ~0.35 s (3 regex-count scans)
     "s12_ann_recall": 2.6,         # honest runs read 0.9/1.1 s
-    "c18_dp_census": 1.3,          # steady ~0.4 s (count + noise projection)
+    "c18_dp_census": 1.4,          # steady ~0.4 s (count + noise projection)
     "q23_set_ops": 2.7,            # honest runs read 0.8/1.1 s
     "m03_audio_energy": 3.3,       # steady ~1.2 s (WAV encode+decode scan)
     "g04_triangles": 26.1,          # honest 13.1 s full-run r16 (the noop
@@ -231,7 +232,7 @@ CEILINGS = {
     "f28_last_touch": 2.9,         # ~1.2 s isolated (user join + rank-1)
     "f29_cms_counts": 3.6,         # ~1.0 s isolated (d*stream shuffle)
     "q28_top_paths": 3.8,          # ~1.9 s isolated (two-window sessions)
-    "s13_mmr": 3.0,                # ~1.8 s isolated (cogroup greedy; the
+    "s13_mmr": 3.2,                # ~1.8 s isolated (cogroup greedy; the
                                    # relational unroll measured 8-18 s)
     # r14 faces
     "c03c_pack_subword_fit": 10.0,  # ~4.1 s isolated (24 merge rounds
@@ -265,7 +266,7 @@ CEILINGS = {
     "c03c_pack_subword_fit32k": 25.8,  # honest 12.0 s full-run (fit
                                    # to exhaustion under the 32k
                                    # budget + artifact + pack)
-    "st06_alert_sink": 2.9,        # honest 1.0 s full-run (append +
+    "st06_alert_sink": 3.2,        # honest 1.0 s full-run (append +
                                    # seal + retention + read-back)
     "f31_dow_anomaly": 2.4,        # 0.99 s isolated ((type, day)
                                    # rollup + weekday baseline join)
@@ -317,7 +318,7 @@ CEILINGS = {
                                    # (d06's exhaustive pairs + CC +
                                    # the size rollup; tracks d06's
                                    # own bar family)
-    "s14_centroid_prune": 5.7,     # committed 2.08 s / 3.12 isolated
+    "s14_centroid_prune": 6.0,     # committed 2.08 s / 3.12 isolated
                                    # (two narrow (label,dim)/(vec_id)
                                    # shuffles over the exploded frame
                                    # + the per-label rank window)
@@ -339,7 +340,7 @@ CEILINGS = {
                                    # postings micro-batches + two
                                    # lexicon generation folds + the
                                    # served match query
-    "s16_phrase_index": 9.0,       # committed 3.86 s landing run /
+    "s16_phrase_index": 9.4,       # committed 3.86 s landing run /
                                    # 5.29 isolated — positional-index
                                    # lifecycle: build WITH positions,
                                    # serve the s08 phrase by folding
@@ -457,8 +458,8 @@ CEILINGS.update({
     "c02_train_split": 1.2,  # honest 0.17 s
     "c03_pack_sequences": 1.8,  # honest 0.56 s
     "c03b_pack_chunks": 1.6,  # honest 0.45 s
-    "c03c_pack_subword": 1.6,  # honest 0.47 s
-    "c04_mixture_epochs": 1.3,  # honest 0.31 s
+    "c03c_pack_subword": 1.8,  # honest 0.47 s
+    "c04_mixture_epochs": 1.4,  # honest 0.31 s
     "c05_redact_pii": 2.2,  # honest 0.82 s
     "c06_assemble": 2.5,  # honest 1.03 s
     "c07_assemble_decontaminated": 7.4,  # honest 3.31 s
@@ -548,7 +549,7 @@ CEILINGS.update({
     "d02_ngram_jaccard_auto": 5.4,  # committed 2.59 s — census + the
                                     # routed (plain, on this corpus)
                                     # gear
-    "st09_vector_maintain": 6.9,  # committed 3.59 s — two codes
+    "st09_vector_maintain": 7.6,  # committed 3.59 s — two codes
                                   # micro-batches + meta fit + the
                                   # served s05 query set
     "f38_top_users": 2.1,  # committed 0.73 s — top-15 terms + range
@@ -563,7 +564,7 @@ CEILINGS.update({
                                    # corpus passes
     "d18_priority_dedup": 9.1,     # committed 3.90 s / 4.85 other run
                                    # — rides d06's CC loop (its churn)
-    "s22_recall_curve": 3.5,       # committed 1.34 s — 1 exact + 3
+    "s22_recall_curve": 3.7,       # committed 1.34 s — 1 exact + 3
                                    # probe passes
     "g07_graph_census": 24.0,      # committed 11.11 s — HAND-RAISED
                                    # above the formula (18.3): the
@@ -573,12 +574,14 @@ CEILINGS.update({
                                    # lesson)
     "c19_pack_efficiency": 2.2,    # committed 0.44 s / 0.78 other run
                                    # — one shard aggregate past c03
-    "st08b_trickle_probe": 30.1,   # committed 16.18 s — ten trickle
+    "st08b_trickle_probe": 31.5,   # committed 16.18 s — ten trickle
                                    # triggers, shuffle-path probe twin
     "d19_source_overlap": 5.2,     # committed 2.14 s / 2.58 other run
                                    # — one source-attach + two
                                    # source-pair aggregates past the
                                    # d02 pair frame
+    "t14_fertility": 1.5,          # committed 0.40 s — one codegen'd
+                                   # pass + a lang aggregate
     "st08b_trickle_probe_bcast": 27.5,  # committed 12.69 s / 13.29
                                    # other run — the adaptive gate's
                                    # broadcast path; NO ratio floor on
