@@ -534,37 +534,98 @@ object Graph {
     * (a, b) edges: (a, b, cn, jaccard, adamic_adar). Compact wedge
     * enumeration — each wedge x—m—y (x < y) is generated EXACTLY
     * once by the id-position of its middle (see the block comment):
-    * minimal Σ C(deg, 2) join output, no symmetric-frame blowup. */
+    * minimal Σ C(deg, 2) join output, no symmetric-frame blowup.
+    *
+    * The wedge AGGREGATE is where the face actually spends (the
+    * near-complete sf0.1 graph makes 148M wedge rows landing on
+    * ~101M distinct pairs — avg group size 1.5, so map-side combine
+    * buys nothing and per-group state size is everything). Three
+    * lean-state moves, all result-identical by construction:
+    * (1) the Adamic–Adar term is pre-scaled to a 32-bit int on the
+    * ~|E| edge frame (round(1/ln d, 6)·10^6 is an integer ≤ 1.45M;
+    * the long-typed sum of ≤ deg_max of them is nowhere near
+    * overflow), so the hot aggregate sums primitives, not
+    * decimal(25,8), and shuffle rows carry 12 data bytes —
+    * ~|E| ln() calls instead of ~Σd², and a flat 16-byte agg buffer
+    * with no overflow-checked decimal path; (2) when node ids fit
+    * 31 bits, (x, y) packs into ONE long key (x<y keeps the packing
+    * order-stable) — half the key bytes, one hash/compare per probe;
+    * (3) the aggregate's partition count is sized from the EXACT
+    * wedge count Σ C(d, 2) — a one-row action on the cached degree
+    * frame — so each final-agg task holds ~2M groups (~100 MB)
+    * instead of inheriting whatever shuffle.partitions says; at
+    * 1000 executors the same formula spreads a 100 TB graph's wedge
+    * mass without per-task spill. */
   def linkPredict(edges: DataFrame, minCommon: Int = MinCommon): DataFrame = {
     val e0 = edges.transform(graft.CacheRegistry.register)
     // node-cardinality, consumed 4× (ed build ×2, scoreTail ×2) —
     // cached so the edge scan + degree shuffle runs once
     val deg = degrees(e0).transform(graft.CacheRegistry.register)
+    // ONE bounded action on the cached node-sized frame: id range
+    // (decides the packed-key gear) + exact wedge mass (sizes the
+    // aggregate). Warms the deg cache the big plan reuses anyway.
+    val statsRow = deg.agg(min(col("node")), max(col("node")),
+      sum(col("degree") * (col("degree") - lit(1L))).cast("long")).head()
+    val packable = !statsRow.isNullAt(0) && statsRow.getLong(0) >= 0L &&
+      statsRow.getLong(1) < (1L << 31)
+    val wedgeRows =
+      if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2) / 2
+    val sessParts =
+      e0.sparkSession.sessionState.conf.numShufflePartitions
+    // ~2M groups (≤ wedge rows) per final-agg task ≈ 100 MB of hash
+    // map — in-memory at local[32]/8g AND at executor scale
+    val aggParts = math.max(sessParts,
+      math.min(4096L, wedgeRows / 2000000L + 1L).toInt)
     // the one frame all three wedge cases self-join: a<b edges with
-    // both endpoint degrees attached (the middle's degree feeds the
-    // Adamic–Adar term without a third join)
+    // both endpoint degrees attached, each endpoint's Adamic–Adar
+    // term pre-scaled to a long HERE (ta/tb), once per edge — the
+    // wedge stream below only copies integers
+    val scale = lit(1000000L)
     val ed = e0
       .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+      .withColumn("ta", (aaTerm(col("da")) * scale).cast("int"))
+      .withColumn("tb", (aaTerm(col("db")) * scale).cast("int"))
       .transform(graft.CacheRegistry.register)
     // m < x < y: two forward edges (m,x), (m,y) — join on the shared
-    // lower endpoint, strict b-inequality inside the join condition
+    // lower endpoint, strict b-inequality inside the join condition;
+    // the middle is the shared a, so its term is p.ta
     val c1 = ed.as("p").join(ed.as("q"),
         col("p.a") === col("q.a") && col("p.b") < col("q.b"))
-      .select(col("p.b").as("x"), col("q.b").as("y"), col("p.da").as("dm"))
-    // x < m < y: edges (x,m), (m,y) — the in×out case
+      .select(col("p.b").as("x"), col("q.b").as("y"), col("p.ta").as("tm"))
+    // x < m < y: edges (x,m), (m,y) — the in×out case; middle = p.b
     val c2 = ed.as("p").join(ed.as("q"), col("p.b") === col("q.a"))
-      .select(col("p.a").as("x"), col("q.b").as("y"), col("p.db").as("dm"))
-    // x < y < m: two backward edges (x,m), (y,m)
+      .select(col("p.a").as("x"), col("q.b").as("y"), col("p.tb").as("tm"))
+    // x < y < m: two backward edges (x,m), (y,m); middle = shared b
     val c3 = ed.as("p").join(ed.as("q"),
         col("p.b") === col("q.b") && col("p.a") < col("q.a"))
-      .select(col("p.a").as("x"), col("q.a").as("y"), col("p.db").as("dm"))
-    val hops = c1.union(c2).union(c3)
-      .groupBy(col("x"), col("y"))
-      .agg(count(lit(1)).as("cn"),
-        sum(aaTerm(col("dm"))).cast("double").as("aa"))
-      .filter(col("cn") >= minCommon)
-      .select(col("x").as("a"), col("y").as("b"), col("cn"), col("aa"))
+      .select(col("p.a").as("x"), col("q.a").as("y"), col("p.tb").as("tm"))
+    val wedges = c1.union(c2).union(c3)
+    // the long-sum of pre-rounded 10^6-scaled terms re-divided once
+    // IS the decimal sum cast to double: each term is an exact
+    // integer, the long sum is exact, and one IEEE division by 10^6
+    // is the correctly-rounded double of the same rational the
+    // decimal cast would produce
+    val hops = (if (packable) {
+      wedges
+        .select(shiftleft(col("x"), 32).bitwiseOR(col("y")).as("xy"),
+          col("tm"))
+        .repartition(aggParts, col("xy"))
+        .groupBy(col("xy"))
+        .agg(count(lit(1)).as("cn"), sum(col("tm")).as("aae6"))
+        .filter(col("cn") >= minCommon)
+        .select(shiftright(col("xy"), 32).as("a"),
+          col("xy").bitwiseAND(lit(0xffffffffL)).as("b"),
+          col("cn"), (col("aae6").cast("double") / 1e6).as("aa"))
+    } else {
+      wedges
+        .repartition(aggParts, col("x"), col("y"))
+        .groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("cn"), sum(col("tm")).as("aae6"))
+        .filter(col("cn") >= minCommon)
+        .select(col("x").as("a"), col("y").as("b"), col("cn"),
+          (col("aae6").cast("double") / 1e6).as("aa"))
+    })
     scoreTail(hops, e0, deg)
   }
 

@@ -129,6 +129,16 @@ class GraphSpec extends SparkSpec {
     val compact = rows(Graph.linkPredict(co))
     assert(compact == rows(Graph.linkPredictLegacy(co)))
     assert(compact.nonEmpty)
+    // and the UNPACKED key gear (node ids past 31 bits disable the
+    // single-long (x,y) packing) must be the identical function:
+    // shift every id by 2^40 — degrees, wedge structure, and scores
+    // are invariant under the id translation
+    val shift = 1L << 40
+    val big = co.select((col("a") + shift).as("a"),
+      (col("b") + shift).as("b"))
+    val unpacked = rows(Graph.linkPredict(big)).map {
+      case (a, r, b, cn, j, aa) => (a - shift, r, b - shift, cn, j, aa) }
+    assert(unpacked == compact, "unpacked-key gear diverged")
   }
 
   test("g06: hand-peeled k-core on planted graphs") {
