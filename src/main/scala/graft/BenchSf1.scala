@@ -184,7 +184,8 @@ object BenchSf1 {
       // embeddings
       "f35_golden_record", "st08_linkage_gate", "st09_vector_maintain",
       // r17 (41v): the trickle serving cadence at 10x state — ten
-      // ~500-record triggers probing a ~145k-record maintained
+      // customers/300-record triggers (~500 at sf1) probing a
+      // ~145k-record maintained
       // variant index; the pair separates the probe JOIN SHAPE
       // (shuffle vs broadcast) at a state size where the exchange
       // saving is structural, not fixed-overhead noise

@@ -243,8 +243,9 @@ object SparkEntry {
     // symmetric shuffle join re-exchanges+sorts the ~1.8M-row state
     // variant frame every time. The 29/30-backfill seed trigger is
     // UNTIMED benchSetup (its cost is st08_linkage_gate's
-    // measurement); the timed face is ten ~50-record trickle
-    // triggers + the alert read. The `_bcast` twin takes the
+    // measurement); the timed face is ten trickle triggers of
+    // 1/300 of the customer table each (key % 30 == 0 split ten
+    // ways — ~50 records at sf0.1, ~500 at sf1) + the alert read. The `_bcast` twin takes the
     // adaptive gate's broadcast path, the unsuffixed twin pins the
     // shuffle path (probeBroadcastRows = 0); alphabetical order runs
     // the expensive shuffle twin first so it absorbs the pair's
@@ -320,7 +321,8 @@ object SparkEntry {
       trickleRecs(s, dir).filter(pmod(col("key"), lit(30)) =!= 0L), 0L, root)
   }
 
-  /** Timed trickle cadence: ten ~50-record triggers against the
+  /** Timed trickle cadence: ten triggers of customers/300 records
+    * each (scale-dependent: ~50 at sf0.1, ~500 at sf1) against the
     * seeded state, then the alert read. */
   private def trickleGate(s: SparkSession, dir: String, tag: String,
       probeBroadcastRows: Long): DataFrame = {

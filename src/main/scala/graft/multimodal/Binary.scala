@@ -773,7 +773,11 @@ object Binary {
       val buf = java.nio.ByteBuffer.wrap(payload, 4, 4)
       val frameBytes = buf.getShort & 0xffff
       val nFrames = buf.getShort & 0xffff
-      if (frameBytes <= 0 || payload.length != 8 + nFrames * frameBytes) None
+      // expected length in LONG: 65535×65535 header widths overflow
+      // an Int product, and the "safety" of every overflowed value
+      // happening to be negative is an accident, not a contract
+      if (frameBytes <= 0 ||
+          payload.length.toLong != 8L + nFrames.toLong * frameBytes) None
       else Some((frameBytes, java.util.Arrays.copyOfRange(payload, 8, payload.length)))
     }
   }
@@ -805,11 +809,13 @@ object Binary {
       var j = 0
       while (j < data.length) {
         energy += (data(j) & 0xff)
-        // gradient bits are capped at 63: a frame wider than 64 bytes
-        // TRUNCATES its fingerprint to the first 64 positions rather
-        // than letting `1L << j` wrap (Scala masks the shift to
-        // j & 63, which would alias high-byte gradients onto low bits
-        // and produce false scene-dedup merges)
+        // gradient bits occupy positions 0-62 only: a frame wider
+        // than 63 bytes TRUNCATES its fingerprint to the first 63
+        // gradient positions rather than letting `1L << j` wrap
+        // (Scala masks the shift to j & 63, which would alias
+        // high-byte gradients onto low bits and produce false
+        // scene-dedup merges); bit 63 is deliberately never set so
+        // the fingerprint stays non-negative (spec-pinned)
         if (j < 63 && j + 1 < data.length &&
             (data(j + 1) & 0xff) > (data(j) & 0xff))
           fp |= (1L << j)

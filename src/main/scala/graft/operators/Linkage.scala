@@ -343,7 +343,9 @@ object Linkage {
   // flagged the trigger it registers, not at the next batch sweep.
   //
   // State is the indexBatch posture (41r): each batch writes its own
-  // `state/batch=<id>` level partitioned by block PLUS its slim
+  // `state/batch=<id>` level (flat files, block as a data
+  // column — the probe joins every block, so subdirs bought no
+  // pruning) PLUS its slim
   // deletion-variant frame under `varstate/batch=<id>` (r17: the
   // maintained FastSS index — a record's neighborhood is generated
   // once, at registration) — a replayed id OVERWRITES its own
@@ -403,14 +405,14 @@ object Linkage {
     graft.CacheRegistry.scoped {
       val recs = batch.select(col("key"), col("name"), col("block"))
         .transform(graft.CacheRegistry.register)
-      // within-batch: the shared half-pair stage, mirrored so BOTH
-      // members of a sibling pair alert (the bestMatches rule)
-      val half = linkPairs(recs, maxEdits)
-      val within = half
-        .select(col("key"), col("match_key"), col("match_name"), col("dist"))
-        .unionByName(half.select(col("match_key").as("key"),
-          col("key").as("match_key"), col("name").as("match_name"),
-          col("dist")))
+      // ONE action sizes the trigger (cached frame, batch-bounded):
+      // everything gear-shaped below — the within-batch pair gear,
+      // the probe join shape, the state write layout — keys off it.
+      // The pinned-shuffle twin (probeBroadcastRows = 0) never
+      // consults a count, so it skips the job outright: no count
+      // value could change any of its choices.
+      val nRecs = if (probeBroadcastRows > 0) recs.count() else Long.MaxValue
+      val trickle = nRecs <= probeBroadcastRows
       // This batch's slim variant frame lands in the maintained
       // variant INDEX before anything else — varstate/batch=<id>,
       // four fixed-width columns, the same slimFrame recipe linkPairs
@@ -426,13 +428,23 @@ object Linkage {
       // but before state is healed by the replay's overwrite of BOTH
       // levels, and no reader consults varstate levels without a
       // committed state sibling (the probe filters batch < id, and
-      // batch ids are issued sequentially).
-      slimFrame(recs, maxEdits)
-        .write.mode("overwrite").parquet(s"$path/varstate/batch=$id")
+      // batch ids are issued sequentially). Cached: the SAME frame
+      // is the probe's batch side below — the write is for future
+      // triggers' reads, this trigger probes from memory; it runs
+      // CONCURRENTLY with the probe/alerts job (both sit above the
+      // state commit point — any subset present without state is
+      // overwritten by the replay) and is awaited before the commit
+      // write, so the crash contract is unchanged while a trickle
+      // trigger pays one write latency instead of two.
+      val slimB = slimFrame(recs, maxEdits)
+        .transform(graft.CacheRegistry.register)
+      val varWrite = scala.concurrent.Future {
+        slimB.write.mode("overwrite").parquet(s"$path/varstate/batch=$id")
+      }(scala.concurrent.ExecutionContext.global)
       // cross-batch: probe the sealed state levels below this id.
       // Reads are SCHEMA'D (the gate's layout contract): schema
       // inference over a state tree whose only levels so far are
-      // EMPTY batches (zero data files under batch=<id>/block=*)
+      // EMPTY batches (zero data files under batch=<id>)
       // would throw and kill the stream — an empty trigger is a
       // normal event, not an error.
       //
@@ -459,6 +471,12 @@ object Linkage {
         else fs.listStatus(root).filter(_.isDirectory)
           .map(_.getPath.getName).filter(_.startsWith("batch="))
           .map(_.stripPrefix("batch=").toLong).toSet
+      // NOT memoized across triggers: the heal must notice a
+      // varstate tree modified or deleted OUT FROM UNDER a running
+      // gate (the legacy-migration spec pins exactly that), and a
+      // same-JVM "already verified" floor would trust a tree that no
+      // longer exists. Two driver-side listings of ≤ batch-count
+      // entries per trigger is the price of that soundness.
       val missingVar = (batchLevels(stateRoot) -- batchLevels(
         new org.apache.hadoop.fs.Path(s"$path/varstate"))).filter(_ < id)
       missingVar.foreach { b =>
@@ -467,8 +485,71 @@ object Linkage {
             .select(col("key"), col("name"), col("block")), maxEdits)
           .write.mode("overwrite").parquet(s"$path/varstate/batch=$b")
       }
+      val stateExists = fs.exists(stateRoot)
+      // within-batch + cross-batch candidate pairs, (key, match_key,
+      // match_name, dist), mirrored so BOTH members of a sibling
+      // pair alert (the bestMatches rule).
+      //
+      // TRICKLE gear (the streaming serving case — hundreds of
+      // registrations, not a backfill): ONE merged probe plan. The
+      // match side is the variant index (batches < id) UNIONED with
+      // the trigger's own cached slim frame, the probe side is the
+      // broadcast slim frame, and self-pairs are filtered — so a
+      // batch-batch sibling pair appears in both directions exactly
+      // like the mirrored within-stage produced, while the trigger
+      // pays ONE join pipeline instead of two (the within-batch
+      // linkPairs machinery was pure fixed overhead at ≤ 2000 rows:
+      // its explode/distinct/join stages cost more than the ~100
+      // DPs they organize). Candidate completeness is the same
+      // deletion-neighborhood intersection theorem; the DP verify is
+      // the same thresholded levenshtein; output identity with the
+      // two-stage plan is spec-pinned.
+      val alertPairs: DataFrame = if (trickle) {
+        val probe = slimB.select(col("key"), col("block"), col("len"),
+          col("skey"))
+        val ownSide = slimB.select(col("key").as("match_key"),
+          col("block"), col("len").as("mlen"), col("skey"))
+        val ownNames = recs.select(col("key").as("match_key"),
+          col("name").as("match_name"))
+        val (matchSide, matchNames) =
+          if (stateExists) {
+            val varstate = s.read.schema(VarStateSchema)
+              .parquet(s"$path/varstate")
+            (varstate.filter(col("batch") < id)
+              .select(col("key").as("match_key"), col("block"),
+                col("len").as("mlen"), col("skey"))
+              .unionByName(ownSide),
+             s.read.schema(StateSchema).parquet(s"$path/state")
+              .filter(col("batch") < id)
+              .select(col("key").as("match_key"),
+                col("name").as("match_name"))
+              .unionByName(ownNames))
+          } else (ownSide, ownNames)
+        matchSide.join(broadcast(probe), Seq("block", "skey"))
+          .filter(abs(col("len") - col("mlen")) <= maxEdits &&
+            col("key") =!= col("match_key"))
+          .select(col("key"), col("match_key"))
+          .distinct() // a pair collides once per shared variant
+          .join(recs.select(col("key"), col("name")), "key")
+          .join(matchNames, "match_key")
+          .withColumn("dist",
+            levenshtein(col("name"), col("match_name"), maxEdits).cast("long"))
+          .filter(col("dist") >= 0 && col("dist") <= maxEdits)
+          .select(col("key"), col("match_key"), col("match_name"),
+            col("dist"))
+      } else {
+      // BACKFILL gear: the two-stage plan — the composite-blocked
+      // half-pair stage within the batch (each unordered pair's DP
+      // runs once, then mirrors), plus the symmetric shuffle probe
+      // against the index.
+      val half = linkPairs(recs, maxEdits)
+      val within = half
+        .select(col("key"), col("match_key"), col("match_name"), col("dist"))
+        .unionByName(half.select(col("match_key").as("key"),
+          col("key").as("match_key"), col("name").as("match_name"),
+          col("dist")))
       val cross =
-        if (!fs.exists(stateRoot)) within.limit(0)
+        if (!stateExists) within.limit(0)
         else {
           // the linkPairs slim-frame shape on both sides: (key,
           // block, len, hashed variant) — block rides as its own
@@ -482,26 +563,15 @@ object Linkage {
           val slimState = varstate.filter(col("batch") < id)
             .select(col("key").as("match_key"), col("block"),
               col("len").as("mlen"), col("skey"))
-          // the batch's own frame reads back from the level written
-          // above — the state side's neighborhoods are read, never
-          // re-exploded (the within-batch linkPairs stage still
-          // generates the BATCH's own frame for its pairing — a
-          // bounded, batch-sized cost, not a per-trigger state scan)
-          val slimBatch = varstate.filter(col("batch") === id)
+          // the batch's own frame is the CACHED slim frame written
+          // above (same rows the level read-back would produce, one
+          // write→read cycle saved per trigger) — the state side's
+          // neighborhoods are read, never re-exploded. A backfill
+          // batch's variant frame is too wide to broadcast, so this
+          // gear keeps the symmetric shuffle join.
+          val slimBatch = slimB
             .select(col("key"), col("block"), col("len"), col("skey"))
-          // adaptive probe shape (the hub-gate/autoPairs pattern): a
-          // TRICKLE trigger (the streaming serving case — hundreds
-          // of registrations, not a backfill) broadcasts its variant
-          // frame, so the state side is scanned ONCE with NO
-          // exchange and no sort — per-trigger cost drops to the
-          // index scan + a hash probe. A big backfill batch keeps
-          // the symmetric shuffle join (its variant frame is too
-          // wide to broadcast). The batch count is one action over
-          // the already-registered batch cache.
-          val joined =
-            if (recs.count() <= probeBroadcastRows)
-              slimState.join(broadcast(slimBatch), Seq("block", "skey"))
-            else slimState.join(slimBatch, Seq("block", "skey"))
+          val joined = slimState.join(slimBatch, Seq("block", "skey"))
           val cand = joined
             .filter(abs(col("len") - col("mlen")) <= maxEdits)
             .select(col("key"), col("match_key"))
@@ -515,9 +585,11 @@ object Linkage {
             .filter(col("dist") >= 0 && col("dist") <= maxEdits)
             .select(col("key"), col("match_key"), col("match_name"), col("dist"))
         }
+      within.unionByName(cross)
+      }
       val w = Window.partitionBy(col("key"))
         .orderBy(col("dist").asc, col("match_key").asc)
-      val alerts = within.unionByName(cross)
+      val alerts = alertPairs
         .withColumn("rank", row_number().over(w))
         .withColumn("n_candidates",
           count(lit(1)).over(Window.partitionBy(col("key"))))
@@ -525,7 +597,20 @@ object Linkage {
         .select(col("key"), col("match_key"), col("match_name"),
           col("dist"), col("n_candidates"))
       alerts.write.mode("overwrite").parquet(s"$path/alerts/batch=$id")
-      recs.write.mode("overwrite").partitionBy("block")
+      // the commit point: everything above must be on disk first
+      scala.concurrent.Await.result(varWrite,
+        scala.concurrent.duration.Duration.Inf)
+      // FLAT level files, block as a DATA column (r18): the probe
+      // joins every block and the heal filters by batch only, so
+      // block=* subdirs bought no pruning anywhere — they only
+      // multiplied the per-trigger footer count (a 50-record trickle
+      // level was 25 one-row files; the probe re-reads this tree
+      // every trigger, and its file count IS the gate's fixed cost).
+      // A trickle level is ONE file; a backfill level is
+      // block-clustered and AQE-sized.
+      val stateOut =
+        if (trickle) recs.coalesce(1) else recs.repartition(col("block"))
+      stateOut.write.mode("overwrite")
         .parquet(s"$path/state/batch=$id")
     }
   }
