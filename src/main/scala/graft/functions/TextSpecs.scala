@@ -128,6 +128,27 @@ object TextSpecs {
 
   def extractRam(textLower: Column): Column = extractRam(textLower, lit(128))
 
+  // --- RE2-safe RAM twin (f11b) ---------------------------------
+  /** Storage mentions REWRITTEN AWAY instead of looked ahead past:
+    * "512 gb ssd" / "512gb de nvme" collapse to the bare storage
+    * word, so the plain scan below can't see the number. Same
+    * rejection arithmetic as [[RamPattern]]'s negative lookahead,
+    * expressible in RE2 (DuckDB) — the f11b oracle replays it. */
+  val RamStorageNeutralizeRe2 =
+    """\b\d+\s*(?:gb|gigas?)\b\s*(?:[\.,\-\/]\s*)?(?:de\s+)?(?:ssd|hdd|emmc|rom|almacenamiento|storage|disco|nvme|flash|interno|interna)\b"""
+  val RamPatternRe2 = """\b(\d+)\s*(?:gb|gigas?)\b"""
+
+  /** [[ramScan]] without the lookahead: neutralize, scan, validate.
+    * Input must already be lowercase. */
+  def ramScanRe2(textLower: Column, maxGb: Column): Column = {
+    val neutral =
+      regexp_replace(textLower, lit(RamStorageNeutralizeRe2), lit("storage"))
+    val vals = transform(
+      regexp_extract_all(neutral, lit(RamPatternRe2), lit(1)), _.cast("int"))
+    filter(vals, v =>
+      v.isin(ValidRamSizes.map(_.asInstanceOf[Any]): _*) && v <= maxGb)
+  }
+
   /** Normalized CPU string ("INTEL I7", "APPLE M2 PRO", "AMD RYZEN 7")
     * or null (regex_analyzer.py:445-492, 566-663). */
   /** Stage 1 of CPU extraction: the four regexp_extract_all scans plus
@@ -387,5 +408,48 @@ object TextSpecs {
         "_full_lower", "_cpu0", "_ram0",
         "_cpc_t", "_cap_t", "_cb_t", "_cpc_d", "_cap_d", "_cb_d",
         "_gm_t", "_gb_t", "_gm_d", "_gb_d", "_rv_t", "_rv_d")
+  }
+
+  /** RE2-safe CORE extraction (f11b): the same scan/when-cascade
+    * machinery as [[withSpecs]] — cpuScans/cpuFromParts, gpuScans/
+    * gpuFromParts, classifyCategory, detectCondition, the
+    * per-category RAM cap and the Chromebook-i7 downgrade — over ONE
+    * combined lowercase text, with the RAM lookahead replaced by the
+    * RE2-safe neutralize+scan twin ([[ramScanRe2]]). What it drops
+    * vs full fidelity: the title-over-description priority, the
+    * 400-char description cap and the spam-truncation fold (those
+    * stay under TextSpecsFidelitySpec's 57 reference-replay pins).
+    * Every remaining pattern and cascade is RE2-expressible, so the
+    * whole extraction ARITHMETIC sits in the driver's DuckDB gate. */
+  def coreSpecs(df: org.apache.spark.sql.DataFrame, title: Column,
+      description: Column): org.apache.spark.sql.DataFrame = {
+    val cpuS = cpuScans(col("_t"))
+    val gpuS = gpuScans(col("_t"))
+    val staged = df
+      .withColumn("_t", lower(sanitizeHardwareAmbiguities(
+        concat(title, lit(" \n "), description))))
+      .withColumns(Map(
+        "_cpc" -> cpuS._1, "_cap" -> cpuS._2, "_cb" -> cpuS._3,
+        "_gm" -> gpuS._1, "_gb" -> gpuS._2,
+        "_rv" -> ramScanRe2(col("_t"), lit(128))))
+      .withColumn("_cpu0", cpuFromParts(col("_cpc"), col("_cap"), col("_cb")))
+      .withColumn("gpu", gpuFromParts(col("_gm"), col("_gb")))
+      .withColumn("category", classifyCategory(
+        col("_t"), col("_t"), col("_cpu0"), col("gpu")))
+    val limit = RamLimits.foldLeft(lit(128)) { case (acc, (cat, lim)) =>
+      when(col("category") === cat, lim).otherwise(acc)
+    }
+    staged
+      // one text means the per-category recap is a re-FILTER of the
+      // same validated scan under the category's cap, not a rescan
+      .withColumn("ram", ramFromScan(filter(col("_rv"), _ <= limit)))
+      .withColumn("cpu", when(
+        col("category") === "CHROMEBOOK" &&
+          coalesce(col("_cpu0"), lit("")).contains("I7"),
+        when(col("_t").contains("celeron"), "INTEL CELERON")
+          .when(col("_t").contains("pentium"), "INTEL PENTIUM")
+          .otherwise(col("_cpu0"))).otherwise(col("_cpu0")))
+      .withColumn("condition", detectCondition(col("_t")))
+      .drop("_t", "_cpc", "_cap", "_cb", "_gm", "_gb", "_rv", "_cpu0")
   }
 }

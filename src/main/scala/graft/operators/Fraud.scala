@@ -777,7 +777,7 @@ object Fraud {
   // deterministically synthesized hardware listing text. Rows-only
   // driver check; exact semantics covered by TextSpecsSpec.
   // ---------------------------------------------------------------
-  def f11(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def f11Base(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
     val title = concat(col("p_name"),
       when(col("p_partkey") % 5 === 0, lit(" macbook pro m2 max 16gb"))
@@ -790,11 +790,26 @@ object Fraud {
     val desc = when(col("p_partkey") % 2 === 0,
       lit("impecable con factura. ssd m.2 1tb"))
       .otherwise(lit("envio rapido\nrtx gtx amd intel ryzen i7 ps5 xbox iphone"))
-    val base = p.select(col("p_partkey"), title.as("title"), desc.as("description"))
-    TextSpecs.withSpecs(base, col("title"), col("description"))
+    p.select(col("p_partkey"), title.as("title"), desc.as("description"))
+  }
+
+  def f11(s: SparkSession, dir: String): DataFrame =
+    TextSpecs.withSpecs(f11Base(s, dir), col("title"), col("description"))
       .select(col("p_partkey"), col("cpu"), col("ram"), col("gpu"),
         col("category"), col("condition"))
-  }
+
+  // ---------------------------------------------------------------
+  // f11b: the RE2-safe extraction CORE twin (r17 verdict item 5) —
+  // the d04b/f12b/f13b pattern applied to spec extraction. Same
+  // synthesized corpus, same scan/cascade machinery (TextSpecs
+  // .coreSpecs), the RAM lookahead replaced by the neutralize+scan
+  // twin — every pattern RE2-expressible, so the DuckDB oracle
+  // replays the whole extraction arithmetic hash-exact.
+  // ---------------------------------------------------------------
+  def f11b(s: SparkSession, dir: String): DataFrame =
+    TextSpecs.coreSpecs(f11Base(s, dir), col("title"), col("description"))
+      .select(col("p_partkey"), col("cpu"), col("ram"), col("gpu"),
+        col("category"), col("condition"))
 
   // ---------------------------------------------------------------
   // f21: robust price anomalies — median/MAD outlier detection
@@ -878,13 +893,141 @@ object Fraud {
     "f09_recent_window" -> (f09 _),
     "f10_top_risk_factors" -> (f10 _),
     "f11_extract_specs" -> (f11 _),
+    "f11b_extract_core" -> (f11b _),
     "f14_factor_normalized" -> (f14 _),
     "f15_modified_after_1d" -> (f15 _),
     "f16_review_stats" -> (f16 _),
     "f08b_trust_from_reviews" -> (f08b _))
 
+
+  /** The f11b oracle: the coreSpecs cascade replayed in DuckDB —
+    * every scan/cascade stage as a CTE, RE2 throughout (global-flag
+    * regexp_replace where Spark's is global by default; list lambdas
+    * for the scan arithmetic). */
+  val f11bSql: String =
+    """WITH base AS (
+  SELECT p_partkey,
+    p_name || CASE
+      WHEN p_partkey % 5 = 0 THEN ' macbook pro m2 max 16gb'
+      WHEN p_partkey % 5 = 1 THEN ' gaming intel core i7 rtx 4070 ' || CAST(p_size % 48 + 8 AS VARCHAR) || 'gb ram'
+      WHEN p_partkey % 5 = 2 THEN ' thinkpad amd ryzen 7 32gb 512 gb ssd'
+      WHEN p_partkey % 5 = 3 THEN ' chromebook celeron 8gb nuevo precintado'
+      ELSE ' portatil para piezas no enciende' END AS title,
+    CASE WHEN p_partkey % 2 = 0 THEN 'impecable con factura. ssd m.2 1tb'
+         ELSE 'envio rapido' || chr(10) || 'rtx gtx amd intel ryzen i7 ps5 xbox iphone' END AS description
+  FROM part),
+t0 AS (
+  SELECT p_partkey,
+    lower(regexp_replace(regexp_replace(title || ' ' || chr(10) || ' ' || description,
+      '(?i)\b(ssd|disco|disk|drive|almacenamiento)\s+m\.?2\b', '\1_NVME', 'g'),
+      '(?i)\bm\.?2\s+(ssd|nvme|sata)\b', 'NVME_\1', 'g')) AS t
+  FROM base),
+s1 AS (
+  SELECT p_partkey, t,
+    list_transform(list_filter(regexp_extract_all(t, '\b(?:core\s*-?)?(i[3579])\b', 0),
+      m -> NOT starts_with(m, 'core')), m -> upper(regexp_extract(m, '(i[3579])', 1)))
+      || list_transform(regexp_extract_all(t, '\bryzen\s*-?([3579])\b', 1), d -> 'RYZEN' || d)
+      || list_transform(regexp_extract_all(t, '\b(celeron|pentium|atom|xeon|snapdragon|sq[123])\b', 1), m -> upper(m)) AS pc,
+    list_transform(regexp_extract_all(t, '\b(m[123])(\s+(?:pro|max|ultra))?\b', 0),
+      m -> upper(regexp_replace(trim(m), '\s+', ' ', 'g'))) AS ap,
+    regexp_extract(t, '\b(intel|amd|apple|qualcomm|microsoft)\b', 1) AS cb,
+    list_transform(regexp_extract_all(t, '\b((?:rtx|gtx|rx)\s*-?\d{3,4}[a-z]*)\b', 1), m -> upper(m)) AS gm,
+    regexp_extract(t, '\b(nvidia|amd|radeon|geforce)\b', 1) AS gb,
+    list_filter(list_transform(regexp_extract_all(
+        regexp_replace(t, '\b\d+\s*(?:gb|gigas?)\b\s*(?:[\.,\-\/]\s*)?(?:de\s+)?(?:ssd|hdd|emmc|rom|almacenamiento|storage|disco|nvme|flash|interno|interna)\b', 'storage', 'g'),
+        '\b(\d+)\s*(?:gb|gigas?)\b', 1), v -> CAST(v AS INT)),
+      v -> list_contains([4,6,8,12,16,20,24,32,40,48,64], v) AND v <= 128) AS rv
+  FROM t0),
+s2 AS (
+  SELECT *,
+    (len(list_filter(pc, m -> regexp_matches(m, '^I\d$') OR contains(m, 'RYZEN'))) > 0
+      OR cb IN ('intel', 'amd')) AS haspc
+  FROM s1),
+s3 AS (
+  SELECT *, CASE WHEN len(ap) > 0 AND NOT haspc THEN ap ELSE pc END AS models,
+    (len(ap) > 0 AND NOT haspc) AS isapple
+  FROM s2),
+s4 AS (
+  SELECT *, list_max(models) AS best,
+    CASE WHEN isapple OR regexp_matches(list_max(models), '^M[123]') THEN 'APPLE'
+         WHEN contains(list_max(models), 'RYZEN') THEN 'AMD'
+         WHEN regexp_matches(list_max(models), '^I\d') THEN 'INTEL'
+         WHEN regexp_matches(list_max(models), 'CELERON|PENTIUM|ATOM|XEON') THEN 'INTEL'
+         WHEN regexp_matches(list_max(models), 'SNAPDRAGON|SQ[123]') THEN 'QUALCOMM'
+         ELSE CASE WHEN upper(cb) <> '' THEN upper(cb) END END AS cbrand
+  FROM s3),
+s5 AS (
+  SELECT *,
+    CASE WHEN len(models) > 0 THEN
+      CASE WHEN cbrand = 'APPLE' THEN 'APPLE ' ||
+             (CASE WHEN regexp_matches(best, '^RYZEN\d') THEN regexp_replace(best, 'RYZEN', 'RYZEN ') ELSE best END)
+           WHEN cbrand IS NOT NULL THEN cbrand || ' ' ||
+             (CASE WHEN regexp_matches(best, '^RYZEN\d') THEN regexp_replace(best, 'RYZEN', 'RYZEN ') ELSE best END)
+           ELSE (CASE WHEN regexp_matches(best, '^RYZEN\d') THEN regexp_replace(best, 'RYZEN', 'RYZEN ') ELSE best END) END
+    END AS cpu0,
+    list_max(gm) AS gbest0
+  FROM s4),
+s6 AS (
+  SELECT *,
+    CASE WHEN NOT contains(gbest0, ' ') AND regexp_matches(gbest0, '^[A-Z]+\d')
+         THEN regexp_replace(gbest0, '^([A-Z]+)(\d.*)$', '\1 \2') ELSE gbest0 END AS gbest
+  FROM s5),
+s7 AS (
+  SELECT *,
+    CASE WHEN regexp_matches(gbest, 'RTX|GTX|MX|QUADRO') THEN 'NVIDIA'
+         WHEN regexp_matches(gbest, '\bRX\b|RADEON|FIREPRO') THEN 'AMD'
+         ELSE CASE WHEN upper(gb) = 'GEFORCE' THEN 'NVIDIA'
+                   WHEN upper(gb) <> '' THEN upper(gb) END END AS gbrand
+  FROM s6),
+s8 AS (
+  SELECT *,
+    CASE WHEN len(gm) > 0 THEN
+      CASE WHEN gbrand IS NOT NULL THEN gbrand || ' ' || trim(regexp_replace(gbest, gbrand, '', 'g'))
+           ELSE gbest END
+    END AS gpu
+  FROM s7),
+s9 AS (
+  SELECT *,
+    CASE WHEN contains(t, 'chromebook') THEN 'CHROMEBOOK'
+         WHEN regexp_matches(t, 'macbook|mac air|mac pro|imac') THEN 'APPLE'
+         WHEN contains(t, 'surface') THEN 'SURFACE'
+         WHEN contains(upper(coalesce(cpu0, '')), 'APPLE M') THEN 'APPLE'
+         WHEN contains(lower(coalesce(gpu, '')), 'quadro') THEN 'WORKSTATION'
+         WHEN gpu IS NOT NULL THEN 'GAMING'
+         WHEN (contains(t, 'macbook') OR contains(t, 'macos'))
+              AND NOT contains(upper(coalesce(cpu0, '')), 'AMD') THEN 'APPLE'
+         ELSE coalesce(
+           CASE WHEN regexp_matches(t, '\b(surface|microsoft surface)\b') THEN 'SURFACE' END,
+           CASE WHEN regexp_matches(t, '\b(thinkpad|latitude|precision|zbook|quadro|elitebook|probook)\b') THEN 'WORKSTATION' END,
+           CASE WHEN regexp_matches(t, '\b(xps|spectre|zenbook|gram|yoga|matebook)\b') THEN 'PREMIUM_ULTRABOOK' END,
+           CASE WHEN regexp_matches(t, '\b(chromebook|chrome)\b') THEN 'CHROMEBOOK' END,
+           CASE WHEN contains(t, 'gaming') THEN 'GAMING' END,
+           'GENERICO') END AS category
+  FROM s8),
+s10 AS (
+  SELECT *,
+    CASE WHEN category = 'CHROMEBOOK' THEN 16 WHEN category = 'SURFACE' THEN 32
+         WHEN category = 'PREMIUM_ULTRABOOK' THEN 64 WHEN category = 'GENERICO' THEN 64
+         ELSE 128 END AS ramlimit
+  FROM s9)
+SELECT p_partkey,
+  CASE WHEN category = 'CHROMEBOOK' AND contains(coalesce(cpu0, ''), 'I7')
+       THEN CASE WHEN contains(t, 'celeron') THEN 'INTEL CELERON'
+                 WHEN contains(t, 'pentium') THEN 'INTEL PENTIUM'
+                 ELSE cpu0 END
+       ELSE cpu0 END AS cpu,
+  CASE WHEN len(list_filter(rv, v -> v <= ramlimit)) > 0
+       THEN CAST(list_max(list_filter(rv, v -> v <= ramlimit)) AS VARCHAR) || 'GB' END AS ram,
+  gpu, category,
+  CASE WHEN regexp_matches(t, '(?i)\b(roto|averiado|fallo|bloqueado|icloud|bios|pantalla rota|no enciende|no funciona|para piezas|despiece|repuesto|tarada|golpe|mojado|water|broken|parts|read|leer|reparar)\b') THEN 'BROKEN'
+       WHEN regexp_matches(t, '(?i)\b(nuevo|precintado|sin abrir|estrenar|sealed|new|garantia|factura)\b') THEN 'NEW'
+       WHEN regexp_matches(t, '(?i)\b(como nuevo|impecable|perfecto estado|reacondicionado|refurbished|poquisimo uso|sin uso)\b') THEN 'LIKE_NEW'
+       ELSE 'USED' END AS condition
+FROM s10"""
+
   val oracles: Map[String, String] = Map(
     "f21_price_anomaly" -> f21Sql,
+    "f11b_extract_core" -> f11bSql,
     "f01_market_stats" -> f01Sql,
     "f02_component_stats" -> f02Sql,
     "f03_zscore" -> f03Sql,

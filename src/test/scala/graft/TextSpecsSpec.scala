@@ -28,6 +28,36 @@ class TextSpecsSpec extends SparkSpec {
     assert(specsOf("laptop 13gb", "").getAs[String]("ram") == null) // not a real size
   }
 
+  test("RE2-safe RAM twin (f11b core) == lookahead gear on the " +
+      "rejection battery") {
+    // the neutralize+scan twin must agree with the negative
+    // lookahead wherever both are defined — storage suffixes with
+    // every connector form the lookahead covers, mixed mentions,
+    // plausibility filtering, caps
+    val texts = Seq(
+      "portatil 16gb ram",
+      "disco 512 gb ssd y 1000gb hdd",
+      "16gb ram y 512gb ssd",
+      "32 gb de nvme",                    // storage → rejected
+      "8gb, 512gb - ssd",                 // punctuation connector
+      "64gb / hdd",                       // slash connector
+      "24 gigas y 512 gigas de disco",
+      "laptop 13gb",                      // implausible size
+      "surface 48gb",
+      "sin memoria mencionada")
+    val df = texts.toDF("t").withColumn("t", lower(col("t")))
+    val both = df.select(
+      TextSpecs.ramFromScan(
+        TextSpecs.ramScan(col("t"), lit(128))).as("lookahead"),
+      TextSpecs.ramFromScan(
+        TextSpecs.ramScanRe2(col("t"), lit(128))).as("re2"))
+      .collect()
+    both.zip(texts).foreach { case (r, t) =>
+      assert(r.getAs[String]("lookahead") == r.getAs[String]("re2"),
+        s"gears diverged on '$t'")
+    }
+  }
+
   test("SSD M.2 is not an Apple M2 CPU") {
     val r = specsOf("thinkpad con ssd m.2 de 1tb", "intel i5")
     assert(r.getAs[String]("cpu") == "INTEL I5")
