@@ -27,7 +27,7 @@ object SparkEntry {
       operators.Privacy.queries ++ operators.Sketch.queries ++
       operators.DqAudit.queries ++ operators.ZOrder.queries ++
       operators.Attribution.queries ++ operators.Paths.queries ++
-      operators.Linkage.queries ++
+      operators.Linkage.queries ++ operators.FraudPipeline.queries ++
       operators.VectorIndex.queries ++ operators.QuantileSketch.queries ++
       multimodal.Binary.queries ++
       streaming.Alerts.queries
@@ -380,7 +380,7 @@ object SparkEntry {
       operators.Privacy.oracles ++ operators.Sketch.oracles ++
       operators.DqAudit.oracles ++ operators.ZOrder.oracles ++
       operators.Attribution.oracles ++ operators.Paths.oracles ++
-      operators.Linkage.oracles ++
+      operators.Linkage.oracles ++ operators.FraudPipeline.oracles ++
       operators.VectorIndex.oracles ++ operators.QuantileSketch.oracles ++
       multimodal.Binary.oracles ++
       streaming.Alerts.oracles
