@@ -29,7 +29,7 @@ object SparkEntry {
       operators.Attribution.queries ++ operators.Paths.queries ++
       operators.Linkage.queries ++ operators.FraudPipeline.queries ++
       operators.VectorIndex.queries ++ operators.QuantileSketch.queries ++
-      multimodal.Binary.queries ++
+      multimodal.Binary.queries ++ ml.FraudModel.queries ++
       streaming.Alerts.queries
 
   /** Bench-only faces (run by Bench, NOT by Verify — no oracle row):
