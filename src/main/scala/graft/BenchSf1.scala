@@ -237,6 +237,23 @@ object BenchSf1 {
           operators.Dedup.jaccardPairsPrefix(docs)
             .select(col("a"), col("b")),
           docs.select(col("doc_id").as("id")))
+      }),
+      // r18 (r17 verdict item 3): the census-ROUTED composition on
+      // the replica corpus — the router must pick the capped gear
+      // here (1.38e8 pair mass, hot share 0; the pinned twins above
+      // measure what the wrong gear costs: prefix 243.6 s vs capped
+      // 54.7 in the committed r17 sweep). The face asserts the route
+      // before timing — a silently flipped route would otherwise
+      // read as a mere regression.
+      "d06_dedup_clusters_auto" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.documents(s, dir)
+        val gear = operators.Dedup.chooseGear(
+          operators.Dedup.gearCensus(docs))
+        require(gear == operators.Dedup.CappedGear,
+          s"replica-corpus route drifted: expected CappedGear, got $gear")
+        operators.Dedup.connectedComponents(
+          operators.Dedup.autoPairs(docs).select(col("a"), col("b")),
+          docs.select(col("doc_id").as("id")))
       }))
     // ONE timing methodology for every bench artifact: Bench.timeFace
     // (noop sink + boundary hygiene) — so a measurement change can

@@ -45,7 +45,8 @@ object SparkEntry {
   // artifact
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_corpus_clean_capped" -> ((s, dir) =>
-      operators.Corpus.clean(Tables.documents(s, dir))),
+      operators.Corpus.clean(Tables.documents(s, dir),
+        operators.Dedup.Pinned(Some(operators.Dedup.DefaultMaxDf)))),
     "d02_ngram_jaccard_capped" -> ((s, dir) => operators.Dedup.d02(s, dir)),
     // the census-routed adaptive gear (r16 verdict item 2): one
     // bounded df-census aggregate picks plain/capped/prefix per

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Scale: steps 1–2 are codegen'd projections that fuse into the scan;
   * step 3 is one hash shuffle on the digest; step 4 inherits d02's
-  * bounded-candidates plan (maxDf cap by default). Nothing touches
+  * bounded-candidates plan (census-routed gear by default). Nothing touches
   * the driver.
   */
 object Corpus {
@@ -204,7 +204,7 @@ object Corpus {
   }
 
   def clean(docs: DataFrame,
-      maxDf: Option[Int] = Some(Dedup.DefaultMaxDf),
+      gear: Dedup.GearSpec = Dedup.Routed,
       stripLineDf: Option[Int] = None,
       repetitionGate: Boolean = false,
       gopherGate: Boolean = false): DataFrame = {
@@ -222,7 +222,7 @@ object Corpus {
     val prestaged =
       if (stripLineDf.isEmpty && !repetitionGate && !gopherGate) input
       else input.transform(graft.CacheRegistry.register)
-    cleanImpl(prestaged, maxDf)
+    cleanImpl(prestaged, gear)
   }
 
   /** [[clean]] in the 100 TB posture (r15 verdict item 2, now code
@@ -235,21 +235,21 @@ object Corpus {
     * (spec-pinned): the stage boundary changes WHERE the
     * intermediate lives, not what flows through it. */
   def cleanStaged(docs: DataFrame, stageDir: String,
-      maxDf: Option[Int] = Some(Dedup.DefaultMaxDf),
+      gear: Dedup.GearSpec = Dedup.Routed,
       stripLineDf: Option[Int] = None,
       repetitionGate: Boolean = false,
       gopherGate: Boolean = false): DataFrame = {
     val input = preStages(docs, stripLineDf, repetitionGate, gopherGate)
     if (stripLineDf.isEmpty && !repetitionGate && !gopherGate)
-      cleanImpl(input, maxDf) // no pre-stage → nothing to materialize
+      cleanImpl(input, gear) // no pre-stage → nothing to materialize
     else {
       input.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(stageDir)
-      cleanImpl(docs.sparkSession.read.parquet(stageDir), maxDf)
+      cleanImpl(docs.sparkSession.read.parquet(stageDir), gear)
     }
   }
 
-  private def cleanImpl(docs: DataFrame, maxDf: Option[Int]): DataFrame = {
+  private def cleanImpl(docs: DataFrame, gear: Dedup.GearSpec): DataFrame = {
     // Cache the SLIM scored state (3 narrow columns, never text)
     // BEFORE the gate filter: a trailing filter on computed columns
     // substitutes the whole scoring tree into the Filter (the §5
@@ -279,14 +279,14 @@ object Corpus {
     val survivors = gated.join(uniqIds, Seq("doc_id"), "left_semi")
     val survivorText = docs.select(col("doc_id"), col("text"))
       .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    val drops = Dedup.jaccardPairs(survivorText, maxDf)
+    val drops = Dedup.pairsByGear(survivorText, gear)
       .select(col("b").as("doc_id")).distinct()
     survivors.join(drops, Seq("doc_id"), "left_anti")
   }
 
   def c01(s: SparkSession, dir: String): DataFrame =
-    // oracle face pins maxDf = None (DuckDB replays exhaustive pairs)
-    clean(Tables.documents(s, dir), maxDf = None)
+    // oracle face pins the exhaustive gear (DuckDB replays it)
+    clean(Tables.documents(s, dir), Dedup.Pinned(None))
 
   // ---------------------------------------------------------------
   // c10: the FULL cleaning composition — every gate this engine has,
@@ -315,7 +315,7 @@ object Corpus {
 
   def c10(s: SparkSession, dir: String): DataFrame =
     clean(plantedLineCorpus(degenerateCorpus(Tables.documents(s, dir))),
-      maxDf = None, stripLineDf = Some(MaxLineDf), repetitionGate = true)
+      Dedup.Pinned(None), stripLineDf = Some(MaxLineDf), repetitionGate = true)
 
   /** c10's exact composition through [[cleanStaged]] — the benched
     * 100 TB posture twin (same planted input, same gates, the stage
@@ -323,7 +323,7 @@ object Corpus {
   def c10Staged(s: SparkSession, dir: String, stageDir: String): DataFrame =
     cleanStaged(plantedLineCorpus(degenerateCorpus(Tables.documents(s, dir))),
       stageDir,
-      maxDf = None, stripLineDf = Some(MaxLineDf), repetitionGate = true)
+      Dedup.Pinned(None), stripLineDf = Some(MaxLineDf), repetitionGate = true)
 
   val c10Sql: String =
     s"""WITH src0 AS (SELECT doc_id,
@@ -389,9 +389,9 @@ object Corpus {
   // ---------------------------------------------------------------
 
   /** Per-doc audit over any (doc_id, text) frame (exhaustive pair
-    * join — the oracle face; production passes maxDf). */
+    * join — the oracle face; production routes via the census). */
   def dropAudit(docs: DataFrame,
-      maxDf: Option[Int] = Some(Dedup.DefaultMaxDf)): DataFrame = {
+      gear: Dedup.GearSpec = Dedup.Routed): DataFrame = {
     val scored = withLangQuality(docs, col("text"), "pred_lang", "quality")
       .select(col("doc_id"), col("pred_lang"), col("quality"))
       .transform(graft.CacheRegistry.register)
@@ -409,7 +409,7 @@ object Corpus {
     val survivorText = docs.select(col("doc_id"), col("text"))
       .join(ranked.filter(!col("is_exact_dup")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
-    val ndDrops = Dedup.jaccardPairs(survivorText, maxDf)
+    val ndDrops = Dedup.pairsByGear(survivorText, gear)
       .select(col("b").as("doc_id")).distinct()
       .withColumn("_nd", lit(true))
     scored
@@ -424,7 +424,7 @@ object Corpus {
   }
 
   def c22(s: SparkSession, dir: String): DataFrame =
-    dropAudit(Tables.documents(s, dir), maxDf = None)
+    dropAudit(Tables.documents(s, dir), Dedup.Pinned(None))
 
   lazy val c22Sql: String = {
     val m = StopwordSets.toMap

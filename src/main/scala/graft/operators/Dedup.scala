@@ -359,6 +359,31 @@ object Dedup {
     }
 
   // ---------------------------------------------------------------
+  // Gear selection for the COMPOSITIONS (r17 verdict item 3): the
+  // cleaning cascades (c01/c10/c22), the clustering/survivorship/
+  // sampling family (d06/d14/d18/d19, c23/c24). Production defaults
+  // to the census-routed gear — at sf1 the wrong pinned gear costs
+  // 243.6 s vs 54.7 (d06 prefix vs capped) — while the oracle faces
+  // pin the exhaustive gear their DuckDB replay requires and the
+  // bench twins pin their A/B gear. On the driver's oracle corpora
+  // the router chooses PLAIN (census spec-pinned), so a routed face
+  // is bit-identical to its exhaustive replay there.
+  // ---------------------------------------------------------------
+  sealed trait GearSpec
+  /** Census-routed (the production default for compositions). */
+  case object Routed extends GearSpec
+  /** Pinned gear: `None` = exhaustive (oracle faces), `Some(cap)` =
+    * the df-capped gear (bench twins). */
+  final case class Pinned(maxDf: Option[Int]) extends GearSpec
+
+  /** The composition pair stage under a gear spec. */
+  def pairsByGear(docs: DataFrame, gear: GearSpec,
+      threshold: Double = JaccardThreshold): DataFrame = gear match {
+    case Routed => autoPairs(docs, threshold)
+    case Pinned(m) => jaccardPairs(docs, m, threshold)
+  }
+
+  // ---------------------------------------------------------------
   // d17: threshold-sensitivity curve — how many near-dup pairs each
   // Jaccard cut would flag (0.3 … 0.9): the calibration table a
   // dedup rollout reads before picking its threshold (too low →
@@ -722,10 +747,12 @@ object Dedup {
 
   def d06(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // oracle face pins maxDf = None, same as d02's (DuckDB replays the
-    // exhaustive pair set)
+    // CENSUS-ROUTED pair stage (r18): on the driver's oracle corpora
+    // the router picks PLAIN (census spec-pinned), so the DuckDB
+    // exhaustive replay stays exact while the same face survives a
+    // regime flip at scale
     connectedComponents(
-      jaccardPairs(docs, maxDf = None).select(col("a"), col("b")),
+      autoPairs(docs).select(col("a"), col("b")),
       docs.select(col("doc_id").as("id")))
       .select(col("id").as("doc_id"), col("component"))
   }
@@ -1462,7 +1489,8 @@ object Dedup {
 
   def d14(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    softDedupWeights(docs, jaccardPairs(docs, maxDf = None))
+    // routed pair stage — plain on the oracle corpora (d06's note)
+    softDedupWeights(docs, autoPairs(docs))
   }
 
   /** The oracle wraps d06's recursive-CTE components (the c23
@@ -1532,8 +1560,8 @@ object Dedup {
 
   def d18(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    priorityDedup(docs, jaccardPairs(docs, maxDf = None),
-      sourceSuffixPriority(docs))
+    // routed pair stage — plain on the oracle corpora (d06's note)
+    priorityDedup(docs, autoPairs(docs), sourceSuffixPriority(docs))
   }
 
   /** Wraps d06's recursive-CTE components with the priority join and
@@ -1589,7 +1617,8 @@ object Dedup {
 
   def d19(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    sourceOverlap(docs, jaccardPairs(docs, maxDf = None))
+    // routed pair stage — plain on the oracle corpora (d06's note)
+    sourceOverlap(docs, autoPairs(docs))
   }
 
   /** Wraps d02's exhaustive pair replay with the source-pair rollup

@@ -120,7 +120,8 @@ object Sampling {
   def c24(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     weightedSample(
-      Dedup.softDedupWeights(docs, Dedup.jaccardPairs(docs, maxDf = None))
+      // routed pair stage — plain on the oracle corpora (d06's note)
+      Dedup.softDedupWeights(docs, Dedup.autoPairs(docs))
         .select(col("doc_id"), col("component"), col("csize"), col("weight")))
   }
 

@@ -122,12 +122,14 @@ object Split {
       .withColumn("split", splitOf(col("bucket")))
   }
 
-  /** c23 face: exhaustive pair generation (the d06 oracle convention —
-    * DuckDB replays the pair set; production callers pass capped or
-    * prefix-filtered pairs into [[clusterSplit]] directly). */
+  /** c23 face: census-routed pair generation (plain on the oracle
+    * corpora, so DuckDB's exhaustive replay stays exact — the d06
+    * convention; callers can also pass any pair frame into
+    * [[clusterSplit]] directly). */
   def c23(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    clusterSplit(docs, Dedup.jaccardPairs(docs, maxDf = None))
+    // routed pair stage — plain on the oracle corpora (d06's note)
+    clusterSplit(docs, Dedup.autoPairs(docs))
   }
 
   /** The oracle wraps d06's recursive-CTE component query as a

@@ -10,7 +10,7 @@ class CorpusSpec extends SparkSpec {
 
   test("clean: survivors carry no remaining near-dup pair and one id per fp group") {
     val docs = Tables.documents(spark, sf())
-    val survivors = Corpus.clean(docs, maxDf = None).cache()
+    val survivors = Corpus.clean(docs, Dedup.Pinned(None)).cache()
     try {
       val ids = survivors.select("doc_id").as[Long].collect().toSet
       assert(ids.nonEmpty && ids.size < docs.count())
@@ -37,11 +37,12 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
-  test("clean: capped default equals exhaustive at test scale") {
+  test("clean: the census-routed default equals the pinned exhaustive " +
+      "gear on the oracle corpus (router picks plain there)") {
     try {
       val a = Corpus.clean(Tables.documents(spark, sf()))
         .select("doc_id").as[Long].collect().toSet
-      val b = Corpus.clean(Tables.documents(spark, sf()), maxDf = None)
+      val b = Corpus.clean(Tables.documents(spark, sf()), Dedup.Pinned(None))
         .select("doc_id").as[Long].collect().toSet
       assert(a == b)
     } finally CacheRegistry.unpersistAll()
@@ -134,7 +135,7 @@ class CorpusSpec extends SparkSpec {
       // phrase repeats pass the line-df census AND the lang/quality
       // gates; most degenerates survive, proving t05 is the only
       // layer that catches them (near-dup pairing may clip a few)
-      val noGate = Corpus.clean(corpus, maxDf = None,
+      val noGate = Corpus.clean(corpus, Dedup.Pinned(None),
         stripLineDf = Some(Corpus.MaxLineDf))
         .select("doc_id").as[Long].collect().toSet
       val leaked = noGate.intersect(degenerates)
@@ -177,10 +178,10 @@ class CorpusSpec extends SparkSpec {
     val templated = docs.select(col("doc_id"),
       concat(lit(Corpus.HeaderLine), lit("\n"), col("text")).as("text"))
     try {
-      val viaStrip = Corpus.clean(templated, maxDf = None,
+      val viaStrip = Corpus.clean(templated, Dedup.Pinned(None),
         stripLineDf = Some(Corpus.MaxLineDf))
         .as[(Long, String, Double)].collect().toSet
-      val direct = Corpus.clean(docs, maxDf = None)
+      val direct = Corpus.clean(docs, Dedup.Pinned(None))
         .as[(Long, String, Double)].collect().toSet
       assert(viaStrip == direct)
     } finally CacheRegistry.unpersistAll()
@@ -205,7 +206,7 @@ class CorpusSpec extends SparkSpec {
       (3L, "zzz qqq xxx"),               // no stopwords → und → lang
       (4L, "the !!!! ???? %%%% ####")    // english, punct-heavy → quality
     ).toDF("doc_id", "text")
-    val got = graft.operators.Corpus.dropAudit(docs, maxDf = None)
+    val got = graft.operators.Corpus.dropAudit(docs, Dedup.Pinned(None))
       .select("doc_id", "stage").as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "kept", 2L -> "exact_dup",
       3L -> "lang", 4L -> "quality"))

@@ -93,11 +93,11 @@ class GopherRulesSpec extends SparkSpec {
     val longWords = ("the and of that have with be to " +
       Seq.fill(52)("incomprehensibilities").mkString(" "))
     val docs = Seq(1L -> clean, 2L -> longWords).toDF("doc_id", "text")
-    val kept = graft.operators.Corpus.clean(docs, maxDf = None)
+    val kept = graft.operators.Corpus.clean(docs, graft.operators.Dedup.Pinned(None))
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L),
       s"control: ungated cascade should keep the violator, kept $kept")
-    val gated = graft.operators.Corpus.clean(docs, maxDf = None,
+    val gated = graft.operators.Corpus.clean(docs, graft.operators.Dedup.Pinned(None),
       gopherGate = true).select("doc_id").as[Long].collect().toSet
     assert(gated == Set(1L), s"gopher gate did not decide: $gated")
   }

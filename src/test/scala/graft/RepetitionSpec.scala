@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Corpus, TextOps}
+import graft.operators.{Corpus, Dedup, TextOps}
 import org.apache.spark.sql.functions._
 
 /** t05 repetition signals: pinned metric values, the t02 blind spot
@@ -61,9 +61,9 @@ class RepetitionSpec extends SparkSpec {
         .collect().toSet
       assert(flagged == Set(3L),
         s"only the planted doc should flag at this sf, got $flagged")
-      val default = Corpus.clean(docs, maxDf = None)
+      val default = Corpus.clean(docs, Dedup.Pinned(None))
         .select("doc_id").as[Long].collect().toSet
-      val gated = Corpus.clean(docs, maxDf = None, repetitionGate = true)
+      val gated = Corpus.clean(docs, Dedup.Pinned(None), repetitionGate = true)
         .select("doc_id").as[Long].collect().toSet
       assert(default.contains(3L),
         "the degenerate doc must slip through the default cascade")
