@@ -126,6 +126,41 @@ object BenchSf1 {
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
   }
 
+  /** 10 part replicas with l_partkey-aligned offsets (k·PartOff, the
+    * same constant buildLineitem shifts l_partkey by — q20's catalog
+    * probe and any part↔lineitem join stay consistent across the
+    * copies). Identical attribute rows per copy: the per-segment
+    * stats keep their sf0.1 means/stdevs at 10× support — the same
+    * engine-scaling-not-problem-scaling convention as the disjoint
+    * graph copies. */
+  private def buildPart(s: SparkSession, srcDir: String,
+      out: String): Unit = {
+    val p = Tables.part(s, srcDir)
+    val all = (0 until Replicas).map { k =>
+      if (k == 0) p
+      else p.withColumn("p_partkey", col("p_partkey") + k * PartOff)
+    }.reduce(_ unionByName _)
+    all.repartition(32)
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+  }
+
+  /** 10 events replicas with disjoint user/event-id universes —
+    * sessionization (q28's window chains) scales by user count, the
+    * per-user session structure is pinned to the sf0.1 answer. The
+    * write goes through Tables.events' normalized TimestampType, so
+    * the derived file round-trips the loader's micros branch. */
+  private def buildEvents(s: SparkSession, srcDir: String,
+      out: String): Unit = {
+    val ev = Tables.events(s, srcDir)
+    val all = (0 until Replicas).map { k =>
+      if (k == 0) ev
+      else ev.withColumn("event_id", col("event_id") + k * Off)
+        .withColumn("user_id", col("user_id") + k * Off)
+    }.reduce(_ unionByName _)
+    all.repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -148,6 +183,10 @@ object BenchSf1 {
       buildCustomer(spark, srcDir, out)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/lineitem.parquet")))
       buildLineitem(spark, srcDir, out)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/part.parquet")))
+      buildPart(spark, srcDir, out)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/events.parquet")))
+      buildEvents(spark, srcDir, out)
     CacheRegistry.unpersistAll()
 
     // generic warmup (the Bench convention, shortened): JIT +
@@ -189,7 +228,19 @@ object BenchSf1 {
       // variant index; the pair separates the probe JOIN SHAPE
       // (shuffle vs broadcast) at a state size where the exchange
       // saving is structural, not fixed-overhead noise
-      "st08b_trickle_probe", "st08b_trickle_probe_bcast")
+      "st08b_trickle_probe", "st08b_trickle_probe_bcast",
+      // r18 (r17 verdict item 6): the fraud, relational and search
+      // headliners' first sf1 evidence — composite-z scoring over the
+      // replicated catalog (f04) and the full text-extraction scorer
+      // against the reference stats file (f12), the co-purchase pair
+      // mining with its adaptive catalog prune (q20), sessionized
+      // top paths over 10x users (q28), BM25 scoring (s06; its
+      // served-index sibling s15 is already above), graph risk
+      // propagation (f34) and the sampled link-prediction face (g05)
+      // over the 10-copy graph
+      "f04_risk_score", "f12_score_items", "q20_copurchase",
+      "q28_top_paths", "s06_bm25", "f34_risk_propagation",
+      "g05_link_predict")
     val benched = SparkEntry.queries ++ SparkEntry.benchOnly
     // Cap-sizing probe for the d02 super-linear reading. The naive
     // remedy — tighten the cap so the grown posting lists fall to
