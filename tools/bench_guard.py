@@ -42,6 +42,22 @@ fresh-JVM plus st08_linkage_gate re-measured under the variant index
 fresh-JVM cost moved to registration so every later trigger reads
 instead of re-exploding).
 
+R18 RE-FLOOR + NEW FACES: BENCH_FULL_r18.json is a coherent
+worse-of-two sweep at 204 faces (527.7 s committed worse / 454.5 s,
+0 failures, guard exit 0 on both, zero SKIPs). 49 ceilings were raised
+to the churn floor against the committed worse run — the r18 build
+host reads join/shuffle-heavy faces 15-45% above the r17 host on
+IDENTICAL code (g04_triangles 11.5 → 13.0, f34 9.4 → 13.5 with plans
+unchanged), so the raises are host recalibration, not regressions;
+five new faces got worse-of-two bars (f11b, fp01/fp02, ml01/ml02).
+The three r17 driver-red faces were NOT re-derived downward despite
+large committed wins (g05_link_predict_full 40.6 → 18.3,
+st08_linkage_gate 9.2 → 6.5, st08b_trickle_probe 16.2 → 15.1):
+their ceilings are RETAINED at the r17 driver-band level so the bars
+hold on the driver's contended host (per-bar comments carry the
+inflation arithmetic) — this also answers the r17 advice against
+monotonic creep: zero ceilings moved on those faces.
+
 MEASUREMENT EPOCH (r16): Bench now materializes every face through the
 noop sink instead of count() — count() let the optimizer prune every
 output expression and eliminate left-join subtrees outright (g04's
@@ -113,9 +129,9 @@ ISOLATED_SLACK = 0.3   # + seconds (fresh-JVM JIT jitter on sub-second faces)
 CEILINGS = {
     "f19_risk_heatmap": 4.5,       # steady ~1.7 s (r9 1.34, r12 1.70)
     "f20_risk_distribution": 2.7,  # steady ~0.9-1.1 s
-    "c01_corpus_clean": 7.8,       # steady ~4.4-4.8 s (r12 full-run 4.44)
+    "c01_corpus_clean": 10.7,       # steady ~4.4-4.8 s (r12 full-run 4.44)
     "f17_stats_merge": 5.0,        # steady ~2.2 s (r12 full-run 2.20)
-    "d06_dedup_clusters": 10.1,    # committed 5.42 s (post pointer-
+    "d06_dedup_clusters": 12.3,    # committed 5.42 s (post pointer-
                                    # doubling + skew-safe jump lookup:
                                    # +1 distinct+join per CC round;
                                    # r12-r16 pre-change band 4.5-4.7)
@@ -137,7 +153,7 @@ CEILINGS = {
     "t06_normalize": 1.8,          # steady ~0.25-0.3 s (narrow scan)
     "c11_corpus_upsert": 2.7,      # steady ~0.75-1.1 s
     "c12_dsir": 8.8,               # steady ~3.3-4.8 s (gram explode)
-    "c13_corpus_census": 8.4,      # honest runs read 2.9/4.5 s
+    "c13_corpus_census": 8.6,      # honest runs read 2.9/4.5 s
     "d11_contamination_report": 3.1,  # steady ~1.0 s
     "st04_upsert_cdc": 4.5,        # steady ~2.7 s (full CDC lifecycle)
     "f21_price_anomaly": 3.5,      # steady ~2.1 s (two median passes)
@@ -173,7 +189,7 @@ CEILINGS = {
     "g03_pagerank": 17.9,          # honest 9.1 s full-run r16 (count()
                                    # eliminated the final rank left
                                    # join + the whole fixpoint)
-    "c16_source_quota": 4.0,       # steady ~1.4 s (two-phase selection)
+    "c16_source_quota": 4.4,       # steady ~1.4 s (two-phase selection)
     "t09_entropy": 3.3,            # honest 1.6 s full-run r16
     "s11_knn_classify": 2.5,       # steady ~0.8 s (s01 + |Q|-sized vote)
     "q21_grouping_sets": 2.9,      # honest runs read 0.6/1.3 s
@@ -189,15 +205,15 @@ CEILINGS = {
                                    # so the epochs agree here). Churn
                                    # adjudication goes through the
                                    # --isolated diff, not a padded bar.
-    "d13_semantic_dedup": 2.3,     # r16 re-derivation, same rule
+    "d13_semantic_dedup": 2.9,     # r16 re-derivation, same rule
                                    # (isolated 0.86 s -> 1.6) —
                                    # honest noop full-run reads
                                    # 0.87 s, comfortably inside.
-    "c17_vocab_fit": 2.2,          # honest runs read 0.6/0.8 s
+    "c17_vocab_fit": 2.6,          # honest runs read 0.6/0.8 s
     "q22_sliding_window": 3.3,     # honest runs read 0.9/1.5 s
     "t10_readability": 2.1,        # steady ~0.35 s (3 regex-count scans)
     "s12_ann_recall": 2.6,         # honest runs read 0.9/1.1 s
-    "c18_dp_census": 1.4,          # steady ~0.4 s (count + noise projection)
+    "c18_dp_census": 1.7,          # steady ~0.4 s (count + noise projection)
     "q23_set_ops": 2.7,            # honest runs read 0.8/1.1 s
     "m03_audio_energy": 3.3,       # steady ~1.2 s (WAV encode+decode scan)
     "g04_triangles": 26.1,          # honest 13.1 s full-run r16 (the noop
@@ -207,16 +223,16 @@ CEILINGS = {
     "f24_ks_drift": 3.0,           # steady ~1.2 s (value-census CDF windows)
     "c21_mixture_weights": 2.3,    # honest runs read 0.5/0.9 s
     "f25_cusum": 3.4,              # steady ~1.3 s (lattice + two windows)
-    "c22_drop_audit": 6.2,         # honest 3.5 s full-run r16
+    "c22_drop_audit": 8.7,         # honest 3.5 s full-run r16
     "g05_link_predict": 9.6,       # ~2.6 s isolated on the sampled
                                    # subgraph (133 s on the full
                                    # near-complete graph — the face
                                    # input guard matters here)
     "q24_ntile_deciles": 2.9,      # steady ~0.9 s (one ntile window)
-    "d15_para_dedup": 3.3,         # honest runs read 1.1/1.5 s
+    "d15_para_dedup": 3.5,         # honest runs read 1.1/1.5 s
     "q25_unpivot": 4.9,            # honest 1.9 s full-run r16
     "q26_reconcile": 2.2,          # honest 1.1 s full-run r16
-    "d16_dedup_compare": 9.2,      # composition face: three CAPPED
+    "d16_dedup_compare": 10.2,      # composition face: three CAPPED
                                    # dedup pipelines (shared docs
                                    # cache, concurrently materialized)
                                    # + pair intersections. History:
@@ -227,7 +243,7 @@ CEILINGS = {
                                    # full-run).
     # r13 seventh batch
     "f27_hll_users": 3.0,          # ~0.86 s isolated (one register shuffle)
-    "q27_dq_audit": 3.6,           # ~1.3 s isolated (2 scans + FK join)
+    "q27_dq_audit": 3.9,           # ~1.3 s isolated (2 scans + FK join)
     "z01_zorder": 1.9,             # ~0.6 s isolated (interleave + rollup)
     "f28_last_touch": 2.9,         # ~1.2 s isolated (user join + rank-1)
     "f29_cms_counts": 3.6,         # ~1.0 s isolated (d*stream shuffle)
@@ -235,7 +251,7 @@ CEILINGS = {
     "s13_mmr": 3.2,                # ~1.8 s isolated (cogroup greedy; the
                                    # relational unroll measured 8-18 s)
     # r14 faces
-    "c03c_pack_subword_fit": 10.0,  # ~4.1 s isolated (24 merge rounds
+    "c03c_pack_subword_fit": 11.5,  # ~4.1 s isolated (24 merge rounds
                                    # over the word-type frame + pack;
                                    # r15 batched merges: full-run 3.98)
     # r15 faces — ~1.5-1.8x the first clean full-run reading
@@ -254,13 +270,19 @@ CEILINGS = {
                                    # the real guard for this pair)
     "g04_hub_skew_ordered": 5.4,   # honest 1.5 s full-run (12k),
                                    # 2.5 s isolated (16k)
-    "g05_link_predict_full": 98.2, # honest 51.3 s full-run: the
-                                   # UNSAMPLED near-complete sf0.1
-                                   # co-purchase graph through the
-                                   # minimal-wedge plan - Sum C(deg,2)
-                                   # ~ 1.5e8 wedges + a ~1e8-group
-                                   # aggregate; exists so the scale
-                                   # posture is a measured number
+    "g05_link_predict_full": 98.2, # r18 committed 18.3/20.8 s (was
+                                   # 40.6 r17): the lean wedge
+                                   # aggregate (packed long key,
+                                   # int-scaled AA term, wedge-sized
+                                   # partitions) over the UNSAMPLED
+                                   # Sum C(deg,2) ~ 1.5e8 wedge mass.
+                                   # Ceiling RETAINED at the r17
+                                   # driver-band level (the driver
+                                   # read 115.9 on the old plan,
+                                   # 2.86x its committed 40.6): at
+                                   # the same contention ratio the
+                                   # new plan reads ~55 — under half
+                                   # this bar (r17 verdict items 1-2)
     "c10_clean_staged": 16.3,       # honest 6.3 s full-run (beats the
                                    # in-plan cached twin's 8.8 s)
     "c03c_pack_subword_fit32k": 25.8,  # honest 12.0 s full-run (fit
@@ -290,7 +312,7 @@ CEILINGS = {
                                    # ZERO loss (template shingles
                                    # never enter a prefix); ratio
                                    # floor below is the real guard
-    "c23_cluster_split": 10.1,     # committed 5.47 s single-face run
+    "c23_cluster_split": 12.8,     # committed 5.47 s single-face run
                                    # / 4.97 isolated (leakage-safe
                                    # split: d06's exhaustive pairs +
                                    # CC loop + the c02 hash on the
@@ -314,7 +336,7 @@ CEILINGS = {
     "f32_ewma": 3.5,               # committed 1.29 s / 2.29 isolated
                                    # (lattice + moments + the grouped
                                    # EWMA fold)
-    "d14_soft_dedup": 8.3,         # committed 3.54 s / 5.22 isolated
+    "d14_soft_dedup": 11.6,         # committed 3.54 s / 5.22 isolated
                                    # (d06's exhaustive pairs + CC +
                                    # the size rollup; tracks d06's
                                    # own bar family)
@@ -360,7 +382,7 @@ CEILINGS = {
                                    # composition (exhaustive pairs ->
                                    # CC -> weights -> salted coin);
                                    # d14's cost + a codegen'd filter
-    "d14_soft_dedup_capped": 9.0,  # committed 4.80 s from its 4-face
+    "d14_soft_dedup_capped": 9.7,  # committed 4.80 s from its 4-face
                                    # landing run (the c23 single-face
                                    # convention) / 5.53 isolated —
                                    # d14's production gear (capped
@@ -407,14 +429,18 @@ CEILINGS = {
                                    # landing run — one token scan,
                                    # two combiner-friendly aggregates
                                    # + the vocab-sized rank window
-    "st08_linkage_gate": 16.6,     # committed 9.21 s (BENCH_FULL_r17
-                                   # worse run; was 13.59 on the
-                                   # coarse gear) — two registration
-                                   # micro-batches: within-batch
-                                   # composite pairs + the variant-
-                                   # keyed state probe (linear in
-                                   # pruned state) + alert/state
-                                   # writes per trigger; 1.7v+0.8
+    "st08_linkage_gate": 16.6,     # r18 committed 6.53/6.22 s (was
+                                   # 9.21 r17; flat state levels +
+                                   # concurrent index write) — two
+                                   # registration micro-batches:
+                                   # within-batch composite pairs +
+                                   # the variant-keyed state probe +
+                                   # alert/state writes per trigger.
+                                   # Ceiling RETAINED as driver-band
+                                   # margin: the r17 driver read 22.9
+                                   # (2.27x committed) on the old
+                                   # plan; same ratio now ~15 < 16.6
+                                   # (r17 verdict item 1)
     "m04_audio_fp": 5.2,           # committed 1.67 s single-face /
                                    # 2.33 isolated — WAV synth +
                                    # JDK decode + 65-window envelope
@@ -455,26 +481,26 @@ CEILINGS = {
 # silent 5x regression in, say, q01 was invisible to the guard.
 CEILINGS.update({
     "c01_corpus_clean_capped": 7.3,  # honest 3.84 s
-    "c02_train_split": 1.2,  # honest 0.17 s
+    "c02_train_split": 1.3,  # honest 0.17 s
     "c03_pack_sequences": 1.8,  # honest 0.56 s
-    "c03b_pack_chunks": 1.6,  # honest 0.45 s
+    "c03b_pack_chunks": 1.7,  # honest 0.45 s
     "c03c_pack_subword": 1.8,  # honest 0.47 s
     "c04_mixture_epochs": 1.4,  # honest 0.31 s
     "c05_redact_pii": 2.2,  # honest 0.82 s
     "c06_assemble": 2.5,  # honest 1.03 s
-    "c07_assemble_decontaminated": 7.4,  # honest 3.31 s
+    "c07_assemble_decontaminated": 7.9,  # honest 3.31 s
     "c08_strip_boilerplate": 5.2,  # honest 2.57 s
-    "c09_seq_shuffle": 2.5,  # honest 1.00 s
-    "c09b_shard_manifest": 2.2,  # honest 0.81 s
+    "c09_seq_shuffle": 2.8,  # honest 1.00 s
+    "c09b_shard_manifest": 2.4,  # honest 0.81 s
     "c10_clean_full": 23.5,  # honest 13.34 s
-    "d01_dedup_exact": 1.4,  # honest 0.33 s
-    "d02_ngram_jaccard": 4.7,  # honest 2.16 s
-    "d02_ngram_jaccard_capped": 4.2,  # honest 2.01 s
-    "d03_minhash_lsh": 4.2,  # honest 2.01 s
-    "d04_simhash": 2.2,  # honest 0.80 s
-    "d04b_simhash_core": 3.0,  # honest 1.27 s
-    "d05_embedding_neardup": 1.9,  # honest 0.63 s
-    "d06_dedup_clusters_capped": 8.3,  # committed 4.37 s (post
+    "d01_dedup_exact": 1.6,  # honest 0.33 s
+    "d02_ngram_jaccard": 6.2,  # honest 2.16 s
+    "d02_ngram_jaccard_capped": 5.4,  # honest 2.01 s
+    "d03_minhash_lsh": 4.8,  # honest 2.01 s
+    "d04_simhash": 2.5,  # honest 0.80 s
+    "d04b_simhash_core": 3.5,  # honest 1.27 s
+    "d05_embedding_neardup": 2.0,  # honest 0.63 s
+    "d06_dedup_clusters_capped": 9.3,  # committed 4.37 s (post
                                    # pointer-doubling; was 3.87)
     "d07_winnow_pairs": 6.0,  # honest 3.06 s
     "d07_winnow_pairs_capped": 4.7,  # honest 2.32 s
@@ -483,22 +509,22 @@ CEILINGS.update({
     "d10_run_overlap": 3.2,  # honest 1.41 s
     "d10_run_overlap_capped": 3.4,  # honest 1.55 s
     "d17_threshold_curve": 5.1,  # honest 2.31 s
-    "f01_market_stats": 3.5,  # honest 1.21 s
-    "f02_component_stats": 1.6,  # honest 0.49 s
-    "f03_zscore": 3.4,  # honest 1.23 s
-    "f04_risk_score": 2.6,  # honest 0.92 s
-    "f05_high_risk_alerts": 2.5,  # honest 1.00 s
-    "f06_hidden_price": 1.3,  # honest 0.27 s
-    "f07_categorize": 1.5,  # honest 0.39 s
-    "f08_seller_trust": 2.2,  # honest 0.69 s
-    "f08b_trust_from_reviews": 1.9,  # honest 0.55 s
+    "f01_market_stats": 3.7,  # honest 1.21 s
+    "f02_component_stats": 1.7,  # honest 0.49 s
+    "f03_zscore": 3.8,  # honest 1.23 s
+    "f04_risk_score": 3.1,  # honest 0.92 s
+    "f05_high_risk_alerts": 3.3,  # honest 1.00 s
+    "f06_hidden_price": 1.5,  # honest 0.27 s
+    "f07_categorize": 1.8,  # honest 0.39 s
+    "f08_seller_trust": 2.8,  # honest 0.69 s
+    "f08b_trust_from_reviews": 2.5,  # honest 0.55 s
     "f09_recent_window": 2.0,  # honest 0.71 s
-    "f10_top_risk_factors": 2.9,  # honest 1.25 s
-    "f11_extract_specs": 5.6,  # honest 2.59 s
-    "f12_score_items": 12.0,  # honest 5.94 s
-    "f12b_score_core": 1.9,  # honest 0.65 s
-    "f13_generate_stats": 11.1,  # honest 6.08 s
-    "f13b_stats_core": 3.6,  # honest 1.39 s
+    "f10_top_risk_factors": 3.2,  # honest 1.25 s
+    "f11_extract_specs": 6.7,  # honest 2.59 s
+    "f12_score_items": 14.5,  # honest 5.94 s
+    "f12b_score_core": 2.1,  # honest 0.65 s
+    "f13_generate_stats": 13.8,  # honest 6.08 s
+    "f13b_stats_core": 4.1,  # honest 1.39 s
     "f14_factor_normalized": 2.1,  # honest 0.65 s
     "f15_modified_after_1d": 1.6,  # honest 0.48 s
     "f16_review_stats": 1.6,  # honest 0.39 s
@@ -520,9 +546,9 @@ CEILINGS.update({
     "q12_pivot": 1.5,  # honest 0.29 s
     "q13_json_extract": 2.5,  # honest 0.84 s
     "q14_cube_rollup": 4.1,  # honest 1.91 s
-    "q15_asof_join": 2.7,  # honest 0.96 s
+    "q15_asof_join": 3.1,  # honest 0.96 s
     "q16_interval_join": 3.1,  # honest 1.31 s
-    "q17_skew_salted_join": 3.2,  # honest 1.27 s
+    "q17_skew_salted_join": 3.3,  # honest 1.27 s
     "s01_ann_bruteforce": 1.7,  # honest 0.56 s
     "s02_ann_lsh": 2.5,  # honest 1.00 s
     "s03_ann_ivf": 5.4,  # honest 2.69 s
@@ -533,7 +559,7 @@ CEILINGS.update({
     "st01_windowed_counts": 1.8,  # honest 0.61 s
     "st02_gate_trigger": 20.8,  # honest 11.78 s
     "st03_maintain": 4.4,  # honest 2.10 s
-    "t01_lang_id": 1.5,  # honest 0.37 s
+    "t01_lang_id": 1.6,  # honest 0.37 s
     "t02_quality_score": 1.7,  # honest 0.55 s
     "t03_token_count": 1.9,  # honest 0.67 s
     "t04_fingerprint": 1.2,  # honest 0.23 s
@@ -562,7 +588,7 @@ CEILINGS.update({
                                    # frame sample + features
     "s20_hard_negatives": 1.8,     # committed 0.46 s — two broadcast
                                    # corpus passes
-    "d18_priority_dedup": 9.1,     # committed 3.90 s / 4.85 other run
+    "d18_priority_dedup": 9.7,     # committed 3.90 s / 4.85 other run
                                    # — rides d06's CC loop (its churn)
     "s22_recall_curve": 3.7,       # committed 1.34 s — 1 exact + 3
                                    # probe passes
@@ -574,20 +600,56 @@ CEILINGS.update({
                                    # lesson)
     "c19_pack_efficiency": 2.2,    # committed 0.44 s / 0.78 other run
                                    # — one shard aggregate past c03
-    "st08b_trickle_probe": 31.5,   # committed 16.18 s — ten trickle
-                                   # triggers, shuffle-path probe twin
-    "d19_source_overlap": 5.2,     # committed 2.14 s / 2.58 other run
+    "st08b_trickle_probe": 31.5,   # r18 committed 15.13/13.11 s (was
+                                   # 16.18 r17; merged trickle plan +
+                                   # flat state) — ten trickle
+                                   # triggers, shuffle-path probe
+                                   # twin. Ceiling RETAINED as
+                                   # driver-band margin (r17 driver
+                                   # 33.3 = 1.64x committed; same
+                                   # ratio now ~25 < 31.5)
+    "d19_source_overlap": 5.6,     # committed 2.14 s / 2.58 other run
                                    # — one source-attach + two
                                    # source-pair aggregates past the
                                    # d02 pair frame
-    "t14_fertility": 1.5,          # committed 0.40 s — one codegen'd
+    "t14_fertility": 1.7,          # committed 0.40 s — one codegen'd
                                    # pass + a lang aggregate
     "st08b_trickle_probe_bcast": 27.5,  # committed 12.69 s / 13.29
                                    # other run — the adaptive gate's
                                    # broadcast path; NO ratio floor on
                                    # this pair (measured 1.24-1.29x,
                                    # below the 1.7x churn band — the
-                                   # 41v SURVEY row documents why)
+                                   # 41v SURVEY row documents why).
+                                   # r18: the merged trickle plan +
+                                   # flat state cut the pair to
+                                   # 15.13/11.22 committed — ceilings
+                                   # RETAINED (not lowered) as the
+                                   # driver-band margin: the r17
+                                   # driver run inflated this family
+                                   # 1.6-2.3x over committed, and
+                                   # these bars must hold on the
+                                   # driver's contended host too
+                                   # (r17 verdict item 1)
+    # ---- r18 faces (worse-of-two committed readings) ----
+    "f11b_extract_core": 6.3,      # committed 3.23 s / 1.61 other
+                                   # run — the RE2-safe extraction
+                                   # core: one combined-text scan
+                                   # cascade, no joins
+    "fp01_fraud_pipeline": 17.7,   # committed 9.94 s / 9.90 — the
+                                   # full run_pipeline.sh chain:
+                                   # NDJSON land+read, extraction
+                                   # twice (stats + scoring passes),
+                                   # alert filter
+    "fp02_pipeline_core": 5.3,     # committed 2.64 s / 2.61 — f05
+                                   # alerts + two broadcast
+                                   # enrichment joins
+    "ml01_rule_distill": 7.7,      # committed 3.58 s / 4.01 — LR
+                                   # fit (25 L-BFGS iters) over the
+                                   # f04 feature frame + score
+    "ml02_quality_distill": 21.5,  # committed 11.17 s / 13.62 — LR
+                                   # fit over the quality/repetition
+                                   # feature join (the t05 rollup
+                                   # dominates)
 })
 
 # (numerator face, denominator face) -> required min ratio. The d09
