@@ -572,8 +572,15 @@ object Linkage {
           val slimBatch = slimB
             .select(col("key"), col("block"), col("len"), col("skey"))
           val joined = slimState.join(slimBatch, Seq("block", "skey"))
+          // key =!= match_key: a key RE-REGISTERING in a later batch
+          // must not match its own earlier version — the bestMatches
+          // contract (key < match_key can never self-pair) applied to
+          // the cross probe, and the same filter the merged trickle
+          // plan carries, so the two gears stay row-identical on
+          // re-registration streams (spec-pinned)
           val cand = joined
-            .filter(abs(col("len") - col("mlen")) <= maxEdits)
+            .filter(abs(col("len") - col("mlen")) <= maxEdits &&
+              col("key") =!= col("match_key"))
             .select(col("key"), col("match_key"))
             .distinct() // a pair collides once per shared variant
           cand

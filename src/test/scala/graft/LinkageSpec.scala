@@ -342,6 +342,34 @@ class LinkageSpec extends SparkSpec
       Set("batch=0", "batch=1", "batch=2"))
   }
 
+  test("41s gate: a re-registered key never matches its own earlier " +
+      "version, identically on both probe gears") {
+    // key 1 registers in batch 0 and RE-registers with a 1-edit name
+    // in batch 1 — the bestMatches contract (a record has no self
+    // distance) must hold across batches, and the trickle-merged and
+    // backfill-shuffle gears must agree row-for-row on it
+    val b1 = Seq((1L, "mallory-shop", 1L), (10L, "acme-store", 2L))
+      .toDF("key", "name", "block")
+    val b2 = Seq((1L, "mallory-shoq", 1L), (2L, "mallory-chop", 1L))
+      .toDF("key", "name", "block")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("batch"), col("key"), col("match_key"), col("dist"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val rootT = java.nio.file.Files.createTempDirectory("linkgate-rr-t").toString
+    val rootS = java.nio.file.Files.createTempDirectory("linkgate-rr-s").toString
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      Linkage.linkageBatch(b, i.toLong, rootT)
+      Linkage.linkageBatch(b, i.toLong, rootS, probeBroadcastRows = 0L)
+    }
+    val t = rows(Linkage.readLinkageAlerts(spark, rootT))
+    assert(t == rows(Linkage.readLinkageAlerts(spark, rootS)),
+      "probe gears diverged on a re-registration stream")
+    // no self-match anywhere, and the re-registered key still links
+    // to its GENUINE neighbors (2 is 1 edit from both versions of 1)
+    assert(t.forall { case (_, k, mk, _) => k != mk })
+    assert(t.exists { case (b, k, mk, _) => b == 1L && k == 2L && mk == 1L })
+  }
+
   test("41s gate: an empty first trigger doesn't poison the state read") {
     // regression: an empty batch writes a file-less state level; the
     // next trigger's state read must not die on schema inference

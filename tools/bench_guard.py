@@ -67,7 +67,14 @@ readings sit 1x-5x above count()-era ones depending on how much output
 computation count() had been discarding. Every ceiling marked
 "honest ... r16" is calibrated on the new epoch; pre-r16 dumps and
 BENCH_ISOLATED_r15 readings are count()-era. The --isolated baseline
-is BENCH_ISOLATED_r17.json — BENCH_ISOLATED_r16 (the first
+is BENCH_ISOLATED_r18.json — BENCH_ISOLATED_r17 plus the r18 splice:
+the five new faces (f11b, fp01/fp02, ml01/ml02) fresh-JVM on the
+landing host, and the eleven replanned faces re-measured (the g05
+pair under the lean wedge aggregate — g05_full 44.4 → 30.0; the st08
+trio under the merged-trickle/flat-state gate — 13.3 → 12.2,
+19.6 → 17.0, 18.0 → 11.5; the six census-routed compositions
+d06/d14/d18/d19/c23/c24, each now paying the memoized census in its
+fresh JVM). BENCH_ISOLATED_r17 was BENCH_ISOLATED_r16 (the first
 honest-epoch fresh-JVM sweep) plus the r17 splice: the five new faces
 (f33_block_coarse/fine, d02_ngram_jaccard_auto, st09_vector_maintain,
 f38_top_users) and the three composite-ER-reblocked faces
@@ -118,7 +125,7 @@ import os
 import sys
 
 ISOLATED_BASELINE = os.path.join(os.path.dirname(__file__), "..",
-                                 "BENCH_ISOLATED_r17.json")
+                                 "BENCH_ISOLATED_r18.json")
 ISOLATED_RATIO = 1.5   # x baseline
 ISOLATED_SLACK = 0.3   # + seconds (fresh-JVM JIT jitter on sub-second faces)
 
