@@ -77,8 +77,10 @@ is BENCH_ISOLATED_r18.json — BENCH_ISOLATED_r17 plus the r18 splice:
 the five new faces (f11b, fp01/fp02, ml01/ml02) fresh-JVM on the
 landing host, and the eleven replanned faces re-measured (the g05
 pair under the lean wedge aggregate — g05_full 44.4 → 30.0; the st08
-trio under the merged-trickle/flat-state gate — 13.3 → 12.2,
-19.6 → 17.0, 18.0 → 11.5; the six census-routed compositions
+trio under the merged-trickle/flat-state gate, the shuffle-path pair
+re-measured again after the self-pair filter landed — 13.3 → 10.9,
+19.6 → 20.7 (loaded close-out host; the earlier same-day readings
+were 12.2/17.0), bcast 18.0 → 11.5; the six census-routed compositions
 d06/d14/d18/d19/c23/c24, each now paying the memoized census in its
 fresh JVM). BENCH_ISOLATED_r17 was BENCH_ISOLATED_r16 (the first
 honest-epoch fresh-JVM sweep) plus the r17 splice: the five new faces
