@@ -474,7 +474,11 @@ class PlanSpec extends SparkSpec {
     assert(o.subsetOf(q), s"oracle without query: ${(o -- q).toSeq.sorted}")
     assert((b & q).isEmpty, s"benchOnly collides with queries: ${(b & q).toSeq.sorted}")
     assert((q -- o) == Set("d04_simhash", "f11_extract_specs",
-      "f12_score_items", "f13_generate_stats", "s03_ann_ivf"),
+      "f12_score_items", "f13_generate_stats", "s03_ann_ivf",
+      // r18: the pipeline composition (its f11/f12 stages force it —
+      // the oracle'd subchain is fp02) and the two ML train+score
+      // faces (L-BFGS float-reduction order)
+      "fp01_fraud_pipeline", "ml01_rule_distill", "ml02_quality_distill"),
       s"rows-only set drifted: ${(q -- o).toSeq.sorted}")
   }
 
