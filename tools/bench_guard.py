@@ -49,6 +49,13 @@ committed worse / 582.2 s, 0 failures, guard exit 0 on both, zero
 SKIPs (the first r18 pair read 527.7/454.5 — the close-out host
 degraded ~10-25% across the session, which the second mechanical
 re-floor absorbed: 49 + 47 ceilings raised in the two passes).
+A DELIBERATELY-LOADED validation run (full sweep with a 12-core
+spin hog alongside — the r17 verdict item-1 suggestion) read 570.2 s
+/ 204 faces / 0 failures with guard exit 0, and the three r17
+driver-red faces read g05_link_predict_full 37.6 (38% of its bar,
+inside the verdict's 50% target under contention),
+st08_linkage_gate 6.7, st08b pair 15.5/10.1 — the retained
+driver-band ceilings hold with margin on a loaded host.
 Ceilings were raised
 to the churn floor against the committed worse run — the r18 build
 host reads join/shuffle-heavy faces 15-45% above the r17 host on
