@@ -603,7 +603,15 @@ object Linkage {
         .filter(col("rank") === 1)
         .select(col("key"), col("match_key"), col("match_name"),
           col("dist"), col("n_candidates"))
-      alerts.write.mode("overwrite").parquet(s"$path/alerts/batch=$id")
+      // the varstate future must be SETTLED before this call can
+      // exit on ANY path — a zombie write racing a same-JVM replay's
+      // own overwrite of the identical level is the one way the
+      // concurrency could corrupt the tree. `ready` in the finally
+      // waits without masking an alerts failure; the commit point
+      // below then surfaces the future's own outcome.
+      try alerts.write.mode("overwrite").parquet(s"$path/alerts/batch=$id")
+      finally scala.concurrent.Await.ready(varWrite,
+        scala.concurrent.duration.Duration.Inf)
       // the commit point: everything above must be on disk first
       scala.concurrent.Await.result(varWrite,
         scala.concurrent.duration.Duration.Inf)
