@@ -581,11 +581,18 @@ object Graph {
     // term pre-scaled to a long HERE (ta/tb), once per edge — the
     // wedge stream below only copies integers
     val scale = lit(1000000L)
+    // degree-1 guard: a pendant endpoint can never BE a wedge middle
+    // (a middle carries two edges), so its term is never consumed —
+    // but ed is CACHED, which materializes the column for every row,
+    // and 1/ln(1) is Infinity (a decimal cast of it is an ANSI
+    // error). Zero is the safe never-read placeholder.
+    def termOf(d: Column): Column =
+      when(d >= 2, (aaTerm(d) * scale).cast("int")).otherwise(lit(0))
     val ed = e0
       .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
-      .withColumn("ta", (aaTerm(col("da")) * scale).cast("int"))
-      .withColumn("tb", (aaTerm(col("db")) * scale).cast("int"))
+      .withColumn("ta", termOf(col("da")))
+      .withColumn("tb", termOf(col("db")))
       .transform(graft.CacheRegistry.register)
     // m < x < y: two forward edges (m,x), (m,y) — join on the shared
     // lower endpoint, strict b-inequality inside the join condition;

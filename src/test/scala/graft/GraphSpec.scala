@@ -139,6 +139,20 @@ class GraphSpec extends SparkSpec {
     val unpacked = rows(Graph.linkPredict(big)).map {
       case (a, r, b, cn, j, aa) => (a - shift, r, b - shift, cn, j, aa) }
     assert(unpacked == compact, "unpacked-key gear diverged")
+    // PENDANT totality: a degree-1 node's Adamic–Adar term is
+    // 1/ln(1) = Infinity if evaluated — the cached edge frame
+    // materializes the term column for every row, so the operator
+    // must be total on graphs with pendants (the co-purchase test
+    // graphs happen to have min degree ≥ 2, which would hide a
+    // regression here). Pendants hang off both hub sides; the
+    // prediction for the shared-neighborhood pair is unaffected.
+    val pend = ((10L to 14L).flatMap(m => Seq((1L, m), (2L, m))) ++
+      Seq((1L, 100L), (2L, 101L)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("a", "b")
+    val got = Graph.linkPredict(pend, minCommon = 3)
+      .select("a", "b", "cn").as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 5L)))
   }
 
   test("g06: hand-peeled k-core on planted graphs") {
