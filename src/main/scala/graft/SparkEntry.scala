@@ -354,7 +354,12 @@ object SparkEntry {
     // artifact-lifecycle QUERY faces (from `queries`, not benchOnly):
     // each wipes pid scratch and writes a full index artifact during
     // face construction
-    "s05b_ivfpq_artifact", "s15_bm25_index", "s16_phrase_index")
+    "s05b_ivfpq_artifact", "s15_bm25_index", "s16_phrase_index",
+    // r18: lands the corpus as NDJSON in pid scratch before the chain
+    "fp01_fraud_pipeline",
+    // r18: plan CONSTRUCTION trains the LR model (L-BFGS jobs) — no
+    // cheap plan to print, and Explain must not launch a fit
+    "ml01_rule_distill", "ml02_quality_distill")
 
   /** Bench scratch — see [[PidScratch]] for the lifecycle contract. */
   private object GateScratch {

@@ -36,6 +36,21 @@ class FraudPipelineSpec extends SparkSpec {
     // the symbolic-price stratum actually flowed through correction
     val corrected = scored.filter(col("corrected")).count()
     assert(corrected > 0, "hidden-price correction stage was dead")
+    // the f10 FACTORS MART stage of the chain: the per-factor rollup
+    // (the Kibana terms-agg shape) over the composed alert output ==
+    // the same rollup over the staged stages. Computed from the
+    // ALREADY-COLLECTED rows: an explode(split(...)) over the live
+    // fp01 plan would inline the whole scoring tree into the
+    // Generate node (the documented alias-substitution hazard — it
+    // OOM'd this very spec with 199 MB task binaries), and the mart
+    // arithmetic under test is the rollup, not the plan
+    def mart(rows: Set[(Long, Double, String, String, Double, Double,
+        Int, String, Boolean)]): Map[String, Int] =
+      rows.toSeq.flatMap(_._8.split('|').filter(_.nonEmpty))
+        .groupBy(identity).map { case (f, v) => (f, v.size) }
+    val composedMart = mart(composed)
+    assert(composedMart == mart(staged) && composedMart.nonEmpty,
+      "factors mart drifted between composed and staged")
     graft.CacheRegistry.unpersistAll()
   }
 
