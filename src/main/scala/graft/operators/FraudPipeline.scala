@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   *    the analyzer's segment stats (f01) and the z-score view (f03),
   *    replayed in DuckDB as composed CTEs, bit-exact at both SFs.
   *
+  * Composition hazard note: fp01's output carries columns computed
+  * from the full extraction/scoring tree — a consumer stacking a
+  * generator or a computed-column filter directly on it re-inlines
+  * that tree per reference (SURVEY §5's pushdown-hazard bullet; an
+  * explode(split(risk_factors)) measured 199 MB task binaries).
+  * Downstream composition should land on a materialized boundary
+  * (write, cache register, or collected rows for driver-side marts).
+  *
   * Scale posture: the chain inherits each stage's own discipline —
   * the corpus is read ONCE into a cached slim frame consumed by both
   * the stats and the scoring passes; stats rows are model metadata
