@@ -336,6 +336,12 @@ object Graph {
   private val hubGateMemo = scala.collection.concurrent.TrieMap
     .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Boolean]
 
+  /** Per-input memo of linkPredict's (packable, wedge-mass) probe —
+    * same contract and bounds as [[hubGateMemo]]. */
+  private val linkStatsMemo = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      (Boolean, Long)]
+
   /** Per-node triangle metrics over undirected (a, b) edges:
     * (node, degree, n_triangles, clustering). `degreeOrdered`:
     * None = adaptive (orient iff the hub gate fires — the
@@ -564,12 +570,26 @@ object Graph {
     // ONE bounded action on the cached node-sized frame: id range
     // (decides the packed-key gear) + exact wedge mass (sizes the
     // aggregate). Warms the deg cache the big plan reuses anyway.
-    val statsRow = deg.agg(min(col("node")), max(col("node")),
-      sum(col("degree") * (col("degree") - lit(1L))).cast("long")).head()
-    val packable = !statsRow.isNullAt(0) && statsRow.getLong(0) >= 0L &&
-      statsRow.getLong(1) < (1L << 31)
-    val wedgeRows =
-      if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2) / 2
+    // Memoized per canonicalized edge plan (the hubGateMemo rationale,
+    // r18 advice): the probe is a real Spark job, and plan-only uses
+    // of linkPredict (Explain, spec plan asserts) must not launch a
+    // degree shuffle on every call — within one session the same edge
+    // frame's id range and wedge mass never change. min/max are cast
+    // to long IN the agg so the probe is id-type-agnostic (an
+    // IntegerType node column otherwise throws on getLong).
+    val (packable, wedgeRows) = {
+      if (linkStatsMemo.size > 64) linkStatsMemo.clear()
+      linkStatsMemo.getOrElseUpdate(
+        edges.queryExecution.analyzed.canonicalized, {
+          val statsRow = deg.agg(min(col("node")).cast("long"),
+            max(col("node")).cast("long"),
+            sum(col("degree") * (col("degree") - lit(1L))).cast("long"))
+            .head()
+          (!statsRow.isNullAt(0) && statsRow.getLong(0) >= 0L &&
+             statsRow.getLong(1) < (1L << 31),
+           if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2) / 2)
+        })
+    }
     val sessParts =
       e0.sparkSession.sessionState.conf.numShufflePartitions
     // ~2M groups (≤ wedge rows) per final-agg task ≈ 100 MB of hash
@@ -613,9 +633,14 @@ object Graph {
     // integer, the long sum is exact, and one IEEE division by 10^6
     // is the correctly-rounded double of the same rational the
     // decimal cast would produce
+    // ids ride as LONG from here down, both gears: shiftleft on an
+    // IntegerType column is Int-typed in Spark (a 32-bit shift wraps
+    // to garbage), and the two gears must agree on the output schema
+    // for any input id type
     val hops = (if (packable) {
       wedges
-        .select(shiftleft(col("x"), 32).bitwiseOR(col("y")).as("xy"),
+        .select(shiftleft(col("x").cast("long"), 32)
+          .bitwiseOR(col("y").cast("long")).as("xy"),
           col("tm"))
         .repartition(aggParts, col("xy"))
         .groupBy(col("xy"))
@@ -630,7 +655,8 @@ object Graph {
         .groupBy(col("x"), col("y"))
         .agg(count(lit(1)).as("cn"), sum(col("tm")).as("aae6"))
         .filter(col("cn") >= minCommon)
-        .select(col("x").as("a"), col("y").as("b"), col("cn"),
+        .select(col("x").cast("long").as("a"),
+          col("y").cast("long").as("b"), col("cn"),
           (col("aae6").cast("double") / 1e6).as("aa"))
     })
     scoreTail(hops, e0, deg)

@@ -365,8 +365,10 @@ object Linkage {
   // ---------------------------------------------------------------
 
   /** The gate's state/alert layouts, pinned so reads never run
-    * schema inference (which throws over empty levels). `batch` and
-    * `block` are partition-directory columns. */
+    * schema inference (which throws over empty levels). `batch` is
+    * the partition-directory column; `block` rides as a data column
+    * in the flat r18 level files (pre-r18 levels partitioned by it —
+    * the legacy heal below rewrites those flat on resume). */
   private val StateSchema =
     org.apache.spark.sql.types.StructType.fromDDL(
       "key LONG, name STRING, batch LONG, block LONG")
@@ -471,6 +473,54 @@ object Linkage {
         else fs.listStatus(root).filter(_.isDirectory)
           .map(_.getPath.getName).filter(_.startsWith("batch="))
           .map(_.stripPrefix("batch=").toLong).toSet
+      // LEGACY-LAYOUT HEAL (r19 advice): levels written before r18
+      // are block-partitioned (state/batch=<b>/block=<k>/... with
+      // key+name data files); r18+ levels are flat files carrying
+      // block as a data column. Partition discovery throws
+      // ("conflicting directory structures") over a tree mixing the
+      // two depths, so resuming a pre-r18 gate would kill every
+      // whole-tree state read the moment this trigger commits its
+      // first flat level. Heal first: rewrite each legacy level flat
+      // — same rows, same schema — through a tmp tree OUTSIDE state/
+      // so no crash window leaves a mixed or missing level. Order
+      // per level: write stateheal/batch=<b> (overwrite, idempotent)
+      // → delete the legacy level → rename the healed level in. A
+      // replayed trigger finishes whichever window a crash left:
+      // uncommitted tmp (no _SUCCESS) → drop it, the legacy level is
+      // intact (deletion only ever follows a committed tmp) and the
+      // rewrite loop redoes it; committed tmp + legacy level → redo
+      // delete+rename; committed tmp + missing level → rename;
+      // committed tmp + flat level → drop the stale tmp. Listing is
+      // driver-side, one listStatus per committed level per trigger
+      // (the varstate heal's non-memoization rationale applies: a
+      // tree swapped out from under a running gate must be seen).
+      val healRoot = new org.apache.hadoop.fs.Path(s"$path/stateheal")
+      def isLegacy(b: Long): Boolean =
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/state/batch=$b"))
+          .exists(st => st.isDirectory &&
+            st.getPath.getName.startsWith("block="))
+      def finishHeal(b: Long): Unit = {
+        val lvl = new org.apache.hadoop.fs.Path(s"$path/state/batch=$b")
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/stateheal/batch=$b")
+        val committed = fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/stateheal/batch=$b/_SUCCESS"))
+        if (!committed) fs.delete(tmp, true)
+        else if (fs.exists(lvl) && !isLegacy(b)) fs.delete(tmp, true)
+        else {
+          if (fs.exists(lvl)) fs.delete(lvl, true)
+          fs.rename(tmp, lvl)
+        }
+      }
+      batchLevels(healRoot).foreach(finishHeal)
+      batchLevels(stateRoot).filter(isLegacy).foreach { b =>
+        s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "key LONG, name STRING, block LONG"))
+          .parquet(s"$path/state/batch=$b")
+          .select(col("key"), col("name"), col("block"))
+          .write.mode("overwrite").parquet(s"$path/stateheal/batch=$b")
+        finishHeal(b)
+      }
+      if (fs.exists(healRoot)) fs.delete(healRoot, true)
       // NOT memoized across triggers: the heal must notice a
       // varstate tree modified or deleted OUT FROM UNDER a running
       // gate (the legacy-migration spec pins exactly that), and a

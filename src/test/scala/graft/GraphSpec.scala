@@ -153,6 +153,41 @@ class GraphSpec extends SparkSpec {
     val got = Graph.linkPredict(pend, minCommon = 3)
       .select("a", "b", "cn").as[(Long, Long, Long)].collect()
     assert(got.toSeq == Seq((1L, 2L, 5L)))
+    // ID-TYPE totality (r18 advice): the gear probe's min/max pull
+    // must not assume LongType node ids — an IntegerType edge frame
+    // threw ClassCastException on getLong before the in-agg cast
+    val intIds = pend.select(col("a").cast("int").as("a"),
+      col("b").cast("int").as("b"))
+    // output ids ride as long (the packed-key gear unpacks to long);
+    // the point is totality — the probe's min/max pull must not
+    // assume LongType input (getLong threw on IntegerType pre-fix)
+    val gotInt = Graph.linkPredict(intIds, minCommon = 3)
+      .select("a", "b", "cn").as[(Long, Long, Long)].collect()
+    assert(gotInt.toSeq == Seq((1L, 2L, 5L)))
+  }
+
+  test("linkPredict plan construction is action-free after the first " +
+      "probe of the same edge frame (memoized gear gate)") {
+    // the probe (id range + wedge mass) is memoized per canonicalized
+    // plan, the hubGateMemo contract — a second linkPredict over the
+    // same frame must not launch jobs at plan-construction time.
+    // Both frames are constructed OUTSIDE the measured window (a
+    // fresh parquet read runs a 1-task schema-inference job that is
+    // Spark's, not the operator's).
+    val co = Graph.coEdges(
+      Tables.lineitem(spark, sf("sf0.001"))
+        .filter(col("l_partkey") % 10 === 0))
+    val co2 = Graph.coEdges(
+      Tables.lineitem(spark, sf("sf0.001"))
+        .filter(col("l_partkey") % 10 === 0))
+    Graph.linkPredict(co) // warms the memo (one bounded probe job)
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val plan = Graph.linkPredict(co2)
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"plan construction launched ${after - before} job(s)")
+    assert(plan.columns.nonEmpty) // the plan itself is intact
   }
 
   test("g06: hand-peeled k-core on planted graphs") {

@@ -342,6 +342,73 @@ class LinkageSpec extends SparkSpec
       Set("batch=0", "batch=1", "batch=2"))
   }
 
+  test("41s gate: a pre-r18 block-partitioned state tree heals to the " +
+      "flat layout on resume — alerts unchanged, whole tree readable") {
+    val b1 = Seq((1L, "mallory-shop", 1L), (10L, "acme-store", 2L))
+      .toDF("key", "name", "block")
+    val b2 = Seq((2L, "mallory-shoq", 1L)).toDF("key", "name", "block")
+    val b3 = Seq((11L, "acme-stores", 2L)).toDF("key", "name", "block")
+    def alerts(root: String) =
+      Linkage.readLinkageAlerts(spark, root)
+        .select("batch", "key", "match_key", "dist")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    def rm(p: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(conf).delete(path, true)
+    }
+    // reference: the uninterrupted flat gate
+    val ref = java.nio.file.Files.createTempDirectory("linkgate-flatref").toString
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      Linkage.linkageBatch(b, i.toLong, ref)
+    }
+    // legacy: run 0 and 1, then rewrite both committed levels the
+    // pre-r18 way — block=* subdirs, key+name-only data files —
+    // exactly what a pre-r18 gate left on disk (mixing that depth
+    // with one flat r18 level breaks whole-tree partition discovery)
+    val leg = java.nio.file.Files.createTempDirectory("linkgate-blk").toString
+    Linkage.linkageBatch(b1, 0L, leg)
+    Linkage.linkageBatch(b2, 1L, leg)
+    Seq(0L, 1L).foreach { b =>
+      val lvl = spark.read.parquet(s"$leg/state/batch=$b")
+        .select("key", "name", "block")
+        .as[(Long, String, Long)].collect().toSeq
+      rm(s"$leg/state/batch=$b")
+      lvl.toDF("key", "name", "block").write
+        .partitionBy("block").parquet(s"$leg/state/batch=$b")
+    }
+    // plus a junk UNCOMMITTED heal tmp (no _SUCCESS): the partial-
+    // write crash window — it must be dropped and the heal redone
+    val junk = new org.apache.hadoop.fs.Path(s"$leg/stateheal/batch=0/part-junk")
+    val fs = junk.getFileSystem(conf)
+    val out = fs.create(junk); out.write(1); out.close()
+    // resuming the gate heals first, then alerts as if never migrated
+    Linkage.linkageBatch(b3, 2L, leg)
+    assert(alerts(leg) == alerts(ref))
+    assert(alerts(leg).exists { case (batch, key, mk, _) =>
+      batch == 2L && key == 11L && mk == 10L })
+    // the healed tree is uniformly flat: the whole-tree schema'd read
+    // works (this very read threw "conflicting directory structures"
+    // pre-heal), row set preserved, no block=* subdirs anywhere, and
+    // the heal scratch is gone
+    val state = spark.read.parquet(s"$leg/state")
+    assert(state.select("key", "name", "block").as[(Long, String, Long)]
+      .collect().toSet ==
+      spark.read.parquet(s"$ref/state")
+        .select("key", "name", "block").as[(Long, String, Long)]
+        .collect().toSet)
+    val stateRoot = new org.apache.hadoop.fs.Path(s"$leg/state")
+    fs.listStatus(stateRoot).filter(_.isDirectory).foreach { lvl =>
+      assert(!fs.listStatus(lvl.getPath).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("block=")),
+        s"${lvl.getPath} still block-partitioned")
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$leg/stateheal")))
+    // replaying the trigger on the healed tree is a no-op heal
+    Linkage.linkageBatch(b3, 2L, leg)
+    assert(alerts(leg) == alerts(ref))
+  }
+
   test("41s gate: a re-registered key never matches its own earlier " +
       "version, identically on both probe gears") {
     // key 1 registers in batch 0 and RE-registers with a 1-edit name
