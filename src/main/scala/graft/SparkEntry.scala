@@ -389,5 +389,5 @@ object SparkEntry {
       operators.Linkage.oracles ++ operators.FraudPipeline.oracles ++
       operators.VectorIndex.oracles ++ operators.QuantileSketch.oracles ++
       multimodal.Binary.oracles ++
-      streaming.Alerts.oracles
+      streaming.Alerts.oracles ++ ml.FraudModel.oracles
 }

@@ -246,8 +246,9 @@ object Fraud {
   }
 
   /** Shared SQL CTE prologue computing the f04 signal table (also
-    * reused by the Histogram panel oracles). */
-  private[operators] val f04Ctes: String =
+    * reused by the Histogram panel oracles and the ml01b serving
+    * twin). */
+  private[graft] val f04Ctes: String =
     """WITH s1 AS (SELECT p_type, p_size,
            CAST(sum(CAST(p_retailprice AS DECIMAL(25,4))) AS DOUBLE)/count(*) AS s1_mean,
            sqrt(greatest(CAST(sum(CAST(p_retailprice*p_retailprice AS DECIMAL(25,4))) AS DOUBLE)
