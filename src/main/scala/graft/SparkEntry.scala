@@ -84,6 +84,11 @@ object SparkEntry {
     // worst documented input, under a guard ceiling
     "g05_link_predict_full" -> ((s, dir) =>
       operators.Graph.g05Full(s, dir)),
+    // one fresh graph-mart build + artifact read-back: the
+    // denominator of the staged-vs-in-plan graph family comparison
+    // (the staged faces themselves read a benchSetup-prebuilt mart)
+    "g08_graph_mart_build" -> ((s, dir) =>
+      operators.Graph.g08MartBuild(s, dir)),
     // c10's composition in the 100 TB posture: the pre-stage output
     // materialized to storage (no text-bearing cache) — sorts right
     // after c10_clean_full so the pair reads as a twin comparison
@@ -303,7 +308,19 @@ object SparkEntry {
     }),
     "st08b_trickle_probe" -> ((s, dir) => trickleSeed(s, dir, "trickleshuf")),
     "st08b_trickle_probe_bcast" -> ((s, dir) =>
-      trickleSeed(s, dir, "tricklebc")))
+      trickleSeed(s, dir, "tricklebc")),
+    // staged graph faces read a prebuilt mart: the build is
+    // g08_graph_mart_build's measurement, not theirs
+    "g03_pagerank_staged" -> ((s, dir) =>
+      { operators.Graph.ensureGraphMart(s, dir); () }),
+    "g04_triangles_staged" -> ((s, dir) =>
+      { operators.Graph.ensureGraphMart(s, dir); () }),
+    "g06_kcore_staged" -> ((s, dir) =>
+      { operators.Graph.ensureGraphMart(s, dir); () }),
+    "g07_census_staged" -> ((s, dir) =>
+      { operators.Graph.ensureGraphMart(s, dir); () }),
+    "f34_propagation_staged" -> ((s, dir) =>
+      { operators.Graph.ensureGraphMart(s, dir); () }))
 
   /** (key, name, block) registration records for the trickle pair. */
   private def trickleRecs(s: SparkSession, dir: String): DataFrame = {
@@ -359,7 +376,10 @@ object SparkEntry {
     "fp01_fraud_pipeline",
     // r18: plan CONSTRUCTION trains the LR model (L-BFGS jobs) — no
     // cheap plan to print, and Explain must not launch a fit
-    "ml01_rule_distill", "ml02_quality_distill")
+    "ml01_rule_distill", "ml02_quality_distill",
+    // r19: construction ensures (first call: builds) the graph mart
+    "g03_pagerank_staged", "g04_triangles_staged", "g06_kcore_staged",
+    "g07_census_staged", "f34_propagation_staged", "g08_graph_mart_build")
 
   /** Bench scratch — see [[PidScratch]] for the lifecycle contract. */
   private object GateScratch {

@@ -350,12 +350,16 @@ object Graph {
     * identical rows — the per-node output is orientation-invariant
     * (spec-pinned). */
   def triangles(edges: DataFrame,
-      degreeOrdered: Option[Boolean] = None): DataFrame = {
+      degreeOrdered: Option[Boolean] = None,
+      degIn: Option[DataFrame] = None): DataFrame = {
     val e0 = edges.transform(graft.CacheRegistry.register)
     // the per-node degree frame is needed for the OUTPUT regardless;
     // caching it makes the gate read and the orientation joins free
-    // riders on work the operator already does
-    val deg = degrees(e0).transform(graft.CacheRegistry.register)
+    // riders on work the operator already does. A mart-served caller
+    // passes the materialized degree frame (degIn) and skips the
+    // edge-frame degree shuffle entirely.
+    val deg = degIn.getOrElse(degrees(e0))
+      .transform(graft.CacheRegistry.register)
     val orient = degreeOrdered.getOrElse {
       if (hubGateMemo.size > 64) hubGateMemo.clear()
       hubGateMemo.getOrElseUpdate(
@@ -870,8 +874,9 @@ object Graph {
     * n_edges, max_degree, n_wedges, n_triangles, gcc). Nodes are the
     * edge-incident ones (an isolated vertex has no edge row — the
     * g04 convention). */
-  def graphCensus(edges: DataFrame): DataFrame =
-    triangles(edges)
+  def graphCensus(edges: DataFrame,
+      degIn: Option[DataFrame] = None): DataFrame =
+    triangles(edges, degIn = degIn)
       // integral DIV, not `/` (the packSequences lesson): Column `/`
       // routes long sums through a double, which loses exactness past
       // ~2^52 — reachable for Σ deg·(deg−1) on a hub-skewed TB graph
@@ -903,13 +908,101 @@ object Graph {
            CAST(sum(n_triangles) // 3 AS BIGINT) AS n_triangles
          FROM t)"""
 
+  // ---------------------------------------------------------------
+  // GRAPH MART (r18 verdict item 2 — the c10_clean_staged posture
+  // applied to graphs): every in-plan graph face rebuilds the
+  // co-purchase edge frame from lineitem (self-join + two distincts,
+  // the single most expensive shared subtree of the family); a
+  // production pipeline builds the symmetric edge + degree frames
+  // ONCE and serves census / triangles / k-core / PageRank /
+  // propagation off the artifact. The mart is two narrow parquet
+  // frames — edges (a, b: a<b undirected, distinct) and degrees
+  // (node, degree) — and the staged twins are ORACLE faces sharing
+  // the in-plan faces' SQL (the d12/s15 "the artifact changes
+  // nothing" convention): bit-identical output is the contract, the
+  // skipped rebuild is the bench delta. At 100 TB the mart is the
+  // only posture that works at all: nobody re-derives a trillion-row
+  // edge list five times a day.
+  // ---------------------------------------------------------------
+
+  /** Materialize the co-purchase graph mart from ONE cached
+    * co-purchase join: `martDir/edges` + `martDir/degrees`. */
+  def writeGraphMart(s: SparkSession, dir: String, martDir: String): Unit =
+    graft.CacheRegistry.scoped {
+      val e = coEdges(Tables.lineitem(s, dir))
+        .transform(graft.CacheRegistry.register)
+      e.write.mode("overwrite").parquet(s"$martDir/edges")
+      degrees(e).write.mode("overwrite").parquet(s"$martDir/degrees")
+    }
+
+  def martEdges(s: SparkSession, martDir: String): DataFrame =
+    s.read.parquet(s"$martDir/edges")
+  def martDegrees(s: SparkSession, martDir: String): DataFrame =
+    s.read.parquet(s"$martDir/degrees")
+
+  /** Build-once ensure per (pid, sf dir): the first staged face of a
+    * session builds the mart (write commit marker = degrees/_SUCCESS,
+    * the edges level is written first), every later one reads. The
+    * lock covers concurrent suite threads; cross-pid hygiene is
+    * PidScratch's dead-pid sweep. Bench charges the build to
+    * g08_graph_mart_build via the untimed benchSetup hook on the
+    * staged faces. */
+  private val martLock = new Object
+  def ensureGraphMart(s: SparkSession, dir: String): String =
+    martLock.synchronized {
+      val tag = "mart-" + dir.replaceAll("[^A-Za-z0-9.-]", "_")
+      val root = graft.PidScratch.path("graft-graphmart", tag)
+      val marker = new org.apache.hadoop.fs.Path(s"$root/degrees/_SUCCESS")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker))
+        writeGraphMart(s, dir, graft.PidScratch.fresh(s, "graft-graphmart", tag))
+      root
+    }
+
+  def g03Staged(s: SparkSession, dir: String): DataFrame =
+    pagerank(martEdges(s, ensureGraphMart(s, dir)))
+
+  def g04Staged(s: SparkSession, dir: String): DataFrame = {
+    val m = ensureGraphMart(s, dir)
+    triangles(martEdges(s, m), degIn = Some(martDegrees(s, m)))
+  }
+
+  def g06Staged(s: SparkSession, dir: String): DataFrame =
+    kcore(martEdges(s, ensureGraphMart(s, dir)), maxIter = KcoreUnroll)
+
+  def g07Staged(s: SparkSession, dir: String): DataFrame = {
+    val m = ensureGraphMart(s, dir)
+    graphCensus(martEdges(s, m), Some(martDegrees(s, m)))
+  }
+
+  def f34Staged(s: SparkSession, dir: String): DataFrame =
+    personalizedPagerank(martEdges(s, ensureGraphMart(s, dir)),
+      Fraud.f21(s, dir).select(col("item_id").as("node")))
+
+  /** Bench face: ONE fresh mart build + a full artifact read-back —
+    * the cost a production pipeline pays once per graph refresh,
+    * measured so the staged-vs-in-plan delta has its denominator. */
+  def g08MartBuild(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.PidScratch.fresh(s, "graft-graphmart",
+      "build-" + dir.replaceAll("[^A-Za-z0-9.-]", "_"))
+    writeGraphMart(s, dir, root)
+    martEdges(s, root)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g03_pagerank" -> (g03 _),
     "g04_triangles" -> (g04 _),
     "g05_link_predict" -> (g05 _),
     "g06_kcore" -> (g06 _),
     "g07_graph_census" -> (g07 _),
-    "f34_risk_propagation" -> (f34 _))
+    "f34_risk_propagation" -> (f34 _),
+    // mart-served staged twins: same output, same oracle, the
+    // lineitem rebuild replaced by the artifact read
+    "g03_pagerank_staged" -> (g03Staged _),
+    "g04_triangles_staged" -> (g04Staged _),
+    "g06_kcore_staged" -> (g06Staged _),
+    "g07_census_staged" -> (g07Staged _),
+    "f34_propagation_staged" -> (f34Staged _))
 
   val oracles: Map[String, String] = Map(
     "g03_pagerank" -> g03Sql,
@@ -917,5 +1010,10 @@ object Graph {
     "g05_link_predict" -> g05Sql,
     "g06_kcore" -> g06Sql,
     "g07_graph_census" -> g07Sql,
-    "f34_risk_propagation" -> f34Sql)
+    "f34_risk_propagation" -> f34Sql,
+    "g03_pagerank_staged" -> g03Sql,
+    "g04_triangles_staged" -> g04Sql,
+    "g06_kcore_staged" -> g06Sql,
+    "g07_census_staged" -> g07Sql,
+    "f34_propagation_staged" -> f34Sql)
 }
