@@ -316,25 +316,118 @@ object Dedup {
     .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
       GearCensus]
 
+  // ---------------------------------------------------------------
+  // Persistent census cache (r18 verdict item 4): the census verdict
+  // is a per-CORPUS fact, not a per-session one — the in-JVM memo
+  // above amortizes it within a session, but every fresh JVM (the
+  // isolated-bench posture; a new job on the same corpus) paid the
+  // shingle-census job once per routed composition (~1-2 s at
+  // sf0.1). The verdict now persists beside the session tmp as a
+  // tiny text artifact (the RiskEngine model-metadata pattern: masses
+  // + cap + corpus fingerprint), keyed by the md5 of the CANONICALIZED
+  // input plan (alias-invariant, path-bearing, JVM-stable text) and
+  // guarded by the corpus's input-file list + max mtime — any file
+  // added, removed, or rewritten invalidates the entry and the live
+  // census recounts and rewrites it. In-memory corpora (no input
+  // files) and any read/write failure fall back to the live census;
+  // the artifact is a pure cache, never a correctness input beyond
+  // the route itself. Validity probing is one driver-side
+  // getFileStatus per input file — bounded by the corpus's file
+  // count (a production deployment would key on a table version
+  // instead).
+  // ---------------------------------------------------------------
+
+  private def censusRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-gearcensus"
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** (artifact path, files fingerprint, max mtime) — None for
+    * corpora with no file inputs. */
+  private def censusKey(docs: DataFrame, cap: Int)
+      : Option[(org.apache.hadoop.fs.Path, String, Long)] = {
+    val files = docs.inputFiles.sorted
+    if (files.isEmpty) None
+    else scala.util.Try {
+      val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+      val mtime = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getModificationTime
+      }.max
+      val key = md5hex(
+        docs.queryExecution.analyzed.canonicalized.treeString + " " + cap)
+      (new org.apache.hadoop.fs.Path(s"$censusRoot/$key.census"),
+        md5hex(files.mkString("\n")), mtime)
+    }.toOption
+  }
+
+  private def readPersistedCensus(s: org.apache.spark.sql.SparkSession,
+      p: org.apache.hadoop.fs.Path, filesHash: String,
+      mtime: Long): Option[GearCensus] =
+    scala.util.Try {
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val kv = txt.linesIterator.map(_.split("=", 2))
+          .collect { case Array(k, v) => k -> v }.toMap
+        if (kv.get("files").contains(filesHash) &&
+            kv.get("mtime").contains(mtime.toString))
+          Some(GearCensus(kv("total").toDouble, kv("hot").toDouble))
+        else None // stale (corpus changed) or torn — live recount
+      }
+    }.toOption.flatten
+
+  private def writePersistedCensus(s: org.apache.spark.sql.SparkSession,
+      p: org.apache.hadoop.fs.Path, filesHash: String, mtime: Long,
+      c: GearCensus): Unit =
+    scala.util.Try { // cache write failure must never fail the operator
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(
+        (s"total=${java.lang.Double.toString(c.totalPairMass)}\n" +
+          s"hot=${java.lang.Double.toString(c.hotPairMass)}\n" +
+          s"files=$filesHash\nmtime=$mtime\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+
   /** One bounded-pull census aggregate over the corpus's shingle
     * frame, memoized per (canonicalized input plan, cap) — hotPairMass
-    * depends on the cap, so a different cap must recount. */
+    * depends on the cap, so a different cap must recount — and
+    * persisted across JVMs (see the cache block above). */
   def gearCensus(docs: DataFrame, cap: Int = DefaultMaxDf): GearCensus = {
     if (gearCensusMemo.size > 64) gearCensusMemo.clear()
     gearCensusMemo.getOrElseUpdate(
       (docs.queryExecution.analyzed.canonicalized, cap), {
-        val mass = col("df").cast("double") * (col("df") - 1) / 2
-        val r = graft.CacheRegistry.scoped {
-          shingleFrame(docs)
-            .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-            .agg(sum(mass), sum(when(col("df") > cap, mass).otherwise(0.0)))
-            .head()
+        val key = censusKey(docs, cap)
+        val persisted = key.flatMap { case (p, fh, mt) =>
+          readPersistedCensus(docs.sparkSession, p, fh, mt) }
+        persisted.getOrElse {
+          val mass = col("df").cast("double") * (col("df") - 1) / 2
+          val r = graft.CacheRegistry.scoped {
+            shingleFrame(docs)
+              .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+              .agg(sum(mass), sum(when(col("df") > cap, mass).otherwise(0.0)))
+              .head()
+          }
+          val c = GearCensus(
+            if (r.isNullAt(0)) 0.0 else r.getDouble(0),
+            if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+          key.foreach { case (p, fh, mt) =>
+            writePersistedCensus(docs.sparkSession, p, fh, mt, c) }
+          c
         }
-        GearCensus(
-          if (r.isNullAt(0)) 0.0 else r.getDouble(0),
-          if (r.isNullAt(1)) 0.0 else r.getDouble(1))
       })
   }
+
+  /** Test hook: drop the in-JVM memo so a spec can exercise the
+    * persisted-artifact path within one JVM. */
+  private[graft] def resetGearCensusMemo(): Unit = gearCensusMemo.clear()
 
   /** The routing rule alone — spec-pinned on the committed corpora's
     * censuses and on the mechanism's boundaries. */
