@@ -240,7 +240,22 @@ object BenchSf1 {
       // over the 10-copy graph
       "f04_risk_score", "f12_score_items", "q20_copurchase",
       "q28_top_paths", "s06_bm25", "f34_risk_propagation",
-      "g05_link_predict")
+      "g05_link_predict",
+      // r19 (r18 verdict item 3): the end-to-end fraud-pipeline
+      // composition at 10x — the reference's whole run_pipeline.sh is
+      // this chain, so it's the headline a user scales first. fp01
+      // times the full chain INCLUDING the NDJSON land+re-read hop;
+      // fp02 is the oracle-expressible f01→f03→f04→f05 subchain as
+      // one plan. The per-stage attribution is graft.PipeProfile's
+      // measurement (quoted in SURVEY §7), not a face.
+      "fp01_fraud_pipeline", "fp02_pipeline_core",
+      // r19 (r18 verdict item 2): the graph mart at 10x — one fresh
+      // edge/degree build (the per-refresh cost) and the two biggest
+      // staged-vs-in-plan deltas served from it (their in-plan twins
+      // g03/g04 are already above; benchSetup prebuilds the mart so
+      // the staged faces time the serve, not the build)
+      "g08_graph_mart_build", "g03_pagerank_staged",
+      "g04_triangles_staged")
     val benched = SparkEntry.queries ++ SparkEntry.benchOnly
     // Cap-sizing probe for the d02 super-linear reading. The naive
     // remedy — tighten the cap so the grown posting lists fall to
