@@ -792,6 +792,11 @@ def main() -> int:
         return 0
     queries = dump["queries"]
     bad = []
+    # per-face headroom (reading/ceiling) + the sweep-level histogram
+    # below give every re-floor pass an audit trail: ceiling creep is
+    # visible in review instead of hiding in per-bar comments
+    # (r18 verdict item 6). Reporting only — exit codes unchanged.
+    util = []
     for face, ceiling in CEILINGS.items():
         got = queries.get(face)
         if got is None:
@@ -800,7 +805,10 @@ def main() -> int:
             bad.append((face, got, ceiling))
             print(f"FAIL {face}: {got:.2f} s > ceiling {ceiling} s")
         else:
-            print(f"ok   {face}: {got:.2f} s <= {ceiling} s")
+            u = got / ceiling
+            util.append(u)
+            print(f"ok   {face}: {got:.2f} s <= {ceiling} s "
+                  f"({u:.0%} of bar)")
     for (num, den), floor in RATIO_FLOORS.items():
         n, d = queries.get(num), queries.get(den)
         if n is None or d is None:
@@ -811,6 +819,16 @@ def main() -> int:
                   f"{(n / d if d > 0 else float('nan')):.2f}x < floor {floor}x")
         else:
             print(f"ok   {num}/{den}: {n / d:.2f}x >= {floor}x")
+    if util:
+        s = sorted(util)
+        med = s[len(s) // 2]
+        buckets = [0] * 10
+        for u in util:
+            buckets[min(int(u * 10), 9)] += 1
+        hist = "  ".join(f"{i * 10}-{(i + 1) * 10}%:{n}"
+                         for i, n in enumerate(buckets) if n)
+        print(f"HEADROOM median utilization {med:.0%} of ceiling over "
+              f"{len(util)} green faces; histogram {hist}")
     return 1 if bad else 0
 
 if __name__ == "__main__":
