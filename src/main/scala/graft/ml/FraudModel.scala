@@ -91,11 +91,11 @@ object FraudModel {
     * hazard). Whole-stage-codegen arithmetic, no vector UDF, no ML
     * runtime on the serving path. */
   def scoreCore(feat: DataFrame, intercept: Double,
-      coefs: Seq[(String, Double)]): DataFrame = {
+      coefs: Seq[(String, Double)], idCol: String = "p_partkey"): DataFrame = {
     val margin = coefs.foldLeft(lit(intercept)) {
       case (acc, (f, c)) => acc + lit(c) * col(f)
     }
-    feat.select(col("p_partkey"), col("label").cast("int").as("label"),
+    feat.select(col(idCol), col("label").cast("int").as("label"),
       when(margin > 0.0, 1).otherwise(0).as("prediction"),
       margin.as("margin"))
   }
@@ -134,13 +134,19 @@ object FraudModel {
     * conversion is not guaranteed correctly rounded at 17
     * significant digits — CAST('…' AS DOUBLE) is strtod on both
     * engines, exact by round-trip. */
-  private def dlit(d: Double): String =
+  private[ml] def dlit(d: Double): String =
     s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
 
-  private val ml01bSql: String = {
-    val margin = Ml01Coefs.foldLeft(dlit(Ml01Intercept)) {
+  /** The margin as SQL text — the same left-associated chain
+    * [[scoreCore]] builds as Columns. */
+  private[ml] def marginSql(intercept: Double,
+      coefs: Seq[(String, Double)]): String =
+    coefs.foldLeft(dlit(intercept)) {
       case (acc, (f, c)) => s"$acc + ${dlit(c)} * $f"
     }
+
+  private val ml01bSql: String = {
+    val margin = marginSql(Ml01Intercept, Ml01Coefs)
     s"""${Fraud.f04Ctes},
        feat AS (SELECT r.p_partkey,
            r.composite_z,
@@ -160,7 +166,8 @@ object FraudModel {
   }
 
   val oracles: Map[String, String] = Map(
-    "ml01b_score_core" -> ml01bSql)
+    "ml01b_score_core" -> ml01bSql,
+    "ml02b_score_core" -> QualityModel.ml02bSql)
 
   /** Driver faces (rows-only by design — L-BFGS is deterministic up
     * to float-reduction order, so per-item predictions near the
@@ -176,5 +183,7 @@ object FraudModel {
     "ml02_quality_distill" -> ((s: SparkSession, dir: String) =>
       QualityModel.trainAndScore(s, dir)
         .select(col("doc_id"), col("label"), col("prediction"))),
-    "ml01b_score_core" -> (ml01bScoreCore _))
+    "ml01b_score_core" -> (ml01bScoreCore _),
+    "ml02b_score_core" -> ((s: SparkSession, dir: String) =>
+      QualityModel.ml02bScoreCore(s, dir)))
 }

@@ -65,4 +65,34 @@ object QualityModel {
       .select(col("doc_id"), col("label"), col("prediction"),
         col("probability"))
   }
+
+  /** Pinned serving model (the ml01b pattern — see
+    * [[FraudModel.Ml01Coefs]] for the full rationale): ONE
+    * deterministic fit of [[pipeline]] on the sf0.01 feature frame,
+    * shipped as source literals; QualityModelSpec gates honesty
+    * (pinned-margin AUC) and provenance (a re-fit reproduces the
+    * literals). Feature order IS the VectorAssembler order. */
+  val Ml02Intercept: Double = 1.9792983058706906
+  val Ml02Coefs: Seq[(String, Double)] = Seq(
+    "n_chars" -> 0.0044456573838341585,
+    "ntok" -> 0.02175240904669952,
+    "top1_frac" -> -21.168053740383634,
+    "top2_frac" -> -15.032756981583955,
+    "dup3_frac" -> -4.017496382765778)
+
+  /** The ml02b oracle face: pinned-model serving over the quality
+    * feature frame — (doc_id, label, prediction, margin). */
+  def ml02bScoreCore(s: SparkSession, dir: String): DataFrame =
+    FraudModel.scoreCore(features(s, dir), Ml02Intercept, Ml02Coefs,
+      idCol = "doc_id")
+
+  val ml02bSql: String = {
+    val margin = FraudModel.marginSql(Ml02Intercept, Ml02Coefs)
+    s"""WITH ${graft.operators.TextOps.qualityFeatureCtes},
+       m AS (SELECT doc_id, label, $margin AS margin FROM qfeat)
+       SELECT doc_id, label,
+              CASE WHEN margin > 0.0 THEN 1 ELSE 0 END AS prediction,
+              margin
+       FROM m"""
+  }
 }

@@ -258,6 +258,37 @@ object TextOps {
        SELECT doc_id, ntok, top1_frac, top2_frac, dup3_frac, repetitive
        FROM rep"""
 
+  /** The quality-model feature frame as CTE text (the ml02b serving
+    * twin's oracle input): repetition corpus → lang/quality scoring +
+    * repetition metrics, joined into `qfeat(doc_id, n_chars, ntok,
+    * top1_frac, top2_frac, dup3_frac, label)` — exactly
+    * ml.QualityModel.features' columns, built from the same shared
+    * fragments the t01/t02/t05/c01 oracles replay hash-exact. */
+  private[graft] def qualityFeatureCtes: String = {
+    val m = StopwordSets.toMap
+    raw"""qsrc AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN rtrim(repeat('$RepeatPhrase ', $RepeatCount))
+                  ELSE text END AS text FROM documents),
+       ${repetitionCtes("qsrc")},
+       qd0 AS (SELECT doc_id, text, lower(text) AS t, len(text) AS nc FROM qsrc),
+       qhits AS (SELECT *, ${sqlHits(m("en"))} AS s_en, ${sqlHits(m("es"))} AS s_es,
+                ${sqlHits(m("de"))} AS s_de, ${sqlHits(m("fr"))} AS s_fr,
+                regexp_matches(t, '$HanRange') AS han,
+                $sqlNw AS nw,
+                len(regexp_extract_all(t, '${stopwordRegex(QualityStopwords)}')) AS sh,
+                len(regexp_extract_all(t, '[^a-z0-9\s]')) AS pc
+                FROM qd0),
+       qscored AS (SELECT doc_id, nc, $sqlPredLang AS pred_lang,
+                     $sqlQuality AS quality FROM qhits),
+       qfeat AS (SELECT s.doc_id,
+           CAST(s.nc AS DOUBLE) AS n_chars,
+           CAST(r.ntok AS DOUBLE) AS ntok,
+           r.top1_frac, r.top2_frac, r.dup3_frac,
+           CASE WHEN s.pred_lang <> 'und' AND s.quality >= ${Corpus.MinQuality}
+                     AND r.repetitive = 0 THEN 1 ELSE 0 END AS label
+         FROM qscored s JOIN rep r ON s.doc_id = r.doc_id)"""
+  }
+
   // ---------------------------------------------------------------
   // t06: Unicode normalization pass — the canonical first stage of a
   // web-scale text pipeline (before fingerprinting/dedup, so that

@@ -30,6 +30,39 @@ class QualityModelSpec extends SparkSpec {
       "a phrase-repeat degenerate was scored as keepable")
   }
 
+  test("pinned serving model (ml02b) is honest and IS a fit of this " +
+      "pipeline") {
+    val f = QualityModel.features(spark, sf("sf0.01"))
+    // honesty: the shipped literals still rank gate-positives above
+    // negatives, and price every planted degenerate low
+    val scored = graft.ml.FraudModel.scoreCore(f,
+      QualityModel.Ml02Intercept, QualityModel.Ml02Coefs, idCol = "doc_id")
+    val auc = new BinaryClassificationEvaluator()
+      .setRawPredictionCol("raw").setLabelCol("label")
+      .evaluate(scored.select(col("label").cast("double").as("label"),
+        col("margin").as("raw")))
+    assert(auc > 0.95, s"pinned-model AUC $auc — artifact gone stale?")
+    assert(scored.filter(col("doc_id") % 7 === 0 &&
+      col("prediction") === 1).count() == 0,
+      "a phrase-repeat degenerate was scored keepable by the pinned model")
+    // provenance: a re-fit on the same frame reproduces the literals
+    // to float-reduction noise — the quality features flow through a
+    // shuffle, so the L-BFGS gradient tree-aggregation order (and the
+    // last ~2 ulps of each coefficient) depends on the session's
+    // partition layout; 1e-12 relative still proves the literals are
+    // a genuine fit of THIS pipeline, not folklore (ml01's fit is
+    // shuffle-free and pins exact — see FraudModelSpec)
+    val lr = QualityModel.pipeline().fit(f).stages(1)
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    def close(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-12 * math.max(math.abs(a), math.abs(b))
+    assert(close(lr.intercept, QualityModel.Ml02Intercept),
+      s"intercept ${lr.intercept} vs pinned ${QualityModel.Ml02Intercept}")
+    lr.coefficients.toArray.zip(QualityModel.Ml02Coefs.map(_._2))
+      .foreach { case (got, want) =>
+        assert(close(got, want), s"coefficient $got vs pinned $want") }
+  }
+
   test("quality model is deterministic across runs") {
     val a = QualityModel.trainAndScore(spark, sf("sf0.001"))
       .select("doc_id", "prediction")
