@@ -143,24 +143,19 @@ object Graph {
     * from r(K-1), Iters times; all arithmetic BIGINT (DuckDB's sum()
     * widens to HUGEINT — cast back). Expects `sym` (src, dst,
     * outdeg), `nodes` (node, jump, …), `r0` (node, rank_e12). */
-  // `materialized` (r19, g03 only): each round's frame is
-  // node-bounded (~|V| rows), but left un-materialized DuckDB plans
-  // the 12 unrolled rounds as ONE deep join pipeline whose concurrent
-  // stages spilled >79 GB of temp at the sf1-replica scale (the sf1
-  // spot-oracle run); materializing pins per-round evaluation —
-  // semantics-neutral, bit-identical at every SF. f34 keeps the plain
-  // form: its seed CTEs carry correlated IN-subqueries that DuckDB's
-  // binder mis-resolves when the downstream rounds are materialized
-  // ("Referenced column rn not found").
-  private def iterCtes(materialized: Boolean = false): String = {
-    val m = if (materialized) " MATERIALIZED" else ""
-    (1 to Iters).map { k =>
-      s"""c$k AS$m (SELECT s.dst, CAST(sum(r.rank_e12 // s.outdeg) AS BIGINT) AS sumc
+  // The unrolled-fixpoint replay is an sf0.01/sf0.1 oracle
+  // instrument: at the sf1 replica (24M-row sym × Iters rounds)
+  // DuckDB's evaluation of the chain spills past this host's disk —
+  // measured r19, with and without MATERIALIZED round hints — so the
+  // sf1 spot-oracle covers the iterative family through q28's window
+  // chains instead; the Spark side serves g03 at sf1 in ~12 s (the
+  // mart-staged face).
+  private val iterCtes: String = (1 to Iters).map { k =>
+    s"""c$k AS (SELECT s.dst, CAST(sum(r.rank_e12 // s.outdeg) AS BIGINT) AS sumc
              FROM sym s JOIN r${k - 1} r ON s.src = r.node GROUP BY 1),
-       r$k AS$m (SELECT b.node, b.jump + (coalesce(c$k.sumc, 0) * $DampingNum) // $DampingDen AS rank_e12
+       r$k AS (SELECT b.node, b.jump + (coalesce(c$k.sumc, 0) * $DampingNum) // $DampingDen AS rank_e12
              FROM nodes b LEFT JOIN c$k ON b.node = c$k.dst)"""
-    }.mkString(",\n       ")
-  }
+  }.mkString(",\n       ")
 
   /** co-purchase graph CTEs (li → e → sym0 → sym) shared verbatim by
     * g03Sql and f34Sql — the SQL twin of coEdges + symWithOutdeg. */
@@ -182,7 +177,7 @@ object Graph {
                    $jumpNum // n AS jump, $Scale // n AS r0
                  FROM sym0, nn),
        r0 AS (SELECT node, r0 AS rank_e12 FROM nodes),
-       ${iterCtes(materialized = true)}
+       $iterCtes
        SELECT deg.node, deg.outdeg, CAST(r.rank_e12 AS BIGINT) AS rank_e12
        FROM (SELECT DISTINCT src AS node, outdeg FROM sym) deg
        JOIN r$Iters r ON deg.node = r.node"""
@@ -264,7 +259,7 @@ object Graph {
                         THEN $Scale // ns ELSE 0 END AS r0
                  FROM (SELECT DISTINCT src AS node FROM sym0) g, ns),
        r0 AS (SELECT node, r0 AS rank_e12 FROM nodes),
-       ${iterCtes()}
+       $iterCtes
        SELECT deg.node, n.is_seed, deg.outdeg,
          CAST(r.rank_e12 AS BIGINT) AS rank_e12
        FROM (SELECT DISTINCT src AS node, outdeg FROM sym) deg
