@@ -14,6 +14,33 @@ Usage: python3 tools/bench_guard.py [target/bench.json]
        python3 tools/bench_guard.py --isolated [target/bench_isolated.json]
 Exit 1 if any ceiling is exceeded.
 
+R19 RE-DERIVATION (r18 verdict item 1 — the guard re-derived DOWN):
+after r18's two degraded-host re-floor passes left median utilization
+at 38% with many bars unable to catch a 1.5-2x regression, EVERY
+ceiling was regenerated from scratch (tools/refloor.py) off a fresh
+quiet-host back-to-back pair on the r19 build host (212 faces,
+505.5/446.3 s totals, 0 failures, same code both runs): ceiling =
+rule(worse-of-pair) with the unchanged churn-safe rule (1.7v+0.8
+below 10 s, 1.5v+1.0 above), per-face provenance in each bar comment
+(both readings quoted). The verdict's named slack faces came down
+q04_top_n 2.8 -> 2.1 (honest 0.61-0.75), st02_gate_trigger
+20.8 -> 17.5, g07_graph_census 24.0 -> 17.3. Five faces are NOT
+rule-derived, each annotated in place: the three r17/r18 driver-red
+faces keep their driver-band bars (g05_link_predict_full 98.2,
+st08_linkage_gate 16.6, st08b_trickle_probe 31.5 — quiet-host
+readings sit at 13-21% of those by design), and
+ml02_quality_distill/fp01_fraud_pipeline retain their r18
+driver-proven bars (both are host-sensitive — an L-BFGS fit and an
+NDJSON land+read hop — and the driver's own r18 readings for them are
+unparseable from the BENCH_r18 tail, so a rule cut would gamble on
+the driver host). Guard exit 0 on both sweeps of the pair with median
+utilization 41%/36% and max 70% — the sub-50% median is the rule
+floor itself, not slack: faces under ~2.7 s carry the +0.8 churn
+constant (sub-second faces swing 2x run-to-run, the r16 measurement),
+so their bars are structurally >2x their readings while every face
+over ~5 s now sits at 55-67% of its bar. The g04 hub-skew ratio floor
+adjudication is recorded at the floor's comment.
+
 R17 RE-FLOOR: every ceiling was mechanically re-checked against
 BENCH_FULL_r17.json (the r17 worse-of-two committed sweep) and raised
 to the churn-safe floor (1.7v+0.8 for v < 10 s, 1.5v+1.0 above) where
@@ -149,534 +176,219 @@ ISOLATED_SLACK = 0.3   # + seconds (fresh-JVM JIT jitter on sub-second faces)
 # (2.4-2.5 s) and any doc-family structural regression while leaving
 # room for ordinary run-to-run variance.
 CEILINGS = {
-    "f19_risk_heatmap": 4.5,       # steady ~1.7 s (r9 1.34, r12 1.70)
-    "f20_risk_distribution": 3.9,  # steady ~0.9-1.1 s
-    "c01_corpus_clean": 10.7,       # steady ~4.4-4.8 s (r12 full-run 4.44)
-    "f17_stats_merge": 6.5,        # steady ~2.2 s (r12 full-run 2.20)
-    "d06_dedup_clusters": 12.3,    # committed 5.42 s (post pointer-
-                                   # doubling + skew-safe jump lookup:
-                                   # +1 distinct+join per CC round;
-                                   # r12-r16 pre-change band 4.5-4.7)
-                                   # — 1.7x + 0.8 of the committed
-                                   # reading
-    "d08_decontaminate": 4.5,      # steady ~1.8 s (r12 full-run 1.77)
-    "t05_repetition": 7.4,         # honest 3.8 s full-run r16 (metric
-                                   # columns now materialized). The bar
-                                   # exists to catch the unstaged-HOF
-                                   # formulation (28.8 s, r13) — 5.3
-                                   # still catches it by 5x.
-    # r13 faces — ceilings ~1.5x the first two clean full-run readings
-    "s06_bm25": 3.6,               # steady ~1.4-1.5 s
-    "s07_fuzzy_match": 3.9,        # isolated 1.70 s quiet-host r15;
-                                   # r13-r14 driver swung 1.13-1.63 s
-                                   # (1.44x churn) — 2.6 ≈ 1.5x the
-                                   # isolated reading
-    "s08_match_phrase": 2.6,       # steady ~0.9 s
-    "t06_normalize": 1.8,          # steady ~0.25-0.3 s (narrow scan)
-    "c11_corpus_upsert": 2.7,      # steady ~0.75-1.1 s
-    "c12_dsir": 8.8,               # steady ~3.3-4.8 s (gram explode)
-    "c13_corpus_census": 8.6,      # honest runs read 2.9/4.5 s
-    "d11_contamination_report": 3.1,  # steady ~1.0 s
-    "st04_upsert_cdc": 4.5,        # steady ~2.7 s (full CDC lifecycle)
-    "f21_price_anomaly": 5.8,      # steady ~2.1 s (two median passes)
-    "s09_hybrid_rrf": 6.2,         # steady ~3.7 s (BM25 + HOF-cosine pass)
-    "q18_funnel": 3.5,             # steady ~2.2 s (three step aggs)
-    "q19_retention": 2.3,          # steady ~1.3 s
-    "g02_geo_radius": 1.7,         # steady ~0.4 s (bbox-pruned scan)
-    "q20_copurchase": 7.1,         # r15 adjudication of the r14 red
-                                   # bar: isolated quiet-host reads
-                                   # 3.34/3.84/3.50 s with the semi-
-                                   # prune and 3.60/3.60 s without it
-                                   # (prune probe ≈ free; the "steady
-                                   # ~2.8" the 4.2 bar was cut from
-                                   # was never reproducible at the
-                                   # current code state — 2.8 is the
-                                   # warm FULL-RUN floor, isolated
-                                   # pays ~0.7 s fresh-JVM JIT). The
-                                   # face is now ADAPTIVE (prune only
-                                   # above a 1M-item catalog, so sf0.1
-                                   # runs the 3-BHJ direct plan). 5.0
-                                   # ≈ 1.4x the worst isolated reading;
-                                   # a lost broadcast (SMJ fallback)
-                                   # still blows through it, and
-                                   # PlanSpec pins the plan shape.
-    "t07_tfidf_keywords": 5.2,     # steady ~3.6 s (doc-partitioned rank)
-    "t08_perplexity": 6.9,         # honest runs read 2.8/2.9 s
-    "c14_stratified_sample": 1.6,  # steady ~0.5 s (WindowGroupLimit top-n)
-    "f22_benford": 2.8,            # steady ~0.65 s (45-cell digit rollup)
-    "c15_scd2_history": 2.1,       # steady ~0.6 s (log-only lead window)
-    "s10_rank_eval": 3.9,          # steady ~2.4 s (s06 + graded rescan)
-    "d12_bloom_decontaminate": 5.4,  # honest runs read 1.7/2.7 s
-    # r13 second batch — ceilings ~1.5x the first clean full-run reading
-    "g03_pagerank": 20.5,          # honest 9.1 s full-run r16 (count()
-                                   # eliminated the final rank left
-                                   # join + the whole fixpoint)
-    "c16_source_quota": 4.4,       # steady ~1.4 s (two-phase selection)
-    "t09_entropy": 3.4,            # honest 1.6 s full-run r16
-    "s11_knn_classify": 2.5,       # steady ~0.8 s (s01 + |Q|-sized vote)
-    "q21_grouping_sets": 2.9,      # honest runs read 0.6/1.3 s
-    "f23_user_burst": 3.7,         # steady ~0.8 s ((user, day) rollup)
-    "m02_image_dhash": 4.0,        # r16 re-derivation (r15 verdict
-                                   # item 7): 1.5x + 0.3 s of the
-                                   # isolated quiet-host reading
-                                   # (1.53 s) replacing the r13-churn-
-                                   # padded 3.2 — and the bar survived
-                                   # the honest-epoch check: noop-sink
-                                   # full-run reads 1.46 s (the dhash
-                                   # output column was never prunable,
-                                   # so the epochs agree here). Churn
-                                   # adjudication goes through the
-                                   # --isolated diff, not a padded bar.
-    "d13_semantic_dedup": 2.9,     # r16 re-derivation, same rule
-                                   # (isolated 0.86 s -> 1.6) —
-                                   # honest noop full-run reads
-                                   # 0.87 s, comfortably inside.
-    "c17_vocab_fit": 2.6,          # honest runs read 0.6/0.8 s
-    "q22_sliding_window": 3.3,     # honest runs read 0.9/1.5 s
-    "t10_readability": 2.1,        # steady ~0.35 s (3 regex-count scans)
-    "s12_ann_recall": 3.4,         # honest runs read 0.9/1.1 s
-    "c18_dp_census": 1.7,          # steady ~0.4 s (count + noise projection)
-    "q23_set_ops": 2.7,            # honest runs read 0.8/1.1 s
-    "m03_audio_energy": 3.3,       # steady ~1.2 s (WAV encode+decode scan)
-    "g04_triangles": 26.1,          # honest 13.1 s full-run r16 (the noop
-                                   # methodology runs the wedge
-                                   # enumeration count() had been
-                                   # eliminating - see Bench.scala)
-    "f24_ks_drift": 3.0,           # steady ~1.2 s (value-census CDF windows)
-    "c21_mixture_weights": 2.3,    # honest runs read 0.5/0.9 s
-    "f25_cusum": 3.4,              # steady ~1.3 s (lattice + two windows)
-    "c22_drop_audit": 8.7,         # honest 3.5 s full-run r16
-    "g05_link_predict": 9.6,       # ~2.6 s isolated on the sampled
-                                   # subgraph (133 s on the full
-                                   # near-complete graph — the face
-                                   # input guard matters here)
-    "q24_ntile_deciles": 2.9,      # steady ~0.9 s (one ntile window)
-    "d15_para_dedup": 3.5,         # honest runs read 1.1/1.5 s
-    "q25_unpivot": 4.9,            # honest 1.9 s full-run r16
-    "q26_reconcile": 2.5,          # honest 1.1 s full-run r16
-    "d16_dedup_compare": 10.2,      # composition face: three CAPPED
-                                   # dedup pipelines (shared docs
-                                   # cache, concurrently materialized)
-                                   # + pair intersections. History:
-                                   # r13 exhaustive+serial 8.5 driver /
-                                   # 7.0 isolated; r14 capped+serial
-                                   # 7.8 isolated; r14 capped+parallel
-                                   # 5.0 isolated (expect ~3.5-4.5
-                                   # full-run).
-    # r13 seventh batch
-    "f27_hll_users": 4.4,          # ~0.86 s isolated (one register shuffle)
-    "q27_dq_audit": 3.9,           # ~1.3 s isolated (2 scans + FK join)
-    "z01_zorder": 1.9,             # ~0.6 s isolated (interleave + rollup)
-    "f28_last_touch": 4.2,         # ~1.2 s isolated (user join + rank-1)
-    "f29_cms_counts": 5.1,         # ~1.0 s isolated (d*stream shuffle)
-    "q28_top_paths": 3.8,          # ~1.9 s isolated (two-window sessions)
-    "s13_mmr": 3.2,                # ~1.8 s isolated (cogroup greedy; the
-                                   # relational unroll measured 8-18 s)
-    # r14 faces
-    "c03c_pack_subword_fit": 11.5,  # ~4.1 s isolated (24 merge rounds
-                                   # over the word-type frame + pack;
-                                   # r15 batched merges: full-run 3.98)
-    # r15 faces — ~1.5-1.8x the first clean full-run reading
-    "f30_quantile_sketch": 3.2,    # 0.66 s full-run (two half fits +
-                                   # merge + 5-quantile estimate)
-    "st05_alert_rule": 1.8,        # 0.56 s full-run (10-min tumbling
-                                   # conditional-count rule)
-    "t11_gopher_rules": 3.3,       # honest 1.1 s full-run r16
-    # r16 faces - ceilings ~1.4x the first honest full-run reading
-    "g04_hub_skew": 12.9,           # honest 3.3 s full-run at 12k
-                                   # wheel nodes, 8.6 s isolated at
-                                   # the shipped 16k (~6 s full-run
-                                   # expected — the id-ordered demo
-                                   # gear pays the planted quadratic
-                                   # by design; ratio floor below is
-                                   # the real guard for this pair)
-    "g04_hub_skew_ordered": 5.8,   # honest 1.5 s full-run (12k),
-                                   # 2.5 s isolated (16k)
-    "g05_link_predict_full": 98.2, # r18 committed 23.9/20.6 s (was
-                                   # 40.6 r17): the lean wedge
-                                   # aggregate (packed long key,
-                                   # int-scaled AA term, wedge-sized
-                                   # partitions) over the UNSAMPLED
-                                   # Sum C(deg,2) ~ 1.5e8 wedge mass.
-                                   # Ceiling RETAINED at the r17
-                                   # driver-band level (the driver
-                                   # read 115.9 on the old plan,
-                                   # 2.86x its committed 40.6): at
-                                   # the same contention ratio the
-                                   # new plan reads ~60 — under half
-                                   # this bar (r17 verdict items 1-2)
-    "c10_clean_staged": 16.3,       # honest 6.3 s full-run (beats the
-                                   # in-plan cached twin's 8.8 s)
-    "c03c_pack_subword_fit32k": 25.8,  # honest 12.0 s full-run (fit
-                                   # to exhaustion under the 32k
-                                   # budget + artifact + pack)
-    "st06_alert_sink": 3.4,        # honest 1.0 s full-run (append +
-                                   # seal + retention + read-back)
-    "f31_dow_anomaly": 3.7,        # 0.99 s isolated ((type, day)
-                                   # rollup + weekday baseline join)
-    "d02p_prefix_jaccard": 13.8,   # committed 4.91 s full-run / 5.88
-                                   # isolated (BENCH_FULL/ISOLATED_r16
-                                   # appendix). The 13.8 bar was cut
-                                   # from a 7.6 s pre-cache-fix
-                                   # reading (the prefix frame now
-                                   # caches once instead of building
-                                   # per self-join side), so it
-                                   # carries extra slack vs the
-                                   # committed value — kept as-is:
-                                   # the zero-loss gear's fixed cost
-                                   # is churn-prone (df join + rank
-                                   # window + verify joins), and its
-                                   # payoff regime is measured in
-                                   # BENCH_SF1.json, not here
-    "d09_boilerplate_prefix": 6.3, # committed 2.50 s full-run / 3.76
-                                   # isolated — BEATS the capped gear
-                                   # on the boilerplate corpus with
-                                   # ZERO loss (template shingles
-                                   # never enter a prefix); ratio
-                                   # floor below is the real guard
-    "c23_cluster_split": 12.8,     # committed 5.47 s single-face run
-                                   # / 4.97 isolated (leakage-safe
-                                   # split: d06's exhaustive pairs +
-                                   # CC loop + the c02 hash on the
-                                   # component label) — 1.7x + 0.8 of
-                                   # the committed reading
-    # r16-late batch 2 (g06/f32/d14/s14): committed readings appended
-    # from the 162-face landing sweep (304.1 s total, 0 failures) and
-    # its 4-face isolated sibling; bars are 1.7x + 0.8 of the
-    # committed full-run reading
-    "g06_kcore": 16.1,             # committed 7.45 s full-run / 10.42
-                                   # isolated (12 materialized peel
-                                   # rounds over the shrinking edge
-                                   # frame). Hand-annotated ABOVE the
-                                   # 1.7v+0.8 floor: four same-code
-                                   # r17 runs read 5.7/7.3/7.5/13.9 —
-                                   # a 2.4x band the generic churn
-                                   # formula underestimates; the
-                                   # isolated diff (8.8-10.4 vs
-                                   # baseline) stays the sensitive
-                                   # regression signal
-    "f32_ewma": 5.8,               # committed 1.29 s / 2.29 isolated
-                                   # (lattice + moments + the grouped
-                                   # EWMA fold)
-    "d14_soft_dedup": 11.6,         # committed 3.54 s / 5.22 isolated
-                                   # (d06's exhaustive pairs + CC +
-                                   # the size rollup; tracks d06's
-                                   # own bar family)
-    "s14_centroid_prune": 6.0,     # committed 2.08 s / 3.12 isolated
-                                   # (two narrow (label,dim)/(vec_id)
-                                   # shuffles over the exploded frame
-                                   # + the per-label rank window)
-    "f33_dup_accounts": 13.6,      # committed 7.49 s (BENCH_FULL_r17
-                                   # worse run; 8.68 isolated) — the
-                                   # r17 composite deletion-
-                                   # neighborhood blocker replaced
-                                   # the 9M-pair coarse stream (r16
-                                   # 12.3; first full-DP cut 28.8);
-                                   # 1.7v+0.8. A regression to the
-                                   # coarse gear trips the
-                                   # f33_block_* ratio floor, not
-                                   # (only) this ceiling
-    "c25_k_anonymity": 2.9,        # committed 1.18 s landing run /
-                                   # 1.17 isolated — three shrinking
-                                   # census aggregates
-    "st07_index_maintain": 12.3,   # committed 5.61 s landing run /
-                                   # 7.32 isolated — two positional
-                                   # postings micro-batches + two
-                                   # lexicon generation folds + the
-                                   # served match query
-    "s16_phrase_index": 9.4,       # committed 3.86 s landing run /
-                                   # 5.29 isolated — positional-index
-                                   # lifecycle: build WITH positions,
-                                   # serve the s08 phrase by folding
-                                   # position arrays ((acc+1) ∩ next)
-                                   # from the pruned bucket reads
-    "s15_bm25_index": 9.0,         # committed 4.81 s from its 2-face
-                                   # landing run / 4.29 isolated —
-                                   # the FULL lifecycle: build the
-                                   # bucket-partitioned postings +
-                                   # lexicon, write, read back, serve
-                                   # the s06 query from the artifact
-                                   # alone (the query side reads only
-                                   # the terms' bucket dirs)
-    "c24_soft_sample": 10.8,       # committed 5.85 s from its 2-face
-                                   # landing run / 5.50 isolated —
-                                   # the full soft-dedup-realized
-                                   # composition (exhaustive pairs ->
-                                   # CC -> weights -> salted coin);
-                                   # d14's cost + a codegen'd filter
-    "d14_soft_dedup_capped": 9.7,  # committed 4.80 s from its 4-face
-                                   # landing run (the c23 single-face
-                                   # convention) / 5.53 isolated —
-                                   # d14's production gear (capped
-                                   # pairs -> CC -> weight rollup);
-                                   # the cap doesn't bind on the
-                                   # sf0.1 corpus (tracks the
-                                   # d02/d02_capped pattern), the
-                                   # face exists so the production
-                                   # path is a measured number
-    "s17_ann_sq8": 4.8,            # committed 2.32 s single-face
-                                   # landing run / 2.30 isolated —
-                                   # SQ8 stats pass + encode + the
-                                   # native sq8dot approximate scan
-                                   # + exact re-rank (the HOF-fold
-                                   # first cut read 4.5 s; the
-                                   # codegen'd factored form halved
-                                   # it)
-    "f34_risk_propagation": 36.7,  # committed 14.32 s single-face
-                                   # landing run — g03's damped
-                                   # 5-round fixpoint (10.4 s in the
-                                   # same epoch) + the f21 seed set
-                                   # + the seeded-teleport node frame
-    "t12_pmi_collocations": 4.4,   # committed 1.82 s single-face
-                                   # landing run — two token scans
-                                   # (unigram + bigram aggregates; no
-                                   # text-bearing cache) + the
-                                   # count-floored TakeOrdered top-K
-    "f35_golden_record": 20.9,     # committed 9.33 s (BENCH_FULL_r17
-                                   # worse run) — the r17 composite-
-                                   # blocked pair stage (was 14.65 on
-                                   # the coarse gear) + the CC
-                                   # closure + three cluster-member-
-                                   # sized aggregates; 1.7v+0.8
-    "q29_audience_overlap": 2.7,   # committed 1.06 s single-face
-                                   # landing run — one (type, user)
-                                   # distinct + the T²-bounded
-                                   # user-keyed self-join fan
-    "s18_ivf_sq8": 5.5,            # committed 2.78 s single-face
-                                   # landing run — coarse assignment
-                                   # + SQ8 encode in one pass, then
-                                   # the native sq8dot scan over the
-                                   # 4/16 probed cells + exact rerank
-    "t13_zipf_fit": 2.1,           # committed 0.77 s single-face
-                                   # landing run — one token scan,
-                                   # two combiner-friendly aggregates
-                                   # + the vocab-sized rank window
-    "st08_linkage_gate": 16.6,     # r18 committed 7.19/10.94 s (was
-                                   # 9.21 r17; flat state levels +
-                                   # concurrent index write) — two
-                                   # registration micro-batches:
-                                   # within-batch composite pairs +
-                                   # the variant-keyed state probe +
-                                   # alert/state writes per trigger.
-                                   # Ceiling RETAINED as driver-band
-                                   # margin: the r17 driver read 22.9
-                                   # (2.27x committed) on the old
-                                   # plan; same ratio now ~15 < 16.6
-                                   # (r17 verdict item 1)
-    "m04_audio_fp": 5.2,           # committed 1.67 s single-face /
-                                   # 2.33 isolated — WAV synth +
-                                   # JDK decode + 65-window envelope
-                                   # gradient fp per audio row
-    "f36_time_decay": 3.8,         # committed 1.79 s single-face /
-                                   # 1.67 isolated — f28's join shape
-                                   # + the per-purchase weight-total
-                                   # window + type rollup
-    "c26_corpus_diff": 6.2,        # committed 3.15 s single-face —
-                                   # the c11 merge recomputed + the
-                                   # (doc_id, md5, len) full-outer
-                                   # diff and 4-group rollup
-    "f37_realert": 2.4,            # committed 0.49 s single-face —
-                                   # one user-keyed exchange + the
-                                   # per-key cooldown fold
-    "s19_more_like_this": 10.5,    # committed 4.88 s single-face /
-                                   # 6.82 isolated (bar = 1.5x+0.3 of
-                                   # the worse, isolated reading) —
-                                   # the full-vocab (doc, term, tf)
-                                   # aggregate + per-source term pick
-                                   # + inverted-index candidate join
-    "q30_funnel_window": 3.9,      # committed 1.83 s single-face —
-                                   # q18's broadcast step chain with
-                                   # the window predicate added
-    "s21_filtered_ann": 3.1,       # committed 1.34 s single-face /
-                                   # 1.35 isolated — s03b's probe ANN
-                                   # with the tenant predicate in the
-                                   # candidate join
+    "c01_corpus_clean": 7.3,  # r19 worse-of-two 3.82 s (3.27/3.82)
+    "c01_corpus_clean_capped": 5.3,  # r19 worse-of-two 2.63 s (2.63/2.27)
+    "c02_train_split": 1.2,  # r19 worse-of-two 0.20 s (0.20/0.16)
+    "c03_pack_sequences": 1.9,  # r19 worse-of-two 0.60 s (0.60/0.47)
+    "c03b_pack_chunks": 1.6,  # r19 worse-of-two 0.44 s (0.44/0.36)
+    "c03c_pack_subword": 1.6,  # r19 worse-of-two 0.44 s (0.44/0.32)
+    "c03c_pack_subword_fit": 9.8,  # r19 worse-of-two 5.25 s (5.25/3.95)
+    "c03c_pack_subword_fit32k": 18.6,  # r19 worse-of-two 11.70 s (11.70/10.21)
+    "c04_mixture_epochs": 1.3,  # r19 worse-of-two 0.25 s (0.25/0.23)
+    "c05_redact_pii": 1.9,  # r19 worse-of-two 0.61 s (0.61/0.47)
+    "c06_assemble": 2.2,  # r19 worse-of-two 0.81 s (0.81/0.67)
+    "c07_assemble_decontaminated": 5.7,  # r19 worse-of-two 2.86 s (2.62/2.86)
+    "c08_strip_boilerplate": 4.0,  # r19 worse-of-two 1.88 s (1.88/1.42)
+    "c09_seq_shuffle": 1.9,  # r19 worse-of-two 0.65 s (0.65/0.57)
+    "c09b_shard_manifest": 1.7,  # r19 worse-of-two 0.50 s (0.50/0.37)
+    "c10_clean_full": 15.5,  # r19 worse-of-two 8.62 s (8.62/8.17)
+    "c10_clean_staged": 12.5,  # r19 worse-of-two 6.87 s (6.87/5.77)
+    "c11_corpus_upsert": 2.0,  # r19 worse-of-two 0.67 s (0.67/0.57)
+    "c12_dsir": 7.1,  # r19 worse-of-two 3.66 s (3.66/2.89)
+    "c13_corpus_census": 7.4,  # r19 worse-of-two 3.86 s (3.86/2.93)
+    "c14_stratified_sample": 1.4,  # r19 worse-of-two 0.31 s (0.31/0.26)
+    "c15_scd2_history": 1.8,  # r19 worse-of-two 0.54 s (0.54/0.37)
+    "c16_source_quota": 3.1,  # r19 worse-of-two 1.32 s (1.32/1.18)
+    "c17_vocab_fit": 1.9,  # r19 worse-of-two 0.63 s (0.63/0.59)
+    "c18_dp_census": 1.5,  # r19 worse-of-two 0.37 s (0.37/0.29)
+    "c19_pack_efficiency": 1.9,  # r19 worse-of-two 0.61 s (0.61/0.38)
+    "c21_mixture_weights": 2.0,  # r19 worse-of-two 0.67 s (0.67/0.49)
+    "c22_drop_audit": 5.9,  # r19 worse-of-two 2.99 s (2.99/2.64)
+    "c23_cluster_split": 8.7,  # r19 worse-of-two 4.60 s (4.60/3.58)
+    "c24_soft_sample": 6.6,  # r19 worse-of-two 3.37 s (3.37/3.20)
+    "c25_k_anonymity": 2.0,  # r19 worse-of-two 0.67 s (0.67/0.46)
+    "c26_corpus_diff": 2.7,  # r19 worse-of-two 1.11 s (1.11/0.86)
+    "d01_dedup_exact": 1.5,  # r19 worse-of-two 0.37 s (0.37/0.24)
+    "d02_ngram_jaccard": 4.6,  # r19 worse-of-two 2.18 s (2.18/1.91)
+    "d02_ngram_jaccard_auto": 3.0,  # r19 worse-of-two 1.29 s (1.22/1.29)
+    "d02_ngram_jaccard_capped": 3.7,  # r19 worse-of-two 1.66 s (1.47/1.66)
+    "d02p_prefix_jaccard": 9.9,  # r19 worse-of-two 5.34 s (5.30/5.34)
+    "d03_minhash_lsh": 3.7,  # r19 worse-of-two 1.68 s (1.68/1.45)
+    "d04_simhash": 2.3,  # r19 worse-of-two 0.83 s (0.83/0.64)
+    "d04b_simhash_core": 3.5,  # r19 worse-of-two 1.58 s (1.58/0.96)
+    "d05_embedding_neardup": 1.6,  # r19 worse-of-two 0.43 s (0.43/0.37)
+    "d06_dedup_clusters": 7.5,  # r19 worse-of-two 3.94 s (3.94/3.73)
+    "d06_dedup_clusters_capped": 6.7,  # r19 worse-of-two 3.44 s (3.44/3.21)
+    "d07_winnow_pairs": 4.3,  # r19 worse-of-two 2.02 s (2.02/1.69)
+    "d07_winnow_pairs_capped": 3.8,  # r19 worse-of-two 1.71 s (1.71/1.51)
+    "d08_decontaminate": 3.8,  # r19 worse-of-two 1.72 s (1.72/1.48)
+    "d09_boilerplate": 10.4,  # r19 worse-of-two 5.60 s (5.60/5.43)
+    "d09_boilerplate_capped": 5.5,  # r19 worse-of-two 2.73 s (2.70/2.73)
+    "d09_boilerplate_prefix": 5.6,  # r19 worse-of-two 2.82 s (2.38/2.82)
+    "d10_run_overlap": 3.1,  # r19 worse-of-two 1.34 s (1.34/0.97)
+    "d10_run_overlap_capped": 2.8,  # r19 worse-of-two 1.17 s (1.17/1.05)
+    "d11_contamination_report": 2.3,  # r19 worse-of-two 0.86 s (0.86/0.60)
+    "d12_bloom_decontaminate": 3.8,  # r19 worse-of-two 1.73 s (1.73/1.47)
+    "d13_semantic_dedup": 2.5,  # r19 worse-of-two 0.96 s (0.96/0.65)
+    "d14_soft_dedup": 7.4,  # r19 worse-of-two 3.85 s (3.85/3.21)
+    "d14_soft_dedup_capped": 6.5,  # r19 worse-of-two 3.34 s (3.29/3.34)
+    "d15_para_dedup": 2.4,  # r19 worse-of-two 0.93 s (0.93/0.91)
+    "d16_dedup_compare": 8.2,  # r19 worse-of-two 4.32 s (4.32/3.89)
+    "d17_threshold_curve": 5.0,  # r19 worse-of-two 2.42 s (2.42/1.71)
+    "d18_priority_dedup": 8.6,  # r19 worse-of-two 4.56 s (4.56/4.01)
+    "d19_source_overlap": 5.9,  # r19 worse-of-two 2.99 s (2.99/1.95)
+    "f01_market_stats": 3.4,  # r19 worse-of-two 1.47 s (1.47/1.37)
+    "f02_component_stats": 1.5,  # r19 worse-of-two 0.40 s (0.40/0.38)
+    "f03_zscore": 3.1,  # r19 worse-of-two 1.35 s (1.35/1.18)
+    "f04_risk_score": 2.5,  # r19 worse-of-two 0.99 s (0.99/0.81)
+    "f05_high_risk_alerts": 2.6,  # r19 worse-of-two 1.02 s (1.02/0.77)
+    "f06_hidden_price": 1.3,  # r19 worse-of-two 0.28 s (0.28/0.18)
+    "f07_categorize": 1.5,  # r19 worse-of-two 0.37 s (0.37/0.35)
+    "f08_seller_trust": 2.3,  # r19 worse-of-two 0.86 s (0.86/0.74)
+    "f08b_trust_from_reviews": 1.9,  # r19 worse-of-two 0.59 s (0.52/0.59)
+    "f09_recent_window": 1.9,  # r19 worse-of-two 0.61 s (0.61/0.46)
+    "f10_top_risk_factors": 2.4,  # r19 worse-of-two 0.89 s (0.87/0.89)
+    "f11_extract_specs": 5.5,  # r19 worse-of-two 2.72 s (2.34/2.72)
+    "f11b_extract_core": 4.1,  # r19 worse-of-two 1.92 s (1.92/1.69)
+    "f12_score_items": 12.5,  # r19 worse-of-two 6.85 s (6.85/5.16)
+    "f12b_score_core": 1.8,  # r19 worse-of-two 0.54 s (0.54/0.44)
+    "f13_generate_stats": 9.4,  # r19 worse-of-two 5.04 s (5.04/4.42)
+    "f13b_stats_core": 3.6,  # r19 worse-of-two 1.64 s (1.64/1.25)
+    "f14_factor_normalized": 1.9,  # r19 worse-of-two 0.64 s (0.64/0.62)
+    "f15_modified_after_1d": 1.7,  # r19 worse-of-two 0.50 s (0.40/0.50)
+    "f16_review_stats": 1.6,  # r19 worse-of-two 0.42 s (0.42/0.37)
+    "f17_stats_merge": 3.3,  # r19 worse-of-two 1.44 s (1.44/1.32)
+    "f18_price_histogram": 1.5,  # r19 worse-of-two 0.39 s (0.36/0.39)
+    "f19_risk_heatmap": 3.3,  # r19 worse-of-two 1.44 s (1.44/1.40)
+    "f20_risk_distribution": 2.4,  # r19 worse-of-two 0.94 s (0.70/0.94)
+    "f21_price_anomaly": 3.0,  # r19 worse-of-two 1.26 s (1.22/1.26)
+    "f22_benford": 2.2,  # r19 worse-of-two 0.80 s (0.80/0.48)
+    "f23_user_burst": 2.0,  # r19 worse-of-two 0.65 s (0.58/0.65)
+    "f24_ks_drift": 2.9,  # r19 worse-of-two 1.21 s (1.21/0.93)
+    "f25_cusum": 2.6,  # r19 worse-of-two 1.01 s (1.01/1.01)
+    "f26_impossible_travel": 2.0,  # r19 worse-of-two 0.65 s (0.56/0.65)
+    "f27_hll_users": 3.1,  # r19 worse-of-two 1.32 s (1.32/1.12)
+    "f28_last_touch": 2.4,  # r19 worse-of-two 0.92 s (0.92/0.85)
+    "f29_cms_counts": 3.6,  # r19 worse-of-two 1.61 s (1.61/1.36)
+    "f30_quantile_sketch": 2.2,  # r19 worse-of-two 0.78 s (0.78/0.68)
+    "f31_dow_anomaly": 2.3,  # r19 worse-of-two 0.85 s (0.85/0.77)
+    "f32_ewma": 3.3,  # r19 worse-of-two 1.45 s (1.45/1.18)
+    "f33_block_coarse": 40.8,  # r19 worse-of-two 26.52 s (26.52/21.36)
+    "f33_block_fine": 7.1,  # r19 worse-of-two 3.68 s (3.68/2.76)
+    "f33_dup_accounts": 7.3,  # r19 worse-of-two 3.82 s (3.49/3.82)
+    "f34_propagation_staged": 16.1,  # r19 worse-of-two 8.98 s (8.98/8.39)
+    "f34_risk_propagation": 17.4,  # r19 worse-of-two 10.90 s (10.90/9.98)
+    "f35_golden_record": 10.4,  # r19 worse-of-two 5.61 s (5.61/5.17)
+    "f36_time_decay": 2.2,  # r19 worse-of-two 0.81 s (0.74/0.81)
+    "f37_realert": 1.4,  # r19 worse-of-two 0.30 s (0.30/0.30)
+    "f38_top_users": 1.6,  # r19 worse-of-two 0.47 s (0.47/0.44)
+    "fp01_fraud_pipeline": 28.3,  # RETAINED r18 driver-proven bar (NDJSON land+read hop is contention-sensitive; driver reading unparseable from the tail) — r19 worse-of-two 12.55 s (12.55/9.61), rule would give 19.9
+    "fp02_pipeline_core": 5.5,  # r19 worse-of-two 2.76 s (2.76/2.54)
+    "g01_geo_buckets": 1.7,  # r19 worse-of-two 0.53 s (0.53/0.39)
+    "g02_geo_radius": 1.3,  # r19 worse-of-two 0.25 s (0.25/0.16)
+    "g03_pagerank": 16.8,  # r19 worse-of-two 9.36 s (9.36/7.27)
+    "g03_pagerank_staged": 7.9,  # r19 worse-of-two 4.14 s (4.14/2.44)
+    "g04_hub_skew": 11.9,  # r19 worse-of-two 6.48 s (6.48/4.80)
+    "g04_hub_skew_ordered": 3.7,  # r19 worse-of-two 1.69 s (1.69/1.36)
+    "g04_triangles": 17.9,  # r19 worse-of-two 11.21 s (11.21/8.93)
+    "g04_triangles_staged": 9.5,  # r19 worse-of-two 5.09 s (5.09/4.30)
+    "g05_link_predict": 6.6,  # r19 worse-of-two 3.40 s (3.40/2.28)
+    "g05_link_predict_full": 98.2,  # DRIVER BAND retained (r18); r19 worse-of-two 20.98 s (20.98/17.11)
+    "g06_kcore": 13.7,  # r19 worse-of-two 7.55 s (7.55/6.29)
+    "g06_kcore_staged": 7.5,  # r19 worse-of-two 3.91 s (3.91/3.87)
+    "g07_census_staged": 10.5,  # r19 worse-of-two 5.67 s (5.67/3.92)
+    "g07_graph_census": 17.3,  # r19 worse-of-two 10.85 s (10.85/7.78)
+    "g08_graph_mart_build": 4.6,  # r19 worse-of-two 2.23 s (2.23/2.15)
+    "m01_binary_meta": 1.2,  # r19 worse-of-two 0.21 s (0.20/0.21)
+    "m02_image_dhash": 3.2,  # r19 worse-of-two 1.40 s (1.36/1.40)
+    "m03_audio_energy": 2.6,  # r19 worse-of-two 1.06 s (1.06/1.02)
+    "m04_audio_fp": 4.4,  # r19 worse-of-two 2.06 s (2.06/1.60)
+    "m05_video_frames": 3.5,  # r19 worse-of-two 1.56 s (1.56/1.43)
+    "ml01_rule_distill": 8.0,  # r19 worse-of-two 4.19 s (4.19/3.67)
+    "ml01b_score_core": 2.7,  # r19 worse-of-two 1.11 s (0.76/1.11)
+    "ml02_quality_distill": 23.8,  # RETAINED r18 driver-proven bar (L-BFGS fit is host-sensitive; the driver's own reading is unparseable from the BENCH_r18 tail) — r19 worse-of-two 11.32 s (10.77/11.32), rule would give 18.0
+    "ml02b_score_core": 4.7,  # r19 worse-of-two 2.25 s (2.15/2.25)
+    "q01_pricing_summary": 3.2,  # r19 worse-of-two 1.40 s (1.17/1.40)
+    "q02_filter_project": 1.3,  # r19 worse-of-two 0.27 s (0.20/0.27)
+    "q03_join_agg": 1.9,  # r19 worse-of-two 0.60 s (0.40/0.60)
+    "q04_top_n": 2.1,  # r19 worse-of-two 0.75 s (0.61/0.75)
+    "q05_window_rank": 1.4,  # r19 worse-of-two 0.30 s (0.29/0.30)
+    "q06_semi_anti": 1.5,  # r19 worse-of-two 0.39 s (0.39/0.31)
+    "q07_distinct_union": 1.5,  # r19 worse-of-two 0.38 s (0.38/0.33)
+    "q08_date_histogram": 1.7,  # r19 worse-of-two 0.49 s (0.49/0.45)
+    "q09_running_window": 1.7,  # r19 worse-of-two 0.52 s (0.52/0.49)
+    "q10_sessionize": 1.6,  # r19 worse-of-two 0.46 s (0.46/0.39)
+    "q11_percentiles": 5.1,  # r19 worse-of-two 2.50 s (2.50/2.25)
+    "q12_pivot": 1.4,  # r19 worse-of-two 0.30 s (0.29/0.30)
+    "q13_json_extract": 2.1,  # r19 worse-of-two 0.72 s (0.68/0.72)
+    "q14_cube_rollup": 3.8,  # r19 worse-of-two 1.73 s (1.62/1.73)
+    "q15_asof_join": 2.5,  # r19 worse-of-two 0.95 s (0.95/0.90)
+    "q16_interval_join": 2.7,  # r19 worse-of-two 1.08 s (1.08/1.05)
+    "q17_skew_salted_join": 3.0,  # r19 worse-of-two 1.27 s (1.27/0.98)
+    "q18_funnel": 2.5,  # r19 worse-of-two 0.97 s (0.95/0.97)
+    "q19_retention": 2.0,  # r19 worse-of-two 0.69 s (0.69/0.61)
+    "q20_copurchase": 5.7,  # r19 worse-of-two 2.84 s (2.84/2.55)
+    "q21_grouping_sets": 1.8,  # r19 worse-of-two 0.57 s (0.55/0.57)
+    "q22_sliding_window": 2.1,  # r19 worse-of-two 0.75 s (0.73/0.75)
+    "q23_set_ops": 1.8,  # r19 worse-of-two 0.56 s (0.49/0.56)
+    "q24_ntile_deciles": 2.3,  # r19 worse-of-two 0.84 s (0.83/0.84)
+    "q25_unpivot": 4.2,  # r19 worse-of-two 1.98 s (1.98/1.16)
+    "q26_reconcile": 2.2,  # r19 worse-of-two 0.78 s (0.78/0.59)
+    "q27_dq_audit": 3.3,  # r19 worse-of-two 1.45 s (1.45/1.31)
+    "q28_top_paths": 3.5,  # r19 worse-of-two 1.56 s (1.56/1.19)
+    "q29_audience_overlap": 2.1,  # r19 worse-of-two 0.75 s (0.75/0.66)
+    "q30_funnel_window": 3.0,  # r19 worse-of-two 1.28 s (1.28/0.95)
+    "s01_ann_bruteforce": 1.8,  # r19 worse-of-two 0.55 s (0.55/0.38)
+    "s02_ann_lsh": 2.1,  # r19 worse-of-two 0.71 s (0.71/0.54)
+    "s03_ann_ivf": 4.2,  # r19 worse-of-two 1.98 s (1.98/1.41)
+    "s03b_ivf_core": 1.9,  # r19 worse-of-two 0.63 s (0.63/0.50)
+    "s04_pq_adc": 3.0,  # r19 worse-of-two 1.24 s (1.24/0.79)
+    "s05_ivfpq": 2.7,  # r19 worse-of-two 1.11 s (1.11/0.86)
+    "s05b_ivfpq_artifact": 4.6,  # r19 worse-of-two 2.21 s (2.21/1.69)
+    "s06_bm25": 3.3,  # r19 worse-of-two 1.42 s (1.42/1.25)
+    "s07_fuzzy_match": 3.5,  # r19 worse-of-two 1.55 s (1.55/1.39)
+    "s08_match_phrase": 2.1,  # r19 worse-of-two 0.73 s (0.73/0.62)
+    "s09_hybrid_rrf": 4.5,  # r19 worse-of-two 2.13 s (2.13/1.73)
+    "s10_rank_eval": 3.0,  # r19 worse-of-two 1.26 s (1.26/1.06)
+    "s11_knn_classify": 1.9,  # r19 worse-of-two 0.60 s (0.60/0.52)
+    "s12_ann_recall": 2.2,  # r19 worse-of-two 0.81 s (0.81/0.72)
+    "s13_mmr": 2.9,  # r19 worse-of-two 1.23 s (1.23/1.15)
+    "s14_centroid_prune": 4.8,  # r19 worse-of-two 2.30 s (2.30/1.84)
+    "s15_bm25_index": 6.1,  # r19 worse-of-two 3.11 s (3.11/2.61)
+    "s16_phrase_index": 6.1,  # r19 worse-of-two 3.08 s (3.08/2.87)
+    "s17_ann_sq8": 4.1,  # r19 worse-of-two 1.92 s (1.92/1.33)
+    "s18_ivf_sq8": 3.5,  # r19 worse-of-two 1.54 s (1.54/1.36)
+    "s19_more_like_this": 6.1,  # r19 worse-of-two 3.08 s (3.08/2.87)
+    "s20_hard_negatives": 1.6,  # r19 worse-of-two 0.43 s (0.39/0.43)
+    "s21_filtered_ann": 1.7,  # r19 worse-of-two 0.51 s (0.45/0.51)
+    "s22_recall_curve": 3.4,  # r19 worse-of-two 1.51 s (1.36/1.51)
+    "st01_windowed_counts": 1.8,  # r19 worse-of-two 0.53 s (0.53/0.49)
+    "st02_gate_trigger": 17.5,  # r19 worse-of-two 10.98 s (9.28/10.98)
+    "st03_maintain": 3.8,  # r19 worse-of-two 1.73 s (1.70/1.73)
+    "st04_upsert_cdc": 3.4,  # r19 worse-of-two 1.48 s (1.48/1.48)
+    "st05_alert_rule": 1.5,  # r19 worse-of-two 0.41 s (0.33/0.41)
+    "st06_alert_sink": 2.6,  # r19 worse-of-two 1.02 s (1.02/0.93)
+    "st07_index_maintain": 10.4,  # r19 worse-of-two 5.65 s (5.34/5.65)
+    "st08_linkage_gate": 16.6,  # DRIVER BAND retained (r18); r19 worse-of-two 5.58 s (5.47/5.58)
+    "st08b_trickle_probe": 31.5,  # DRIVER BAND retained (r18); r19 worse-of-two 13.05 s (13.05/11.93)
+    "st08b_trickle_probe_bcast": 15.7,  # r19 worse-of-two 8.72 s (8.72/8.55)
+    "st09_vector_maintain": 5.6,  # r19 worse-of-two 2.82 s (2.82/2.69)
+    "t01_lang_id": 1.3,  # r19 worse-of-two 0.28 s (0.28/0.28)
+    "t02_quality_score": 1.4,  # r19 worse-of-two 0.35 s (0.29/0.35)
+    "t03_token_count": 1.6,  # r19 worse-of-two 0.43 s (0.36/0.43)
+    "t04_fingerprint": 1.1,  # r19 worse-of-two 0.16 s (0.14/0.16)
+    "t05_repetition": 5.9,  # r19 worse-of-two 2.96 s (2.91/2.96)
+    "t06_normalize": 1.5,  # r19 worse-of-two 0.38 s (0.31/0.38)
+    "t07_tfidf_keywords": 3.9,  # r19 worse-of-two 1.80 s (1.46/1.80)
+    "t08_perplexity": 5.5,  # r19 worse-of-two 2.75 s (2.21/2.75)
+    "t09_entropy": 3.0,  # r19 worse-of-two 1.26 s (1.26/1.26)
+    "t10_readability": 1.6,  # r19 worse-of-two 0.46 s (0.46/0.42)
+    "t11_gopher_rules": 2.8,  # r19 worse-of-two 1.17 s (1.17/0.90)
+    "t12_pmi_collocations": 3.8,  # r19 worse-of-two 1.75 s (1.75/1.60)
+    "t13_zipf_fit": 1.9,  # r19 worse-of-two 0.64 s (0.64/0.53)
+    "t14_fertility": 1.8,  # r19 worse-of-two 0.57 s (0.57/0.42)
+    "z01_zorder": 1.8,  # r19 worse-of-two 0.55 s (0.44/0.55)
 }
-
-# BLANKET bars (r16): every face not hand-calibrated above gets a
-# generous ceiling cut from the committed honest-epoch dump
-# (BENCH_FULL_r16.json, the worse of two back-to-back runs) at
-# 1.7x + 0.8 s — wide enough that the observed 2x sub-second churn
-# band cannot cry wolf, tight enough that a structural regression
-# (a lost broadcast, a cache that stopped binding, an accidental
-# cross join) still trips. Faces previously had NO bar at all, so a
-# silent 5x regression in, say, q01 was invisible to the guard.
-CEILINGS.update({
-    "c01_corpus_clean_capped": 7.3,  # honest 3.84 s
-    "c02_train_split": 1.3,  # honest 0.17 s
-    "c03_pack_sequences": 1.8,  # honest 0.56 s
-    "c03b_pack_chunks": 1.7,  # honest 0.45 s
-    "c03c_pack_subword": 1.8,  # honest 0.47 s
-    "c04_mixture_epochs": 1.4,  # honest 0.31 s
-    "c05_redact_pii": 2.2,  # honest 0.82 s
-    "c06_assemble": 2.5,  # honest 1.03 s
-    "c07_assemble_decontaminated": 7.9,  # honest 3.31 s
-    "c08_strip_boilerplate": 5.2,  # honest 2.57 s
-    "c09_seq_shuffle": 2.8,  # honest 1.00 s
-    "c09b_shard_manifest": 2.4,  # honest 0.81 s
-    "c10_clean_full": 23.5,  # honest 13.34 s
-    "d01_dedup_exact": 1.6,  # honest 0.33 s
-    "d02_ngram_jaccard": 6.2,  # honest 2.16 s
-    "d02_ngram_jaccard_capped": 5.4,  # honest 2.01 s
-    "d03_minhash_lsh": 4.8,  # honest 2.01 s
-    "d04_simhash": 2.5,  # honest 0.80 s
-    "d04b_simhash_core": 3.5,  # honest 1.27 s
-    "d05_embedding_neardup": 2.0,  # honest 0.63 s
-    "d06_dedup_clusters_capped": 9.3,  # committed 4.37 s (post
-                                   # pointer-doubling; was 3.87)
-    "d07_winnow_pairs": 6.0,  # honest 3.06 s
-    "d07_winnow_pairs_capped": 4.7,  # honest 2.32 s
-    "d09_boilerplate": 13.4,  # honest 6.74 s
-    "d09_boilerplate_capped": 6.4,  # honest 2.99 s
-    "d10_run_overlap": 3.2,  # honest 1.41 s
-    "d10_run_overlap_capped": 3.5,  # honest 1.55 s
-    "d17_threshold_curve": 5.1,  # honest 2.31 s
-    "f01_market_stats": 3.7,  # honest 1.21 s
-    "f02_component_stats": 1.7,  # honest 0.49 s
-    "f03_zscore": 3.8,  # honest 1.23 s
-    "f04_risk_score": 3.1,  # honest 0.92 s
-    "f05_high_risk_alerts": 3.3,  # honest 1.00 s
-    "f06_hidden_price": 1.5,  # honest 0.27 s
-    "f07_categorize": 1.8,  # honest 0.39 s
-    "f08_seller_trust": 2.8,  # honest 0.69 s
-    "f08b_trust_from_reviews": 2.5,  # honest 0.55 s
-    "f09_recent_window": 2.0,  # honest 0.71 s
-    "f10_top_risk_factors": 3.2,  # honest 1.25 s
-    "f11_extract_specs": 6.7,  # honest 2.59 s
-    "f12_score_items": 14.5,  # honest 5.94 s
-    "f12b_score_core": 2.1,  # honest 0.65 s
-    "f13_generate_stats": 13.8,  # honest 6.08 s
-    "f13b_stats_core": 5.9,  # honest 1.39 s
-    "f14_factor_normalized": 2.5,  # honest 0.65 s
-    "f15_modified_after_1d": 2.1,  # honest 0.48 s
-    "f16_review_stats": 1.6,  # honest 0.39 s
-    "f18_price_histogram": 2.1,  # honest 0.42 s
-    "f26_impossible_travel": 2.3,  # honest 0.56 s
-    "g01_geo_buckets": 2.3,  # honest 0.48 s
-    "m01_binary_meta": 1.6,  # honest 0.25 s
-    "q01_pricing_summary": 3.9,  # honest 1.62 s
-    "q02_filter_project": 1.4,  # honest 0.30 s
-    "q03_join_agg": 2.0,  # honest 0.72 s
-    "q04_top_n": 2.8,  # honest 0.73 s
-    "q05_window_rank": 2.0,  # honest 0.29 s
-    "q06_semi_anti": 2.0,  # honest 0.40 s
-    "q07_distinct_union": 2.5,  # honest 0.97 s
-    "q08_date_histogram": 2.1,  # honest 0.78 s
-    "q09_running_window": 2.0,  # honest 0.54 s
-    "q10_sessionize": 2.1,  # honest 0.68 s
-    "q11_percentiles": 6.0,  # honest 2.75 s
-    "q12_pivot": 1.7,  # honest 0.29 s
-    "q13_json_extract": 2.8,  # honest 0.84 s
-    "q14_cube_rollup": 4.6,  # honest 1.91 s
-    "q15_asof_join": 3.1,  # honest 0.96 s
-    "q16_interval_join": 3.1,  # honest 1.31 s
-    "q17_skew_salted_join": 3.3,  # honest 1.27 s
-    "s01_ann_bruteforce": 1.7,  # honest 0.56 s
-    "s02_ann_lsh": 2.5,  # honest 1.00 s
-    "s03_ann_ivf": 5.4,  # honest 2.69 s
-    "s03b_ivf_core": 2.3,  # honest 0.89 s
-    "s04_pq_adc": 3.1,  # honest 1.35 s
-    "s05_ivfpq": 2.9,  # honest 1.23 s
-    "s05b_ivfpq_artifact": 5.2,  # honest 2.61 s
-    "st01_windowed_counts": 2.0,  # honest 0.61 s
-    "st02_gate_trigger": 20.8,  # honest 11.78 s
-    "st03_maintain": 4.9,  # honest 2.10 s
-    "t01_lang_id": 1.8,  # honest 0.37 s
-    "t02_quality_score": 1.7,  # honest 0.55 s
-    "t03_token_count": 1.9,  # honest 0.67 s
-    "t04_fingerprint": 1.2,  # honest 0.23 s
-    # r17 faces — ceilings cut from BENCH_FULL_r17.json (the worse of
-    # two back-to-back honest sweeps; 189 faces, 0 failures) at the
-    # churn-safe floor 1.7v+0.8 (v < 10 s) / 1.5v+1.0
-    "f33_block_coarse": 42.6,  # committed 26.56 s — the DEGENERATE
-                               # single-block coarse gear (the demo
-                               # pair's expensive twin, quadratic BY
-                               # DESIGN like d09_boilerplate)
-    "f33_block_fine": 10.1,  # committed 4.86 s — composite gear on the
-                            # identical corpus, identical output
-    "d02_ngram_jaccard_auto": 5.4,  # committed 2.59 s — census + the
-                                    # routed (plain, on this corpus)
-                                    # gear
-    "st09_vector_maintain": 7.6,  # committed 3.59 s — two codes
-                                  # micro-batches + meta fit + the
-                                  # served s05 query set
-    "f38_top_users": 2.3,  # committed 0.73 s — top-15 terms + range
-                           # split over events
-    # --- r17 late-session faces: ceilings cut from the worse of the
-    # two back-to-back 197-face sweeps that produced the committed
-    # BENCH_FULL_r17.json (503.4 / 471.3 s totals, 0 failures), at
-    # the standard churn-safe formula unless annotated ---
-    "m05_video_frames": 4.2,       # committed 1.75 s — GFV1 parse +
-                                   # frame sample + features
-    "s20_hard_negatives": 2.0,     # committed 0.46 s — two broadcast
-                                   # corpus passes
-    "d18_priority_dedup": 9.7,     # committed 3.90 s / 4.85 other run
-                                   # — rides d06's CC loop (its churn)
-    "s22_recall_curve": 4.7,       # committed 1.34 s — 1 exact + 3
-                                   # probe passes
-    "g07_graph_census": 24.0,      # committed 11.11 s — HAND-RAISED
-                                   # above the formula (18.3): the
-                                   # census runs g04's triangle join,
-                                   # whose documented same-code swing
-                                   # band is 2.4x (the g06 refloor
-                                   # lesson)
-    "c19_pack_efficiency": 2.2,    # committed 0.44 s / 0.78 other run
-                                   # — one shard aggregate past c03
-    "st08b_trickle_probe": 31.5,   # r18 committed 14.93/15.20 s (was
-                                   # 16.18 r17; merged trickle plan +
-                                   # flat state) — ten trickle
-                                   # triggers, shuffle-path probe
-                                   # twin. Ceiling RETAINED as
-                                   # driver-band margin (r17 driver
-                                   # 33.3 = 1.64x committed; same
-                                   # ratio now ~25 < 31.5)
-    "d19_source_overlap": 6.1,     # committed 2.14 s / 2.58 other run
-                                   # — one source-attach + two
-                                   # source-pair aggregates past the
-                                   # d02 pair frame
-    "t14_fertility": 1.7,          # committed 0.40 s — one codegen'd
-                                   # pass + a lang aggregate
-    "st08b_trickle_probe_bcast": 27.5,  # committed 12.69 s / 13.29
-                                   # other run — the adaptive gate's
-                                   # broadcast path; NO ratio floor on
-                                   # this pair (measured 1.24-1.29x,
-                                   # below the 1.7x churn band — the
-                                   # 41v SURVEY row documents why).
-                                   # r18: the merged trickle plan +
-                                   # flat state cut the pair to
-                                   # 14.93/17.64 committed (the bcast
-                                   # twin read ABOVE shuffle on the
-                                   # loaded worse run — within-churn
-                                   # crossover; the structural gap
-                                   # shows at sf1 state size) — ceilings
-                                   # RETAINED (not lowered) as the
-                                   # driver-band margin: the r17
-                                   # driver run inflated this family
-                                   # 1.6-2.3x over committed, and
-                                   # these bars must hold on the
-                                   # driver's contended host too
-                                   # (r17 verdict item 1)
-    # ---- r18 faces (worse-of-two committed readings) ----
-    "f11b_extract_core": 6.3,      # committed 2.27 s / 3.23 earlier
-                                   # run — the RE2-safe extraction
-                                   # core: one combined-text scan
-                                   # cascade, no joins
-    "fp01_fraud_pipeline": 28.3,   # committed 18.16 s / 11.87 — the
-                                   # full run_pipeline.sh chain:
-                                   # NDJSON land+read, extraction
-                                   # twice (stats + scoring passes),
-                                   # alert filter
-    "fp02_pipeline_core": 11.9,     # committed 2.64 s / 2.61 — f05
-                                   # alerts + two broadcast
-                                   # enrichment joins
-    "ml01_rule_distill": 8.3,      # committed 4.38 s / 5.37 — LR
-                                   # fit (25 L-BFGS iters) over the
-                                   # f04 feature frame + score
-    "ml02_quality_distill": 23.8,  # committed 15.15 s / 14.76 — LR
-                                   # fit over the quality/repetition
-                                   # feature join (the t05 rollup
-                                   # dominates)
-})
 
 # (numerator face, denominator face) -> required min ratio. The d09
 # pair is the df-cap-binding demonstration: exhaustive must pay >= 2x
