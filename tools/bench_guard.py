@@ -107,7 +107,22 @@ readings sit 1x-5x above count()-era ones depending on how much output
 computation count() had been discarding. Every ceiling marked
 "honest ... r16" is calibrated on the new epoch; pre-r16 dumps and
 BENCH_ISOLATED_r15 readings are count()-era. The --isolated baseline
-is BENCH_ISOLATED_r18.json — BENCH_ISOLATED_r17 plus the r18 splice:
+is BENCH_ISOLATED_r19.json — BENCH_ISOLATED_r18 plus the r19 refresh
+(53 faces fresh-JVM on the quiet r19 host, in two coherent blocks):
+the complete c-family prefix (c01..c23_cluster_split, 29 faces) of an
+attempted full isolated re-sweep (stopped at ~54 s wall per face — a
+complete 212-face pass is a ~3 h job), then every face r19 touched:
+the graph in-plan five + their five mart-staged twins + g08 (the mart
+serve path), the g05 pair under the memoized probe, the six
+census-routed compositions under the PERSISTED census (c24 7.20 →
+5.41, d19 4.71 → 3.83, d06 5.81 → 5.73, d14 6.40 → 6.02, g05 6.03 →
+5.07 — the artifact read replacing the fresh-JVM census job), the
+ml01b/ml02b serving twins, the st08 trio under the legacy-layout heal
+(st08 10.91 → 9.98, st08b 20.68 → 18.56, bcast 11.54 → 11.76 — the
+per-trigger heal listings cost nothing), and the g04 hub pair for the
+ratio-floor adjudication (8.37/3.99 = 2.10x, see the floor comment).
+The r18 baseline notes follow: BENCH_ISOLATED_r18 was
+BENCH_ISOLATED_r17 plus the r18 splice:
 the five new faces (f11b, fp01/fp02, ml01/ml02) fresh-JVM on the
 landing host, and the eleven replanned faces re-measured (the g05
 pair under the lean wedge aggregate — g05_full 44.4 → 30.0; the st08
@@ -167,7 +182,7 @@ import os
 import sys
 
 ISOLATED_BASELINE = os.path.join(os.path.dirname(__file__), "..",
-                                 "BENCH_ISOLATED_r18.json")
+                                 "BENCH_ISOLATED_r19.json")
 ISOLATED_RATIO = 1.5   # x baseline
 ISOLATED_SLACK = 0.3   # + seconds (fresh-JVM JIT jitter on sub-second faces)
 
@@ -436,6 +451,14 @@ RATIO_FLOORS = {
     # decisively: the id-ordered wedge fan-out at the shipped wheel
     # size pays (deg/2)^2 at the hub — tens of seconds, not a 1.5x
     # band.
+    # R19 ADJUDICATION (r18 verdict item 1 asked: restore 2.0 or
+    # record the band): the fresh-JVM isolated pair on the quiet r19
+    # host reads 8.37/3.99 = 2.10x — the same-code isolated band is
+    # 1.97-2.10x across r17/r19 hosts, and the r17-close committed
+    # full run dipped to 1.80x on identical code, so a 2.0 floor
+    # WOULD false-alarm within churn; 1.5 stands, with the isolated
+    # band now recorded here as the justification. The r19 full-run
+    # pair read 3.85x/3.52x, comfortably above.
     ("g04_hub_skew", "g04_hub_skew_ordered"): 1.5,
 }
 
