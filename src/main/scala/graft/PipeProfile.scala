@@ -55,8 +55,20 @@ object PipeProfile {
       "alert_filter" -> tAlert)
     val qs = stages.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"fp01_stage_split","unit":"sec",""" +
-      s""""value":${stages.map(_._2).sum},"stages":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"fp01_stage_split","unit":"sec",""" +
+      s""""value":${stages.map(_._2).sum},"stages":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // persisted artifact (r19 verdict item 7): bench_guard --stages
+    // gates the per-stage ceilings off this file, so a 2x stats-stage
+    // regression can't hide inside a still-green fp01 composition bar
+    try {
+      val out = java.nio.file.Paths.get("target", "pipe_profile.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    } catch { case t: Throwable =>
+      System.err.println(
+        s"[pipeprofile] could not write target/pipe_profile.json: ${t.getMessage}")
+    }
     CacheRegistry.unpersistAll()
     spark.stop()
   }

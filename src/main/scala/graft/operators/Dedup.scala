@@ -326,12 +326,15 @@ object Dedup {
   // tiny text artifact (the RiskEngine model-metadata pattern: masses
   // + cap + corpus fingerprint), keyed by the md5 of the CANONICALIZED
   // input plan (alias-invariant, path-bearing, JVM-stable text) and
-  // guarded by the corpus's input-file list + max mtime — any file
-  // added, removed, or rewritten invalidates the entry and the live
-  // census recounts and rewrites it. In-memory corpora (no input
-  // files) and any read/write failure fall back to the live census;
-  // the artifact is a pure cache, never a correctness input beyond
-  // the route itself. Validity probing is one driver-side
+  // guarded by a per-file (path, length, mtime) fingerprint — any
+  // file added, removed, rewritten, or replaced (including an
+  // mtime-preserving copy: the length-or-mtime delta still flips the
+  // hash) invalidates the entry and the live census recounts and
+  // rewrites it. In-memory corpora (no input files) and any
+  // read/write failure fall back to the live census. NOTE the route
+  // IS output-affecting when it picks the lossy capped gear, which
+  // is exactly why the fingerprint must be per-file strong (r19
+  // advice item 1). Validity probing is one driver-side
   // getFileStatus per input file — bounded by the corpus's file
   // count (a production deployment would key on a table version
   // instead).
@@ -345,21 +348,35 @@ object Dedup {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** (artifact path, files fingerprint, max mtime) — None for
-    * corpora with no file inputs. */
+    * corpora with no file inputs. The fingerprint hashes each file's
+    * (path, length, mtime) — not just the sorted name list: an
+    * mtime-preserving replace (mv, rsync -a, object-store copy)
+    * changes length or leaves mtime+length intact only when the
+    * bytes genuinely match the ones the census counted, so a stale
+    * census cannot silently mis-route the lossy capped gear across
+    * corpus versions (r19 advice item 1). The FileStatus is already
+    * fetched per file, so the stronger key costs nothing extra. */
   private def censusKey(docs: DataFrame, cap: Int)
       : Option[(org.apache.hadoop.fs.Path, String, Long)] = {
     val files = docs.inputFiles.sorted
     if (files.isEmpty) None
     else scala.util.Try {
       val conf = docs.sparkSession.sparkContext.hadoopConfiguration
-      val mtime = files.map { f =>
+      val stats = files.map { f =>
         val p = new org.apache.hadoop.fs.Path(f)
-        p.getFileSystem(conf).getFileStatus(p).getModificationTime
-      }.max
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        (f, st.getLen, st.getModificationTime)
+      }
+      // "\u0000" (the escape, never a raw control byte in source —
+      // r19 advice item 2: a literal NUL made grep treat this file as
+      // binary) as the separator no path/plan string can contain
+      val sep = "\u0000"
       val key = md5hex(
-        docs.queryExecution.analyzed.canonicalized.treeString + " " + cap)
+        docs.queryExecution.analyzed.canonicalized.treeString + sep + cap)
       (new org.apache.hadoop.fs.Path(s"$censusRoot/$key.census"),
-        md5hex(files.mkString("\n")), mtime)
+        md5hex(stats.map { case (f, l, m) => s"$f$sep$l$sep$m" }
+          .mkString("\n")),
+        stats.map(_._3).max)
     }.toOption
   }
 

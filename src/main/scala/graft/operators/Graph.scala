@@ -344,7 +344,12 @@ object Graph {
     .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Boolean]
 
   /** Per-input memo of linkPredict's (packable, wedge-mass) probe —
-    * same contract and bounds as [[hubGateMemo]]. */
+    * same bounds as [[hubGateMemo]], but NOT the same staleness
+    * contract: a stale hub-gate verdict only costs performance, while
+    * a stale `packable` on in-session-mutated input would be a
+    * CORRECTNESS hazard — which is why the packed gear carries a
+    * runtime id-range guard (see linkPredict's idGuard) that turns a
+    * stale verdict into a loud failure, never silent key corruption. */
   private val linkStatsMemo = scala.collection.concurrent.TrieMap
     .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       (Boolean, Long)]
@@ -619,7 +624,24 @@ object Graph {
     // error). Zero is the safe never-read placeholder.
     def termOf(d: Column): Column =
       when(d >= 2, (aaTerm(d) * scale).cast("int")).otherwise(lit(0))
+    // packed-gear range guard (r19 advice item 3): `packable` comes
+    // from a plan-keyed MEMO, and unlike hubGateMemo (where staleness
+    // is output-invariant) a stale packable=true after the same path
+    // is rewritten in-session with ids >= 2^31 would CORRUPT the
+    // shifted pack keys. Guarding the edge endpoints (|E| rows, once,
+    // inside the cached frame) covers every wedge's x/y — the wedge
+    // stream only copies these values — so a stale verdict fails
+    // loudly instead of merging unrelated pairs.
+    val idGuard: Column => Column =
+      if (packable) { c =>
+        val l = c.cast("long")
+        when(l >= 0L && l < lit(1L << 31), c).otherwise(raise_error(
+          concat(lit("linkPredict: node id out of packed range "),
+            c.cast("string"))))
+      } else identity
     val ed = e0
+      .withColumn("a", idGuard(col("a")))
+      .withColumn("b", idGuard(col("b")))
       .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
       .withColumn("ta", termOf(col("da")))
@@ -947,23 +969,140 @@ object Graph {
   def martDegrees(s: SparkSession, martDir: String): DataFrame =
     s.read.parquet(s"$martDir/degrees")
 
-  /** Build-once ensure per (pid, sf dir): the first staged face of a
-    * session builds the mart (write commit marker = degrees/_SUCCESS,
-    * the edges level is written first), every later one reads. The
-    * lock covers concurrent suite threads; cross-pid hygiene is
-    * PidScratch's dead-pid sweep. Bench charges the build to
-    * g08_graph_mart_build via the untimed benchSetup hook on the
-    * staged faces. */
+  // ---------------------------------------------------------------
+  // Cross-session build-once ensure (r19 verdict item 6 — the 31e
+  // census-artifact pattern applied to the mart): the mart is a
+  // per-CORPUS artifact, so a pid-scoped root made every fresh JVM
+  // rebuild it (5.9 s at sf1). The root is now STABLE, keyed by a
+  // per-file (path, length, mtime) fingerprint of the lineitem input
+  // (the same validity key strength as the gear census — an
+  // mtime-preserving replace still flips it via length, and any
+  // rewrite flips mtime). A corpus change yields a DIFFERENT root, so
+  // a matching root can never serve stale data; stale sibling
+  // versions of the same tag are swept on rebuild. Commit protocol:
+  // build into a pid-suffixed tmp sibling, write FINGERPRINT last,
+  // then one atomic local-fs rename — a torn build is invisible
+  // (validity also demands both parquet _SUCCESS markers, so a
+  // partially deleted artifact is rebuilt, spec-pinned). Corpora
+  // whose input can't be fingerprinted fall back to the r18
+  // pid-scoped posture. A production deployment would key on a table
+  // version instead of file statuses.
+  // ---------------------------------------------------------------
   private val martLock = new Object
+
+  /** Mart-build counter — spec hook: a matching artifact must be
+    * SERVED (no Spark job), never rebuilt. */
+  private[graft] val martBuilds = new java.util.concurrent.atomic.AtomicLong
+
+  private def martBase: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-graphmart-shared"
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Per-file (path, length, mtime) fingerprint of the mart's input
+    * table — None when unfingerprintable (missing path, status
+    * failure), which routes to the pid-scoped fallback. Pure
+    * driver-side FileSystem listing, NEVER a DataFrame: a fresh
+    * `spark.read.parquet` pays a schema-inference job, and the whole
+    * point of the serve path is zero jobs (spec-pinned). */
+  private def martFingerprint(s: SparkSession, dir: String): Option[String] =
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        def leaves(x: org.apache.hadoop.fs.FileStatus)
+            : Seq[org.apache.hadoop.fs.FileStatus] =
+          if (x.isDirectory)
+            fs.listStatus(x.getPath).toSeq
+              .filterNot { c =>
+                val n = c.getPath.getName
+                n.startsWith("_") || n.startsWith(".")
+              }.flatMap(leaves)
+          else Seq(x)
+        val stats = leaves(fs.getFileStatus(p))
+          .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+          .sortBy(_._1)
+        if (stats.isEmpty) None
+        else {
+          val sep = "\u0000"
+          Some(md5hex(stats.map { case (f, l, m) => s"$f$sep$l$sep$m" }
+            .mkString("\n")))
+        }
+      }
+    }.toOption.flatten
+
+  private def martValid(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, fp: String): Boolean =
+    scala.util.Try {
+      val marker = new org.apache.hadoop.fs.Path(root, "FINGERPRINT")
+      fs.exists(marker) &&
+        fs.exists(new org.apache.hadoop.fs.Path(root, "edges/_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(root, "degrees/_SUCCESS")) && {
+          val in = fs.open(marker)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          txt.trim == fp
+        }
+    }.getOrElse(false)
+
   def ensureGraphMart(s: SparkSession, dir: String): String =
     martLock.synchronized {
       val tag = "mart-" + dir.replaceAll("[^A-Za-z0-9.-]", "_")
-      val root = graft.PidScratch.path("graft-graphmart", tag)
-      val marker = new org.apache.hadoop.fs.Path(s"$root/degrees/_SUCCESS")
-      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(marker))
-        writeGraphMart(s, dir, graft.PidScratch.fresh(s, "graft-graphmart", tag))
-      root
+      martFingerprint(s, dir) match {
+        case Some(fp) =>
+          val base = new org.apache.hadoop.fs.Path(martBase)
+          val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val root = new org.apache.hadoop.fs.Path(base, s"$tag-$fp")
+          if (!martValid(fs, root, fp)) {
+            martBuilds.incrementAndGet()
+            val tmp = new org.apache.hadoop.fs.Path(base,
+              s".build-${ProcessHandle.current().pid()}-$tag-$fp")
+            fs.delete(tmp, true)
+            writeGraphMart(s, dir, tmp.toString)
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(tmp, "FINGERPRINT"), true)
+            try out.write((fp + "\n").getBytes("UTF-8")) finally out.close()
+            // a concurrent pid may have committed a valid root while we
+            // built — serve it and drop ours; else replace the garbage
+            if (martValid(fs, root, fp)) fs.delete(tmp, true)
+            else {
+              fs.delete(root, true)
+              fs.mkdirs(base)
+              if (!fs.rename(tmp, root)) fs.delete(tmp, true)
+            }
+            // sweep stale corpus versions of this tag + dead-pid tmp
+            // leftovers — the leak stays bounded by live versions
+            scala.util.Try {
+              fs.listStatus(base).foreach { st =>
+                val n = st.getPath.getName
+                if (n.startsWith(s"$tag-") && n != s"$tag-$fp")
+                  fs.delete(st.getPath, true)
+                else if (n.startsWith(".build-")) {
+                  val pid = n.stripPrefix(".build-").takeWhile(_.isDigit)
+                  val alive = pid.nonEmpty && scala.util.Try(
+                    ProcessHandle.of(pid.toLong)
+                      .map[Boolean](_.isAlive).orElse(false)).getOrElse(true)
+                  if (!alive) fs.delete(st.getPath, true)
+                }
+              }
+            }
+          }
+          root.toString
+        case None =>
+          val root = graft.PidScratch.path("graft-graphmart", tag)
+          val marker =
+            new org.apache.hadoop.fs.Path(s"$root/degrees/_SUCCESS")
+          val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!fs.exists(marker)) {
+            martBuilds.incrementAndGet()
+            writeGraphMart(s, dir,
+              graft.PidScratch.fresh(s, "graft-graphmart", tag))
+          }
+          root
+      }
     }
 
   def g03Staged(s: SparkSession, dir: String): DataFrame =
@@ -986,14 +1125,21 @@ object Graph {
     personalizedPagerank(martEdges(s, ensureGraphMart(s, dir)),
       Fraud.f21(s, dir).select(col("item_id").as("node")))
 
-  /** Bench face: ONE fresh mart build + a full artifact read-back —
-    * the cost a production pipeline pays once per graph refresh,
-    * measured so the staged-vs-in-plan delta has its denominator. */
+  /** Bench face: ONE fresh mart build + a full artifact read-back
+    * of BOTH halves (edges ∪ degrees, harmonized to two long
+    * columns — r19 advice item 5: returning edges alone
+    * under-measured the stated denominator) — the cost a production
+    * pipeline pays once per graph refresh, measured so the
+    * staged-vs-in-plan delta has its denominator. */
   def g08MartBuild(s: SparkSession, dir: String): DataFrame = {
     val root = graft.PidScratch.fresh(s, "graft-graphmart",
       "build-" + dir.replaceAll("[^A-Za-z0-9.-]", "_"))
     writeGraphMart(s, dir, root)
     martEdges(s, root)
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .unionByName(martDegrees(s, root)
+        .select(col("node").cast("long").as("a"),
+          col("degree").cast("long").as("b")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -54,12 +54,82 @@ class GraphMartSpec extends SparkSpec
     assert(fs.getFileStatus(edgesMarker).getModificationTime == stamp,
       "second ensure rebuilt an intact mart")
     // partial build (edges landed, degrees missing — a crash between
-    // the two writes): the commit marker is degrees/_SUCCESS, so the
-    // next ensure rebuilds the whole mart
+    // the two writes): validity demands both _SUCCESS markers AND the
+    // FINGERPRINT commit file, so the next ensure rebuilds the mart
     fs.delete(new org.apache.hadoop.fs.Path(s"$m/degrees"), true)
     val m2 = Graph.ensureGraphMart(spark, dir)
     assert(m2 == m)
     assert(rows(Graph.martDegrees(spark, m2)) == rows(Graph.degrees(e)))
     assert(rows(Graph.martEdges(spark, m2)) == rows(e))
+  }
+
+  test("cross-session posture: a matching artifact is served with " +
+      "zero Spark jobs and zero rebuilds (r19 verdict item 6)") {
+    val dir = sf("sf0.001")
+    Graph.ensureGraphMart(spark, dir) // built (possibly by a prior test)
+    val builds0 = Graph.martBuilds.get()
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val m = Graph.ensureGraphMart(spark, dir)
+      assert(m.contains("graft-graphmart-shared"),
+        "fingerprintable corpus must use the stable cross-session root")
+      // listener delivery is async — give the bus a moment so a job
+      // started by ensure could not slip past the assertion
+      Thread.sleep(300)
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(Graph.martBuilds.get() == builds0,
+      "second ensure rebuilt a matching artifact")
+    assert(jobs == 0,
+      "serving a matching mart artifact must launch no Spark job " +
+        "(validity probing is driver-side file status only)")
+  }
+
+  test("drift case: a rewritten input invalidates (new root, one " +
+      "rebuild, stale version swept); garbage FINGERPRINT rebuilds") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-martdrift")
+      .toString
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+    li.write.parquet(s"$tmp/lineitem.parquet")
+    val b0 = Graph.martBuilds.get()
+    val m1 = Graph.ensureGraphMart(spark, tmp)
+    assert(Graph.martBuilds.get() == b0 + 1)
+    assert(rows(Graph.martEdges(spark, m1)) ==
+      rows(Graph.coEdges(Tables.lineitem(spark, tmp))))
+    // corpus version change: drop one order and rewrite in place —
+    // per-file (path, length, mtime) fingerprinting flips, so the
+    // stale mart must NOT be served even though the path is unchanged
+    val keep = li.select(col("l_orderkey")).distinct().limit(1)
+      .collect().head.getLong(0)
+    Tables.lineitem(spark, sf("sf0.001"))
+      .filter(col("l_orderkey") =!= keep)
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val m2 = Graph.ensureGraphMart(spark, tmp)
+    assert(m2 != m1, "corpus drift must key a different mart root")
+    assert(Graph.martBuilds.get() == b0 + 2)
+    assert(rows(Graph.martEdges(spark, m2)) ==
+      rows(Graph.coEdges(Tables.lineitem(spark, tmp))))
+    val fs = new org.apache.hadoop.fs.Path(m2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(m1)),
+      "the stale corpus version must be swept on rebuild")
+    // garbage artifact: a corrupted FINGERPRINT fails validity and
+    // the next ensure rebuilds in place of the garbage
+    val marker = new org.apache.hadoop.fs.Path(s"$m2/FINGERPRINT")
+    val out = fs.create(marker, true)
+    try out.write("garbage\n".getBytes("UTF-8")) finally out.close()
+    val m3 = Graph.ensureGraphMart(spark, tmp)
+    assert(m3 == m2)
+    assert(Graph.martBuilds.get() == b0 + 3)
+    assert(rows(Graph.martDegrees(spark, m3)) ==
+      rows(Graph.degrees(Graph.coEdges(Tables.lineitem(spark, tmp)))))
+    fs.delete(new org.apache.hadoop.fs.Path(m2), true)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 }
