@@ -255,7 +255,14 @@ object BenchSf1 {
       // g03/g04 are already above; benchSetup prebuilds the mart so
       // the staged faces time the serve, not the build)
       "g08_graph_mart_build", "g03_pagerank_staged",
-      "g04_triangles_staged")
+      "g04_triangles_staged",
+      // r20 (r19 verdict item 4): the ER posting-cap gear at 10x,
+      // next to its exhaustive twin (f33 above) — the sf1 facts the
+      // AuditPostingCap scaladoc quotes: the cap BINDS here (postings
+      // reach 91) yet reads SLOWER than exhaustive while losing 1.5%
+      // of true pairs, which is why it stays an audited opt-in, not a
+      // router choice (the d02 cap's U-curve lesson replayed in ER)
+      "f33b_capped_audit")
     val benched = SparkEntry.queries ++ SparkEntry.benchOnly
     // Cap-sizing probe for the d02 super-linear reading. The naive
     // remedy — tighten the cap so the grown posting lists fall to

@@ -129,8 +129,27 @@ object Linkage {
     * block-only equi-join (28.8 → 12.9 s at sf0.1 via the length +
     * threshold pruning alone) — the conservative twin the
     * `f33_block_*` bench pair measures against. */
+  /** Opt-in posting cap for [[linkPairs]]' composite gear — the
+    * audited SCALE KNOB, deliberately NOT the production default.
+    * Measured on the 10x sf1 replica (caps 8/16/32/64 against the
+    * exhaustive gear, r20): dropping (block, variant) postings larger
+    * than the cap loses 72%/61%/38%/1.5% of TRUE pairs respectively
+    * AND reads SLOWER than uncapped (24.5/22.3/25.0 s vs 18.3 s) —
+    * the posting-size pre-pass costs more than the candidate mass it
+    * saves, because on dense name corpora the crowded postings are
+    * exactly where the matches live (the OPPOSITE of d02's df-cap,
+    * where high-df shingles are redundant signal). So unlike the d02
+    * router this gear is never auto-selected; it exists as the
+    * driver-audited escape hatch for a corpus whose posting tail is
+    * genuinely pathological (cap chosen above every measured small-SF
+    * posting: max 26 at sf0.01, 44 at sf0.1, 91 at sf1 — at 64 the
+    * audit face is bit-exact against the exhaustive oracle at the
+    * gate's SFs, and the sf1 loss is the measured 1.5%). */
+  val AuditPostingCap = 64
+
   def linkPairs(records: DataFrame, maxEdits: Int = MaxEdits,
-      segmentBlocked: Boolean = true): DataFrame = {
+      segmentBlocked: Boolean = true,
+      postingCap: Option[Int] = None): DataFrame = {
     // fail at CONSTRUCTION, not inside executor tasks: the deletion
     // neighborhood covers budgets 1-2 (the engine's sibling-typo
     // band); other budgets keep the coarse gear explicitly
@@ -138,6 +157,9 @@ object Linkage {
       s"the composite deletion-neighborhood gear covers edit budgets " +
         s"1 and 2 (got $maxEdits) — pass segmentBlocked = false for " +
         "other budgets")
+    require(postingCap.isEmpty || segmentBlocked,
+      "postingCap is a property of the deletion-neighborhood postings " +
+        "— meaningless for the coarse block-only gear")
     val pairs = if (segmentBlocked) {
       // balance BEFORE the generator: the source scan of a small
       // blocked corpus is often one file = one task, and the explode
@@ -157,11 +179,32 @@ object Linkage {
       // ~120×-exploded frame through the columnar cache costs more
       // than generating it twice (measured sf1: 26 s cache build vs
       // ~3 s per native-loop generation pass).
-      val slim = slimFrame(records, maxEdits)
+      val slim0 = slimFrame(records, maxEdits)
         .repartition(col("block"), col("skey"))
+      // opt-in cap gear (see [[AuditPostingCap]]): posting sizes by
+      // one count aggregate over the already-(block, skey)-partitioned
+      // frame (no extra exchange), then a left-semi prune of the
+      // oversized postings. Measured an anti-gear on this corpus —
+      // wired only when a caller explicitly opts in.
+      val slim = postingCap match {
+        case Some(cap) =>
+          val ok = slim0.groupBy(col("block"), col("skey"))
+            .agg(count(lit(1)).as("pf")).filter(col("pf") <= cap)
+            .select(col("block"), col("skey"))
+          slim0.join(ok, Seq("block", "skey"), "left_semi")
+        case None => slim0
+      }
+      // SHUFFLE_HASH hint: both sides are the same exchange (reused),
+      // but sort-merge pays TWO per-partition sorts of the ~120x-
+      // exploded frame on top of it; hash-building one side skips
+      // both sorts (measured r20: pair stage 14.6 -> 12.6 s at sf1,
+      // 3.1 -> 2.5 s at sf0.1; partitions are posting-bounded —
+      // ~575k rows/partition at sf1 — far inside executor memory
+      // even at a 1000-executor 100 TB layout, where the partition
+      // count scales with the cluster, not the corpus).
       val cand = slim.join(
           slim.select(col("key").as("match_key"), col("block"),
-            col("len").as("mlen"), col("skey")),
+            col("len").as("mlen"), col("skey")).hint("shuffle_hash"),
           Seq("block", "skey"))
         .filter(col("key") < col("match_key") &&
           abs(col("len") - col("mlen")) <= maxEdits)
@@ -197,8 +240,9 @@ object Linkage {
     * the budget; clean records are absent (no verdict, not a null).
     * The symmetric candidate set is the cached half-pair frame
     * unioned with its mirror (distance is symmetric). */
-  def bestMatches(records: DataFrame, maxEdits: Int = MaxEdits): DataFrame = {
-    val half = linkPairs(records, maxEdits)
+  def bestMatches(records: DataFrame, maxEdits: Int = MaxEdits,
+      postingCap: Option[Int] = None): DataFrame = {
+    val half = linkPairs(records, maxEdits, postingCap = postingCap)
     val cand = half.unionByName(
       half.select(col("match_key").as("key"), col("match_name").as("name"),
         col("key").as("match_key"), col("name").as("match_name"),
@@ -218,6 +262,20 @@ object Linkage {
     bestMatches(Tables.customer(s, dir)
       .select(col("c_custkey").as("key"), col("c_name").as("name"),
         col("c_nationkey").as("block")))
+      .withColumnRenamed("key", "c_custkey")
+
+  /** f33b: the capped gear under the SAME exhaustive oracle as f33 —
+    * the r19 verdict's "audit face proving zero recall loss at
+    * current SFs" made a driver-gated fact: [[AuditPostingCap]] sits
+    * above every measured sf0.01/sf0.1 posting, so a bit-exact match
+    * here proves the cap machinery drops nothing when it doesn't
+    * bind; the sf1 curve in the [[AuditPostingCap]] scaladoc is the
+    * measured cost when it does. */
+  def f33b(s: SparkSession, dir: String): DataFrame =
+    bestMatches(Tables.customer(s, dir)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_nationkey").as("block")),
+      postingCap = Some(AuditPostingCap))
       .withColumnRenamed("key", "c_custkey")
 
   val f33Sql: String =
@@ -621,7 +679,13 @@ object Linkage {
           // gear keeps the symmetric shuffle join.
           val slimBatch = slimB
             .select(col("key"), col("block"), col("len"), col("skey"))
-          val joined = slimState.join(slimBatch, Seq("block", "skey"))
+          // shuffle-hash, building on the BATCH side (bounded by the
+          // trigger, always the smaller frame): sort-merge would sort
+          // the accumulated state index per trigger — the one
+          // per-trigger cost that grows with state, and exactly the
+          // sort the linkPairs self-join hint eliminates (r20)
+          val joined = slimState.join(
+            slimBatch.hint("shuffle_hash"), Seq("block", "skey"))
           // key =!= match_key: a key RE-REGISTERING in a later batch
           // must not match its own earlier version — the bestMatches
           // contract (key < match_key can never self-pair) applied to
@@ -765,9 +829,13 @@ object Linkage {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f33_dup_accounts" -> (f33 _),
+    "f33b_capped_audit" -> (f33b _),
     "f35_golden_record" -> (f35 _))
 
   val oracles: Map[String, String] = Map(
     "f33_dup_accounts" -> f33Sql,
+    // the capped gear answers to the SAME exhaustive SQL: zero loss
+    // at the gate's SFs is a hash-exact fact, not a prose claim
+    "f33b_capped_audit" -> f33Sql,
     "f35_golden_record" -> f35Sql)
 }

@@ -100,6 +100,35 @@ class LinkageSpec extends SparkSpec
     assert(pairs(demo, seg = true) == pairs(demo, seg = false))
   }
 
+  test("posting cap: lossless when it doesn't bind (audit cap == " +
+      "exhaustive at sf0.001), DETECTABLY lossy when it does (cap=1 " +
+      "negative control), and rejected on the coarse gear") {
+    def pairs(df: org.apache.spark.sql.DataFrame, cap: Option[Int]) =
+      Linkage.linkPairs(df, postingCap = cap)
+        .as[(Long, String, Long, String, Long)].collect().toSet
+    val cust = graft.Tables.customer(spark, sf("sf0.001"))
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_nationkey").as("block"))
+    val exhaustive = pairs(cust, None)
+    assert(exhaustive.nonEmpty)
+    // the audit cap sits above every measured small-SF posting
+    // (max 26 at sf0.01 / 44 at sf0.1) — bit-for-bit lossless, which
+    // is what makes f33b answer f33's exhaustive oracle
+    assert(pairs(cust, Some(Linkage.AuditPostingCap)) == exhaustive)
+    // negative control: a cap of 1 drops every shared posting of a
+    // genuinely linked pair — if the cap machinery silently failed to
+    // prune (e.g. the semi-join degenerated to a no-op), this set
+    // would stay equal and the audit face would prove nothing
+    val crippled = pairs(cust, Some(1))
+    assert(crippled.size < exhaustive.size,
+      "cap=1 must visibly lose pairs on dense names")
+    assert(crippled.subsetOf(exhaustive),
+      "the cap may only DROP pairs, never invent them")
+    intercept[IllegalArgumentException] {
+      Linkage.linkPairs(cust, segmentBlocked = false, postingCap = Some(8))
+    }
+  }
+
   test("composite blocking recall: every planted sibling (substitution " +
       "AND shift family) links under the segment gear") {
     val demo = Linkage.blockDemoCorpus(
