@@ -462,6 +462,53 @@ RATIO_FLOORS = {
     ("g04_hub_skew", "g04_hub_skew_ordered"): 1.5,
 }
 
+# fp01 per-stage ceilings (r19 verdict item 7): the composition bar
+# alone lets a 2x stats-stage regression hide behind a land-stage
+# improvement, so graft.PipeProfile persists its stage split to
+# target/pipe_profile.json and `--stages` gates each stage with the
+# same churn-safe rule (1.7v+0.8 under 10 s) over a quiet-host
+# worse-of-pair (r20 close, sf0.1/32 cpus, back-to-back fresh-JVM
+# PipeProfile runs; per-stage provenance in the comments).
+STAGE_CEILINGS = {
+    # PROVISIONAL pending the r20 close-out PipeProfile pair — do not
+    # trust these comments as measurements until replaced
+    "land_ndjson": 5.4,
+    "ingest_read": 5.3,
+    "stats_generation": 7.3,
+    "scoring": 3.9,
+    "alert_filter": 2.3,
+}
+
+
+def stages_main(argv) -> int:
+    """Gate the fp01 stage split (target/pipe_profile.json) against
+    STAGE_CEILINGS. Calibrated at sf0.1 like the face ceilings; other
+    SF dumps SKIP (the sf1 replica runs ~2-3x these bands by design).
+    A stage missing from the dump fails — the profiler writes all
+    five atomically, so absence means a broken artifact."""
+    path = argv[0] if argv else "target/pipe_profile.json"
+    dump = json.load(open(path))
+    sf = dump.get("sf", "")
+    if not sf.rstrip("/").endswith("/sf0.1"):
+        print(f"SKIP all: {path} is sf={sf!r}, stage bands are "
+              "calibrated for sf0.1")
+        return 0
+    stages = dump["stages"]
+    bad = []
+    for stage, ceiling in STAGE_CEILINGS.items():
+        got = stages.get(stage)
+        if got is None:
+            bad.append(stage)
+            print(f"FAIL {stage}: missing from {path}")
+        elif got < 0 or got > ceiling:
+            bad.append(stage)
+            print(f"FAIL {stage}: {got:.2f} s > ceiling {ceiling} s")
+        else:
+            print(f"ok   {stage}: {got:.2f} s <= {ceiling} s "
+                  f"({got / ceiling:.0%} of bar)")
+    return 1 if bad else 0
+
+
 def isolated_main(argv) -> int:
     """Tight-band diff of a fresh-JVM per-face dump vs the committed
     quiet-host baseline. Faces absent from the baseline (new this
@@ -508,9 +555,12 @@ def isolated_main(argv) -> int:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--isolated"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--isolated", "--stages")]
     if "--isolated" in sys.argv[1:]:
         return isolated_main(args)
+    if "--stages" in sys.argv[1:]:
+        return stages_main(args)
     path = args[0] if args else "target/bench.json"
     dump = json.load(open(path))
     # the gate must be EXACT on the dir suffix, not a substring:

@@ -12,16 +12,27 @@ bars (the r18 lesson: the driver's contended host reads these families
 on healthy code).
 
 Usage: python3 tools/refloor.py sweep1.json sweep2.json > ceilings.py
+
+R20: the DRIVER_BAND carve-outs are GONE (r19 verdict item 2 — every
+ceiling rule-derived). The five ex-band faces fold in through
+EXTRA_READINGS instead: ceiling = rule(max(worse-of-pair, extra)),
+where the extras are the last PARSEABLE driver readings — st08/st08b
+survive in the BENCH_r19.json tail (5.67/13.55 s, at quiet-host level,
+so the r17/r18 driver-contention era the bands hedged against did not
+recur) — and g05_full/ml02/fp01, absent from every driver tail so far,
+get pure quiet-host rule bars; the r20 Bench epilogue (compact
+per-face + top-16 lines at the very end of the log) guarantees every
+future driver capture carries all five, so the next re-floor can fold
+in fresh driver numbers the same way.
 """
 import json, math, sys
 
-# driver-contention-calibrated bars, retained verbatim (provenance in
-# the r18 per-bar comments + VERDICT r17/r18): quiet-host readings sit
-# at 24-47% of these by design.
-DRIVER_BAND = {
-    "g05_link_predict_full": 98.2,
-    "st08_linkage_gate": 16.6,
-    "st08b_trickle_probe": 31.5,
+# last parseable DRIVER readings (BENCH_r19.json tail), folded into
+# the worse() so a rule bar can never sit below what the driver host
+# actually measured on healthy code.
+EXTRA_READINGS = {
+    "st08_linkage_gate": 5.67,
+    "st08b_trickle_probe": 13.55,
 }
 
 def rule(v: float) -> float:
@@ -40,13 +51,14 @@ def main():
                   "regenerate, never splice")
             continue
         worse = max(va, vb)
-        if f in DRIVER_BAND:
-            print(f'    "{f}": {DRIVER_BAND[f]},  '
-                  f"# DRIVER BAND retained (r18); r19 worse-of-two "
-                  f"{worse:.2f} s ({va:.2f}/{vb:.2f})")
+        extra = EXTRA_READINGS.get(f)
+        if extra is not None and extra > worse:
+            print(f'    "{f}": {rule(extra)},  '
+                  f"# r20 rule over the r19 DRIVER tail reading "
+                  f"{extra:.2f} s (quiet-host pair {va:.2f}/{vb:.2f})")
         else:
             print(f'    "{f}": {rule(worse)},  '
-                  f"# r19 worse-of-two {worse:.2f} s ({va:.2f}/{vb:.2f})")
+                  f"# r20 worse-of-two {worse:.2f} s ({va:.2f}/{vb:.2f})")
     print("}")
 
 if __name__ == "__main__":
