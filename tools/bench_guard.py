@@ -107,8 +107,25 @@ readings sit 1x-5x above count()-era ones depending on how much output
 computation count() had been discarding. Every ceiling marked
 "honest ... r16" is calibrated on the new epoch; pre-r16 dumps and
 BENCH_ISOLATED_r15 readings are count()-era. The --isolated baseline
-is BENCH_ISOLATED_r19.json — BENCH_ISOLATED_r18 plus the r19 refresh
-(53 faces fresh-JVM on the quiet r19 host, in two coherent blocks):
+is BENCH_ISOLATED_r20.json — the FIRST fully-regenerated isolated
+artifact since r16 (r19 verdict item 1): all 213 faces fresh-JVM in
+ONE session on the r20 build host (~25 s/face, ~103 min), classes
+snapshotted so concurrent work could not swap code under the sweep,
+ZERO cross-session carryovers and zero splices. Within the session
+the host churned in waves (31 faces read 1.4-2.4x their r19-era
+baselines mid-sweep; CPU steal 0.1%, disk 400-530 MB/s — bursty VM
+neighbors, not load of ours); those 31 were re-measured same-session
+same-host immediately after the sweep (the committed value is each
+face's LAST same-session reading; the erratic five — d03/d12/st03/
+st07/c19 — took a third pass and all landed at/below baseline). Net
+vs the r19 spliced baseline: median ratio 1.008 over 212 common
+faces, zero faces over the 1.5x+0.3 band, guard exit 0 — the ex-r18
+carryovers (fp01 17.1, ml02 14.3, the st08 trio 8.9/16.4/10.6 — the
+r20 shuffle-hash gear reads BELOW the r19 baseline on all three) are
+finally same-host coherent. The r19 baseline notes follow for
+history: BENCH_ISOLATED_r19.json was BENCH_ISOLATED_r18 plus the r19
+refresh (53 faces fresh-JVM on the quiet r19 host, in two coherent
+blocks):
 the complete c-family prefix (c01..c23_cluster_split, 29 faces) of an
 attempted full isolated re-sweep (stopped at ~54 s wall per face — a
 complete 212-face pass is a ~3 h job), then every face r19 touched:
@@ -182,7 +199,7 @@ import os
 import sys
 
 ISOLATED_BASELINE = os.path.join(os.path.dirname(__file__), "..",
-                                 "BENCH_ISOLATED_r19.json")
+                                 "BENCH_ISOLATED_r20.json")
 ISOLATED_RATIO = 1.5   # x baseline
 ISOLATED_SLACK = 0.3   # + seconds (fresh-JVM JIT jitter on sub-second faces)
 
