@@ -14,6 +14,29 @@ Usage: python3 tools/bench_guard.py [target/bench.json]
        python3 tools/bench_guard.py --isolated [target/bench_isolated.json]
 Exit 1 if any ceiling is exceeded.
 
+R20 RE-DERIVATION (r19 verdict item 2 — the last carve-outs cut):
+EVERY ceiling is now rule-derived (tools/refloor.py) from the r20
+quiet-host back-to-back pair (213 faces, 542.1/537.8 s totals, 0
+failures, same code both runs — BENCH_FULL_r20.json is the worse
+run): ceiling = rule(worse-of-pair), both readings quoted per bar.
+The five ex-exception faces came down to rule bars with provenance:
+g05_link_predict_full 98.2 -> 44.0 (pair 28.61/20.96),
+fp01_fraud_pipeline 28.3 -> 20.7 (13.10/11.00), ml02_quality_distill
+23.8 -> 22.2 (14.08/12.81), st08_linkage_gate 16.6 -> 12.7
+(6.99/6.17), st08b_trickle_probe 31.5 -> 24.2 (15.40/15.32). The
+driver-contention hedge those bands encoded was re-checked against
+the last PARSEABLE driver readings (the BENCH_r19 tail carries
+st08 5.67 / st08b 13.55 — at quiet-host level, the r17/r18
+contention era did not recur; refloor.py folds such driver readings
+in via EXTRA_READINGS so a rule bar can never sit below a healthy
+driver measurement), and the r20 Bench epilogue (compact per-face +
+top-16 lines at the very END of the log) guarantees every future
+driver capture carries all five faces for the next re-floor. Guard
+exit 0 on both runs of the pair, median utilization 39%/41%, max
+70%, zero SKIPs at 213 faces (f33b_capped_audit new this round).
+fp01 additionally carries the per-stage gate (--stages, see
+STAGE_CEILINGS).
+
 R19 RE-DERIVATION (r18 verdict item 1 — the guard re-derived DOWN):
 after r18's two degraded-host re-floor passes left median utilization
 at 38% with many bars unable to catch a 1.5-2x regression, EVERY
@@ -208,218 +231,219 @@ ISOLATED_SLACK = 0.3   # + seconds (fresh-JVM JIT jitter on sub-second faces)
 # (2.4-2.5 s) and any doc-family structural regression while leaving
 # room for ordinary run-to-run variance.
 CEILINGS = {
-    "c01_corpus_clean": 7.3,  # r19 worse-of-two 3.82 s (3.27/3.82)
-    "c01_corpus_clean_capped": 5.3,  # r19 worse-of-two 2.63 s (2.63/2.27)
-    "c02_train_split": 1.2,  # r19 worse-of-two 0.20 s (0.20/0.16)
-    "c03_pack_sequences": 1.9,  # r19 worse-of-two 0.60 s (0.60/0.47)
-    "c03b_pack_chunks": 1.6,  # r19 worse-of-two 0.44 s (0.44/0.36)
-    "c03c_pack_subword": 1.6,  # r19 worse-of-two 0.44 s (0.44/0.32)
-    "c03c_pack_subword_fit": 9.8,  # r19 worse-of-two 5.25 s (5.25/3.95)
-    "c03c_pack_subword_fit32k": 18.6,  # r19 worse-of-two 11.70 s (11.70/10.21)
-    "c04_mixture_epochs": 1.3,  # r19 worse-of-two 0.25 s (0.25/0.23)
-    "c05_redact_pii": 1.9,  # r19 worse-of-two 0.61 s (0.61/0.47)
-    "c06_assemble": 2.2,  # r19 worse-of-two 0.81 s (0.81/0.67)
-    "c07_assemble_decontaminated": 5.7,  # r19 worse-of-two 2.86 s (2.62/2.86)
-    "c08_strip_boilerplate": 4.0,  # r19 worse-of-two 1.88 s (1.88/1.42)
-    "c09_seq_shuffle": 1.9,  # r19 worse-of-two 0.65 s (0.65/0.57)
-    "c09b_shard_manifest": 1.7,  # r19 worse-of-two 0.50 s (0.50/0.37)
-    "c10_clean_full": 15.5,  # r19 worse-of-two 8.62 s (8.62/8.17)
-    "c10_clean_staged": 12.5,  # r19 worse-of-two 6.87 s (6.87/5.77)
-    "c11_corpus_upsert": 2.0,  # r19 worse-of-two 0.67 s (0.67/0.57)
-    "c12_dsir": 7.1,  # r19 worse-of-two 3.66 s (3.66/2.89)
-    "c13_corpus_census": 7.4,  # r19 worse-of-two 3.86 s (3.86/2.93)
-    "c14_stratified_sample": 1.4,  # r19 worse-of-two 0.31 s (0.31/0.26)
-    "c15_scd2_history": 1.8,  # r19 worse-of-two 0.54 s (0.54/0.37)
-    "c16_source_quota": 3.1,  # r19 worse-of-two 1.32 s (1.32/1.18)
-    "c17_vocab_fit": 1.9,  # r19 worse-of-two 0.63 s (0.63/0.59)
-    "c18_dp_census": 1.5,  # r19 worse-of-two 0.37 s (0.37/0.29)
-    "c19_pack_efficiency": 1.9,  # r19 worse-of-two 0.61 s (0.61/0.38)
-    "c21_mixture_weights": 2.0,  # r19 worse-of-two 0.67 s (0.67/0.49)
-    "c22_drop_audit": 5.9,  # r19 worse-of-two 2.99 s (2.99/2.64)
-    "c23_cluster_split": 8.7,  # r19 worse-of-two 4.60 s (4.60/3.58)
-    "c24_soft_sample": 6.6,  # r19 worse-of-two 3.37 s (3.37/3.20)
-    "c25_k_anonymity": 2.0,  # r19 worse-of-two 0.67 s (0.67/0.46)
-    "c26_corpus_diff": 2.7,  # r19 worse-of-two 1.11 s (1.11/0.86)
-    "d01_dedup_exact": 1.5,  # r19 worse-of-two 0.37 s (0.37/0.24)
-    "d02_ngram_jaccard": 4.6,  # r19 worse-of-two 2.18 s (2.18/1.91)
-    "d02_ngram_jaccard_auto": 3.0,  # r19 worse-of-two 1.29 s (1.22/1.29)
-    "d02_ngram_jaccard_capped": 3.7,  # r19 worse-of-two 1.66 s (1.47/1.66)
-    "d02p_prefix_jaccard": 9.9,  # r19 worse-of-two 5.34 s (5.30/5.34)
-    "d03_minhash_lsh": 3.7,  # r19 worse-of-two 1.68 s (1.68/1.45)
-    "d04_simhash": 2.3,  # r19 worse-of-two 0.83 s (0.83/0.64)
-    "d04b_simhash_core": 3.5,  # r19 worse-of-two 1.58 s (1.58/0.96)
-    "d05_embedding_neardup": 1.6,  # r19 worse-of-two 0.43 s (0.43/0.37)
-    "d06_dedup_clusters": 7.5,  # r19 worse-of-two 3.94 s (3.94/3.73)
-    "d06_dedup_clusters_capped": 6.7,  # r19 worse-of-two 3.44 s (3.44/3.21)
-    "d07_winnow_pairs": 4.3,  # r19 worse-of-two 2.02 s (2.02/1.69)
-    "d07_winnow_pairs_capped": 3.8,  # r19 worse-of-two 1.71 s (1.71/1.51)
-    "d08_decontaminate": 3.8,  # r19 worse-of-two 1.72 s (1.72/1.48)
-    "d09_boilerplate": 10.4,  # r19 worse-of-two 5.60 s (5.60/5.43)
-    "d09_boilerplate_capped": 5.5,  # r19 worse-of-two 2.73 s (2.70/2.73)
-    "d09_boilerplate_prefix": 5.6,  # r19 worse-of-two 2.82 s (2.38/2.82)
-    "d10_run_overlap": 3.1,  # r19 worse-of-two 1.34 s (1.34/0.97)
-    "d10_run_overlap_capped": 2.8,  # r19 worse-of-two 1.17 s (1.17/1.05)
-    "d11_contamination_report": 2.3,  # r19 worse-of-two 0.86 s (0.86/0.60)
-    "d12_bloom_decontaminate": 3.8,  # r19 worse-of-two 1.73 s (1.73/1.47)
-    "d13_semantic_dedup": 2.5,  # r19 worse-of-two 0.96 s (0.96/0.65)
-    "d14_soft_dedup": 7.4,  # r19 worse-of-two 3.85 s (3.85/3.21)
-    "d14_soft_dedup_capped": 6.5,  # r19 worse-of-two 3.34 s (3.29/3.34)
-    "d15_para_dedup": 2.4,  # r19 worse-of-two 0.93 s (0.93/0.91)
-    "d16_dedup_compare": 8.2,  # r19 worse-of-two 4.32 s (4.32/3.89)
-    "d17_threshold_curve": 5.0,  # r19 worse-of-two 2.42 s (2.42/1.71)
-    "d18_priority_dedup": 8.6,  # r19 worse-of-two 4.56 s (4.56/4.01)
-    "d19_source_overlap": 5.9,  # r19 worse-of-two 2.99 s (2.99/1.95)
-    "f01_market_stats": 3.4,  # r19 worse-of-two 1.47 s (1.47/1.37)
-    "f02_component_stats": 1.5,  # r19 worse-of-two 0.40 s (0.40/0.38)
-    "f03_zscore": 3.1,  # r19 worse-of-two 1.35 s (1.35/1.18)
-    "f04_risk_score": 2.5,  # r19 worse-of-two 0.99 s (0.99/0.81)
-    "f05_high_risk_alerts": 2.6,  # r19 worse-of-two 1.02 s (1.02/0.77)
-    "f06_hidden_price": 1.3,  # r19 worse-of-two 0.28 s (0.28/0.18)
-    "f07_categorize": 1.5,  # r19 worse-of-two 0.37 s (0.37/0.35)
-    "f08_seller_trust": 2.3,  # r19 worse-of-two 0.86 s (0.86/0.74)
-    "f08b_trust_from_reviews": 1.9,  # r19 worse-of-two 0.59 s (0.52/0.59)
-    "f09_recent_window": 1.9,  # r19 worse-of-two 0.61 s (0.61/0.46)
-    "f10_top_risk_factors": 2.4,  # r19 worse-of-two 0.89 s (0.87/0.89)
-    "f11_extract_specs": 5.5,  # r19 worse-of-two 2.72 s (2.34/2.72)
-    "f11b_extract_core": 4.1,  # r19 worse-of-two 1.92 s (1.92/1.69)
-    "f12_score_items": 12.5,  # r19 worse-of-two 6.85 s (6.85/5.16)
-    "f12b_score_core": 1.8,  # r19 worse-of-two 0.54 s (0.54/0.44)
-    "f13_generate_stats": 9.4,  # r19 worse-of-two 5.04 s (5.04/4.42)
-    "f13b_stats_core": 3.6,  # r19 worse-of-two 1.64 s (1.64/1.25)
-    "f14_factor_normalized": 1.9,  # r19 worse-of-two 0.64 s (0.64/0.62)
-    "f15_modified_after_1d": 1.7,  # r19 worse-of-two 0.50 s (0.40/0.50)
-    "f16_review_stats": 1.6,  # r19 worse-of-two 0.42 s (0.42/0.37)
-    "f17_stats_merge": 3.3,  # r19 worse-of-two 1.44 s (1.44/1.32)
-    "f18_price_histogram": 1.5,  # r19 worse-of-two 0.39 s (0.36/0.39)
-    "f19_risk_heatmap": 3.3,  # r19 worse-of-two 1.44 s (1.44/1.40)
-    "f20_risk_distribution": 2.4,  # r19 worse-of-two 0.94 s (0.70/0.94)
-    "f21_price_anomaly": 3.0,  # r19 worse-of-two 1.26 s (1.22/1.26)
-    "f22_benford": 2.2,  # r19 worse-of-two 0.80 s (0.80/0.48)
-    "f23_user_burst": 2.0,  # r19 worse-of-two 0.65 s (0.58/0.65)
-    "f24_ks_drift": 2.9,  # r19 worse-of-two 1.21 s (1.21/0.93)
-    "f25_cusum": 2.6,  # r19 worse-of-two 1.01 s (1.01/1.01)
-    "f26_impossible_travel": 2.0,  # r19 worse-of-two 0.65 s (0.56/0.65)
-    "f27_hll_users": 3.1,  # r19 worse-of-two 1.32 s (1.32/1.12)
-    "f28_last_touch": 2.4,  # r19 worse-of-two 0.92 s (0.92/0.85)
-    "f29_cms_counts": 3.6,  # r19 worse-of-two 1.61 s (1.61/1.36)
-    "f30_quantile_sketch": 2.2,  # r19 worse-of-two 0.78 s (0.78/0.68)
-    "f31_dow_anomaly": 2.3,  # r19 worse-of-two 0.85 s (0.85/0.77)
-    "f32_ewma": 3.3,  # r19 worse-of-two 1.45 s (1.45/1.18)
-    "f33_block_coarse": 40.8,  # r19 worse-of-two 26.52 s (26.52/21.36)
-    "f33_block_fine": 7.1,  # r19 worse-of-two 3.68 s (3.68/2.76)
-    "f33_dup_accounts": 7.3,  # r19 worse-of-two 3.82 s (3.49/3.82)
-    "f34_propagation_staged": 16.1,  # r19 worse-of-two 8.98 s (8.98/8.39)
-    "f34_risk_propagation": 17.4,  # r19 worse-of-two 10.90 s (10.90/9.98)
-    "f35_golden_record": 10.4,  # r19 worse-of-two 5.61 s (5.61/5.17)
-    "f36_time_decay": 2.2,  # r19 worse-of-two 0.81 s (0.74/0.81)
-    "f37_realert": 1.4,  # r19 worse-of-two 0.30 s (0.30/0.30)
-    "f38_top_users": 1.6,  # r19 worse-of-two 0.47 s (0.47/0.44)
-    "fp01_fraud_pipeline": 28.3,  # RETAINED r18 driver-proven bar (NDJSON land+read hop is contention-sensitive; driver reading unparseable from the tail) — r19 worse-of-two 12.55 s (12.55/9.61), rule would give 19.9
-    "fp02_pipeline_core": 5.5,  # r19 worse-of-two 2.76 s (2.76/2.54)
-    "g01_geo_buckets": 1.7,  # r19 worse-of-two 0.53 s (0.53/0.39)
-    "g02_geo_radius": 1.3,  # r19 worse-of-two 0.25 s (0.25/0.16)
-    "g03_pagerank": 16.8,  # r19 worse-of-two 9.36 s (9.36/7.27)
-    "g03_pagerank_staged": 7.9,  # r19 worse-of-two 4.14 s (4.14/2.44)
-    "g04_hub_skew": 11.9,  # r19 worse-of-two 6.48 s (6.48/4.80)
-    "g04_hub_skew_ordered": 3.7,  # r19 worse-of-two 1.69 s (1.69/1.36)
-    "g04_triangles": 17.9,  # r19 worse-of-two 11.21 s (11.21/8.93)
-    "g04_triangles_staged": 9.5,  # r19 worse-of-two 5.09 s (5.09/4.30)
-    "g05_link_predict": 6.6,  # r19 worse-of-two 3.40 s (3.40/2.28)
-    "g05_link_predict_full": 98.2,  # DRIVER BAND retained (r18); r19 worse-of-two 20.98 s (20.98/17.11)
-    "g06_kcore": 13.7,  # r19 worse-of-two 7.55 s (7.55/6.29)
-    "g06_kcore_staged": 7.5,  # r19 worse-of-two 3.91 s (3.91/3.87)
-    "g07_census_staged": 10.5,  # r19 worse-of-two 5.67 s (5.67/3.92)
-    "g07_graph_census": 17.3,  # r19 worse-of-two 10.85 s (10.85/7.78)
-    "g08_graph_mart_build": 4.6,  # r19 worse-of-two 2.23 s (2.23/2.15)
-    "m01_binary_meta": 1.2,  # r19 worse-of-two 0.21 s (0.20/0.21)
-    "m02_image_dhash": 3.2,  # r19 worse-of-two 1.40 s (1.36/1.40)
-    "m03_audio_energy": 2.6,  # r19 worse-of-two 1.06 s (1.06/1.02)
-    "m04_audio_fp": 4.4,  # r19 worse-of-two 2.06 s (2.06/1.60)
-    "m05_video_frames": 3.5,  # r19 worse-of-two 1.56 s (1.56/1.43)
-    "ml01_rule_distill": 8.0,  # r19 worse-of-two 4.19 s (4.19/3.67)
-    "ml01b_score_core": 2.7,  # r19 worse-of-two 1.11 s (0.76/1.11)
-    "ml02_quality_distill": 23.8,  # RETAINED r18 driver-proven bar (L-BFGS fit is host-sensitive; the driver's own reading is unparseable from the BENCH_r18 tail) — r19 worse-of-two 11.32 s (10.77/11.32), rule would give 18.0
-    "ml02b_score_core": 4.7,  # r19 worse-of-two 2.25 s (2.15/2.25)
-    "q01_pricing_summary": 3.2,  # r19 worse-of-two 1.40 s (1.17/1.40)
-    "q02_filter_project": 1.3,  # r19 worse-of-two 0.27 s (0.20/0.27)
-    "q03_join_agg": 1.9,  # r19 worse-of-two 0.60 s (0.40/0.60)
-    "q04_top_n": 2.1,  # r19 worse-of-two 0.75 s (0.61/0.75)
-    "q05_window_rank": 1.4,  # r19 worse-of-two 0.30 s (0.29/0.30)
-    "q06_semi_anti": 1.5,  # r19 worse-of-two 0.39 s (0.39/0.31)
-    "q07_distinct_union": 1.5,  # r19 worse-of-two 0.38 s (0.38/0.33)
-    "q08_date_histogram": 1.7,  # r19 worse-of-two 0.49 s (0.49/0.45)
-    "q09_running_window": 1.7,  # r19 worse-of-two 0.52 s (0.52/0.49)
-    "q10_sessionize": 1.6,  # r19 worse-of-two 0.46 s (0.46/0.39)
-    "q11_percentiles": 5.1,  # r19 worse-of-two 2.50 s (2.50/2.25)
-    "q12_pivot": 1.4,  # r19 worse-of-two 0.30 s (0.29/0.30)
-    "q13_json_extract": 2.1,  # r19 worse-of-two 0.72 s (0.68/0.72)
-    "q14_cube_rollup": 3.8,  # r19 worse-of-two 1.73 s (1.62/1.73)
-    "q15_asof_join": 2.5,  # r19 worse-of-two 0.95 s (0.95/0.90)
-    "q16_interval_join": 2.7,  # r19 worse-of-two 1.08 s (1.08/1.05)
-    "q17_skew_salted_join": 3.0,  # r19 worse-of-two 1.27 s (1.27/0.98)
-    "q18_funnel": 2.5,  # r19 worse-of-two 0.97 s (0.95/0.97)
-    "q19_retention": 2.0,  # r19 worse-of-two 0.69 s (0.69/0.61)
-    "q20_copurchase": 5.7,  # r19 worse-of-two 2.84 s (2.84/2.55)
-    "q21_grouping_sets": 1.8,  # r19 worse-of-two 0.57 s (0.55/0.57)
-    "q22_sliding_window": 2.1,  # r19 worse-of-two 0.75 s (0.73/0.75)
-    "q23_set_ops": 1.8,  # r19 worse-of-two 0.56 s (0.49/0.56)
-    "q24_ntile_deciles": 2.3,  # r19 worse-of-two 0.84 s (0.83/0.84)
-    "q25_unpivot": 4.2,  # r19 worse-of-two 1.98 s (1.98/1.16)
-    "q26_reconcile": 2.2,  # r19 worse-of-two 0.78 s (0.78/0.59)
-    "q27_dq_audit": 3.3,  # r19 worse-of-two 1.45 s (1.45/1.31)
-    "q28_top_paths": 3.5,  # r19 worse-of-two 1.56 s (1.56/1.19)
-    "q29_audience_overlap": 2.1,  # r19 worse-of-two 0.75 s (0.75/0.66)
-    "q30_funnel_window": 3.0,  # r19 worse-of-two 1.28 s (1.28/0.95)
-    "s01_ann_bruteforce": 1.8,  # r19 worse-of-two 0.55 s (0.55/0.38)
-    "s02_ann_lsh": 2.1,  # r19 worse-of-two 0.71 s (0.71/0.54)
-    "s03_ann_ivf": 4.2,  # r19 worse-of-two 1.98 s (1.98/1.41)
-    "s03b_ivf_core": 1.9,  # r19 worse-of-two 0.63 s (0.63/0.50)
-    "s04_pq_adc": 3.0,  # r19 worse-of-two 1.24 s (1.24/0.79)
-    "s05_ivfpq": 2.7,  # r19 worse-of-two 1.11 s (1.11/0.86)
-    "s05b_ivfpq_artifact": 4.6,  # r19 worse-of-two 2.21 s (2.21/1.69)
-    "s06_bm25": 3.3,  # r19 worse-of-two 1.42 s (1.42/1.25)
-    "s07_fuzzy_match": 3.5,  # r19 worse-of-two 1.55 s (1.55/1.39)
-    "s08_match_phrase": 2.1,  # r19 worse-of-two 0.73 s (0.73/0.62)
-    "s09_hybrid_rrf": 4.5,  # r19 worse-of-two 2.13 s (2.13/1.73)
-    "s10_rank_eval": 3.0,  # r19 worse-of-two 1.26 s (1.26/1.06)
-    "s11_knn_classify": 1.9,  # r19 worse-of-two 0.60 s (0.60/0.52)
-    "s12_ann_recall": 2.2,  # r19 worse-of-two 0.81 s (0.81/0.72)
-    "s13_mmr": 2.9,  # r19 worse-of-two 1.23 s (1.23/1.15)
-    "s14_centroid_prune": 4.8,  # r19 worse-of-two 2.30 s (2.30/1.84)
-    "s15_bm25_index": 6.1,  # r19 worse-of-two 3.11 s (3.11/2.61)
-    "s16_phrase_index": 6.1,  # r19 worse-of-two 3.08 s (3.08/2.87)
-    "s17_ann_sq8": 4.1,  # r19 worse-of-two 1.92 s (1.92/1.33)
-    "s18_ivf_sq8": 3.5,  # r19 worse-of-two 1.54 s (1.54/1.36)
-    "s19_more_like_this": 6.1,  # r19 worse-of-two 3.08 s (3.08/2.87)
-    "s20_hard_negatives": 1.6,  # r19 worse-of-two 0.43 s (0.39/0.43)
-    "s21_filtered_ann": 1.7,  # r19 worse-of-two 0.51 s (0.45/0.51)
-    "s22_recall_curve": 3.4,  # r19 worse-of-two 1.51 s (1.36/1.51)
-    "st01_windowed_counts": 1.8,  # r19 worse-of-two 0.53 s (0.53/0.49)
-    "st02_gate_trigger": 17.5,  # r19 worse-of-two 10.98 s (9.28/10.98)
-    "st03_maintain": 3.8,  # r19 worse-of-two 1.73 s (1.70/1.73)
-    "st04_upsert_cdc": 3.4,  # r19 worse-of-two 1.48 s (1.48/1.48)
-    "st05_alert_rule": 1.5,  # r19 worse-of-two 0.41 s (0.33/0.41)
-    "st06_alert_sink": 2.6,  # r19 worse-of-two 1.02 s (1.02/0.93)
-    "st07_index_maintain": 10.4,  # r19 worse-of-two 5.65 s (5.34/5.65)
-    "st08_linkage_gate": 16.6,  # DRIVER BAND retained (r18); r19 worse-of-two 5.58 s (5.47/5.58)
-    "st08b_trickle_probe": 31.5,  # DRIVER BAND retained (r18); r19 worse-of-two 13.05 s (13.05/11.93)
-    "st08b_trickle_probe_bcast": 15.7,  # r19 worse-of-two 8.72 s (8.72/8.55)
-    "st09_vector_maintain": 5.6,  # r19 worse-of-two 2.82 s (2.82/2.69)
-    "t01_lang_id": 1.3,  # r19 worse-of-two 0.28 s (0.28/0.28)
-    "t02_quality_score": 1.4,  # r19 worse-of-two 0.35 s (0.29/0.35)
-    "t03_token_count": 1.6,  # r19 worse-of-two 0.43 s (0.36/0.43)
-    "t04_fingerprint": 1.1,  # r19 worse-of-two 0.16 s (0.14/0.16)
-    "t05_repetition": 5.9,  # r19 worse-of-two 2.96 s (2.91/2.96)
-    "t06_normalize": 1.5,  # r19 worse-of-two 0.38 s (0.31/0.38)
-    "t07_tfidf_keywords": 3.9,  # r19 worse-of-two 1.80 s (1.46/1.80)
-    "t08_perplexity": 5.5,  # r19 worse-of-two 2.75 s (2.21/2.75)
-    "t09_entropy": 3.0,  # r19 worse-of-two 1.26 s (1.26/1.26)
-    "t10_readability": 1.6,  # r19 worse-of-two 0.46 s (0.46/0.42)
-    "t11_gopher_rules": 2.8,  # r19 worse-of-two 1.17 s (1.17/0.90)
-    "t12_pmi_collocations": 3.8,  # r19 worse-of-two 1.75 s (1.75/1.60)
-    "t13_zipf_fit": 1.9,  # r19 worse-of-two 0.64 s (0.64/0.53)
-    "t14_fertility": 1.8,  # r19 worse-of-two 0.57 s (0.57/0.42)
-    "z01_zorder": 1.8,  # r19 worse-of-two 0.55 s (0.44/0.55)
+    "c01_corpus_clean": 8.3,  # r20 worse-of-two 4.37 s (3.83/4.37)
+    "c01_corpus_clean_capped": 6.2,  # r20 worse-of-two 3.13 s (3.13/2.77)
+    "c02_train_split": 1.2,  # r20 worse-of-two 0.22 s (0.19/0.22)
+    "c03_pack_sequences": 1.7,  # r20 worse-of-two 0.50 s (0.41/0.50)
+    "c03b_pack_chunks": 1.7,  # r20 worse-of-two 0.49 s (0.49/0.47)
+    "c03c_pack_subword": 1.5,  # r20 worse-of-two 0.38 s (0.33/0.38)
+    "c03c_pack_subword_fit": 11.0,  # r20 worse-of-two 5.95 s (4.68/5.95)
+    "c03c_pack_subword_fit32k": 25.2,  # r20 worse-of-two 16.13 s (11.88/16.13)
+    "c04_mixture_epochs": 1.4,  # r20 worse-of-two 0.30 s (0.22/0.30)
+    "c05_redact_pii": 1.9,  # r20 worse-of-two 0.59 s (0.58/0.59)
+    "c06_assemble": 2.8,  # r20 worse-of-two 1.12 s (0.67/1.12)
+    "c07_assemble_decontaminated": 6.8,  # r20 worse-of-two 3.48 s (3.24/3.48)
+    "c08_strip_boilerplate": 4.3,  # r20 worse-of-two 2.05 s (1.97/2.05)
+    "c09_seq_shuffle": 1.9,  # r20 worse-of-two 0.63 s (0.59/0.63)
+    "c09b_shard_manifest": 1.9,  # r20 worse-of-two 0.64 s (0.51/0.64)
+    "c10_clean_full": 16.5,  # r20 worse-of-two 10.28 s (8.90/10.28)
+    "c10_clean_staged": 14.5,  # r20 worse-of-two 8.01 s (7.00/8.01)
+    "c11_corpus_upsert": 2.1,  # r20 worse-of-two 0.75 s (0.75/0.74)
+    "c12_dsir": 6.7,  # r20 worse-of-two 3.44 s (3.28/3.44)
+    "c13_corpus_census": 6.8,  # r20 worse-of-two 3.49 s (3.45/3.49)
+    "c14_stratified_sample": 1.4,  # r20 worse-of-two 0.33 s (0.31/0.33)
+    "c15_scd2_history": 1.8,  # r20 worse-of-two 0.58 s (0.45/0.58)
+    "c16_source_quota": 3.4,  # r20 worse-of-two 1.52 s (1.23/1.52)
+    "c17_vocab_fit": 2.0,  # r20 worse-of-two 0.65 s (0.50/0.65)
+    "c18_dp_census": 1.5,  # r20 worse-of-two 0.39 s (0.24/0.39)
+    "c19_pack_efficiency": 1.8,  # r20 worse-of-two 0.55 s (0.44/0.55)
+    "c21_mixture_weights": 2.0,  # r20 worse-of-two 0.69 s (0.47/0.69)
+    "c22_drop_audit": 6.1,  # r20 worse-of-two 3.10 s (2.82/3.10)
+    "c23_cluster_split": 7.8,  # r20 worse-of-two 4.08 s (4.08/4.06)
+    "c24_soft_sample": 9.9,  # r20 worse-of-two 5.32 s (3.54/5.32)
+    "c25_k_anonymity": 2.8,  # r20 worse-of-two 1.14 s (0.66/1.14)
+    "c26_corpus_diff": 4.4,  # r20 worse-of-two 2.08 s (1.14/2.08)
+    "d01_dedup_exact": 1.4,  # r20 worse-of-two 0.30 s (0.27/0.30)
+    "d02_ngram_jaccard": 5.2,  # r20 worse-of-two 2.53 s (1.99/2.53)
+    "d02_ngram_jaccard_auto": 4.1,  # r20 worse-of-two 1.94 s (1.27/1.94)
+    "d02_ngram_jaccard_capped": 4.3,  # r20 worse-of-two 2.00 s (1.80/2.00)
+    "d02p_prefix_jaccard": 11.8,  # r20 worse-of-two 6.45 s (6.45/6.21)
+    "d03_minhash_lsh": 3.8,  # r20 worse-of-two 1.74 s (1.62/1.74)
+    "d04_simhash": 2.2,  # r20 worse-of-two 0.77 s (0.74/0.77)
+    "d04b_simhash_core": 2.9,  # r20 worse-of-two 1.23 s (1.23/1.21)
+    "d05_embedding_neardup": 1.7,  # r20 worse-of-two 0.48 s (0.48/0.40)
+    "d06_dedup_clusters": 8.2,  # r20 worse-of-two 4.32 s (4.32/4.06)
+    "d06_dedup_clusters_capped": 7.3,  # r20 worse-of-two 3.82 s (3.39/3.82)
+    "d07_winnow_pairs": 4.5,  # r20 worse-of-two 2.17 s (2.13/2.17)
+    "d07_winnow_pairs_capped": 4.0,  # r20 worse-of-two 1.87 s (1.69/1.87)
+    "d08_decontaminate": 4.0,  # r20 worse-of-two 1.87 s (1.57/1.87)
+    "d09_boilerplate": 11.3,  # r20 worse-of-two 6.16 s (5.37/6.16)
+    "d09_boilerplate_capped": 6.3,  # r20 worse-of-two 3.18 s (2.52/3.18)
+    "d09_boilerplate_prefix": 5.3,  # r20 worse-of-two 2.61 s (2.34/2.61)
+    "d10_run_overlap": 2.9,  # r20 worse-of-two 1.18 s (1.08/1.18)
+    "d10_run_overlap_capped": 3.1,  # r20 worse-of-two 1.30 s (1.17/1.30)
+    "d11_contamination_report": 2.3,  # r20 worse-of-two 0.85 s (0.64/0.85)
+    "d12_bloom_decontaminate": 4.4,  # r20 worse-of-two 2.06 s (1.86/2.06)
+    "d13_semantic_dedup": 2.2,  # r20 worse-of-two 0.79 s (0.69/0.79)
+    "d14_soft_dedup": 9.2,  # r20 worse-of-two 4.92 s (3.91/4.92)
+    "d14_soft_dedup_capped": 8.2,  # r20 worse-of-two 4.31 s (3.85/4.31)
+    "d15_para_dedup": 2.8,  # r20 worse-of-two 1.16 s (1.07/1.16)
+    "d16_dedup_compare": 8.2,  # r20 worse-of-two 4.34 s (4.06/4.34)
+    "d17_threshold_curve": 4.6,  # r20 worse-of-two 2.23 s (2.23/2.19)
+    "d18_priority_dedup": 7.9,  # r20 worse-of-two 4.16 s (4.16/3.84)
+    "d19_source_overlap": 4.9,  # r20 worse-of-two 2.36 s (2.36/2.33)
+    "f01_market_stats": 3.1,  # r20 worse-of-two 1.31 s (1.09/1.31)
+    "f02_component_stats": 1.5,  # r20 worse-of-two 0.36 s (0.30/0.36)
+    "f03_zscore": 2.8,  # r20 worse-of-two 1.15 s (1.10/1.15)
+    "f04_risk_score": 2.6,  # r20 worse-of-two 1.02 s (0.94/1.02)
+    "f05_high_risk_alerts": 2.5,  # r20 worse-of-two 0.94 s (0.91/0.94)
+    "f06_hidden_price": 1.3,  # r20 worse-of-two 0.27 s (0.23/0.27)
+    "f07_categorize": 1.4,  # r20 worse-of-two 0.30 s (0.30/0.28)
+    "f08_seller_trust": 2.3,  # r20 worse-of-two 0.83 s (0.83/0.80)
+    "f08b_trust_from_reviews": 1.8,  # r20 worse-of-two 0.59 s (0.58/0.59)
+    "f09_recent_window": 1.9,  # r20 worse-of-two 0.62 s (0.52/0.62)
+    "f10_top_risk_factors": 2.8,  # r20 worse-of-two 1.17 s (1.17/0.93)
+    "f11_extract_specs": 5.7,  # r20 worse-of-two 2.83 s (2.55/2.83)
+    "f11b_extract_core": 4.3,  # r20 worse-of-two 2.02 s (2.02/1.65)
+    "f12_score_items": 11.7,  # r20 worse-of-two 6.40 s (6.40/6.24)
+    "f12b_score_core": 2.2,  # r20 worse-of-two 0.77 s (0.77/0.56)
+    "f13_generate_stats": 9.9,  # r20 worse-of-two 5.29 s (5.29/4.75)
+    "f13b_stats_core": 4.7,  # r20 worse-of-two 2.26 s (2.26/1.44)
+    "f14_factor_normalized": 2.2,  # r20 worse-of-two 0.79 s (0.79/0.59)
+    "f15_modified_after_1d": 1.6,  # r20 worse-of-two 0.44 s (0.44/0.38)
+    "f16_review_stats": 2.0,  # r20 worse-of-two 0.65 s (0.65/0.42)
+    "f17_stats_merge": 4.2,  # r20 worse-of-two 1.95 s (1.95/1.49)
+    "f18_price_histogram": 1.7,  # r20 worse-of-two 0.48 s (0.48/0.40)
+    "f19_risk_heatmap": 3.5,  # r20 worse-of-two 1.54 s (1.40/1.54)
+    "f20_risk_distribution": 2.2,  # r20 worse-of-two 0.79 s (0.79/0.73)
+    "f21_price_anomaly": 3.0,  # r20 worse-of-two 1.24 s (1.24/1.07)
+    "f22_benford": 2.0,  # r20 worse-of-two 0.65 s (0.65/0.55)
+    "f23_user_burst": 2.4,  # r20 worse-of-two 0.92 s (0.92/0.78)
+    "f24_ks_drift": 2.6,  # r20 worse-of-two 1.02 s (1.02/0.90)
+    "f25_cusum": 3.0,  # r20 worse-of-two 1.29 s (1.29/0.95)
+    "f26_impossible_travel": 2.2,  # r20 worse-of-two 0.80 s (0.80/0.57)
+    "f27_hll_users": 2.8,  # r20 worse-of-two 1.13 s (1.12/1.13)
+    "f28_last_touch": 2.8,  # r20 worse-of-two 1.12 s (0.96/1.12)
+    "f29_cms_counts": 3.1,  # r20 worse-of-two 1.35 s (1.35/1.34)
+    "f30_quantile_sketch": 2.4,  # r20 worse-of-two 0.91 s (0.75/0.91)
+    "f31_dow_anomaly": 2.4,  # r20 worse-of-two 0.93 s (0.71/0.93)
+    "f32_ewma": 3.3,  # r20 worse-of-two 1.43 s (1.39/1.43)
+    "f33_block_coarse": 37.2,  # r20 worse-of-two 24.07 s (24.07/23.03)
+    "f33_block_fine": 6.7,  # r20 worse-of-two 3.44 s (3.44/3.17)
+    "f33_dup_accounts": 6.6,  # r20 worse-of-two 3.36 s (3.36/3.21)
+    "f33b_capped_audit": 10.9,  # r20 worse-of-two 5.90 s (5.90/5.71)
+    "f34_propagation_staged": 17.2,  # r20 worse-of-two 9.64 s (9.64/8.90)
+    "f34_risk_propagation": 21.1,  # r20 worse-of-two 13.37 s (13.37/10.49)
+    "f35_golden_record": 11.9,  # r20 worse-of-two 6.52 s (6.52/6.18)
+    "f36_time_decay": 2.7,  # r20 worse-of-two 1.06 s (1.06/0.98)
+    "f37_realert": 1.4,  # r20 worse-of-two 0.35 s (0.35/0.34)
+    "f38_top_users": 2.2,  # r20 worse-of-two 0.78 s (0.78/0.48)
+    "fp01_fraud_pipeline": 20.7,  # r20 worse-of-two 13.10 s (13.10/11.00)
+    "fp02_pipeline_core": 7.5,  # r20 worse-of-two 3.91 s (3.91/2.38)
+    "g01_geo_buckets": 1.7,  # r20 worse-of-two 0.49 s (0.49/0.43)
+    "g02_geo_radius": 1.2,  # r20 worse-of-two 0.19 s (0.19/0.18)
+    "g03_pagerank": 16.1,  # r20 worse-of-two 10.03 s (10.03/9.06)
+    "g03_pagerank_staged": 7.3,  # r20 worse-of-two 3.79 s (3.79/3.18)
+    "g04_hub_skew": 13.1,  # r20 worse-of-two 7.18 s (7.18/5.40)
+    "g04_hub_skew_ordered": 4.5,  # r20 worse-of-two 2.16 s (1.98/2.16)
+    "g04_triangles": 20.2,  # r20 worse-of-two 12.74 s (11.47/12.74)
+    "g04_triangles_staged": 12.4,  # r20 worse-of-two 6.78 s (6.04/6.78)
+    "g05_link_predict": 7.1,  # r20 worse-of-two 3.69 s (3.69/3.02)
+    "g05_link_predict_full": 44.0,  # r20 worse-of-two 28.61 s (28.61/20.96)
+    "g06_kcore": 17.4,  # r20 worse-of-two 9.75 s (9.75/6.13)
+    "g06_kcore_staged": 9.5,  # r20 worse-of-two 5.07 s (5.07/4.09)
+    "g07_census_staged": 10.5,  # r20 worse-of-two 5.67 s (4.57/5.67)
+    "g07_graph_census": 19.4,  # r20 worse-of-two 12.25 s (12.25/10.22)
+    "g08_graph_mart_build": 5.9,  # r20 worse-of-two 2.94 s (2.76/2.94)
+    "m01_binary_meta": 1.4,  # r20 worse-of-two 0.31 s (0.24/0.31)
+    "m02_image_dhash": 3.5,  # r20 worse-of-two 1.57 s (1.47/1.57)
+    "m03_audio_energy": 2.9,  # r20 worse-of-two 1.23 s (1.23/1.20)
+    "m04_audio_fp": 4.9,  # r20 worse-of-two 2.36 s (2.36/2.03)
+    "m05_video_frames": 4.5,  # r20 worse-of-two 2.12 s (1.71/2.12)
+    "ml01_rule_distill": 9.8,  # r20 worse-of-two 5.28 s (5.28/4.62)
+    "ml01b_score_core": 2.7,  # r20 worse-of-two 1.08 s (1.08/0.88)
+    "ml02_quality_distill": 22.2,  # r20 worse-of-two 14.08 s (14.08/12.81)
+    "ml02b_score_core": 5.4,  # r20 worse-of-two 2.68 s (2.57/2.68)
+    "q01_pricing_summary": 3.2,  # r20 worse-of-two 1.38 s (1.38/1.33)
+    "q02_filter_project": 1.4,  # r20 worse-of-two 0.33 s (0.33/0.26)
+    "q03_join_agg": 2.1,  # r20 worse-of-two 0.71 s (0.71/0.52)
+    "q04_top_n": 2.3,  # r20 worse-of-two 0.87 s (0.87/0.78)
+    "q05_window_rank": 1.6,  # r20 worse-of-two 0.42 s (0.38/0.42)
+    "q06_semi_anti": 1.6,  # r20 worse-of-two 0.42 s (0.42/0.37)
+    "q07_distinct_union": 1.9,  # r20 worse-of-two 0.62 s (0.51/0.62)
+    "q08_date_histogram": 2.1,  # r20 worse-of-two 0.76 s (0.67/0.76)
+    "q09_running_window": 1.9,  # r20 worse-of-two 0.62 s (0.61/0.62)
+    "q10_sessionize": 2.0,  # r20 worse-of-two 0.67 s (0.48/0.67)
+    "q11_percentiles": 5.7,  # r20 worse-of-two 2.87 s (2.74/2.87)
+    "q12_pivot": 1.4,  # r20 worse-of-two 0.35 s (0.30/0.35)
+    "q13_json_extract": 2.3,  # r20 worse-of-two 0.87 s (0.87/0.87)
+    "q14_cube_rollup": 3.8,  # r20 worse-of-two 1.73 s (1.43/1.73)
+    "q15_asof_join": 4.2,  # r20 worse-of-two 1.98 s (0.92/1.98)
+    "q16_interval_join": 2.5,  # r20 worse-of-two 0.97 s (0.97/0.96)
+    "q17_skew_salted_join": 3.0,  # r20 worse-of-two 1.25 s (1.14/1.25)
+    "q18_funnel": 2.8,  # r20 worse-of-two 1.16 s (1.16/1.14)
+    "q19_retention": 2.1,  # r20 worse-of-two 0.73 s (0.67/0.73)
+    "q20_copurchase": 6.2,  # r20 worse-of-two 3.17 s (3.17/3.14)
+    "q21_grouping_sets": 1.9,  # r20 worse-of-two 0.64 s (0.57/0.64)
+    "q22_sliding_window": 2.2,  # r20 worse-of-two 0.82 s (0.73/0.82)
+    "q23_set_ops": 2.1,  # r20 worse-of-two 0.74 s (0.66/0.74)
+    "q24_ntile_deciles": 2.4,  # r20 worse-of-two 0.89 s (0.89/0.84)
+    "q25_unpivot": 4.3,  # r20 worse-of-two 2.01 s (1.35/2.01)
+    "q26_reconcile": 2.0,  # r20 worse-of-two 0.68 s (0.67/0.68)
+    "q27_dq_audit": 3.3,  # r20 worse-of-two 1.44 s (1.44/1.30)
+    "q28_top_paths": 3.3,  # r20 worse-of-two 1.42 s (1.39/1.42)
+    "q29_audience_overlap": 2.2,  # r20 worse-of-two 0.82 s (0.79/0.82)
+    "q30_funnel_window": 2.9,  # r20 worse-of-two 1.23 s (1.04/1.23)
+    "s01_ann_bruteforce": 1.8,  # r20 worse-of-two 0.58 s (0.55/0.58)
+    "s02_ann_lsh": 2.0,  # r20 worse-of-two 0.68 s (0.66/0.68)
+    "s03_ann_ivf": 4.9,  # r20 worse-of-two 2.36 s (2.36/1.83)
+    "s03b_ivf_core": 2.0,  # r20 worse-of-two 0.68 s (0.63/0.68)
+    "s04_pq_adc": 2.9,  # r20 worse-of-two 1.19 s (1.19/1.07)
+    "s05_ivfpq": 2.9,  # r20 worse-of-two 1.23 s (1.23/0.94)
+    "s05b_ivfpq_artifact": 4.8,  # r20 worse-of-two 2.31 s (2.13/2.31)
+    "s06_bm25": 3.5,  # r20 worse-of-two 1.58 s (1.30/1.58)
+    "s07_fuzzy_match": 3.6,  # r20 worse-of-two 1.63 s (1.44/1.63)
+    "s08_match_phrase": 2.3,  # r20 worse-of-two 0.86 s (0.68/0.86)
+    "s09_hybrid_rrf": 4.6,  # r20 worse-of-two 2.18 s (1.98/2.18)
+    "s10_rank_eval": 2.9,  # r20 worse-of-two 1.20 s (1.12/1.20)
+    "s11_knn_classify": 2.0,  # r20 worse-of-two 0.69 s (0.68/0.69)
+    "s12_ann_recall": 2.5,  # r20 worse-of-two 0.94 s (0.91/0.94)
+    "s13_mmr": 2.9,  # r20 worse-of-two 1.20 s (1.12/1.20)
+    "s14_centroid_prune": 5.4,  # r20 worse-of-two 2.65 s (2.04/2.65)
+    "s15_bm25_index": 6.3,  # r20 worse-of-two 3.21 s (3.08/3.21)
+    "s16_phrase_index": 6.5,  # r20 worse-of-two 3.35 s (3.27/3.35)
+    "s17_ann_sq8": 4.1,  # r20 worse-of-two 1.90 s (1.90/1.62)
+    "s18_ivf_sq8": 3.4,  # r20 worse-of-two 1.48 s (1.48/1.43)
+    "s19_more_like_this": 6.5,  # r20 worse-of-two 3.30 s (3.30/2.91)
+    "s20_hard_negatives": 1.7,  # r20 worse-of-two 0.52 s (0.47/0.52)
+    "s21_filtered_ann": 1.8,  # r20 worse-of-two 0.57 s (0.57/0.56)
+    "s22_recall_curve": 4.4,  # r20 worse-of-two 2.08 s (2.08/1.63)
+    "st01_windowed_counts": 1.9,  # r20 worse-of-two 0.64 s (0.64/0.64)
+    "st02_gate_trigger": 16.8,  # r20 worse-of-two 10.51 s (10.51/9.69)
+    "st03_maintain": 4.3,  # r20 worse-of-two 2.01 s (2.01/1.77)
+    "st04_upsert_cdc": 3.9,  # r20 worse-of-two 1.82 s (1.82/1.65)
+    "st05_alert_rule": 1.7,  # r20 worse-of-two 0.48 s (0.43/0.48)
+    "st06_alert_sink": 2.8,  # r20 worse-of-two 1.16 s (1.11/1.16)
+    "st07_index_maintain": 11.5,  # r20 worse-of-two 6.28 s (6.28/5.89)
+    "st08_linkage_gate": 12.7,  # r20 worse-of-two 6.99 s (6.99/6.17)
+    "st08b_trickle_probe": 24.2,  # r20 worse-of-two 15.40 s (15.40/15.32)
+    "st08b_trickle_probe_bcast": 17.6,  # r20 worse-of-two 9.88 s (8.66/9.88)
+    "st09_vector_maintain": 6.6,  # r20 worse-of-two 3.41 s (2.46/3.41)
+    "t01_lang_id": 1.5,  # r20 worse-of-two 0.38 s (0.27/0.38)
+    "t02_quality_score": 1.6,  # r20 worse-of-two 0.44 s (0.31/0.44)
+    "t03_token_count": 1.8,  # r20 worse-of-two 0.55 s (0.37/0.55)
+    "t04_fingerprint": 1.2,  # r20 worse-of-two 0.20 s (0.20/0.18)
+    "t05_repetition": 5.9,  # r20 worse-of-two 2.96 s (2.68/2.96)
+    "t06_normalize": 1.4,  # r20 worse-of-two 0.34 s (0.32/0.34)
+    "t07_tfidf_keywords": 3.6,  # r20 worse-of-two 1.61 s (1.61/1.59)
+    "t08_perplexity": 5.3,  # r20 worse-of-two 2.59 s (2.17/2.59)
+    "t09_entropy": 3.1,  # r20 worse-of-two 1.32 s (1.04/1.32)
+    "t10_readability": 1.6,  # r20 worse-of-two 0.46 s (0.42/0.46)
+    "t11_gopher_rules": 3.0,  # r20 worse-of-two 1.28 s (0.82/1.28)
+    "t12_pmi_collocations": 3.7,  # r20 worse-of-two 1.65 s (1.35/1.65)
+    "t13_zipf_fit": 2.0,  # r20 worse-of-two 0.68 s (0.52/0.68)
+    "t14_fertility": 1.8,  # r20 worse-of-two 0.55 s (0.37/0.55)
+    "z01_zorder": 1.8,  # r20 worse-of-two 0.56 s (0.32/0.56)
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
@@ -487,13 +511,11 @@ RATIO_FLOORS = {
 # worse-of-pair (r20 close, sf0.1/32 cpus, back-to-back fresh-JVM
 # PipeProfile runs; per-stage provenance in the comments).
 STAGE_CEILINGS = {
-    # PROVISIONAL pending the r20 close-out PipeProfile pair — do not
-    # trust these comments as measurements until replaced
-    "land_ndjson": 5.4,
-    "ingest_read": 5.3,
-    "stats_generation": 7.3,
-    "scoring": 3.9,
-    "alert_filter": 2.3,
+    "land_ndjson": 2.6,  # r20 worse-of-pair 1.02 s (1.02/0.97)
+    "ingest_read": 2.0,  # r20 worse-of-pair 0.65 s (0.65/0.59)
+    "stats_generation": 12.6,  # r20 worse-of-pair 6.91 s (6.21/6.91)
+    "scoring": 6.3,  # r20 worse-of-pair 3.19 s (2.33/3.19)
+    "alert_filter": 1.1,  # r20 worse-of-pair 0.12 s (0.10/0.12)
 }
 
 
