@@ -388,14 +388,54 @@ object Graph {
     val e = if (orient)
       orientByDegree(e0, deg).transform(graft.CacheRegistry.register)
     else e0
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .join(e.as("e3"),
-        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-    val perNode = tri
-      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    // Adjacency-intersection core (r20 optimization — compact-forward,
+    // Schank & Wagner 2005 / Latapy 2008, public algorithmics): the
+    // r19 core enumerated every directed WEDGE as a self-join row
+    // (e1.b = e2.a, ~37M rows at sf0.1's 148M-wedge co-purchase graph)
+    // and closed it with a second self-join. This core instead builds
+    // each node's out-neighbor list ONCE (one |E|-row shuffle; array
+    // payload totals |E| ids — the same mass the cached edge frame
+    // already holds) and intersects the two endpoint lists per edge:
+    // the triangles containing edge (a,b) are exactly N⁺(a) ∩ N⁺(b)
+    // under any total order, so the wedge intermediate never exists.
+    // Work is Σ_edges (d⁺(a)+d⁺(b)) ≈ the wedge mass in COMPARISONS
+    // but with |E| rows instead of Σd⁻d⁺ rows through the shuffle —
+    // measured 11.4 → 6.7 s steady-state on g04 at sf0.1 (plans/r20).
+    // The orientation gears and the hub gate are unchanged: a skewed
+    // hub's out-list under id order is hub-degree-sized and every
+    // incident edge pays an O(hub-degree) probe (the same quadratic
+    // the wedge join paid), while degree order caps out-degrees by
+    // the degeneracy — so the g04_hub_skew demo pair still binds.
+    // shuffle-HASH on the adjacency side (the g03 iterate rationale):
+    // node-cardinality but array-carrying — small per partition, huge
+    // in total, so never a broadcast; SHJ skips sort-merge's sort of
+    // the array payloads.
+    val adj = e.groupBy(col("a").as("node"))
+      .agg(collect_list(col("b")).as("nbrs"))
+      .transform(graft.CacheRegistry.register)
+    // inner joins: an edge whose endpoint has no out-neighbors closes
+    // no triangle through it; dropped rows contribute only zeros
+    val perNode = e
+      .join(adj.select(col("node").as("a"), col("nbrs").as("na"))
+        .hint("shuffle_hash"), "a")
+      .join(adj.select(col("node").as("b"), col("nbrs").as("nb"))
+        .hint("shuffle_hash"), "b")
+      // one fused pass per edge: endpoints each credit |common|
+      // triangles, every common neighbor credits 1 — no wedge rows,
+      // no second pass over the join subtree. `common` is computed
+      // once per edge in its own projection (CollapseProject keeps a
+      // multiply-referenced non-cheap expression un-inlined, so the
+      // intersect runs once, not three times).
+      .select(col("a"), col("b"),
+        array_intersect(col("na"), col("nb")).as("common"))
+      .select(explode(concat(
+        array(
+          struct(col("a").as("node"), size(col("common")).cast("long").as("c")),
+          struct(col("b").as("node"), size(col("common")).cast("long").as("c"))),
+        transform(col("common"),
+          z => struct(z.as("node"), lit(1L).as("c"))))).as("s"))
+      .groupBy(col("s.node").as("node"))
+      .agg(sum(col("s.c")).as("n_triangles"))
     deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
