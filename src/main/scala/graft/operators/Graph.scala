@@ -44,13 +44,30 @@ object Graph {
   val Iters = 5
 
   /** Distinct undirected co-purchase edges (a < b) from a
-    * (l_orderkey, l_partkey) frame. */
+    * (l_orderkey, l_partkey) frame.
+    *
+    * r20 shape: ONE basket aggregation (collect_set dedups the
+    * (orderkey, partkey) multiplicity the old plan paid a separate
+    * distinct shuffle for) + an in-row sorted-pair explode, then the
+    * edge distinct — two shuffles instead of the old three
+    * (distinct li → self-join re-exchange on orderkey → edge
+    * distinct), and no join. Per-basket work is C(|basket|, 2) pair
+    * structs — exactly the rows the self-join emitted — and the
+    * basket array is bounded by order size (≤ 17 items on the sf
+    * corpus; a degenerate mega-basket would cost the self-join the
+    * same |basket|² rows, so the array form adds no new worst case).
+    * Output proven set-identical to the self-join at sf0.1
+    * (exceptAll both ways = 0) and by the unchanged DuckDB oracles.
+    * Measured 2.97 → 2.05 s steady-state at sf0.1 (plans/r20). */
   def coEdges(lineitem: DataFrame): DataFrame = {
-    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-    li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("a"), col("b.l_partkey").as("b"))
+    val arr = array_sort(collect_set(col("l_partkey")))
+    lineitem.groupBy(col("l_orderkey"))
+      .agg(arr.as("parts"))
+      .select(explode(flatten(transform(col("parts"), (x, i) =>
+        transform(slice(col("parts"), i + lit(2),
+            size(col("parts")) - i - lit(1)),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
 
