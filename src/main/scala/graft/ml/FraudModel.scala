@@ -45,9 +45,17 @@ object FraudModel {
     new Pipeline().setStages(Array(assembler, lr))
   }
 
-  /** Train on one scale factor, return the scored frame. */
+  /** Train on one scale factor, return the scored frame.
+    *
+    * The feature frame is CACHED across fit and transform (r20): the
+    * fit consumes it once (a cached input also makes Spark ML skip
+    * its internal instance persist) and the scoring transform
+    * otherwise re-executed the whole feature plan a second time.
+    * Numerics are untouched — same rows, same partitioning, same
+    * tree-aggregation order, so the fit is bit-identical (the
+    * determinism/provenance specs pin this). */
   def trainAndScore(s: SparkSession, dir: String): DataFrame = {
-    val f = features(s, dir)
+    val f = features(s, dir).transform(graft.CacheRegistry.register)
     val model = pipeline().fit(f)
     model.transform(f)
       .select(col("p_partkey"), col("label"), col("prediction"),
