@@ -131,16 +131,42 @@ object BpeLearn {
     * batch=16 == batch=1 on the pencil corpus and on sf documents).
     * If truncation empties the batch, the top candidate runs alone —
     * literally the sequential step. */
-  def learn(words: DataFrame, rounds: Int = DefaultRounds,
+  def learn(words0: DataFrame, rounds: Int = DefaultRounds,
       minFreq: Long = MinPairFreq, batch: Int = DefaultBatch): Fit = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
+    // The (word, n) TYPE frame is consumed three times (round-0 symbol
+    // state, the alphabet collect, the final base-piece extraction) —
+    // unmaterialized, each consumer re-ran the full corpus aggregation
+    // (plus fitSampled's stratified-sample join), measured ~4 s per
+    // re-run at sf0.1 (r20). One tracked localCheckpoint shares it
+    // (released with the round blocks below — the "no lingering
+    // blocks" spec contract); the frame is vocabulary-sized (~10^7
+    // rows at 100 TB), never corpus-sized.
+    val (words, wordsIds) = checkpointTracked(words0)
     val s = words.sparkSession
+    // Size the state frame's partitions from the TYPE count (r20):
+    // the loop's wall time is rounds × per-round job latency, and on
+    // a bounded fit input (fitSampled's contract — strata ×
+    // perStratum docs) a session-width layout means every one of the
+    // ~2-3 jobs per round schedules shuffle.partitions near-empty
+    // tasks — measured 0.15-0.2 s/round at 32 partitions vs
+    // 0.05-0.08 s at the derived width at sf0.1 (~80 rounds, so
+    // ~8 s of pure scheduling). ~50k word types per partition keeps
+    // a 10^7-type production vocabulary at ~200 partitions — derived
+    // from data size, not from the local core count (the count is
+    // one action on the already-cached frame). Partitioning cannot
+    // affect the fit: counts are exact integers and the argmax order
+    // is total.
+    val typeParts = math.max(1, math.min(
+      s.sessionState.conf.numShufflePartitions,
+      (words.count() / 50000L + 1L).toInt))
     // each round's state is localCheckpoint'd (eager): the fold
     // expression otherwise NESTS per round in the logical plan, and
     // plan stringification alone goes exponential by ~20 rounds (the
     // d06 lineage-cut pattern; the frames are type-sized and tiny)
     var (cur, curIds) = checkpointTracked(
-      words.select(col("n"), split(col("word"), "").as("sym")))
+      words.repartition(typeParts)
+        .select(col("n"), split(col("word"), "").as("sym")))
     // driver-side alphabet for rule 3: base charset now, plus each
     // accepted product as it lands. A charset-sized metadata collect
     // (the g03 bounded-pull convention).
@@ -242,6 +268,7 @@ object BpeLearn {
     val pieces = merged.union(base)
       .distinct().collect().map(_.getString(0)).toSeq.sorted
     unpersistIds(s, curIds) // final round's blocks (spec: none linger)
+    unpersistIds(s, wordsIds) // the shared type-frame checkpoint
     Fit(merges.result(), pieces)
   }
 
