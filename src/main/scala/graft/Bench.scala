@@ -130,6 +130,17 @@ object Bench {
           concat(lit("tok"), pmod(col("id") * 31 + i, lit(211)))): _*).as("text"))
       graft.operators.Dedup.winnowPairs(docs, maxDf = None).count()
       graft.operators.Dedup.exactDedup(docs).count()
+      // graph-family hot codepaths (r20): the adjacency build
+      // (collect_list), the array_intersect probe and the HOF credit
+      // explode of the triangle core, still on synthetic edges only —
+      // without this the first graph face pays the family's one-time
+      // JIT (measured: g04 first-run ~2x its steady state on a slow
+      // host, the r19 verdict's g04 variance item)
+      val wedges = spark.range(30000).select(
+        pmod(col("id") * 7919, lit(3000)).as("a"),
+        pmod(col("id") * 104729, lit(3000)).as("b"))
+        .filter(col("a") < col("b")).distinct()
+      graft.operators.Graph.triangles(wedges).count()
       docs.select(graft.plans.GraftFunctions.simhash64(spark, col("text"))).count()
       graft.functions.TextAnalysis.withQuality(
         graft.functions.TextAnalysis.withLangId(docs, col("text"), "pl"),

@@ -371,16 +371,14 @@ object Graph {
     .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       (Boolean, Long)]
 
-  /** Per-node triangle metrics over undirected (a, b) edges:
-    * (node, degree, n_triangles, clustering). `degreeOrdered`:
-    * None = adaptive (orient iff the hub gate fires — the
-    * production default), Some(true)/Some(false) pin the gear (the
-    * hub-skew bench pair and the equality spec). Both gears produce
-    * identical rows — the per-node output is orientation-invariant
-    * (spec-pinned). */
-  def triangles(edges: DataFrame,
-      degreeOrdered: Option[Boolean] = None,
-      degIn: Option[DataFrame] = None): DataFrame = {
+  /** The shared first half of [[triangles]] and [[graphCensus]]:
+    * the cached degree frame plus the per-edge common-neighbor frame
+    * (a, b, common = N⁺(a) ∩ N⁺(b) under the adaptive orientation).
+    * Factored out (r20) so the census can aggregate the commons
+    * directly without the per-node credit explode. */
+  private def edgeCommons(edges: DataFrame,
+      degreeOrdered: Option[Boolean],
+      degIn: Option[DataFrame]): (DataFrame, DataFrame) = {
     val e0 = edges.transform(graft.CacheRegistry.register)
     // the per-node degree frame is needed for the OUTPUT regardless;
     // caching it makes the gate read and the orientation joins free
@@ -432,19 +430,34 @@ object Graph {
       .transform(graft.CacheRegistry.register)
     // inner joins: an edge whose endpoint has no out-neighbors closes
     // no triangle through it; dropped rows contribute only zeros
-    val perNode = e
+    val commons = e
       .join(adj.select(col("node").as("a"), col("nbrs").as("na"))
         .hint("shuffle_hash"), "a")
       .join(adj.select(col("node").as("b"), col("nbrs").as("nb"))
         .hint("shuffle_hash"), "b")
-      // one fused pass per edge: endpoints each credit |common|
-      // triangles, every common neighbor credits 1 — no wedge rows,
-      // no second pass over the join subtree. `common` is computed
-      // once per edge in its own projection (CollapseProject keeps a
-      // multiply-referenced non-cheap expression un-inlined, so the
-      // intersect runs once, not three times).
+      // `common` is computed once per edge in its own projection
+      // (CollapseProject keeps a multiply-referenced non-cheap
+      // expression un-inlined, so the intersect runs once per edge).
       .select(col("a"), col("b"),
         array_intersect(col("na"), col("nb")).as("common"))
+    (deg, commons)
+  }
+
+  /** Per-node triangle metrics over undirected (a, b) edges:
+    * (node, degree, n_triangles, clustering). `degreeOrdered`:
+    * None = adaptive (orient iff the hub gate fires — the
+    * production default), Some(true)/Some(false) pin the gear (the
+    * hub-skew bench pair and the equality spec). Both gears produce
+    * identical rows — the per-node output is orientation-invariant
+    * (spec-pinned). */
+  def triangles(edges: DataFrame,
+      degreeOrdered: Option[Boolean] = None,
+      degIn: Option[DataFrame] = None): DataFrame = {
+    val (deg, commons) = edgeCommons(edges, degreeOrdered, degIn)
+    // one fused pass per edge: endpoints each credit |common|
+    // triangles, every common neighbor credits 1 — no wedge rows,
+    // no second pass over the join subtree.
+    val perNode = commons
       .select(explode(concat(
         array(
           struct(col("a").as("node"), size(col("common")).cast("long").as("c")),
@@ -961,21 +974,39 @@ object Graph {
     * edge-incident ones (an isolated vertex has no edge row — the
     * g04 convention). */
   def graphCensus(edges: DataFrame,
-      degIn: Option[DataFrame] = None): DataFrame =
-    triangles(edges, degIn = degIn)
-      // integral DIV, not `/` (the packSequences lesson): Column `/`
-      // routes long sums through a double, which loses exactness past
-      // ~2^52 — reachable for Σ deg·(deg−1) on a hub-skewed TB graph
-      .agg(count(lit(1)).as("n_nodes"),
-        expr("sum(degree) DIV 2").as("n_edges"),
-        max(col("degree")).as("max_degree"),
-        expr("sum(degree * (degree - 1)) DIV 2").as("n_wedges"),
-        expr("sum(n_triangles) DIV 3").as("n_triangles"))
+      degIn: Option[DataFrame] = None): DataFrame = {
+    // r20: the census needs only the triangle TOTAL, so it aggregates
+    // the per-edge common-neighbor frame directly — Σ|common| counts
+    // each triangle exactly once at its (a, b) edge, which equals the
+    // old Σ per-node credits DIV 3 — and skips triangles()'s per-node
+    // credit explode, its groupBy shuffle, and the degree join. The
+    // degree side of the census is one aggregate over the cached
+    // degree frame both paths already build.
+    val (deg, commons) = edgeCommons(edges, None, degIn)
+    // integral DIV, not `/` (the packSequences lesson): Column `/`
+    // routes long sums through a double, which loses exactness past
+    // ~2^52 — reachable for Σ deg·(deg−1) on a hub-skewed TB graph
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(degree) DIV 2").as("n_edges"),
+      max(col("degree")).as("max_degree"),
+      expr("sum(degree * (degree - 1)) DIV 2").as("n_wedges"))
+    val triStats = commons
+      .agg(sum(size(col("common")).cast("long")).as("tri0"))
+    degStats.crossJoin(triStats)
+      // null parity with the per-node formulation: an EMPTY graph
+      // aggregates to null (no rows anywhere), while a graph with
+      // nodes but no closeable edge (commons empty after the inner
+      // joins) must read 0 — the per-node sum saw explicit zeros.
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        col("n_wedges"),
+        coalesce(col("tri0"),
+          when(col("n_nodes") > 0, lit(0L))).as("n_triangles"))
       .select(col("n_nodes"), col("n_edges"), col("max_degree"),
         col("n_wedges"), col("n_triangles"),
         when(col("n_wedges") === 0, lit(0.0))
           .otherwise(round((lit(3L) * col("n_triangles")).cast("double") /
             col("n_wedges"), 6)).as("gcc"))
+  }
 
   def g07(s: SparkSession, dir: String): DataFrame =
     graphCensus(coEdges(Tables.lineitem(s, dir)))
