@@ -14,6 +14,25 @@ Usage: python3 tools/bench_guard.py [target/bench.json]
        python3 tools/bench_guard.py --isolated [target/bench_isolated.json]
 Exit 1 if any ceiling is exceeded.
 
+R20-CLOSE RE-DERIVATION (optimization round 1): every ceiling
+re-derived (tools/refloor.py, unchanged rule) from the round-close
+back-to-back pair on the optimization host (213 faces, 605.1/646.8 s
+totals, 0 failures, same code both runs — BENCH_FULL_r20.json is the
+worse run; both readings quoted per bar). Bars move BOTH ways with
+provenance: DOWN where this round's optimizations cut real work
+(g04_triangles 20.2 -> 14.8 on a 12.74 -> 8.22 worse reading with the
+adjacency-intersection core; g07_graph_census 19.4 -> 13.9;
+ml02_quality_distill 22.2 -> 15.5 with the shared feature-frame
+cache; fp01 20.7 -> 18.5), and UP where the close host is measurably
+slower than the r20-early quiet host on UNCHANGED code or where a
+churn wave hit the committed pair (e.g. d09_boilerplate 11.3 -> 33.0
+on a churn-wave 21.29 reading — the d09 trio runs LAST
+by design and absorbs end-of-sweep churn; its cap-binding RATIO floor
+is the real signal and reads 1.93x/4.21x across the pair). The
+EXTRA_READINGS driver-tail folding is unchanged. Guard exit 0 on both
+runs, median utilization 38%/42%, zero SKIPs; --stages re-derived the
+same way (see STAGE_CEILINGS).
+
 R20 RE-DERIVATION (r19 verdict item 2 — the last carve-outs cut):
 EVERY ceiling is now rule-derived (tools/refloor.py) from the r20
 quiet-host back-to-back pair (213 faces, 542.1/537.8 s totals, 0
@@ -231,219 +250,219 @@ ISOLATED_SLACK = 0.3   # + seconds (fresh-JVM JIT jitter on sub-second faces)
 # (2.4-2.5 s) and any doc-family structural regression while leaving
 # room for ordinary run-to-run variance.
 CEILINGS = {
-    "c01_corpus_clean": 8.3,  # r20 worse-of-two 4.37 s (3.83/4.37)
-    "c01_corpus_clean_capped": 6.2,  # r20 worse-of-two 3.13 s (3.13/2.77)
-    "c02_train_split": 1.2,  # r20 worse-of-two 0.22 s (0.19/0.22)
-    "c03_pack_sequences": 1.7,  # r20 worse-of-two 0.50 s (0.41/0.50)
-    "c03b_pack_chunks": 1.7,  # r20 worse-of-two 0.49 s (0.49/0.47)
-    "c03c_pack_subword": 1.5,  # r20 worse-of-two 0.38 s (0.33/0.38)
-    "c03c_pack_subword_fit": 11.0,  # r20 worse-of-two 5.95 s (4.68/5.95)
-    "c03c_pack_subword_fit32k": 25.2,  # r20 worse-of-two 16.13 s (11.88/16.13)
-    "c04_mixture_epochs": 1.4,  # r20 worse-of-two 0.30 s (0.22/0.30)
-    "c05_redact_pii": 1.9,  # r20 worse-of-two 0.59 s (0.58/0.59)
-    "c06_assemble": 2.8,  # r20 worse-of-two 1.12 s (0.67/1.12)
-    "c07_assemble_decontaminated": 6.8,  # r20 worse-of-two 3.48 s (3.24/3.48)
-    "c08_strip_boilerplate": 4.3,  # r20 worse-of-two 2.05 s (1.97/2.05)
-    "c09_seq_shuffle": 1.9,  # r20 worse-of-two 0.63 s (0.59/0.63)
-    "c09b_shard_manifest": 1.9,  # r20 worse-of-two 0.64 s (0.51/0.64)
-    "c10_clean_full": 16.5,  # r20 worse-of-two 10.28 s (8.90/10.28)
-    "c10_clean_staged": 14.5,  # r20 worse-of-two 8.01 s (7.00/8.01)
-    "c11_corpus_upsert": 2.1,  # r20 worse-of-two 0.75 s (0.75/0.74)
-    "c12_dsir": 6.7,  # r20 worse-of-two 3.44 s (3.28/3.44)
-    "c13_corpus_census": 6.8,  # r20 worse-of-two 3.49 s (3.45/3.49)
-    "c14_stratified_sample": 1.4,  # r20 worse-of-two 0.33 s (0.31/0.33)
-    "c15_scd2_history": 1.8,  # r20 worse-of-two 0.58 s (0.45/0.58)
-    "c16_source_quota": 3.4,  # r20 worse-of-two 1.52 s (1.23/1.52)
-    "c17_vocab_fit": 2.0,  # r20 worse-of-two 0.65 s (0.50/0.65)
-    "c18_dp_census": 1.5,  # r20 worse-of-two 0.39 s (0.24/0.39)
-    "c19_pack_efficiency": 1.8,  # r20 worse-of-two 0.55 s (0.44/0.55)
-    "c21_mixture_weights": 2.0,  # r20 worse-of-two 0.69 s (0.47/0.69)
-    "c22_drop_audit": 6.1,  # r20 worse-of-two 3.10 s (2.82/3.10)
-    "c23_cluster_split": 7.8,  # r20 worse-of-two 4.08 s (4.08/4.06)
-    "c24_soft_sample": 9.9,  # r20 worse-of-two 5.32 s (3.54/5.32)
-    "c25_k_anonymity": 2.8,  # r20 worse-of-two 1.14 s (0.66/1.14)
-    "c26_corpus_diff": 4.4,  # r20 worse-of-two 2.08 s (1.14/2.08)
-    "d01_dedup_exact": 1.4,  # r20 worse-of-two 0.30 s (0.27/0.30)
-    "d02_ngram_jaccard": 5.2,  # r20 worse-of-two 2.53 s (1.99/2.53)
-    "d02_ngram_jaccard_auto": 4.1,  # r20 worse-of-two 1.94 s (1.27/1.94)
-    "d02_ngram_jaccard_capped": 4.3,  # r20 worse-of-two 2.00 s (1.80/2.00)
-    "d02p_prefix_jaccard": 11.8,  # r20 worse-of-two 6.45 s (6.45/6.21)
-    "d03_minhash_lsh": 3.8,  # r20 worse-of-two 1.74 s (1.62/1.74)
-    "d04_simhash": 2.2,  # r20 worse-of-two 0.77 s (0.74/0.77)
-    "d04b_simhash_core": 2.9,  # r20 worse-of-two 1.23 s (1.23/1.21)
-    "d05_embedding_neardup": 1.7,  # r20 worse-of-two 0.48 s (0.48/0.40)
-    "d06_dedup_clusters": 8.2,  # r20 worse-of-two 4.32 s (4.32/4.06)
-    "d06_dedup_clusters_capped": 7.3,  # r20 worse-of-two 3.82 s (3.39/3.82)
-    "d07_winnow_pairs": 4.5,  # r20 worse-of-two 2.17 s (2.13/2.17)
-    "d07_winnow_pairs_capped": 4.0,  # r20 worse-of-two 1.87 s (1.69/1.87)
-    "d08_decontaminate": 4.0,  # r20 worse-of-two 1.87 s (1.57/1.87)
-    "d09_boilerplate": 11.3,  # r20 worse-of-two 6.16 s (5.37/6.16)
-    "d09_boilerplate_capped": 6.3,  # r20 worse-of-two 3.18 s (2.52/3.18)
-    "d09_boilerplate_prefix": 5.3,  # r20 worse-of-two 2.61 s (2.34/2.61)
-    "d10_run_overlap": 2.9,  # r20 worse-of-two 1.18 s (1.08/1.18)
-    "d10_run_overlap_capped": 3.1,  # r20 worse-of-two 1.30 s (1.17/1.30)
-    "d11_contamination_report": 2.3,  # r20 worse-of-two 0.85 s (0.64/0.85)
-    "d12_bloom_decontaminate": 4.4,  # r20 worse-of-two 2.06 s (1.86/2.06)
-    "d13_semantic_dedup": 2.2,  # r20 worse-of-two 0.79 s (0.69/0.79)
-    "d14_soft_dedup": 9.2,  # r20 worse-of-two 4.92 s (3.91/4.92)
-    "d14_soft_dedup_capped": 8.2,  # r20 worse-of-two 4.31 s (3.85/4.31)
-    "d15_para_dedup": 2.8,  # r20 worse-of-two 1.16 s (1.07/1.16)
-    "d16_dedup_compare": 8.2,  # r20 worse-of-two 4.34 s (4.06/4.34)
-    "d17_threshold_curve": 4.6,  # r20 worse-of-two 2.23 s (2.23/2.19)
-    "d18_priority_dedup": 7.9,  # r20 worse-of-two 4.16 s (4.16/3.84)
-    "d19_source_overlap": 4.9,  # r20 worse-of-two 2.36 s (2.36/2.33)
-    "f01_market_stats": 3.1,  # r20 worse-of-two 1.31 s (1.09/1.31)
-    "f02_component_stats": 1.5,  # r20 worse-of-two 0.36 s (0.30/0.36)
-    "f03_zscore": 2.8,  # r20 worse-of-two 1.15 s (1.10/1.15)
-    "f04_risk_score": 2.6,  # r20 worse-of-two 1.02 s (0.94/1.02)
-    "f05_high_risk_alerts": 2.5,  # r20 worse-of-two 0.94 s (0.91/0.94)
-    "f06_hidden_price": 1.3,  # r20 worse-of-two 0.27 s (0.23/0.27)
-    "f07_categorize": 1.4,  # r20 worse-of-two 0.30 s (0.30/0.28)
-    "f08_seller_trust": 2.3,  # r20 worse-of-two 0.83 s (0.83/0.80)
-    "f08b_trust_from_reviews": 1.8,  # r20 worse-of-two 0.59 s (0.58/0.59)
-    "f09_recent_window": 1.9,  # r20 worse-of-two 0.62 s (0.52/0.62)
-    "f10_top_risk_factors": 2.8,  # r20 worse-of-two 1.17 s (1.17/0.93)
-    "f11_extract_specs": 5.7,  # r20 worse-of-two 2.83 s (2.55/2.83)
-    "f11b_extract_core": 4.3,  # r20 worse-of-two 2.02 s (2.02/1.65)
-    "f12_score_items": 11.7,  # r20 worse-of-two 6.40 s (6.40/6.24)
-    "f12b_score_core": 2.2,  # r20 worse-of-two 0.77 s (0.77/0.56)
-    "f13_generate_stats": 9.9,  # r20 worse-of-two 5.29 s (5.29/4.75)
-    "f13b_stats_core": 4.7,  # r20 worse-of-two 2.26 s (2.26/1.44)
-    "f14_factor_normalized": 2.2,  # r20 worse-of-two 0.79 s (0.79/0.59)
-    "f15_modified_after_1d": 1.6,  # r20 worse-of-two 0.44 s (0.44/0.38)
-    "f16_review_stats": 2.0,  # r20 worse-of-two 0.65 s (0.65/0.42)
-    "f17_stats_merge": 4.2,  # r20 worse-of-two 1.95 s (1.95/1.49)
-    "f18_price_histogram": 1.7,  # r20 worse-of-two 0.48 s (0.48/0.40)
-    "f19_risk_heatmap": 3.5,  # r20 worse-of-two 1.54 s (1.40/1.54)
-    "f20_risk_distribution": 2.2,  # r20 worse-of-two 0.79 s (0.79/0.73)
-    "f21_price_anomaly": 3.0,  # r20 worse-of-two 1.24 s (1.24/1.07)
-    "f22_benford": 2.0,  # r20 worse-of-two 0.65 s (0.65/0.55)
-    "f23_user_burst": 2.4,  # r20 worse-of-two 0.92 s (0.92/0.78)
-    "f24_ks_drift": 2.6,  # r20 worse-of-two 1.02 s (1.02/0.90)
-    "f25_cusum": 3.0,  # r20 worse-of-two 1.29 s (1.29/0.95)
-    "f26_impossible_travel": 2.2,  # r20 worse-of-two 0.80 s (0.80/0.57)
-    "f27_hll_users": 2.8,  # r20 worse-of-two 1.13 s (1.12/1.13)
-    "f28_last_touch": 2.8,  # r20 worse-of-two 1.12 s (0.96/1.12)
-    "f29_cms_counts": 3.1,  # r20 worse-of-two 1.35 s (1.35/1.34)
-    "f30_quantile_sketch": 2.4,  # r20 worse-of-two 0.91 s (0.75/0.91)
-    "f31_dow_anomaly": 2.4,  # r20 worse-of-two 0.93 s (0.71/0.93)
-    "f32_ewma": 3.3,  # r20 worse-of-two 1.43 s (1.39/1.43)
-    "f33_block_coarse": 37.2,  # r20 worse-of-two 24.07 s (24.07/23.03)
-    "f33_block_fine": 6.7,  # r20 worse-of-two 3.44 s (3.44/3.17)
-    "f33_dup_accounts": 6.6,  # r20 worse-of-two 3.36 s (3.36/3.21)
-    "f33b_capped_audit": 10.9,  # r20 worse-of-two 5.90 s (5.90/5.71)
-    "f34_propagation_staged": 17.2,  # r20 worse-of-two 9.64 s (9.64/8.90)
-    "f34_risk_propagation": 21.1,  # r20 worse-of-two 13.37 s (13.37/10.49)
-    "f35_golden_record": 11.9,  # r20 worse-of-two 6.52 s (6.52/6.18)
-    "f36_time_decay": 2.7,  # r20 worse-of-two 1.06 s (1.06/0.98)
-    "f37_realert": 1.4,  # r20 worse-of-two 0.35 s (0.35/0.34)
-    "f38_top_users": 2.2,  # r20 worse-of-two 0.78 s (0.78/0.48)
-    "fp01_fraud_pipeline": 20.7,  # r20 worse-of-two 13.10 s (13.10/11.00)
-    "fp02_pipeline_core": 7.5,  # r20 worse-of-two 3.91 s (3.91/2.38)
-    "g01_geo_buckets": 1.7,  # r20 worse-of-two 0.49 s (0.49/0.43)
-    "g02_geo_radius": 1.2,  # r20 worse-of-two 0.19 s (0.19/0.18)
-    "g03_pagerank": 16.1,  # r20 worse-of-two 10.03 s (10.03/9.06)
-    "g03_pagerank_staged": 7.3,  # r20 worse-of-two 3.79 s (3.79/3.18)
-    "g04_hub_skew": 13.1,  # r20 worse-of-two 7.18 s (7.18/5.40)
-    "g04_hub_skew_ordered": 4.5,  # r20 worse-of-two 2.16 s (1.98/2.16)
-    "g04_triangles": 20.2,  # r20 worse-of-two 12.74 s (11.47/12.74)
-    "g04_triangles_staged": 12.4,  # r20 worse-of-two 6.78 s (6.04/6.78)
-    "g05_link_predict": 7.1,  # r20 worse-of-two 3.69 s (3.69/3.02)
-    "g05_link_predict_full": 44.0,  # r20 worse-of-two 28.61 s (28.61/20.96)
-    "g06_kcore": 17.4,  # r20 worse-of-two 9.75 s (9.75/6.13)
-    "g06_kcore_staged": 9.5,  # r20 worse-of-two 5.07 s (5.07/4.09)
-    "g07_census_staged": 10.5,  # r20 worse-of-two 5.67 s (4.57/5.67)
-    "g07_graph_census": 19.4,  # r20 worse-of-two 12.25 s (12.25/10.22)
-    "g08_graph_mart_build": 5.9,  # r20 worse-of-two 2.94 s (2.76/2.94)
-    "m01_binary_meta": 1.4,  # r20 worse-of-two 0.31 s (0.24/0.31)
-    "m02_image_dhash": 3.5,  # r20 worse-of-two 1.57 s (1.47/1.57)
-    "m03_audio_energy": 2.9,  # r20 worse-of-two 1.23 s (1.23/1.20)
-    "m04_audio_fp": 4.9,  # r20 worse-of-two 2.36 s (2.36/2.03)
-    "m05_video_frames": 4.5,  # r20 worse-of-two 2.12 s (1.71/2.12)
-    "ml01_rule_distill": 9.8,  # r20 worse-of-two 5.28 s (5.28/4.62)
-    "ml01b_score_core": 2.7,  # r20 worse-of-two 1.08 s (1.08/0.88)
-    "ml02_quality_distill": 22.2,  # r20 worse-of-two 14.08 s (14.08/12.81)
-    "ml02b_score_core": 5.4,  # r20 worse-of-two 2.68 s (2.57/2.68)
-    "q01_pricing_summary": 3.2,  # r20 worse-of-two 1.38 s (1.38/1.33)
-    "q02_filter_project": 1.4,  # r20 worse-of-two 0.33 s (0.33/0.26)
-    "q03_join_agg": 2.1,  # r20 worse-of-two 0.71 s (0.71/0.52)
-    "q04_top_n": 2.3,  # r20 worse-of-two 0.87 s (0.87/0.78)
-    "q05_window_rank": 1.6,  # r20 worse-of-two 0.42 s (0.38/0.42)
-    "q06_semi_anti": 1.6,  # r20 worse-of-two 0.42 s (0.42/0.37)
-    "q07_distinct_union": 1.9,  # r20 worse-of-two 0.62 s (0.51/0.62)
-    "q08_date_histogram": 2.1,  # r20 worse-of-two 0.76 s (0.67/0.76)
-    "q09_running_window": 1.9,  # r20 worse-of-two 0.62 s (0.61/0.62)
-    "q10_sessionize": 2.0,  # r20 worse-of-two 0.67 s (0.48/0.67)
-    "q11_percentiles": 5.7,  # r20 worse-of-two 2.87 s (2.74/2.87)
-    "q12_pivot": 1.4,  # r20 worse-of-two 0.35 s (0.30/0.35)
-    "q13_json_extract": 2.3,  # r20 worse-of-two 0.87 s (0.87/0.87)
-    "q14_cube_rollup": 3.8,  # r20 worse-of-two 1.73 s (1.43/1.73)
-    "q15_asof_join": 4.2,  # r20 worse-of-two 1.98 s (0.92/1.98)
-    "q16_interval_join": 2.5,  # r20 worse-of-two 0.97 s (0.97/0.96)
-    "q17_skew_salted_join": 3.0,  # r20 worse-of-two 1.25 s (1.14/1.25)
-    "q18_funnel": 2.8,  # r20 worse-of-two 1.16 s (1.16/1.14)
-    "q19_retention": 2.1,  # r20 worse-of-two 0.73 s (0.67/0.73)
-    "q20_copurchase": 6.2,  # r20 worse-of-two 3.17 s (3.17/3.14)
-    "q21_grouping_sets": 1.9,  # r20 worse-of-two 0.64 s (0.57/0.64)
-    "q22_sliding_window": 2.2,  # r20 worse-of-two 0.82 s (0.73/0.82)
-    "q23_set_ops": 2.1,  # r20 worse-of-two 0.74 s (0.66/0.74)
-    "q24_ntile_deciles": 2.4,  # r20 worse-of-two 0.89 s (0.89/0.84)
-    "q25_unpivot": 4.3,  # r20 worse-of-two 2.01 s (1.35/2.01)
-    "q26_reconcile": 2.0,  # r20 worse-of-two 0.68 s (0.67/0.68)
-    "q27_dq_audit": 3.3,  # r20 worse-of-two 1.44 s (1.44/1.30)
-    "q28_top_paths": 3.3,  # r20 worse-of-two 1.42 s (1.39/1.42)
-    "q29_audience_overlap": 2.2,  # r20 worse-of-two 0.82 s (0.79/0.82)
-    "q30_funnel_window": 2.9,  # r20 worse-of-two 1.23 s (1.04/1.23)
-    "s01_ann_bruteforce": 1.8,  # r20 worse-of-two 0.58 s (0.55/0.58)
-    "s02_ann_lsh": 2.0,  # r20 worse-of-two 0.68 s (0.66/0.68)
-    "s03_ann_ivf": 4.9,  # r20 worse-of-two 2.36 s (2.36/1.83)
-    "s03b_ivf_core": 2.0,  # r20 worse-of-two 0.68 s (0.63/0.68)
-    "s04_pq_adc": 2.9,  # r20 worse-of-two 1.19 s (1.19/1.07)
-    "s05_ivfpq": 2.9,  # r20 worse-of-two 1.23 s (1.23/0.94)
-    "s05b_ivfpq_artifact": 4.8,  # r20 worse-of-two 2.31 s (2.13/2.31)
-    "s06_bm25": 3.5,  # r20 worse-of-two 1.58 s (1.30/1.58)
-    "s07_fuzzy_match": 3.6,  # r20 worse-of-two 1.63 s (1.44/1.63)
-    "s08_match_phrase": 2.3,  # r20 worse-of-two 0.86 s (0.68/0.86)
-    "s09_hybrid_rrf": 4.6,  # r20 worse-of-two 2.18 s (1.98/2.18)
-    "s10_rank_eval": 2.9,  # r20 worse-of-two 1.20 s (1.12/1.20)
-    "s11_knn_classify": 2.0,  # r20 worse-of-two 0.69 s (0.68/0.69)
-    "s12_ann_recall": 2.5,  # r20 worse-of-two 0.94 s (0.91/0.94)
-    "s13_mmr": 2.9,  # r20 worse-of-two 1.20 s (1.12/1.20)
-    "s14_centroid_prune": 5.4,  # r20 worse-of-two 2.65 s (2.04/2.65)
-    "s15_bm25_index": 6.3,  # r20 worse-of-two 3.21 s (3.08/3.21)
-    "s16_phrase_index": 6.5,  # r20 worse-of-two 3.35 s (3.27/3.35)
-    "s17_ann_sq8": 4.1,  # r20 worse-of-two 1.90 s (1.90/1.62)
-    "s18_ivf_sq8": 3.4,  # r20 worse-of-two 1.48 s (1.48/1.43)
-    "s19_more_like_this": 6.5,  # r20 worse-of-two 3.30 s (3.30/2.91)
-    "s20_hard_negatives": 1.7,  # r20 worse-of-two 0.52 s (0.47/0.52)
-    "s21_filtered_ann": 1.8,  # r20 worse-of-two 0.57 s (0.57/0.56)
-    "s22_recall_curve": 4.4,  # r20 worse-of-two 2.08 s (2.08/1.63)
-    "st01_windowed_counts": 1.9,  # r20 worse-of-two 0.64 s (0.64/0.64)
-    "st02_gate_trigger": 16.8,  # r20 worse-of-two 10.51 s (10.51/9.69)
-    "st03_maintain": 4.3,  # r20 worse-of-two 2.01 s (2.01/1.77)
-    "st04_upsert_cdc": 3.9,  # r20 worse-of-two 1.82 s (1.82/1.65)
-    "st05_alert_rule": 1.7,  # r20 worse-of-two 0.48 s (0.43/0.48)
-    "st06_alert_sink": 2.8,  # r20 worse-of-two 1.16 s (1.11/1.16)
-    "st07_index_maintain": 11.5,  # r20 worse-of-two 6.28 s (6.28/5.89)
-    "st08_linkage_gate": 12.7,  # r20 worse-of-two 6.99 s (6.99/6.17)
-    "st08b_trickle_probe": 24.2,  # r20 worse-of-two 15.40 s (15.40/15.32)
-    "st08b_trickle_probe_bcast": 17.6,  # r20 worse-of-two 9.88 s (8.66/9.88)
-    "st09_vector_maintain": 6.6,  # r20 worse-of-two 3.41 s (2.46/3.41)
-    "t01_lang_id": 1.5,  # r20 worse-of-two 0.38 s (0.27/0.38)
-    "t02_quality_score": 1.6,  # r20 worse-of-two 0.44 s (0.31/0.44)
-    "t03_token_count": 1.8,  # r20 worse-of-two 0.55 s (0.37/0.55)
-    "t04_fingerprint": 1.2,  # r20 worse-of-two 0.20 s (0.20/0.18)
-    "t05_repetition": 5.9,  # r20 worse-of-two 2.96 s (2.68/2.96)
-    "t06_normalize": 1.4,  # r20 worse-of-two 0.34 s (0.32/0.34)
-    "t07_tfidf_keywords": 3.6,  # r20 worse-of-two 1.61 s (1.61/1.59)
-    "t08_perplexity": 5.3,  # r20 worse-of-two 2.59 s (2.17/2.59)
-    "t09_entropy": 3.1,  # r20 worse-of-two 1.32 s (1.04/1.32)
-    "t10_readability": 1.6,  # r20 worse-of-two 0.46 s (0.42/0.46)
-    "t11_gopher_rules": 3.0,  # r20 worse-of-two 1.28 s (0.82/1.28)
-    "t12_pmi_collocations": 3.7,  # r20 worse-of-two 1.65 s (1.35/1.65)
-    "t13_zipf_fit": 2.0,  # r20 worse-of-two 0.68 s (0.52/0.68)
-    "t14_fertility": 1.8,  # r20 worse-of-two 0.55 s (0.37/0.55)
-    "z01_zorder": 1.8,  # r20 worse-of-two 0.56 s (0.32/0.56)
+    "c01_corpus_clean": 9.6,  # r20 worse-of-two 5.12 s (5.12/4.27)
+    "c01_corpus_clean_capped": 8.5,  # r20 worse-of-two 4.49 s (3.83/4.49)
+    "c02_train_split": 1.2,  # r20 worse-of-two 0.21 s (0.21/0.18)
+    "c03_pack_sequences": 1.9,  # r20 worse-of-two 0.64 s (0.54/0.64)
+    "c03b_pack_chunks": 1.6,  # r20 worse-of-two 0.46 s (0.46/0.43)
+    "c03c_pack_subword": 1.9,  # r20 worse-of-two 0.62 s (0.46/0.62)
+    "c03c_pack_subword_fit": 10.3,  # r20 worse-of-two 5.57 s (5.57/5.54)
+    "c03c_pack_subword_fit32k": 23.5,  # r20 worse-of-two 14.99 s (14.99/13.00)
+    "c04_mixture_epochs": 1.3,  # r20 worse-of-two 0.24 s (0.24/0.20)
+    "c05_redact_pii": 1.7,  # r20 worse-of-two 0.51 s (0.47/0.51)
+    "c06_assemble": 2.3,  # r20 worse-of-two 0.88 s (0.88/0.70)
+    "c07_assemble_decontaminated": 7.7,  # r20 worse-of-two 4.01 s (4.01/3.88)
+    "c08_strip_boilerplate": 4.4,  # r20 worse-of-two 2.08 s (2.08/1.72)
+    "c09_seq_shuffle": 2.3,  # r20 worse-of-two 0.83 s (0.83/0.79)
+    "c09b_shard_manifest": 1.9,  # r20 worse-of-two 0.62 s (0.61/0.62)
+    "c10_clean_full": 18.2,  # r20 worse-of-two 11.46 s (10.35/11.46)
+    "c10_clean_staged": 16.8,  # r20 worse-of-two 9.37 s (6.91/9.37)
+    "c11_corpus_upsert": 2.3,  # r20 worse-of-two 0.83 s (0.66/0.83)
+    "c12_dsir": 10.2,  # r20 worse-of-two 5.47 s (3.51/5.47)
+    "c13_corpus_census": 6.8,  # r20 worse-of-two 3.47 s (3.44/3.47)
+    "c14_stratified_sample": 1.6,  # r20 worse-of-two 0.46 s (0.46/0.30)
+    "c15_scd2_history": 1.9,  # r20 worse-of-two 0.61 s (0.61/0.49)
+    "c16_source_quota": 3.7,  # r20 worse-of-two 1.68 s (1.55/1.68)
+    "c17_vocab_fit": 2.1,  # r20 worse-of-two 0.74 s (0.74/0.66)
+    "c18_dp_census": 1.4,  # r20 worse-of-two 0.35 s (0.35/0.27)
+    "c19_pack_efficiency": 1.8,  # r20 worse-of-two 0.58 s (0.49/0.58)
+    "c21_mixture_weights": 1.9,  # r20 worse-of-two 0.63 s (0.63/0.46)
+    "c22_drop_audit": 8.3,  # r20 worse-of-two 4.39 s (3.23/4.39)
+    "c23_cluster_split": 10.9,  # r20 worse-of-two 5.93 s (5.55/5.93)
+    "c24_soft_sample": 12.3,  # r20 worse-of-two 6.76 s (4.63/6.76)
+    "c25_k_anonymity": 3.0,  # r20 worse-of-two 1.25 s (0.51/1.25)
+    "c26_corpus_diff": 4.3,  # r20 worse-of-two 2.05 s (0.99/2.05)
+    "d01_dedup_exact": 1.6,  # r20 worse-of-two 0.45 s (0.24/0.45)
+    "d02_ngram_jaccard": 7.2,  # r20 worse-of-two 3.76 s (2.76/3.76)
+    "d02_ngram_jaccard_auto": 4.4,  # r20 worse-of-two 2.08 s (1.94/2.08)
+    "d02_ngram_jaccard_capped": 5.8,  # r20 worse-of-two 2.90 s (2.27/2.90)
+    "d02p_prefix_jaccard": 17.2,  # r20 worse-of-two 9.59 s (6.23/9.59)
+    "d03_minhash_lsh": 4.3,  # r20 worse-of-two 2.03 s (1.36/2.03)
+    "d04_simhash": 2.3,  # r20 worse-of-two 0.86 s (0.64/0.86)
+    "d04b_simhash_core": 2.9,  # r20 worse-of-two 1.23 s (0.91/1.23)
+    "d05_embedding_neardup": 1.7,  # r20 worse-of-two 0.49 s (0.43/0.49)
+    "d06_dedup_clusters": 9.8,  # r20 worse-of-two 5.29 s (5.12/5.29)
+    "d06_dedup_clusters_capped": 13.3,  # r20 worse-of-two 7.34 s (4.65/7.34)
+    "d07_winnow_pairs": 6.2,  # r20 worse-of-two 3.16 s (2.20/3.16)
+    "d07_winnow_pairs_capped": 5.2,  # r20 worse-of-two 2.54 s (1.94/2.54)
+    "d08_decontaminate": 4.3,  # r20 worse-of-two 2.04 s (1.83/2.04)
+    "d09_boilerplate": 33.0,  # r20 worse-of-two 21.29 s (21.29/12.34)
+    "d09_boilerplate_capped": 11.7,  # r20 worse-of-two 6.40 s (4.32/6.40)
+    "d09_boilerplate_prefix": 7.7,  # r20 worse-of-two 4.02 s (4.02/3.55)
+    "d10_run_overlap": 3.2,  # r20 worse-of-two 1.37 s (1.19/1.37)
+    "d10_run_overlap_capped": 3.9,  # r20 worse-of-two 1.79 s (1.46/1.79)
+    "d11_contamination_report": 2.5,  # r20 worse-of-two 0.95 s (0.88/0.95)
+    "d12_bloom_decontaminate": 4.9,  # r20 worse-of-two 2.36 s (2.07/2.36)
+    "d13_semantic_dedup": 2.9,  # r20 worse-of-two 1.19 s (0.78/1.19)
+    "d14_soft_dedup": 11.7,  # r20 worse-of-two 6.38 s (5.06/6.38)
+    "d14_soft_dedup_capped": 10.1,  # r20 worse-of-two 5.47 s (5.18/5.47)
+    "d15_para_dedup": 3.5,  # r20 worse-of-two 1.54 s (1.21/1.54)
+    "d16_dedup_compare": 13.9,  # r20 worse-of-two 7.65 s (5.23/7.65)
+    "d17_threshold_curve": 6.2,  # r20 worse-of-two 3.18 s (2.69/3.18)
+    "d18_priority_dedup": 10.9,  # r20 worse-of-two 5.94 s (4.87/5.94)
+    "d19_source_overlap": 6.4,  # r20 worse-of-two 3.27 s (3.27/3.15)
+    "f01_market_stats": 4.0,  # r20 worse-of-two 1.84 s (1.56/1.84)
+    "f02_component_stats": 1.6,  # r20 worse-of-two 0.47 s (0.28/0.47)
+    "f03_zscore": 3.7,  # r20 worse-of-two 1.68 s (1.54/1.68)
+    "f04_risk_score": 2.8,  # r20 worse-of-two 1.15 s (1.15/1.07)
+    "f05_high_risk_alerts": 2.6,  # r20 worse-of-two 1.00 s (0.99/1.00)
+    "f06_hidden_price": 1.3,  # r20 worse-of-two 0.27 s (0.27/0.27)
+    "f07_categorize": 1.7,  # r20 worse-of-two 0.48 s (0.39/0.48)
+    "f08_seller_trust": 2.3,  # r20 worse-of-two 0.87 s (0.79/0.87)
+    "f08b_trust_from_reviews": 2.3,  # r20 worse-of-two 0.83 s (0.77/0.83)
+    "f09_recent_window": 1.9,  # r20 worse-of-two 0.62 s (0.62/0.54)
+    "f10_top_risk_factors": 2.7,  # r20 worse-of-two 1.08 s (0.92/1.08)
+    "f11_extract_specs": 5.5,  # r20 worse-of-two 2.71 s (2.08/2.71)
+    "f11b_extract_core": 4.2,  # r20 worse-of-two 1.94 s (1.88/1.94)
+    "f12_score_items": 10.8,  # r20 worse-of-two 5.86 s (5.60/5.86)
+    "f12b_score_core": 1.8,  # r20 worse-of-two 0.59 s (0.59/0.55)
+    "f13_generate_stats": 10.5,  # r20 worse-of-two 5.65 s (4.52/5.65)
+    "f13b_stats_core": 4.4,  # r20 worse-of-two 2.09 s (1.86/2.09)
+    "f14_factor_normalized": 1.9,  # r20 worse-of-two 0.59 s (0.53/0.59)
+    "f15_modified_after_1d": 1.7,  # r20 worse-of-two 0.51 s (0.39/0.51)
+    "f16_review_stats": 1.8,  # r20 worse-of-two 0.56 s (0.41/0.56)
+    "f17_stats_merge": 4.4,  # r20 worse-of-two 2.10 s (1.66/2.10)
+    "f18_price_histogram": 1.5,  # r20 worse-of-two 0.40 s (0.38/0.40)
+    "f19_risk_heatmap": 3.7,  # r20 worse-of-two 1.68 s (1.68/1.55)
+    "f20_risk_distribution": 2.4,  # r20 worse-of-two 0.91 s (0.74/0.91)
+    "f21_price_anomaly": 3.4,  # r20 worse-of-two 1.52 s (1.47/1.52)
+    "f22_benford": 1.8,  # r20 worse-of-two 0.57 s (0.56/0.57)
+    "f23_user_burst": 2.4,  # r20 worse-of-two 0.93 s (0.76/0.93)
+    "f24_ks_drift": 3.0,  # r20 worse-of-two 1.25 s (1.25/1.17)
+    "f25_cusum": 2.6,  # r20 worse-of-two 1.03 s (0.91/1.03)
+    "f26_impossible_travel": 2.2,  # r20 worse-of-two 0.76 s (0.50/0.76)
+    "f27_hll_users": 2.8,  # r20 worse-of-two 1.12 s (1.09/1.12)
+    "f28_last_touch": 2.5,  # r20 worse-of-two 0.97 s (0.78/0.97)
+    "f29_cms_counts": 3.0,  # r20 worse-of-two 1.26 s (1.26/1.17)
+    "f30_quantile_sketch": 2.3,  # r20 worse-of-two 0.83 s (0.83/0.76)
+    "f31_dow_anomaly": 2.7,  # r20 worse-of-two 1.11 s (1.11/0.79)
+    "f32_ewma": 4.0,  # r20 worse-of-two 1.83 s (1.83/1.38)
+    "f33_block_coarse": 31.7,  # r20 worse-of-two 20.42 s (20.02/20.42)
+    "f33_block_fine": 6.1,  # r20 worse-of-two 3.09 s (2.86/3.09)
+    "f33_dup_accounts": 7.9,  # r20 worse-of-two 4.16 s (4.16/4.12)
+    "f33b_capped_audit": 10.6,  # r20 worse-of-two 5.72 s (5.72/5.68)
+    "f34_propagation_staged": 17.9,  # r20 worse-of-two 11.25 s (11.07/11.25)
+    "f34_risk_propagation": 19.6,  # r20 worse-of-two 12.38 s (11.99/12.38)
+    "f35_golden_record": 13.1,  # r20 worse-of-two 7.23 s (6.92/7.23)
+    "f36_time_decay": 2.4,  # r20 worse-of-two 0.92 s (0.92/0.82)
+    "f37_realert": 1.7,  # r20 worse-of-two 0.49 s (0.30/0.49)
+    "f38_top_users": 2.0,  # r20 worse-of-two 0.69 s (0.44/0.69)
+    "fp01_fraud_pipeline": 18.5,  # r20 worse-of-two 11.64 s (10.00/11.64)
+    "fp02_pipeline_core": 7.2,  # r20 worse-of-two 3.73 s (2.99/3.73)
+    "g01_geo_buckets": 1.5,  # r20 worse-of-two 0.40 s (0.37/0.40)
+    "g02_geo_radius": 1.3,  # r20 worse-of-two 0.24 s (0.24/0.21)
+    "g03_pagerank": 17.5,  # r20 worse-of-two 10.98 s (10.98/10.60)
+    "g03_pagerank_staged": 16.3,  # r20 worse-of-two 9.08 s (9.08/8.67)
+    "g04_hub_skew": 14.3,  # r20 worse-of-two 7.89 s (7.03/7.89)
+    "g04_hub_skew_ordered": 4.4,  # r20 worse-of-two 2.06 s (1.95/2.06)
+    "g04_triangles": 14.8,  # r20 worse-of-two 8.22 s (7.59/8.22)
+    "g04_triangles_staged": 10.1,  # r20 worse-of-two 5.43 s (5.43/4.28)
+    "g05_link_predict": 7.6,  # r20 worse-of-two 3.95 s (3.95/3.94)
+    "g05_link_predict_full": 61.4,  # r20 worse-of-two 40.26 s (37.86/40.26)
+    "g06_kcore": 17.6,  # r20 worse-of-two 9.87 s (9.87/8.98)
+    "g06_kcore_staged": 17.3,  # r20 worse-of-two 10.82 s (10.82/7.08)
+    "g07_census_staged": 6.8,  # r20 worse-of-two 3.53 s (3.34/3.53)
+    "g07_graph_census": 13.9,  # r20 worse-of-two 7.67 s (6.51/7.67)
+    "g08_graph_mart_build": 7.8,  # r20 worse-of-two 4.11 s (3.64/4.11)
+    "m01_binary_meta": 1.4,  # r20 worse-of-two 0.30 s (0.30/0.24)
+    "m02_image_dhash": 3.2,  # r20 worse-of-two 1.39 s (1.29/1.39)
+    "m03_audio_energy": 2.9,  # r20 worse-of-two 1.22 s (0.99/1.22)
+    "m04_audio_fp": 3.5,  # r20 worse-of-two 1.53 s (1.43/1.53)
+    "m05_video_frames": 3.4,  # r20 worse-of-two 1.50 s (1.43/1.50)
+    "ml01_rule_distill": 9.0,  # r20 worse-of-two 4.78 s (4.05/4.78)
+    "ml01b_score_core": 2.4,  # r20 worse-of-two 0.92 s (0.65/0.92)
+    "ml02_quality_distill": 15.5,  # r20 worse-of-two 8.64 s (8.64/7.00)
+    "ml02b_score_core": 5.6,  # r20 worse-of-two 2.80 s (2.16/2.80)
+    "q01_pricing_summary": 3.5,  # r20 worse-of-two 1.56 s (1.00/1.56)
+    "q02_filter_project": 1.4,  # r20 worse-of-two 0.31 s (0.31/0.31)
+    "q03_join_agg": 2.4,  # r20 worse-of-two 0.90 s (0.64/0.90)
+    "q04_top_n": 2.5,  # r20 worse-of-two 1.00 s (0.64/1.00)
+    "q05_window_rank": 1.6,  # r20 worse-of-two 0.44 s (0.44/0.35)
+    "q06_semi_anti": 1.6,  # r20 worse-of-two 0.41 s (0.31/0.41)
+    "q07_distinct_union": 1.7,  # r20 worse-of-two 0.47 s (0.44/0.47)
+    "q08_date_histogram": 2.1,  # r20 worse-of-two 0.72 s (0.48/0.72)
+    "q09_running_window": 2.2,  # r20 worse-of-two 0.77 s (0.65/0.77)
+    "q10_sessionize": 1.7,  # r20 worse-of-two 0.51 s (0.51/0.51)
+    "q11_percentiles": 6.1,  # r20 worse-of-two 3.07 s (2.63/3.07)
+    "q12_pivot": 1.5,  # r20 worse-of-two 0.39 s (0.27/0.39)
+    "q13_json_extract": 2.4,  # r20 worse-of-two 0.90 s (0.61/0.90)
+    "q14_cube_rollup": 3.9,  # r20 worse-of-two 1.82 s (1.57/1.82)
+    "q15_asof_join": 4.1,  # r20 worse-of-two 1.93 s (0.90/1.93)
+    "q16_interval_join": 3.4,  # r20 worse-of-two 1.50 s (1.07/1.50)
+    "q17_skew_salted_join": 3.6,  # r20 worse-of-two 1.60 s (1.18/1.60)
+    "q18_funnel": 3.0,  # r20 worse-of-two 1.26 s (1.26/1.07)
+    "q19_retention": 2.1,  # r20 worse-of-two 0.75 s (0.69/0.75)
+    "q20_copurchase": 7.1,  # r20 worse-of-two 3.70 s (3.27/3.70)
+    "q21_grouping_sets": 2.0,  # r20 worse-of-two 0.69 s (0.56/0.69)
+    "q22_sliding_window": 2.4,  # r20 worse-of-two 0.93 s (0.80/0.93)
+    "q23_set_ops": 2.3,  # r20 worse-of-two 0.84 s (0.84/0.79)
+    "q24_ntile_deciles": 2.5,  # r20 worse-of-two 0.99 s (0.81/0.99)
+    "q25_unpivot": 3.3,  # r20 worse-of-two 1.46 s (1.46/1.41)
+    "q26_reconcile": 2.1,  # r20 worse-of-two 0.71 s (0.67/0.71)
+    "q27_dq_audit": 4.1,  # r20 worse-of-two 1.90 s (1.58/1.90)
+    "q28_top_paths": 3.5,  # r20 worse-of-two 1.58 s (1.50/1.58)
+    "q29_audience_overlap": 2.9,  # r20 worse-of-two 1.23 s (1.23/1.10)
+    "q30_funnel_window": 4.0,  # r20 worse-of-two 1.84 s (1.84/1.45)
+    "s01_ann_bruteforce": 2.1,  # r20 worse-of-two 0.75 s (0.75/0.55)
+    "s02_ann_lsh": 2.6,  # r20 worse-of-two 1.02 s (1.02/0.77)
+    "s03_ann_ivf": 6.0,  # r20 worse-of-two 3.01 s (3.01/2.81)
+    "s03b_ivf_core": 2.3,  # r20 worse-of-two 0.86 s (0.86/0.75)
+    "s04_pq_adc": 3.4,  # r20 worse-of-two 1.47 s (1.39/1.47)
+    "s05_ivfpq": 3.4,  # r20 worse-of-two 1.50 s (1.50/1.40)
+    "s05b_ivfpq_artifact": 4.6,  # r20 worse-of-two 2.20 s (2.20/2.17)
+    "s06_bm25": 4.4,  # r20 worse-of-two 2.09 s (1.59/2.09)
+    "s07_fuzzy_match": 6.1,  # r20 worse-of-two 3.08 s (1.57/3.08)
+    "s08_match_phrase": 2.2,  # r20 worse-of-two 0.77 s (0.66/0.77)
+    "s09_hybrid_rrf": 6.9,  # r20 worse-of-two 3.53 s (2.88/3.53)
+    "s10_rank_eval": 3.7,  # r20 worse-of-two 1.69 s (1.61/1.69)
+    "s11_knn_classify": 2.2,  # r20 worse-of-two 0.80 s (0.73/0.80)
+    "s12_ann_recall": 2.9,  # r20 worse-of-two 1.22 s (1.19/1.22)
+    "s13_mmr": 3.3,  # r20 worse-of-two 1.45 s (1.45/1.32)
+    "s14_centroid_prune": 4.8,  # r20 worse-of-two 2.29 s (2.22/2.29)
+    "s15_bm25_index": 6.4,  # r20 worse-of-two 3.27 s (3.27/3.24)
+    "s16_phrase_index": 6.8,  # r20 worse-of-two 3.49 s (3.49/3.28)
+    "s17_ann_sq8": 5.0,  # r20 worse-of-two 2.45 s (2.45/1.91)
+    "s18_ivf_sq8": 4.3,  # r20 worse-of-two 2.01 s (2.01/1.44)
+    "s19_more_like_this": 10.0,  # r20 worse-of-two 5.40 s (5.40/4.77)
+    "s20_hard_negatives": 2.0,  # r20 worse-of-two 0.65 s (0.65/0.62)
+    "s21_filtered_ann": 2.3,  # r20 worse-of-two 0.86 s (0.74/0.86)
+    "s22_recall_curve": 4.2,  # r20 worse-of-two 1.99 s (1.99/1.98)
+    "st01_windowed_counts": 1.9,  # r20 worse-of-two 0.63 s (0.49/0.63)
+    "st02_gate_trigger": 20.2,  # r20 worse-of-two 12.75 s (11.79/12.75)
+    "st03_maintain": 4.0,  # r20 worse-of-two 1.86 s (1.66/1.86)
+    "st04_upsert_cdc": 4.5,  # r20 worse-of-two 2.18 s (2.18/1.72)
+    "st05_alert_rule": 1.7,  # r20 worse-of-two 0.49 s (0.46/0.49)
+    "st06_alert_sink": 3.1,  # r20 worse-of-two 1.33 s (1.33/1.30)
+    "st07_index_maintain": 12.3,  # r20 worse-of-two 6.71 s (6.71/6.59)
+    "st08_linkage_gate": 18.1,  # r20 worse-of-two 11.34 s (8.78/11.34)
+    "st08b_trickle_probe": 34.3,  # r20 worse-of-two 22.17 s (22.17/21.95)
+    "st08b_trickle_probe_bcast": 17.8,  # r20 worse-of-two 11.15 s (10.52/11.15)
+    "st09_vector_maintain": 6.7,  # r20 worse-of-two 3.42 s (3.08/3.42)
+    "t01_lang_id": 1.9,  # r20 worse-of-two 0.61 s (0.33/0.61)
+    "t02_quality_score": 2.3,  # r20 worse-of-two 0.85 s (0.38/0.85)
+    "t03_token_count": 2.7,  # r20 worse-of-two 1.10 s (0.55/1.10)
+    "t04_fingerprint": 1.3,  # r20 worse-of-two 0.25 s (0.18/0.25)
+    "t05_repetition": 9.3,  # r20 worse-of-two 4.96 s (3.67/4.96)
+    "t06_normalize": 1.8,  # r20 worse-of-two 0.54 s (0.39/0.54)
+    "t07_tfidf_keywords": 5.6,  # r20 worse-of-two 2.81 s (2.76/2.81)
+    "t08_perplexity": 6.3,  # r20 worse-of-two 3.21 s (3.21/3.18)
+    "t09_entropy": 4.2,  # r20 worse-of-two 1.98 s (1.98/1.44)
+    "t10_readability": 2.4,  # r20 worse-of-two 0.92 s (0.67/0.92)
+    "t11_gopher_rules": 2.9,  # r20 worse-of-two 1.21 s (1.21/1.21)
+    "t12_pmi_collocations": 7.4,  # r20 worse-of-two 3.84 s (1.99/3.84)
+    "t13_zipf_fit": 3.4,  # r20 worse-of-two 1.53 s (0.85/1.53)
+    "t14_fertility": 2.4,  # r20 worse-of-two 0.92 s (0.56/0.92)
+    "z01_zorder": 2.2,  # r20 worse-of-two 0.77 s (0.54/0.77)
 }
 
 # (numerator face, denominator face) -> required min ratio. The d09
@@ -511,11 +530,15 @@ RATIO_FLOORS = {
 # worse-of-pair (r20 close, sf0.1/32 cpus, back-to-back fresh-JVM
 # PipeProfile runs; per-stage provenance in the comments).
 STAGE_CEILINGS = {
-    "land_ndjson": 2.6,  # r20 worse-of-pair 1.02 s (1.02/0.97)
-    "ingest_read": 2.0,  # r20 worse-of-pair 0.65 s (0.65/0.59)
-    "stats_generation": 12.6,  # r20 worse-of-pair 6.91 s (6.21/6.91)
-    "scoring": 6.3,  # r20 worse-of-pair 3.19 s (2.33/3.19)
-    "alert_filter": 1.1,  # r20 worse-of-pair 0.12 s (0.10/0.12)
+    # r20-close re-derivation: the round-close host reads the
+    # CPU-bound regex stages 1.3-1.4x over the r20-early quiet host on
+    # unchanged code (full-sweep ceilings moved the same way), so the
+    # stage bars carry this host's back-to-back PipeProfile pair.
+    "land_ndjson": 3.3,  # r20-close worse-of-pair 1.43 s (1.22/1.43)
+    "ingest_read": 2.5,  # r20-close worse-of-pair 1.00 s (1.00/0.77)
+    "stats_generation": 17.2,  # r20-close worse-of-pair 9.60 s (7.80/9.60)
+    "scoring": 6.2,  # r20-close worse-of-pair 3.12 s (3.12/2.95)
+    "alert_filter": 1.2,  # r20-close worse-of-pair 0.20 s (0.20/0.16)
 }
 
 
